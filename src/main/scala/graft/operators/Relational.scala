@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator layer (SURVEY.md §2 `EXT` rows): scans, filters,
+  * equi/broadcast/semi/anti/outer joins, grouped aggregation, cube/rollup,
+  * sort/limit/top-k, set operations — each as a plain DataFrame combinator so
+  * Catalyst owns optimization (pushdown, pruning, join selection, AQE).
+  *
+  * Numeric discipline for the DuckDB oracle: every SUM over a double money /
+  * quantity column goes through an explicit `DecimalType` cast, so the
+  * aggregate is exact and order-independent — identical across Spark task
+  * topologies AND across engines. Final outputs cast back to double (both
+  * engines derive the same IEEE value from the same exact decimal).
+  */
+object Relational {
+
+  /** Exact, summation-order-independent SUM of a double column. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Exact mean: decimal-exact sum divided by count, in double. */
+  def davg(c: Column, scale: Int = 2): Column =
+    (sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1)))
+
+  /** TPC-H Q1-style pricing summary: scan → filter → hash aggregate.
+    * Partial aggregation (map-side combine) keeps the shuffle at
+    * |groups| × partitions, constant in row count — the 100 TB shape. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum((col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        dsum((col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 6).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Selective filter + narrow projection — exists to prove pushdown:
+    * `.explain` must show PushedFilters on l_shipdate/l_quantity and a
+    * ReadSchema of exactly the 4 output columns. */
+  def filterProject(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("2000-02-01")) &&
+        col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** TPC-H Q3-style: two shuffled equi-joins (orders⋈lineitem big-big →
+    * sort-merge under AQE; customer side broadcastable) + top-k revenue.
+    * Ordering ties broken by key so top-k is engine-deterministic. */
+  def topRevenueOrders(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame =
+    customer
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderdate") < to_timestamp(lit("1998-03-15")) &&
+        col("l_shipdate") > to_timestamp(lit("1998-03-15")))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  /** TPC-H Q4-style order-priority check: LEFT SEMI join (exists) then
+    * grouped count. Semi-join avoids materializing the big side. */
+  def orderPriority(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1996-07-01")))
+      .join(lineitem.filter(col("l_quantity") > 45),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q5-style: 6-table join. nation/region/supplier are tiny —
+    * broadcast them explicitly so only the lineitem⋈orders edge shuffles. */
+  def regionRevenue(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame =
+    lineitem
+      .join(orders.filter(
+        col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** TPC-H Q6-style forecast: pure scan-filter-aggregate, no shuffle beyond
+    * the final single-row reduce. */
+  def forecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
+
+  /** LEFT OUTER join + grouped agg: per-customer order stats, keeping
+    * customers with zero orders (count of o_orderkey, not count(*)). */
+  def customerOrderStats(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("order_count"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+      .orderBy(col("c_custkey"))
+
+  /** LEFT ANTI join: customers that never ordered. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** ORDER BY … LIMIT k → TakeOrderedAndProjectExec: per-partition top-k +
+    * driver merge; no global sort of the full table. */
+  def topKOrders(orders: DataFrame, k: Int = 15): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+
+  /** DISTINCT (hash aggregate, partial+final) + global sort. */
+  def distinctSegments(customer: DataFrame): DataFrame =
+    customer.select(col("c_mktsegment")).distinct()
+      .orderBy(col("c_mktsegment"))
+
+  /** Grouped aggregation with multiple measures incl. exact count-distinct
+    * (expand + two-phase agg) and min/max. */
+  def orderStatsByStatus(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("o_orderstatus"))
+
+  /** ROLLUP over (region, nation): hierarchical subtotals + grand total.
+    * GROUPING() disambiguates NULL-as-subtotal from NULL data. */
+  def revenueRollup(customer: DataFrame, orders: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        grouping(col("r_name")).cast("int").as("g_region"),
+        grouping(col("n_name")).cast("int").as("g_nation"),
+        col("sum_price"), col("n_orders"))
+      .orderBy(col("g_region"), col("g_nation"), col("region_name"),
+        col("nation_name"))
+
+  /** CUBE over (returnflag, linestatus): all grouping combinations. */
+  def lineitemCube(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("g_rf"), col("g_ls"), col("returnflag"), col("linestatus"))
+
+  /** Set operations: INTERSECT / EXCEPT / UNION of buyer-key sets from two
+    * order years (each set op is a built-in hash-based physical op). */
+  def setOps(orders: DataFrame): DataFrame = {
+    val y1995 = orders
+      .filter(org.apache.spark.sql.functions.year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey"))
+    val y2000 = orders
+      .filter(org.apache.spark.sql.functions.year(col("o_orderdate")) === 2000)
+      .select(col("o_custkey"))
+    val both = y1995.intersect(y2000).withColumn("set_kind", lit("both"))
+    val only1995 = y1995.except(y2000).withColumn("set_kind", lit("only_1995"))
+    val only2000 = y2000.except(y1995).withColumn("set_kind", lit("only_2000"))
+    both.unionByName(only1995).unionByName(only2000)
+      .select(col("set_kind"), col("o_custkey").as("custkey"))
+      .orderBy(col("set_kind"), col("custkey"))
+  }
+
+  /** Scalar-function sweep (SURVEY §2.8): string slice/search/replace/trim/
+    * concat, casts, date parts, CASE — all codegen'd builtins. */
+  def scalarShowcase(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_upper"),
+      lower(col("p_type")).as("type_lower"),
+      length(col("p_name")).cast("long").as("name_len"),
+      substring(col("p_name"), 1, 8).as("name_prefix"),
+      locate("a", col("p_name")).cast("long").as("first_a"),
+      regexp_replace(col("p_type"), "[aeiou]", "_").as("type_devowel"),
+      trim(concat(lit("  "), col("p_brand"), lit("  "))).as("brand_trim"),
+      col("p_brand").endsWith("1").as("brand_ends_1"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      col("p_size").cast("long").as("size_long"),
+      when(col("p_retailprice") > 1500, "premium")
+        .when(col("p_retailprice") > 800, "standard")
+        .otherwise("budget").as("price_tier"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time function sweep over orders. */
+  def dateShowcase(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+      org.apache.spark.sql.functions.year(col("o_orderdate")).cast("long").as("order_year"),
+      month(col("o_orderdate")).cast("long").as("order_month"),
+      dayofmonth(col("o_orderdate")).cast("long").as("order_day"),
+      quarter(col("o_orderdate")).cast("long").as("order_quarter"),
+      date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd")
+        .as("plus_3_months"),
+      datediff(to_date(lit("2002-01-01")), to_date(col("o_orderdate")))
+        .cast("long").as("days_to_2002"))
+      .orderBy(col("o_orderkey"))
+}

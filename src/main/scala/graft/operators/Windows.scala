@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window-function layer (SURVEY.md §2.5 `EXT`): ranking, offset and frame
+  * aggregates over the `events` fixture. One `WindowExec` per partition spec;
+  * specs are shared across expressions so Spark plans a single sort+window
+  * pass per spec. Window ordering always carries a unique tiebreak column
+  * (`event_id`) — `ts` alone could collide and make lag/rank nondeterministic.
+  */
+object Windows {
+
+  /** row_number / rank / dense_rank over per-user value ordering. */
+  def rankEventsPerUser(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    events
+      .select(
+        col("user_id"), col("event_id"), col("event_type"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** lag/lead over event time per user: inter-event gap in seconds. */
+  def sessionGaps(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .select(
+        col("user_id"), col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prev_event_id"),
+        lead(col("event_id"), 1).over(w).as("next_event_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+          .as("gap_seconds"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Frame-spec aggregates: running (unbounded-preceding) decimal-exact sum
+    * and a centered 3-row moving count per user. */
+  def runningTotals(events: DataFrame): DataFrame = {
+    val ordered = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val centered = ordered.rowsBetween(-1, 1)
+    events
+      .select(
+        col("user_id"), col("event_id"),
+        sum(col("value").cast(DecimalType(18, 6))).over(running)
+          .cast("double").as("running_value"),
+        count(lit(1)).over(centered).as("neighborhood_n"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Share-of-partition: value / per-user total (window agg without order —
+    * whole-partition frame). */
+  def valueShare(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(
+        col("user_id"), col("event_id"),
+        (col("value").cast(DecimalType(18, 6)).cast("double") /
+          sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double"))
+          .as("value_share"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+}
