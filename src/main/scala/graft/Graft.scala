@@ -12,7 +12,9 @@ import org.apache.spark.sql.SparkSession
   *     ~2-3x total cores),
   *   - UTC session time zone (the reference stamps zoneless
   *     `LocalDateTime.now()`, /root/reference Main.java:105 — pinning UTC
-  *     makes TimestampType coincide with it).
+  *     makes TimestampType coincide with it IFF the reference host also runs
+  *     in UTC; for other host zones the partition labels differ by the zone
+  *     offset. Correctness tests must not rely on cross-zone equality.).
   */
 object Graft {
   def session(
@@ -26,6 +28,7 @@ object Graft {
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

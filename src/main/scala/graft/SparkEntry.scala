@@ -1,13 +1,237 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Relational => R, Windows => W}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 appears in `queries`, and
+  * every SQL-expressible one has a DuckDB oracle in `oracleSql` whose
+  * arithmetic mirrors the Spark plan EXACTLY (decimal-exact sums cast to
+  * double, integer epoch differences, regexp flags) so the driver's
+  * hash-compare is bit-stable across engines. Column names are aliased
+  * identically on both sides; every query is deterministically ordered.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    R.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational layer (SURVEY §2.3/2.4/2.6/2.7/2.8 EXT rows) ---
+    "q01_pricing_summary" -> ((s, d) => R.pricingSummary(Tables.lineitem(s, d))),
+    "q02_filter_project" -> ((s, d) => R.filterProject(Tables.lineitem(s, d))),
+    "q03_top_revenue_orders" -> ((s, d) =>
+      R.topRevenueOrders(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+    "q04_order_priority" -> ((s, d) =>
+      R.orderPriority(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q05_region_revenue" -> ((s, d) =>
+      R.regionRevenue(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d))),
+    "q06_forecast_revenue" -> ((s, d) =>
+      R.forecastRevenue(Tables.lineitem(s, d))),
+    "q07_customer_order_stats" -> ((s, d) =>
+      R.customerOrderStats(Tables.customer(s, d), Tables.orders(s, d))),
+    "q08_customers_without_orders" -> ((s, d) =>
+      R.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "q09_topk_orders" -> ((s, d) => R.topKOrders(Tables.orders(s, d))),
+    "q10_distinct_segments" -> ((s, d) =>
+      R.distinctSegments(Tables.customer(s, d))),
+    "q11_order_stats_by_status" -> ((s, d) =>
+      R.orderStatsByStatus(Tables.orders(s, d))),
+    "q12_revenue_rollup" -> ((s, d) =>
+      R.revenueRollup(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.nation(s, d), Tables.region(s, d))),
+    "q13_lineitem_cube" -> ((s, d) => R.lineitemCube(Tables.lineitem(s, d))),
+    "q14_set_ops" -> ((s, d) => R.setOps(Tables.orders(s, d))),
+    "q15_scalar_showcase" -> ((s, d) => R.scalarShowcase(Tables.part(s, d))),
+    "q16_date_showcase" -> ((s, d) => R.dateShowcase(Tables.orders(s, d))),
+    // --- window layer (SURVEY §2.5 EXT) ---
+    "w01_rank_events" -> ((s, d) => W.rankEventsPerUser(Tables.events(s, d))),
+    "w02_session_gaps" -> ((s, d) => W.sessionGaps(Tables.events(s, d))),
+    "w03_running_totals" -> ((s, d) => W.runningTotals(Tables.events(s, d))),
+    "w04_value_share" -> ((s, d) => W.valueShare(Tables.events(s, d)))
+  )
+
+  // DuckDB-dialect oracles. Shared fragments:
+  //   dsum(c,s)  ≡ CAST(SUM(CAST(c AS DECIMAL(18,s))) AS DOUBLE)
+  //   davg(c,s)  ≡ dsum(c,s)/COUNT(c)
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(l_quantity) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(l_extendedprice) AS avg_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        |  AND l_shipdate <  TIMESTAMP '2000-02-01' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_top_revenue_orders" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND orders.o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, orders.o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q05_region_revenue" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q06_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND l_discount >= CAST(0.05 AS DOUBLE)
+        |  AND l_discount <= CAST(0.07 AS DOUBLE) AND l_quantity < 24""".stripMargin,
+    "q07_customer_order_stats" ->
+      """SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS order_count,
+        | COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin,
+    "q08_customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND year(o_orderdate) = 1995)
+        |ORDER BY c_custkey""".stripMargin,
+    "q09_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
+    "q10_distinct_segments" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q11_order_stats_by_status" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        | COUNT(DISTINCT o_custkey) AS n_customers,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q12_revenue_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region_name,
+        | COALESCE(n_name, 'ALL') AS nation_name,
+        | CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+        | CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY g_region, g_nation, region_name, nation_name""".stripMargin,
+    "q13_lineitem_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        | COALESCE(l_linestatus, 'ALL') AS linestatus,
+        | CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+        | CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, returnflag, linestatus""".stripMargin,
+    "q14_set_ops" ->
+      """WITH y1995 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |     y2000 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000)
+        |SELECT set_kind, custkey FROM (
+        |  SELECT 'both' AS set_kind, o_custkey AS custkey
+        |  FROM (SELECT o_custkey FROM y1995 INTERSECT SELECT o_custkey FROM y2000)
+        |  UNION ALL
+        |  SELECT 'only_1995', o_custkey
+        |  FROM (SELECT o_custkey FROM y1995 EXCEPT SELECT o_custkey FROM y2000)
+        |  UNION ALL
+        |  SELECT 'only_2000', o_custkey
+        |  FROM (SELECT o_custkey FROM y2000 EXCEPT SELECT o_custkey FROM y1995)
+        |) ORDER BY set_kind, custkey""".stripMargin,
+    "q15_scalar_showcase" ->
+      """SELECT p_partkey,
+        | upper(p_brand) AS brand_upper,
+        | lower(p_type) AS type_lower,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | substr(p_name, 1, 8) AS name_prefix,
+        | CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+        | regexp_replace(p_type, '[aeiou]', '_', 'g') AS type_devowel,
+        | trim(concat('  ', p_brand, '  ')) AS brand_trim,
+        | ends_with(p_brand, '1') AS brand_ends_1,
+        | concat_ws('|', p_brand, p_type) AS brand_type,
+        | CAST(p_size AS BIGINT) AS size_long,
+        | CASE WHEN p_retailprice > 1500 THEN 'premium'
+        |      WHEN p_retailprice > 800 THEN 'standard'
+        |      ELSE 'budget' END AS price_tier
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q16_date_showcase" ->
+      """SELECT o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        | CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        | CAST(month(o_orderdate) AS BIGINT) AS order_month,
+        | CAST(day(o_orderdate) AS BIGINT) AS order_day,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+        | strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3_months,
+        | CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "w01_rank_events" ->
+      """SELECT user_id, event_id, event_type, rn, rnk, drnk FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    CAST(rank() OVER w AS BIGINT) AS rnk,
+        |    CAST(dense_rank() OVER w AS BIGINT) AS drnk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+        |) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+    "w02_session_gaps" ->
+      """SELECT user_id, event_id,
+        | lag(event_id, 1) OVER w AS prev_event_id,
+        | lead(event_id, 1) OVER w AS next_event_id,
+        | epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_micros
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "w03_running_totals" ->
+      """SELECT user_id, event_id,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6)))
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS running_value,
+        | COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        |   AS neighborhood_n
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "w04_value_share" ->
+      """SELECT user_id, event_id,
+        | CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) /
+        |   CAST(SUM(CAST(value AS DECIMAL(18,6)))
+        |        OVER (PARTITION BY user_id) AS DOUBLE) AS value_share
+        |FROM events ORDER BY user_id, event_id""".stripMargin
+  )
 }

@@ -21,9 +21,10 @@ object Relational {
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
-  /** Exact mean: decimal-exact sum divided by count, in double. */
+  /** Exact mean: decimal-exact sum divided by the non-null count — matching
+    * SQL AVG semantics (sum skips NULLs, so must the denominator). */
   def davg(c: Column, scale: Int = 2): Column =
-    (sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1)))
+    (sum(c.cast(DecimalType(18, scale))).cast("double") / count(c))
 
   /** TPC-H Q1-style pricing summary: scan → filter → hash aggregate.
     * Partial aggregation (map-side combine) keeps the shuffle at
@@ -88,8 +89,10 @@ object Relational {
       .agg(count(lit(1)).as("order_count"))
       .orderBy(col("o_orderpriority"))
 
-  /** TPC-H Q5-style: 6-table join. nation/region/supplier are tiny —
-    * broadcast them explicitly so only the lineitem⋈orders edge shuffles. */
+  /** TPC-H Q5-style: 6-table join. nation/region are FIXED-cardinality (25 /
+    * 5 rows at any SF) — broadcast them explicitly. customer/supplier are
+    * SF-proportional (billions of rows at 100 TB), so NO hint: AQE's
+    * runtime-stats broadcast conversion decides per deployment. */
   def regionRevenue(customer: DataFrame, orders: DataFrame,
       lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
       region: DataFrame): DataFrame =
@@ -98,8 +101,8 @@ object Relational {
         col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
           col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier),
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
@@ -130,10 +133,13 @@ object Relational {
         coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
       .orderBy(col("c_custkey"))
 
-  /** LEFT ANTI join: customers that never ordered. */
+  /** LEFT ANTI join: customers with no orders in 1995 (the fixture has no
+    * fully order-less customers, so anti-join against a year slice keeps the
+    * result non-empty — a 0-row result would be a vacuous correctness check). */
   def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
     customer
-      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(orders.filter(org.apache.spark.sql.functions.year(col("o_orderdate")) === 1995),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
 
@@ -168,17 +174,19 @@ object Relational {
   def revenueRollup(customer: DataFrame, orders: DataFrame, nation: DataFrame,
       region: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(dsum(col("o_totalprice")).as("sum_price"),
+      .agg(
+        grouping(col("r_name")).cast("int").as("g_region"),
+        grouping(col("n_name")).cast("int").as("g_nation"),
+        dsum(col("o_totalprice")).as("sum_price"),
         count(lit(1)).as("n_orders"))
       .select(
         coalesce(col("r_name"), lit("ALL")).as("region_name"),
         coalesce(col("n_name"), lit("ALL")).as("nation_name"),
-        grouping(col("r_name")).cast("int").as("g_region"),
-        grouping(col("n_name")).cast("int").as("g_nation"),
+        col("g_region"), col("g_nation"),
         col("sum_price"), col("n_orders"))
       .orderBy(col("g_region"), col("g_nation"), col("region_name"),
         col("nation_name"))
@@ -187,13 +195,15 @@ object Relational {
   def lineitemCube(lineitem: DataFrame): DataFrame =
     lineitem
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(dsum(col("l_quantity")).as("sum_qty"),
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        dsum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n_rows"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
-        grouping(col("l_returnflag")).cast("int").as("g_rf"),
-        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        col("g_rf"), col("g_ls"),
         col("sum_qty"), col("n_rows"))
       .orderBy(col("g_rf"), col("g_ls"), col("returnflag"), col("linestatus"))
 

@@ -20,14 +20,16 @@ object Windows {
     events
       .select(
         col("user_id"), col("event_id"), col("event_type"),
-        row_number().over(w).as("rn"),
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"))
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"))
       .filter(col("rn") <= 3)
       .orderBy(col("user_id"), col("rn"))
   }
 
-  /** lag/lead over event time per user: inter-event gap in seconds. */
+  /** lag/lead over event time per user: inter-event gap in exact
+    * microseconds (integer epoch difference — `unix_timestamp` would floor
+    * each side to whole seconds first, off by ±1s vs the true gap). */
   def sessionGaps(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
@@ -36,8 +38,8 @@ object Windows {
         col("user_id"), col("event_id"),
         lag(col("event_id"), 1).over(w).as("prev_event_id"),
         lead(col("event_id"), 1).over(w).as("next_event_id"),
-        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
-          .as("gap_seconds"))
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          .as("gap_micros"))
       .orderBy(col("user_id"), col("event_id"))
   }
 
