@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Relational => R, Windows => W}
+import graft.operators.{Relational => R, TextAnalysis => T, Windows => W}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -53,7 +53,12 @@ object SparkEntry {
     "w01_rank_events" -> ((s, d) => W.rankEventsPerUser(Tables.events(s, d))),
     "w02_session_gaps" -> ((s, d) => W.sessionGaps(Tables.events(s, d))),
     "w03_running_totals" -> ((s, d) => W.runningTotals(Tables.events(s, d))),
-    "w04_value_share" -> ((s, d) => W.valueShare(Tables.events(s, d)))
+    "w04_value_share" -> ((s, d) => W.valueShare(Tables.events(s, d))),
+    // --- text-analysis layer (LLM-pipeline north star) ---
+    "t01_token_stats" -> ((s, d) => T.tokenStats(Tables.documents(s, d))),
+    "t02_quality_score" -> ((s, d) => T.qualityScore(Tables.documents(s, d))),
+    "t03_language_id" -> ((s, d) => T.languageId(Tables.documents(s, d))),
+    "t04_fingerprints" -> ((s, d) => T.fingerprints(Tables.documents(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -232,6 +237,77 @@ object SparkEntry {
         | CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) /
         |   CAST(SUM(CAST(value AS DECIMAL(18,6)))
         |        OVER (PARTITION BY user_id) AS DOUBLE) AS value_share
-        |FROM events ORDER BY user_id, event_id""".stripMargin
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "t01_token_stats" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        | len(toks) AS n_ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |   AS n_bpe_tokens,
+        | len(list_distinct(toks)) AS n_distinct_words,
+        | CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |   / CAST(len(toks) AS DOUBLE) AS mean_token_chars
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "t02_quality_score" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(toks) AS DOUBLE) AS n_tok,
+        |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS punct,
+        |  CAST(len(list_filter(toks, t -> list_contains(
+        |    ['the','a','and','of','to','in','is','it'], lower(t)))) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS stop,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS diversity
+        | FROM t)
+        |SELECT doc_id,
+        | CAST(n_tok AS BIGINT) AS n_tokens,
+        | punct AS punct_ratio, stop AS stopword_ratio,
+        | diversity AS word_diversity,
+        | least(1.0, n_tok/64.0)*0.4 + (1.0-punct)*0.2 + stop*0.2
+        |   + diversity*0.2 AS quality,
+        | CASE WHEN least(1.0, n_tok/64.0)*0.4 + (1.0-punct)*0.2 + stop*0.2
+        |   + diversity*0.2 >= 0.55 THEN 'high'
+        |      WHEN least(1.0, n_tok/64.0)*0.4 + (1.0-punct)*0.2 + stop*0.2
+        |   + diversity*0.2 >= 0.45 THEN 'medium'
+        |      ELSE 'low' END AS quality_tier
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "t03_language_id" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, t -> list_contains(
+        |    ['the','a','and','of','to','in','is','it'], lower(t)))) AS c_en,
+        |  len(list_filter(toks, t -> list_contains(
+        |    ['el','la','de','que','y','en','un','es'], lower(t)))) AS c_es,
+        |  len(list_filter(toks, t -> list_contains(
+        |    ['der','die','und','das','ist','ein','zu','den'], lower(t)))) AS c_de,
+        |  len(list_filter(toks, t -> list_contains(
+        |    ['le','la','et','les','des','un','une','est'], lower(t)))) AS c_fr
+        | FROM t)
+        |SELECT doc_id, lang AS labeled_lang,
+        | c_en AS score_en, c_es AS score_es, c_de AS score_de, c_fr AS score_fr,
+        | CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'unknown'
+        |      WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+        |      WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+        |      WHEN c_de >= c_fr THEN 'de'
+        |      ELSE 'fr' END AS predicted_lang
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "t04_fingerprints" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_replace(trim(text), '\s+', ' ', 'g') AS norm,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, norm,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(range(0, len(toks)-2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [array_to_string(toks, ' ')] END AS sh
+        | FROM t)
+        |SELECT doc_id, md5(norm) AS content_md5,
+        | list_min(list_transform(sh, x -> md5(x))) AS winnow_min,
+        | len(list_distinct(sh)) AS n_shingles
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis layer for LLM training-data pipelines over the `documents`
+  * fixture: token counting, quality scoring, language ID, fingerprinting.
+  *
+  * Everything is pure column expressions (whole-stage codegen, no UDFs) and
+  * per-row (narrow — no shuffle except the final presentation sort), so each
+  * operator scales linearly with input splits: at 100 TB these run as a single
+  * scan stage with full column pruning.
+  *
+  * Determinism discipline for the DuckDB oracle: all floating-point arithmetic
+  * is written as the SAME fold order in both engines (see SparkEntry.oracleSql)
+  * so results are bitwise identical, not merely close.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text (split of empty string yields [""],
+    * hence the trim guard — mirrors `string_split_regex(trim(x),'\s+')`). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish subword segmentation: letter runs, digit runs, single other
+    * non-space chars — the classic pre-tokenizer regex, counted. */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Word n-gram shingles joined by single spaces; docs shorter than n
+    * tokens collapse to one whole-text shingle. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+
+  /** Per-document token statistics: whitespace tokens, BPE-ish tokens,
+    * distinct words, character-per-token mean. */
+  def tokenStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_words"),
+      (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+        size(toks).cast("double")).as("mean_token_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Tiny high-frequency stopword lists (public knowledge) per language.
+  val StopEn = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  val StopEs = Seq("el", "la", "de", "que", "y", "en", "un", "es")
+  val StopDe = Seq("der", "die", "und", "das", "ist", "ein", "zu", "den")
+  val StopFr = Seq("le", "la", "et", "les", "des", "un", "une", "est")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(
+      array(words.map(lit): _*), lower(t)))).cast("long")
+
+  /** Heuristic quality score — the standard cheap LLM-data filters:
+    * length prior, punctuation density, stopword density, word diversity —
+    * combined into [0,1] with a fixed fold order. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val punct = (length(regexp_replace(col("text"), "[^.!?,;:]", ""))
+      .cast("double") / length(col("text")).cast("double"))
+    val stop = countIn(toks, StopEn).cast("double") / nTok
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val lengthScore = least(lit(1.0), nTok / lit(64.0))
+    val q = lengthScore * lit(0.4) + (lit(1.0) - punct) * lit(0.2) +
+      stop * lit(0.2) + diversity * lit(0.2)
+    documents.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      punct.as("punct_ratio"),
+      stop.as("stopword_ratio"),
+      diversity.as("word_diversity"),
+      q.as("quality"),
+      when(q >= 0.55, "high").when(q >= 0.45, "medium").otherwise("low")
+        .as("quality_tier"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stopword-profile language ID over {en,es,de,fr}: per-language marker
+    * counts, argmax with fixed tie-break order en>es>de>fr ("unknown" when
+    * no marker hits). Deterministic, oracle-matched. */
+  def languageId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val cEn = countIn(toks, StopEn)
+    val cEs = countIn(toks, StopEs)
+    val cDe = countIn(toks, StopDe)
+    val cFr = countIn(toks, StopFr)
+    documents.select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      cEn.as("score_en"), cEs.as("score_es"),
+      cDe.as("score_de"), cFr.as("score_fr"),
+      when(greatest(cEn, cEs, cDe, cFr) === 0, "unknown")
+        .when(cEn >= cEs && cEn >= cDe && cEn >= cFr, "en")
+        .when(cEs >= cDe && cEs >= cFr, "es")
+        .when(cDe >= cFr, "de")
+        .otherwise("fr").as("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprints: exact-content hash (md5 of whitespace-normalized
+    * text) + winnowing-style min-hash of word-3-gram shingles (the rolling-
+    * hash fingerprint: min over shingle hashes selects a content-stable
+    * representative sample — shift-invariant, robust to local edits). */
+  def fingerprints(documents: DataFrame): DataFrame = {
+    val norm = regexp_replace(trim(col("text")), "\\s+", " ")
+    val sh = shingles(tokens(col("text")), 3)
+    documents.select(
+      col("doc_id"),
+      md5(norm).as("content_md5"),
+      array_min(transform(sh, s => md5(s))).as("winnow_min"),
+      size(array_distinct(sh)).cast("long").as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+}
