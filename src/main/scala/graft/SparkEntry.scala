@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Relational => R, TextAnalysis => T, Windows => W}
+import graft.operators.{Dedup => D, Relational => R, TextAnalysis => T, Windows => W}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,7 +58,17 @@ object SparkEntry {
     "t01_token_stats" -> ((s, d) => T.tokenStats(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d) => T.qualityScore(Tables.documents(s, d))),
     "t03_language_id" -> ((s, d) => T.languageId(Tables.documents(s, d))),
-    "t04_fingerprints" -> ((s, d) => T.fingerprints(Tables.documents(s, d)))
+    "t04_fingerprints" -> ((s, d) => T.fingerprints(Tables.documents(s, d))),
+    // --- dedup layer (LLM-pipeline north star) ---
+    "d01_exact_dedup" -> ((s, d) =>
+      D.exactDedup(D.doubledCorpus(Tables.documents(s, d)))),
+    "d02_jaccard_pairs" -> ((s, d) => D.jaccardPairs(Tables.documents(s, d))),
+    "d03_minhash_signatures" -> ((s, d) =>
+      D.minhashSignatures(Tables.documents(s, d))),
+    "d04_lsh_candidates" -> ((s, d) => D.lshCandidates(Tables.documents(s, d))),
+    "d05_simhash" -> ((s, d) => D.simhash(Tables.documents(s, d))),
+    "d06_embedding_near_dups" -> ((s, d) =>
+      D.embeddingNearDups(Tables.embeddings(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -308,6 +318,98 @@ object SparkEntry {
         |SELECT doc_id, md5(norm) AS content_md5,
         | list_min(list_transform(sh, x -> md5(x))) AS winnow_min,
         | len(list_distinct(sh)) AS n_shingles
-        |FROM s ORDER BY doc_id""".stripMargin
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "d01_exact_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |h AS (SELECT doc_id,
+        |  md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS content_md5
+        | FROM corpus)
+        |SELECT min(doc_id) AS kept_doc_id, content_md5, count(*) AS n_copies
+        |FROM h GROUP BY content_md5 ORDER BY kept_doc_id""".stripMargin,
+    "d02_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(range(0, len(toks)-2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM e a JOIN e b ON a.shingle = b.shingle
+        |        AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / CAST(x.n_sh + y.n_sh - inter AS DOUBLE)
+        |    AS jaccard
+        | FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d03_minhash_signatures" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(range(0, len(toks)-2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM t),
+        |g AS (SELECT doc_id, list_transform(range(0, 12), j ->
+        |  list_min(list_transform(sh, x ->
+        |    md5(concat(CAST(j AS VARCHAR), ':', x))))) AS sig FROM s),
+        |b AS (SELECT doc_id, sig, list_transform(range(0, 4), k ->
+        |  md5(array_to_string(sig[k*3+1:k*3+3], '|'))) AS bands FROM g)
+        |SELECT doc_id, array_to_string(sig, '|') AS signature,
+        | array_to_string(bands, '|') AS band_digests
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "d04_lsh_candidates" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(range(0, len(toks)-2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM t),
+        |g AS (SELECT doc_id, list_transform(range(0, 12), j ->
+        |  list_min(list_transform(sh, x ->
+        |    md5(concat(CAST(j AS VARCHAR), ':', x))))) AS sig FROM s),
+        |b AS (SELECT doc_id, list_transform(range(0, 4), k ->
+        |  md5(array_to_string(sig[k*3+1:k*3+3], '|'))) AS bands FROM g),
+        |e AS (SELECT doc_id, k AS band, bands[k+1] AS digest
+        |      FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS k) u)
+        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        | count(*) AS n_shared_bands
+        |FROM e a JOIN e b2 ON a.band = b2.band AND a.digest = b2.digest
+        |  AND a.doc_id < b2.doc_id
+        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+    "d05_simhash" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        | array_to_string(list_transform(range(0, 64), j ->
+        |  CASE WHEN list_reduce(list_transform(toks, t ->
+        |    CASE WHEN
+        |      ((strpos('0123456789abcdef', substr(md5(t), 1 + (j // 4), 1))
+        |         - 1)
+        |        // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+        |            WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+        |    THEN 1 ELSE -1 END), (a, b) -> a + b) > 0
+        |  THEN '1' ELSE '0' END), '') AS simhash64
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "d06_embedding_near_dups" ->
+      """WITH n AS (SELECT vec_id, label, embedding,
+        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |    (a, b) -> a + b) AS norm2 FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        |  a.label AS bucket,
+        |  list_reduce(list_transform(range(1, len(a.embedding)+1), i ->
+        |    CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+        |    (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(b.norm2)) AS cosine
+        | FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_id_a, vec_id_b, bucket, cosine FROM p
+        |WHERE cosine >= 0.35 ORDER BY vec_id_a, vec_id_b""".stripMargin
   )
 }
