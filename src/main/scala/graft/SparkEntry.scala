@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup => D, Relational => R, TextAnalysis => T, Windows => W}
+import graft.operators.{Dedup => D, Relational => R, Similarity => S,
+  TextAnalysis => T, Windows => W}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -68,7 +69,10 @@ object SparkEntry {
     "d04_lsh_candidates" -> ((s, d) => D.lshCandidates(Tables.documents(s, d))),
     "d05_simhash" -> ((s, d) => D.simhash(Tables.documents(s, d))),
     "d06_embedding_near_dups" -> ((s, d) =>
-      D.embeddingNearDups(Tables.embeddings(s, d)))
+      D.embeddingNearDups(Tables.embeddings(s, d))),
+    // --- similarity search (LLM-pipeline north star) ---
+    "s01_brute_topk" -> ((s, d) => S.bruteForceTopK(Tables.embeddings(s, d))),
+    "s02_ivf_topk" -> ((s, d) => S.ivfTopK(Tables.embeddings(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -410,6 +414,43 @@ object SparkEntry {
         |    (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(b.norm2)) AS cosine
         | FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT vec_id_a, vec_id_b, bucket, cosine FROM p
-        |WHERE cosine >= 0.35 ORDER BY vec_id_a, vec_id_b""".stripMargin
+        |WHERE cosine >= 0.35 ORDER BY vec_id_a, vec_id_b""".stripMargin,
+    "s01_brute_topk" ->
+      """WITH n AS (SELECT vec_id, label, embedding,
+        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |    (a, b) -> a + b) AS norm2 FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS query_emb,
+        |  norm2 AS qnorm2 FROM n WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1, len(c.embedding)+1), i ->
+        |    CAST(c.embedding[i] AS DOUBLE) * CAST(q.query_emb[i] AS DOUBLE)),
+        |    (x, y) -> x + y) / (sqrt(c.norm2) * sqrt(q.qnorm2)) AS cosine
+        | FROM n c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+        | FROM scored)
+        |SELECT query_id, neighbor_id, cosine, rank FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "s02_ivf_topk" ->
+      """WITH n AS (SELECT vec_id, label, embedding,
+        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |    (a, b) -> a + b) AS norm2 FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS query_label,
+        |  embedding AS query_emb, norm2 AS qnorm2 FROM n WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, c.label, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1, len(c.embedding)+1), i ->
+        |    CAST(c.embedding[i] AS DOUBLE) * CAST(q.query_emb[i] AS DOUBLE)),
+        |    (x, y) -> x + y) / (sqrt(c.norm2) * sqrt(q.qnorm2)) AS cosine
+        | FROM n c JOIN q ON c.label = q.query_label
+        |   AND c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, label, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+        | FROM scored)
+        |SELECT query_id, label, neighbor_id, cosine, rank FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   )
 }
