@@ -72,7 +72,14 @@ object SparkEntry {
       D.embeddingNearDups(Tables.embeddings(s, d))),
     // --- similarity search (LLM-pipeline north star) ---
     "s01_brute_topk" -> ((s, d) => S.bruteForceTopK(Tables.embeddings(s, d))),
-    "s02_ivf_topk" -> ((s, d) => S.ivfTopK(Tables.embeddings(s, d)))
+    "s02_ivf_topk" -> ((s, d) => S.ivfTopK(Tables.embeddings(s, d))),
+    // --- lake adapter (reference parity: SURVEY §2.1/2.2, §3 E1-E3) ---
+    "l01_marker_split" -> ((s, d) =>
+      graft.lake.LakeQueries.markerSplitDemo(Tables.documents(s, d))),
+    "l02_lake_roundtrip" -> ((s, d) =>
+      graft.lake.LakeQueries.roundtripList(s, Tables.documents(s, d))),
+    "l03_lake_exists" -> ((s, d) =>
+      graft.lake.LakeQueries.existsProbe(s, Tables.documents(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -451,6 +458,54 @@ object SparkEntry {
         |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
         | FROM scored)
         |SELECT query_id, label, neighbor_id, cosine, rank FROM r
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "l01_marker_split" ->
+      """WITH w AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN text
+        |  ELSE 'Title: doc ' || doc_id || chr(10) || 'Author: ' || source
+        |    || chr(10)
+        |    || (CASE WHEN doc_id % 3 = 0
+        |        THEN '*** START OF THIS PROJECT GUTENBERG EBOOK'
+        |        ELSE '*** START OF THE PROJECT GUTENBERG EBOOK' END)
+        |    || ' Doc ' || doc_id || ' ***' || chr(10) || text || chr(10)
+        |    || (CASE WHEN doc_id % 3 = 0
+        |        THEN '*** END OF THIS PROJECT GUTENBERG EBOOK'
+        |        ELSE '*** END OF THE PROJECT GUTENBERG EBOOK' END)
+        |    || ' Doc ' || doc_id || ' ***' || chr(10) || 'End of transcript.'
+        |  END AS text FROM documents),
+        |p AS (SELECT doc_id, text,
+        |  CASE
+        |   WHEN strpos(text, '*** START OF THE PROJECT GUTENBERG EBOOK') > 0
+        |   THEN strpos(text, '*** START OF THE PROJECT GUTENBERG EBOOK') - 1
+        |     + length('*** START OF THE PROJECT GUTENBERG EBOOK')
+        |   WHEN strpos(text, '*** START OF THIS PROJECT GUTENBERG EBOOK') > 0
+        |   THEN strpos(text, '*** START OF THIS PROJECT GUTENBERG EBOOK') - 1
+        |     + length('*** START OF THIS PROJECT GUTENBERG EBOOK')
+        |   ELSE -1 END AS s,
+        |  CASE
+        |   WHEN strpos(text, '*** END OF THE PROJECT GUTENBERG EBOOK') > 0
+        |   THEN strpos(text, '*** END OF THE PROJECT GUTENBERG EBOOK') - 1
+        |   WHEN strpos(text, '*** END OF THIS PROJECT GUTENBERG EBOOK') > 0
+        |   THEN strpos(text, '*** END OF THIS PROJECT GUTENBERG EBOOK') - 1
+        |   ELSE -1 END AS e
+        | FROM w)
+        |SELECT doc_id, (s >= 0 AND e >= 0 AND e > s) AS split_ok,
+        | CASE WHEN s >= 0 AND e >= 0 AND e > s
+        |   THEN trim(substr(text, 1, s),
+        |     ' ' || chr(9) || chr(10) || chr(13)) END AS header,
+        | CASE WHEN s >= 0 AND e >= 0 AND e > s
+        |   THEN trim(substr(text, s + 1, e - s),
+        |     ' ' || chr(9) || chr(10) || chr(13)) END AS body
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "l02_lake_roundtrip" ->
+      """SELECT DISTINCT doc_id AS book_id, '20260115' AS date,
+        | '10' AS hour
+        |FROM documents ORDER BY book_id""".stripMargin,
+    "l03_lake_exists" ->
+      """SELECT v.book_id, d.doc_id IS NOT NULL AS available
+        |FROM (VALUES (-1), (0), (1), (17), (499), (999999)) v(book_id)
+        |LEFT JOIN (SELECT DISTINCT doc_id FROM documents) d
+        |  ON v.book_id = d.doc_id
+        |ORDER BY v.book_id""".stripMargin
   )
 }

@@ -1,0 +1,83 @@
+package graft.lake
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checkable query forms of the lake adapter's three entry points
+  * (SURVEY §3 E1/E2/E3), driven off the `documents` fixture so the DuckDB
+  * oracle can reproduce them from the same parquet. */
+object LakeQueries {
+
+  /** Fixed ingestion timestamp so partition labels are deterministic
+    * (the reference stamps `LocalDateTime.now()`, Main.java:105 — a fixed
+    * clock is the testable equivalent). */
+  val FixedTs: LocalDateTime = LocalDateTime.of(2026, 1, 15, 10, 30, 0)
+
+  /** Wrap fixture documents as Gutenberg-shaped texts: docs with
+    * doc_id % 10 == 0 get NO markers (exercising the reject path), others
+    * get the THE/THIS marker variant by doc_id % 3. */
+  def wrappedTexts(documents: DataFrame): DataFrame = {
+    val thisVariant = col("doc_id") % 3 === 0
+    val st = when(thisVariant, lit(MarkerSplit.StartMarkers(1)))
+      .otherwise(lit(MarkerSplit.StartMarkers(0)))
+    val en = when(thisVariant, lit(MarkerSplit.EndMarkers(1)))
+      .otherwise(lit(MarkerSplit.EndMarkers(0)))
+    documents.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, col("text"))
+        .otherwise(concat(
+          lit("Title: doc "), col("doc_id"),
+          lit("\nAuthor: "), col("source"), lit("\n"),
+          st, lit(" Doc "), col("doc_id"), lit(" ***\n"),
+          col("text"), lit("\n"),
+          en, lit(" Doc "), col("doc_id"), lit(" ***\nEnd of transcript.")))
+        .as("text"))
+  }
+
+  /** E1's parse stage: marker split over the wrapped corpus, keeping the
+    * reject rows visible (split_ok=false, null header/body). */
+  def markerSplitDemo(documents: DataFrame): DataFrame =
+    MarkerSplit.withSplit(wrappedTexts(documents))
+      .select(col("doc_id"), col("split_ok"), col("header"), col("body"))
+      .orderBy(col("doc_id"))
+
+  private def freshLake(spark: SparkSession,
+      documents: DataFrame): SparkLakeStorage = {
+    val dir = Files.createTempDirectory("graft-lake-").toFile.getAbsolutePath
+    val storage = new SparkLakeStorage(spark, dir)
+    storage.saveBooks(
+      documents.select(col("doc_id").as("book_id"),
+        concat(lit("Header for "), col("doc_id")).as("header"),
+        col("text").as("body")),
+      FixedTs)
+    storage
+  }
+
+  /** E3 round-trip: save every fixture document into a fresh partitioned
+    * parquet lake, read it back, list distinct body ids ascending with
+    * their partition labels. */
+  def roundtripList(spark: SparkSession, documents: DataFrame): DataFrame =
+    freshLake(spark, documents).lake
+      .filter(col("kind") === "body")
+      .select(col("book_id"), col("date"), col("hour"))
+      .distinct()
+      .orderBy(col("book_id"))
+
+  /** E2 batched: availability of a fixed probe set against the round-trip
+    * lake — the scalable form of per-id `exists` (one semi-join instead of
+    * N point scans). */
+  def existsProbe(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val lakeIds = freshLake(spark, documents).lake
+      .filter(col("kind") === "body")
+      .select(col("book_id")).distinct()
+      .withColumn("present", lit(true))
+    Seq(-1L, 0L, 1L, 17L, 499L, 999999L).toDF("book_id")
+      .join(lakeIds, Seq("book_id"), "left")
+      .select(col("book_id"),
+        coalesce(col("present"), lit(false)).as("available"))
+      .orderBy(col("book_id"))
+  }
+}

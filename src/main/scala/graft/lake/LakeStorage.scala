@@ -1,0 +1,161 @@
+package graft.lake
+
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pure path/partition derivation — the reference's layout contract
+  * (/root/reference .../S3DatalakeStorage.java:142-150, formatters :21-22).
+  * We adopt the clean client-visible form `datalake/{yyyyMMdd}/{HH}/{id}`
+  * (relativePathFor, S3DatalakeStorage.java:122-124) and fix the reference's
+  * double-prefix write quirk (`basePrefix + "datalake/"` with default prefix
+  * "datalake", S3DatalakeStorage.java:146 + Main.java:32) — see SURVEY §1.3. */
+object LakePaths {
+  private val DateFmt = DateTimeFormatter.ofPattern("yyyyMMdd")
+  private val HourFmt = DateTimeFormatter.ofPattern("HH")
+
+  def day(ts: LocalDateTime): String = ts.format(DateFmt)
+  def hour(ts: LocalDateTime): String = ts.format(HourFmt)
+
+  def relativePathFor(bookId: Long, ts: LocalDateTime): String =
+    s"datalake/${day(ts)}/${hour(ts)}/$bookId"
+}
+
+/** The storage port — mirrors the reference's 4-method `DatalakeStorage`
+  * contract (/root/reference .../DatalakeStorage.java:8-17), batched for an
+  * engine: `saveBooks` takes a whole DataFrame of (book_id, header, body)
+  * rather than one staged file pair per call.
+  */
+trait LakeStorage {
+
+  /** Persist header+body artifacts for every row of `books`
+    * ((book_id: long, header: string, body: string)) under the
+    * time-partition of `ts` — the batch form of `saveBook`
+    * (DatalakeStorage.java:10). */
+  def saveBooks(books: DataFrame, ts: LocalDateTime): Unit
+
+  /** Is any artifact of `bookId` anywhere in the lake? (`exists`,
+    * DatalakeStorage.java:12 — reference scans all keys with a suffix
+    * predicate and early exit, S3DatalakeStorage.java:65-86.) */
+  def exists(bookId: Long): Boolean
+
+  /** Client-visible relative path (DatalakeStorage.java:14). */
+  def relativePathFor(bookId: Long, ts: LocalDateTime): String =
+    LakePaths.relativePathFor(bookId, ts)
+
+  /** All distinct book ids, ascending (`listBooks`,
+    * DatalakeStorage.java:16; reference: full key scan → parse → distinct
+    * → sort, S3DatalakeStorage.java:89-119). */
+  def listBooks(): Seq[Long]
+
+  /** Engine-native face: the whole lake as a DataFrame
+    * (book_id, kind, text, ts, date, hour). */
+  def lake: DataFrame
+}
+
+/** Spark-parquet lake adapter.
+  *
+  * Layout: `{root}/datalake/pdate={yyyyMMdd}/phour={HH}/` parquet, i.e. the
+  * reference's time-partitioned namespace as Hive-style partitions, so
+  * Catalyst partition-prunes any date/hour-filtered read for free — what the
+  * reference approximates with prefix-scoped ListObjectsV2 pagination
+  * (S3DatalakeStorage.java:69-114). `date`/`hour` are ALSO stored as data
+  * columns: partition-directory values round-trip through type inference
+  * (`10` → int would drop `HH` zero-padding), the data columns stay
+  * authoritative strings.
+  *
+  * The two-objects-per-book shape ({id}.body.txt / {id}.header.txt,
+  * S3DatalakeStorage.java:149-150) becomes two ROWS per book discriminated
+  * by `kind` — columnar, splittable, and `book_id` carries parquet min/max
+  * stats so `exists` is a row-group-pruned point lookup instead of the
+  * reference's O(all keys) scan.
+  *
+  * The reference's staging-dir tmp-file + ATOMIC_MOVE protocol
+  * (IngestionService.java:62-71) is subsumed by Spark's task-commit
+  * protocol — readers never observe partial task output.
+  */
+class SparkLakeStorage(spark: SparkSession, root: String) extends LakeStorage {
+
+  private val lakeDir = s"$root/datalake"
+
+  private val lakeSchema = StructType(Seq(
+    StructField("book_id", LongType),
+    StructField("kind", StringType),
+    StructField("text", StringType),
+    StructField("ts", TimestampType),
+    StructField("date", StringType),
+    StructField("hour", StringType)))
+
+  override def saveBooks(books: DataFrame, ts: LocalDateTime): Unit = {
+    val d = LakePaths.day(ts)
+    val h = LakePaths.hour(ts)
+    books
+      .select(col("book_id").cast("long").as("book_id"),
+        explode(array(
+          struct(lit("header").as("kind"), col("header").as("text")),
+          struct(lit("body").as("kind"), col("body").as("text")))).as("kv"))
+      .select(col("book_id"), col("kv.kind").as("kind"),
+        col("kv.text").as("text"),
+        lit(java.sql.Timestamp.valueOf(ts)).as("ts"),
+        lit(d).as("date"), lit(h).as("hour"),
+        lit(d).as("pdate"), lit(h).as("phour"))
+      .write.mode("append").partitionBy("pdate", "phour").parquet(lakeDir)
+  }
+
+  override def exists(bookId: Long): Boolean =
+    !lakeOrEmpty.filter(col("book_id") === bookId && col("kind") === "body")
+      .limit(1).isEmpty
+
+  override def listBooks(): Seq[Long] =
+    lakeOrEmpty.filter(col("kind") === "body")
+      .select(col("book_id")).distinct().orderBy(col("book_id"))
+      .collect().map(_.getLong(0)).toSeq
+
+  override def lake: DataFrame =
+    spark.read.parquet(lakeDir).drop("pdate", "phour")
+
+  private def lakeOrEmpty: DataFrame =
+    if (new java.io.File(new java.net.URI(
+      if (lakeDir.contains(":")) lakeDir else s"file:$lakeDir")).exists())
+      lake
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        lakeSchema)
+}
+
+/** In-memory adapter — realizes the reference README's envisioned
+  * `MockStorageAdapter` (/root/reference/README.md:27-34, which the
+  * reference never implements): same port, a concurrent map instead of a
+  * store, for fast hermetic tests. */
+class InMemoryLakeStorage(spark: SparkSession) extends LakeStorage {
+
+  // (book_id, kind) -> (text, ts)
+  private val store = TrieMap.empty[(Long, String), (String, LocalDateTime)]
+
+  override def saveBooks(books: DataFrame, ts: LocalDateTime): Unit =
+    books.select(col("book_id").cast("long"), col("header"), col("body"))
+      .collect()
+      .foreach { r =>
+        store.put((r.getLong(0), "header"), (r.getString(1), ts))
+        store.put((r.getLong(0), "body"), (r.getString(2), ts))
+      }
+
+  override def exists(bookId: Long): Boolean =
+    store.contains((bookId, "body"))
+
+  override def listBooks(): Seq[Long] =
+    store.keys.collect { case (id, "body") => id }.toSeq.distinct.sorted
+
+  override def lake: DataFrame = {
+    import spark.implicits._
+    store.toSeq.map { case ((id, kind), (text, ts)) =>
+      (id, kind, text, java.sql.Timestamp.valueOf(ts),
+        LakePaths.day(ts), LakePaths.hour(ts))
+    }.toDF("book_id", "kind", "text", "ts", "date", "hour")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.lake
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Round-trip, exists, list, and path-derivation semantics of the lake
+  * adapters (reference contract DatalakeStorage.java:8-17) — SURVEY §5
+  * items 2-3, against both the parquet and the in-memory adapter. */
+class LakeStorageSpec extends SparkSpec {
+
+  private val ts = LocalDateTime.of(2026, 3, 7, 9, 5, 0)
+
+  private def books(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("book_id", "header", "body")
+  }
+
+  private def eachAdapter(f: LakeStorage => Unit): Unit = {
+    val dir = Files.createTempDirectory("graft-test-lake-").toFile.getAbsolutePath
+    f(new SparkLakeStorage(spark, dir))
+    f(new InMemoryLakeStorage(spark))
+  }
+
+  test("relativePathFor mirrors the reference layout incl zero-padded hour") {
+    // ref: "datalake/" + yyyyMMdd + "/" + HH + "/" + id
+    // (S3DatalakeStorage.java:122-124)
+    val s = new InMemoryLakeStorage(spark)
+    assert(s.relativePathFor(84, ts) == "datalake/20260307/09/84")
+  }
+
+  test("save -> exists -> list round-trip; absent ids are absent") {
+    eachAdapter { storage =>
+      storage.saveBooks(books((7L, "h7", "b7"), (3L, "h3", "b3")), ts)
+      assert(storage.exists(7L) && storage.exists(3L))
+      assert(!storage.exists(99L))
+      assert(storage.listBooks() == Seq(3L, 7L)) // ascending, ref :115
+    }
+  }
+
+  test("re-ingest into a later hour keeps list() distinct") {
+    eachAdapter { storage =>
+      storage.saveBooks(books((5L, "h", "b")), ts)
+      storage.saveBooks(books((5L, "h", "b")), ts.plusHours(2))
+      assert(storage.listBooks() == Seq(5L))
+      assert(storage.exists(5L))
+    }
+  }
+
+  test("empty lake: exists=false, list=empty (no partitions yet)") {
+    eachAdapter { storage =>
+      assert(!storage.exists(1L))
+      assert(storage.listBooks().isEmpty)
+    }
+  }
+
+  test("parquet lake stores header+body rows with partition columns") {
+    val dir = Files.createTempDirectory("graft-test-lake-").toFile.getAbsolutePath
+    val storage = new SparkLakeStorage(spark, dir)
+    storage.saveBooks(books((11L, "the header", "the body")), ts)
+    val lake = storage.lake
+    assert(lake.count() == 2)
+    val byKind = lake.collect().map(r =>
+      r.getAs[String]("kind") -> r.getAs[String]("text")).toMap
+    assert(byKind == Map("header" -> "the header", "body" -> "the body"))
+    // authoritative string partition labels survive the round-trip
+    assert(lake.select("date", "hour").distinct().collect().head.toSeq ==
+      Seq("20260307", "09"))
+    // physical layout is hive-partitioned for pruning
+    assert(new java.io.File(s"$dir/datalake/pdate=20260307/phour=09").exists())
+  }
+}
