@@ -55,6 +55,10 @@ object SparkEntry {
     "w02_session_gaps" -> ((s, d) => W.sessionGaps(Tables.events(s, d))),
     "w03_running_totals" -> ((s, d) => W.runningTotals(Tables.events(s, d))),
     "w04_value_share" -> ((s, d) => W.valueShare(Tables.events(s, d))),
+    "w05_event_windows" -> ((s, d) =>
+      graft.streaming.EventTimeOps.windowedCounts(Tables.events(s, d))),
+    "w06_sessionization" -> ((s, d) =>
+      graft.streaming.EventTimeOps.sessionizeBatch(Tables.events(s, d))),
     // --- text-analysis layer (LLM-pipeline north star) ---
     "t01_token_stats" -> ((s, d) => T.tokenStats(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d) => T.qualityScore(Tables.documents(s, d))),
@@ -259,6 +263,25 @@ object SparkEntry {
         |   CAST(SUM(CAST(value AS DECIMAL(18,6)))
         |        OVER (PARTITION BY user_id) AS DOUBLE) AS value_share
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "w05_event_windows" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        | count(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "w06_sessionization" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |  THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+        | FROM g)
+        |SELECT user_id, session_n, count(*) AS n_events,
+        | min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY user_id, session_n
+        |ORDER BY user_id, session_n""".stripMargin,
     "t01_token_stats" ->
       """WITH t AS (SELECT doc_id, text,
         |  string_split_regex(trim(text), '\s+') AS toks FROM documents)

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time operators shared by the batch and streaming faces — the same
+  * declarative plan runs under both engines (SURVEY §2.9: the reference's
+  * hour-partitioned ingest is streaming-shaped; these are the event-time
+  * analytics it lacks).
+  */
+object EventTimeOps {
+
+  /** Tumbling-window counts + exact sums per (window, event_type). Batch
+    * form — epoch-aligned windows, deterministic output order. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double")
+          .as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  /** Streaming form: watermarked so state for closed windows is evicted —
+    * unbounded-state-safe on an infinite stream. Append-mode compatible. */
+  def windowedCountsStream(events: DataFrame, watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double")
+          .as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization, batch form: a session breaks when the gap to
+    * the previous event exceeds `gapMinutes`. Exact-microsecond gap
+    * arithmetic (sub-second safe), session numbering via running sum —
+    * the window-function formulation of what [[Sessionizer]] does with
+    * explicit state on a stream. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val prevTs = lag(col("ts"), 1).over(w)
+    val newSession = when(prevTs.isNull ||
+      (unix_micros(col("ts")) - unix_micros(prevTs)) > gapMicros, 1)
+      .otherwise(0)
+    events
+      .withColumn("new_s", newSession)
+      .withColumn("session_n",
+        sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy(col("user_id"), col("session_n"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_n"))
+  }
+}

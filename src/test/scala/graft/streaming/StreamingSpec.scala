@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import graft.SparkSpec
+import graft.lake.{InMemoryLakeStorage, MarkerSplit}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming behavior: watermarked windowed aggregation,
+  * custom sessionization state, and foreachBatch lake ingest — each driven
+  * through a MemoryStream micro-batch by micro-batch. */
+class StreamingSpec extends SparkSpec {
+
+  private def micros(s: String): Long =
+    java.time.Instant.parse(s).toEpochMilli * 1000L
+
+  test("windowed counts over a stream finalize per event-time hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventTimeOps.windowedCountsStream(events, "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete") // complete: emit all windows each trigger
+      .start()
+    try {
+      def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+      input.addData(
+        (t("2026-01-01T10:05:00Z"), "click", 1.0),
+        (t("2026-01-01T10:55:00Z"), "click", 2.0),
+        (t("2026-01-01T11:05:00Z"), "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select(date_format(col("wstart"), "HH").as("h"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(rows == Set(("10", "click", 2L, 3.0), ("11", "view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionizer emits closed sessions across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = Sessionizer.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      val t0 = micros("2026-01-01T10:00:00Z")
+      val min = 60L * 1000000
+      // batch 1: two close events -> one open session, nothing emitted
+      input.addData(SessionEvent(1, 1, t0), SessionEvent(1, 2, t0 + 5 * min))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0)
+      // batch 2: 2h later -> gap closes session 1 (2 events), emits it
+      input.addData(SessionEvent(1, 3, t0 + 125 * min))
+      q.processAllAvailable()
+      val s = spark.table("sessions").as[ClosedSession].collect().toSeq
+      assert(s == Seq(ClosedSession(1, t0, t0 + 5 * min, 2)))
+    } finally q.stop()
+  }
+
+  test("batch and streaming sessionization agree on closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = micros("2026-01-01T08:00:00Z")
+    val min = 60L * 1000000
+    val evs = Seq(
+      SessionEvent(1, 1, t0), SessionEvent(1, 2, t0 + 10 * min),
+      SessionEvent(1, 3, t0 + 90 * min), // new session (80m gap)
+      SessionEvent(2, 4, t0 + 5 * min),
+      SessionEvent(2, 5, t0 + 200 * min)) // new session
+
+    // batch formulation over the same data
+    val batchDf = evs.toDF()
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("tsMicros")).as("ts"))
+    val batch = EventTimeOps.sessionizeBatch(batchDf, 30)
+      .select(col("user_id"), unix_micros(col("session_start")),
+        unix_micros(col("session_end")), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    // streaming: one batch per event so every gap closes across triggers
+    val input = MemoryStream[SessionEvent]
+    val q = Sessionizer.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions_parity")
+      .outputMode("append").start()
+    try {
+      evs.foreach { e => input.addData(e); q.processAllAvailable() }
+      val streamed = spark.table("sessions_parity").as[ClosedSession]
+        .collect()
+        .map(s => (s.user_id, s.session_start, s.session_end,
+          s.n_events.toLong)).toSet
+      // streaming emits only CLOSED sessions; the final session per user
+      // stays open in state -> batch result minus per-user last sessions
+      val lastPerUser = batch.groupBy(_._1).view
+        .mapValues(_.maxBy(_._2)).values.toSet
+      assert(streamed == batch -- lastPerUser)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("foreachBatch streaming ingest lands split books in the lake") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val The = MarkerSplit.StartMarkers(0)
+    val EndThe = MarkerSplit.EndMarkers(0)
+    val storage = new InMemoryLakeStorage(spark)
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingIngest.start(
+      input.toDF().toDF("book_id", "text"), storage, ckpt,
+      () => LocalDateTime.of(2026, 2, 2, 14, 0))
+    try {
+      input.addData(
+        (10L, s"intro\n$The ***\nten\n$EndThe ***"),
+        (11L, "no markers -> skipped"))
+      q.processAllAvailable()
+      input.addData((12L, s"intro\n$The ***\ntwelve\n$EndThe ***"))
+      q.processAllAvailable()
+      assert(storage.listBooks() == Seq(10L, 12L))
+      assert(!storage.exists(11L))
+    } finally q.stop()
+  }
+}
