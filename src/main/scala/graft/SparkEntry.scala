@@ -83,7 +83,13 @@ object SparkEntry {
     "l02_lake_roundtrip" -> ((s, d) =>
       graft.lake.LakeQueries.roundtripList(s, Tables.documents(s, d))),
     "l03_lake_exists" -> ((s, d) =>
-      graft.lake.LakeQueries.existsProbe(s, Tables.documents(s, d)))
+      graft.lake.LakeQueries.existsProbe(s, Tables.documents(s, d))),
+    // --- multimodal columns (LLM-pipeline north star) ---
+    "m01_media_metadata" -> ((s, d) =>
+      graft.operators.Multimodal.mediaMetadata(Tables.documents(s, d))),
+    "m02_frame_sample" -> ((s, d) =>
+      graft.operators.Multimodal.frameSample(
+        graft.operators.Multimodal.assetsFrom(Tables.documents(s, d))))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -529,6 +535,35 @@ object SparkEntry {
         |FROM (VALUES (-1), (0), (1), (17), (499), (999999)) v(book_id)
         |LEFT JOIN (SELECT DISTINCT doc_id FROM documents) d
         |  ON v.book_id = d.doc_id
-        |ORDER BY v.book_id""".stripMargin
+        |ORDER BY v.book_id""".stripMargin,
+    "m01_media_metadata" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
+        |    AS media_type,
+        |  octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
+        | FROM documents)
+        |SELECT asset_id, media_type, n_bytes, content_md5,
+        | CAST(16 * strpos('0123456789abcdef', substr(content_md5, 1, 1))
+        |   AS INT) AS width,
+        | CAST(9 * strpos('0123456789abcdef', substr(content_md5, 2, 1))
+        |   AS INT) AS height,
+        | n_bytes * 40 AS duration_ms,
+        | CAST(ceil(n_bytes / 256.0) AS BIGINT) AS n_frames
+        |FROM a ORDER BY asset_id""".stripMargin,
+    "m02_frame_sample" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
+        |    AS media_type,
+        |  text,
+        |  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT)
+        |    AS n_frames
+        | FROM documents),
+        |f AS (SELECT asset_id, media_type, text,
+        |  unnest(range(0, n_frames)) AS frame_idx FROM a)
+        |SELECT asset_id, media_type, frame_idx,
+        | md5(substr(text, CAST(frame_idx * 256 + 1 AS INT), 256))
+        |   AS frame_md5
+        |FROM f WHERE frame_idx % 4 = 0
+        |ORDER BY asset_id, frame_idx""".stripMargin
   )
 }

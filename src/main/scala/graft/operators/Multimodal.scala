@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A media asset: opaque bytes + typed envelope — the schema pattern for
+  * image/audio/video columns at 100 TB (binary payload column, narrow
+  * typed metadata beside it, so metadata-only queries never touch the
+  * payload bytes thanks to parquet column pruning). */
+case class MediaAsset(asset_id: Long, media_type: String,
+    content: Array[Byte])
+
+/** Decoded-media features (what a real decoder would emit). */
+case class MediaFeatures(asset_id: Long, media_type: String, n_bytes: Long,
+    width: Int, height: Int, mean_luma: Double)
+
+/** Multimodal-column operators: opaque `binary` payloads with typed
+  * metadata, decode / feature-extract / frame-sample.
+  *
+  * The actual pixel/sample decode is STUBBED (this environment ships no
+  * image/audio codecs): [[StubDecoder]] derives deterministic fake
+  * features from the bytes. Everything AROUND the stub — the binary
+  * schema, the typed `Dataset[MediaAsset]` encoder plumbing, the
+  * per-partition batch iteration, the frame-slicing layout, partition
+  * behavior — is real and tested; swapping in a codec changes one
+  * function.
+  */
+object Multimodal {
+
+  /** Deterministic fixture assets derived from the documents fixture: the
+    * UTF-8 bytes of `text` stand in for an encoded media payload. */
+  def assetsFrom(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      col("text").cast("binary").as("content"))
+
+  /** Typed metadata envelope computed WITHOUT decoding: byte length,
+    * content digest, and (stub) dimensions/duration derived from the
+    * digest — pure column expressions over the binary column. */
+  def withMetadata(assets: DataFrame): DataFrame = {
+    val m = md5(col("content"))
+    assets
+      .withColumn("n_bytes", octet_length(col("content")).cast("long"))
+      .withColumn("content_md5", m)
+      .withColumn("width",
+        (lit(16) * (locateHex(substring(m, 1, 1)) + 1)).cast("int"))
+      .withColumn("height",
+        (lit(9) * (locateHex(substring(m, 2, 1)) + 1)).cast("int"))
+      .withColumn("duration_ms", (col("n_bytes") * 40).cast("long"))
+      .withColumn("n_frames",
+        ceil(col("n_bytes").cast("double") / 256.0).cast("long"))
+  }
+
+  /** 0-based value of one hex digit (codegen'd builtins only). */
+  private def locateHex(c: org.apache.spark.sql.Column) =
+    call_function("locate", c, lit("0123456789abcdef")) - 1
+
+  /** STUB decode: deterministic fake features from raw bytes — byte count,
+    * digest-derived dimensions, mean byte value as "mean luma". A real
+    * deployment replaces this body with an actual codec call; signature
+    * and call sites stay identical. */
+  object StubDecoder extends Serializable {
+    def decode(a: MediaAsset): MediaFeatures = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(a.content)
+      val hex = digest.map("%02x".format(_)).mkString
+      MediaFeatures(
+        asset_id = a.asset_id,
+        media_type = a.media_type,
+        n_bytes = a.content.length.toLong,
+        width = 16 * (Integer.parseInt(hex.substring(0, 1), 16) + 1),
+        height = 9 * (Integer.parseInt(hex.substring(1, 2), 16) + 1),
+        mean_luma =
+          if (a.content.isEmpty) 0.0
+          else a.content.map(b => (b & 0xff).toDouble).sum / a.content.length)
+    }
+  }
+
+  /** Per-partition feature extraction over the typed Dataset — the Scala
+    * analogue of a `mapInPandas` decode UDF: one decoder instance per
+    * partition, batch iteration, typed output encoder. This is where a
+    * real codec would run, colocated with the data. */
+  def extractFeatures(spark: SparkSession,
+      assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      val decoder = StubDecoder // per-partition init (codec handle, model…)
+      it.map(decoder.decode)
+    }
+  }
+
+  /** Frame sampling as a relational op: slice the payload into fixed-size
+    * frames, keep every `stride`-th, fingerprint each — explode/filter/
+    * project, all codegen'd, no decode required. */
+  def frameSample(assets: DataFrame, frameBytes: Int = 256,
+      stride: Int = 4): DataFrame =
+    assets
+      .withColumn("n_frames",
+        ceil(octet_length(col("content")).cast("double") / frameBytes)
+          .cast("long"))
+      .select(col("asset_id"), col("media_type"), col("content"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % stride === 0)
+      .select(col("asset_id"), col("media_type"), col("frame_idx"),
+        md5(col("content").substr(
+          (col("frame_idx") * frameBytes + 1).cast("int"),
+          lit(frameBytes))).as("frame_md5"))
+      .orderBy(col("asset_id"), col("frame_idx"))
+
+  /** Oracle-checked metadata query: envelope of every fixture asset. */
+  def mediaMetadata(documents: DataFrame): DataFrame =
+    withMetadata(assetsFrom(documents))
+      .select(col("asset_id"), col("media_type"), col("n_bytes"),
+        col("content_md5"), col("width"), col("height"),
+        col("duration_ms"), col("n_frames"))
+      .orderBy(col("asset_id"))
+}
