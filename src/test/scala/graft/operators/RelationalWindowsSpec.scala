@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Targeted semantics of the relational/window layers that the oracles
+  * can't distinguish on the (non-null, tie-free) fixtures. */
+class RelationalWindowsSpec extends SparkSpec {
+
+  test("davg matches SQL AVG on nullable columns (ADVICE r01 regression)") {
+    import spark.implicits._
+    val df = Seq(Some(10.0), None, Some(20.0)).toDF("x")
+    val r = df.agg(Relational.davg(col("x")).as("a"),
+      avg(col("x")).as("ref")).head()
+    assert(r.getDouble(0) == 15.0 && r.getDouble(1) == 15.0)
+  }
+
+  test("dsum is exact where double summation would drift") {
+    import spark.implicits._
+    // 0.1 summed 1000x: double fold drifts, decimal sum is exactly 100
+    val df = (1 to 1000).map(_ => 0.1).toDF("x")
+    assert(df.agg(Relational.dsum(col("x"))).head().getDouble(0) == 100.0)
+  }
+
+  test("topKOrders breaks price ties by order key") {
+    import spark.implicits._
+    val orders = Seq((3L, 1L, 500.0), (1L, 1L, 500.0), (2L, 1L, 400.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val keys = Relational.topKOrders(orders, 2).collect().map(_.getLong(0))
+    assert(keys.toSeq == Seq(1L, 3L))
+  }
+
+  test("customerOrderStats keeps order-less customers with zero totals") {
+    import spark.implicits._
+    val cust = Seq((1L, "A"), (2L, "B")).toDF("c_custkey", "c_mktsegment")
+    val ords = Seq((10L, 1L, 100.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val rows = Relational.customerOrderStats(cust, ords).collect()
+    val r2 = rows.find(_.getLong(0) == 2L).get
+    assert(r2.getAs[Long]("order_count") == 0L)
+    assert(r2.getAs[Double]("total_spent") == 0.0)
+  }
+
+  test("sessionGaps is exact to the microsecond (sub-second timestamps)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00.2"), 1L),
+      (2L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00.9"), 1L))
+      .toDF("event_id", "ts", "user_id")
+    val gaps = Windows.sessionGaps(df).collect()
+      .map(r => Option(r.get(4)).map(_.asInstanceOf[Long]))
+    // floor-to-second arithmetic would give 0; exact micros give 700000
+    assert(gaps.toSeq == Seq(None, Some(700000L)))
+  }
+
+  test("setOps partitions custkeys into both/only sets disjointly") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, java.sql.Timestamp.valueOf("1995-06-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2000-06-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("1995-06-01 00:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2000-06-01 00:00:00")))
+      .toDF("o_custkey", "o_orderdate")
+    val out = Relational.setOps(orders).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("both", 1L), ("only_1995", 2L), ("only_2000", 3L)))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantic checks of the text-analysis + dedup layers on a crafted
+  * mini-corpus with KNOWN duplicate structure (the fixture-level behavior
+  * is oracle-checked; these pin the semantics on readable inputs). */
+class TextDedupSpec extends SparkSpec {
+
+  private lazy val corpus: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+      (3L, "a quick brown fox jumps over the lazy dog near the river bank today"), // near dup of 1
+      (4L, "completely different content about spark query engines and shuffles"),
+      (5L, "tiny doc")
+    ).toDF("doc_id", "text")
+  }
+
+  test("tokenStats counts whitespace and distinct tokens") {
+    val r = TextAnalysis.tokenStats(corpus).filter("doc_id = 1").head()
+    assert(r.getAs[Long]("n_ws_tokens") == 13)
+    // 'the' appears 3x -> 11 distinct
+    assert(r.getAs[Long]("n_distinct_words") == 11)
+  }
+
+  test("languageId picks en for English-stopword text") {
+    val r = TextAnalysis.languageId(corpus.withColumn("lang", lit("en")))
+      .filter("doc_id = 1").head()
+    assert(r.getAs[String]("predicted_lang") == "en")
+    assert(r.getAs[Long]("score_en") > 0)
+  }
+
+  test("exactDedup collapses byte-identical docs, keeps lowest id") {
+    val out = Dedup.exactDedup(corpus).collect()
+    assert(out.length == 4) // 1&2 collapse
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("kept_doc_id") == 1L)
+  }
+
+  test("jaccardPairs finds exact+near dups, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(corpus, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical -> J=1
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("identical docs have identical minhash signatures and all bands agree") {
+    val sigs = Dedup.minhashSignatures(corpus).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L).split('|').length == 12)
+    val cands = Dedup.lshCandidates(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(cands.exists(c => c._1 == 1L && c._2 == 2L && c._3 == 4L))
+  }
+
+  test("simhash: identical docs equal; near-dups closer than unrelated") {
+    val h = Dedup.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    assert(h(1L) == h(2L))
+    assert(h.values.forall(_.length == 64))
+    assert(hamming(h(1L), h(3L)) < hamming(h(1L), h(4L)))
+  }
+
+  test("embeddingNearDups finds only same-bucket high-cosine pairs") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (2L, 0, Array(0.99f, 0.1f, 0.0f)), // ~same direction as 1
+      (3L, 0, Array(0.0f, 1.0f, 0.0f)), // orthogonal to 1
+      (4L, 1, Array(1.0f, 0.0f, 0.0f)) // same direction, other bucket
+    ).toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
