@@ -179,11 +179,12 @@ object Dedup {
   }
 
   /** Exact double-precision dot product with a fixed left-to-right fold —
-    * bitwise reproducible across engines (same order, same widening). */
-  def dotExpr(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) ->
-       |  cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"""
-      .stripMargin)
+    * bitwise reproducible across engines (same order, same widening).
+    * Backed by the native codegen'd [[graft.functions.DotProduct]]; the
+    * builtin `aggregate(zip_with(...))` formulation computes the identical
+    * value but runs interpreted per element (~10× slower on 64-dim). */
+  def dotExpr(a: String, b: String): Column =
+    graft.functions.VectorOps.dot(col(a), col(b))
 
   /** Embedding-cosine near-dup pairs, blocked by a bucketing column (the
     * IVF-style scale path: only same-bucket pairs are compared, so the
