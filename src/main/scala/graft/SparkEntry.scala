@@ -50,6 +50,10 @@ object SparkEntry {
     "q14_set_ops" -> ((s, d) => R.setOps(Tables.orders(s, d))),
     "q15_scalar_showcase" -> ((s, d) => R.scalarShowcase(Tables.part(s, d))),
     "q16_date_showcase" -> ((s, d) => R.dateShowcase(Tables.orders(s, d))),
+    "q17_props_json" -> ((s, d) => R.propsJson(Tables.events(s, d))),
+    // approximate by design -> no oracle entry (rows-only check)
+    "q18_approx_distinct" -> ((s, d) =>
+      R.approxDistinctCustomers(Tables.orders(s, d))),
     // --- window layer (SURVEY §2.5 EXT) ---
     "w01_rank_events" -> ((s, d) => W.rankEventsPerUser(Tables.events(s, d))),
     "w02_session_gaps" -> ((s, d) => W.sessionGaps(Tables.events(s, d))),
@@ -237,6 +241,16 @@ object SparkEntry {
         | strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3_months,
         | CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q17_props_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |   AS DOUBLE)
+        |   / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |   AS avg_k,
+        | MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "w01_rank_events" ->
       """SELECT user_id, event_id, event_type, rn, rnk, drnk FROM (
         |  SELECT user_id, event_id, event_type,

@@ -244,6 +244,41 @@ object Relational {
         .otherwise("budget").as("price_tier"))
       .orderBy(col("p_partkey"))
 
+  /** Semi-structured props: parse the events JSON column as a MapType,
+    * extract a key, aggregate — from_json handling per SURVEY §7 item 6
+    * (multimodal/props extension). Narrow parse + one hash-agg shuffle. */
+  def propsJson(events: DataFrame): DataFrame = {
+    val k = element_at(
+      from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType)),
+      "k")
+    events
+      .withColumn("k", k)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** HyperLogLog++ cardinality sketch (approx_count_distinct) beside the
+    * exact count — the constant-memory distinct estimator for 100 TB
+    * cardinalities. Approximate by design: no DuckDB oracle (driver
+    * records a rows-only check); the spec asserts the estimate lands
+    * within rsd bounds of exact. */
+  def approxDistinctCustomers(orders: DataFrame, rsd: Double = 0.05): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        approx_count_distinct(col("o_custkey"), rsd).as("approx_customers"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+      .orderBy(col("o_orderstatus"))
+
   /** Date/time function sweep over orders. */
   def dateShowcase(orders: DataFrame): DataFrame =
     orders.select(
