@@ -15,10 +15,14 @@ class BucketingSpec extends SparkSpec {
     val items = (1L to 5000L).map(i => (i % 1000 + 1, i, i * 0.1))
       .toDF("l_orderkey", "l_linenumber", "l_quantity")
 
+    // unique table names: managed-table locations survive JVM restarts
+    // while the in-memory catalog does not, so reused names collide
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (tOrders, tItems) = (s"b_orders_$tag", s"b_items_$tag")
     withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
-      Bucketing.writeBucketed(orders, "b_orders", "o_orderkey")
-      Bucketing.writeBucketed(items, "b_items", "l_orderkey")
-      val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_items",
+      Bucketing.writeBucketed(orders, tOrders, "o_orderkey")
+      Bucketing.writeBucketed(items, tItems, "l_orderkey")
+      val joined = Bucketing.bucketedJoin(spark, tOrders, tItems,
         "o_orderkey", "l_orderkey")
       assert(joined.count() == 5000)
 
