@@ -54,6 +54,9 @@ object SparkEntry {
     // approximate by design -> no oracle entry (rows-only check)
     "q18_approx_distinct" -> ((s, d) =>
       R.approxDistinctCustomers(Tables.orders(s, d))),
+    "q19_asof_join" -> ((s, d) =>
+      graft.operators.AsOf.eventOrderAttribution(
+        Tables.events(s, d), Tables.orders(s, d))),
     // --- window layer (SURVEY §2.5 EXT) ---
     "w01_rank_events" -> ((s, d) => W.rankEventsPerUser(Tables.events(s, d))),
     "w02_session_gaps" -> ((s, d) => W.sessionGaps(Tables.events(s, d))),
@@ -251,6 +254,17 @@ object SparkEntry {
         | MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q19_asof_join" ->
+      """WITH ticks AS (SELECT o_custkey AS user_id, o_orderdate,
+        |  max(o_orderkey) AS last_orderkey,
+        |  count(*) AS n_orders_that_day
+        | FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, t.last_orderkey,
+        | strftime(t.o_orderdate, '%Y-%m-%d') AS order_date,
+        | t.n_orders_that_day
+        |FROM events e ASOF LEFT JOIN ticks t
+        |  ON e.user_id = t.user_id AND t.o_orderdate <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
     "w01_rank_events" ->
       """SELECT user_id, event_id, event_type, rn, rnk, drnk FROM (
         |  SELECT user_id, event_id, event_type,
