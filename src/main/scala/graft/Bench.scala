@@ -13,6 +13,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: build file indexes and JIT/codegen paths so the
+    // first timed query doesn't absorb session start-up costs.
+    Tables.names.foreach { t =>
+      try Tables.load(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    }
     // noop sink: forces FULL evaluation of every output column (a bare
     // count() would let Catalyst prune projection-only work to nothing).
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -14,8 +14,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Load a fixture table, restoring scan parallelism when the file is a
+    * single row group. Parquet splits at row-group granularity, and every
+    * fixture file has exactly ONE row group — so without this, each scan
+    * pipeline (filter, project, expand, partial agg) runs as a single
+    * task no matter how many cores the rig has. A real 100 TB table has
+    * thousands of row groups and gets this parallelism from the file
+    * layout; the round-robin exchange below is the local-rig equivalent,
+    * and Catalyst still pushes filters through it to the scan. Skipped
+    * when the scan already yields enough partitions. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(target / 2, 2))
+      df.repartition(target)
+    else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -41,12 +41,21 @@ object Dedup {
       .select(col("kept_doc_id"), col("content_md5"), col("n_copies"))
       .orderBy(col("kept_doc_id"))
 
+  /** Round-robin spread of a narrow input BEFORE a generator/hash blowup.
+    * Fixture parquet (and many real corpora) arrive as a handful of row
+    * groups, so the whole shingle/hash expansion would otherwise run on
+    * 1-2 cores until the first shuffle. The exchange moves the COMPACT
+    * pre-explosion rows (1×), buying full parallelism for the 10-100×
+    * expansion — worth it at every scale. */
+  private[operators] def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** (doc_id, shingle) posting list over DISTINCT word n-gram shingles,
     * optionally dropping shingles shared by more than `maxDocFreq` docs
     * (boilerplate guard — disabled by default for oracle parity). */
   def shinglePostings(documents: DataFrame, n: Int,
       maxDocFreq: Option[Int] = None): DataFrame = {
-    val sh = documents.select(col("doc_id"),
+    val sh = spread(documents).select(col("doc_id"),
       explode(array_distinct(
         TextAnalysis.shingles(TextAnalysis.tokens(col("text")), n)))
         .as("shingle"))
@@ -156,7 +165,7 @@ object Dedup {
     * once per token instead of 64×, and the work distributes by row count —
     * same rationale as [[withMinhash]]. */
   def simhash(documents: DataFrame): DataFrame = {
-    val votes = documents
+    val votes = spread(documents)
       .select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("h"))

@@ -118,6 +118,7 @@ object TextAnalysis {
       col("doc_id"),
       md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("content_md5"))
     val minAgg = documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         explode(array_distinct(shingles(tokens(col("text")), 3)))
           .as("shingle"))
