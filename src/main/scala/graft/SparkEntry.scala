@@ -84,6 +84,9 @@ object SparkEntry {
     // --- similarity search (LLM-pipeline north star) ---
     "s01_brute_topk" -> ((s, d) => S.bruteForceTopK(Tables.embeddings(s, d))),
     "s02_ivf_topk" -> ((s, d) => S.ivfTopK(Tables.embeddings(s, d))),
+    "s03_lsh_buckets" -> ((s, d) =>
+      S.signLshBuckets(Tables.embeddings(s, d)).orderBy("vec_id")),
+    "s04_lsh_ann_topk" -> ((s, d) => S.lshAnnTopK(Tables.embeddings(s, d))),
     // --- lake adapter (reference parity: SURVEY §2.1/2.2, §3 E1-E3) ---
     "l01_marker_split" -> ((s, d) =>
       graft.lake.LakeQueries.markerSplitDemo(Tables.documents(s, d))),
@@ -516,6 +519,62 @@ object SparkEntry {
         | FROM scored)
         |SELECT query_id, label, neighbor_id, cosine, rank FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "s03_lsh_buckets" ->
+      """WITH c1 AS (SELECT vec_id, embedding,
+        |  unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |c2 AS (SELECT vec_id, CAST(i AS INT) AS i, embedding[i+1] AS v
+        |  FROM c1),
+        |planes AS (SELECT a.i, b.j,
+        |  CASE WHEN (strpos('0123456789abcdef',
+        |    substr(md5(a.i || ':' || b.j), 1, 1)) - 1) % 2 = 1
+        |  THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(range(0, 4096)) AS i) a
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) b),
+        |proj AS (SELECT c2.vec_id, p.j,
+        |  SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) * p.s)
+        |    AS pr
+        |  FROM c2 JOIN planes p ON c2.i = p.i GROUP BY 1, 2)
+        |SELECT vec_id, string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END,
+        |  '' ORDER BY j) AS bucket
+        |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "s04_lsh_ann_topk" ->
+      """WITH c1 AS (SELECT vec_id, embedding,
+        |  unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |c2 AS (SELECT vec_id, CAST(i AS INT) AS i, embedding[i+1] AS v
+        |  FROM c1),
+        |planes AS (SELECT a.i, b.j,
+        |  CASE WHEN (strpos('0123456789abcdef',
+        |    substr(md5(a.i || ':' || b.j), 1, 1)) - 1) % 2 = 1
+        |  THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(range(0, 4096)) AS i) a
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS j) b),
+        |proj AS (SELECT c2.vec_id, p.j,
+        |  SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) * p.s)
+        |    AS pr
+        |  FROM c2 JOIN planes p ON c2.i = p.i GROUP BY 1, 2),
+        |buckets AS (SELECT vec_id,
+        |  string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END,
+        |    '' ORDER BY j) AS bucket
+        | FROM proj GROUP BY vec_id),
+        |n AS (SELECT e.vec_id, b.bucket, e.embedding,
+        |  list_reduce(list_transform(range(1, len(e.embedding)+1), i ->
+        |    CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |    (a, b2) -> a + b2) AS norm2
+        | FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+        |q AS (SELECT vec_id AS query_id, bucket AS query_bucket,
+        |  embedding AS query_emb, norm2 AS qnorm2 FROM n WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, c.bucket, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1, len(c.embedding)+1), i ->
+        |    CAST(c.embedding[i] AS DOUBLE) * CAST(q.query_emb[i] AS DOUBLE)),
+        |    (x, y) -> x + y) / (sqrt(c.norm2) * sqrt(q.qnorm2)) AS cosine
+        | FROM n c JOIN q ON c.bucket = q.query_bucket
+        |   AND c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, bucket, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+        | FROM scored)
+        |SELECT query_id, bucket, neighbor_id, cosine, rank FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "l01_marker_split" ->
       """WITH w AS (SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN text

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -74,6 +74,70 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored
       .select(col("query_id"), col("label"),
+        col("vec_id").as("neighbor_id"), col("cosine"),
+        row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic ±1 random-hyperplane matrix: s(i,j) from the parity of
+    * md5("i:j") — no RNG, reproducible across engines and runs. Covers
+    * any embedding dimensionality up to `maxDims`; tiny, always
+    * broadcast. */
+  def hyperplanes(spark: SparkSession, nBits: Int,
+      maxDims: Int = 4096): DataFrame =
+    spark.range(maxDims).select(col("id").cast("int").as("i"))
+      .crossJoin(spark.range(nBits).select(col("id").cast("int").as("j")))
+      .select(col("i"), col("j"), when(expr(
+        """(locate(substr(md5(concat(cast(i as string), ':',
+          |  cast(j as string))), 1, 1), '0123456789abcdef') - 1) % 2 = 1"""
+          .stripMargin), 1L).otherwise(-1L).as("s"))
+
+  /** Sign-random-projection LSH bucket per vector: project onto `nBits`
+    * deterministic hyperplanes, bucket = the sign bit string.
+    *
+    * Scale + determinism notes: components explode to rows and join the
+    * broadcast plane matrix — work distributes by row count. Components
+    * are quantized to integers (`floor(v·1e6)`) BEFORE summation so the
+    * per-projection sum is exact and order-independent — a double sum
+    * would make near-zero projections flip sign across partitionings and
+    * engines. Production ANN layers multi-table/multi-probe LSH on top;
+    * the bucket string is also the storage partition key there. */
+  def signLshBuckets(embeddings: DataFrame, nBits: Int = 8): DataFrame = {
+    val comps = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+    comps.join(broadcast(hyperplanes(embeddings.sparkSession, nBits)), "i")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(floor(col("v").cast("double") * 1000000).cast("long") *
+        col("s")).as("p"))
+      .groupBy(col("vec_id"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("j"), col("p")))),
+        x => when(x.getField("p") > 0, "1").otherwise("0")), "")
+        .as("bucket"))
+  }
+
+  /** Complete LSH-ANN pipeline: hash → same-bucket probe → exact-cosine
+    * refine → per-query top-k. Few bits here (coarse buckets) keep
+    * single-table recall meaningful; production trades bits vs probes
+    * with multiple tables. */
+  def lshAnnTopK(embeddings: DataFrame, nBits: Int = 4, nQueries: Int = 5,
+      k: Int = 5): DataFrame = {
+    val withBucket = normed(embeddings)
+      .join(signLshBuckets(embeddings, nBits), "vec_id")
+    val queries = withBucket.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("bucket").as("query_bucket"),
+        col("embedding").as("query_emb"), col("norm2").as("qnorm2"))
+    val scored = withBucket.join(broadcast(queries),
+        col("bucket") === col("query_bucket") &&
+          col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        Dedup.dotExpr("embedding", "query_emb") /
+          (sqrt(col("norm2")) * sqrt(col("qnorm2"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .select(col("query_id"), col("bucket"),
         col("vec_id").as("neighbor_id"), col("cosine"),
         row_number().over(w).cast("long").as("rank"))
       .filter(col("rank") <= k)

@@ -39,3 +39,37 @@ class SimilaritySpec extends SparkSpec {
     })
   }
 }
+
+/** Sign-LSH bucket properties. */
+class SignLshSpec extends graft.SparkSpec {
+  test("identical vectors share a bucket; negated vectors complement it") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.2f, 3.3f, 0.7f)),
+      (2L, Array(0.5f, -1.2f, 3.3f, 0.7f)), // identical -> same bucket
+      (3L, Array(-0.5f, 1.2f, -3.3f, -0.7f))) // negated -> all bits flip
+      .toDF("vec_id", "embedding")
+    val b = graft.operators.Similarity.signLshBuckets(vecs, nBits = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b(1L) == b(2L))
+    assert(b(1L).length == 8)
+    val flipped = b(1L).map(c => if (c == '1') '0' else '1')
+    assert(b(3L) == flipped)
+  }
+
+  test("lshAnnTopK only returns same-bucket neighbors, ranked by cosine") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.2f, 0.1f, 0.0f)),
+      (1L, Array(0.9f, 0.25f, 0.1f, 0.0f)), // near query 0
+      (2L, Array(1.1f, 0.2f, 0.15f, 0.0f)), // near query 0
+      (3L, Array(-1.0f, -0.2f, -0.1f, 0.0f))) // opposite bucket
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.lshAnnTopK(vecs, nBits = 4,
+      nQueries = 1, k = 5).collect()
+    val ids = out.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(ids.subsetOf(Set(1L, 2L)) && ids.nonEmpty)
+    val ranks = out.map(_.getAs[Long]("rank"))
+    assert(ranks.toSeq == (1L to ranks.length).toSeq)
+  }
+}
