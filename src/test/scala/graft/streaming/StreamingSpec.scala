@@ -127,3 +127,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+/** Watermark-bounded streaming dedup. */
+class StreamingDedupSpec extends graft.SparkSpec {
+  test("duplicates across micro-batches are dropped within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StreamingDedup.dedupStream(
+      input.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+      input.addData(
+        (t("2026-01-01T10:00:00Z"), 1L, "the same doc"),
+        (t("2026-01-01T10:00:10Z"), 2L, "the  same   doc"), // ws-normalized dup
+        (t("2026-01-01T10:00:20Z"), 3L, "a different doc"))
+      q.processAllAvailable()
+      // duplicate re-arrives in a later micro-batch, still within watermark
+      input.addData((t("2026-01-01T10:05:00Z"), 4L, "the same doc"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L))
+    } finally q.stop()
+  }
+}
