@@ -57,6 +57,8 @@ object SparkEntry {
     "q19_asof_join" -> ((s, d) =>
       graft.operators.AsOf.eventOrderAttribution(
         Tables.events(s, d), Tables.orders(s, d))),
+    "q20_range_join" -> ((s, d) =>
+      graft.operators.RangeJoin.eventSessionAssignment(Tables.events(s, d))),
     // --- window layer (SURVEY §2.5 EXT) ---
     "w01_rank_events" -> ((s, d) => W.rankEventsPerUser(Tables.events(s, d))),
     "w02_session_gaps" -> ((s, d) => W.sessionGaps(Tables.events(s, d))),
@@ -267,6 +269,22 @@ object SparkEntry {
         | t.n_orders_that_day
         |FROM events e ASOF LEFT JOIN ticks t
         |  ON e.user_id = t.user_id AND t.o_orderdate <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q20_range_join" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |  THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+        | FROM g),
+        |sess AS (SELECT user_id, session_n, min(ts) AS st, max(ts) AS en
+        | FROM s GROUP BY user_id, session_n)
+        |SELECT e.event_id, e.user_id, x.session_n
+        |FROM events e JOIN sess x ON e.user_id = x.user_id
+        |  AND e.ts >= x.st AND e.ts <= x.en
         |ORDER BY e.event_id""".stripMargin,
     "w01_rank_events" ->
       """SELECT user_id, event_id, event_type, rn, rnk, drnk FROM (
