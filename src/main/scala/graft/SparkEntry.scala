@@ -59,6 +59,8 @@ object SparkEntry {
         Tables.events(s, d), Tables.orders(s, d))),
     "q20_range_join" -> ((s, d) =>
       graft.operators.RangeJoin.eventSessionAssignment(Tables.events(s, d))),
+    "q21_grouping_sets_sql" -> ((s, d) =>
+      R.sqlGroupingSets(s, Tables.orders(s, d), Tables.customer(s, d))),
     // --- window layer (SURVEY §2.5 EXT) ---
     "w01_rank_events" -> ((s, d) => W.rankEventsPerUser(Tables.events(s, d))),
     "w02_session_gaps" -> ((s, d) => W.sessionGaps(Tables.events(s, d))),
@@ -73,6 +75,9 @@ object SparkEntry {
     "t02_quality_score" -> ((s, d) => T.qualityScore(Tables.documents(s, d))),
     "t03_language_id" -> ((s, d) => T.languageId(Tables.documents(s, d))),
     "t04_fingerprints" -> ((s, d) => T.fingerprints(Tables.documents(s, d))),
+    "t05_top_bigrams" -> ((s, d) => T.topBigrams(Tables.documents(s, d))),
+    "p01_data_prep_pipeline" -> ((s, d) =>
+      T.dataPrepPipeline(Tables.documents(s, d))),
     // --- dedup layer (LLM-pipeline north star) ---
     "d01_exact_dedup" -> ((s, d) =>
       D.exactDedup(D.doubledCorpus(Tables.documents(s, d)))),
@@ -286,6 +291,17 @@ object SparkEntry {
         |FROM events e JOIN sess x ON e.user_id = x.user_id
         |  AND e.ts >= x.st AND e.ts <= x.en
         |ORDER BY e.event_id""".stripMargin,
+    "q21_grouping_sets_sql" ->
+      """SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+        | COALESCE(o_orderstatus, 'ALL') AS status,
+        | CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
+        | CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_st,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price,
+        | COUNT(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+        |ORDER BY g_seg, g_st, segment, status""".stripMargin,
     "w01_rank_events" ->
       """SELECT user_id, event_id, event_type, rn, rnk, drnk FROM (
         |  SELECT user_id, event_id, event_type,
@@ -408,6 +424,41 @@ object SparkEntry {
         | list_min(list_transform(sh, x -> md5(x))) AS winnow_min,
         | len(list_distinct(sh)) AS n_shingles
         |FROM s ORDER BY doc_id""".stripMargin,
+    "t05_top_bigrams" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |b AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+        |    list_transform(range(0, len(toks)-1),
+        |      i -> array_to_string(toks[i+1:i+2], ' '))
+        |  ELSE [array_to_string(toks, ' ')] END) AS bigram FROM t)
+        |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+    "p01_data_prep_pipeline" ->
+      """WITH doubled AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text, lang FROM documents),
+        |tq AS (SELECT doc_id, text, lang,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM doubled),
+        |c AS (SELECT doc_id, text, lang,
+        |  CAST(len(toks) AS DOUBLE) AS n_tok,
+        |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS punct,
+        |  CAST(len(list_filter(toks, t -> list_contains(
+        |    ['the','a','and','of','to','in','is','it'], lower(t)))) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS stop,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS diversity
+        | FROM tq),
+        |kept AS (SELECT doc_id, text, lang FROM c
+        |  WHERE least(1.0, n_tok/64.0)*0.4 + (1.0-punct)*0.2 + stop*0.2
+        |    + diversity*0.2 >= 0.5),
+        |d AS (SELECT
+        |  md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS content_md5,
+        |  min(doc_id) AS doc_id, min(lang) AS lang, min(text) AS text
+        | FROM kept GROUP BY 1)
+        |SELECT lang, count(*) AS n_docs,
+        | SUM(len(string_split_regex(trim(text), '\s+'))) AS total_tokens
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "d01_exact_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -243,6 +243,26 @@ object Relational {
         .when(col("p_retailprice") > 800, "standard")
         .otherwise("budget").as("price_tier"))
       .orderBy(col("p_partkey"))
+
+  /** SQL front-end face: arbitrary GROUPING SETS (beyond rollup/cube's
+    * fixed shapes) through `spark.sql` over registered views — the same
+    * Catalyst plan as the DataFrame API, exercised via SQL text. */
+  def sqlGroupingSets(spark: SparkSession, orders: DataFrame,
+      customer: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_v")
+    customer.createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  COUNT(*) AS n
+        |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+        |ORDER BY g_seg, g_st, segment, status""".stripMargin)
+  }
 
   /** Semi-structured props: parse the events JSON column as a MapType,
     * extract a key, aggregate — from_json handling per SURVEY §7 item 6

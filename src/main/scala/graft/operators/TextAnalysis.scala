@@ -104,6 +104,46 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Global top-k bigram collocations: explode word 2-grams, count,
+    * deterministic top-k (count desc, bigram asc). The shuffle carries
+    * (bigram, partial count) thanks to map-side combine — constant in
+    * document length. */
+  def topBigrams(documents: DataFrame, k: Int = 20): DataFrame =
+    documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(shingles(tokens(col("text")), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(k)
+
+  /** End-to-end LLM data-prep composition: quality-filter → exact-dedup
+    * (over a doubled corpus, proving the dedup stage does work) → per-lang
+    * corpus stats. One pipeline, three shuffles, each stage the operator
+    * defined elsewhere in this package/Dedup. */
+  def dataPrepPipeline(documents: DataFrame,
+      minQuality: Double = 0.5): DataFrame = {
+    val doubled = documents.select(col("doc_id"), col("text"), col("lang"))
+      .unionByName(documents.select((col("doc_id") + 1000000).as("doc_id"),
+        col("text"), col("lang")))
+    val quality = qualityScore(doubled)
+      .select(col("doc_id"), col("quality"))
+    val kept = doubled.join(quality, "doc_id")
+      .filter(col("quality") >= minQuality)
+    // min() everywhere: groups are same-content, but ties must still
+    // resolve deterministically for the cross-engine hash compare
+    val deduped = kept
+      .groupBy(md5(regexp_replace(trim(col("text")), "\\s+", " "))
+        .as("content_md5"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
+        min(col("text")).as("text"))
+    deduped
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).cast("long").as("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** Document fingerprints: exact-content hash (md5 of whitespace-normalized
     * text) + winnowing-style min-hash of word-3-gram shingles (the rolling-
     * hash fingerprint: min over shingle hashes selects a content-stable
