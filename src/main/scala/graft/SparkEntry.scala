@@ -78,6 +78,11 @@ object SparkEntry {
     "t05_top_bigrams" -> ((s, d) => T.topBigrams(Tables.documents(s, d))),
     "p01_data_prep_pipeline" -> ((s, d) =>
       T.dataPrepPipeline(Tables.documents(s, d))),
+    "t06_redact_pii" -> ((s, d) =>
+      T.redactPii(T.withInjectedPii(Tables.documents(s, d)))),
+    "p02_decontamination" -> ((s, d) =>
+      T.contaminationScores(Tables.documents(s, d),
+        org.apache.spark.sql.functions.col("doc_id") % 100 === 0)),
     // --- dedup layer (LLM-pipeline north star) ---
     "d01_exact_dedup" -> ((s, d) =>
       D.exactDedup(D.doubledCorpus(Tables.documents(s, d)))),
@@ -459,6 +464,40 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs,
         | SUM(len(string_split_regex(trim(text), '\s+'))) AS total_tokens
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "t06_redact_pii" ->
+      """WITH w AS (SELECT doc_id,
+        |  text || ' contact: user' || doc_id || '@example.com or +1-555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        | FROM documents)
+        |SELECT doc_id,
+        | len(regexp_extract_all(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        | len(regexp_extract_all(text,
+        |   '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+        | regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "p02_decontamination" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(range(0, len(toks)-2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM t),
+        |bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM s
+        |  WHERE doc_id % 100 = 0),
+        |train AS (SELECT doc_id, unnest(sh) AS shingle FROM s
+        |  WHERE doc_id % 100 <> 0),
+        |hits AS (SELECT t2.doc_id, count(*) AS n_hits FROM train t2
+        |  JOIN bench b ON t2.shingle = b.shingle GROUP BY 1),
+        |sz AS (SELECT doc_id, len(sh) AS n_shingles FROM s
+        |  WHERE doc_id % 100 <> 0)
+        |SELECT doc_id, n_hits, n_shingles,
+        | CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+        |   AS contamination
+        |FROM hits JOIN sz USING (doc_id) ORDER BY doc_id""".stripMargin,
     "d01_exact_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -104,6 +104,57 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // PII patterns kept to portable regex (char classes + bounded
+  // quantifiers) so Java and RE2-family engines agree exactly.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+  /** Deterministic PII injection for fixtures (the corpus ships clean):
+    * appends a synthetic contact line per document. */
+  def withInjectedPii(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      concat(col("text"), lit(" contact: user"), col("doc_id"),
+        lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+
+  /** PII scrubbing — the redaction stage of an LLM data pipeline: emails
+    * then phones replaced with typed placeholder tokens, with per-doc
+    * match counts for audit. Pure row-level regex, codegen'd. */
+  def redactPii(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>").as("clean_text"))
+      .orderBy(col("doc_id"))
+
+  /** Benchmark decontamination: fraction of each training document's
+    * distinct word n-grams that also occur in the benchmark set —
+    * the standard n-gram-overlap contamination check run before
+    * training. Inverted-index join on shingle (exact, scalable);
+    * the benchmark shingle set is broadcast (benchmark suites are
+    * small by nature). Returns only contaminated docs (score > 0). */
+  def contaminationScores(documents: DataFrame,
+      benchPredicate: Column, n: Int = 3): DataFrame = {
+    val post = Dedup.shinglePostings(documents, n)
+    val bench = post.filter(benchPredicate)
+      .select(col("shingle")).distinct()
+    val train = post.filter(!benchPredicate)
+    val hits = train.join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    val sizes = train.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    hits.join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_hits"), col("n_shingles"),
+        (col("n_hits").cast("double") / col("n_shingles").cast("double"))
+          .as("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Global top-k bigram collocations: explode word 2-grams, count,
     * deterministic top-k (count desc, bigram asc). The shuffle carries
     * (bigram, partial count) thanks to map-side combine — constant in

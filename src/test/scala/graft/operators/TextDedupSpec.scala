@@ -81,3 +81,36 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 }
+
+/** PII redaction + benchmark decontamination semantics. */
+class PiiDecontamSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("redactPii replaces emails and phones, counts each") {
+    import spark.implicits._
+    val df = Seq((1L, "write to alice.smith@corp.example.org or call " +
+      "+44-123-4567, backup bob@ex.io")).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df).head()
+    assert(r.getAs[Long]("n_emails") == 2)
+    assert(r.getAs[Long]("n_phones") == 1)
+    val clean = r.getAs[String]("clean_text")
+    assert(clean.contains("<EMAIL>") && clean.contains("<PHONE>"))
+    assert(!clean.contains("@") && !clean.contains("4567"))
+  }
+
+  test("contaminationScores flags docs sharing benchmark n-grams") {
+    import spark.implicits._
+    val docs = Seq(
+      (100L, "the secret benchmark phrase appears here today"),
+      (1L, "training doc with the secret benchmark phrase appears inside"),
+      (2L, "completely unrelated training content about engines"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationScores(docs,
+      col("doc_id") % 100 === 0)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[Double]("contamination")).toMap
+    assert(out.contains(1L) && out(1L) > 0.3)
+    assert(!out.contains(2L)) // no shared 3-grams -> not reported
+    assert(!out.contains(100L)) // benchmark docs are not scored
+  }
+}
