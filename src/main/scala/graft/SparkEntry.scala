@@ -61,6 +61,7 @@ object SparkEntry {
       graft.operators.RangeJoin.eventSessionAssignment(Tables.events(s, d))),
     "q21_grouping_sets_sql" -> ((s, d) =>
       R.sqlGroupingSets(s, Tables.orders(s, d), Tables.customer(s, d))),
+    "q22_json_construct" -> ((s, d) => R.jsonConstruct(Tables.part(s, d))),
     // --- window layer (SURVEY §2.5 EXT) ---
     "w01_rank_events" -> ((s, d) => W.rankEventsPerUser(Tables.events(s, d))),
     "w02_session_gaps" -> ((s, d) => W.sessionGaps(Tables.events(s, d))),
@@ -307,6 +308,11 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
         |ORDER BY g_seg, g_st, segment, status""".stripMargin,
+    "q22_json_construct" ->
+      """SELECT p_partkey,
+        | CAST(to_json(struct_pack(brand := p_brand, size := p_size,
+        |   type := p_type)) AS VARCHAR) AS part_json
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "w01_rank_events" ->
       """SELECT user_id, event_id, event_type, rn, rnk, drnk FROM (
         |  SELECT user_id, event_id, event_type,

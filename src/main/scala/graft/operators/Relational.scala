@@ -299,6 +299,17 @@ object Relational {
         countDistinct(col("o_custkey")).as("exact_customers"))
       .orderBy(col("o_orderstatus"))
 
+  /** JSON construction (SURVEY §2.8 F11 — the reference's Javalin/Jackson
+    * response maps as an engine scalar): struct → compact JSON text. */
+  def jsonConstruct(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      to_json(struct(
+        col("p_brand").as("brand"),
+        col("p_size").as("size"),
+        col("p_type").as("type"))).as("part_json"))
+      .orderBy(col("p_partkey"))
+
   /** Date/time function sweep over orders. */
   def dateShowcase(orders: DataFrame): DataFrame =
     orders.select(

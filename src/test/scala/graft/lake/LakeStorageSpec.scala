@@ -72,3 +72,34 @@ class LakeStorageSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/datalake/pdate=20260307/phour=09").exists())
   }
 }
+
+/** Manifest index: metadata-only exists/list + rebuild from ground truth. */
+class ManifestSpec extends graft.SparkSpec {
+  import java.nio.file.Files
+  import java.time.LocalDateTime
+
+  test("exists/list answer from the manifest; rebuild recovers from loss") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-manifest-")
+      .toFile.getAbsolutePath
+    val storage = new SparkLakeStorage(spark, root)
+    val ts = LocalDateTime.of(2026, 7, 1, 11, 0)
+    storage.saveBooks(
+      Seq((4L, "h4", "b4"), (2L, "h2", "b2")).toDF("book_id", "header", "body"),
+      ts)
+
+    assert(new java.io.File(s"$root/manifest").exists())
+    assert(storage.exists(4L) && !storage.exists(5L))
+    assert(storage.listBooks() == Seq(2L, 4L))
+    assert(storage.manifest.columns.toSeq == Seq("book_id", "date", "hour"))
+
+    // simulate manifest loss; data files remain ground truth
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete()
+    }
+    rmrf(new java.io.File(s"$root/manifest"))
+    assert(!storage.exists(4L)) // index gone -> degraded (documented)
+    storage.rebuildManifest()
+    assert(storage.exists(4L) && storage.listBooks() == Seq(2L, 4L))
+  }
+}
