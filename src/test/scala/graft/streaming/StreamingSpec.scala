@@ -155,3 +155,37 @@ class StreamingDedupSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 }
+
+/** Watermarked stream-stream interval join. */
+class StreamStreamJoinSpec extends graft.SparkSpec {
+  test("conversions join clicks within the horizon, across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val convs = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = StreamStreamJoin.clickConversionJoin(
+      clicks.toDF().toDF("user_id", "ts", "event_id"),
+      convs.toDF().toDF("user_id", "ts", "event_id"))
+      .writeStream.format("memory").queryName("attributions")
+      .outputMode("append").start()
+    try {
+      // batch 1: two clicks for user 1, one ancient click for user 2
+      clicks.addData(
+        (1L, t("2026-01-01T10:00:00Z"), 100L),
+        (1L, t("2026-01-01T10:20:00Z"), 101L),
+        (2L, t("2026-01-01T08:00:00Z"), 102L))
+      q.processAllAvailable()
+      // batch 2: conversions arrive later
+      convs.addData(
+        (1L, t("2026-01-01T10:25:00Z"), 200L), // within 30m of both clicks
+        (2L, t("2026-01-01T10:25:00Z"), 201L)) // click 102 is 2h25m old
+      q.processAllAvailable()
+      val rows = spark.table("attributions")
+        .select("conv_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((200L, 100L), (200L, 101L)))
+    } finally q.stop()
+  }
+}
