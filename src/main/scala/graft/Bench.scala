@@ -13,10 +13,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: build file indexes and JIT/codegen paths so the
-    // first timed query doesn't absorb session start-up costs.
-    Tables.names.foreach { t =>
-      try Tables.load(spark, sfDir, t).count()
+    // Untimed warmup: one full pass builds file indexes and lets the JIT
+    // compile every query's generated code, so timed numbers reflect
+    // steady state rather than which query happened to run first cold.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
     // noop sink: forces FULL evaluation of every output column (a bare
