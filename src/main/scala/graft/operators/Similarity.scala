@@ -86,8 +86,9 @@ object Similarity {
     * broadcast. */
   def hyperplanes(spark: SparkSession, nBits: Int,
       maxDims: Int = 4096): DataFrame =
-    spark.range(maxDims).select(col("id").cast("int").as("i"))
-      .crossJoin(spark.range(nBits).select(col("id").cast("int").as("j")))
+    spark.range(maxDims.toLong * nBits)
+      .select((col("id") / nBits).cast("int").as("i"),
+        (col("id") % nBits).cast("int").as("j"))
       .select(col("i"), col("j"), when(expr(
         """(locate(substr(md5(concat(cast(i as string), ':',
           |  cast(j as string))), 1, 1), '0123456789abcdef') - 1) % 2 = 1"""

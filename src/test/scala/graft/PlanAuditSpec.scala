@@ -1,0 +1,33 @@
+package graft
+
+/** Automated scale hygiene: every declared query's physical plan is
+  * checked for join shapes that would not survive a 100x scale-up.
+  * BroadcastNestedLoopJoin is permitted only where a small broadcast side
+  * against a streamed corpus is the intended design (flat ANN search). */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val intentionalNestedLoop = Set(
+    "s01_brute_topk", // broadcast(5 queries) x corpus scan by design
+    "s02_ivf_topk")
+
+  test("no cartesian products; nested-loop joins only where intended") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+      if (!intentionalNestedLoop(name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unintended nested-loop join")
+      }
+    }
+  }
+
+  test("selective filters reach the parquet scan (pushdown)") {
+    val plan = SparkEntry.queries("q02_filter_project")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"expected pushed filters in:\n$plan")
+  }
+}
