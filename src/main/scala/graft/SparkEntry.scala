@@ -762,8 +762,8 @@ object SparkEntry {
         |f AS (SELECT asset_id, media_type, text,
         |  unnest(range(0, n_frames)) AS frame_idx FROM a)
         |SELECT asset_id, media_type, frame_idx,
-        | md5(substr(text, CAST(frame_idx * 256 + 1 AS INT), 256))
-        |   AS frame_md5
+        | md5(substr(hex(encode(text)),
+        |   CAST(frame_idx * 512 + 1 AS INT), 512)) AS frame_md5
         |FROM f WHERE frame_idx % 4 = 0
         |ORDER BY asset_id, frame_idx""".stripMargin
   )

@@ -43,15 +43,18 @@ object LakeQueries {
       .select(col("doc_id"), col("split_ok"), col("header"), col("body"))
       .orderBy(col("doc_id"))
 
-  // One materialized lake per (session, row count): l02 and l03 probe the
-  // SAME lake, so don't pay the partitioned write twice per run.
+  // One materialized lake per (session, source files): l02 and l03 probe
+  // the SAME lake, so don't pay the partitioned write twice per run. The
+  // key is the input's file set (distinct corpora never collide — a row
+  // COUNT key would, and counting would also cost a job per call).
   private val lakeCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, Long),
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
       SparkLakeStorage]
 
   private def freshLake(spark: SparkSession,
-      documents: DataFrame): SparkLakeStorage =
-    lakeCache.getOrElseUpdate((spark, documents.count()), {
+      documents: DataFrame): SparkLakeStorage = {
+    val key = documents.inputFiles.sorted.mkString(",")
+    lakeCache.getOrElseUpdate((spark, key), {
       val dir = Files.createTempDirectory("graft-lake-").toFile.getAbsolutePath
       val storage = new SparkLakeStorage(spark, dir)
       storage.saveBooks(
@@ -61,6 +64,7 @@ object LakeQueries {
         FixedTs)
       storage
     })
+  }
 
   /** E3 round-trip: save every fixture document into a fresh partitioned
     * parquet lake, read it back, list distinct body ids ascending with

@@ -95,6 +95,21 @@ class SparkLakeStorage(spark: SparkSession, root: String) extends LakeStorage {
   override def saveBooks(books: DataFrame, ts: LocalDateTime): Unit = {
     val d = LakePaths.day(ts)
     val h = LakePaths.hour(ts)
+    // Persist: the data write and the manifest append both consume
+    // `books`; without a barrier the caller's upstream pipeline would run
+    // twice, and a non-deterministic source could make the manifest list
+    // books whose payload was never written.
+    val snap = books.persist()
+    try {
+      writeLake(snap, ts, d, h)
+      snap.select(col("book_id").cast("long").as("book_id"),
+        lit(d).as("date"), lit(h).as("hour"))
+        .write.mode("append").parquet(manifestDir)
+    } finally snap.unpersist()
+  }
+
+  private def writeLake(books: DataFrame, ts: LocalDateTime, d: String,
+      h: String): Unit = {
     books
       .select(col("book_id").cast("long").as("book_id"),
         explode(array(
@@ -106,19 +121,15 @@ class SparkLakeStorage(spark: SparkSession, root: String) extends LakeStorage {
         lit(d).as("date"), lit(h).as("hour"),
         lit(d).as("pdate"), lit(h).as("phour"))
       .write.mode("append").partitionBy("pdate", "phour").parquet(lakeDir)
-    // Manifest index: (book_id, date, hour), appended after the data
-    // commit. The reference's exists() cannot prune (id -> date unknown,
-    // full key scan, S3DatalakeStorage.java:65-86); SURVEY §4 flags the
-    // manifest table as the layout fix. This is the Delta/Iceberg
-    // transaction-log idea in miniature: point/list queries read the tiny
-    // index, never the payload files. Rebuildable from the lake
-    // (rebuildManifest) since the two appends are not atomic together.
-    books.select(col("book_id").cast("long").as("book_id"),
-      lit(d).as("date"), lit(h).as("hour"))
-      .write.mode("append").parquet(manifestDir)
   }
 
-  /** The manifest as a DataFrame (book_id, date, hour) — metadata-only. */
+  /** The manifest index: (book_id, date, hour), appended after each data
+    * commit. The reference's exists() cannot prune (id -> date unknown,
+    * full key scan, S3DatalakeStorage.java:65-86); SURVEY §4 flags the
+    * manifest table as the layout fix. This is the Delta/Iceberg
+    * transaction-log idea in miniature: point/list queries read the tiny
+    * index, never the payload files. Rebuildable from the lake
+    * (rebuildManifest) since the two appends are not atomic together. */
   def manifest: DataFrame = spark.read.parquet(manifestDir)
 
   /** Recreate the manifest from lake ground truth (crash between data and

@@ -28,7 +28,12 @@ object Bucketing {
   /** Join two pre-bucketed tables on their bucket key — shuffle-free when
     * bucket counts match. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
-      leftKey: String, rightKey: String): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable),
-      spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
+      leftKey: String, rightKey: String): DataFrame = {
+    // bind each table ONCE: the join condition must reference the same
+    // Dataset instances as the join children (separate spark.table()
+    // calls only line up while the catalog's relation cache is warm)
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

@@ -116,13 +116,20 @@ object Multimodal {
       .withColumn("n_frames",
         ceil(octet_length(col("content")).cast("double") / frameBytes)
           .cast("long"))
+      // empty payload -> 0 frames -> no rows (a bare sequence(0, -1)
+      // would produce the DESCENDING sequence [0, -1], a phantom frame)
       .select(col("asset_id"), col("media_type"), col("content"),
-        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+        explode(when(col("n_frames") > 0,
+          sequence(lit(0), col("n_frames") - 1))
+          .otherwise(array().cast("array<bigint>"))).as("frame_idx"))
       .filter(col("frame_idx") % stride === 0)
+      // fingerprint the HEX of the slice: hex is byte-faithful in every
+      // engine (oracle: slice hex text at 2x offsets), where raw-text
+      // slicing would be characters-vs-bytes for non-ASCII payloads
       .select(col("asset_id"), col("media_type"), col("frame_idx"),
-        md5(col("content").substr(
+        md5(hex(col("content").substr(
           (col("frame_idx") * frameBytes + 1).cast("int"),
-          lit(frameBytes))).as("frame_md5"))
+          lit(frameBytes)))).as("frame_md5"))
       .orderBy(col("asset_id"), col("frame_idx"))
 
   /** Oracle-checked metadata query: envelope of every fixture asset. */

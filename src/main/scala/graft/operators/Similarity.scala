@@ -82,7 +82,9 @@ object Similarity {
 
   /** Deterministic ±1 random-hyperplane matrix: s(i,j) from the parity of
     * md5("i:j") — no RNG, reproducible across engines and runs. Covers
-    * any embedding dimensionality up to `maxDims`; tiny, always
+    * embedding dimensionality up to `maxDims` (CONTRACT: vectors wider
+    * than maxDims would silently project on their first maxDims
+    * components — raise maxDims for wider models); tiny, always
     * broadcast. */
   def hyperplanes(spark: SparkSession, nBits: Int,
       maxDims: Int = 4096): DataFrame =

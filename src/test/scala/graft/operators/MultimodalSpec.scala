@@ -44,10 +44,18 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.frameSample(df, frameBytes = 10, stride = 2)
       .collect().map(r => (r.getLong(2), r.getString(3)))
     assert(out.map(_._1).toSeq == Seq(0L, 2L))
+    // fingerprint = md5 of the HEX of the frame bytes (byte-faithful
+    // across engines)
     def m(s: String) = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(s.getBytes("UTF-8").map("%02X".format(_)).mkString
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     assert(out(0)._2 == m("0123456789"))
     assert(out(1)._2 == m("0123456789")) // frame 2 = bytes 20-29
+    // empty payload -> zero frames, no phantom row
+    val empty = Seq((2L, "audio", Array.empty[Byte]))
+      .toDF("asset_id", "media_type", "content")
+    assert(Multimodal.frameSample(empty).count() == 0)
   }
 
   test("metadata envelope matches the stub decoder's derivations") {
