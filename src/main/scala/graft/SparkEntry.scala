@@ -62,6 +62,11 @@ object SparkEntry {
     "q21_grouping_sets_sql" -> ((s, d) =>
       R.sqlGroupingSets(s, Tables.orders(s, d), Tables.customer(s, d))),
     "q22_json_construct" -> ((s, d) => R.jsonConstruct(Tables.part(s, d))),
+    "q23_percentiles" -> ((s, d) => R.percentiles(Tables.lineitem(s, d))),
+    "q24_array_showcase" -> ((s, d) =>
+      R.arrayShowcase(Tables.embeddings(s, d))),
+    "w07_window_showcase" -> ((s, d) =>
+      W.windowShowcase(Tables.events(s, d))),
     // --- window layer (SURVEY §2.5 EXT) ---
     "w01_rank_events" -> ((s, d) => W.rankEventsPerUser(Tables.events(s, d))),
     "w02_session_gaps" -> ((s, d) => W.sessionGaps(Tables.events(s, d))),
@@ -313,6 +318,36 @@ object SparkEntry {
         | CAST(to_json(struct_pack(brand := p_brand, size := p_size,
         |   type := p_type)) AS VARCHAR) AS part_json
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q23_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS median_qty,
+        | quantile_cont(l_extendedprice, 0.25) AS price_p25,
+        | quantile_cont(l_extendedprice, 0.75) AS price_p75
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q24_array_showcase" ->
+      """SELECT vec_id,
+        | len(embedding) AS n_dims,
+        | embedding[1] AS first_dim,
+        | list_max(embedding) AS vmax,
+        | list_min(embedding) AS vmin,
+        | list_reduce(list_transform(embedding[1:4],
+        |   x -> CAST(x AS DOUBLE)), (a, b) -> a + b) AS head4_sum,
+        | list_sort(embedding, 'DESC')[1:3] AS top3
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "w07_window_showcase" ->
+      """SELECT user_id, event_id,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | percent_rank() OVER w AS prank,
+        | cume_dist() OVER w AS cdist,
+        | first_value(event_id) OVER w AS first_event,
+        | last_value(event_id) OVER wf AS last_event,
+        | nth_value(event_id, 2) OVER wf AS second_event
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        | wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
     "w01_rank_events" ->
       """SELECT user_id, event_id, event_type, rn, rnk, drnk FROM (
         |  SELECT user_id, event_id, event_type,

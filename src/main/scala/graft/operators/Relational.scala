@@ -299,6 +299,35 @@ object Relational {
         countDistinct(col("o_custkey")).as("exact_customers"))
       .orderBy(col("o_orderstatus"))
 
+  /** Exact percentiles with linear interpolation (SQL percentile_cont
+    * semantics) per group — distributed exact computation; at extreme
+    * cardinalities swap for approx_percentile's sketch. */
+  def percentiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_extendedprice, 0.25)").as("price_p25"),
+        expr("percentile(l_extendedprice, 0.75)").as("price_p75"))
+      .orderBy(col("l_returnflag"))
+
+  /** Array-function sweep over the embedding column (SURVEY §2.8's absent
+    * array scalars, exercised as EXT): size/index/minmax/slice-fold/sort.
+    * Float values stay floats end to end — no float→string casts, whose
+    * formatting is engine-specific. */
+  def arrayShowcase(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("n_dims"),
+      element_at(col("embedding"), 1).as("first_dim"),
+      array_max(col("embedding")).as("vmax"),
+      array_min(col("embedding")).as("vmin"),
+      expr("""aggregate(slice(embedding, 1, 4), 0D,
+        |  (acc, x) -> acc + cast(x as double))""".stripMargin)
+        .as("head4_sum"),
+      slice(reverse(array_sort(col("embedding"))), 1, 3).as("top3"))
+      .orderBy(col("vec_id"))
+
   /** JSON construction (SURVEY §2.8 F11 — the reference's Javalin/Jackson
     * response maps as an engine scalar): struct → compact JSON text. */
   def jsonConstruct(part: DataFrame): DataFrame =

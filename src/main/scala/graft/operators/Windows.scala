@@ -59,6 +59,26 @@ object Windows {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** The remaining ranking/positional window builtins in one pass:
+    * ntile, percent_rank, cume_dist, first/last/nth value — one ordered
+    * spec + one full-partition frame, so Spark plans a single sort. */
+  def windowShowcase(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    events
+      .select(
+        col("user_id"), col("event_id"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"),
+        first_value(col("event_id")).over(w).as("first_event"),
+        last_value(col("event_id")).over(full).as("last_event"),
+        nth_value(col("event_id"), 2).over(full).as("second_event"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Share-of-partition: value / per-user total (window agg without order —
     * whole-partition frame). */
   def valueShare(events: DataFrame): DataFrame = {
