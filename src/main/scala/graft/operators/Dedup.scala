@@ -155,6 +155,29 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Incremental exact dedup — the production shape: a NEW batch arrives
+    * and must be deduped against the corpus WITHOUT rescanning it. The
+    * corpus is represented by its digest index (content_md5 → kept
+    * doc_id), typically a bucketed table at scale so this join is
+    * exchange-free on the index side. Returns (acceptedRows,
+    * digestIndexAdditions): rows new to both the index and the batch
+    * (lowest doc_id wins within the batch), plus the index rows to
+    * append for the next increment. */
+  def incrementalExactDedup(newBatch: DataFrame,
+      digestIndex: DataFrame): (DataFrame, DataFrame) = {
+    val hashed = newBatch.withColumn("content_md5",
+      md5(regexp_replace(trim(col("text")), "\\s+", " ")))
+    val notInCorpus = hashed.join(digestIndex.select(col("content_md5")),
+      Seq("content_md5"), "left_anti")
+    val firstPerDigest = notInCorpus
+      .groupBy(col("content_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val accepted = notInCorpus
+      .join(firstPerDigest, Seq("content_md5", "doc_id"))
+    (accepted.select(col("doc_id"), col("text")),
+      firstPerDigest.select(col("content_md5"), col("doc_id")))
+  }
+
   /** 64-bit frequency-weighted SimHash over whitespace tokens, emitted as a
     * 64-char bit string. Bit j of a token's hash is drawn from hex digit
     * j/4 of its md5; per-bit ±1 votes are summed over all tokens (dupes

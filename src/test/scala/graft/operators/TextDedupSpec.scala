@@ -114,3 +114,32 @@ class PiiDecontamSpec extends graft.SparkSpec {
     assert(!out.contains(100L)) // benchmark docs are not scored
   }
 }
+
+/** Incremental dedup against a digest index. */
+class IncrementalDedupSpec extends graft.SparkSpec {
+  test("new batch dedupes against the corpus index without rescanning it") {
+    import spark.implicits._
+    val corpus = Seq((1L, "known document alpha"), (2L, "known document beta"))
+      .toDF("doc_id", "text")
+    // bootstrap the index from the existing corpus
+    val index = Dedup.exactDedup(corpus)
+      .select($"content_md5", $"kept_doc_id".as("doc_id"))
+
+    val batch = Seq(
+      (10L, "known document alpha"), // dup of corpus -> rejected
+      (11L, "fresh document gamma"), // new -> accepted
+      (12L, "fresh document gamma"), // dup within batch -> rejected
+      (13L, "fresh document delta")) // new -> accepted
+      .toDF("doc_id", "text")
+
+    val (accepted, additions) = Dedup.incrementalExactDedup(batch, index)
+    assert(accepted.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(11L, 13L))
+    assert(additions.count() == 2)
+
+    // second increment against the grown index: nothing new left
+    val grown = index.unionByName(additions)
+    val (accepted2, _) = Dedup.incrementalExactDedup(batch, grown)
+    assert(accepted2.count() == 0)
+  }
+}
