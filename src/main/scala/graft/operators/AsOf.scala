@@ -27,10 +27,10 @@ object AsOf {
     * per side but must be mutually comparable (same type). */
   def asOfJoin(probes: DataFrame, ticks: DataFrame, key: String,
       probeTime: String, tickTime: String): DataFrame = {
-    val tickPayload = struct(ticks.columns.map(col): _*)
+    val tickPayload = struct(ticks.columns.toIndexedSeq.map(col): _*)
     val t = ticks.select(col(key).as("_k"), col(tickTime).as("_t"),
       lit(1).as("_is_tick"), tickPayload.as("_tick"))
-    val probePayload = struct(probes.columns.map(col): _*)
+    val probePayload = struct(probes.columns.toIndexedSeq.map(col): _*)
     val p = probes.select(col(key).as("_k"), col(probeTime).as("_t"),
       lit(0).as("_is_tick"), probePayload.as("_probe"))
 
