@@ -67,6 +67,8 @@ object SparkEntry {
       R.arrayShowcase(Tables.embeddings(s, d))),
     "w07_window_showcase" -> ((s, d) =>
       W.windowShowcase(Tables.events(s, d))),
+    "q25_bottomk_sketch" -> ((s, d) =>
+      R.bottomKCustomers(Tables.orders(s, d))),
     // --- window layer (SURVEY §2.5 EXT) ---
     "w01_rank_events" -> ((s, d) => W.rankEventsPerUser(Tables.events(s, d))),
     "w02_session_gaps" -> ((s, d) => W.sessionGaps(Tables.events(s, d))),
@@ -348,6 +350,13 @@ object SparkEntry {
         | wf AS (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q25_bottomk_sketch" ->
+      """WITH h AS (SELECT DISTINCT o_orderstatus,
+        |  md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders)
+        |SELECT o_orderstatus,
+        | (list_sort(list(h)))[1:8] AS bottom8,
+        | count(*) AS exact_distinct
+        |FROM h GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "w01_rank_events" ->
       """SELECT user_id, event_id, event_type, rn, rnk, drnk FROM (
         |  SELECT user_id, event_id, event_type,

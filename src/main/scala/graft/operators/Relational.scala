@@ -339,6 +339,21 @@ object Relational {
         col("p_type").as("type"))).as("part_json"))
       .orderBy(col("p_partkey"))
 
+  /** Bottom-k (KMV) distinct sketch per group via the typed Aggregator
+    * UDAF — exact, deterministic, mergeable state (unlike q18's HLL this
+    * IS oracle-checkable: the k smallest hashes of a set don't depend on
+    * partitioning). Output: the sorted bottom-8 customer-key hashes and
+    * the exact distinct count they summarize. */
+  def bottomKCustomers(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        graft.functions.BottomKSketch.bottomK(8)(
+          md5(col("o_custkey").cast("string").cast("binary")))
+          .as("bottom8"),
+        countDistinct(col("o_custkey")).as("exact_distinct"))
+      .orderBy(col("o_orderstatus"))
+
   /** Date/time function sweep over orders. */
   def dateShowcase(orders: DataFrame): DataFrame =
     orders.select(

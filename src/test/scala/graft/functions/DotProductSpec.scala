@@ -55,3 +55,32 @@ class DotProductSpec extends SparkSpec {
     assert(n == 2)
   }
 }
+
+/** Typed-Aggregator bottom-k sketch semantics. */
+class BottomKSketchSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("bottom-k is exact, deduplicated, and partitioning-independent") {
+    import spark.implicits._
+    val values = (1L to 500L).map(i => ("g", i % 100)) // 100 distinct, 5x dups
+    def run(parts: Int) = values.toDF("g", "v").repartition(parts)
+      .groupBy("g")
+      .agg(graft.functions.BottomKSketch.bottomK(8)(
+        md5(col("v").cast("string").cast("binary"))).as("b8"))
+      .select("b8").head().getSeq[String](0)
+    val a = run(1)
+    val b = run(13)
+    assert(a == b) // same sketch whatever the partitioning
+    assert(a.length == 8 && a == a.sorted && a.distinct.length == 8)
+  }
+
+  test("sketch of fewer than k distinct values holds them all") {
+    import spark.implicits._
+    val df = Seq(("g", "x"), ("g", "y"), ("g", "x")).toDF("g", "v")
+    val got = df.groupBy("g")
+      .agg(graft.functions.BottomKSketch.bottomK(8)(
+        md5(col("v").cast("binary"))).as("b8"))
+      .select("b8").head().getSeq[String](0)
+    assert(got.length == 2)
+  }
+}
