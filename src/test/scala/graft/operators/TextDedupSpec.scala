@@ -143,3 +143,24 @@ class IncrementalDedupSpec extends graft.SparkSpec {
     assert(accepted2.count() == 0)
   }
 }
+
+/** Posting-list frequency cap (the boilerplate guard for web-scale corpora). */
+class PostingCapSpec extends graft.SparkSpec {
+  test("maxDocFreq drops shingles shared by more docs than the cap") {
+    import spark.implicits._
+    // "common header line x" appears in ALL 4 docs; unique tails don't
+    val docs = (1L to 4L).map(i =>
+      (i, s"common header line x unique tail number $i")).toDF("doc_id", "text")
+    val uncapped = Dedup.shinglePostings(docs, 3)
+    val capped = Dedup.shinglePostings(docs, 3, maxDocFreq = Some(3))
+    val droppedShingles = uncapped.select("shingle").distinct().count() -
+      capped.select("shingle").distinct().count()
+    assert(droppedShingles > 0)
+    // every surviving shingle appears in <= 3 docs
+    val maxDf = capped.groupBy("shingle").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxDf <= 3)
+    // per-doc unique shingles survive
+    assert(capped.filter("shingle LIKE '%number 1'").count() == 1)
+  }
+}
