@@ -27,7 +27,10 @@ case class BottomKSketch(k: Int)
   override def zero: List[String] = Nil
 
   override def reduce(buf: List[String], h: String): List[String] =
-    if (buf.contains(h)) buf
+    if (h == null) buf // builtin-aggregate semantics: nulls don't count
+    // fast path: full sketch and h can't displace the current k-th
+    else if (buf.length == k && h >= buf.last) buf
+    else if (buf.contains(h)) buf
     else (h :: buf).sorted.take(k)
 
   override def merge(a: List[String], b: List[String]): List[String] =

@@ -29,12 +29,17 @@ object Dedup {
       .unionByName(documents.select((col("doc_id") + offset).as("doc_id"),
         col("text")))
 
+  /** THE content digest: md5 of whitespace-normalized text. Single source
+    * of truth — batch dedup, incremental dedup, and streaming dedup must
+    * all hash identically or corpus duplicates slip through silently. */
+  def contentDigest(text: Column): Column =
+    md5(regexp_replace(trim(text), "\\s+", " "))
+
   /** Exact dedup by content digest: md5 of whitespace-normalized text,
     * keep the lowest doc_id per group. One shuffle on the digest. */
   def exactDedup(corpus: DataFrame): DataFrame =
     corpus
-      .select(col("doc_id"),
-        md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("content_md5"))
+      .select(col("doc_id"), contentDigest(col("text")).as("content_md5"))
       .groupBy(col("content_md5"))
       .agg(min(col("doc_id")).as("kept_doc_id"),
         count(lit(1)).as("n_copies"))
@@ -166,14 +171,17 @@ object Dedup {
   def incrementalExactDedup(newBatch: DataFrame,
       digestIndex: DataFrame): (DataFrame, DataFrame) = {
     val hashed = newBatch.withColumn("content_md5",
-      md5(regexp_replace(trim(col("text")), "\\s+", " ")))
+      contentDigest(col("text")))
     val notInCorpus = hashed.join(digestIndex.select(col("content_md5")),
       Seq("content_md5"), "left_anti")
     val firstPerDigest = notInCorpus
       .groupBy(col("content_md5"))
       .agg(min(col("doc_id")).as("doc_id"))
+    // dropDuplicates: fully identical batch rows (same doc_id AND text)
+    // would otherwise both match the winner and be emitted twice
     val accepted = notInCorpus
       .join(firstPerDigest, Seq("content_md5", "doc_id"))
+      .dropDuplicates("content_md5")
     (accepted.select(col("doc_id"), col("text")),
       firstPerDigest.select(col("content_md5"), col("doc_id")))
   }

@@ -184,8 +184,7 @@ object TextAnalysis {
     // min() everywhere: groups are same-content, but ties must still
     // resolve deterministically for the cross-engine hash compare
     val deduped = kept
-      .groupBy(md5(regexp_replace(trim(col("text")), "\\s+", " "))
-        .as("content_md5"))
+      .groupBy(Dedup.contentDigest(col("text")).as("content_md5"))
       .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
         min(col("text")).as("text"))
     deduped
@@ -206,8 +205,7 @@ object TextAnalysis {
     * measured ~10× slower than the codegen'd explode/agg path. */
   def fingerprints(documents: DataFrame): DataFrame = {
     val perDoc = documents.select(
-      col("doc_id"),
-      md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("content_md5"))
+      col("doc_id"), Dedup.contentDigest(col("text")).as("content_md5"))
     val minAgg = documents
       .repartition(documents.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),

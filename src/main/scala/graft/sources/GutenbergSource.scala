@@ -77,15 +77,21 @@ private class GutenbergTable(options: CaseInsensitiveStringMap)
 
   override def newScanBuilder(
       caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
-    val ids = options.get("ids") match {
-      case null => throw new IllegalArgumentException(
+    // read per-SCAN options (falling back to table properties for the
+    // catalog path, where read options may be absent)
+    def opt(key: String): Option[String] =
+      Option(caseInsensitiveOptions.get(key)).orElse(Option(options.get(key)))
+    val ids = opt("ids") match {
+      case None => throw new IllegalArgumentException(
         "option 'ids' is required (comma-separated book ids)")
-      case s => s.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
     }
     val nPart = math.max(1, math.min(
-      Option(options.get("numPartitions")).map(_.toInt).getOrElse(8),
-      ids.length))
-    val fetcher = Option(options.get("fetcher")).getOrElse("http")
+      opt("numPartitions").map(_.toInt).getOrElse(8), ids.length))
+    val fetcher = opt("fetcher").getOrElse("http")
+    // fail fast DRIVER-side on a bad fetcher name — executor-side it
+    // would burn task retries before aborting the job
+    GutenbergSource.fetcherFor(fetcher)
     new GutenbergScanBuilder(ids.toSeq, nPart, fetcher)
   }
 }

@@ -16,7 +16,7 @@ object StreamingDedup {
       watermark: String = "1 hour"): DataFrame =
     documents
       .withColumn("content_md5",
-        md5(regexp_replace(trim(col("text")), "\\s+", " ")))
+        graft.operators.Dedup.contentDigest(col("text")))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("content_md5")
 }

@@ -84,3 +84,18 @@ class BottomKSketchSpec extends graft.SparkSpec {
     assert(got.length == 2)
   }
 }
+
+/** Null handling of the bottom-k UDAF (builtin-aggregate semantics). */
+class BottomKNullSpec extends graft.SparkSpec {
+  test("null inputs are ignored, not fatal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(("g", Some("a")), ("g", None), ("g", Some("b")))
+      .toDF("g", "v")
+    val got = df.groupBy("g")
+      .agg(graft.functions.BottomKSketch.bottomK(8)(
+        md5(col("v").cast("binary"))).as("b8"))
+      .select("b8").head().getSeq[String](0)
+    assert(got.length == 2) // the null contributed nothing
+  }
+}

@@ -49,8 +49,13 @@ class MlCrossValidationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
     assert(truePairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
-    assert(mlPairs == truePairs,
-      s"spark.ml found $mlPairs, truth $truePairs")
+    // containment, not equality: approxSimilarityJoin is exact-filtered
+    // but candidate generation is probabilistic (seeded), and its
+    // boundary is strict (< distance) vs jaccardPairs' inclusive (>=)
+    assert(mlPairs.subsetOf(truePairs),
+      s"spark.ml found false pairs: ${mlPairs -- truePairs}")
+    assert(mlPairs.contains((1L, 2L)),
+      s"J=1 pair missing from spark.ml result $mlPairs")
     // banded LSH recall: identical docs (J=1) collide in EVERY band, so
     // (1,2) is guaranteed; J≈0.65 pairs are probabilistic at 4 bands x 3
     // rows (P≈0.72) — that's the precision/recall dial, not a bug
