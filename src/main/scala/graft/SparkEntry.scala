@@ -78,6 +78,8 @@ object SparkEntry {
       graft.streaming.EventTimeOps.windowedCounts(Tables.events(s, d))),
     "w06_sessionization" -> ((s, d) =>
       graft.streaming.EventTimeOps.sessionizeBatch(Tables.events(s, d))),
+    "w08_native_session_windows" -> ((s, d) =>
+      graft.streaming.EventTimeOps.nativeSessionWindows(Tables.events(s, d))),
     // --- text-analysis layer (LLM-pipeline north star) ---
     "t01_token_stats" -> ((s, d) => T.tokenStats(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d) => T.qualityScore(Tables.documents(s, d))),
@@ -408,6 +410,22 @@ object SparkEntry {
         | min(ts) AS session_start, max(ts) AS session_end
         |FROM s GROUP BY user_id, session_n
         |ORDER BY user_id, session_n""".stripMargin,
+    "w08_native_session_windows" ->
+      """WITH g AS (SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |  THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+        | FROM g)
+        |SELECT user_id, min(ts) AS session_start,
+        | max(ts) + INTERVAL 30 MINUTE AS session_end,
+        | count(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_n
+        |ORDER BY user_id, session_start""".stripMargin,
     "t01_token_stats" ->
       """WITH t AS (SELECT doc_id, text,
         |  string_split_regex(trim(text), '\s+') AS toks FROM documents)

@@ -37,6 +37,26 @@ object EventTimeOps {
       .select(col("window.start").as("wstart"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Spark's NATIVE session windows — the builtin counterpart to
+    * [[sessionizeBatch]] (window-function formulation) and [[Sessionizer]]
+    * (explicit streaming state). Semantics nuance: session_window merges
+    * an event into the previous session iff its timestamp is STRICTLY
+    * before prev_end (= prev_ts + gap); an exact-gap arrival starts a new
+    * session, and session_end = last_ts + gap (not max ts) — the oracle
+    * mirrors both. */
+  def nativeSessionWindows(events: DataFrame,
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double")
+          .as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** Gap-based sessionization, batch form: a session breaks when the gap to
     * the previous event exceeds `gapMinutes`. Exact-microsecond gap
     * arithmetic (sub-second safe), session numbering via running sum —
