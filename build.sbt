@@ -29,3 +29,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 scalacOptions ++= Seq("-deprecation", "-unchecked")
+// Forked run output goes straight to stdout/stderr, UNPREFIXED: the
+// driver parses Bench's single JSON line from stdout, and sbt's default
+// "[info] " logger decoration breaks naive line parsers.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
