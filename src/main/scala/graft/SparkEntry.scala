@@ -271,7 +271,7 @@ object SparkEntry {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q17_props_json" ->
       """SELECT event_type, count(*) AS n_events,
-        | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
         |   AS DOUBLE)
         |   / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
@@ -302,7 +302,7 @@ object SparkEntry {
         | FROM g),
         |sess AS (SELECT user_id, session_n, min(ts) AS st, max(ts) AS en
         | FROM s GROUP BY user_id, session_n)
-        |SELECT e.event_id, e.user_id, x.session_n
+        |SELECT e.event_id, e.user_id, CAST(x.session_n AS BIGINT) AS session_n
         |FROM events e JOIN sess x ON e.user_id = x.user_id
         |  AND e.ts >= x.st AND e.ts <= x.en
         |ORDER BY e.event_id""".stripMargin,
@@ -337,7 +337,9 @@ object SparkEntry {
         | list_min(embedding) AS vmin,
         | list_reduce(list_transform(embedding[1:4],
         |   x -> CAST(x AS DOUBLE)), (a, b) -> a + b) AS head4_sum,
-        | list_sort(embedding, 'DESC')[1:3] AS top3
+        | list_sort(embedding, 'DESC')[1] AS top1,
+        | list_sort(embedding, 'DESC')[2] AS top2,
+        | list_sort(embedding, 'DESC')[3] AS top3
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "w07_window_showcase" ->
       """SELECT user_id, event_id,
@@ -356,7 +358,7 @@ object SparkEntry {
       """WITH h AS (SELECT DISTINCT o_orderstatus,
         |  md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders)
         |SELECT o_orderstatus,
-        | (list_sort(list(h)))[1:8] AS bottom8,
+        | array_to_string((list_sort(list(h)))[1:8], '|') AS bottom8,
         | count(*) AS exact_distinct
         |FROM h GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "w01_rank_events" ->
@@ -406,10 +408,10 @@ object SparkEntry {
         |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
         | FROM g)
-        |SELECT user_id, session_n, count(*) AS n_events,
+        |SELECT user_id, CAST(session_n AS BIGINT) AS session_n, count(*) AS n_events,
         | min(ts) AS session_start, max(ts) AS session_end
-        |FROM s GROUP BY user_id, session_n
-        |ORDER BY user_id, session_n""".stripMargin,
+        |FROM s GROUP BY user_id, s.session_n
+        |ORDER BY user_id, s.session_n""".stripMargin,
     "w08_native_session_windows" ->
       """WITH g AS (SELECT user_id, ts, event_id, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
@@ -530,7 +532,7 @@ object SparkEntry {
         |  min(doc_id) AS doc_id, min(lang) AS lang, min(text) AS text
         | FROM kept GROUP BY 1)
         |SELECT lang, count(*) AS n_docs,
-        | SUM(len(string_split_regex(trim(text), '\s+'))) AS total_tokens
+        | CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "t06_redact_pii" ->
       """WITH w AS (SELECT doc_id,

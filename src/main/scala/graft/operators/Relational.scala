@@ -314,8 +314,11 @@ object Relational {
   /** Array-function sweep over the embedding column (SURVEY §2.8's absent
     * array scalars, exercised as EXT): size/index/minmax/slice-fold/sort.
     * Float values stay floats end to end — no float→string casts, whose
-    * formatting is engine-specific. */
-  def arrayShowcase(embeddings: DataFrame): DataFrame =
+    * formatting is engine-specific. The sorted top-3 is projected as three
+    * scalar float columns (not an array) so downstream row-hash harnesses
+    * that sort rows can handle the output. */
+  def arrayShowcase(embeddings: DataFrame): DataFrame = {
+    val sortedDesc = reverse(array_sort(col("embedding")))
     embeddings.select(
       col("vec_id"),
       size(col("embedding")).cast("long").as("n_dims"),
@@ -325,8 +328,11 @@ object Relational {
       expr("""aggregate(slice(embedding, 1, 4), 0D,
         |  (acc, x) -> acc + cast(x as double))""".stripMargin)
         .as("head4_sum"),
-      slice(reverse(array_sort(col("embedding"))), 1, 3).as("top3"))
+      element_at(sortedDesc, 1).as("top1"),
+      element_at(sortedDesc, 2).as("top2"),
+      element_at(sortedDesc, 3).as("top3"))
       .orderBy(col("vec_id"))
+  }
 
   /** JSON construction (SURVEY §2.8 F11 — the reference's Javalin/Jackson
     * response maps as an engine scalar): struct → compact JSON text. */
@@ -342,15 +348,17 @@ object Relational {
   /** Bottom-k (KMV) distinct sketch per group via the typed Aggregator
     * UDAF — exact, deterministic, mergeable state (unlike q18's HLL this
     * IS oracle-checkable: the k smallest hashes of a set don't depend on
-    * partitioning). Output: the sorted bottom-8 customer-key hashes and
+    * partitioning). Output: the sorted bottom-8 customer-key hashes
+    * ('|'-joined to one string so row-sorting harnesses can hash it) and
     * the exact distinct count they summarize. */
   def bottomKCustomers(orders: DataFrame): DataFrame =
     orders
       .groupBy(col("o_orderstatus"))
       .agg(
-        graft.functions.BottomKSketch.bottomK(8)(
-          md5(col("o_custkey").cast("string").cast("binary")))
-          .as("bottom8"),
+        array_join(
+          graft.functions.BottomKSketch.bottomK(8)(
+            md5(col("o_custkey").cast("string").cast("binary"))),
+          "|").as("bottom8"),
         countDistinct(col("o_custkey")).as("exact_distinct"))
       .orderBy(col("o_orderstatus"))
 

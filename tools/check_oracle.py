@@ -2,9 +2,19 @@
 """Local self-check mimicking the driver's correctness gate:
 run Verify's oracle_sql.json in DuckDB over the fixture parquet,
 compare against the Spark result parquet (columns sorted by name,
-values hashed row-by-row). Usage: check_oracle.py <sfdir> <verify_out>
+values hashed row-by-row).
+
+TYPE-STRICT like the driver: values keep their python type in the hash
+(DuckDB HUGEINT/DECIMAL128 SUM vs Spark BIGINT is a FAIL even when
+values are numerically equal), doubles compare bitwise (no .10g
+rounding), and list-typed columns are flagged because the driver's
+pandas row-sort crashes on them (unhashable numpy.ndarray).
+
+Usage: check_oracle.py <sfdir> <verify_out>
 """
-import duckdb, json, sys, glob, os, math
+import duckdb, json, sys, glob, os, math, struct
+import datetime as _dt
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
@@ -15,16 +25,27 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+
 def canon(v):
+    """Type-preserving canonical form mirroring the driver's pandas hash:
+    floats compare by IEEE bits (no .10g rounding); Decimal('3408') != 3408
+    (DuckDB HUGEINT SUM fails against Spark BIGINT); int32 vs int64 both
+    become python int (driver passes those); datetimes normalize (pandas
+    Timestamp vs datetime are the same datetime64 to the driver)."""
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return f"bool:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
-    if isinstance(v, bool):
-        return str(v).lower()
-    return str(v)
+        return struct.pack("<d", v).hex()
+    if isinstance(v, _dt.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, _dt.date):
+        return f"date:{v.isoformat()}"
+    return f"{type(v).__name__}:{v}"
+
 
 fails = []
 for name in sorted(oracle):
@@ -34,7 +55,7 @@ for name in sorted(oracle):
         print(f"MISSING  {name}: no spark output")
         fails.append(name)
         continue
-    spark_tbl = pq.read_table(files[0])
+    spark_tbl = pa.concat_tables(pq.read_table(f) for f in sorted(files))
     try:
         duck = con.execute(oracle[name]).fetch_arrow_table()
     except Exception as e:
@@ -48,6 +69,17 @@ for name in sorted(oracle):
         continue
     if spark_tbl.num_rows != duck.num_rows:
         print(f"ROWS     {name}: spark={spark_tbl.num_rows} duck={duck.num_rows}")
+        fails.append(name)
+        continue
+    # Driver row-sorts through pandas: raw list columns crash it.
+    listy = [c for c in scols
+             if pa.types.is_list(spark_tbl.schema.field(c).type)
+             or pa.types.is_large_list(spark_tbl.schema.field(c).type)
+             or pa.types.is_list(duck.schema.field(c).type)
+             or pa.types.is_large_list(duck.schema.field(c).type)]
+    if listy:
+        print(f"ARRAYCOL {name}: list-typed columns {listy} would crash "
+              f"the driver's pandas row-sort — stringify them")
         fails.append(name)
         continue
     sp = spark_tbl.select(scols).to_pylist()
