@@ -63,6 +63,10 @@ object SparkEntry {
       R.sqlGroupingSets(s, Tables.orders(s, d), Tables.customer(s, d))),
     "q22_json_construct" -> ((s, d) => R.jsonConstruct(Tables.part(s, d))),
     "q23_percentiles" -> ((s, d) => R.percentiles(Tables.lineitem(s, d))),
+    // sketch path: exact in the high-accuracy regime (rank error < 1 row),
+    // so it IS oracle-checkable against DuckDB's discrete quantile
+    "q26_approx_percentiles" -> ((s, d) =>
+      R.approxPercentiles(Tables.lineitem(s, d))),
     "q24_array_showcase" -> ((s, d) =>
       R.arrayShowcase(Tables.embeddings(s, d))),
     "w07_window_showcase" -> ((s, d) =>
@@ -96,7 +100,10 @@ object SparkEntry {
     // --- dedup layer (LLM-pipeline north star) ---
     "d01_exact_dedup" -> ((s, d) =>
       D.exactDedup(D.doubledCorpus(Tables.documents(s, d)))),
-    "d02_jaccard_pairs" -> ((s, d) => D.jaccardPairs(Tables.documents(s, d))),
+    // maxDocFreq = None: the oracle recomputes EXACT candidate generation;
+    // the production default caps hot postings (Dedup.DefaultMaxDocFreq)
+    "d02_jaccard_pairs" -> ((s, d) =>
+      D.jaccardPairs(Tables.documents(s, d), maxDocFreq = None)),
     "d03_minhash_signatures" -> ((s, d) =>
       D.minhashSignatures(Tables.documents(s, d))),
     "d04_lsh_candidates" -> ((s, d) => D.lshCandidates(Tables.documents(s, d))),
@@ -327,6 +334,13 @@ object SparkEntry {
         | quantile_cont(l_quantity, 0.5) AS median_qty,
         | quantile_cont(l_extendedprice, 0.25) AS price_p25,
         | quantile_cont(l_extendedprice, 0.75) AS price_p75
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q26_approx_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_disc(l_quantity, 0.5) AS median_qty,
+        | quantile_disc(l_extendedprice, 0.25) AS price_p25,
+        | quantile_disc(l_extendedprice, 0.75) AS price_p75
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q24_array_showcase" ->

@@ -58,8 +58,11 @@ class IngestService(spark: SparkSession, storage: LakeStorage,
 
   /** Ingest `ids` at timestamp `ts`; returns a status report
     * (book_id, status ∈ invalid_book_id | download_failed |
-    * marker_split_failed | downloaded) mirroring the reference's response
-    * codes (Main.java:100-123). */
+    * marker_split_failed | datalake_move_failed | downloaded) mirroring
+    * the reference's full response vocabulary (Main.java:100-123 —
+    * `datalake_move_failed` is its 500 when `moveToDatalake` fails,
+    * Main.java:107-110). The report stays a DataFrame end to end — no
+    * driver-side collect, so a billion-id ingest reports at scale. */
   def ingest(ids: Seq[Long], ts: LocalDateTime): DataFrame = {
     import spark.implicits._
     val f = fetcher
@@ -75,14 +78,19 @@ class IngestService(spark: SparkSession, storage: LakeStorage,
     try {
       val ok = split.filter(col("split_ok"))
         .select(col("book_id"), col("header"), col("body"))
-      storage.saveBooks(ok, ts)
-      val statuses = split.select(col("book_id"),
+      val moved =
+        try { storage.saveBooks(ok, ts); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      split.select(col("book_id"),
         when(col("book_id") <= 0, "invalid_book_id")
           .when(col("text").isNull, "download_failed")
           .when(!col("split_ok"), "marker_split_failed")
-          .otherwise("downloaded").as("status"))
-        .as[(Long, String)].collect()
-      statuses.toSeq.toDF("book_id", "status").orderBy(col("book_id"))
+          .otherwise(if (moved) "downloaded" else "datalake_move_failed")
+          .as("status"))
+        .orderBy(col("book_id"))
+        // Materialize distributed and cut lineage: once `split` unpersists,
+        // a lazy report would re-run the whole fetch on first use.
+        .localCheckpoint()
     } finally split.unpersist()
   }
 }

@@ -56,6 +56,11 @@ trait LakeStorage {
   /** Engine-native face: the whole lake as a DataFrame
     * (book_id, kind, text, ts, date, hour). */
   def lake: DataFrame
+
+  /** Health/config record — the reference's GET /health payload
+    * (Main.java:57-62: status, backend, region, bucket) in library form:
+    * `backend` names the adapter, `location` the configured store. */
+  def health: Map[String, String]
 }
 
 /** Spark-parquet lake adapter.
@@ -79,6 +84,27 @@ trait LakeStorage {
   * (IngestionService.java:62-71) is subsumed by Spark's task-commit
   * protocol — readers never observe partial task output.
   */
+object SparkLakeStorage {
+  /** Env-var names mirroring the reference's lake configuration surface
+    * (Main.java:29-36: S3_BUCKET / S3_PREFIX with defaults): the root URI
+    * of the lake (any Hadoop filesystem scheme) and an optional
+    * sub-prefix. */
+  val RootEnv = "GRAFT_LAKE_ROOT"
+  val PrefixEnv = "GRAFT_LAKE_PREFIX"
+
+  /** Configure a lake from environment variables, as the reference's Main
+    * does (Main.java:29-36). `env` is injectable for hermetic tests. */
+  def fromEnv(spark: SparkSession,
+      env: Map[String, String] = sys.env): SparkLakeStorage = {
+    val root = env.get(RootEnv).filter(_.nonEmpty).getOrElse(
+      throw new IllegalArgumentException(
+        s"$RootEnv must name the lake root URI (e.g. file:/data/lake)"))
+    val full = env.get(PrefixEnv).filter(_.nonEmpty)
+      .fold(root)(p => s"${root.stripSuffix("/")}/$p")
+    new SparkLakeStorage(spark, full)
+  }
+}
+
 class SparkLakeStorage(spark: SparkSession, root: String) extends LakeStorage {
 
   private val lakeDir = s"$root/datalake"
@@ -159,9 +185,19 @@ class SparkLakeStorage(spark: SparkSession, root: String) extends LakeStorage {
   override def lake: DataFrame =
     spark.read.parquet(lakeDir).drop("pdate", "phour")
 
-  private def dirExists(dir: String): Boolean =
-    new java.io.File(new java.net.URI(
-      if (dir.contains(":")) dir else s"file:$dir")).exists()
+  override def health: Map[String, String] =
+    Map("status" -> "ok", "backend" -> "spark-parquet", "location" -> root)
+
+  /** Scheme-agnostic existence check through the Hadoop FileSystem API —
+    * `root` may be any registered filesystem (file://, hdfs://, s3a://…),
+    * the adapter never assumes a local path. This is the repo's answer to
+    * the reference's S3-only adapter (S3DatalakeStorage.java:33-140): the
+    * object-store backend is a URI scheme + classpath concern, not a code
+    * path. */
+  private def dirExists(dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   private def lakeOrEmpty: DataFrame =
     if (dirExists(lakeDir)) lake
@@ -192,6 +228,9 @@ class InMemoryLakeStorage(spark: SparkSession) extends LakeStorage {
 
   override def listBooks(): Seq[Long] =
     store.keys.collect { case (id, "body") => id }.toSeq.distinct.sorted
+
+  override def health: Map[String, String] =
+    Map("status" -> "ok", "backend" -> "memory", "location" -> "in-memory")
 
   override def lake: DataFrame = {
     import spark.implicits._

@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB):
   *  - exact dedup is one hash-shuffle on the content digest (map-side
   *    partial agg collapses copies early);
-  *  - the inverted-index Jaccard join shuffles on shingle — EXACT candidate
-  *    generation (any pair with J > 0 shares a shingle). On web-scale
-  *    corpora, cap posting-list length (`maxDocFreq`) to drop boilerplate
-  *    shingles that would create quadratic hot postings;
+  *  - the inverted-index Jaccard join shuffles on shingle. Posting lists
+  *    are CAPPED by default (`maxDocFreq = Some(DefaultMaxDocFreq)`):
+  *    boilerplate shingles shared by more docs than the cap would create
+  *    quadratic hot postings at web scale. Pass `None` explicitly for
+  *    exact candidate generation (any pair with J > 0 shares a shingle);
   *  - MinHash/LSH replaces the quadratic verify set with banded signature
   *    buckets: only pairs agreeing on a full band collide, so the shuffle
   *    volume is |docs| × bands regardless of corpus similarity structure;
@@ -55,11 +56,21 @@ object Dedup {
   private[operators] def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Default posting-list cap: a shingle shared by more docs than this is
+    * boilerplate (licence headers, navigation chrome), and every doc pair
+    * it links is almost certainly linked by rarer shingles too. The cap
+    * bounds the posting self-join at cap²/2 pairs per shingle; without it
+    * one hot shingle across 1M docs creates a 10¹²-pair posting at web
+    * scale. Callers wanting EXACT candidate generation (no shingle ever
+    * dropped) pass `maxDocFreq = None` explicitly. */
+  val DefaultMaxDocFreq: Int = 1000
+
   /** (doc_id, shingle) posting list over DISTINCT word n-gram shingles,
-    * optionally dropping shingles shared by more than `maxDocFreq` docs
-    * (boilerplate guard — disabled by default for oracle parity). */
+    * dropping shingles shared by more than `maxDocFreq` docs (boilerplate
+    * guard — capped by default; pass None for exact candidate
+    * generation). */
   def shinglePostings(documents: DataFrame, n: Int,
-      maxDocFreq: Option[Int] = None): DataFrame = {
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
     val sh = spread(documents).select(col("doc_id"),
       explode(array_distinct(
         TextAnalysis.shingles(TextAnalysis.tokens(col("text")), n)))
@@ -69,7 +80,10 @@ object Dedup {
       case Some(cap) =>
         val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select(col("shingle"))
+        // using-column joins emit the join key first; restore the
+        // (doc_id, shingle) order both branches promise
         sh.join(hot, Seq("shingle"), "left_anti")
+          .select(col("doc_id"), col("shingle"))
     }
   }
 
@@ -78,8 +92,9 @@ object Dedup {
     * J = |A∩B| / (|A|+|B|−|A∩B|), thresholded. Candidate generation is
     * exact (no pair above threshold is missed). */
   def jaccardPairs(documents: DataFrame, n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val post = shinglePostings(documents, n)
+      threshold: Double = 0.5,
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
+    val post = shinglePostings(documents, n, maxDocFreq)
     val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = post.toDF("doc_a", "shingle")
       .join(post.toDF("doc_b", "shingle_b"),
@@ -115,7 +130,10 @@ object Dedup {
       rowsPerBand: Int = 3): DataFrame = {
     require(k % rowsPerBand == 0, "k must be a multiple of rowsPerBand")
     val nBands = k / rowsPerBand
-    val hashed = shinglePostings(documents, 3)
+    // No posting cap here: minhash is linear in postings (no self-join), a
+    // hot shingle costs nothing extra, and dropping one would corrupt the
+    // signatures of every doc that contains it.
+    val hashed = shinglePostings(documents, 3, maxDocFreq = None)
       .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
       .select(col("doc_id"), col("j"),
         md5(concat(col("j").cast("string"), lit(":"), col("shingle")))

@@ -311,6 +311,28 @@ object Relational {
         expr("percentile(l_extendedprice, 0.75)").as("price_p75"))
       .orderBy(col("l_returnflag"))
 
+  /** Sketch percentiles — the 100-TB path beside [[percentiles]]: exact
+    * `percentile` buffers every value of a group in one final aggregator
+    * (3 groups funnel a whole 100 TB column through 3 reducers), while
+    * `approx_percentile`'s summaries merge map-side in O(accuracy) memory
+    * per group. Rank error is bounded by n/accuracy rows, so whenever
+    * accuracy exceeds the group cardinality the sketch returns the EXACT
+    * discrete percentile (the element at rank ceil(p·n)) — which is what
+    * the oracle checks; at larger n it degrades gracefully to a bounded-
+    * error estimate instead of an OOM. */
+  def approxPercentiles(lineitem: DataFrame,
+      accuracy: Int = 1000000): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"approx_percentile(l_quantity, 0.5D, $accuracy)")
+          .as("median_qty"),
+        expr(s"approx_percentile(l_extendedprice, 0.25D, $accuracy)")
+          .as("price_p25"),
+        expr(s"approx_percentile(l_extendedprice, 0.75D, $accuracy)")
+          .as("price_p75"))
+      .orderBy(col("l_returnflag"))
+
   /** Array-function sweep over the embedding column (SURVEY §2.8's absent
     * array scalars, exercised as EXT): size/index/minmax/slice-fold/sort.
     * Float values stay floats end to end — no float→string casts, whose

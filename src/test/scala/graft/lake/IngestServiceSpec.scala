@@ -48,4 +48,35 @@ class IngestServiceSpec extends SparkSpec {
     assert(GutenbergFetcher.url(1342) ==
       "https://www.gutenberg.org/cache/epub/1342/pg1342.txt")
   }
+
+  test("datalake move failure surfaces the reference's 500 status " +
+    "(Main.java:107-110); per-row failures keep their own codes") {
+    val storage = new InMemoryLakeStorage(spark) {
+      override def saveBooks(books: org.apache.spark.sql.DataFrame,
+          at: LocalDateTime): Unit =
+        throw new RuntimeException("simulated datalake outage")
+    }
+    val service = new IngestService(spark, storage, FixtureFetcher)
+    val report = service.ingest(Seq(-5L, 1L, 3L, 42L), ts)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(report == Map(
+      -5L -> "invalid_book_id",
+      1L -> "datalake_move_failed",
+      3L -> "marker_split_failed",
+      42L -> "download_failed"))
+    assert(storage.listBooks().isEmpty)
+  }
+
+  test("status report covers the reference's full vocabulary " +
+    "(Main.java:100-123) and is computed without a driver collect") {
+    val service =
+      new IngestService(spark, new InMemoryLakeStorage(spark), FixtureFetcher)
+    val report = service.ingest(Seq(-5L, 1L, 3L, 42L), ts)
+    // still a DataFrame: usable as a distributed input downstream
+    assert(report.columns.toSeq == Seq("book_id", "status"))
+    val statuses = report.select("status").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(statuses == Set("invalid_book_id", "downloaded",
+      "marker_split_failed", "download_failed"))
+  }
 }

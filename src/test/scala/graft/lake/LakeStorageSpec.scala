@@ -56,6 +56,37 @@ class LakeStorageSpec extends SparkSpec {
     }
   }
 
+  test("health mirrors the reference's /health payload (Main.java:57-62)") {
+    eachAdapter { storage =>
+      val h = storage.health
+      assert(h("status") == "ok")
+      assert(h.contains("backend") && h.contains("location"))
+    }
+  }
+
+  test("fromEnv configures the lake root like the reference's env surface " +
+    "(Main.java:29-36)") {
+    val dir = Files.createTempDirectory("graft-env-lake-").toFile.getAbsolutePath
+    val storage = SparkLakeStorage.fromEnv(spark, Map(
+      SparkLakeStorage.RootEnv -> dir,
+      SparkLakeStorage.PrefixEnv -> "tenant-a"))
+    storage.saveBooks(books((9L, "h", "b")), ts)
+    assert(storage.health("location") == s"$dir/tenant-a")
+    assert(new java.io.File(s"$dir/tenant-a/datalake").exists())
+    intercept[IllegalArgumentException] {
+      SparkLakeStorage.fromEnv(spark, Map.empty)
+    }
+  }
+
+  test("lake root may be a filesystem URI, not just a local path " +
+    "(scheme-agnostic Hadoop FS access)") {
+    val dir = Files.createTempDirectory("graft-uri-lake-").toFile.getAbsolutePath
+    val storage = new SparkLakeStorage(spark, s"file:$dir")
+    assert(!storage.exists(1L) && storage.listBooks().isEmpty)
+    storage.saveBooks(books((6L, "h6", "b6")), ts)
+    assert(storage.exists(6L) && storage.listBooks() == Seq(6L))
+  }
+
   test("parquet lake stores header+body rows with partition columns") {
     val dir = Files.createTempDirectory("graft-test-lake-").toFile.getAbsolutePath
     val storage = new SparkLakeStorage(spark, dir)

@@ -151,7 +151,7 @@ class PostingCapSpec extends graft.SparkSpec {
     // "common header line x" appears in ALL 4 docs; unique tails don't
     val docs = (1L to 4L).map(i =>
       (i, s"common header line x unique tail number $i")).toDF("doc_id", "text")
-    val uncapped = Dedup.shinglePostings(docs, 3)
+    val uncapped = Dedup.shinglePostings(docs, 3, maxDocFreq = None)
     val capped = Dedup.shinglePostings(docs, 3, maxDocFreq = Some(3))
     val droppedShingles = uncapped.select("shingle").distinct().count() -
       capped.select("shingle").distinct().count()
@@ -162,5 +162,21 @@ class PostingCapSpec extends graft.SparkSpec {
     assert(maxDf <= 3)
     // per-doc unique shingles survive
     assert(capped.filter("shingle LIKE '%number 1'").count() == 1)
+  }
+
+  test("the DEFAULT maxDocFreq is finite and caps hot postings") {
+    import spark.implicits._
+    val n = Dedup.DefaultMaxDocFreq + 50
+    // every doc shares the 3-token boilerplate head; tails are unique
+    val docs = (1L to n.toLong).map(i =>
+      (i, s"shared boilerplate header unique tail $i")).toDF("doc_id", "text")
+    val post = Dedup.shinglePostings(docs, 3) // default arguments
+    assert(post.filter("shingle = 'shared boilerplate header'").count() == 0)
+    val maxDf = post.groupBy("shingle").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxDf <= Dedup.DefaultMaxDocFreq)
+    // exact mode must keep the hot shingle for all n docs
+    assert(Dedup.shinglePostings(docs, 3, maxDocFreq = None)
+      .filter("shingle = 'shared boilerplate header'").count() == n)
   }
 }
