@@ -90,6 +90,8 @@ object SparkEntry {
     "t03_language_id" -> ((s, d) => T.languageId(Tables.documents(s, d))),
     "t04_fingerprints" -> ((s, d) => T.fingerprints(Tables.documents(s, d))),
     "t05_top_bigrams" -> ((s, d) => T.topBigrams(Tables.documents(s, d))),
+    "t07_repetition_stats" -> ((s, d) =>
+      T.repetitionStats(Tables.documents(s, d))),
     "p01_data_prep_pipeline" -> ((s, d) =>
       T.dataPrepPipeline(Tables.documents(s, d))),
     "t06_redact_pii" -> ((s, d) =>
@@ -522,6 +524,41 @@ object SparkEntry {
         |  ELSE [array_to_string(toks, ' ')] END) AS bigram FROM t)
         |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+    "t07_repetition_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |p AS (SELECT doc_id, pos, toks[pos + 1] AS tok
+        | FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS pos FROM d)),
+        |r AS (SELECT doc_id, pos, tok,
+        |  CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+        |    IS DISTINCT FROM tok THEN 1 ELSE 0 END AS chg FROM p),
+        |g AS (SELECT doc_id, SUM(chg) OVER (PARTITION BY doc_id
+        |  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS grp FROM r),
+        |runs AS (SELECT doc_id, max(rl) AS max_run FROM
+        |  (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS rl
+        |   FROM g GROUP BY doc_id, grp) GROUP BY doc_id),
+        |tt AS (SELECT doc_id, max(c) AS top_token_n FROM
+        |  (SELECT doc_id, tok, count(*) AS c FROM p GROUP BY 1, 2)
+        | GROUP BY 1),
+        |bg AS (SELECT doc_id, max(c) AS top_bigram_n FROM
+        |  (SELECT doc_id, bigram, count(*) AS c FROM
+        |    (SELECT doc_id, tok || ' ' ||
+        |       lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        |     FROM p)
+        |   WHERE bigram IS NOT NULL GROUP BY 1, 2) GROUP BY 1),
+        |lens AS (SELECT doc_id, len(toks) AS n_tokens FROM d)
+        |SELECT l.doc_id, l.n_tokens, tt.top_token_n,
+        | CAST(tt.top_token_n AS DOUBLE) / CAST(l.n_tokens AS DOUBLE)
+        |   AS top_token_frac,
+        | runs.max_run, bg.top_bigram_n,
+        | CAST(bg.top_bigram_n AS DOUBLE)
+        |   / CAST(nullif(l.n_tokens - 1, 0) AS DOUBLE) AS top_bigram_frac,
+        | (runs.max_run >= 8 OR CAST(tt.top_token_n AS DOUBLE)
+        |   / CAST(l.n_tokens AS DOUBLE) > 0.3) AS flag_repetitive
+        |FROM lens l JOIN tt USING (doc_id) JOIN runs USING (doc_id)
+        |LEFT JOIN bg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "p01_data_prep_pipeline" ->
       """WITH doubled AS (
         |  SELECT doc_id, text, lang FROM documents

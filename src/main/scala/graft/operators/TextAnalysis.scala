@@ -159,6 +159,63 @@ object TextAnalysis {
     * deterministic top-k (count desc, bigram asc). The shuffle carries
     * (bigram, partial count) thanks to map-side combine — constant in
     * document length. */
+  /** Gopher-style repetition / boilerplate statistics per document — the
+    * standard "remove degenerate text" filters for LLM corpora: the longest
+    * consecutive run of one token, the most-frequent-token share, and the
+    * most-frequent-bigram share, plus a combined repetitive flag.
+    *
+    * Relational formulation (posexplode → per-doc window for run ids and
+    * bigrams → shuffle aggs keyed by doc_id): distributes by token count,
+    * never loops per document, and every shuffle partitions on doc_id so a
+    * 100 TB corpus spreads evenly (one pathological document costs its
+    * token count, nothing quadratic). Thresholds follow the published
+    * Gopher rules in spirit (max_run ≥ 8 or top-token share > 0.3 marks a
+    * document repetitive). */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = Dedup.spread(documents).select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // run ids: a change point (first token, or token != previous) opens a run
+    val runs = pos
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("tok"), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val maxRun = runs.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("rl"))
+      .groupBy(col("doc_id")).agg(max(col("rl")).as("max_run"))
+    val topTok = pos.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_token_n"))
+    val topBig = pos
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"),
+        concat(col("tok"), lit(" "), col("nxt")).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
+    val lens = documents.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val topTokenFrac =
+      col("top_token_n").cast("double") / col("n_tokens").cast("double")
+    lens
+      .join(topTok, Seq("doc_id"))
+      .join(maxRun, Seq("doc_id"))
+      .join(topBig, Seq("doc_id"), "left") // 1-token docs have no bigram
+      .select(col("doc_id"), col("n_tokens"), col("top_token_n"),
+        topTokenFrac.as("top_token_frac"),
+        col("max_run"), col("top_bigram_n"),
+        (col("top_bigram_n").cast("double") /
+          when(col("n_tokens") > 1, col("n_tokens") - 1).cast("double"))
+          .as("top_bigram_frac"),
+        (col("max_run") >= 8 || topTokenFrac > 0.3).as("flag_repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
   def topBigrams(documents: DataFrame, k: Int = 20): DataFrame =
     documents
       .repartition(documents.sparkSession.sparkContext.defaultParallelism)

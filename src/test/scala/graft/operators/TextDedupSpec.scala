@@ -180,3 +180,37 @@ class PostingCapSpec extends graft.SparkSpec {
       .filter("shingle = 'shared boilerplate header'").count() == n)
   }
 }
+
+/** Gopher-style repetition statistics (t07). */
+class RepetitionStatsSpec extends graft.SparkSpec {
+  test("run lengths, top-token and top-bigram shares on crafted docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),
+      (2L, "one two three four"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val r1 = got(1L) // "a a a b": run of 3 a's, bigram "a a" twice
+    assert(r1.getAs[Long]("n_tokens") == 4)
+    assert(r1.getAs[Long]("top_token_n") == 3)
+    assert(r1.getAs[Double]("top_token_frac") == 0.75)
+    assert(r1.getAs[Long]("max_run") == 3)
+    assert(r1.getAs[Long]("top_bigram_n") == 2)
+    assert(r1.getAs[Double]("top_bigram_frac") == 2.0 / 3.0)
+    assert(r1.getAs[Boolean]("flag_repetitive"))
+
+    val r2 = got(2L) // fully diverse: nothing repeats, not flagged
+    assert(r2.getAs[Long]("top_token_n") == 1)
+    assert(r2.getAs[Long]("max_run") == 1)
+    assert(r2.getAs[Long]("top_bigram_n") == 1)
+    assert(!r2.getAs[Boolean]("flag_repetitive"))
+
+    val r3 = got(3L) // single token: no bigrams, trivially 100% one token
+    assert(r3.getAs[Long]("n_tokens") == 1)
+    assert(r3.getAs[Any]("top_bigram_n") == null)
+    assert(r3.getAs[Any]("top_bigram_frac") == null)
+    assert(r3.getAs[Boolean]("flag_repetitive"))
+  }
+}
