@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup => D, Relational => R, Similarity => S,
-  TextAnalysis => T, Windows => W}
+import graft.operators.{Dedup => D, Relational => R, Sampling => Sm,
+  Similarity => S, TextAnalysis => T, Windows => W}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -92,6 +92,11 @@ object SparkEntry {
     "t05_top_bigrams" -> ((s, d) => T.topBigrams(Tables.documents(s, d))),
     "t07_repetition_stats" -> ((s, d) =>
       T.repetitionStats(Tables.documents(s, d))),
+    "t08_stratified_sample" -> ((s, d) =>
+      Sm.stratifiedSample(Tables.documents(s, d),
+        Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.75, "fr" -> 1.0), 0.1)),
+    "p03_token_budget_mix" -> ((s, d) =>
+      Sm.tokenBudgetMix(Tables.documents(s, d))),
     "p01_data_prep_pipeline" -> ((s, d) =>
       T.dataPrepPipeline(Tables.documents(s, d))),
     "t06_redact_pii" -> ((s, d) =>

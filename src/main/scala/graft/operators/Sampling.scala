@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus sampling and data-mixing operators for LLM training pipelines:
+  * deterministic stratified downsampling (keep X% of each language /
+  * source) and quality-prioritized token-budget mixing (fill each
+  * language's token budget best-documents-first).
+  *
+  * Scale notes (100 TB):
+  *  - sampling is hash-threshold, not RNG: one narrow codegen'd scan, no
+  *    shuffle, no state, reproducible across runs/engines/partitionings —
+  *    re-running the pipeline selects the SAME corpus (the property that
+  *    makes training runs comparable);
+  *  - the token-budget mix is one shuffle keyed by language plus a running
+  *    window — at web scale the per-language partitions are the natural
+  *    skew concern, so budget large corpora by (lang, shard) instead if a
+  *    single language dominates.
+  */
+object Sampling {
+
+  /** 8-hex-digit md5 prefix of a key — a deterministic uniform draw.
+    * Lowercase hex strings of equal length order lexicographically as
+    * their numeric value, so `sampleKey < hexThreshold(rate)` keeps
+    * ~rate of rows identically in any engine with md5 — no RNG, stable
+    * under repartitioning. */
+  def sampleKey(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, 8)
+
+  /** Hex keep-threshold for a rate in [0,1]: floor(rate·16⁸) as 8-digit
+    * lowercase hex. A rate ≥ 1 becomes "g", which compares greater than
+    * every hex digit, keeping everything. */
+  def hexThreshold(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else f"${math.max(0L, (rate * 4294967296L).toLong)}%08x"
+
+  /** Deterministic per-language downsampling — the corpus-mixing
+    * primitive (keep 50% of English, all of French, 10% of the rest).
+    * Pure filter on a hashed key: no shuffle except the presentation
+    * sort. */
+  def stratifiedSample(documents: DataFrame, rates: Map[String, Double],
+      defaultRate: Double): DataFrame = {
+    val threshold = rates.foldLeft(lit(hexThreshold(defaultRate))) {
+      case (acc, (lang, rate)) =>
+        when(col("lang") === lang, lit(hexThreshold(rate))).otherwise(acc)
+    }
+    documents
+      .select(col("doc_id"), col("lang"),
+        sampleKey(col("doc_id")).as("sample_key"))
+      .filter(col("sample_key") < threshold)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality-prioritized token-budget mix: per language, rank documents
+    * by [[TextAnalysis.qualityScore]] (doc_id tie-break) and keep the
+    * prefix whose running token total fits the budget — the "fill each
+    * language's slice of the training mix with its best documents"
+    * operator. One shuffle (window keyed by lang) over the already-narrow
+    * quality projection. */
+  def tokenBudgetMix(documents: DataFrame,
+      budgetPerLang: Long = 5000L): DataFrame = {
+    val quality = TextAnalysis.qualityScore(documents)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents.select(col("doc_id"), col("lang"))
+      .join(quality, Seq("doc_id"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetPerLang)
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("quality"),
+        col("cum_tokens"))
+      .orderBy(col("lang"), col("cum_tokens"))
+  }
+}
