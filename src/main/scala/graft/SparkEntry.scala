@@ -564,6 +564,45 @@ object SparkEntry {
         |FROM lens l JOIN tt USING (doc_id) JOIN runs USING (doc_id)
         |LEFT JOIN bg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // Thresholds are hexThreshold(rate) = floor(rate * 16^8) as 8-digit
+    // lowercase hex: en 0.5, es 0.25, de 0.75, fr 1.0 ("g" > any hex
+    // digit keeps all), default 0.1. DuckDB md5(VARCHAR) hashes the same
+    // UTF-8 bytes as Spark md5(cast(cast(doc_id as string) as binary)).
+    "t08_stratified_sample" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+        | FROM documents)
+        |SELECT doc_id, lang, sample_key FROM s
+        |WHERE sample_key < CASE lang
+        |  WHEN 'en' THEN '80000000' WHEN 'es' THEN '40000000'
+        |  WHEN 'de' THEN 'c0000000' WHEN 'fr' THEN 'g'
+        |  ELSE '19999999' END
+        |ORDER BY doc_id""".stripMargin,
+    "p03_token_budget_mix" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |  CAST(len(toks) AS DOUBLE) AS n_tok,
+        |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS punct,
+        |  CAST(len(list_filter(toks, t -> list_contains(
+        |    ['the','a','and','of','to','in','is','it'], lower(t)))) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS stop,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS diversity
+        | FROM t),
+        |q AS (SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tokens,
+        |  least(1.0, n_tok/64.0)*0.4 + (1.0-punct)*0.2 + stop*0.2
+        |    + diversity*0.2 AS quality FROM c),
+        |m AS (SELECT lang, doc_id, n_tokens, quality,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY quality DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens
+        | FROM q)
+        |SELECT lang, doc_id, n_tokens, quality, cum_tokens FROM m
+        |WHERE cum_tokens <= 5000
+        |ORDER BY lang, cum_tokens""".stripMargin,
     "p01_data_prep_pipeline" ->
       """WITH doubled AS (
         |  SELECT doc_id, text, lang FROM documents

@@ -81,9 +81,9 @@ object LakeQueries {
     * N point scans). */
   def existsProbe(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    val lakeIds = freshLake(spark, documents).lake
-      .filter(col("kind") === "body")
-      .select(col("book_id")).distinct()
+    // listBooksDF reads the manifest snapshot, not the data files — the
+    // availability probe is a metadata join even over a 100 TB lake
+    val lakeIds = freshLake(spark, documents).listBooksDF
       .withColumn("present", lit(true))
     Seq(-1L, 0L, 1L, 17L, 499L, 999999L).toDF("book_id")
       .join(lakeIds, Seq("book_id"), "left")

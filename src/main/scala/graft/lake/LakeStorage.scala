@@ -50,8 +50,18 @@ trait LakeStorage {
 
   /** All distinct book ids, ascending (`listBooks`,
     * DatalakeStorage.java:16; reference: full key scan → parse → distinct
-    * → sort, S3DatalakeStorage.java:89-119). */
+    * → sort, S3DatalakeStorage.java:89-119). Collects to the driver
+    * because the port contract returns a materialized list — use
+    * [[listBooksDF]] in query pipelines. */
   def listBooks(): Seq[Long]
+
+  /** Distributed face of [[listBooks]]: one `book_id` column, distinct,
+    * ascending — composes into downstream joins without a driver
+    * round-trip. */
+  def listBooksDF: DataFrame =
+    lake.select(org.apache.spark.sql.functions.col("book_id"))
+      .distinct()
+      .orderBy(org.apache.spark.sql.functions.col("book_id"))
 
   /** Engine-native face: the whole lake as a DataFrame
     * (book_id, kind, text, ts, date, hour). */
@@ -177,10 +187,14 @@ class SparkLakeStorage(spark: SparkSession, root: String) extends LakeStorage {
   override def exists(bookId: Long): Boolean =
     !manifestOrEmpty.filter(col("book_id") === bookId).limit(1).isEmpty
 
-  override def listBooks(): Seq[Long] =
+  // Manifest-backed: reads the tiny manifest snapshot, never the data
+  // files — a listing over a 100 TB lake stays a metadata operation.
+  override def listBooksDF: DataFrame =
     manifestOrEmpty
       .select(col("book_id")).distinct().orderBy(col("book_id"))
-      .collect().map(_.getLong(0)).toSeq
+
+  override def listBooks(): Seq[Long] =
+    listBooksDF.collect().map(_.getLong(0)).toSeq
 
   override def lake: DataFrame =
     spark.read.parquet(lakeDir).drop("pdate", "phour")

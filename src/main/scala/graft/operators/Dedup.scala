@@ -90,7 +90,11 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join:
     * shuffle on shingle → per-pair intersection counts → sizes join →
     * J = |A∩B| / (|A|+|B|−|A∩B|), thresholded. Candidate generation is
-    * exact (no pair above threshold is missed). */
+    * exact (no pair above threshold is missed) only with
+    * `maxDocFreq = None`; the capped default drops hot boilerplate
+    * shingles, which both prunes candidates AND computes J over the
+    * capped posting sets (per-doc sizes n_sh count surviving shingles),
+    * i.e. capped mode approximates candidates and scores together. */
   def jaccardPairs(documents: DataFrame, n: Int = 3,
       threshold: Double = 0.5,
       maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {

@@ -344,15 +344,18 @@ object Relational {
     embeddings.select(
       col("vec_id"),
       size(col("embedding")).cast("long").as("n_dims"),
-      element_at(col("embedding"), 1).as("first_dim"),
+      try_element_at(col("embedding"), lit(1)).as("first_dim"),
       array_max(col("embedding")).as("vmax"),
       array_min(col("embedding")).as("vmin"),
       expr("""aggregate(slice(embedding, 1, 4), 0D,
         |  (acc, x) -> acc + cast(x as double))""".stripMargin)
         .as("head4_sum"),
-      element_at(sortedDesc, 1).as("top1"),
-      element_at(sortedDesc, 2).as("top2"),
-      element_at(sortedDesc, 3).as("top3"))
+      // try_element_at, not element_at: under ANSI mode an out-of-range
+      // index must yield NULL (DuckDB [i] semantics), not throw, for
+      // embeddings shorter than 3 dims
+      try_element_at(sortedDesc, lit(1)).as("top1"),
+      try_element_at(sortedDesc, lit(2)).as("top2"),
+      try_element_at(sortedDesc, lit(3)).as("top3"))
       .orderBy(col("vec_id"))
   }
 

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *    makes training runs comparable);
   *  - the token-budget mix is one shuffle keyed by language plus a running
   *    window — at web scale the per-language partitions are the natural
-  *    skew concern, so budget large corpora by (lang, shard) instead if a
-  *    single language dominates.
+  *    skew concern, so [[tokenBudgetMixSharded]] budgets by (lang, shard):
+  *    the exact per-language form is kept as the oracle-checkable
+  *    reference semantics.
   */
 object Sampling {
 
@@ -73,5 +74,40 @@ object Sampling {
       .select(col("lang"), col("doc_id"), col("n_tokens"), col("quality"),
         col("cum_tokens"))
       .orderBy(col("lang"), col("cum_tokens"))
+  }
+
+  /** Scale-safe token-budget mix: the production form of
+    * [[tokenBudgetMix]]. The exact form's window partitions by language
+    * alone, so at web scale the dominant language's whole quality-ranked
+    * corpus streams through ONE running-sum task. Here each document is
+    * hashed into one of `numShards` shards and the language budget is
+    * split evenly across them: the window partitions by (lang, shard),
+    * giving `numShards` parallel running sums per language.
+    *
+    * Semantics: quality ordering is exact WITHIN each shard; across
+    * shards the budget split is even, which hash-uniform shard assignment
+    * makes asymptotically fair (each shard sees an iid sample of the
+    * language's quality distribution, so the per-shard quality cutoffs
+    * converge as shards grow). Up to numShards·max_doc_tokens of budget
+    * can go unused to prefix rounding — negligible at any real budget.
+    * With `numShards = 1` this is bitwise [[tokenBudgetMix]] (modulo the
+    * extra `shard` column). */
+  def tokenBudgetMixSharded(documents: DataFrame,
+      budgetPerLang: Long = 5000L, numShards: Int = 16): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    val quality = TextAnalysis.qualityScore(documents)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val perShard = budgetPerLang / numShards
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents.select(col("doc_id"), col("lang"),
+        pmod(xxhash64(col("doc_id")), lit(numShards.toLong)).as("shard"))
+      .join(quality, Seq("doc_id"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= perShard)
+      .select(col("lang"), col("shard"), col("doc_id"), col("n_tokens"),
+        col("quality"), col("cum_tokens"))
+      .orderBy(col("lang"), col("shard"), col("cum_tokens"))
   }
 }

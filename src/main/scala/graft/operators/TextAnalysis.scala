@@ -137,10 +137,16 @@ object TextAnalysis {
     * the standard n-gram-overlap contamination check run before
     * training. Inverted-index join on shingle (exact, scalable);
     * the benchmark shingle set is broadcast (benchmark suites are
-    * small by nature). Returns only contaminated docs (score > 0). */
+    * small by nature). Returns only contaminated docs (score > 0).
+    *
+    * Postings are EXACT by default (maxDocFreq = None): contamination is a
+    * compliance check, so a silently capped shingle that understates
+    * overlap is worse than the extra shuffle volume. Pass a cap explicitly
+    * only when boilerplate shingles are known-safe to drop. */
   def contaminationScores(documents: DataFrame,
-      benchPredicate: Column, n: Int = 3): DataFrame = {
-    val post = Dedup.shinglePostings(documents, n)
+      benchPredicate: Column, n: Int = 3,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val post = Dedup.shinglePostings(documents, n, maxDocFreq)
     val bench = post.filter(benchPredicate)
       .select(col("shingle")).distinct()
     val train = post.filter(!benchPredicate)

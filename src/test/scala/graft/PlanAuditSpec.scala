@@ -9,8 +9,7 @@ class PlanAuditSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private val intentionalNestedLoop = Set(
-    "s01_brute_topk", // broadcast(5 queries) x corpus scan by design
-    "s02_ivf_topk")
+    "s01_brute_topk") // broadcast(5 queries) x corpus scan by design
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -22,6 +21,15 @@ class PlanAuditSpec extends SparkSpec {
           s"$name plans an unintended nested-loop join")
       }
     }
+  }
+
+  test("ivf probe joins hash on the cell key, not nested-loop") {
+    // label === query_label is an equi key: the cell-probe join must plan
+    // a BroadcastHashJoin (queries side broadcast), never BNLJ
+    val plan = SparkEntry.queries("s02_ivf_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"s02 must broadcast-hash-join on the cell key, got:\n$plan")
   }
 
   test("selective filters reach the parquet scan (pushdown)") {

@@ -49,6 +49,17 @@ class LakeStorageSpec extends SparkSpec {
     }
   }
 
+  test("listBooksDF agrees with the collecting port form on both adapters") {
+    eachAdapter { storage =>
+      storage.saveBooks(books((7L, "h7", "b7"), (3L, "h3", "b3"),
+        (3L, "h3", "b3x")), ts)
+      val viaDf = storage.listBooksDF.collect().map(_.getLong(0)).toSeq
+      assert(viaDf == Seq(3L, 7L))
+      assert(viaDf == storage.listBooks())
+      assert(storage.listBooksDF.columns.toSeq == Seq("book_id"))
+    }
+  }
+
   test("empty lake: exists=false, list=empty (no partitions yet)") {
     eachAdapter { storage =>
       assert(!storage.exists(1L))

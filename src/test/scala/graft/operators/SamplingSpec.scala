@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sampling + token-budget mix: determinism, budget respect, and the
+  * scale posture of the sharded form (the per-language running sum must
+  * split into parallel per-shard sums under a dominant language). */
+class SamplingSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = graft.Tables.documents(spark, sf)
+
+  test("hexThreshold constants match the t08 oracle SQL") {
+    assert(Sampling.hexThreshold(0.5) == "80000000")
+    assert(Sampling.hexThreshold(0.25) == "40000000")
+    assert(Sampling.hexThreshold(0.75) == "c0000000")
+    assert(Sampling.hexThreshold(1.0) == "g")
+    assert(Sampling.hexThreshold(0.1) == "19999999")
+    assert(Sampling.hexThreshold(0.0) == "00000000")
+  }
+
+  test("stratified sample is deterministic and keeps rate-1.0 strata whole") {
+    val rates = Map("en" -> 0.5, "fr" -> 1.0)
+    val a = Sampling.stratifiedSample(docs, rates, 0.1).collect().toSeq
+    val b = Sampling.stratifiedSample(docs, rates, 0.1).collect().toSeq
+    assert(a == b, "hash-threshold sampling must be reproducible")
+    val frTotal = docs.filter(col("lang") === "fr").count()
+    val frKept = a.count(_.getAs[String]("lang") == "fr")
+    assert(frKept == frTotal, "rate 1.0 must keep every row of the stratum")
+  }
+
+  test("token-budget mix stays within the per-language budget") {
+    val budget = 3000L
+    val over = Sampling.tokenBudgetMix(docs, budget)
+      .groupBy(col("lang")).agg(sum(col("n_tokens")).as("tot"))
+      .filter(col("tot") > budget).count()
+    assert(over == 0, "no language may exceed its token budget")
+  }
+
+  test("sharded mix with one shard is the exact mix") {
+    val exact = Sampling.tokenBudgetMix(docs, 3000L)
+      .collect().map(_.toSeq).toSet
+    val sharded = Sampling.tokenBudgetMixSharded(docs, 3000L, numShards = 1)
+      .drop("shard").select(col("lang"), col("doc_id"), col("n_tokens"),
+        col("quality"), col("cum_tokens"))
+      .collect().map(_.toSeq).toSet
+    assert(sharded == exact)
+  }
+
+  test("sharded mix splits a dominant language across shards") {
+    // skewed fixture: the whole corpus is one language — the exact form
+    // would funnel it through a single running-sum task
+    val skewed = docs.withColumn("lang", lit("en"))
+    val n = 8
+    val out = Sampling.tokenBudgetMixSharded(skewed, 8000L, numShards = n)
+    // lang is a foldable literal in this fixture, so Catalyst drops it
+    // from the hash keys — the load-bearing fact is that shard IS a
+    // partition key of the window exchange
+    val planStr = out.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\([^)]*shard#\\d+".r
+      .findFirstIn(planStr).isDefined,
+      s"window must hash-partition on shard, got:\n$planStr")
+    val rows = out.collect()
+    val shards = rows.map(_.getAs[Long]("shard")).distinct
+    assert(shards.length > 1,
+      "a dominant language must spread across >1 shard partition")
+    val perShard = 8000L / n
+    val worst = rows.groupBy(r => (r.getAs[String]("lang"),
+      r.getAs[Long]("shard")))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("n_tokens")).sum }.max
+    assert(worst <= perShard, "each shard must respect its split budget")
+  }
+}
