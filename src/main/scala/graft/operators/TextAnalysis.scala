@@ -149,12 +149,16 @@ object TextAnalysis {
     val post = Dedup.shinglePostings(documents, n, maxDocFreq)
     val bench = post.filter(benchPredicate)
       .select(col("shingle")).distinct()
-    val train = post.filter(!benchPredicate)
-    val hits = train.join(broadcast(bench), "shingle")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-    val sizes = train.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"))
-    hits.join(sizes, "doc_id")
+      .withColumn("is_hit", lit(true))
+    // One pass over the training postings: broadcast LEFT join marks hits,
+    // a single doc_id agg counts both totals and hits (count skips the
+    // nulls of non-hits) — vs the naive two-agg + result-join shape,
+    // which re-derives the shingle explode per branch.
+    post.filter(!benchPredicate)
+      .join(broadcast(bench), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("is_hit")).as("n_hits"))
+      .filter(col("n_hits") > 0)
       .select(col("doc_id"), col("n_hits"), col("n_shingles"),
         (col("n_hits").cast("double") / col("n_shingles").cast("double"))
           .as("contamination"))
