@@ -73,6 +73,7 @@ object SparkEntry {
       W.windowShowcase(Tables.events(s, d))),
     "q25_bottomk_sketch" -> ((s, d) =>
       R.bottomKCustomers(Tables.orders(s, d))),
+    "q27_pivot" -> ((s, d) => R.orderStatusPivot(Tables.orders(s, d))),
     // --- window layer (SURVEY §2.5 EXT) ---
     "w01_rank_events" -> ((s, d) => W.rankEventsPerUser(Tables.events(s, d))),
     "w02_session_gaps" -> ((s, d) => W.sessionGaps(Tables.events(s, d))),
@@ -80,6 +81,8 @@ object SparkEntry {
     "w04_value_share" -> ((s, d) => W.valueShare(Tables.events(s, d))),
     "w05_event_windows" -> ((s, d) =>
       graft.streaming.EventTimeOps.windowedCounts(Tables.events(s, d))),
+    "w09_sliding_windows" -> ((s, d) =>
+      graft.streaming.EventTimeOps.slidingCounts(Tables.events(s, d))),
     "w06_sessionization" -> ((s, d) =>
       graft.streaming.EventTimeOps.sessionizeBatch(Tables.events(s, d))),
     "w08_native_session_windows" -> ((s, d) =>
@@ -92,6 +95,7 @@ object SparkEntry {
     "t05_top_bigrams" -> ((s, d) => T.topBigrams(Tables.documents(s, d))),
     "t07_repetition_stats" -> ((s, d) =>
       T.repetitionStats(Tables.documents(s, d))),
+    "t09_bigram_rarity" -> ((s, d) => T.bigramRarity(Tables.documents(s, d))),
     "t08_stratified_sample" -> ((s, d) =>
       Sm.stratifiedSample(Tables.documents(s, d),
         Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.75, "fr" -> 1.0), 0.1)),
@@ -375,6 +379,13 @@ object SparkEntry {
         | wf AS (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q27_pivot" ->
+      """SELECT o_orderpriority,
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q25_bottomk_sketch" ->
       """WITH h AS (SELECT DISTINCT o_orderstatus,
         |  md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders)
@@ -419,6 +430,18 @@ object SparkEntry {
         | count(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Each event belongs to exactly windowLen/slide = 2 sliding windows:
+    // starts time_bucket(5min, ts) and that minus 5min. Both engines
+    // epoch-align 5-minute buckets, so starts agree bitwise.
+    "w09_sliding_windows" ->
+      """WITH x AS (SELECT event_type, value,
+        |  time_bucket(INTERVAL '5 minutes', ts)
+        |    - j * (INTERVAL '5 minutes') AS wstart
+        | FROM events CROSS JOIN range(0, 2) t(j))
+        |SELECT wstart, wstart + INTERVAL '10 minutes' AS wend, event_type,
+        | count(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
     "w06_sessionization" ->
       """WITH g AS (SELECT user_id, ts, event_id,
         |  CASE WHEN lag(ts) OVER w IS NULL
@@ -564,6 +587,21 @@ object SparkEntry {
         |FROM lens l JOIN tt USING (doc_id) JOIN runs USING (doc_id)
         |LEFT JOIN bg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "t09_bigram_rarity" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+        |    list_transform(range(0, len(toks)-1),
+        |      i -> array_to_string(toks[i+1:i+2], ' '))
+        |  ELSE [array_to_string(toks, ' ')] END) AS bigram FROM t),
+        |f AS (SELECT bigram, count(*) AS bg_n FROM b GROUP BY 1),
+        |j AS (SELECT doc_id, bg_n FROM b JOIN f USING (bigram))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | CAST(SUM(bg_n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_df,
+        | CAST(min(bg_n) AS BIGINT) AS min_df,
+        | CAST(SUM(CASE WHEN bg_n <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE) AS rare_frac
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Thresholds are hexThreshold(rate) = floor(rate * 16^8) as 8-digit
     // lowercase hex: en 0.5, es 0.25, de 0.75, fr 1.0 ("g" > any hex
     // digit keeps all), default 0.1. DuckDB md5(VARCHAR) hashes the same

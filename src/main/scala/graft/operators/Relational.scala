@@ -359,6 +359,25 @@ object Relational {
       .orderBy(col("vec_id"))
   }
 
+  /** Pivot (crosstab) of order counts: priority rows × status columns —
+    * the wide-report form of grouped aggregation (SURVEY §2.4 EXT).
+    *
+    * The status values are passed EXPLICITLY: `pivot(col)` without a value
+    * list runs a driver-side distinct job over the pivot column before the
+    * plan even builds — a full extra pass at 100 TB, and an unbounded
+    * output schema. With the list, this is one hash aggregation whose
+    * schema is fixed at plan time. Missing combinations surface as 0, not
+    * null, so the output is total. */
+  def orderStatusPivot(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
   /** JSON construction (SURVEY §2.8 F11 — the reference's Javalin/Jackson
     * response maps as an engine scalar): struct → compact JSON text. */
   def jsonConstruct(part: DataFrame): DataFrame =

@@ -235,6 +235,38 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(k)
 
+  /** Corpus-frequency rarity profile per document — the statistical-LM
+    * quality signal (CCNet-style) in exact integer arithmetic: how common
+    * are this document's word bigrams in the whole corpus? Gibberish and
+    * OCR noise score a high fraction of corpus-rare bigrams; boilerplate
+    * scores a high mean frequency. Deliberately avoids log-probabilities:
+    * ln() is not bitwise-portable across engines, while counts and their
+    * ratios are — so this stays oracle-checkable where a smoothed LM
+    * score would not be.
+    *
+    * Two shuffles keyed by bigram (count, then the join back — map-side
+    * combined) plus one keyed by doc_id; everything distributes by row
+    * count, nothing is collected. At 100 TB the bigram-frequency table is
+    * itself large, so it stays distributed — it is never broadcast. */
+  def bigramRarity(documents: DataFrame, rareMax: Long = 2L): DataFrame = {
+    val bg = Dedup.spread(documents).select(col("doc_id"),
+      explode(shingles(tokens(col("text")), 2)).as("bigram"))
+    val freq = bg.groupBy(col("bigram")).agg(count(lit(1)).as("bg_n"))
+    bg.join(freq, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bg_n")).as("sum_df"),
+        min(col("bg_n")).as("min_df"),
+        sum(when(col("bg_n") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_df").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_df"),
+        col("min_df"),
+        (col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+          .as("rare_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** End-to-end LLM data-prep composition: quality-filter → exact-dedup
     * (over a doubled corpus, proving the dedup stage does work) → per-lang
     * corpus stats. One pipeline, three shuffles, each stage the operator

@@ -24,6 +24,25 @@ object EventTimeOps {
         col("n_events"), col("sum_value"))
       .orderBy(col("wstart"), col("event_type"))
 
+  /** Sliding event-time windows (length > slide ⇒ overlapping): each
+    * event lands in length/slide windows, here 10min/5min ⇒ exactly two.
+    * Spark assigns all windows in one pass (an internal explode by the
+    * overlap factor), so cost is overlap × input — linear, shuffled on
+    * (window, type) with map-side combine, the same scale shape as the
+    * tumbling form. Window origin is epoch-aligned, matching DuckDB's
+    * time_bucket for minute-granularity intervals. */
+  def slidingCounts(events: DataFrame, windowLen: String = "10 minutes",
+      slide: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double")
+          .as("sum_value"))
+      .select(col("window.start").as("wstart"),
+        col("window.end").as("wend"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
+
   /** Streaming form: watermarked so state for closed windows is evicted —
     * unbounded-state-safe on an infinite stream. Append-mode compatible. */
   def windowedCountsStream(events: DataFrame, watermark: String = "10 minutes",

@@ -41,6 +41,35 @@ class RelationalWindowsSpec extends SparkSpec {
     assert(r2.getAs[Double]("total_spent") == 0.0)
   }
 
+  test("orderStatusPivot is total: rows with absent combos pivot to 0") {
+    import spark.implicits._
+    val orders = Seq(("1-URGENT", "F"), ("1-URGENT", "F"), ("2-HIGH", "O"))
+      .toDF("o_orderpriority", "o_orderstatus")
+    val rows = Relational.orderStatusPivot(orders).collect()
+    val urgent = rows.find(_.getString(0) == "1-URGENT").get
+    assert(urgent.getAs[Long]("n_f") == 2L && urgent.getAs[Long]("n_o") == 0L)
+    // every input row lands in exactly one cell
+    assert(rows.map(r => r.getAs[Long]("n_f") + r.getAs[Long]("n_o")
+      + r.getAs[Long]("n_p")).sum == orders.count())
+  }
+
+  test("bigramRarity: rare fractions bounded, singleton corpus all-rare") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.bigramRarity(docs).collect()
+    rows.foreach { r =>
+      val f = r.getAs[Double]("rare_frac")
+      assert(f >= 0.0 && f <= 1.0 && r.getAs[Long]("min_df") >= 1L)
+    }
+    // doc 1's "beta gamma" occurs once corpus-wide -> rare; "alpha beta"
+    // occurs 3x (once here, twice in doc 2) -> not rare at rareMax=2
+    val d1 = rows.find(_.getLong(0) == 1L).get
+    assert(d1.getAs[Long]("n_bigrams") == 2L)
+    assert(d1.getAs[Double]("rare_frac") == 0.5)
+    assert(d1.getAs[Double]("mean_df") == 2.0) // (3 + 1) / 2
+  }
+
   test("sessionGaps is exact to the microsecond (sub-second timestamps)") {
     import spark.implicits._
     val df = Seq(

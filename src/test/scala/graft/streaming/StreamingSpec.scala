@@ -41,6 +41,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows assign every event to exactly len/slide windows") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val events = Seq(
+      (t("2026-01-01T10:03:00Z"), "click", 1.0),
+      (t("2026-01-01T10:07:00Z"), "click", 2.0),
+      (t("2026-01-01T10:12:00Z"), "view", 4.0))
+      .toDF("ts", "event_type", "value")
+    val out = EventTimeOps.slidingCounts(events).collect()
+    // 10min/5min overlap factor 2: total window-event memberships = 2N
+    assert(out.map(_.getAs[Long]("n_events")).sum == 2 * events.count())
+    // 10:03 lands in [09:55,10:05) and [10:00,10:10); 10:07 in [10:00,
+    // 10:10) and [10:05,10:15) -> the shared [10:00,10:10) click window
+    // holds both
+    val shared = out.find(r =>
+      r.getAs[java.sql.Timestamp]("wstart").toInstant ==
+        java.time.Instant.parse("2026-01-01T10:00:00Z") &&
+        r.getString(2) == "click").get
+    assert(shared.getAs[Long]("n_events") == 2L
+      && shared.getAs[Double]("sum_value") == 3.0)
+  }
+
   test("sessionizer emits closed sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
