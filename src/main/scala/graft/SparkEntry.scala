@@ -121,6 +121,8 @@ object SparkEntry {
     "d05_simhash" -> ((s, d) => D.simhash(Tables.documents(s, d))),
     "d06_embedding_near_dups" -> ((s, d) =>
       D.embeddingNearDups(Tables.embeddings(s, d))),
+    "d07_dedup_clusters" -> ((s, d) =>
+      D.dedupClusters(D.embeddingNearDups(Tables.embeddings(s, d)))),
     // --- similarity search (LLM-pipeline north star) ---
     "s01_brute_topk" -> ((s, d) => S.bruteForceTopK(Tables.embeddings(s, d))),
     "s02_ivf_topk" -> ((s, d) => S.ivfTopK(Tables.embeddings(s, d))),
@@ -793,6 +795,29 @@ object SparkEntry {
         | FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT vec_id_a, vec_id_b, bucket, cosine FROM p
         |WHERE cosine >= 0.35 ORDER BY vec_id_a, vec_id_b""".stripMargin,
+    // Transitive closure of the d06 pair graph via recursive CTE: reach
+    // enumerates every node reachable from u, min over it = the
+    // min-label-propagation fixpoint the Spark side iterates to.
+    "d07_dedup_clusters" ->
+      """WITH RECURSIVE n AS (SELECT vec_id, label, embedding,
+        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |    (a, b) -> a + b) AS norm2 FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        |  list_reduce(list_transform(range(1, len(a.embedding)+1), i ->
+        |    CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+        |    (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(b.norm2)) AS cosine
+        | FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |pairs AS (SELECT vec_id_a, vec_id_b FROM p WHERE cosine >= 0.35),
+        |edges AS (SELECT vec_id_a AS u, vec_id_b AS v FROM pairs
+        |  UNION SELECT vec_id_b, vec_id_a FROM pairs),
+        |reach AS (
+        |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT u AS vec_id, min(v) AS cluster_id,
+        | (u = min(v)) AS is_canonical
+        |FROM reach GROUP BY u ORDER BY u""".stripMargin,
     "s01_brute_topk" ->
       """WITH n AS (SELECT vec_id, label, embedding,
         |  list_reduce(list_transform(range(1, len(embedding)+1), i ->

@@ -248,6 +248,53 @@ object Dedup {
   def dotExpr(a: String, b: String): Column =
     graft.functions.VectorOps.dot(col(a), col(b))
 
+  /** Connected-component cluster formation over near-dup pairs — the step
+    * AFTER candidate generation in every dedup pipeline: pairs only say
+    * "a≈b", but keep-one-per-group needs the transitive closure
+    * (a≈b, b≈c ⇒ {a,b,c} is ONE cluster, even though a,c were never
+    * compared). Iterative min-label propagation, the standard distributed
+    * CC algorithm: each round every node adopts the smallest label among
+    * itself and its neighbors, converging in graph-diameter rounds.
+    *
+    * Scale posture: every round is one shuffle join keyed by node id plus
+    * one aggregation — no component is ever materialized on a single
+    * machine, so a 100M-node duplicate graph distributes evenly. Labels
+    * are localCheckpoint'ed per round to truncate lineage (20 rounds of
+    * stacked joins would otherwise blow up the plan). Near-dup graphs
+    * have tiny diameters (duplicate groups are dense), so convergence is
+    * a handful of rounds; the driver-side `changed` counter is a scalar
+    * aggregate, the accepted control-loop pattern for iterative Spark.
+    *
+    * Deterministic output: cluster_id = min member id; is_canonical marks
+    * the one row per cluster a dedup keep-filter would retain. */
+  def dedupClusters(pairs: DataFrame, aCol: String = "vec_id_a",
+      bCol: String = "vec_id_b", maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges.join(labels, edges("v") === labels("id"))
+        .groupBy(col("u")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
+        .select(col("id"), col("lbl").as("old_lbl"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.filter(col("lbl") =!= col("old_lbl")).count()
+      labels = next.select(col("id"), col("lbl"))
+      it += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $maxIters rounds")
+    labels
+      .select(col("id").as("vec_id"), col("lbl").as("cluster_id"),
+        (col("id") === col("lbl")).as("is_canonical"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a bucketing column (the
     * IVF-style scale path: only same-bucket pairs are compared, so the
     * cross product is per-bucket, not global). Cosine computed in double

@@ -80,6 +80,19 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("dedupClusters closes transitive chains into one canonical cluster") {
+    import spark.implicits._
+    // 4-3, 3-2, 2-1 is a 3-hop chain whose min label must propagate end
+    // to end (multiple propagation rounds); 10-11 is an independent pair
+    val pairs = Seq((4L, 3L), (3L, 2L), (2L, 1L), (10L, 11L))
+      .toDF("vec_id_a", "vec_id_b")
+    val rows = Dedup.dedupClusters(pairs).collect()
+    val byId = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    assert(rows.count(_.getAs[Boolean]("is_canonical")) == 2)
+  }
 }
 
 /** PII redaction + benchmark decontamination semantics. */
