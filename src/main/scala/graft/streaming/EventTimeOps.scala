@@ -44,12 +44,16 @@ object EventTimeOps {
       .orderBy(col("wstart"), col("event_type"))
 
   /** Streaming form: watermarked so state for closed windows is evicted —
-    * unbounded-state-safe on an infinite stream. Append-mode compatible. */
+    * unbounded-state-safe on an infinite stream. Append-mode compatible.
+    * `slide` < `windowLen` gives the sliding form ([[slidingCounts]]'s
+    * stream twin): state grows by the overlap factor, still bounded by
+    * the watermark horizon. */
   def windowedCountsStream(events: DataFrame, watermark: String = "10 minutes",
-      windowLen: String = "1 hour"): DataFrame =
+      windowLen: String = "1 hour", slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .groupBy(window(col("ts"), windowLen, slide.getOrElse(windowLen)),
+        col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double")
           .as("sum_value"))

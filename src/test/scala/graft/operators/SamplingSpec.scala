@@ -30,6 +30,19 @@ class SamplingSpec extends SparkSpec {
     assert(frKept == frTotal, "rate 1.0 must keep every row of the stratum")
   }
 
+  test("samples nest: a lower rate selects a subset of a higher rate") {
+    // the operational property of hash-threshold sampling: growing the
+    // rate only ADDS documents, so pipeline reruns with a bigger budget
+    // keep every previously selected doc (monotone thresholds)
+    assert(Sampling.hexThreshold(0.1) < Sampling.hexThreshold(0.3))
+    assert(Sampling.hexThreshold(0.3) < Sampling.hexThreshold(1.0))
+    val lo = Sampling.stratifiedSample(docs, Map.empty, 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hi = Sampling.stratifiedSample(docs, Map.empty, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi) && lo.size < hi.size)
+  }
+
   test("token-budget mix stays within the per-language budget") {
     val budget = 3000L
     val over = Sampling.tokenBudgetMix(docs, budget)

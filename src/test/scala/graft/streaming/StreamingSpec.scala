@@ -63,6 +63,37 @@ class StreamingSpec extends SparkSpec {
       && shared.getAs[Double]("sum_value") == 3.0)
   }
 
+  test("sliding windows over a stream match the batch assignment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventTimeOps.windowedCountsStream(events, "10 minutes",
+      "10 minutes", slide = Some("5 minutes"))
+      .writeStream.format("memory").queryName("slide_counts")
+      .outputMode("complete")
+      .start()
+    try {
+      def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+      val batch = Seq(
+        (t("2026-01-01T10:03:00Z"), "click", 1.0),
+        (t("2026-01-01T10:07:00Z"), "click", 2.0),
+        (t("2026-01-01T10:12:00Z"), "view", 4.0))
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      val stream = spark.table("slide_counts")
+        .select(col("wstart"), col("event_type"), col("n_events"),
+          col("sum_value"))
+        .collect().map(_.toSeq).toSet
+      val batchSide = EventTimeOps
+        .slidingCounts(batch.toDF("ts", "event_type", "value"))
+        .select(col("wstart"), col("event_type"), col("n_events"),
+          col("sum_value"))
+        .collect().map(_.toSeq).toSet
+      assert(stream == batchSide)
+    } finally q.stop()
+  }
+
   test("sessionizer emits closed sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
