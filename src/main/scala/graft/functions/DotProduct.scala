@@ -107,6 +107,8 @@ object VectorOps {
   * `.withExtensions(new GraftExtensions)` — registers the native functions
   * at session build time (SURVEY §7's extension route). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorOps.dotInfo)
+    ext.injectFunction(TextFns.shinglesInfo)
+  }
 }

@@ -73,7 +73,7 @@ object Dedup {
       maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
     val sh = spread(documents).select(col("doc_id"),
       explode(array_distinct(
-        TextAnalysis.shingles(TextAnalysis.tokens(col("text")), n)))
+        graft.functions.TextFns.wordShingles(col("text"), n)))
         .as("shingle"))
     maxDocFreq match {
       case None => sh

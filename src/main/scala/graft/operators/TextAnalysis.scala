@@ -26,7 +26,12 @@ object TextAnalysis {
   val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   /** Word n-gram shingles joined by single spaces; docs shorter than n
-    * tokens collapse to one whole-text shingle. */
+    * tokens collapse to one whole-text shingle.
+    *
+    * REFERENCE SEMANTICS ONLY: production call sites use the codegen'd
+    * [[graft.functions.TextFns.wordShingles]] (bitwise-identical,
+    * parity-spec'd in WordShinglesSpec); this builtin composition stays
+    * as the executable spec the native expression is checked against. */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
@@ -229,7 +234,8 @@ object TextAnalysis {
   def topBigrams(documents: DataFrame, k: Int = 20): DataFrame =
     documents
       .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-      .select(explode(shingles(tokens(col("text")), 2)).as("bigram"))
+      .select(explode(graft.functions.TextFns.wordShingles(col("text"), 2))
+        .as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
@@ -250,7 +256,8 @@ object TextAnalysis {
     * itself large, so it stays distributed — it is never broadcast. */
   def bigramRarity(documents: DataFrame, rareMax: Long = 2L): DataFrame = {
     val bg = Dedup.spread(documents).select(col("doc_id"),
-      explode(shingles(tokens(col("text")), 2)).as("bigram"))
+      explode(graft.functions.TextFns.wordShingles(col("text"), 2))
+        .as("bigram"))
     val freq = bg.groupBy(col("bigram")).agg(count(lit(1)).as("bg_n"))
     bg.join(freq, "bigram")
       .groupBy(col("doc_id"))
@@ -308,7 +315,8 @@ object TextAnalysis {
     val minAgg = documents
       .repartition(documents.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(col("text")), 3)))
+        explode(array_distinct(
+          graft.functions.TextFns.wordShingles(col("text"), 3)))
           .as("shingle"))
       .groupBy(col("doc_id"))
       .agg(min(md5(col("shingle"))).as("winnow_min"),
