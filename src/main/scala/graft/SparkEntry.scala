@@ -74,6 +74,8 @@ object SparkEntry {
     "q25_bottomk_sketch" -> ((s, d) =>
       R.bottomKCustomers(Tables.orders(s, d))),
     "q27_pivot" -> ((s, d) => R.orderStatusPivot(Tables.orders(s, d))),
+    "q28_correlated_exists" -> ((s, d) =>
+      R.sqlCorrelatedExists(s, Tables.customer(s, d), Tables.orders(s, d))),
     // --- window layer (SURVEY §2.5 EXT) ---
     "w01_rank_events" -> ((s, d) => W.rankEventsPerUser(Tables.events(s, d))),
     "w02_session_gaps" -> ((s, d) => W.sessionGaps(Tables.events(s, d))),
@@ -381,6 +383,11 @@ object SparkEntry {
         | wf AS (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q28_correlated_exists" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
     "q27_pivot" ->
       """SELECT o_orderpriority,
         | CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,

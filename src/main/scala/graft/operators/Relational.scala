@@ -359,6 +359,22 @@ object Relational {
       .orderBy(col("vec_id"))
   }
 
+  /** Correlated EXISTS through the SQL surface — the way SQL users write
+    * the §2.3 semi-join. Catalyst decorrelates the subquery into a
+    * left-semi hash join (no per-row subquery execution — PlanAudit
+    * asserts no nested loop), so the SQL text and the DataFrame
+    * `leftsemi` form plan identically at any scale. */
+  def sqlCorrelatedExists(spark: SparkSession, customer: DataFrame,
+      orders: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("customer_v")
+    orders.createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Pivot (crosstab) of order counts: priority rows × status columns —
     * the wide-report form of grouped aggregation (SURVEY §2.4 EXT).
     *
