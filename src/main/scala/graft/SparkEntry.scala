@@ -98,6 +98,10 @@ object SparkEntry {
     "t07_repetition_stats" -> ((s, d) =>
       T.repetitionStats(Tables.documents(s, d))),
     "t09_bigram_rarity" -> ((s, d) => T.bigramRarity(Tables.documents(s, d))),
+    // exact regime: tracked-item budget >= distinct bigrams (fixed synth
+    // vocab), so sketch counts match the exact GROUP BY oracle bitwise
+    "t10_heavy_hitters" -> ((s, d) =>
+      T.heavyHitterBigrams(Tables.documents(s, d))),
     "t08_stratified_sample" -> ((s, d) =>
       Sm.stratifiedSample(Tables.documents(s, d),
         Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.75, "fr" -> 1.0), 0.1)),
@@ -596,6 +600,16 @@ object SparkEntry {
         |FROM lens l JOIN tt USING (doc_id) JOIN runs USING (doc_id)
         |LEFT JOIN bg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "t10_heavy_hitters" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |b AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+        |    list_transform(range(0, len(toks)-1),
+        |      i -> array_to_string(toks[i+1:i+2], ' '))
+        |  ELSE [array_to_string(toks, ' ')] END) AS bigram FROM t)
+        |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+        |HAVING count(*) >= 40
+        |ORDER BY n DESC, bigram""".stripMargin,
     "t09_bigram_rarity" ->
       """WITH t AS (SELECT doc_id,
         |  string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -241,6 +241,31 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(k)
 
+  /** Heavy-hitter bigrams via the mergeable frequent-items sketch
+    * (`approx_top_k`, DataSketches): single pass, each partition builds a
+    * bounded-memory sketch, and only fixed-size sketches cross the wire —
+    * vs the exact groupBy form (t05), which shuffles the full item
+    * domain. At 100 TB over a quasi-unbounded domain (URLs, n-grams) the
+    * sketch path is the only one that doesn't scale its shuffle with the
+    * domain.
+    *
+    * Oracle-checkable by the same trick as q26: while the tracked-item
+    * budget exceeds the distinct-item count the sketch never evicts, so
+    * counts are EXACT, and thresholding (count ≥ minCount, the classic
+    * φ-heavy-hitter definition) makes the result SET deterministic where
+    * a rank-k cut would be tie-ambiguous. At larger domains it degrades
+    * to the sketch's guaranteed overestimate bounds instead of an OOM. */
+  def heavyHitterBigrams(documents: DataFrame, minCount: Long = 40L,
+      k: Int = 1000, maxTracked: Int = 16384): DataFrame =
+    Dedup.spread(documents)
+      .select(explode(
+        graft.functions.TextFns.wordShingles(col("text"), 2)).as("bigram"))
+      .agg(expr(s"approx_top_k(bigram, $k, $maxTracked)").as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("bigram"), col("e.count").as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("bigram").asc)
+
   /** Corpus-frequency rarity profile per document — the statistical-LM
     * quality signal (CCNet-style) in exact integer arithmetic: how common
     * are this document's word bigrams in the whole corpus? Gibberish and

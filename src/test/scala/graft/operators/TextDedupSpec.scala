@@ -81,6 +81,20 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("heavy-hitter sketch equals exact counts in the no-eviction regime") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sketch = TextAnalysis.heavyHitterBigrams(docs, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = docs
+      .select(explode(
+        graft.functions.TextFns.wordShingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .orderBy(col("n").desc, col("bigram").asc)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sketch.nonEmpty && sketch == exact)
+  }
+
   test("dedupClusters closes transitive chains into one canonical cluster") {
     import spark.implicits._
     // 4-3, 3-2, 2-1 is a 3-hop chain whose min label must propagate end
