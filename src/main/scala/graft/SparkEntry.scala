@@ -67,6 +67,10 @@ object SparkEntry {
     // so it IS oracle-checkable against DuckDB's discrete quantile
     "q26_approx_percentiles" -> ((s, d) =>
       R.approxPercentiles(Tables.lineitem(s, d))),
+    // exact percentiles with the per-group funnel reduced from rows to
+    // DISTINCT values — bitwise-equal to q23, same oracle text
+    "q29_percentiles_dist" -> ((s, d) =>
+      R.percentilesByDistribution(Tables.lineitem(s, d))),
     "q24_array_showcase" -> ((s, d) =>
       R.arrayShowcase(Tables.embeddings(s, d))),
     "w07_window_showcase" -> ((s, d) =>
@@ -353,6 +357,13 @@ object SparkEntry {
         | quantile_cont(l_quantity, 0.5) AS median_qty,
         | quantile_cont(l_extendedprice, 0.25) AS price_p25,
         | quantile_cont(l_extendedprice, 0.75) AS price_p75
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q29_percentiles_dist" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.25) AS qty_p25,
+        | quantile_cont(l_quantity, 0.5) AS median_qty,
+        | quantile_cont(l_quantity, 0.75) AS qty_p75
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q26_approx_percentiles" ->

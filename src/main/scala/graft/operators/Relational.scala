@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -310,6 +311,74 @@ object Relational {
         expr("percentile(l_extendedprice, 0.25)").as("price_p25"),
         expr("percentile(l_extendedprice, 0.75)").as("price_p75"))
       .orderBy(col("l_returnflag"))
+
+  /** EXACT percentiles without the per-group value buffer — the third
+    * tier beside [[percentiles]] (exact, buffering) and
+    * [[approxPercentiles]] (sketch). The exact aggregate holds every
+    * group value in ONE final aggregator; here the heavy work is a
+    * (group, value) frequency table — distributed across the cluster by
+    * value — and the only per-group sequential step is a running sum over
+    * DISTINCT values. For discrete/bucketed domains (quantities, prices,
+    * durations: the common percentile targets) distinct ≪ rows, making
+    * this exact AND scale-safe; for truly continuous domains it degrades
+    * to the buffering form's cardinality and the sketch tier is the
+    * answer.
+    *
+    * Interpolation replicates Spark's `percentile` (= SQL
+    * percentile_cont) step for step — pos = p·(n−1), then the weighted
+    * two-sided form (⌈pos⌉ − pos)·v_lo + (pos − ⌊pos⌋)·v_hi, which
+    * differs from the v_lo + Δ·frac form in final-ULP rounding — so
+    * results are bitwise identical to [[percentiles]] and share its
+    * DuckDB oracle. */
+  def percentilesByDistribution(lineitem: DataFrame): DataFrame = {
+    val g = "l_returnflag"
+
+    def valueAtRanks(valueCol: String,
+        ps: Seq[(String, Double)]): DataFrame = {
+      val counts = lineitem.groupBy(col(g), col(valueCol).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val cum = counts.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col(g)).orderBy(col("v"))))
+      val ranks = cum.groupBy(col(g)).agg(max(col("cum")).as("n"))
+        .select(col(g), explode(array(ps.map { case (name, p) =>
+          struct(lit(name).as("pname"),
+            (lit(p) * (col("n") - 1).cast("double")).as("pos"))
+        }: _*)).as("r"))
+        .select(col(g), col("r.pname").as("pname"), col("r.pos").as("pos"),
+          (floor(col("r.pos")) + 1).cast("long").as("klo"),
+          (ceil(col("r.pos")) + 1).cast("long").as("khi"))
+      // a 1-based rank k falls in the value row covering [cum-c+1, cum];
+      // equi-join on the group key + a between filter — per-group work is
+      // O(ranks x distinct values), distributed by group
+      def at(kCol: String, out: String) = ranks.alias("r")
+        .join(cum.alias("d"), col(s"r.$g") === col(s"d.$g") &&
+          col(s"r.$kCol").between(col("d.cum") - col("d.c") + 1,
+            col("d.cum")))
+        .select(col(s"r.$g").as(g), col("r.pname").as("pname"),
+          col("r.pos").as("pos"), col("d.v").as(out))
+      at("klo", "vlo").join(at("khi", "vhi"), Seq(g, "pname", "pos"))
+        .select(col(g), col("pname"),
+          when(floor(col("pos")) === ceil(col("pos")), col("vlo"))
+            .otherwise(
+              (ceil(col("pos")) - col("pos")) * col("vlo") +
+                (col("pos") - floor(col("pos"))) * col("vhi"))
+            .as("pval"))
+    }
+
+    // demonstrated on the DISCRETE column (l_quantity: ~50 distinct
+    // values per group at any SF) — the domain this tier exists for;
+    // near-all-distinct columns like price belong to the buffering or
+    // sketch tiers
+    valueAtRanks("l_quantity",
+      Seq(("qty_p25", 0.25), ("median_qty", 0.5), ("qty_p75", 0.75)))
+      .groupBy(col(g))
+      .agg(
+        max(when(col("pname") === "qty_p25", col("pval"))).as("qty_p25"),
+        max(when(col("pname") === "median_qty", col("pval")))
+          .as("median_qty"),
+        max(when(col("pname") === "qty_p75", col("pval"))).as("qty_p75"))
+      .orderBy(col(g))
+  }
 
   /** Sketch percentiles — the 100-TB path beside [[percentiles]]: exact
     * `percentile` buffers every value of a group in one final aggregator

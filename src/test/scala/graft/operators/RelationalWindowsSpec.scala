@@ -41,6 +41,18 @@ class RelationalWindowsSpec extends SparkSpec {
     assert(r2.getAs[Double]("total_spent") == 0.0)
   }
 
+  test("distribution percentiles are bitwise the buffering exact form") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val a = li.groupBy(col("l_returnflag")).agg(
+      expr("percentile(l_quantity, 0.25)").as("qty_p25"),
+      expr("percentile(l_quantity, 0.5)").as("median_qty"),
+      expr("percentile(l_quantity, 0.75)").as("qty_p75"))
+      .orderBy(col("l_returnflag")).collect().map(_.toSeq).toSeq
+    val b = Relational.percentilesByDistribution(li)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("orderStatusPivot is total: rows with absent combos pivot to 0") {
     import spark.implicits._
     val orders = Seq(("1-URGENT", "F"), ("1-URGENT", "F"), ("2-HIGH", "O"))
