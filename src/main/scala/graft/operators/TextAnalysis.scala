@@ -278,7 +278,11 @@ object TextAnalysis {
     * Two shuffles keyed by bigram (count, then the join back — map-side
     * combined) plus one keyed by doc_id; everything distributes by row
     * count, nothing is collected. At 100 TB the bigram-frequency table is
-    * itself large, so it stays distributed — it is never broadcast. */
+    * itself large, so it stays distributed — it is never broadcast. The
+    * join back is skewed by construction (a stopword bigram's instances
+    * all share one key); AQE skew-join splitting (on in Graft.session)
+    * is the intended mitigation, since each instance row joins 1:1 with
+    * its count. */
   def bigramRarity(documents: DataFrame, rareMax: Long = 2L): DataFrame = {
     val bg = Dedup.spread(documents).select(col("doc_id"),
       explode(graft.functions.TextFns.wordShingles(col("text"), 2))
