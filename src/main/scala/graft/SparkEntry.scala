@@ -139,6 +139,7 @@ object SparkEntry {
     "s03_lsh_buckets" -> ((s, d) =>
       S.signLshBuckets(Tables.embeddings(s, d)).orderBy("vec_id")),
     "s04_lsh_ann_topk" -> ((s, d) => S.lshAnnTopK(Tables.embeddings(s, d))),
+    "s05_ann_recall" -> ((s, d) => S.annRecall(Tables.embeddings(s, d))),
     // --- lake adapter (reference parity: SURVEY §2.1/2.2, §3 E1-E3) ---
     "l01_marker_split" -> ((s, d) =>
       graft.lake.LakeQueries.markerSplitDemo(Tables.documents(s, d))),
@@ -943,6 +944,68 @@ object SparkEntry {
         | FROM scored)
         |SELECT query_id, bucket, neighbor_id, cosine, rank FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // recall@5 of s04's LSH candidates vs s01's exact top-5: the s01 and
+    // s04 oracle pipelines composed (brute-force CTEs renamed b*), joined
+    // on (query_id, neighbor_id), hits counted per query
+    "s05_ann_recall" ->
+      """WITH bn AS (SELECT vec_id, label, embedding,
+        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |    (a, b) -> a + b) AS norm2 FROM embeddings),
+        |bq AS (SELECT vec_id AS query_id, embedding AS query_emb,
+        |  norm2 AS qnorm2 FROM bn WHERE vec_id < 5),
+        |bscored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1, len(c.embedding)+1), i ->
+        |    CAST(c.embedding[i] AS DOUBLE) * CAST(q.query_emb[i] AS DOUBLE)),
+        |    (x, y) -> x + y) / (sqrt(c.norm2) * sqrt(q.qnorm2)) AS cosine
+        | FROM bn c CROSS JOIN bq q WHERE c.vec_id <> q.query_id),
+        |br AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        | FROM bscored),
+        |ex AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 5),
+        |c1 AS (SELECT vec_id, embedding,
+        |  unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |c2 AS (SELECT vec_id, CAST(i AS INT) AS i, embedding[i+1] AS v
+        |  FROM c1),
+        |planes AS (SELECT a.i, b.j,
+        |  CASE WHEN (strpos('0123456789abcdef',
+        |    substr(md5(a.i || ':' || b.j), 1, 1)) - 1) % 2 = 1
+        |  THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(range(0, 4096)) AS i) a
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS j) b),
+        |proj AS (SELECT c2.vec_id, p.j,
+        |  SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) * p.s)
+        |    AS pr
+        |  FROM c2 JOIN planes p ON c2.i = p.i GROUP BY 1, 2),
+        |buckets AS (SELECT vec_id,
+        |  string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END,
+        |    '' ORDER BY j) AS bucket
+        | FROM proj GROUP BY vec_id),
+        |n AS (SELECT e.vec_id, b.bucket, e.embedding,
+        |  list_reduce(list_transform(range(1, len(e.embedding)+1), i ->
+        |    CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |    (a, b2) -> a + b2) AS norm2
+        | FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+        |q AS (SELECT vec_id AS query_id, bucket AS query_bucket,
+        |  embedding AS query_emb, norm2 AS qnorm2 FROM n WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1, len(c.embedding)+1), i ->
+        |    CAST(c.embedding[i] AS DOUBLE) * CAST(q.query_emb[i] AS DOUBLE)),
+        |    (x, y) -> x + y) / (sqrt(c.norm2) * sqrt(q.qnorm2)) AS cosine
+        | FROM n c JOIN q ON c.bucket = q.query_bucket
+        |   AND c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        | FROM scored),
+        |ap AS (SELECT query_id, neighbor_id, 1 AS hit FROM r
+        | WHERE rank <= 5)
+        |SELECT e.query_id, count(a.hit) AS n_hits,
+        | CAST(count(a.hit) AS DOUBLE) / 5.0 AS recall
+        |FROM ex e LEFT JOIN ap a ON e.query_id = a.query_id
+        |  AND e.neighbor_id = a.neighbor_id
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
     "l01_marker_split" ->
       """WITH w AS (SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN text

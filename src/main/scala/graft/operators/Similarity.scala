@@ -146,4 +146,29 @@ object Similarity {
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Recall@k of the LSH ANN tier against exact search — the evaluation
+    * loop every production ANN deployment needs: you cannot tune nBits /
+    * probe width without measuring what the buckets lose. Both sides are
+    * deterministic pipelines, so recall itself is deterministic and
+    * oracle-checkable.
+    *
+    * Scale: the exact side is the expensive one, but recall is measured
+    * on a SAMPLE of queries by construction (nQueries), so the cost is
+    * nQueries × corpus — a fixed evaluation budget, not a per-query
+    * production cost. */
+  def annRecall(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
+      nBits: Int = 4): DataFrame = {
+    val exact = bruteForceTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = lshAnnTopK(embeddings, nBits, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(k).cast("double")).as("recall"))
+      .orderBy(col("query_id"))
+  }
 }

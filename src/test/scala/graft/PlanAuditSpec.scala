@@ -9,7 +9,8 @@ class PlanAuditSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private val intentionalNestedLoop = Set(
-    "s01_brute_topk") // broadcast(5 queries) x corpus scan by design
+    "s01_brute_topk", // broadcast(5 queries) x corpus scan by design
+    "s05_ann_recall") // embeds s01's exact side as the recall baseline
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -72,4 +72,17 @@ class SignLshSpec extends graft.SparkSpec {
     val ranks = out.map(_.getAs[Long]("rank"))
     assert(ranks.toSeq == (1L to ranks.length).toSeq)
   }
+
+  test("annRecall is bounded, per-query, and deterministic") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = graft.operators.Similarity.annRecall(emb).collect()
+    assert(a.length == 5) // one row per sampled query, even at recall 0
+    a.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      val rec = r.getAs[Double]("recall")
+      assert(hits >= 0L && hits <= 5L && rec == hits / 5.0)
+    }
+    val b = graft.operators.Similarity.annRecall(emb).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
 }
