@@ -254,7 +254,12 @@ object TextAnalysis {
     * counts are EXACT, and thresholding (count ≥ minCount, the classic
     * φ-heavy-hitter definition) makes the result SET deterministic where
     * a rank-k cut would be tie-ambiguous. At larger domains it degrades
-    * to the sketch's guaranteed overestimate bounds instead of an OOM. */
+    * to the sketch's guaranteed overestimate bounds instead of an OOM.
+    *
+    * CONTRACT: the sketch can return at most `k` items, so size `k`
+    * above the expected number of threshold-passers (and `maxTracked`
+    * above the distinct count for exactness) — a top-k sketch cannot be
+    * asked for more items after the fact. */
   def heavyHitterBigrams(documents: DataFrame, minCount: Long = 40L,
       k: Int = 1000, maxTracked: Int = 16384): DataFrame =
     Dedup.spread(documents)
