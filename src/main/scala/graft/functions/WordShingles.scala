@@ -31,7 +31,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - trim removes ASCII spaces (0x20) only, like Spark's `trim`;
   *  - the split pattern `\s+` matches Java regex whitespace;
   *  - docs shorter than n tokens collapse to ONE whole-text shingle;
-  *  - empty/whitespace-only text yields `[""]` (split of "" is [""]).
+  *  - empty/whitespace-only text yields `[""]` (split of "" is [""]);
+  *  - NULL text yields NULL (standard scalar null propagation) — the one
+  *    deliberate divergence: the builtin composition leaks `[null]`
+  *    through its otherwise-branch.
   */
 case class WordShingles(child: Expression, n: Int)
     extends UnaryExpression {

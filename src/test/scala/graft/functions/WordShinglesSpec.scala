@@ -61,6 +61,21 @@ class WordShinglesSpec extends SparkSpec {
     assert(r == Seq("a b", "b c"))
   }
 
+  test("null text yields null (deliberate divergence from the builtin)") {
+    import spark.implicits._
+    // the builtin composition leaks `[null]` for null text (the otherwise
+    // branch wraps array_join(null)); the native expression propagates
+    // null like every other scalar function. Production inputs are
+    // non-null text columns, where the two are bitwise identical.
+    val df = Seq(Some("a b"), None).toDF("text")
+    val rows = df.select(
+      builtin(2).as("b"), TextFns.wordShingles(col("text"), 2).as("c"))
+      .collect()
+    assert(!rows(1).isNullAt(0), "builtin quirk: [null], not null")
+    assert(rows(1).isNullAt(1), "native expression must propagate null")
+    assert(rows(0).getSeq[String](1) == Seq("a b"))
+  }
+
   test("survives whole-stage codegen (exploded downstream agg)") {
     import spark.implicits._
     val df = Seq("x y z x y").toDF("text")

@@ -81,6 +81,12 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("dedupClusters on an empty pair set returns empty without looping") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("vec_id_a", "vec_id_b")
+    assert(Dedup.dedupClusters(empty).count() == 0)
+  }
+
   test("heavy-hitter sketch equals exact counts in the no-eviction regime") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val sketch = TextAnalysis.heavyHitterBigrams(docs, minCount = 5L)
