@@ -46,7 +46,14 @@ object Bench {
     // 3-decimal timings: the driver captures only the tail of stdout, and
     // 60 queries x 17-digit doubles pushed the JSON line past its window.
     def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // Short ids ("q01" for "q01_pricing_summary"): at 68+ queries the full
+    // names alone cost ~1400 bytes of the driver's 2000-byte tail capture.
+    // The prefix before the first '_' is unique across the ledger (guarded
+    // below — any collision falls back to full names for that run).
+    val shortIds = results.keys.map(_.takeWhile(_ != '_')).toSet
+    val useShort = shortIds.size == results.size
+    def key(k: String): String = if (useShort) k.takeWhile(_ != '_') else k
+    val qs = results.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // basename only: every byte of this line counts against the driver's
