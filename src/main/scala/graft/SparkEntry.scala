@@ -147,6 +147,14 @@ object SparkEntry {
       graft.lake.LakeQueries.roundtripList(s, Tables.documents(s, d))),
     "l03_lake_exists" -> ((s, d) =>
       graft.lake.LakeQueries.existsProbe(s, Tables.documents(s, d))),
+    "l04_cdc_merge" -> ((s, d) =>
+      graft.lake.Merge.applyChangesDemo(Tables.orders(s, d))),
+    "l05_scd2_history" -> ((s, d) =>
+      graft.lake.Merge.scd2Demo(Tables.events(s, d))),
+    "l06_zorder_stats" -> ((s, d) =>
+      graft.lake.Layout.zorderStatsDemo(Tables.lineitem(s, d))),
+    "s06_quantized_topk" -> ((s, d) =>
+      S.quantizedTopK(Tables.embeddings(s, d))),
     // --- multimodal columns (LLM-pipeline north star) ---
     "m01_media_metadata" -> ((s, d) =>
       graft.operators.Multimodal.mediaMetadata(Tables.documents(s, d))),
@@ -1054,6 +1062,45 @@ object SparkEntry {
         |LEFT JOIN (SELECT DISTINCT doc_id FROM documents) d
         |  ON v.book_id = d.doc_id
         |ORDER BY v.book_id""".stripMargin,
+    "l04_cdc_merge" ->
+      """WITH up AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+        |  o_totalprice + 1.0 AS o_totalprice FROM orders
+        |  WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0),
+        |keep AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0)
+        |SELECT * FROM (SELECT * FROM up UNION ALL SELECT * FROM keep)
+        |ORDER BY o_orderkey""".stripMargin,
+    "l05_scd2_history" ->
+      """SELECT user_id, event_id, value, ts AS valid_from,
+        | lead(ts, 1) OVER w AS valid_to,
+        | lead(ts, 1) OVER w IS NULL AS is_current
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "l06_zorder_stats" ->
+      s"""WITH t AS (SELECT l_partkey % 1024 AS a, l_suppkey % 1024 AS b
+         |  FROM lineitem),
+         |z AS (SELECT a, b,
+         |  ${graft.lake.Layout.zValueSql("a", "b", 10)} AS z FROM t)
+         |SELECT z >> 14 AS zbucket, COUNT(*) AS n,
+         | MIN(a) AS min_part, MAX(a) AS max_part,
+         | MIN(b) AS min_supp, MAX(b) AS max_supp
+         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
+    "s06_quantized_topk" ->
+      """WITH qz AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS qemb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, qemb AS q_qemb FROM qz
+        |  WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1, len(c.qemb)+1),
+        |    i -> c.qemb[i] * q.q_qemb[i]), (x, y) -> x + y) AS qdot
+        | FROM qz c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, qdot,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY qdot DESC, neighbor_id ASC) AS BIGINT) AS rank
+        | FROM scored)
+        |SELECT query_id, neighbor_id, qdot, rank FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "m01_media_metadata" ->
       """WITH a AS (SELECT doc_id AS asset_id,
         |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]

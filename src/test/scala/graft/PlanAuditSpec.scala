@@ -10,7 +10,8 @@ class PlanAuditSpec extends SparkSpec {
 
   private val intentionalNestedLoop = Set(
     "s01_brute_topk", // broadcast(5 queries) x corpus scan by design
-    "s05_ann_recall") // embeds s01's exact side as the recall baseline
+    "s05_ann_recall", // embeds s01's exact side as the recall baseline
+    "s06_quantized_topk") // s01's shape on the quantized memory tier
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -38,6 +38,17 @@ class SimilaritySpec extends SparkSpec {
       val c = r.getAs[Double]("cosine"); c >= -1.0001 && c <= 1.0001
     })
   }
+
+  test("quantizedTopK: floor(64x) codes, integer scores, deterministic rank") {
+    // codes: v0=[64,0] v1=[64,6] v2=[64,64] v3=[64,0] v4=[0,64]
+    // (floor(0.1*64)=floor(6.4)=6; floor(0.01*64)=0 — v3 collapses onto v0)
+    val out = Similarity.quantizedTopK(vecs, nQueries = 1, k = 4)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("qdot"), r.getAs[Long]("rank")))
+    // qdot vs v0=[64,0]: v1=4096 v2=4096 v3=4096 v4=0; ties break on id
+    assert(out.toSeq == Seq((1L, 4096L, 1L), (2L, 4096L, 2L),
+      (3L, 4096L, 3L), (4L, 0L, 4L)))
+  }
 }
 
 /** Sign-LSH bucket properties. */
