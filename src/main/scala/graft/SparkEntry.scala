@@ -93,6 +93,9 @@ object SparkEntry {
       graft.streaming.EventTimeOps.sessionizeBatch(Tables.events(s, d))),
     "w08_native_session_windows" -> ((s, d) =>
       graft.streaming.EventTimeOps.nativeSessionWindows(Tables.events(s, d))),
+    "w10_rolling_hour" -> ((s, d) => W.rollingHour(Tables.events(s, d))),
+    "w11_gap_fill" -> ((s, d) =>
+      graft.streaming.EventTimeOps.gapFillHourly(Tables.events(s, d))),
     // --- text-analysis layer (LLM-pipeline north star) ---
     "t01_token_stats" -> ((s, d) => T.tokenStats(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d) => T.qualityScore(Tables.documents(s, d))),
@@ -111,6 +114,8 @@ object SparkEntry {
         Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.75, "fr" -> 1.0), 0.1)),
     "p03_token_budget_mix" -> ((s, d) =>
       Sm.tokenBudgetMix(Tables.documents(s, d))),
+    "t11_source_caps" -> ((s, d) =>
+      Sm.perSourceCap(Tables.documents(s, d))),
     "p01_data_prep_pipeline" -> ((s, d) =>
       T.dataPrepPipeline(Tables.documents(s, d))),
     "t06_redact_pii" -> ((s, d) =>
@@ -505,6 +510,25 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_n
         |ORDER BY user_id, session_start""".stripMargin,
+    "w10_rolling_hour" ->
+      """SELECT user_id, event_id, ts,
+        | COUNT(*) OVER w AS n_1h,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "w11_gap_fill" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |  COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |slots AS (SELECT event_type,
+        |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        | FROM (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+        |       FROM hourly GROUP BY 1))
+        |SELECT s.event_type, s.h, COALESCE(n.n, 0) AS n_events
+        |FROM slots s LEFT JOIN hourly n
+        |  ON s.event_type = n.event_type AND s.h = n.h
+        |ORDER BY s.event_type, s.h""".stripMargin,
     "t01_token_stats" ->
       """WITH t AS (SELECT doc_id, text,
         |  string_split_regex(trim(text), '\s+') AS toks FROM documents)
@@ -684,6 +708,12 @@ object SparkEntry {
         |SELECT lang, doc_id, n_tokens, quality, cum_tokens FROM m
         |WHERE cum_tokens <= 5000
         |ORDER BY lang, cum_tokens""".stripMargin,
+    "t11_source_caps" ->
+      """SELECT source, doc_id, n_chars,
+        | CAST(row_number() OVER (PARTITION BY source
+        |   ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rk
+        |FROM documents QUALIFY rk <= 50
+        |ORDER BY source, rk""".stripMargin,
     "p01_data_prep_pipeline" ->
       """WITH doubled AS (
         |  SELECT doc_id, text, lang FROM documents

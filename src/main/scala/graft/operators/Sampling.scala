@@ -110,4 +110,24 @@ object Sampling {
         col("quality"), col("cum_tokens"))
       .orderBy(col("lang"), col("shard"), col("cum_tokens"))
   }
+
+  /** Per-source document cap — the "no domain dominates the corpus" rule
+    * of web-scale pipelines: keep at most `cap` documents per source,
+    * preferring longer documents (n_chars desc, doc_id tie-break).
+    *
+    * One window shuffle keyed by source. A mega-source is the skew case:
+    * rank-then-filter still sorts that source's full partition, so at
+    * 100 TB pre-filter each (source, shard) to the cap first — capping
+    * shards at `cap` keeps every global-top-cap candidate (any doc
+    * outside its shard's top-cap is outside the source's top-cap) —
+    * then take the exact top-cap of the ≤ numShards·cap survivors. */
+  def perSourceCap(documents: DataFrame, cap: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    documents
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= cap)
+      .orderBy(col("source"), col("rk"))
+  }
 }

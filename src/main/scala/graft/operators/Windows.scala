@@ -91,4 +91,23 @@ object Windows {
           .as("value_share"))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  /** Time-based rolling aggregate: per event, the count and sum of the
+    * user's events in the trailing hour — a RANGE frame over event time
+    * (micros), not a ROWS frame, so ties and uneven event spacing are
+    * handled by time, matching SQL `RANGE BETWEEN INTERVAL 1 HOUR
+    * PRECEDING AND CURRENT ROW`. The sum is decimal-exact (frame
+    * summation order differs across engines; decimals make it
+    * order-independent). One window shuffle keyed by user. */
+  def rollingHour(events: DataFrame): DataFrame = {
+    val micros = expr("unix_micros(ts)")
+    val w = Window.partitionBy(col("user_id")).orderBy(micros)
+      .rangeBetween(-3600L * 1000 * 1000, 0)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast(DecimalType(18, 6))).over(w)
+          .cast("double").as("sum_1h"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
 }

@@ -105,4 +105,30 @@ object EventTimeOps {
         max(col("ts")).as("session_end"))
       .orderBy(col("user_id"), col("session_n"))
   }
+
+  /** Gap-filled hourly series: per event type, the count for EVERY hour
+    * between the type's first and last event — missing hours surface as
+    * explicit zero rows, which downstream rolling averages and anomaly
+    * detectors need (a dense series, not a sparse one).
+    *
+    * Spark-first shape: `sequence(first, last, 1 hour)` + `explode`
+    * generates the slot spine DISTRIBUTED per group (no driver loop, no
+    * cross join against a global calendar); the left join back to the
+    * sparse counts is an equi-join on (type, hour). Slot count = time
+    * span × groups, linear. */
+  def gapFillHourly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val slots = hourly
+      .groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+    slots.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy(col("event_type"), col("h"))
+  }
 }

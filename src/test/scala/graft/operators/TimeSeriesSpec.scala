@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.streaming.EventTimeOps
+import org.apache.spark.sql.functions._
+
+/** Time-series window ops: trailing time-RANGE aggregates and
+  * gap-filled dense series. */
+class TimeSeriesSpec extends SparkSpec {
+
+  private def t(s: String) =
+    java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+  test("rollingHour counts exactly the trailing-hour frame, inclusive") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 10L, t("2026-01-01T10:00:00Z"), 1.0),
+      (1L, 11L, t("2026-01-01T10:30:00Z"), 2.0),
+      (1L, 12L, t("2026-01-01T11:00:00Z"), 4.0), // exactly 1h after e10: in
+      (1L, 13L, t("2026-01-01T13:00:00Z"), 8.0), // isolated
+      (2L, 20L, t("2026-01-01T10:45:00Z"), 16.0) // other user untouched
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = Windows.rollingHour(events).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("n_1h"),
+        r.getAs[Double]("sum_1h"))).toSeq
+    assert(out == Seq((10L, 1L, 1.0), (11L, 2L, 3.0), (12L, 3L, 7.0),
+      (13L, 1L, 8.0), (20L, 1L, 16.0)))
+  }
+
+  test("gapFillHourly emits explicit zero rows for missing hours") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, t("2026-01-01T10:10:00Z"), "click", 1.0),
+      (2L, t("2026-01-01T12:20:00Z"), "click", 1.0), // 11:00 missing
+      (3L, t("2026-01-01T10:40:00Z"), "view", 1.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = EventTimeOps.gapFillHourly(events).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("h").toInstant.toString,
+        r.getAs[Long]("n_events"))).toSeq
+    assert(out == Seq(
+      ("click", "2026-01-01T10:00:00Z", 1L),
+      ("click", "2026-01-01T11:00:00Z", 0L),
+      ("click", "2026-01-01T12:00:00Z", 1L),
+      ("view", "2026-01-01T10:00:00Z", 1L)))
+  }
+
+  test("perSourceCap keeps the longest `cap` docs per source") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "s1", 100L), (2L, "a", "s1", 300L), (3L, "a", "s1", 200L),
+      (4L, "b", "s2", 50L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val out = Sampling.perSourceCap(docs, cap = 2).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rk"))).toSeq
+    assert(out == Seq(("s1", 2L, 1L), ("s1", 3L, 2L), ("s2", 4L, 1L)))
+  }
+}
