@@ -241,4 +241,26 @@ class StreamStreamJoinSpec extends graft.SparkSpec {
       assert(rows == Set((200L, 100L), (200L, 101L)))
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins each batch against the broadcast dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val users = Seq((1L, "gold"), (2L, "free")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamEnrich.enrichEvents(
+      input.toDF().toDF("user_id", "event_id"), users)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 10L), (3L, 30L)) // user 3 unknown -> dropped
+      q.processAllAvailable()
+      input.addData((2L, 20L))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select("event_id", "tier").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((10L, "gold"), (20L, "free")))
+    } finally q.stop()
+  }
 }
