@@ -116,6 +116,8 @@ object SparkEntry {
       Sm.tokenBudgetMix(Tables.documents(s, d))),
     "t11_source_caps" -> ((s, d) =>
       Sm.perSourceCap(Tables.documents(s, d))),
+    "t12_sequence_packing" -> ((s, d) =>
+      Sm.packSequences(Tables.documents(s, d))),
     "p01_data_prep_pipeline" -> ((s, d) =>
       T.dataPrepPipeline(Tables.documents(s, d))),
     "t06_redact_pii" -> ((s, d) =>
@@ -714,6 +716,22 @@ object SparkEntry {
         |   ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rk
         |FROM documents QUALIFY rk <= 50
         |ORDER BY source, rk""".stripMargin,
+    "t12_sequence_packing" ->
+      """WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |    AS n_tokens
+        | FROM documents),
+        |b AS (SELECT doc_id, substr(h, 1, 1) AS shard,
+        |  substr(h, 1, 8) AS shuffle_key, n_tokens FROM t),
+        |c AS (SELECT shard, doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+        |    ORDER BY shuffle_key, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cum_before
+        | FROM b)
+        |SELECT shard, CAST(cum_before // 512 AS BIGINT) AS seq_id, doc_id,
+        | n_tokens, cum_before
+        |FROM c ORDER BY shard, cum_before""".stripMargin,
     "p01_data_prep_pipeline" ->
       """WITH doubled AS (
         |  SELECT doc_id, text, lang FROM documents

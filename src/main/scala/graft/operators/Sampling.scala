@@ -130,4 +130,39 @@ object Sampling {
       .filter(col("rk") <= cap)
       .orderBy(col("source"), col("rk"))
   }
+
+  /** Pack documents into fixed-token-budget training sequences — the last
+    * step of training-set assembly: a reproducible corpus shuffle plus
+    * packing into `seqTokens`-sized bins.
+    *
+    * The order is the md5 shuffle key ([[sampleKey]]) — a deterministic
+    * "random" permutation, so reruns pack identically (comparable
+    * training runs); doc_id breaks collisions. Documents hash into 16
+    * shards (first hex digit of the same key) and each shard packs
+    * independently with its own running token sum — 16 parallel running
+    * sums instead of one global funnel (the same skew fix as
+    * [[tokenBudgetMixSharded]]); at larger scale widen the shard prefix
+    * (2 hex digits → 256 shards).
+    *
+    * A document lands in the sequence holding its FIRST token
+    * (`seq_id = cum_before div seqTokens`): sequences absorb boundary
+    * straddle rather than splitting documents, so per-sequence overflow
+    * is bounded by one document — the concat-then-chunk contract of
+    * training pipelines. */
+  def packSequences(documents: DataFrame, seqTokens: Long = 512): DataFrame = {
+    val key = sampleKey(col("doc_id"))
+    val base = documents.select(col("doc_id"),
+      substring(key, 1, 1).as("shard"), key.as("shuffle_key"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("shard"),
+        expr(s"cum_before div $seqTokens").as("seq_id"),
+        col("doc_id"), col("n_tokens"), col("cum_before"))
+      .orderBy(col("shard"), col("cum_before"))
+  }
 }

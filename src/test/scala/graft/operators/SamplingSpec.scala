@@ -84,4 +84,23 @@ class SamplingSpec extends SparkSpec {
       .map { case (_, rs) => rs.map(_.getAs[Long]("n_tokens")).sum }.max
     assert(worst <= perShard, "each shard must respect its split budget")
   }
+
+  test("packSequences: reproducible shuffle order, first-token bin rule") {
+    val a = Sampling.packSequences(docs, 512).collect()
+    val b = Sampling.packSequences(docs, 512).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "packing must be bit-reproducible across runs")
+    assert(a.nonEmpty)
+    a.groupBy(_.getAs[String]("shard")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("cum_before"))
+      // cum_before is the exclusive prefix sum in shuffle order
+      var cum = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("cum_before") == cum)
+        // bin = the sequence holding the document's first token
+        assert(r.getAs[Long]("seq_id") == cum / 512)
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
 }
