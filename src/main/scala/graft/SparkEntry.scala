@@ -160,6 +160,8 @@ object SparkEntry {
       graft.lake.Merge.scd2Demo(Tables.events(s, d))),
     "l06_zorder_stats" -> ((s, d) =>
       graft.lake.Layout.zorderStatsDemo(Tables.lineitem(s, d))),
+    "l07_snapshot_merge" -> ((s, d) =>
+      graft.lake.LakeQueries.snapshotMerge(s, Tables.orders(s, d))),
     "s06_quantized_topk" -> ((s, d) =>
       S.quantizedTopK(Tables.embeddings(s, d))),
     // --- multimodal columns (LLM-pipeline north star) ---
@@ -173,6 +175,18 @@ object SparkEntry {
   // DuckDB-dialect oracles. Shared fragments:
   //   dsum(c,s)  ≡ CAST(SUM(CAST(c AS DECIMAL(18,s))) AS DOUBLE)
   //   davg(c,s)  ≡ dsum(c,s)/COUNT(c)
+
+  /** Shared by l04 (relational merge) and l07 (merge through the
+    * snapshot commit path): both must equal this exact-SQL form. */
+  private val CdcMergeOracle: String =
+    """WITH up AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+      |  o_totalprice + 1.0 AS o_totalprice FROM orders
+      |  WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0),
+      |keep AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0)
+      |SELECT * FROM (SELECT * FROM up UNION ALL SELECT * FROM keep)
+      |ORDER BY o_orderkey""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1110,14 +1124,10 @@ object SparkEntry {
         |LEFT JOIN (SELECT DISTINCT doc_id FROM documents) d
         |  ON v.book_id = d.doc_id
         |ORDER BY v.book_id""".stripMargin,
-    "l04_cdc_merge" ->
-      """WITH up AS (SELECT o_orderkey, 'U' AS o_orderstatus,
-        |  o_totalprice + 1.0 AS o_totalprice FROM orders
-        |  WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0),
-        |keep AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-        |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0)
-        |SELECT * FROM (SELECT * FROM up UNION ALL SELECT * FROM keep)
-        |ORDER BY o_orderkey""".stripMargin,
+    "l04_cdc_merge" -> CdcMergeOracle,
+    // the same merge, executed through the snapshot commit path — the
+    // published on-disk v1 must equal the relational merge bitwise
+    "l07_snapshot_merge" -> CdcMergeOracle,
     "l05_scd2_history" ->
       """SELECT user_id, event_id, value, ts AS valid_from,
         | lead(ts, 1) OVER w AS valid_to,

@@ -91,4 +91,30 @@ object LakeQueries {
         coalesce(col("present"), lit(false)).as("available"))
       .orderBy(col("book_id"))
   }
+
+  // One committed snapshot store per (session, source files) — same
+  // caching rationale as the lake above: l07 must not re-commit versions
+  // on every bench/verify invocation.
+  private val snapCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      SnapshotStore]
+
+  /** l07: the l04 CDC merge executed THROUGH the snapshot commit path —
+    * v0 = base snapshot, v1 = the change feed folded in by
+    * [[SnapshotStore.applyChanges]]; the query reads the PUBLISHED v1
+    * from disk, so the oracle checks the whole write→publish→read loop,
+    * not just the merge plan. Same oracle SQL as l04 by construction. */
+  def snapshotMerge(spark: SparkSession, orders: DataFrame): DataFrame = {
+    val key = orders.inputFiles.sorted.mkString(",")
+    val store = snapCache.getOrElseUpdate((spark, key), {
+      val dir = Files.createTempDirectory("graft-snap-")
+        .toFile.getAbsolutePath
+      val s = new SnapshotStore(spark, dir)
+      val base = Merge.demoBase(orders)
+      s.commit(base)
+      s.applyChanges(Merge.demoChangeFeed(base), Seq("o_orderkey"))
+      s
+    })
+    store.read().orderBy("o_orderkey")
+  }
 }

@@ -65,13 +65,15 @@ object Merge {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
-  /** Oracle demo (l04): a deterministic change feed derived from `orders`
-    * — keys ≡0 (mod 7, not mod 13) get an update (+1.0 price, status 'U'),
-    * keys ≡0 (mod 13) a delete — applied back onto the snapshot. The two
-    * change sets are disjoint by construction, so the feed is key-unique
-    * without compaction. */
-  def applyChangesDemo(orders: DataFrame): DataFrame = {
-    val base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+  /** The l04/l07 fixture snapshot: the merge-relevant slice of `orders`. */
+  def demoBase(orders: DataFrame): DataFrame =
+    orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+  /** A deterministic change feed derived from the snapshot itself: keys
+    * ≡0 (mod 7, not mod 13) get an update (+1.0 price, status 'U'), keys
+    * ≡0 (mod 13) a delete. The two change sets are disjoint by
+    * construction, so the feed is key-unique without compaction. */
+  def demoChangeFeed(base: DataFrame): DataFrame = {
     val k = col("o_orderkey")
     val ups = base.filter(k % 7 === 0 && k % 13 =!= 0)
       .select(k, lit("U").as("o_orderstatus"),
@@ -80,7 +82,13 @@ object Merge {
     val dels = base.filter(k % 13 === 0)
       .select(k, lit(null).cast("string").as("o_orderstatus"),
         lit(null).cast("double").as("o_totalprice"), lit("D").as("op"))
-    applyChanges(base, ups.unionByName(dels), Seq("o_orderkey"))
+    ups.unionByName(dels)
+  }
+
+  /** Oracle demo (l04): the demo change feed applied onto the snapshot. */
+  def applyChangesDemo(orders: DataFrame): DataFrame = {
+    val base = demoBase(orders)
+    applyChanges(base, demoChangeFeed(base), Seq("o_orderkey"))
       .orderBy("o_orderkey")
   }
 

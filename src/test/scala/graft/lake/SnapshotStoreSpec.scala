@@ -1,0 +1,91 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Atomic-pointer snapshot commits: versioning, time travel, vacuum,
+  * crash-visibility, and the streaming CDC apply. */
+class SnapshotStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshStore() = new SnapshotStore(spark,
+    Files.createTempDirectory("graft-snap-").toFile.getAbsolutePath)
+
+  test("commit/read round-trip; versions increment; time travel") {
+    val store = freshStore()
+    assert(store.latestVersion.isEmpty)
+    val v0 = store.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val v1 = store.commit(Seq((1L, "a2"), (2L, "b")).toDF("k", "v"))
+    assert((v0, v1) == (0L, 1L) && store.latestVersion.contains(1L))
+    assert(store.read().orderBy("k").collect().map(_.getString(1)).toSeq
+      == Seq("a2", "b"))
+    // time travel reads the immutable old version
+    assert(store.read(0L).orderBy("k").collect().map(_.getString(1)).toSeq
+      == Seq("a", "b"))
+  }
+
+  test("an unpublished snapshot dir is invisible to readers (crash mid-commit)") {
+    val store = freshStore()
+    store.commit(Seq((1L, "a")).toDF("k", "v"))
+    // simulate a crash between data write and pointer swap: the next
+    // version's dir exists but _LATEST still names version 0
+    Seq((9L, "junk")).toDF("k", "v").write.parquet(store.root + "/v=1")
+    assert(store.latestVersion.contains(0L))
+    assert(store.read().count() == 1) // readers still see version 0
+    // restart recovery: the next commit clobbers the unpublished orphan
+    val v = store.commit(Seq((2L, "real")).toDF("k", "v"))
+    assert(v == 1L)
+    assert(store.read().collect().map(_.getString(1)).toSeq == Seq("real"))
+  }
+
+  test("applyChanges folds a change feed as one new version") {
+    val store = freshStore()
+    store.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    val changes = Seq((2L, "B", "U"), (3L, null.asInstanceOf[String], "D"),
+      (4L, "d", "I")).toDF("k", "v", "op")
+    val v = store.applyChanges(changes, Seq("k"))
+    assert(v == 1L)
+    val out = store.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq(1L -> "a", 2L -> "B", 4L -> "d"))
+  }
+
+  test("vacuum drops old versions, keeps the published one") {
+    val store = freshStore()
+    (0 to 3).foreach(i => store.commit(Seq((i.toLong, "x")).toDF("k", "v")))
+    val dropped = store.vacuum(keepLast = 2)
+    assert(dropped == Seq(0L, 1L))
+    assert(store.read().collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(store.read(2L).count() == 1) // kept
+    intercept[Exception](store.read(0L).count()) // vacuumed
+  }
+
+  test("streaming CDC apply: per-batch atomic upsert with compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = freshStore()
+    store.commit(Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("k", "v", "lsn"))
+    val input = MemoryStream[(Long, String, Long, String)]
+    val q = SnapshotStore.applyChangeStream(
+      input.toDF().toDF("k", "v", "lsn", "op"), store, Seq("k"), col("lsn"))
+    try {
+      // batch 1: two changes to the same key — compaction keeps lsn 2
+      input.addData((1L, "mid", 1L, "U"), (1L, "new", 2L, "U"))
+      q.processAllAvailable()
+      assert(store.read().orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+        == Seq(1L -> "new", 2L -> "b"))
+      // batch 2: delete key 2, insert key 3
+      input.addData((2L, null.asInstanceOf[String], 3L, "D"),
+        (3L, "c", 4L, "I"))
+      q.processAllAvailable()
+      assert(store.read().orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+        == Seq(1L -> "new", 3L -> "c"))
+      assert(store.latestVersion.contains(2L)) // one version per batch
+    } finally q.stop()
+  }
+}
