@@ -80,6 +80,11 @@ object SparkEntry {
     "q27_pivot" -> ((s, d) => R.orderStatusPivot(Tables.orders(s, d))),
     "q28_correlated_exists" -> ((s, d) =>
       R.sqlCorrelatedExists(s, Tables.customer(s, d), Tables.orders(s, d))),
+    "q30_incremental_agg" -> ((s, d) =>
+      R.incrementalAggDemo(Tables.lineitem(s, d))),
+    "dq01_constraint_audit" -> ((s, d) =>
+      graft.operators.DataQuality.constraintAudit(
+        Tables.orders(s, d), Tables.lineitem(s, d))),
     // --- window layer (SURVEY §2.5 EXT) ---
     "w01_rank_events" -> ((s, d) => W.rankEventsPerUser(Tables.events(s, d))),
     "w02_session_gaps" -> ((s, d) => W.sessionGaps(Tables.events(s, d))),
@@ -1124,6 +1129,33 @@ object SparkEntry {
         |LEFT JOIN (SELECT DISTINCT doc_id FROM documents) d
         |  ON v.book_id = d.doc_id
         |ORDER BY v.book_id""".stripMargin,
+    "q30_incremental_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "dq01_constraint_audit" ->
+      """SELECT rule, n_violations FROM (
+        |  SELECT 'orders_null_key' AS rule, COUNT(*) AS n_violations
+        |  FROM orders WHERE o_orderkey IS NULL OR o_custkey IS NULL
+        |  UNION ALL
+        |  SELECT 'orders_dup_key', COUNT(*) FROM (
+        |    SELECT o_orderkey FROM orders GROUP BY o_orderkey
+        |    HAVING COUNT(*) > 1)
+        |  UNION ALL
+        |  SELECT 'lineitem_neg_price', COUNT(*) FROM lineitem
+        |  WHERE l_extendedprice < 0 OR l_quantity <= 0
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_range', COUNT(*) FROM lineitem
+        |  WHERE l_discount < 0 OR l_discount > 1
+        |  UNION ALL
+        |  SELECT 'lineitem_orphan_fk', COUNT(*) FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'orders_without_lineitems', COUNT(*) FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))
+        |ORDER BY rule""".stripMargin,
     "l04_cdc_merge" -> CdcMergeOracle,
     // the same merge, executed through the snapshot commit path — the
     // published on-disk v1 must equal the relational merge bitwise

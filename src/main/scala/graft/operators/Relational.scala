@@ -505,4 +505,37 @@ object Relational {
       datediff(to_date(lit("2002-01-01")), to_date(col("o_orderdate")))
         .cast("long").as("days_to_2002"))
       .orderBy(col("o_orderkey"))
+
+  /** Mergeable aggregate state per group: row count + decimal-exact sum.
+    * The maintained shape of an incremental materialized view. */
+  def aggState(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+        .as("sum_price_dec"))
+
+  /** Merge aggregate states: union + re-aggregate (sum of counts, sum of
+    * sums) — valid because count and decimal-sum are commutative
+    * monoids, the property that makes the aggregate incrementally
+    * maintainable at all. */
+  def mergeAggStates(states: DataFrame*): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_price_dec")).as("sum_price_dec"))
+
+  /** Incremental aggregate maintenance (materialized-view refresh): the
+    * maintained agg over yesterday's base plus the agg of today's delta,
+    * MERGED — never a recompute over the full fact table. At 100 TB this
+    * is the difference between touching the delta partition and touching
+    * the lake; the oracle is the full recompute, which the merged state
+    * must equal bitwise. */
+  def incrementalAggDemo(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.filter(col("l_orderkey") % 10 =!= 0)
+    val delta = lineitem.filter(col("l_orderkey") % 10 === 0)
+    mergeAggStates(aggState(base), aggState(delta))
+      .select(col("l_returnflag"), col("n_rows"),
+        col("sum_price_dec").cast("double").as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
 }

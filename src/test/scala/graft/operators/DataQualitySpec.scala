@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Constraint audit: every rule fires on a deliberately broken fixture
+  * (the driver fixture is clean, so zeros there prove nothing alone). */
+class DataQualitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("each rule counts its own violation class") {
+    val orders = Seq(
+      (Some(1L), Some(10L)), // ok
+      (Some(1L), Some(11L)), // dup key
+      (None, Some(12L)), // null key
+      (Some(3L), None), // null custkey
+      (Some(4L), Some(13L)) // no lineitems
+    ).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(
+      (1L, 100.0, 1.0, 0.05), // ok
+      (99L, 50.0, 2.0, 0.1), // orphan fk
+      (1L, -5.0, 1.0, 0.2), // negative price
+      (1L, 10.0, 0.0, 1.5) // zero qty + discount out of range
+    ).toDF("l_orderkey", "l_extendedprice", "l_quantity", "l_discount")
+    val out = DataQuality.constraintAudit(orders, lineitem)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("orders_null_key") == 2)
+    assert(out("orders_dup_key") == 1)
+    assert(out("lineitem_neg_price") == 2) // neg price + zero qty rows
+    assert(out("lineitem_discount_range") == 1)
+    assert(out("lineitem_orphan_fk") == 1)
+    assert(out("orders_without_lineitems") == 3) // null-key rows count too
+  }
+
+  test("incremental agg merge equals full recompute") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val merged = Relational.incrementalAggDemo(li).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val full = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("s"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(merged == full)
+  }
+}
