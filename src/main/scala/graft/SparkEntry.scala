@@ -1135,6 +1135,10 @@ object SparkEntry {
         |   AS sum_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // FK rules use NOT EXISTS, not NOT IN: with any NULL key NOT IN
+    // yields NULL (counting 0 orphans) while the Spark audit's
+    // full-outer classification counts null-key groups as violations —
+    // NOT EXISTS has the null-safe anti-join semantics both agree on.
     "dq01_constraint_audit" ->
       """SELECT rule, n_violations FROM (
         |  SELECT 'orders_null_key' AS rule, COUNT(*) AS n_violations
@@ -1150,11 +1154,13 @@ object SparkEntry {
         |  SELECT 'lineitem_discount_range', COUNT(*) FROM lineitem
         |  WHERE l_discount < 0 OR l_discount > 1
         |  UNION ALL
-        |  SELECT 'lineitem_orphan_fk', COUNT(*) FROM lineitem
-        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  SELECT 'lineitem_orphan_fk', COUNT(*) FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_orderkey = l.l_orderkey)
         |  UNION ALL
-        |  SELECT 'orders_without_lineitems', COUNT(*) FROM orders
-        |  WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))
+        |  SELECT 'orders_without_lineitems', COUNT(*) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                    WHERE l.l_orderkey = o.o_orderkey))
         |ORDER BY rule""".stripMargin,
     "l04_cdc_merge" -> CdcMergeOracle,
     // the same merge, executed through the snapshot commit path — the

@@ -105,10 +105,22 @@ object LakeQueries {
     * from disk, so the oracle checks the whole write→publish→read loop,
     * not just the merge plan. Same oracle SQL as l04 by construction. */
   def snapshotMerge(spark: SparkSession, orders: DataFrame): DataFrame = {
-    val key = orders.inputFiles.sorted.mkString(",")
+    // inputFiles is empty for non-file-backed DataFrames; keying on "" would
+    // collide two different in-memory inputs in one session, so fall back to
+    // the analyzed-plan string (a per-input identity) in that case.
+    val files = orders.inputFiles
+    val key =
+      if (files.nonEmpty) files.sorted.mkString(",")
+      else "plan:" + orders.queryExecution.analyzed.toString
     val store = snapCache.getOrElseUpdate((spark, key), {
-      val dir = Files.createTempDirectory("graft-snap-")
-        .toFile.getAbsolutePath
+      val dirPath = Files.createTempDirectory("graft-snap-")
+      // deleteOnExit is a no-op on non-empty dirs; clean recursively.
+      sys.addShutdownHook {
+        import java.util.Comparator
+        Files.walk(dirPath).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      val dir = dirPath.toFile.getAbsolutePath
       val s = new SnapshotStore(spark, dir)
       val base = Merge.demoBase(orders)
       s.commit(base)

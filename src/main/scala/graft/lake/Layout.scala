@@ -27,9 +27,13 @@ object Layout {
     * cast) — values wider than `bits` alias, they never error. */
   def zValue(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    // Widen to long before shifting: for IntegerType inputs Spark's
+    // shiftleft uses Java int shifts (amount masked mod 32), so a bit
+    // position 2i+1 >= 32 would silently wrap instead of interleaving.
+    val (al, bl) = (a.cast("long"), b.cast("long"))
     (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i) +
-        shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i + 1)
+      shiftleft(shiftright(al, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(bl, i).bitwiseAND(1), 2 * i + 1)
     }.reduce(_ + _)
   }
 

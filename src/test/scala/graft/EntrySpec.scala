@@ -17,6 +17,16 @@ class EntrySpec extends SparkSpec {
     assert(orphaned.isEmpty, s"oracles without query: $orphaned")
   }
 
+  test("bench short ids (prefix before first '_') are unique") {
+    // Bench.scala emits timings under these prefixes to stay inside the
+    // driver's 2000-byte tail capture; a collision silently falls back to
+    // full names and re-inflates the line past the window (the r4
+    // failure). Fail here instead of discovering it in BENCH_r{N}.json.
+    val byPrefix = SparkEntry.queries.keySet.groupBy(_.takeWhile(_ != '_'))
+    val clashes = byPrefix.filter(_._2.size > 1)
+    assert(clashes.isEmpty, s"colliding bench short ids: $clashes")
+  }
+
   test("all queries execute on the smoke fixture (sf0.001)") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, "/root/testdata/sf0.001").count()
