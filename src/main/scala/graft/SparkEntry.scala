@@ -85,6 +85,11 @@ object SparkEntry {
     "dq01_constraint_audit" -> ((s, d) =>
       graft.operators.DataQuality.constraintAudit(
         Tables.orders(s, d), Tables.lineitem(s, d))),
+    "dq02_skew_audit" -> ((s, d) =>
+      graft.operators.DataQuality.skewAudit(Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.events(s, d))),
+    "l08_compaction_plan" -> ((s, d) =>
+      graft.lake.Compaction.orderFileCompaction(Tables.orders(s, d))),
     // --- window layer (SURVEY §2.5 EXT) ---
     "w01_rank_events" -> ((s, d) => W.rankEventsPerUser(Tables.events(s, d))),
     "w02_session_gaps" -> ((s, d) => W.sessionGaps(Tables.events(s, d))),
@@ -123,6 +128,10 @@ object SparkEntry {
       Sm.perSourceCap(Tables.documents(s, d))),
     "t12_sequence_packing" -> ((s, d) =>
       Sm.packSequences(Tables.documents(s, d))),
+    "c01_doc_chunking" -> ((s, d) =>
+      T.chunkDocuments(Tables.documents(s, d))),
+    "b01_bm25_rank" -> ((s, d) =>
+      graft.operators.Ranking.bm25Rank(Tables.documents(s, d))),
     "p01_data_prep_pipeline" -> ((s, d) =>
       T.dataPrepPipeline(Tables.documents(s, d))),
     "t06_redact_pii" -> ((s, d) =>
@@ -1162,6 +1171,101 @@ object SparkEntry {
         |  WHERE NOT EXISTS (SELECT 1 FROM lineitem l
         |                    WHERE l.l_orderkey = o.o_orderkey))
         |ORDER BY rule""".stripMargin,
+    // integer fixed-point stats (x100) and ceil-rank percentiles — no
+    // float division anywhere, so both engines agree bitwise
+    "dq02_skew_audit" ->
+      """WITH a AS (
+        |  SELECT 'orders' AS tbl, 'o_custkey' AS key_col, o_custkey AS k
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_orderkey', l_orderkey FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events', 'user_id', user_id FROM events),
+        |s AS (SELECT tbl, key_col, k, COUNT(*) AS gsize
+        |      FROM a GROUP BY tbl, key_col, k),
+        |d AS (SELECT tbl, key_col, gsize, COUNT(*) AS nk
+        |      FROM s GROUP BY tbl, key_col, gsize),
+        |w AS (SELECT tbl, key_col, gsize, nk,
+        |  CAST(SUM(nk) OVER (PARTITION BY tbl, key_col ORDER BY gsize)
+        |    AS BIGINT) AS cum,
+        |  CAST(SUM(nk) OVER (PARTITION BY tbl, key_col) AS BIGINT) AS tot
+        |  FROM d)
+        |SELECT tbl, key_col,
+        | CAST(SUM(gsize * nk) AS BIGINT) AS n_rows,
+        | CAST(SUM(nk) AS BIGINT) AS n_keys,
+        | MAX(gsize) AS max_group,
+        | MIN(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN gsize END)
+        |   AS p50_group,
+        | MIN(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN gsize END)
+        |   AS p99_group,
+        | CAST((SUM(gsize * nk) * 100) // SUM(nk) AS BIGINT)
+        |   AS avg_group_x100,
+        | CAST((MAX(gsize) * 100 * SUM(nk)) // SUM(gsize * nk) AS BIGINT)
+        |   AS skew_x100
+        |FROM w GROUP BY tbl, key_col ORDER BY tbl, key_col""".stripMargin,
+    "l08_compaction_plan" ->
+      """WITH inv AS (SELECT strftime(o_orderdate, '%Y-%m') AS pmonth,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS file_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM orders GROUP BY 1, 2),
+        |b AS (SELECT pmonth, file_id, n_rows,
+        |  CAST(SUM(n_rows) OVER (PARTITION BY pmonth ORDER BY file_id)
+        |    AS BIGINT) AS cum_rows FROM inv),
+        |p AS (SELECT pmonth, file_id, n_rows,
+        |  (cum_rows - n_rows) // 5000 AS bin_id FROM b)
+        |SELECT pmonth, bin_id, CAST(COUNT(*) AS BIGINT) AS n_files,
+        | CAST(SUM(n_rows) AS BIGINT) AS bin_rows,
+        | MIN(file_id) AS first_file, MAX(file_id) AS last_file
+        |FROM p GROUP BY pmonth, bin_id ORDER BY pmonth, bin_id""".stripMargin,
+    "c01_doc_chunking" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |  unnest(generate_series(0, greatest(len(toks) - 1, 0), 48))
+        |    AS chunk_start FROM t),
+        |c AS (SELECT doc_id, chunk_start // 48 AS chunk_idx, chunk_start,
+        |  toks[(chunk_start + 1):(chunk_start + 64)] AS chunk FROM s)
+        |SELECT doc_id, chunk_idx, chunk_start,
+        | len(chunk) AS n_chunk_tokens,
+        | array_to_string(chunk, ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // rational-form idf and fixed-order per-term addition: only IEEE
+    // +-*/ (correctly rounded in both engines), never ln() or a
+    // float SUM whose accumulation order the engine chooses
+    "b01_bm25_rank" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |dd AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dd),
+        |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd) u
+        |  WHERE term IN ('vector', 'spark', 'join', 'scan')
+        |  GROUP BY doc_id, dl, term),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |  ((CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE))
+        |    / (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+        |  * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |  / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |     * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |        + CAST(0.75 AS DOUBLE) * CAST(tf.dl AS DOUBLE)
+        |          / (CAST(st.sum_dl AS DOUBLE)
+        |             / CAST(st.n_docs AS DOUBLE)))) AS score_t
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN st)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        | COALESCE(SUM(CASE WHEN term = 'vector' THEN score_t END),
+        |   CAST(0.0 AS DOUBLE))
+        | + COALESCE(SUM(CASE WHEN term = 'spark' THEN score_t END),
+        |   CAST(0.0 AS DOUBLE))
+        | + COALESCE(SUM(CASE WHEN term = 'join' THEN score_t END),
+        |   CAST(0.0 AS DOUBLE))
+        | + COALESCE(SUM(CASE WHEN term = 'scan' THEN score_t END),
+        |   CAST(0.0 AS DOUBLE)) AS score
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
     "l04_cdc_merge" -> CdcMergeOracle,
     // the same merge, executed through the snapshot commit path — the
     // published on-disk v1 must equal the relational merge bitwise

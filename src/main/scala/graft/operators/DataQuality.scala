@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality auditing — the constraint layer every
@@ -66,4 +67,53 @@ object DataQuality {
         AS (rule, n_violations)"""))
       .orderBy("rule")
   }
+
+  /** Shuffle-skew audit for one (table, key): the numbers a planner needs
+    * before keying a 100 TB shuffle on a column — group-size distribution
+    * (max / p50 / p99), key cardinality, and max-vs-average skew ratio.
+    * One row out per audited key.
+    *
+    * Cost shape: one partial-agg shuffle per table (group sizes), then a
+    * DISTINCT-group-size funnel — the same distribution trick as the q29
+    * percentile tier, so the single-partition window at the end runs over
+    * |distinct sizes| rows (tiny even when |keys| is billions). All
+    * derived stats are integer arithmetic (×100 fixed-point, ceil-rank
+    * percentile) — no float division to drift between engines. */
+  def keySkew(df: DataFrame, table: String, keyCol: String): DataFrame = {
+    val sizes = df.groupBy(col(keyCol)).agg(count(lit(1)).as("gsize"))
+    val dist = sizes.groupBy(col("gsize")).agg(count(lit(1)).as("nk"))
+    val cumW = Window.orderBy(col("gsize"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    // ceil-rank percentile over the size distribution: smallest group
+    // size whose cumulative key count reaches ceil(p% of keys)
+    def pctl(p: Int): Column =
+      min(when(col("cum") >= expr(s"(tot * $p + 99) div 100"), col("gsize")))
+    dist
+      .withColumn("cum", sum(col("nk")).over(cumW))
+      .withColumn("tot", sum(col("nk")).over(totW))
+      .agg(
+        sum(col("gsize") * col("nk")).as("n_rows"),
+        sum(col("nk")).as("n_keys"),
+        max(col("gsize")).as("max_group"),
+        pctl(50).as("p50_group"),
+        pctl(99).as("p99_group"))
+      .select(lit(table).as("tbl"), lit(keyCol).as("key_col"),
+        col("n_rows"), col("n_keys"), col("max_group"),
+        col("p50_group"), col("p99_group"),
+        expr("(n_rows * 100) div n_keys").as("avg_group_x100"),
+        expr("(max_group * 100 * n_keys) div n_rows").as("skew_x100"))
+  }
+
+  /** dq02: the skew audit over the three join/aggregation keys the query
+    * ledger actually shuffles on. Each audit is independent — at scale
+    * they run as parallel jobs, each one partial-agg pass over its
+    * table. */
+  def skewAudit(orders: DataFrame, lineitem: DataFrame,
+      events: DataFrame): DataFrame =
+    keySkew(orders, "orders", "o_custkey")
+      .unionAll(keySkew(lineitem, "lineitem", "l_orderkey"))
+      .unionAll(keySkew(events, "events", "user_id"))
+      .orderBy("tbl", "key_col")
 }

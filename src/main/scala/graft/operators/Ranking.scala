@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical relevance ranking (BM25) — the retrieval scorer used for
+  * corpus curation (rank documents against a probe query, e.g. to mine
+  * domain-specific training data) and as the baseline for RAG retrieval
+  * quality work.
+  *
+  * Spark-first shape: term frequencies are one explode+filter (narrow,
+  * the IN-list prunes the fan-out before the shuffle) and ONE (doc, term)
+  * aggregation; document frequencies and corpus stats are tiny frames
+  * broadcast back; the final top-k is TakeOrderedAndProject (per-partition
+  * heaps, no global sort). At 100 TB the only full shuffle is the
+  * (doc_id, term) partial-agg — everything else rides broadcasts.
+  *
+  * Oracle determinism: BM25's idf is kept in rational form
+  * `(N - df + 0.5) / (df + 0.5)` — same monotone ordering as the usual
+  * `ln` form for df < N, but `+ - * /` are IEEE-correctly-rounded in both
+  * engines while `ln` is not. The per-document total is a FIXED-ORDER sum
+  * of per-term conditional aggregates (each over at most one row), never
+  * a float SUM whose accumulation order the engine picks — so scores are
+  * bitwise identical to DuckDB's, not merely close. */
+object Ranking {
+
+  val DefaultTerms: Seq[String] = Seq("vector", "spark", "join", "scan")
+
+  /** BM25 (k1 = 1.2, b = 0.75) of each document against `terms`; top `k`
+    * docs by score. Output: doc_id, n_terms (matched), score. Documents
+    * matching no term score 0 and are not ranked. */
+  def bm25Rank(documents: DataFrame, terms: Seq[String] = DefaultTerms,
+      k: Int = 20): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = col("n_docs").cast("double")
+    val dfd = col("df").cast("double")
+    val tfd = col("tf").cast("double")
+    val dld = col("dl").cast("double")
+    val scored = tf
+      .join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / nd)
+      .withColumn("score_t",
+        ((nd - dfd + lit(0.5)) / (dfd + lit(0.5))) * (tfd * lit(2.2)) /
+          (tfd + lit(1.2) *
+            (lit(1.0) - lit(0.75) + lit(0.75) * dld / col("avgdl"))))
+    val perTerm = terms.map(t =>
+      sum(when(col("term") === t, col("score_t"))).as(s"s_$t"))
+    val total = terms
+      .map(t => coalesce(col(s"s_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    scored
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), perTerm: _*)
+      .select(col("doc_id"), col("n_terms"), total.as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

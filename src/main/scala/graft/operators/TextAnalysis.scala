@@ -38,6 +38,37 @@ object TextAnalysis {
         i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
       .otherwise(array(array_join(toks, " ")))
 
+  /** Training-sequence chunking: split each document into token windows of
+    * `window` tokens every `stride` tokens (overlap = window - stride) —
+    * the standard context-length preparation step between cleaning and
+    * packing (t12 packs whole docs; real pipelines chunk long docs first
+    * so no single document exceeds the model's context).
+    *
+    * Pure per-row expressions: `sequence` generates the chunk starts,
+    * `explode` fans them out, `slice` clamps the tail chunk — no shuffle
+    * except the presentation sort, so chunking a 100 TB corpus is one
+    * narrow scan stage whose output rows ≈ input tokens / stride. The
+    * chunk index is `start div stride` (no positional explode state). */
+  def chunkDocuments(documents: DataFrame, window: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(stride >= 1 && window >= stride,
+      s"need window >= stride >= 1, got window=$window stride=$stride")
+    val toks = tokens(col("text"))
+    documents
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(stride))).as("chunk_start"))
+      .select(col("doc_id"),
+        expr(s"chunk_start div $stride").as("chunk_idx"),
+        col("chunk_start"),
+        slice(col("toks"), col("chunk_start") + 1, lit(window)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Per-document token statistics: whitespace tokens, BPE-ish tokens,
     * distinct words, character-per-token mean. */
   def tokenStats(documents: DataFrame): DataFrame = {

@@ -1,0 +1,55 @@
+package graft.lake
+
+import graft.SparkSpec
+
+/** Compaction planner: deterministic cumulative binning, per-partition
+  * independence, near-target bin sizes. */
+class CompactionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("bins pack files in order up to the target, per partition") {
+    val files = Seq(
+      ("p1", "f1", 3000L), ("p1", "f2", 3000L),
+      ("p1", "f3", 3000L), ("p1", "f4", 3000L),
+      ("p2", "f1", 9000L), ("p2", "f2", 100L)
+    ).toDF("pmonth", "file_id", "n_rows")
+    val out = Compaction.planBins(files, "pmonth", 5000L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+      .toSet
+    // p1 cum-before: 0,3000,6000,9000 → bins 0,0,1,1
+    // p2 cum-before: 0,9000 → bins 0,1 (binning restarts per partition)
+    assert(out == Set(("p1", "f1", 0L), ("p1", "f2", 0L),
+      ("p1", "f3", 1L), ("p1", "f4", 1L),
+      ("p2", "f1", 0L), ("p2", "f2", 1L)))
+  }
+
+  test("demo rollup equals an independent driver-side recomputation") {
+    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.01")
+    val got = Compaction.orderFileCompaction(orders, targetRows = 500L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_files"), r.getAs[Long]("bin_rows"),
+          r.getAs[String]("first_file"), r.getAs[String]("last_file")))
+      .toMap
+    // independent scalar recomputation of the same greedy binning
+    val days = orders
+      .groupBy(org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("o_orderdate"), "yyyy-MM-dd")
+        .as("day"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val binned = days.toSeq.groupBy(_._1.take(7)).toSeq
+      .flatMap { case (month, fs) =>
+        var cum = 0L
+        fs.sortBy(_._1).map { case (day, n) =>
+          val bin = cum / 500L; cum += n; (month, bin, day, n)
+        }
+      }
+    val expected = binned.groupBy(t => (t._1, t._2)).map { case (k, g) =>
+      val ds = g.map(_._3)
+      k -> ((g.size.toLong, g.map(_._4).sum, ds.min, ds.max))
+    }
+    assert(got == expected)
+  }
+}

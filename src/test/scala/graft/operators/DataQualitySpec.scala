@@ -33,6 +33,20 @@ class DataQualitySpec extends SparkSpec {
     assert(out("orders_without_lineitems") == 3) // null-key rows count too
   }
 
+  test("skew audit: fixed-point stats on a hand-built skewed key") {
+    // key "a" x10, keys "b".."k" x1 → sizes dist {1: 10 keys, 10: 1 key}
+    val df = (Seq.fill(10)("a") ++ ('b' to 'k').map(_.toString))
+      .toDF("k")
+    val r = DataQuality.keySkew(df, "t", "k").collect().head
+    val m = r.getValuesMap[Any](r.schema.fieldNames)
+    assert(m("n_rows") == 20L && m("n_keys") == 11L)
+    assert(m("max_group") == 10L)
+    // p50: ceil(11*0.5)=6 ≤ cum(gsize=1)=10 → 1; p99: ceil(10.89)=11 → 10
+    assert(m("p50_group") == 1L && m("p99_group") == 10L)
+    assert(m("avg_group_x100") == 181L) // 2000 div 11
+    assert(m("skew_x100") == 550L) // 10*100*11 div 20
+  }
+
   test("incremental agg merge equals full recompute") {
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val merged = Relational.incrementalAggDemo(li).collect()

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Chunking: window/stride fan-out and tail clamping. BM25: formula
+  * spot-check against a hand-computed corpus plus ranking sanity. */
+class RankingChunkingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("chunking fans out windows every stride and clamps the tail") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 tokens
+      (2L, "a b c"), // shorter than one window
+      (3L, "") // empty text → [""] single pseudo-token
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, window = 64, stride = 48)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // doc 1: starts 0,48,96 → sizes 64, 52, 4
+    assert(out.filter(_._1 == 1L).toSeq ==
+      Seq((1L, 0L, 0, 64), (1L, 1L, 48, 52), (1L, 2L, 96, 4)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0, 3)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 0, 1)))
+    // overlap: chunk 1 of doc 1 starts at token 49 (w49)
+    val texts = TextAnalysis.chunkDocuments(docs, 64, 48)
+      .collect().filter(_.getLong(0) == 1L).map(_.getString(4))
+    assert(texts(1).startsWith("w49 ") && texts(0).startsWith("w1 "))
+    assert(texts(2) == "w97 w98 w99 w100")
+  }
+
+  test("bm25 matches a hand-computed score and ranks by relevance") {
+    val docs = Seq(
+      (1L, "spark spark spark"),
+      (2L, "spark x"),
+      (3L, "y z")
+    ).toDF("doc_id", "text")
+    val out = Ranking.bm25Rank(docs, terms = Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 3 matches nothing → absent; doc 1 (3x tf, on-avg length) wins
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out.forall(_._2 == 1L))
+    // exact recomputation with the same double-precision fold
+    val n = 3.0; val df = 2.0; val sumDl = 7.0
+    val avgdl = sumDl / n
+    val idf = (n - df + 0.5) / (df + 0.5)
+    def score(tf: Double, dl: Double): Double =
+      idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    assert(out(0)._3 == score(3.0, 3.0))
+    assert(out(1)._3 == score(1.0, 2.0))
+  }
+
+  test("bm25 longer documents score below shorter at equal tf") {
+    val docs = Seq(
+      (1L, "spark " + (1 to 50).map(i => s"f$i").mkString(" ")),
+      (2L, "spark alone")
+    ).toDF("doc_id", "text")
+    val out = Ranking.bm25Rank(docs, terms = Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.head._1 == 2L && out(0)._2 > out(1)._2)
+  }
+}
