@@ -82,6 +82,8 @@ object SparkEntry {
       R.sqlCorrelatedExists(s, Tables.customer(s, d), Tables.orders(s, d))),
     "q30_incremental_agg" -> ((s, d) =>
       R.incrementalAggDemo(Tables.lineitem(s, d))),
+    "q31_lateral_topn" -> ((s, d) =>
+      R.sqlLateralTopN(s, Tables.nation(s, d), Tables.customer(s, d))),
     "dq01_constraint_audit" -> ((s, d) =>
       graft.operators.DataQuality.constraintAudit(
         Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -130,6 +132,8 @@ object SparkEntry {
       Sm.packSequences(Tables.documents(s, d))),
     "c01_doc_chunking" -> ((s, d) =>
       T.chunkDocuments(Tables.documents(s, d))),
+    "t13_nfc_normalize" -> ((s, d) =>
+      T.nfcNormalize(Tables.documents(s, d))),
     "b01_bm25_rank" -> ((s, d) =>
       graft.operators.Ranking.bm25Rank(Tables.documents(s, d))),
     "p01_data_prep_pipeline" -> ((s, d) =>
@@ -1229,6 +1233,26 @@ object SparkEntry {
         | len(chunk) AS n_chunk_tokens,
         | array_to_string(chunk, ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q31_lateral_topn" ->
+      """SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY nation, c_acctbal DESC, c_name""".stripMargin,
+    // chr(769)=U+0301 combining acute, chr(776)=U+0308 diaeresis: the
+    // same decomposed suffixes the Spark side injects; nfc_normalize and
+    // java.text.Normalizer implement the same Unicode composition
+    "t13_nfc_normalize" ->
+      """WITH w AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' cafe' || chr(769)
+        |       WHEN doc_id % 3 = 1 THEN text || ' u' || chr(776) || 'ber'
+        |       ELSE text END AS raw FROM documents),
+        |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM w)
+        |SELECT doc_id, length(raw) AS raw_len, length(nfc) AS nfc_len,
+        | length(raw) <> length(nfc) AS changed,
+        | right(nfc, 8) AS nfc_tail
+        |FROM n ORDER BY doc_id""".stripMargin,
     // rational-form idf and fixed-order per-term addition: only IEEE
     // +-*/ (correctly rounded in both engines), never ln() or a
     // float SUM whose accumulation order the engine chooses

@@ -265,6 +265,26 @@ object Relational {
         |ORDER BY g_seg, g_st, segment, status""".stripMargin)
   }
 
+  /** Correlated LATERAL subquery (top-2 customers per nation) — the SQL
+    * surface for per-group top-k where the inner query references the
+    * outer row. Catalyst DECORRELATES it: the per-nation LIMIT rewrites
+    * into a ranked window join, so execution is one shuffle by the
+    * correlation key — no nested-loop re-execution of the inner query
+    * per outer row (the disaster this shape becomes on engines that
+    * execute lateral literally; PlanAudit asserts the plan). */
+  def sqlLateralTopN(spark: SparkSession, nation: DataFrame,
+      customer: DataFrame): DataFrame = {
+    nation.createOrReplaceTempView("nation_v")
+    customer.createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+        |FROM nation_v n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer_v c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY nation, c_acctbal DESC, c_name""".stripMargin)
+  }
+
   /** Semi-structured props: parse the events JSON column as a MapType,
     * extract a key, aggregate — from_json handling per SURVEY §7 item 6
     * (multimodal/props extension). Narrow parse + one hash-agg shuffle. */

@@ -38,6 +38,31 @@ object TextAnalysis {
         i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
       .otherwise(array(array_join(toks, " ")))
 
+  /** t13: Unicode canonicalization over a corpus with injected NFD
+    * (decomposed) sequences — the fixture text is pure ASCII, where NFC
+    * is the identity, so docs get deterministic decomposed suffixes
+    * appended first (same trick as [[withInjectedPii]]): e+U+0301 and
+    * u+U+0308, which NFC composes to é / ü, shrinking the code-point
+    * length. Per-row narrow stage via the codegen'd
+    * [[graft.functions.NfcFns.nfc]] expression; the already-normalized
+    * fast path means ASCII rows pay one O(n) scan, no allocation. */
+  def nfcNormalize(documents: DataFrame): DataFrame = {
+    val raw = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" cafe\u0301")))
+      .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" u\u0308ber")))
+      .otherwise(col("text"))
+    documents
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).as("raw_len"),
+        graft.functions.NfcFns.nfc(col("raw")).as("nfc"))
+      .select(col("doc_id"), col("raw_len"),
+        length(col("nfc")).as("nfc_len"),
+        (col("raw_len") =!= length(col("nfc"))).as("changed"),
+        expr("right(nfc, 8)").as("nfc_tail"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Training-sequence chunking: split each document into token windows of
     * `window` tokens every `stride` tokens (overlap = window - stride) —
     * the standard context-length preparation step between cleaning and

@@ -11,7 +11,8 @@ class PlanAuditSpec extends SparkSpec {
   private val intentionalNestedLoop = Set(
     "s01_brute_topk", // broadcast(5 queries) x corpus scan by design
     "s05_ann_recall", // embeds s01's exact side as the recall baseline
-    "s06_quantized_topk") // s01's shape on the quantized memory tier
+    "s06_quantized_topk", // s01's shape on the quantized memory tier
+    "b01_bm25_rank") // ONE-row corpus-stats frame broadcast-crossed in
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -32,6 +33,19 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"s02 must broadcast-hash-join on the cell key, got:\n$plan")
+  }
+
+  test("lateral top-n decorrelates to a window, not a per-row rerun") {
+    val qe = SparkEntry.queries("q31_lateral_topn")(spark, sf)
+      .queryExecution
+    val physical = qe.executedPlan.toString
+    // decorrelation rewrites the correlated LIMIT into a ranked window
+    // over the correlation key joined hash-wise — never a lateral loop
+    assert(physical.contains("Window"),
+      s"q31 should plan a window for the per-group limit:\n$physical")
+    assert(!physical.contains("BroadcastNestedLoopJoin") &&
+      !physical.contains("CartesianProduct"),
+      s"q31 must not nested-loop the lateral subquery:\n$physical")
   }
 
   test("selective filters reach the parquet scan (pushdown)") {
