@@ -182,6 +182,8 @@ object SparkEntry {
       graft.lake.LakeQueries.snapshotMerge(s, Tables.orders(s, d))),
     "s06_quantized_topk" -> ((s, d) =>
       S.quantizedTopK(Tables.embeddings(s, d))),
+    "k01_kmedians_assign" -> ((s, d) =>
+      graft.operators.Clustering.kmediansAssign(Tables.embeddings(s, d))),
     // --- multimodal columns (LLM-pipeline north star) ---
     "m01_media_metadata" -> ((s, d) =>
       graft.operators.Multimodal.mediaMetadata(Tables.documents(s, d))),
@@ -1233,6 +1235,57 @@ object SparkEntry {
         | len(chunk) AS n_chunk_tokens,
         | array_to_string(chunk, ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // k-MEDIANS, not k-means: centroid update is component-wise median
+    // SELECTION (no float summation → no accumulation-order drift), so
+    // two full Lloyd rounds stay bitwise-comparable across engines;
+    // distances reuse the s01 list_reduce dot idiom
+    "k01_kmedians_assign" ->
+      """WITH v AS (SELECT vec_id, embedding AS emb,
+        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |    (a, b) -> a + b) AS vnorm2 FROM embeddings),
+        |c0 AS (SELECT vec_id AS cluster_id, embedding AS cemb,
+        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |    (a, b) -> a + b) AS cnorm2 FROM embeddings WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, emb, vnorm2, cluster_id, dist2 FROM (
+        |  SELECT vec_id, emb, vnorm2, cluster_id, dist2,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist2 ASC, cluster_id ASC) AS rn
+        |  FROM (SELECT v.vec_id, v.emb, v.vnorm2, c.cluster_id,
+        |    v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
+        |      list_transform(range(1, len(v.emb)+1), i ->
+        |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+        |      (x, y) -> x + y) AS dist2
+        |    FROM v CROSS JOIN c0 c)) WHERE rn = 1),
+        |ex1 AS (SELECT cluster_id, vec_id, u.dim AS dim, u.val AS val
+        |  FROM (SELECT cluster_id, vec_id,
+        |    unnest(list_transform(range(1, len(emb)+1),
+        |      i -> {'dim': i, 'val': emb[i]})) AS u FROM a1)),
+        |med1 AS (SELECT cluster_id, dim, val FROM (
+        |  SELECT cluster_id, dim, val,
+        |    row_number() OVER (PARTITION BY cluster_id, dim
+        |      ORDER BY val ASC, vec_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cluster_id, dim) AS n
+        |  FROM ex1) WHERE rn = (n + 1) // 2),
+        |c1a AS (SELECT cluster_id, list(val ORDER BY dim) AS cemb
+        |  FROM med1 GROUP BY cluster_id),
+        |c1 AS (SELECT cluster_id, cemb,
+        |  list_reduce(list_transform(range(1, len(cemb)+1), i ->
+        |    CAST(cemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE)),
+        |    (a, b) -> a + b) AS cnorm2 FROM c1a),
+        |a2 AS (SELECT vec_id, cluster_id, dist2 FROM (
+        |  SELECT vec_id, cluster_id, dist2,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist2 ASC, cluster_id ASC) AS rn
+        |  FROM (SELECT v.vec_id, c.cluster_id,
+        |    v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
+        |      list_transform(range(1, len(v.emb)+1), i ->
+        |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+        |      (x, y) -> x + y) AS dist2
+        |    FROM v CROSS JOIN c1 c)) WHERE rn = 1)
+        |SELECT vec_id, cluster_id, dist2 FROM a2
+        |ORDER BY vec_id""".stripMargin,
     "q31_lateral_topn" ->
       """SELECT n.n_name AS nation, t.c_name, t.c_acctbal
         |FROM nation n, LATERAL (

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed centroid clustering over the embedding column — the
+  * training step behind s02's IVF index (coarse cells need centroids
+  * from somewhere; production ANN systems run exactly this Lloyd-style
+  * loop over a corpus sample).
+  *
+  * This is the k-MEDIANS variant: the centroid update takes the
+  * component-wise MEDIAN of the cluster's vectors instead of the mean.
+  * Two reasons, both load-bearing:
+  *  - determinism: a float mean is a SUM whose accumulation order the
+  *    engine picks, so Spark and the DuckDB oracle would drift in the
+  *    last bits; a median is pure SELECTION (order by value, pick the
+  *    ceil(n/2)-th) — bitwise identical everywhere, which makes the
+  *    whole iteration oracle-checkable;
+  *  - robustness: component-wise medians resist outlier vectors, a
+  *    known production win for web-scale embedding corpora.
+  *
+  * Scale shape per iteration: assignment is broadcast(K centroids) ×
+  * corpus (narrow scan, no shuffle — the same intentional tiny-side
+  * BNLJ as s01), argmin is a per-vector window keyed by vec_id; the
+  * update explodes to (cluster, dim) — K·D groups — so the median
+  * funnel shuffles by (cluster, dim) and each group holds only that
+  * cluster's values of ONE dimension. No driver-side collect anywhere;
+  * centroids stay a K-row DataFrame end to end. */
+object Clustering {
+
+  /** Nearest-centroid assignment: squared L2 via the norm expansion
+    * |v|² + |c|² − 2·v·c (reuses the codegen'd graft_dot; same fixed
+    * fold order as the s01 oracle idiom). Ties break toward the lower
+    * cluster id. */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val joined = vectors.crossJoin(broadcast(centroids))
+      .withColumn("dist2",
+        col("vnorm2") + col("cnorm2") -
+          lit(2.0) * graft.functions.VectorOps.dot(col("emb"), col("cemb")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist2").asc, col("cluster_id").asc)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("vnorm2"),
+        col("cluster_id"), col("dist2"))
+  }
+
+  /** Component-wise median centroid update. Lower median: the element
+    * at rank ceil(n/2) ordered by (value, vec_id) — selection of an
+    * actual input float, no float arithmetic at all. */
+  def medianCentroids(assigned: DataFrame): DataFrame = {
+    val ex = assigned.select(col("cluster_id"), col("vec_id"),
+      posexplode(col("emb")).as(Seq("dim", "val")))
+    val ordW = Window.partitionBy(col("cluster_id"), col("dim"))
+      .orderBy(col("val").asc, col("vec_id").asc)
+    val cntW = Window.partitionBy(col("cluster_id"), col("dim"))
+    val medians = ex
+      .withColumn("rn", row_number().over(ordW))
+      .withColumn("n", count(lit(1)).over(cntW))
+      .where(col("rn") === expr("(n + 1) div 2"))
+      .select(col("cluster_id"), col("dim"), col("val"))
+    medians
+      .groupBy(col("cluster_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("val")))),
+        s => s.getField("val")).as("cemb"))
+      .withColumn("cnorm2",
+        graft.functions.VectorOps.dot(col("cemb"), col("cemb")))
+  }
+
+  /** k01: two Lloyd rounds from a deterministic seed (the first K
+    * vectors by vec_id), final assignment out. Output: one row per
+    * vector — (vec_id, cluster_id, dist2). */
+  def kmediansAssign(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val vectors = embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2",
+        graft.functions.VectorOps.dot(col("emb"), col("emb")))
+    val init = embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster_id"),
+        col("embedding").as("cemb"))
+      .withColumn("cnorm2",
+        graft.functions.VectorOps.dot(col("cemb"), col("cemb")))
+    val round1 = assign(vectors, init)
+    val round2 = assign(vectors, medianCentroids(round1))
+    round2
+      .select(col("vec_id"), col("cluster_id"), col("dist2"))
+      .orderBy(col("vec_id"))
+  }
+}

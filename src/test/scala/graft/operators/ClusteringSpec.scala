@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** k-medians: hand-checkable two-cluster fixture plus determinism and
+  * coverage properties on the driver fixture. */
+class ClusteringSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("two well-separated clusters converge to their medians") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), // seed cluster 0
+      (1L, Array(10.0f, 10.0f)), // seed cluster 1
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(9.0f, 10.0f)),
+      (5L, Array(10.0f, 9.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.kmediansAssign(vecs, k = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(Seq(0L, 2L, 3L).forall(v => out(v)._1 == 0L))
+    assert(Seq(1L, 4L, 5L).forall(v => out(v)._1 == 1L))
+    // round-2 medians are [0,0] and [10,10]; v0 and v1 sit exactly on them
+    assert(out(0L)._2 == 0.0 && out(1L)._2 == 0.0)
+    // v2 = [1,0] → dist² to [0,0] is 1
+    assert(out(2L)._2 == 1.0)
+  }
+
+  test("every vector is assigned exactly once on the fixture") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Clustering.kmediansAssign(emb, k = 8)
+    assert(out.count() == emb.count())
+    assert(out.select("cluster_id").distinct().count() <= 8)
+    // deterministic: second run bitwise-equal
+    val a = out.collect().map(_.toString).toSeq
+    val b = Clustering.kmediansAssign(emb, k = 8)
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+}
