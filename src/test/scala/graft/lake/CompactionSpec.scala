@@ -24,6 +24,44 @@ class CompactionSpec extends SparkSpec {
       ("p2", "f1", 0L), ("p2", "f2", 1L)))
   }
 
+  test("planner drives the executor: bins become files, content unchanged") {
+    import java.nio.file.Files
+    import java.time.LocalDateTime
+    val root = Files.createTempDirectory("graft-planexec-")
+      .toFile.getAbsolutePath
+    val storage = new SparkLakeStorage(spark, root)
+    val h6 = LocalDateTime.of(2026, 5, 2, 6, 0)
+    val h7 = LocalDateTime.of(2026, 5, 2, 7, 0)
+    // five appends into hour 06 (10 rows over >= 5 small files), one
+    // into hour 07 (already at its planned single file)
+    (1 to 5).foreach { i =>
+      storage.saveBooks(
+        Seq((i.toLong, s"h$i", s"b$i")).toDF("book_id", "header", "body"), h6)
+    }
+    storage.saveBooks(
+      Seq((9L, "h9", "b9")).toDF("book_id", "header", "body"), h7)
+
+    def files(hour: String) =
+      new java.io.File(s"$root/datalake/pdate=20260502/phour=$hour")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files("06") >= 5)
+    val h7Before = files("07")
+    def contentHash() = storage.lake
+      .orderBy("book_id", "kind").collect().map(_.toSeq).toSeq
+    val before = contentHash()
+
+    // target 4 rows/bin: hour 06 holds 10 rows -> planned bins
+    // ceil-free cumulative packing = 3 (cum-before 0..8 div 4 -> 0,0,1,1,2)
+    val done = LakeMaintenance.compactByPlan(spark, root, targetRows = 4L)
+    assert(done == Map(("20260502", "06") -> 3))
+    assert(files("06") == 3) // file count = planned bin count
+    assert(files("07") == h7Before) // already compact: skipped, untouched
+    assert(contentHash() == before) // rewrite changed layout, not data
+
+    // idempotence: re-running the maintenance pass finds nothing to do
+    assert(LakeMaintenance.compactByPlan(spark, root, 4L).isEmpty)
+  }
+
   test("demo rollup equals an independent driver-side recomputation") {
     val orders = graft.Tables.orders(spark, "/root/testdata/sf0.01")
     val got = Compaction.orderFileCompaction(orders, targetRows = 500L)
