@@ -134,6 +134,8 @@ object SparkEntry {
       T.chunkDocuments(Tables.documents(s, d))),
     "t13_nfc_normalize" -> ((s, d) =>
       T.nfcNormalize(Tables.documents(s, d))),
+    "t14_unicode_tokens" -> ((s, d) =>
+      T.unicodeTokenStats(Tables.documents(s, d))),
     "b01_bm25_rank" -> ((s, d) =>
       graft.operators.Ranking.bm25Rank(Tables.documents(s, d))),
     "p01_data_prep_pipeline" -> ((s, d) =>
@@ -165,6 +167,8 @@ object SparkEntry {
       S.signLshBuckets(Tables.embeddings(s, d)).orderBy("vec_id")),
     "s04_lsh_ann_topk" -> ((s, d) => S.lshAnnTopK(Tables.embeddings(s, d))),
     "s05_ann_recall" -> ((s, d) => S.annRecall(Tables.embeddings(s, d))),
+    "s07_recall_multi_table" -> ((s, d) =>
+      S.annRecallMulti(Tables.embeddings(s, d))),
     // --- lake adapter (reference parity: SURVEY §2.1/2.2, §3 E1-E3) ---
     "l01_marker_split" -> ((s, d) =>
       graft.lake.LakeQueries.markerSplitDemo(Tables.documents(s, d))),
@@ -180,6 +184,8 @@ object SparkEntry {
       graft.lake.Layout.zorderStatsDemo(Tables.lineitem(s, d))),
     "l07_snapshot_merge" -> ((s, d) =>
       graft.lake.LakeQueries.snapshotMerge(s, Tables.orders(s, d))),
+    "l09_zorder3_stats" -> ((s, d) =>
+      graft.lake.Layout.zorder3StatsDemo(Tables.lineitem(s, d))),
     "s06_quantized_topk" -> ((s, d) =>
       S.quantizedTopK(Tables.embeddings(s, d))),
     "k01_kmedians_assign" -> ((s, d) =>
@@ -1096,6 +1102,81 @@ object SparkEntry {
         |FROM ex e LEFT JOIN ap a ON e.query_id = a.query_id
         |  AND e.neighbor_id = a.neighbor_id
         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+    // recall per LSH table count: one 8-bit bucket computation sliced
+    // into two 4-bit tables (table 0 = s04's planes); config n probes
+    // tables {0..n-1}, candidates dedup by (query, neighbor) via
+    // min(cosine) over identical exact doubles, then rank + recall vs
+    // the s01 exact top-5 (brute-force CTEs renamed b*)
+    "s07_recall_multi_table" ->
+      """WITH c1 AS (SELECT vec_id, embedding,
+        |  unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |c2 AS (SELECT vec_id, CAST(i AS INT) AS i, embedding[i+1] AS v
+        |  FROM c1),
+        |planes AS (SELECT a.i, b.j,
+        |  CASE WHEN (strpos('0123456789abcdef',
+        |    substr(md5(a.i || ':' || b.j), 1, 1)) - 1) % 2 = 1
+        |  THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(range(0, 4096)) AS i) a
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) b),
+        |proj AS (SELECT c2.vec_id, p.j,
+        |  SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) * p.s)
+        |    AS pr
+        |  FROM c2 JOIN planes p ON c2.i = p.i GROUP BY 1, 2),
+        |buckets AS (SELECT vec_id,
+        |  string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END,
+        |    '' ORDER BY j) AS bucket
+        | FROM proj GROUP BY vec_id),
+        |n AS (SELECT e.vec_id, b.bucket, e.embedding,
+        |  list_reduce(list_transform(range(1, len(e.embedding)+1), i ->
+        |    CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |    (a, b2) -> a + b2) AS norm2
+        | FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+        |sl AS (SELECT vec_id, embedding, norm2, bucket,
+        |  unnest(range(0, 2)) AS t FROM n),
+        |sl2 AS (SELECT vec_id, embedding, norm2, t,
+        |  substr(bucket, CAST(t * 4 + 1 AS INT), 4) AS sub FROM sl),
+        |qs AS (SELECT vec_id AS query_id, t AS qt, sub AS qsub,
+        |  embedding AS query_emb, norm2 AS qnorm2 FROM sl2
+        |  WHERE vec_id < 5),
+        |sc AS (SELECT c.t, q.query_id, c.vec_id,
+        |  list_reduce(list_transform(range(1, len(c.embedding)+1), i ->
+        |    CAST(c.embedding[i] AS DOUBLE) * CAST(q.query_emb[i] AS DOUBLE)),
+        |    (x, y) -> x + y) / (sqrt(c.norm2) * sqrt(q.qnorm2)) AS cosine
+        | FROM sl2 c JOIN qs q ON c.t = q.qt AND c.sub = q.qsub
+        |   AND c.vec_id <> q.query_id),
+        |cf AS (SELECT unnest(range(1, 3)) AS n_tables),
+        |cands AS (SELECT cf.n_tables, sc.query_id, sc.vec_id,
+        |  min(cosine) AS cosine
+        | FROM sc JOIN cf ON sc.t < cf.n_tables GROUP BY 1, 2, 3),
+        |r AS (SELECT n_tables, query_id, vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY n_tables, query_id
+        |    ORDER BY cosine DESC, vec_id ASC) AS rank
+        | FROM cands),
+        |ap AS (SELECT n_tables, query_id, neighbor_id, 1 AS hit FROM r
+        | WHERE rank <= 5),
+        |bn AS (SELECT vec_id, embedding,
+        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |    (a, b) -> a + b) AS norm2 FROM embeddings),
+        |bq AS (SELECT vec_id AS query_id, embedding AS query_emb,
+        |  norm2 AS qnorm2 FROM bn WHERE vec_id < 5),
+        |bscored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1, len(c.embedding)+1), i ->
+        |    CAST(c.embedding[i] AS DOUBLE) * CAST(q.query_emb[i] AS DOUBLE)),
+        |    (x, y) -> x + y) / (sqrt(c.norm2) * sqrt(q.qnorm2)) AS cosine
+        | FROM bn c CROSS JOIN bq q WHERE c.vec_id <> q.query_id),
+        |br AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        | FROM bscored),
+        |ex AS (SELECT cf.n_tables, b.query_id, b.neighbor_id
+        | FROM br b CROSS JOIN cf WHERE b.rank <= 5)
+        |SELECT e.n_tables, e.query_id, count(a.hit) AS n_hits,
+        | CAST(count(a.hit) AS DOUBLE) / 5.0 AS recall
+        |FROM ex e LEFT JOIN ap a ON e.n_tables = a.n_tables
+        |  AND e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |GROUP BY e.n_tables, e.query_id
+        |ORDER BY e.n_tables, e.query_id""".stripMargin,
     "l01_marker_split" ->
       """WITH w AS (SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN text
@@ -1306,6 +1387,22 @@ object SparkEntry {
         | length(raw) <> length(nfc) AS changed,
         | right(nfc, 8) AS nfc_tail
         |FROM n ORDER BY doc_id""".stripMargin,
+    // RE2 twin of the graft_tokens code-point scanner (UnicodeTokens
+    // class doc documents the class-by-class agreement): Han chars
+    // single, non-Han letter runs, Nd digit runs, other non-space
+    // single; \s is RE2's 5-char set in both engines
+    "t14_unicode_tokens" ->
+      """WITH w AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' Héllo, 漢字!'
+        |       WHEN doc_id % 3 = 1 THEN text || ' déjà vu 2026'
+        |       ELSE text || ' foo_bar42' END AS raw FROM documents),
+        |t AS (SELECT doc_id, regexp_extract_all(raw,
+        |  '\p{Han}|[^\P{L}\p{Han}]+|\p{Nd}+|[^\p{L}\p{Nd}\s]') AS toks
+        | FROM w)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        | toks[1] AS first_token, toks[len(toks)] AS last_token,
+        | md5(array_to_string(toks, ' ')) AS tok_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
     // rational-form idf and fixed-order per-term addition: only IEEE
     // +-*/ (correctly rounded in both engines), never ln() or a
     // float SUM whose accumulation order the engine chooses
@@ -1361,6 +1458,17 @@ object SparkEntry {
          |SELECT z >> 14 AS zbucket, COUNT(*) AS n,
          | MIN(a) AS min_part, MAX(a) AS max_part,
          | MIN(b) AS min_supp, MAX(b) AS max_supp
+         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
+    "l09_zorder3_stats" ->
+      s"""WITH t AS (SELECT l_partkey % 256 AS a, l_suppkey % 256 AS b,
+         |  l_orderkey % 256 AS c FROM lineitem),
+         |z AS (SELECT a, b, c,
+         |  ${graft.lake.Layout.zValueSqlN(Seq("a", "b", "c"), 8)} AS z
+         | FROM t)
+         |SELECT z >> 18 AS zbucket, COUNT(*) AS n,
+         | MIN(a) AS min_part, MAX(a) AS max_part,
+         | MIN(b) AS min_supp, MAX(b) AS max_supp,
+         | MIN(c) AS min_ord, MAX(c) AS max_ord
          |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
     "s06_quantized_topk" ->
       """WITH qz AS (SELECT vec_id, list_transform(embedding,

@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape per iteration: assignment is broadcast(K centroids) ×
   * corpus (narrow scan, no shuffle — the same intentional tiny-side
-  * BNLJ as s01), argmin is a per-vector window keyed by vec_id; the
+  * BNLJ as s01), argmin is a map-side-partial `min_by` aggregate; the
   * update explodes to (cluster, dim) — K·D groups — so the median
   * funnel shuffles by (cluster, dim) and each group holds only that
   * cluster's values of ONE dimension. No driver-side collect anywhere;
@@ -32,19 +32,29 @@ object Clustering {
   /** Nearest-centroid assignment: squared L2 via the norm expansion
     * |v|² + |c|² − 2·v·c (reuses the codegen'd graft_dot; same fixed
     * fold order as the s01 oracle idiom). Ties break toward the lower
-    * cluster id. */
+    * cluster id.
+    *
+    * The argmin is `min_by` over the (dist2, cluster_id) struct — a
+    * declarative aggregate that PARTIAL-aggregates map-side (each split
+    * reduces its K candidate rows per vector to one before the
+    * shuffle), where a row_number window would shuffle all K·|corpus|
+    * scored rows first and sort them per vector. The ordering struct
+    * includes cluster_id, so ties are deterministic, not
+    * first-encountered. */
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val joined = vectors.crossJoin(broadcast(centroids))
       .withColumn("dist2",
         col("vnorm2") + col("cnorm2") -
           lit(2.0) * graft.functions.VectorOps.dot(col("emb"), col("cemb")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist2").asc, col("cluster_id").asc)
     joined
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("emb"), col("vnorm2"),
-        col("cluster_id"), col("dist2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(
+        struct(col("cluster_id"), col("dist2"), col("emb"), col("vnorm2")),
+        struct(col("dist2"), col("cluster_id"))).as("best"))
+      .select(col("vec_id"), col("best.emb").as("emb"),
+        col("best.vnorm2").as("vnorm2"),
+        col("best.cluster_id").as("cluster_id"),
+        col("best.dist2").as("dist2"))
   }
 
   /** Component-wise median centroid update. Lower median: the element

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate/exact nearest-neighbor search over an embedding column
@@ -34,10 +33,35 @@ object Similarity {
   private def qnormed(df: DataFrame): DataFrame =
     df.withColumn("qnorm2", Dedup.dotExpr("query_emb", "query_emb"))
 
+  /** Per-query bounded top-k over scored candidate rows via the
+    * mergeable [[graft.functions.TopKByScore]] aggregate — each input
+    * split partial-aggregates to ≤ k candidates per query MAP-SIDE, so
+    * the shuffle carries k·|splits| rows per query instead of the whole
+    * scored corpus, and no task sorts more than k rows of state. The
+    * finished list is best-first, so rank = position + 1 — identical to
+    * `row_number() OVER (ORDER BY score DESC, vec_id ASC)`.
+    *
+    * Extra group keys (e.g. s07's n_tables) ride along in `keys`. */
+  private[operators] def topKByQuery(scored: DataFrame, scoreCol: String,
+      k: Int, keys: Seq[String] = Seq("query_id")): DataFrame = {
+    val agg = graft.functions.TopKByScore.topK(k)(
+      col(scoreCol).cast("double"), col("vec_id"))
+    scored
+      .groupBy(keys.map(col): _*)
+      .agg(agg.as("top"))
+      .select(keys.map(col) :+ posexplode(col("top")).as(Seq("pos", "nb")): _*)
+      .select(keys.map(col) ++ Seq(
+        col("nb.id").as("neighbor_id"),
+        col("nb.score").as(scoreCol),
+        (col("pos") + 1).cast("long").as("rank")): _*)
+  }
+
   /** Exact top-k cosine neighbors per query vector over the whole corpus.
-    * Plan shape: broadcast(queries) ⨯ corpus scan → cosine → shuffle by
-    * query_id → per-query rank. Ties break on neighbor id so the result
-    * is engine-deterministic. Self-matches are excluded. */
+    * Plan shape: broadcast(queries) ⨯ corpus scan → cosine → bounded
+    * top-k aggregate (partial map-side, ≤ k rows per query per split
+    * cross the shuffle — no per-query window funnel). Ties break on
+    * neighbor id so the result is engine-deterministic. Self-matches are
+    * excluded. */
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 5,
       k: Int = 10): DataFrame = {
     val corpus = normed(embeddings)
@@ -47,12 +71,8 @@ object Similarity {
       .withColumn("cosine",
         Dedup.dotExpr("embedding", "query_emb") /
           (sqrt(col("norm2")) * sqrt(col("qnorm2"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"),
-        row_number().over(w).cast("long").as("rank"))
-      .filter(col("rank") <= k)
+    topKByQuery(scored, "cosine", k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -70,13 +90,13 @@ object Similarity {
       .withColumn("cosine",
         Dedup.dotExpr("embedding", "query_emb") /
           (sqrt(col("norm2")) * sqrt(col("qnorm2"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored
+    // the neighbor's cell label equals the probing query's label by the
+    // join condition, so it re-attaches from the tiny broadcast query set
+    topKByQuery(scored, "cosine", k)
+      .join(broadcast(queries.select(col("query_id"),
+        col("query_label").as("label"))), "query_id")
       .select(col("query_id"), col("label"),
-        col("vec_id").as("neighbor_id"), col("cosine"),
-        row_number().over(w).cast("long").as("rank"))
-      .filter(col("rank") <= k)
+        col("neighbor_id"), col("cosine"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -137,14 +157,98 @@ object Similarity {
       .withColumn("cosine",
         Dedup.dotExpr("embedding", "query_emb") /
           (sqrt(col("norm2")) * sqrt(col("qnorm2"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored
+    // same-bucket probe ⇒ neighbor bucket = query bucket; re-attach it
+    // from the broadcast query set after the bounded top-k reduction
+    topKByQuery(scored, "cosine", k)
+      .join(broadcast(queries.select(col("query_id"),
+        col("query_bucket").as("bucket"))), "query_id")
       .select(col("query_id"), col("bucket"),
-        col("vec_id").as("neighbor_id"), col("cosine"),
-        row_number().over(w).cast("long").as("rank"))
-      .filter(col("rank") <= k)
+        col("neighbor_id"), col("cosine"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-(table, query) candidate scores for multi-table sign-LSH: the
+    * shared probe stage of [[lshAnnTopKMulti]] and [[annRecallMulti]].
+    *
+    * The nTables hash tables are BIT-SLICES of one
+    * [[signLshBuckets]](nTables·nBits) computation — table t = bucket
+    * bits [t·nBits, (t+1)·nBits). One explode+shuffle builds every
+    * table (not nTables separate pipelines), and table 0 uses exactly
+    * the md5-keyed hyperplanes of the single-table tier (s04), so
+    * recall numbers are directly comparable across table counts. */
+  private def lshCandidateScores(embeddings: DataFrame, nTables: Int,
+      nBits: Int, nQueries: Int): DataFrame = {
+    val withBucket = normed(embeddings)
+      .join(signLshBuckets(embeddings, nTables * nBits), "vec_id")
+    val sliced = withBucket
+      .select(col("vec_id"), col("embedding"), col("norm2"),
+        explode(sequence(lit(0), lit(nTables - 1))).as("t"),
+        col("bucket"))
+      .withColumn("sub", expr(s"substring(bucket, t * $nBits + 1, $nBits)"))
+      .drop("bucket")
+    val queries = sliced.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("t").as("qt"),
+        col("sub").as("qsub"), col("embedding").as("query_emb"),
+        col("norm2").as("qnorm2"))
+    sliced.join(broadcast(queries),
+        col("t") === col("qt") && col("sub") === col("qsub") &&
+          col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        Dedup.dotExpr("embedding", "query_emb") /
+          (sqrt(col("norm2")) * sqrt(col("qnorm2"))))
+      .select(col("t"), col("query_id"), col("vec_id"), col("cosine"))
+  }
+
+  /** Multi-table (OR-amplified) LSH ANN: candidates match in ANY of the
+    * nTables hash tables — the production recall lever single-table LSH
+    * lacks (more tables raise the probability that a true neighbor
+    * shares at least one bucket). Union-of-tables candidates are deduped
+    * by (query, neighbor) with `min(cosine)` (all copies carry the same
+    * exact double, so min is a deterministic pick, computed without a
+    * second corpus join), then refined to the bounded per-query top-k.
+    * With nTables = 1 this IS [[lshAnnTopK]] minus the bucket column
+    * (same hyperplanes, same candidates — parity-spec'd). */
+  def lshAnnTopKMulti(embeddings: DataFrame, nTables: Int = 2,
+      nBits: Int = 4, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val cands = lshCandidateScores(embeddings, nTables, nBits, nQueries)
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(min(col("cosine")).as("cosine"))
+    topKByQuery(cands, "cosine", k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s07: recall@k per table count, 1..maxTables — the tuning curve a
+    * production deployment reads to trade hash tables (memory + probe
+    * cost) against recall. Config n uses tables {0..n−1}, so each row's
+    * candidate set is a SUPERSET of the previous row's; a candidate
+    * superset can only move the approximate top-k closer to the exact
+    * top-k (any displaced hit is displaced by a higher-cosine vector,
+    * which is itself in the exact top-k), so recall is monotonically
+    * non-decreasing in n_tables — the fixture exhibits the lift the
+    * oracle checks. */
+  def annRecallMulti(embeddings: DataFrame, maxTables: Int = 2,
+      nBits: Int = 4, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val configs = embeddings.sparkSession.range(1, maxTables + 1)
+      .select(col("id").as("n_tables"))
+    val cands = lshCandidateScores(embeddings, maxTables, nBits, nQueries)
+      .join(broadcast(configs), col("t") < col("n_tables"))
+      .groupBy(col("n_tables"), col("query_id"), col("vec_id"))
+      .agg(min(col("cosine")).as("cosine"))
+    val approx = topKByQuery(cands, "cosine", k,
+        Seq("n_tables", "query_id"))
+      .select(col("n_tables"), col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    val exact = bruteForceTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(configs))
+    exact.join(approx, Seq("n_tables", "query_id", "neighbor_id"), "left")
+      .groupBy(col("n_tables"), col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("n_tables"), col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(k).cast("double")).as("recall"))
+      .orderBy(col("n_tables"), col("query_id"))
   }
 
   /** Recall@k of the LSH ANN tier against exact search — the evaluation
@@ -199,12 +303,11 @@ object Similarity {
       .withColumn("qdot",
         aggregate(zip_with(col("qemb"), col("q_qemb"), _ * _),
           lit(0L), _ + _))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("qdot").desc, col("vec_id").asc)
-    scored
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qdot"),
-        row_number().over(w).cast("long").as("rank"))
-      .filter(col("rank") <= k)
+    // the aggregate scores in double; |qdot| ≤ 64²·dims ≪ 2⁵³, so the
+    // long→double→long round trip is exact and the ranking unchanged
+    topKByQuery(scored, "qdot", k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("qdot").cast("long").as("qdot"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 }

@@ -11,6 +11,7 @@ class PlanAuditSpec extends SparkSpec {
   private val intentionalNestedLoop = Set(
     "s01_brute_topk", // broadcast(5 queries) x corpus scan by design
     "s05_ann_recall", // embeds s01's exact side as the recall baseline
+    "s07_recall_multi_table", // s01 exact side + tiny config-set cross
     "s06_quantized_topk", // s01's shape on the quantized memory tier
     "b01_bm25_rank", // ONE-row corpus-stats frame broadcast-crossed in
     "k01_kmedians_assign") // broadcast(K=8 centroids) x corpus, twice
@@ -47,6 +48,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!physical.contains("BroadcastNestedLoopJoin") &&
       !physical.contains("CartesianProduct"),
       s"q31 must not nested-loop the lateral subquery:\n$physical")
+  }
+
+  test("exact-ANN top-k partial-aggregates map-side, no per-query window") {
+    // the bounded TopKByScore aggregate must plan as a two-phase
+    // ObjectHashAggregate (partial_ map-side, ≤ k rows per query per
+    // split cross the shuffle) — never a Window funneling the whole
+    // scored corpus into one task per query
+    for (name <- Seq("s01_brute_topk", "s04_lsh_ann_topk",
+        "s06_quantized_topk")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name still plans a per-query window funnel:\n$plan")
+      assert(plan.toLowerCase.contains("partial_topkbyscore"),
+        s"$name top-k does not partial-aggregate map-side:\n$plan")
+    }
+  }
+
+  test("k-medians argmin partial-aggregates via min_by, not a window") {
+    val plan = SparkEntry.queries("k01_kmedians_assign")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("partial_min_by"),
+      s"k01 assignment argmin should partial-aggregate (min_by):\n$plan")
   }
 
   test("selective filters reach the parquet scan (pushdown)") {

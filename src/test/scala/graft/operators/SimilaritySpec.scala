@@ -39,6 +39,37 @@ class SimilaritySpec extends SparkSpec {
     })
   }
 
+  test("multi-table LSH with one table equals the single-table tier") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // nTables=1, nBits=4 slices bits [0,4) of signLshBuckets(4) — the
+    // exact planes and bucket of lshAnnTopK(nBits=4)
+    val single = Similarity.lshAnnTopK(emb, nBits = 4)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .collect().map(_.toSeq).toSeq
+    val multi = Similarity.lshAnnTopKMulti(emb, nTables = 1, nBits = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(multi == single)
+  }
+
+  test("recall is monotonically non-decreasing in the table count") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val byConfig = Similarity.annRecallMulti(emb, maxTables = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("n_tables"), r.getAs[Long]("query_id")) ->
+        r.getAs[Double]("recall")).toMap
+    val queries = byConfig.keys.map(_._2).toSet
+    assert(queries.nonEmpty)
+    queries.foreach { q =>
+      assert(byConfig((2L, q)) >= byConfig((1L, q)),
+        s"query $q: 2-table recall below 1-table")
+    }
+    // the second table must add at least one hit somewhere on the
+    // fixture, or the OR-amplification demo shows nothing
+    assert(queries.exists(q => byConfig((2L, q)) > byConfig((1L, q))) ||
+      queries.forall(q => byConfig((1L, q)) == 1.0),
+      "no recall lift and single-table recall not already perfect")
+  }
+
   test("quantizedTopK: floor(64x) codes, integer scores, deterministic rank") {
     // codes: v0=[64,0] v1=[64,6] v2=[64,64] v3=[64,0] v4=[0,64]
     // (floor(0.1*64)=floor(6.4)=6; floor(0.01*64)=0 — v3 collapses onto v0)
