@@ -94,6 +94,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** t14: Unicode-aware tokenization over a multilingual-augmented
+    * corpus — the fixture text is ASCII (where whitespace splitting and
+    * real tokenization agree), so docs get deterministic multilingual
+    * suffixes (accented Latin, Han, glued punctuation/digits — same
+    * injection trick as [[nfcNormalize]]) that exercise exactly what the
+    * whitespace splitter gets wrong. Tokenizes with the codegen'd
+    * [[graft.functions.TokenFns.unicodeTokens]] (one O(n) code-point
+    * scan, no regex engine); the oracle recomputes with DuckDB's RE2
+    * `regexp_extract_all` under a class-by-class-matched pattern.
+    * Narrow per-row stage, no shuffle except the presentation sort. */
+  def unicodeTokenStats(documents: DataFrame): DataFrame = {
+    val raw = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" Héllo, 漢字!")))
+      .when(col("doc_id") % 3 === 1,
+        concat(col("text"), lit(" déjà vu 2026")))
+      .otherwise(concat(col("text"), lit(" foo_bar42")))
+    documents
+      .select(col("doc_id"),
+        graft.functions.TokenFns.unicodeTokens(raw).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        element_at(col("toks"), 1).as("first_token"),
+        element_at(col("toks"), -1).as("last_token"),
+        md5(array_join(col("toks"), " ")).as("tok_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document token statistics: whitespace tokens, BPE-ish tokens,
     * distinct words, character-per-token mean. */
   def tokenStats(documents: DataFrame): DataFrame = {
