@@ -21,28 +21,51 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Morton-interleave the low `bits` bits of two non-negative integer
-    * columns: bit i of `a` lands at position 2i, bit i of `b` at 2i+1.
-    * Callers bound the domain first (e.g. `col % 1024` or a width-scaled
-    * cast) — values wider than `bits` alias, they never error. */
-  def zValue(a: Column, b: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+  /** Morton-interleave the low `bits` bits of n non-negative integer
+    * columns: bit i of column j lands at position n·i + j. Real layout
+    * tuning regularly clusters on 3-4 dimensions (Delta's ZORDER BY
+    * takes a column list); the interleave stays a pure codegen'd
+    * shift/mask/add chain for any n, bounded by the 63 usable bits of
+    * one long. Callers bound the domain first (e.g. `col % 1024` or a
+    * width-scaled cast) — values wider than `bits` alias, never error. */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    require(bits >= 1 && bits * cols.size <= 63,
+      s"${cols.size} cols x $bits bits exceeds one long")
+    val n = cols.size
     // Widen to long before shifting: for IntegerType inputs Spark's
     // shiftleft uses Java int shifts (amount masked mod 32), so a bit
-    // position 2i+1 >= 32 would silently wrap instead of interleaving.
-    val (al, bl) = (a.cast("long"), b.cast("long"))
-    (0 until bits).map { i =>
-      shiftleft(shiftright(al, i).bitwiseAND(1), 2 * i) +
-        shiftleft(shiftright(bl, i).bitwiseAND(1), 2 * i + 1)
+    // position n*i+j >= 32 would silently wrap instead of interleaving.
+    val longs = cols.map(_.cast("long"))
+    (0 until bits).flatMap { i =>
+      longs.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(1), n * i + j)
+      }
     }.reduce(_ + _)
   }
 
-  /** The DuckDB-dialect twin of [[zValue]] for oracle SQL, built from the
-    * same shift/mask/add terms so both engines compute identical values. */
-  def zValueSql(a: String, b: String, bits: Int): String =
-    (0 until bits).map { i =>
-      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
+  /** Two-column form (bit i of `a` at 2i, of `b` at 2i+1 ≡ [[zValueN]]
+    * column order (a, b)). */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits <= 31, s"bits must be in [1,31], got $bits")
+    zValueN(Seq(a, b), bits)
+  }
+
+  /** The DuckDB-dialect twin of [[zValueN]] for oracle SQL, built from
+    * the same shift/mask/add terms so both engines compute identical
+    * values. */
+  def zValueSqlN(names: Seq[String], bits: Int): String = {
+    val n = names.size
+    (0 until bits).flatMap { i =>
+      names.zipWithIndex.map { case (name, j) =>
+        s"((($name >> $i) & 1) << ${n * i + j})"
+      }
     }.mkString("(", " + ", ")")
+  }
+
+  /** Two-column oracle twin of [[zValue]]. */
+  def zValueSql(a: String, b: String, bits: Int): String =
+    zValueSqlN(Seq(a, b), bits)
 
   /** Cluster `df` into `numPartitions` Z-ordered slices: range-partition on
     * the z-value, then sort within partitions so every written file covers
@@ -57,6 +80,26 @@ object Layout {
     * key plane — the per-bucket min/max of BOTH dimensions stay tile-bound,
     * which is precisely the file-statistics property z-ordered writes give
     * parquet pruning (a single-column sort bounds only its own column). */
+  /** l09: the [[zorderStatsDemo]] property in THREE dimensions —
+    * z-values over (l_partkey, l_suppkey, l_orderkey) mod 256 (8 bits
+    * each, 24-bit z), rolled up by the top 6 z-bits: 64 buckets, each a
+    * 64×64×64 tile of the key cube whose per-bucket min/max stay
+    * tile-bound on ALL THREE columns — the file-statistics property a
+    * 3-column ZORDER BY write gives parquet pruning. */
+  def zorder3StatsDemo(lineitem: DataFrame): DataFrame = {
+    val a = col("l_partkey") % 256
+    val b = col("l_suppkey") % 256
+    val c = col("l_orderkey") % 256
+    lineitem
+      .withColumn("z", zValueN(Seq(a, b, c), 8))
+      .groupBy(shiftright(col("z"), 18).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(a).as("min_part"), max(a).as("max_part"),
+        min(b).as("min_supp"), max(b).as("max_supp"),
+        min(c).as("min_ord"), max(c).as("max_ord"))
+      .orderBy("zbucket")
+  }
+
   def zorderStatsDemo(lineitem: DataFrame): DataFrame = {
     val a = col("l_partkey") % 1024
     val b = col("l_suppkey") % 1024

@@ -19,6 +19,33 @@ class LayoutSpec extends SparkSpec {
     assert(out == Seq(0L, 1L, 2L, 3L, 6L, 63L, 27L))
   }
 
+  test("zValueN interleaves three columns (known codes)") {
+    import spark.implicits._
+    // n=3: bit i of col j lands at 3i+j.
+    // (3,1,2): a=11 b=01 c=10 -> pos0:a0=1 pos1:b0=1 pos2:c0=0
+    //   pos3:a1=1 pos4:b1=0 pos5:c1=1 -> 0b101011 = 43
+    // (7,7,7) with 3 bits -> all 9 low bits set = 511
+    val df = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (3L, 1L, 2L), (7L, 7L, 7L)).toDF("a", "b", "c")
+    val out = df.select(
+      Layout.zValueN(Seq(col("a"), col("b"), col("c")), 3))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(0L, 1L, 2L, 4L, 43L, 511L))
+    // the SQL twin computes the identical codes (pinned through Spark,
+    // same >> & << + operators as DuckDB)
+    val sql = Layout.zValueSqlN(Seq("a", "b", "c"), 3)
+    val viaSql = df.selectExpr(s"$sql AS z")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == out)
+    // int inputs widen to long before shifting: positions >= 32 intact
+    val wide = Seq((1, 0, 1)).toDF("a", "b", "c")
+      .select(Layout.zValueN(
+        Seq(col("a") * 2048, col("b"), col("c") * 2048), 12))
+      .collect().head.getLong(0)
+    // a bit 11 -> pos 33; c bit 11 -> pos 35
+    assert(wide == (1L << 33) + (1L << 35))
+  }
+
   test("zValueSql computes the same codes in DuckDB dialect terms") {
     // evaluate the generated SQL text through Spark (same operators:
     // >> & << +) to pin the two formulations together
