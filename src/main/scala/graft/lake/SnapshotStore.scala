@@ -49,16 +49,46 @@ class SnapshotStore(spark: SparkSession, val root: String) {
   }
 
   /** Write `df` as the next snapshot and atomically publish it.
-    * Returns the committed version. Single-writer contract (the
-    * reference adapter's model too); concurrent writers need the
-    * pointer swap upgraded to a compare-and-swap. */
-  def commit(df: DataFrame): Long = {
-    val v = latestVersion.map(_ + 1).getOrElse(0L)
-    // overwrite: a dir at the target version is always an unpublished
-    // orphan from a crashed commit (the pointer invariant says nothing
-    // references it), so clobbering it is the restart recovery
-    df.write.mode("overwrite").parquet(versionDir(v).toString)
+    * Returns the committed version. The expected base version is read
+    * at entry, so a writer that interleaves between entry and publish
+    * is DETECTED ([[ConcurrentCommitException]]) instead of silently
+    * overwritten — see [[commit(df:DataFrame,expectedBase:Option[Long])]]. */
+  def commit(df: DataFrame): Long = commit(df, latestVersion)
+
+  /** Optimistic-concurrency commit: publish `df` as version
+    * `expectedBase + 1` only if the table is still at `expectedBase`.
+    *
+    * Data stages into a UNIQUE temp dir (concurrent committers never
+    * touch each other's files), then the pointer is re-read immediately
+    * before the staging dir renames into its version slot: any
+    * committer that landed in between fails with a clean
+    * [[ConcurrentCommitException]] (caller recovery = the standard OCC
+    * loop: re-read, re-derive, retry) and its staging dir is removed. A
+    * pre-existing dir at the target version AFTER the check passed is a
+    * crashed commit's unpublished orphan (the pointer invariant says
+    * nothing references it) and is recovered by deletion.
+    *
+    * This is check-then-rename, not a true CAS — interleavings inside
+    * the final microseconds can still race; closing that window needs
+    * the backend's conditional primitive (conditional PUT on object
+    * stores, create-exclusive lock on HDFS — exactly the per-backend
+    * LogStore contract table formats implement). The check converts the
+    * silent-overwrite failure mode into a visible error for every
+    * interleaving wider than that window. */
+  def commit(df: DataFrame, expectedBase: Option[Long]): Long = {
+    val v = expectedBase.map(_ + 1).getOrElse(0L)
+    val staging = new Path(rootPath,
+      s"_staging-v$v-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(staging.toString)
     val f = fs
+    val current = latestVersion
+    if (current != expectedBase) {
+      f.delete(staging, true) // only ever our own staging files
+      throw new ConcurrentCommitException(
+        s"commit expected base $expectedBase but found $current at $root")
+    }
+    if (f.exists(versionDir(v))) f.delete(versionDir(v), true) // orphan
+    f.rename(staging, versionDir(v))
     val tmp = new Path(rootPath, s"_LATEST.tmp-$v")
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
@@ -96,6 +126,10 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     dropped
   }
 }
+
+/** Another committer published between this commit's base read and its
+  * publish; the table moved on and this commit's inputs are stale. */
+class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
 object SnapshotStore {
 

@@ -42,6 +42,31 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.read().collect().map(_.getString(1)).toSeq == Seq("real"))
   }
 
+  test("interleaved committers: loser gets a conflict, not an overwrite") {
+    val store = freshStore()
+    store.commit(Seq((1L, "base")).toDF("k", "v")) // v0
+    // committer A reads its base ...
+    val aBase = store.latestVersion
+    assert(aBase.contains(0L))
+    // ... then committer B lands v1 while A is still preparing
+    store.commit(Seq((1L, "winner")).toDF("k", "v"))
+    // A's publish must fail loudly, not clobber B's v1
+    val e = intercept[ConcurrentCommitException] {
+      store.commit(Seq((1L, "loser")).toDF("k", "v"), aBase)
+    }
+    assert(e.getMessage.contains("expected base Some(0)"))
+    assert(store.latestVersion.contains(1L))
+    assert(store.read().collect().map(_.getString(1)).toSeq == Seq("winner"))
+    // the loser's staging dir was cleaned up, no half-commit debris
+    val left = new java.io.File(store.root).listFiles()
+      .map(_.getName).filter(_.startsWith("_staging"))
+    assert(left.isEmpty, s"staging debris: ${left.toSeq}")
+    // A retries the OCC loop against the new base and succeeds as v2
+    assert(store.commit(Seq((1L, "retry")).toDF("k", "v"),
+      store.latestVersion) == 2L)
+    assert(store.read().collect().map(_.getString(1)).toSeq == Seq("retry"))
+  }
+
   test("applyChanges folds a change feed as one new version") {
     val store = freshStore()
     store.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
