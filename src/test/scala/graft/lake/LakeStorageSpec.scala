@@ -60,17 +60,31 @@ class LakeStorageSpec extends SparkSpec {
     }
   }
 
-  test("round-trip against an external filesystem URI (env-gated)") {
+  test("round-trip against an external filesystem URI (graftfs:// or env)") {
     // Integration hook for object-store backends: set GRAFT_LAKE_TEST_ROOT
     // to any Hadoop-filesystem URI (s3a://bucket/prefix with hadoop-aws on
     // the classpath, hdfs://..., webhdfs://...) and the full port contract
-    // runs against it. Cancelled when unset — this offline rig ships no
-    // object-store connector jars, so file:// is the only scheme testable
-    // here (covered by the scheme-agnostic test above).
-    val root = sys.env.get("GRAFT_LAKE_TEST_ROOT")
-    assume(root.isDefined, "GRAFT_LAKE_TEST_ROOT not set; skipping")
+    // runs against it. Without the env var, the test registers a SECOND
+    // scheme in-rig — graftfs://, resolved through `fs.graftfs.impl` to a
+    // RawLocalFileSystem subclass — so the scheme-agnostic resolution path
+    // (LakeStorage resolves every FileSystem from the root URI + Hadoop
+    // conf, never assumes file://) executes in CI instead of forever
+    // skipping in this offline, connector-less rig.
+    val root = sys.env.get("GRAFT_LAKE_TEST_ROOT").getOrElse {
+      spark.sparkContext.hadoopConfiguration.set("fs.graftfs.impl",
+        classOf[GraftTestFs].getName)
+      val dir = Files.createTempDirectory("graft-rawfs-")
+        .toFile.getAbsolutePath
+      // prove the scheme resolves to the registered non-default impl
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create("graftfs:///"),
+        spark.sparkContext.hadoopConfiguration)
+      assert(fs.isInstanceOf[GraftTestFs],
+        s"graftfs:// resolved to ${fs.getClass}")
+      s"graftfs://$dir"
+    }
     val storage = new SparkLakeStorage(spark,
-      s"${root.get.stripSuffix("/")}/graft-it-${System.nanoTime()}")
+      s"${root.stripSuffix("/")}/graft-it-${System.nanoTime()}")
     storage.saveBooks(books((11L, "h", "b")), ts)
     assert(storage.exists(11L) && !storage.exists(12L))
     assert(storage.listBooks() == Seq(11L))
@@ -161,4 +175,13 @@ class ManifestSpec extends graft.SparkSpec {
     storage.rebuildManifest()
     assert(storage.exists(4L) && storage.listBooks() == Seq(2L, 4L))
   }
+}
+
+/** A second Hadoop filesystem SCHEME for in-rig integration testing:
+  * RawLocalFileSystem (local disk, no checksum shadow files) re-rooted
+  * under `graftfs://`, so resolving it exercises the `fs.<scheme>.impl`
+  * lookup path exactly as s3a/hdfs would — the standard fake-FS pattern
+  * Hadoop and Spark use in their own test suites. */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
 }
