@@ -24,10 +24,14 @@ case class ScoredId(score: Double, id: Long)
   *
   * Ordering contract (must match the oracle's
   * `row_number() OVER (ORDER BY score DESC, id ASC)` bitwise): higher
-  * score first, ties broken by ascending id. Scores compare via
-  * `java.lang.Double.compare` — the same total order Spark's SortOrder
-  * uses for doubles — so the aggregate reproduces the window ranking
-  * exactly, rank i = position i in the finished list.
+  * score first, ties broken by ascending id. Scores compare with the
+  * semantics BOTH engines' sorts use — IEEE `==` for equality (so
+  * -0.0 ties +0.0 and falls to the id tie-break, exactly like Spark's
+  * nanSafeCompareDoubles and DuckDB's C++ comparison; raw
+  * `Double.compare` would order the zeros and silently diverge at a
+  * zero-score k-boundary) and NaN ranking above every number — so the
+  * aggregate reproduces the window ranking exactly, rank i = position
+  * i in the finished list.
   *
   * Buffer is a best-first sorted list bounded at k (k is small by
   * construction — it is the user's result size); reduce short-circuits
@@ -38,9 +42,24 @@ case class TopKByScore(k: Int)
     extends Aggregator[ScoredId, List[ScoredId], Seq[ScoredId]] {
   require(k > 0, "k must be positive")
 
+  /** Descending-score comparison with engine-sort semantics: NaN first
+    * (it sorts above every number in both engines), then IEEE `>` / `==`
+    * (-0.0 ties +0.0). Mirror of Spark's nanSafeCompareDoubles, negated
+    * for the descending direction. */
+  private def cmpDesc(x: Double, y: Double): Int = {
+    val xn = java.lang.Double.isNaN(x)
+    val yn = java.lang.Double.isNaN(y)
+    if (xn && yn) 0
+    else if (xn) -1
+    else if (yn) 1
+    else if (x == y) 0
+    else if (x > y) -1
+    else 1
+  }
+
   /** Strict "ranks ahead of": score desc, id asc. */
   private def beats(a: ScoredId, b: ScoredId): Boolean = {
-    val c = java.lang.Double.compare(b.score, a.score)
+    val c = cmpDesc(a.score, b.score)
     c < 0 || (c == 0 && a.id < b.id)
   }
 
