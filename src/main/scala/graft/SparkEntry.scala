@@ -160,6 +160,8 @@ object SparkEntry {
       D.embeddingNearDups(Tables.embeddings(s, d))),
     "d07_dedup_clusters" -> ((s, d) =>
       D.dedupClusters(D.embeddingNearDups(Tables.embeddings(s, d)))),
+    "d08_normalized_dedup" -> ((s, d) =>
+      D.normalizedDedup(Tables.documents(s, d))),
     // --- similarity search (LLM-pipeline north star) ---
     "s01_brute_topk" -> ((s, d) => S.bruteForceTopK(Tables.embeddings(s, d))),
     "s02_ivf_topk" -> ((s, d) => S.ivfTopK(Tables.embeddings(s, d))),
@@ -169,6 +171,8 @@ object SparkEntry {
     "s05_ann_recall" -> ((s, d) => S.annRecall(Tables.embeddings(s, d))),
     "s07_recall_multi_table" -> ((s, d) =>
       S.annRecallMulti(Tables.embeddings(s, d))),
+    "s08_ivf_trained_topk" -> ((s, d) =>
+      S.ivfTrainedTopK(Tables.embeddings(s, d))),
     // --- lake adapter (reference parity: SURVEY §2.1/2.2, §3 E1-E3) ---
     "l01_marker_split" -> ((s, d) =>
       graft.lake.LakeQueries.markerSplitDemo(Tables.documents(s, d))),
@@ -841,6 +845,25 @@ object SparkEntry {
         | FROM corpus)
         |SELECT min(doc_id) AS kept_doc_id, content_md5, count(*) AS n_copies
         |FROM h GROUP BY content_md5 ORDER BY kept_doc_id""".stripMargin,
+    // canonicalized dedup: NFC + RE2 tokenization (the t14 pattern)
+    // collapse the NFD / spacing variants that byte hashing keeps apart;
+    // chr(769) = U+0301 combining acute (decomposed é)
+    "d08_normalized_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text || ' café.' AS raw FROM documents
+        |  UNION ALL SELECT doc_id + 1000000,
+        |    text || ' cafe' || chr(769) || ' .' FROM documents
+        |  UNION ALL SELECT doc_id + 2000000, text || '  café.'
+        |    FROM documents),
+        |h AS (SELECT doc_id,
+        |  md5(array_to_string(regexp_extract_all(nfc_normalize(raw),
+        |    '\p{Han}|[^\P{L}\p{Han}]+|\p{Nd}+|[^\p{L}\p{Nd}\s]'), ' '))
+        |    AS content_md5,
+        |  md5(raw) AS raw_md5 FROM corpus)
+        |SELECT min(doc_id) AS kept_doc_id, content_md5,
+        | count(*) AS n_copies,
+        | count(DISTINCT raw_md5) AS n_raw_variants
+        |FROM h GROUP BY content_md5 ORDER BY kept_doc_id""".stripMargin,
     "d02_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id,
         |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -1367,6 +1390,70 @@ object SparkEntry {
         |    FROM v CROSS JOIN c1 c)) WHERE rn = 1)
         |SELECT vec_id, cluster_id, dist2 FROM a2
         |ORDER BY vec_id""".stripMargin,
+    // IVF probe over TRAINED cells: k01's exact training CTEs (v..c1),
+    // final assignment keeps emb/vnorm2, queries probe their own cell,
+    // exact-cosine refine + rank inside the cell (s02's probe shape
+    // with the trained quantizer instead of the fixture label)
+    "s08_ivf_trained_topk" ->
+      """WITH v AS (SELECT vec_id, embedding AS emb,
+        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |    (a, b) -> a + b) AS vnorm2 FROM embeddings),
+        |c0 AS (SELECT vec_id AS cluster_id, embedding AS cemb,
+        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |    (a, b) -> a + b) AS cnorm2 FROM embeddings WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, emb, vnorm2, cluster_id, dist2 FROM (
+        |  SELECT vec_id, emb, vnorm2, cluster_id, dist2,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist2 ASC, cluster_id ASC) AS rn
+        |  FROM (SELECT v.vec_id, v.emb, v.vnorm2, c.cluster_id,
+        |    v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
+        |      list_transform(range(1, len(v.emb)+1), i ->
+        |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+        |      (x, y) -> x + y) AS dist2
+        |    FROM v CROSS JOIN c0 c)) WHERE rn = 1),
+        |ex1 AS (SELECT cluster_id, vec_id, u.dim AS dim, u.val AS val
+        |  FROM (SELECT cluster_id, vec_id,
+        |    unnest(list_transform(range(1, len(emb)+1),
+        |      i -> {'dim': i, 'val': emb[i]})) AS u FROM a1)),
+        |med1 AS (SELECT cluster_id, dim, val FROM (
+        |  SELECT cluster_id, dim, val,
+        |    row_number() OVER (PARTITION BY cluster_id, dim
+        |      ORDER BY val ASC, vec_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cluster_id, dim) AS n
+        |  FROM ex1) WHERE rn = (n + 1) // 2),
+        |c1a AS (SELECT cluster_id, list(val ORDER BY dim) AS cemb
+        |  FROM med1 GROUP BY cluster_id),
+        |c1 AS (SELECT cluster_id, cemb,
+        |  list_reduce(list_transform(range(1, len(cemb)+1), i ->
+        |    CAST(cemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE)),
+        |    (a, b) -> a + b) AS cnorm2 FROM c1a),
+        |a2 AS (SELECT vec_id, emb, vnorm2, cluster_id FROM (
+        |  SELECT vec_id, emb, vnorm2, cluster_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist2 ASC, cluster_id ASC) AS rn
+        |  FROM (SELECT v.vec_id, v.emb, v.vnorm2, c.cluster_id,
+        |    v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
+        |      list_transform(range(1, len(v.emb)+1), i ->
+        |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+        |      (x, y) -> x + y) AS dist2
+        |    FROM v CROSS JOIN c1 c)) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, cluster_id AS qcell,
+        |  emb AS query_emb, vnorm2 AS qnorm2 FROM a2 WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, c.cluster_id AS cell,
+        |  c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1, len(c.emb)+1), i ->
+        |    CAST(c.emb[i] AS DOUBLE) * CAST(q.query_emb[i] AS DOUBLE)),
+        |    (x, y) -> x + y) / (sqrt(c.vnorm2) * sqrt(q.qnorm2)) AS cosine
+        | FROM a2 c JOIN q ON c.cluster_id = q.qcell
+        |   AND c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, cell, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+        | FROM scored)
+        |SELECT query_id, cell, neighbor_id, cosine, rank FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q31_lateral_topn" ->
       """SELECT n.n_name AS nation, t.c_name, t.c_acctbal
         |FROM nation n, LATERAL (

@@ -110,5 +110,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorOps.dotInfo)
     ext.injectFunction(TextFns.shinglesInfo)
+    ext.injectFunction(NfcFns.nfcInfo)
+    ext.injectFunction(TokenFns.tokensInfo)
   }
 }

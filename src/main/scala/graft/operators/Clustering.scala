@@ -80,10 +80,13 @@ object Clustering {
         graft.functions.VectorOps.dot(col("cemb"), col("cemb")))
   }
 
-  /** k01: two Lloyd rounds from a deterministic seed (the first K
-    * vectors by vec_id), final assignment out. Output: one row per
-    * vector — (vec_id, cluster_id, dist2). */
-  def kmediansAssign(embeddings: DataFrame, k: Int = 8): DataFrame = {
+  /** Two Lloyd rounds from a deterministic seed (the first K vectors by
+    * vec_id), final assignment with the vectors RETAINED — (vec_id,
+    * emb, vnorm2, cluster_id, dist2). This is the trained quantizer's
+    * cell map; s08's IVF probe consumes it directly (in production the
+    * map is materialized once and the corpus is partitioned by
+    * cluster_id, so probes prune to one cell's files). */
+  def kmediansAssignFull(embeddings: DataFrame, k: Int = 8): DataFrame = {
     val vectors = embeddings
       .select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("vnorm2",
@@ -94,9 +97,13 @@ object Clustering {
       .withColumn("cnorm2",
         graft.functions.VectorOps.dot(col("cemb"), col("cemb")))
     val round1 = assign(vectors, init)
-    val round2 = assign(vectors, medianCentroids(round1))
-    round2
+    assign(vectors, medianCentroids(round1))
+  }
+
+  /** k01: [[kmediansAssignFull]] projected to one row per vector —
+    * (vec_id, cluster_id, dist2). */
+  def kmediansAssign(embeddings: DataFrame, k: Int = 8): DataFrame =
+    kmediansAssignFull(embeddings, k)
       .select(col("vec_id"), col("cluster_id"), col("dist2"))
       .orderBy(col("vec_id"))
-  }
 }

@@ -47,6 +47,42 @@ object Dedup {
       .select(col("kept_doc_id"), col("content_md5"), col("n_copies"))
       .orderBy(col("kept_doc_id"))
 
+  /** d08: exact dedup over CANONICALIZED text — NFC normalization then
+    * Unicode tokenization, rejoined with single spaces — the dedup
+    * front-end a multilingual corpus needs: the same sentence arrives
+    * NFC from one crawl and NFD from another (macOS filenames, CMS
+    * pipelines), with punctuation glued or spaced, and [[contentDigest]]
+    * (bytes after whitespace collapse) treats every variant as distinct.
+    *
+    * The fixture corpus is tripled with deterministic variants of each
+    * doc — NFC + glued period / NFD + spaced period / double-spaced —
+    * so each content group carries 3 distinct RAW digests
+    * (`n_raw_variants`, what d01's byte hashing would keep) but ONE
+    * canonical digest. Same single-shuffle shape as [[exactDedup]]; the
+    * canonicalization is two codegen expressions in the scan stage. */
+  def normalizedDedup(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), col("text"))
+    val corpus = base
+      .select(col("doc_id"),
+        concat(col("text"), lit(" café.")).as("raw"))
+      .unionByName(base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" café .")).as("raw")))
+      .unionByName(base.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit("  café.")).as("raw")))
+    val canonical = array_join(graft.functions.TokenFns.unicodeTokens(
+      graft.functions.NfcFns.nfc(col("raw"))), " ")
+    corpus
+      .select(col("doc_id"), md5(canonical).as("content_md5"),
+        md5(col("raw")).as("raw_md5"))
+      .groupBy(col("content_md5"))
+      .agg(min(col("doc_id")).as("kept_doc_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("raw_md5")).as("n_raw_variants"))
+      .select(col("kept_doc_id"), col("content_md5"), col("n_copies"),
+        col("n_raw_variants"))
+      .orderBy(col("kept_doc_id"))
+  }
+
   /** Round-robin spread of a narrow input BEFORE a generator/hash blowup.
     * Fixture parquet (and many real corpora) arrive as a handful of row
     * groups, so the whole shingle/hash expansion would otherwise run on

@@ -100,6 +100,36 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s08: IVF probe over TRAINED cells — the composition that closes
+    * the production-ANN loop: [[Clustering.kmediansAssignFull]] is the
+    * trained quantizer (k01's exact pipeline, vectors retained), each
+    * query probes only the corpus vectors assigned to ITS OWN trained
+    * cell, exact cosine refines inside the cell. s02 demonstrates the
+    * probe plan shape with the fixture's label as a stand-in quantizer;
+    * this runs the real thing end to end. At scale the cell map is
+    * materialized once (training amortizes), the corpus is partitioned
+    * by cluster_id, and the equi-join probe prunes to one cell's files
+    * — |corpus|/K work per query instead of a full scan. */
+  def ivfTrainedTopK(embeddings: DataFrame, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val assigned = Clustering.kmediansAssignFull(embeddings)
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cluster_id").as("qcell"),
+        col("emb").as("query_emb"), col("vnorm2").as("qnorm2"))
+    val scored = assigned.join(broadcast(queries),
+        col("cluster_id") === col("qcell") &&
+          col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        graft.functions.VectorOps.dot(col("emb"), col("query_emb")) /
+          (sqrt(col("vnorm2")) * sqrt(col("qnorm2"))))
+    topKByQuery(scored, "cosine", k)
+      .join(broadcast(queries.select(col("query_id"),
+        col("qcell").as("cell"))), "query_id")
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Deterministic ±1 random-hyperplane matrix: s(i,j) from the parity of
     * md5("i:j") — no RNG, reproducible across engines and runs. Covers
     * embedding dimensionality up to `maxDims` (CONTRACT: vectors wider

@@ -70,6 +70,26 @@ class SimilaritySpec extends SparkSpec {
       "no recall lift and single-table recall not already perfect")
   }
 
+  test("trained-IVF probe stays inside the query's own trained cell") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cells = graft.operators.Clustering.kmediansAssign(emb)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Similarity.ivfTrainedTopK(emb, nQueries = 3, k = 4).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, cell, nb) = (r.getAs[Long]("query_id"),
+        r.getAs[Long]("cell"), r.getAs[Long]("neighbor_id"))
+      assert(cell == cells(q), s"query $q probed a foreign cell")
+      assert(cells(nb) == cell, s"neighbor $nb outside query $q's cell")
+      assert(nb != q)
+    }
+    // ranks are 1..n contiguous per query
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to rs.length).toSeq)
+    }
+  }
+
   test("quantizedTopK: floor(64x) codes, integer scores, deterministic rank") {
     // codes: v0=[64,0] v1=[64,6] v2=[64,64] v3=[64,0] v4=[0,64]
     // (floor(0.1*64)=floor(6.4)=6; floor(0.01*64)=0 — v3 collapses onto v0)

@@ -41,6 +41,23 @@ class TextDedupSpec extends SparkSpec {
     assert(dup.getAs[Long]("kept_doc_id") == 1L)
   }
 
+  test("normalizedDedup collapses NFC/NFD and spacing variants") {
+    import spark.implicits._
+    val docs = Seq((0L, "alpha beta"), (1L, "gamma,delta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.normalizedDedup(docs).collect()
+    // 2 content groups from 6 raw docs: the three injected variants of
+    // each doc (NFC glued / NFD spaced / double-spaced) share one
+    // canonical digest but carry 3 distinct raw digests each — what
+    // byte-level dedup (d01) would have kept as separate documents
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_copies") == 3)
+      assert(r.getAs[Long]("n_raw_variants") == 3)
+    }
+    assert(out.map(_.getAs[Long]("kept_doc_id")).toSeq == Seq(0L, 1L))
+  }
+
   test("jaccardPairs finds exact+near dups, not unrelated docs") {
     val pairs = Dedup.jaccardPairs(corpus, n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
