@@ -62,6 +62,48 @@ class CompactionSpec extends SparkSpec {
     assert(LakeMaintenance.compactByPlan(spark, root, 4L).isEmpty)
   }
 
+  test("streamed micro-batches then plan-driven maintenance: end to end") {
+    // the lifecycle a real lake lives: streaming ingest drips small
+    // files into one hour partition, the maintenance pass compacts them
+    // per plan, and readers + the port API see identical data throughout
+    import java.nio.file.Files
+    import java.time.LocalDateTime
+    implicit val sqlCtx = spark.sqlContext
+    val The = MarkerSplit.StartMarkers(0)
+    val EndThe = MarkerSplit.EndMarkers(0)
+    val root = Files.createTempDirectory("graft-stream-compact-")
+      .toFile.getAbsolutePath
+    val storage = new SparkLakeStorage(spark, root)
+    val ckpt = Files.createTempDirectory("graft-ckpt-")
+      .toFile.getAbsolutePath
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingIngest.start(
+      input.toDF().toDF("book_id", "text"), storage, ckpt,
+      () => LocalDateTime.of(2026, 6, 3, 8, 0))
+    try {
+      (1 to 4).foreach { i =>
+        input.addData((i.toLong, s"intro\n$The ***\nbook $i\n$EndThe ***"))
+        q.processAllAvailable() // one micro-batch -> one small append
+      }
+    } finally q.stop()
+    def files() =
+      new java.io.File(s"$root/datalake/pdate=20260603/phour=08")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files() >= 4)
+    val before = storage.lake.orderBy("book_id", "kind")
+      .collect().map(_.toSeq).toSeq
+    // 4 books x 2 rows, target 6 -> cum-before 0,2,4,6 -> bins 0,0,0,1
+    val done = LakeMaintenance.compactByPlan(spark, root, targetRows = 6L)
+    assert(done == Map(("20260603", "08") -> 2))
+    assert(files() == 2)
+    val after = storage.lake.orderBy("book_id", "kind")
+      .collect().map(_.toSeq).toSeq
+    assert(after == before)
+    assert(storage.listBooks() == Seq(1L, 2L, 3L, 4L))
+    assert(storage.exists(3L) && !storage.exists(9L))
+  }
+
   test("demo rollup equals an independent driver-side recomputation") {
     val orders = graft.Tables.orders(spark, "/root/testdata/sf0.01")
     val got = Compaction.orderFileCompaction(orders, targetRows = 500L)
