@@ -106,4 +106,30 @@ object Clustering {
     kmediansAssignFull(embeddings, k)
       .select(col("vec_id"), col("cluster_id"), col("dist2"))
       .orderBy(col("vec_id"))
+
+  /** The trained centroids MATERIALIZED as a local K-row DataFrame — a
+    * model artifact, driver-metadata-scale by definition (K ≤ a few
+    * thousand for any real IVF index; production stores it beside the
+    * index). Without this, every plan subtree that references the
+    * centroids re-runs the full training lineage: s08's probe joins the
+    * cell map on both the corpus and query sides, and the lazy form
+    * trained TWICE (verified in the physical plan — no exchange reuse,
+    * the query-side filter pushes below the aggregate and breaks
+    * subtree identity). Collecting K rows is the broadcast-prep
+    * pattern, not a driver-side data loop. */
+  def trainedCentroidsLocal(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val vectors = embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2",
+        graft.functions.VectorOps.dot(col("emb"), col("emb")))
+    val init = embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster_id"),
+        col("embedding").as("cemb"))
+      .withColumn("cnorm2",
+        graft.functions.VectorOps.dot(col("cemb"), col("cemb")))
+    val trained = medianCentroids(assign(vectors, init))
+    val spark = embeddings.sparkSession
+    spark.createDataFrame(
+      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+  }
 }

@@ -112,7 +112,15 @@ object Similarity {
     * — |corpus|/K work per query instead of a full scan. */
   def ivfTrainedTopK(embeddings: DataFrame, nQueries: Int = 5,
       k: Int = 10): DataFrame = {
-    val assigned = Clustering.kmediansAssignFull(embeddings)
+    // centroids materialize once (K-row model artifact); both probe
+    // sides then assign against the literal centroids instead of each
+    // re-running the training lineage (2x the median pipeline)
+    val centroids = Clustering.trainedCentroidsLocal(embeddings)
+    val vectors = embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2",
+        graft.functions.VectorOps.dot(col("emb"), col("emb")))
+    val assigned = Clustering.assign(vectors, centroids)
     val queries = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("cluster_id").as("qcell"),
         col("emb").as("query_emb"), col("vnorm2").as("qnorm2"))
