@@ -162,6 +162,10 @@ object SparkEntry {
       D.dedupClusters(D.embeddingNearDups(Tables.embeddings(s, d)))),
     "d08_normalized_dedup" -> ((s, d) =>
       D.normalizedDedup(Tables.documents(s, d))),
+    "d09_fuzzy_pairs" -> ((s, d) =>
+      D.fuzzyPairs(Tables.documents(s, d))),
+    "t15_script_profile" -> ((s, d) =>
+      T.scriptProfile(Tables.documents(s, d))),
     // --- similarity search (LLM-pipeline north star) ---
     "s01_brute_topk" -> ((s, d) => S.bruteForceTopK(Tables.embeddings(s, d))),
     "s02_ivf_topk" -> ((s, d) => S.ivfTopK(Tables.embeddings(s, d))),
@@ -864,6 +868,24 @@ object SparkEntry {
         | count(*) AS n_copies,
         | count(DISTINCT raw_md5) AS n_raw_variants
         |FROM h GROUP BY content_md5 ORDER BY kept_doc_id""".stripMargin,
+    // blocked fuzzy matching: (first char, length band) blocks bound the
+    // pair generation, codegen levenshtein refines; the injected typo
+    // (3rd char -> 'x') preserves the block by construction
+    "d09_fuzzy_pairs" ->
+      """WITH base AS (SELECT doc_id, substr(text, 1, 30) AS title
+        |  FROM documents),
+        |typo AS (SELECT doc_id + 1000000 AS doc_id,
+        |  substr(title, 1, 2) || 'x' || substr(title, 4, 27) AS title
+        | FROM base),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM typo),
+        |b AS (SELECT doc_id, title,
+        |  substr(title, 1, 1) || ':' ||
+        |    CAST(length(title) // 4 AS VARCHAR) AS block FROM corpus)
+        |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        | CAST(levenshtein(a.title, c.title) AS BIGINT) AS dist
+        |FROM b a JOIN b c ON a.block = c.block AND a.doc_id < c.doc_id
+        |WHERE levenshtein(a.title, c.title) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "d02_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id,
         |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -1490,6 +1512,31 @@ object SparkEntry {
         | toks[1] AS first_token, toks[len(toks)] AS last_token,
         | md5(array_to_string(toks, ' ')) AS tok_md5
         |FROM t ORDER BY doc_id""".stripMargin,
+    // token-class composition from the SAME class definitions as
+    // graft_tokens; sums cast to BIGINT (DuckDB SUM(int) is HUGEINT)
+    "t15_script_profile" ->
+      """WITH w AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' Héllo, 漢字!'
+        |       WHEN doc_id % 3 = 1 THEN text || ' déjà vu 2026'
+        |       ELSE text || ' foo_bar42' END AS raw FROM documents),
+        |t AS (SELECT doc_id, unnest(regexp_extract_all(raw,
+        |  '\p{Han}|[^\P{L}\p{Han}]+|\p{Nd}+|[^\p{L}\p{Nd}\s]')) AS tok
+        | FROM w),
+        |c AS (SELECT doc_id,
+        |  CASE WHEN regexp_matches(tok, '^\p{Han}') THEN 'han'
+        |       WHEN regexp_matches(tok, '^\p{L}') THEN 'word'
+        |       WHEN regexp_matches(tok, '^\p{Nd}') THEN 'num'
+        |       ELSE 'other' END AS cls FROM t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | CAST(sum(CASE WHEN cls = 'han' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_han,
+        | CAST(sum(CASE WHEN cls = 'word' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_word,
+        | CAST(sum(CASE WHEN cls = 'num' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_num,
+        | CAST(sum(CASE WHEN cls = 'other' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_other
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // rational-form idf and fixed-order per-term addition: only IEEE
     // +-*/ (correctly rounded in both engines), never ln() or a
     // float SUM whose accumulation order the engine chooses

@@ -83,6 +83,45 @@ object Dedup {
       .orderBy(col("kept_doc_id"))
   }
 
+  /** d09: typo-tolerant fuzzy matching — blocked edit-distance pairs
+    * over short key strings (titles here: each doc's leading 30 chars),
+    * the entity-resolution primitive exact and shingle dedup both miss
+    * (one swapped character changes every digest and most shingles).
+    *
+    * Scale shape: all-pairs Levenshtein is O(n²) and unrunnable;
+    * blocking on (first char, length band) bounds candidate generation
+    * to per-block pairs — the standard ER design — and the refine step
+    * is a codegen'd `levenshtein` on the block-join output. Typos that
+    * change the first character or the length band escape the block
+    * (documented recall bound; production layers multiple blocking
+    * passes exactly like multi-table LSH).
+    *
+    * The fixture corpus is doubled with deterministic third-character
+    * typos (block-preserving by construction), so every original↔typo
+    * pair is found at distance ≤ 1 alongside any natural near-pairs. */
+  def fuzzyPairs(documents: DataFrame, maxDist: Int = 2): DataFrame = {
+    val base = documents.select(col("doc_id"),
+      substring(col("text"), 1, 30).as("title"))
+    val typod = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(substring(col("title"), 1, 2), lit("x"),
+        substring(col("title"), 4, 27)).as("title"))
+    val corpus = base.unionByName(typod)
+      .withColumn("block",
+        concat(substring(col("title"), 1, 1),
+          lit(":"), expr("length(title) div 4").cast("string")))
+    val left = corpus.select(col("block"), col("doc_id").as("doc_a"),
+      col("title").as("title_a"))
+    val right = corpus.select(col("block"), col("doc_id").as("doc_b"),
+      col("title").as("title_b"))
+    left.join(right, Seq("block"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist",
+        levenshtein(col("title_a"), col("title_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Round-robin spread of a narrow input BEFORE a generator/hash blowup.
     * Fixture parquet (and many real corpora) arrive as a handful of row
     * groups, so the whole shingle/hash expansion would otherwise run on

@@ -121,6 +121,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t15: per-document script/class composition — the multilingual
+    * routing signal (which pipeline branch, which tokenizer, which
+    * quality model) computed from the SAME class definitions as
+    * [[graft.functions.TokenFns.unicodeTokens]]: Han single-char
+    * tokens, non-Han letter runs, decimal-digit runs, other. Same
+    * deterministic multilingual injection as [[unicodeTokenStats]].
+    * Explode → codegen'd RLike classify → doc-keyed count: one shuffle
+    * keyed by doc_id, linear at any scale. */
+  def scriptProfile(documents: DataFrame): DataFrame = {
+    val raw = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" Héllo, 漢字!")))
+      .when(col("doc_id") % 3 === 1,
+        concat(col("text"), lit(" déjà vu 2026")))
+      .otherwise(concat(col("text"), lit(" foo_bar42")))
+    documents
+      .select(col("doc_id"),
+        explode(graft.functions.TokenFns.unicodeTokens(raw)).as("tok"))
+      .withColumn("cls",
+        when(col("tok").rlike("^\\p{IsHan}"), "han")
+          .when(col("tok").rlike("^\\p{L}"), "word")
+          .when(col("tok").rlike("^\\p{Nd}"), "num")
+          .otherwise("other"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cls") === "han", 1L).otherwise(0L)).as("n_han"),
+        sum(when(col("cls") === "word", 1L).otherwise(0L)).as("n_word"),
+        sum(when(col("cls") === "num", 1L).otherwise(0L)).as("n_num"),
+        sum(when(col("cls") === "other", 1L).otherwise(0L)).as("n_other"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document token statistics: whitespace tokens, BPE-ish tokens,
     * distinct words, character-per-token mean. */
   def tokenStats(documents: DataFrame): DataFrame = {

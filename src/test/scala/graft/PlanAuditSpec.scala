@@ -80,4 +80,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
       s"expected pushed filters in:\n$plan")
   }
+
+  test("column pruning reaches the parquet scan (no over-read)") {
+    // a 5-column projection over the 16-column lineitem must prune the
+    // read schema — a scan reading all columns would move 3x the bytes
+    val plan = SparkEntry.queries("q02_filter_project")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val read = plan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema in:\n$plan"))
+    assert(!read.contains("l_comment") && !read.contains("l_partkey"),
+      s"scan reads pruned columns: $read")
+    assert(read.contains("l_quantity") && read.contains("l_shipdate"),
+      s"scan misses needed columns: $read")
+  }
 }

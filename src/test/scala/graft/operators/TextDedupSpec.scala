@@ -58,6 +58,35 @@ class TextDedupSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("kept_doc_id")).toSeq == Seq(0L, 1L))
   }
 
+  test("fuzzyPairs: injected typos found at dist<=1, unrelated blocked out") {
+    import spark.implicits._
+    val docs = Seq((0L, "alpha document body text here"),
+      (1L, "totally different content x")).toDF("doc_id", "text")
+    val out = Dedup.fuzzyPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // each doc pairs with its own typo'd copy only; the two docs start
+    // with different letters so they never share a block
+    assert(out == Set((0L, 1000000L, 1L), (1L, 1000001L, 1L)))
+  }
+
+  test("scriptProfile classes sum to the token count") {
+    import spark.implicits._
+    val docs = Seq((0L, "one 1"), (1L, "two 2"), (2L, "three 3"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(docs).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") ==
+        r.getAs[Long]("n_han") + r.getAs[Long]("n_word") +
+          r.getAs[Long]("n_num") + r.getAs[Long]("n_other"))
+    }
+    // doc 0 gets the Han suffix: " Héllo, 漢字!" -> 2 han tokens
+    val d0 = out.find(_.getLong(0) == 0L).get
+    assert(d0.getAs[Long]("n_han") == 2L)
+    // doc 1 gets " déjà vu 2026" -> a num token and no han
+    val d1 = out.find(_.getLong(0) == 1L).get
+    assert(d1.getAs[Long]("n_num") == 2L && d1.getAs[Long]("n_han") == 0L)
+  }
+
   test("jaccardPairs finds exact+near dups, not unrelated docs") {
     val pairs = Dedup.jaccardPairs(corpus, n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
