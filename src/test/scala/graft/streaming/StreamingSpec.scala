@@ -242,6 +242,38 @@ class StreamStreamJoinSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cell assignment matches the batch quantizer exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids =
+      graft.operators.Clustering.trainedCentroidsLocal(emb, k = 4)
+    // batch truth: the same argmin via Clustering.assign
+    val vectors = emb.select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2",
+        graft.functions.VectorOps.dot(col("emb"), col("emb")))
+    val want = graft.operators.Clustering.assign(vectors, centroids)
+      .select("vec_id", "cluster_id", "dist2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamEnrich.assignCellsStream(
+      input.toDF().toDF("vec_id", "emb")
+        .withColumn("emb", col("emb").cast("array<float>")), centroids)
+      .writeStream.format("memory").queryName("cells")
+      .outputMode("append").start()
+    try {
+      val (h, t) = rows.splitAt(rows.length / 2)
+      input.addData(h.toSeq); q.processAllAvailable() // two micro-batches
+      input.addData(t.toSeq); q.processAllAvailable()
+      val got = spark.table("cells").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want) // bitwise: same arithmetic, same tie-break
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each batch against the broadcast dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
