@@ -177,6 +177,8 @@ object SparkEntry {
       S.annRecallMulti(Tables.embeddings(s, d))),
     "s08_ivf_trained_topk" -> ((s, d) =>
       S.ivfTrainedTopK(Tables.embeddings(s, d))),
+    "s09_recall_multiprobe" -> ((s, d) =>
+      S.annRecallMultiProbe(Tables.embeddings(s, d))),
     // --- lake adapter (reference parity: SURVEY §2.1/2.2, §3 E1-E3) ---
     "l01_marker_split" -> ((s, d) =>
       graft.lake.LakeQueries.markerSplitDemo(Tables.documents(s, d))),
@@ -1222,6 +1224,81 @@ object SparkEntry {
         |  AND e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
         |GROUP BY e.n_tables, e.query_id
         |ORDER BY e.n_tables, e.query_id""".stripMargin,
+    // multi-probe recall: radius 0 = s04's own-bucket candidates;
+    // radius 1 adds every Hamming-1 bucket (flip bit p of the 4-bit
+    // query bucket); candidate superset -> monotone recall
+    "s09_recall_multiprobe" ->
+      """WITH c1 AS (SELECT vec_id, embedding,
+        |  unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |c2 AS (SELECT vec_id, CAST(i AS INT) AS i, embedding[i+1] AS v
+        |  FROM c1),
+        |planes AS (SELECT a.i, b.j,
+        |  CASE WHEN (strpos('0123456789abcdef',
+        |    substr(md5(a.i || ':' || b.j), 1, 1)) - 1) % 2 = 1
+        |  THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(range(0, 4096)) AS i) a
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS j) b),
+        |proj AS (SELECT c2.vec_id, p.j,
+        |  SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) * p.s)
+        |    AS pr
+        |  FROM c2 JOIN planes p ON c2.i = p.i GROUP BY 1, 2),
+        |buckets AS (SELECT vec_id,
+        |  string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END,
+        |    '' ORDER BY j) AS bucket
+        | FROM proj GROUP BY vec_id),
+        |n AS (SELECT e.vec_id, b.bucket, e.embedding,
+        |  list_reduce(list_transform(range(1, len(e.embedding)+1), i ->
+        |    CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |    (a, b2) -> a + b2) AS norm2
+        | FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+        |q AS (SELECT vec_id AS query_id, bucket AS qb,
+        |  embedding AS query_emb, norm2 AS qnorm2 FROM n WHERE vec_id < 5),
+        |pr2 AS (SELECT query_id, query_emb, qnorm2, p,
+        |  CASE WHEN p = 0 THEN qb
+        |  ELSE substr(qb, 1, CAST(p - 1 AS INT)) ||
+        |    (CASE WHEN substr(qb, CAST(p AS INT), 1) = '1'
+        |      THEN '0' ELSE '1' END) ||
+        |    substr(qb, CAST(p + 1 AS INT)) END AS probe_key
+        | FROM (SELECT *, unnest(range(0, 5)) AS p FROM q)),
+        |sc AS (SELECT pr2.p, pr2.query_id, c.vec_id,
+        |  list_reduce(list_transform(range(1, len(c.embedding)+1), i ->
+        |    CAST(c.embedding[i] AS DOUBLE) *
+        |      CAST(pr2.query_emb[i] AS DOUBLE)),
+        |    (x, y) -> x + y) / (sqrt(c.norm2) * sqrt(pr2.qnorm2)) AS cosine
+        | FROM n c JOIN pr2 ON c.bucket = pr2.probe_key
+        |   AND c.vec_id <> pr2.query_id),
+        |rd AS (SELECT unnest(range(0, 2)) AS radius),
+        |cands AS (SELECT rd.radius, sc.query_id, sc.vec_id, sc.cosine
+        | FROM sc JOIN rd ON sc.p = 0 OR rd.radius = 1),
+        |r AS (SELECT radius, query_id, vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY radius, query_id
+        |    ORDER BY cosine DESC, vec_id ASC) AS rank
+        | FROM cands),
+        |ap AS (SELECT radius, query_id, neighbor_id, 1 AS hit FROM r
+        | WHERE rank <= 5),
+        |bn AS (SELECT vec_id, embedding,
+        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |    (a, b) -> a + b) AS norm2 FROM embeddings),
+        |bq AS (SELECT vec_id AS query_id, embedding AS query_emb,
+        |  norm2 AS qnorm2 FROM bn WHERE vec_id < 5),
+        |bscored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1, len(c.embedding)+1), i ->
+        |    CAST(c.embedding[i] AS DOUBLE) * CAST(q.query_emb[i] AS DOUBLE)),
+        |    (x, y) -> x + y) / (sqrt(c.norm2) * sqrt(q.qnorm2)) AS cosine
+        | FROM bn c CROSS JOIN bq q WHERE c.vec_id <> q.query_id),
+        |br AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        | FROM bscored),
+        |ex AS (SELECT rd.radius, b.query_id, b.neighbor_id
+        | FROM br b CROSS JOIN rd WHERE b.rank <= 5)
+        |SELECT e.radius, e.query_id, count(a.hit) AS n_hits,
+        | CAST(count(a.hit) AS DOUBLE) / 5.0 AS recall
+        |FROM ex e LEFT JOIN ap a ON e.radius = a.radius
+        |  AND e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |GROUP BY e.radius, e.query_id
+        |ORDER BY e.radius, e.query_id""".stripMargin,
     "l01_marker_split" ->
       """WITH w AS (SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN text

@@ -289,6 +289,60 @@ object Similarity {
       .orderBy(col("n_tables"), col("query_id"))
   }
 
+  /** s09: recall@k of MULTI-PROBE LSH per probe radius — the OTHER
+    * standard recall lever (s07 adds tables = more memory; multi-probe
+    * adds bucket lookups = more compute, same index). Radius 0 probes
+    * the query's own bucket (exactly s04's candidates); radius 1 also
+    * probes every bucket at Hamming distance 1 (flip each of the nBits
+    * bits). Each corpus vector lives in ONE bucket and the probe keys
+    * are distinct, so a (query, neighbor) candidate appears at most
+    * once per radius — no dedup pass needed. Radius-1 candidates are a
+    * superset of radius-0, so recall is monotone by the same argument
+    * as [[annRecallMulti]]. */
+  def annRecallMultiProbe(embeddings: DataFrame, nBits: Int = 4,
+      nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val withBucket = normed(embeddings)
+      .join(signLshBuckets(embeddings, nBits), "vec_id")
+    val queries = withBucket.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("bucket").as("qb"),
+        col("embedding").as("query_emb"), col("norm2").as("qnorm2"))
+    // probe p=0: own bucket; p=1..nBits: bucket with bit p flipped
+    val probes = queries
+      .select(col("query_id"), col("query_emb"), col("qnorm2"),
+        explode(sequence(lit(0), lit(nBits))).as("p"),
+        col("qb"))
+      .withColumn("probe_key", when(col("p") === 0, col("qb"))
+        .otherwise(concat(
+          expr("substring(qb, 1, p - 1)"),
+          when(expr("substring(qb, p, 1)") === "1", lit("0"))
+            .otherwise(lit("1")),
+          expr("substring(qb, p + 1)"))))
+    val scored = withBucket.join(broadcast(probes),
+        col("bucket") === col("probe_key") &&
+          col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        Dedup.dotExpr("embedding", "query_emb") /
+          (sqrt(col("norm2")) * sqrt(col("qnorm2"))))
+      .select(col("p"), col("query_id"), col("vec_id"), col("cosine"))
+    val radii = embeddings.sparkSession.range(0, 2)
+      .select(col("id").as("radius"))
+    val cands = scored.join(broadcast(radii),
+        (col("p") === 0) || (col("radius") === 1))
+      .select(col("radius"), col("query_id"), col("vec_id"), col("cosine"))
+    val approx = topKByQuery(cands, "cosine", k, Seq("radius", "query_id"))
+      .select(col("radius"), col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    val exact = bruteForceTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(radii))
+    exact.join(approx, Seq("radius", "query_id", "neighbor_id"), "left")
+      .groupBy(col("radius"), col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("radius"), col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(k).cast("double")).as("recall"))
+      .orderBy(col("radius"), col("query_id"))
+  }
+
   /** Recall@k of the LSH ANN tier against exact search — the evaluation
     * loop every production ANN deployment needs: you cannot tune nBits /
     * probe width without measuring what the buckets lose. Both sides are

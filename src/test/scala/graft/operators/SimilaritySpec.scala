@@ -70,6 +70,20 @@ class SimilaritySpec extends SparkSpec {
       "no recall lift and single-table recall not already perfect")
   }
 
+  test("multi-probe recall: radius 1 never below radius 0") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val byRadius = Similarity.annRecallMultiProbe(emb)
+      .collect()
+      .map(r => (r.getAs[Long]("radius"), r.getAs[Long]("query_id")) ->
+        r.getAs[Double]("recall")).toMap
+    val queries = byRadius.keys.map(_._2).toSet
+    assert(queries.nonEmpty)
+    queries.foreach { q =>
+      assert(byRadius((1L, q)) >= byRadius((0L, q)),
+        s"query $q: radius-1 recall below radius-0")
+    }
+  }
+
   test("trained-IVF probe stays inside the query's own trained cell") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cells = graft.operators.Clustering.kmediansAssign(emb)
