@@ -90,6 +90,8 @@ object SparkEntry {
     "dq02_skew_audit" -> ((s, d) =>
       graft.operators.DataQuality.skewAudit(Tables.orders(s, d),
         Tables.lineitem(s, d), Tables.events(s, d))),
+    "dq03_completeness_profile" -> ((s, d) =>
+      graft.operators.DataQuality.completenessProfile(Tables.orders(s, d))),
     "l08_compaction_plan" -> ((s, d) =>
       graft.lake.Compaction.orderFileCompaction(Tables.orders(s, d))),
     // --- window layer (SURVEY §2.5 EXT) ---
@@ -1380,6 +1382,40 @@ object SparkEntry {
         |  WHERE NOT EXISTS (SELECT 1 FROM lineitem l
         |                    WHERE l.l_orderkey = o.o_orderkey))
         |ORDER BY rule""".stripMargin,
+    // per-column profile with deterministic null/blank injections; sums
+    // cast to BIGINT (DuckDB SUM(int) is HUGEINT), count(DISTINCT)
+    // excludes nulls in both engines, '' is a distinct value in both
+    "dq03_completeness_profile" ->
+      """WITH d AS (SELECT
+        |  CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |    ELSE CAST(o_custkey AS VARCHAR) END AS custkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN '' ELSE o_orderstatus END
+        |    AS status,
+        |  o_orderpriority AS priority FROM orders),
+        |a AS (SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_custkey,
+        |  CAST(sum(CASE WHEN custkey = '' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS blank_custkey,
+        |  CAST(count(DISTINCT custkey) AS BIGINT) AS dist_custkey,
+        |  CAST(sum(CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_status,
+        |  CAST(sum(CASE WHEN status = '' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS blank_status,
+        |  CAST(count(DISTINCT status) AS BIGINT) AS dist_status,
+        |  CAST(sum(CASE WHEN priority IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS null_priority,
+        |  CAST(sum(CASE WHEN priority = '' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS blank_priority,
+        |  CAST(count(DISTINCT priority) AS BIGINT) AS dist_priority
+        | FROM d)
+        |SELECT 'custkey' AS col_name, n_rows, null_custkey AS n_null,
+        |  blank_custkey AS n_blank, dist_custkey AS n_distinct FROM a
+        |UNION ALL SELECT 'priority', n_rows, null_priority,
+        |  blank_priority, dist_priority FROM a
+        |UNION ALL SELECT 'status', n_rows, null_status, blank_status,
+        |  dist_status FROM a
+        |ORDER BY col_name""".stripMargin,
     // integer fixed-point stats (x100) and ceil-rank percentiles — no
     // float division anywhere, so both engines agree bitwise
     "dq02_skew_audit" ->

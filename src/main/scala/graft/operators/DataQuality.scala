@@ -116,4 +116,39 @@ object DataQuality {
       .unionAll(keySkew(lineitem, "lineitem", "l_orderkey"))
       .unionAll(keySkew(events, "events", "user_id"))
       .orderBy("tbl", "key_col")
+
+  /** dq03: per-column completeness/cardinality profile — null count,
+    * blank count, exact distinct count per profiled column, the third
+    * standard audit face (dq01 checks constraints, dq02 checks skew,
+    * this checks the COLUMNS themselves: sudden null spikes and
+    * cardinality collapses are the classic upstream-breakage signals).
+    *
+    * The fixture has no nulls or blanks, so the profile runs over a
+    * derived frame with deterministic injections (string-cast custkey
+    * nulled on orderkey % 13, status blanked on % 7) — the metrics
+    * must DETECT them, not just report zeros. One wide aggregate (the
+    * multi-countDistinct plans a single expand pass) + `stack` to long
+    * form: one scan whatever the column count, no per-column jobs. */
+  def completenessProfile(orders: DataFrame): DataFrame = {
+    val derived = orders.select(
+      when(col("o_orderkey") % 13 === 0, lit(null))
+        .otherwise(col("o_custkey").cast("string")).as("custkey"),
+      when(col("o_orderkey") % 7 === 0, lit(""))
+        .otherwise(col("o_orderstatus")).as("status"),
+      col("o_orderpriority").as("priority"))
+    val cols = Seq("custkey", "status", "priority")
+    val aggExprs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+      sum(when(col(c) === "", 1L).otherwise(0L)).as(s"blank_$c"),
+      countDistinct(col(c)).as(s"dist_$c")) }
+    val wide = derived.agg(aggExprs.head, aggExprs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', null_$c, blank_$c, dist_$c")
+      .mkString(", ")
+    wide
+      .select(col("n_rows"), expr(s"stack(${cols.size}, $stackArgs)" +
+        " AS (col_name, n_null, n_blank, n_distinct)"))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_blank"), col("n_distinct"))
+      .orderBy(col("col_name"))
+  }
 }

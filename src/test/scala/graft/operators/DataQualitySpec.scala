@@ -47,6 +47,25 @@ class DataQualitySpec extends SparkSpec {
     assert(m("skew_x100") == 550L) // 10*100*11 div 20
   }
 
+  test("completeness profile detects injected nulls and blanks") {
+    import spark.implicits._
+    // orderkeys 1..91: 7 multiples of 13 -> null custkey; 13 multiples
+    // of 7 -> blank status; priority untouched
+    val orders = (1L to 91L).map(k =>
+      (k, k % 5, "O", s"${k % 3}-PRIO"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val out = DataQuality.completenessProfile(orders).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set("custkey", "priority", "status"))
+    // 5 distinct custkey strings survive the nulling (13,26,..,91 span
+    // all residues mod 5, but the surviving 84 keys still cover 0..4)
+    assert(out("custkey") == ((91L, 7L, 0L, 5L)))
+    // blanked status rows leave 2 distinct values: "O" and ""
+    assert(out("status") == ((91L, 0L, 13L, 2L)))
+    assert(out("priority") == ((91L, 0L, 0L, 3L)))
+  }
+
   test("incremental agg merge equals full recompute") {
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val merged = Relational.incrementalAggDemo(li).collect()
