@@ -872,9 +872,10 @@ object SparkEntry {
         | count(*) AS n_copies,
         | count(DISTINCT raw_md5) AS n_raw_variants
         |FROM h GROUP BY content_md5 ORDER BY kept_doc_id""".stripMargin,
-    // blocked fuzzy matching: (first char, length band) blocks bound the
-    // pair generation, codegen levenshtein refines; the injected typo
-    // (3rd char -> 'x') preserves the block by construction
+    // blocked fuzzy matching, two selective passes (prefix-8 + suffix-8
+    // keys, unioned + deduped): an edit outside one zone is caught by
+    // the other pass; the injected typo (3rd char -> 'x') preserves the
+    // suffix block by construction. Codegen levenshtein refines.
     "d09_fuzzy_pairs" ->
       """WITH base AS (SELECT doc_id, substr(text, 1, 30) AS title
         |  FROM documents),
@@ -882,10 +883,13 @@ object SparkEntry {
         |  substr(title, 1, 2) || 'x' || substr(title, 4, 27) AS title
         | FROM base),
         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM typo),
-        |b AS (SELECT doc_id, title,
-        |  substr(title, 1, 1) || ':' ||
-        |    CAST(length(title) // 4 AS VARCHAR) AS block FROM corpus)
-        |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |b AS (
+        |  SELECT doc_id, title, 'p:' || substr(title, 1, 8) || ':' ||
+        |    CAST(length(title) AS VARCHAR) AS block FROM corpus
+        |  UNION ALL
+        |  SELECT doc_id, title, 's:' || substr(title, 23, 8) || ':' ||
+        |    CAST(length(title) AS VARCHAR) AS block FROM corpus)
+        |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
         | CAST(levenshtein(a.title, c.title) AS BIGINT) AS dist
         |FROM b a JOIN b c ON a.block = c.block AND a.doc_id < c.doc_id
         |WHERE levenshtein(a.title, c.title) <= 2
