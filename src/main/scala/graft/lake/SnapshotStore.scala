@@ -114,6 +114,21 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       op: String = "op"): Long =
     commit(Merge.applyChanges(read(), changes, keys, op))
 
+  /** Drop staging dirs orphaned by crashed or conflicted commits that
+    * died before their own cleanup. Always safe: staging dirs are never
+    * referenced by the pointer (an in-flight committer that loses its
+    * staging dir fails its rename and surfaces an error — it would have
+    * lost the conflict check anyway under the single-writer-at-a-time
+    * contract maintenance runs under). Returns the dropped names. */
+  def vacuumStaging(): Seq[String] = {
+    val f = fs
+    if (!f.exists(rootPath)) return Seq.empty
+    val stale = f.listStatus(rootPath)
+      .filter(_.getPath.getName.startsWith("_staging-"))
+    stale.foreach(s => f.delete(s.getPath, true))
+    stale.map(_.getPath.getName).toSeq
+  }
+
   /** Drop snapshot dirs older than `keepLast` versions (the `VACUUM` /
     * `expire_snapshots` maintenance op). The pointer is never touched, so
     * this is always safe for current readers; time travel shrinks. */

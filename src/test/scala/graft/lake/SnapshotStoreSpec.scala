@@ -67,6 +67,20 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.read().collect().map(_.getString(1)).toSeq == Seq("retry"))
   }
 
+  test("staging vacuum drops crash debris, never published data") {
+    val store = freshStore()
+    store.commit(Seq((1L, "a")).toDF("k", "v"))
+    // simulate a committer that crashed between staging and publish
+    val debris = new java.io.File(store.root, "_staging-v1-deadbeef")
+    assert(debris.mkdir())
+    val dropped = store.vacuumStaging()
+    assert(dropped == Seq("_staging-v1-deadbeef"))
+    assert(!debris.exists())
+    assert(store.latestVersion.contains(0L))
+    assert(store.read().collect().map(_.getString(1)).toSeq == Seq("a"))
+    assert(store.vacuumStaging().isEmpty) // idempotent
+  }
+
   test("applyChanges folds a change feed as one new version") {
     val store = freshStore()
     store.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
