@@ -185,3 +185,13 @@ class ManifestSpec extends graft.SparkSpec {
 class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
 }
+
+/** The FileContext (AbstractFileSystem) face of [[GraftTestFs]], so the
+  * snapshot store's atomic pointer publish — which goes through
+  * `FileContext.rename(OVERWRITE)` — also resolves per-scheme
+  * (`fs.AbstractFileSystem.graftfs.impl`), the exact hook a real
+  * object-store backend implements. */
+class GraftTestAbstractFs(uri: java.net.URI,
+    conf: org.apache.hadoop.conf.Configuration)
+  extends org.apache.hadoop.fs.DelegateToFileSystem(
+    uri, new GraftTestFs, conf, "graftfs", false)

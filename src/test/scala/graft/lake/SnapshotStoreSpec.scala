@@ -67,6 +67,32 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.read().collect().map(_.getString(1)).toSeq == Seq("retry"))
   }
 
+  test("OCC commit round-trip on a second registered scheme (graftfs://)") {
+    // the pointer publish goes through FileContext, which resolves its
+    // own per-scheme impl (fs.AbstractFileSystem.<scheme>.impl) — the
+    // hook an object-store backend maps to a conditional PUT. Running
+    // the whole commit/read/conflict/vacuum cycle over graftfs://
+    // proves no file:// assumption hides in the commit path.
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    hc.set("fs.AbstractFileSystem.graftfs.impl",
+      classOf[GraftTestAbstractFs].getName)
+    val dir = Files.createTempDirectory("graft-snapfs-")
+      .toFile.getAbsolutePath
+    val store = new SnapshotStore(spark, s"graftfs://$dir")
+    assert(store.commit(Seq((1L, "a")).toDF("k", "v")) == 0L)
+    val staleBase = store.latestVersion
+    assert(store.commit(Seq((1L, "b")).toDF("k", "v")) == 1L)
+    assert(store.read().collect().map(_.getString(1)).toSeq == Seq("b"))
+    assert(store.read(0L).collect().map(_.getString(1)).toSeq == Seq("a"))
+    intercept[ConcurrentCommitException] {
+      store.commit(Seq((1L, "stale")).toDF("k", "v"), staleBase)
+    }
+    assert(store.vacuumStaging().isEmpty) // conflict cleaned up after itself
+    assert(store.vacuum(keepLast = 1) == Seq(0L))
+    assert(store.latestVersion.contains(1L))
+  }
+
   test("staging vacuum drops crash debris, never published data") {
     val store = freshStore()
     store.commit(Seq((1L, "a")).toDF("k", "v"))
