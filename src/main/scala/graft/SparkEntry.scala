@@ -207,7 +207,23 @@ object SparkEntry {
       graft.operators.Multimodal.mediaMetadata(Tables.documents(s, d))),
     "m02_frame_sample" -> ((s, d) =>
       graft.operators.Multimodal.frameSample(
-        graft.operators.Multimodal.assetsFrom(Tables.documents(s, d))))
+        graft.operators.Multimodal.assetsFrom(Tables.documents(s, d)))),
+    // --- round 8 additions: runtime filtering, IVM, lakehouse reads ---
+    "j01_bloom_join" -> ((s, d) =>
+      graft.operators.BloomJoin.bloomJoinRevenue(Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+    "q32_incremental_join" -> ((s, d) =>
+      R.incrementalJoinDemo(Tables.customer(s, d), Tables.orders(s, d))),
+    "dq04_price_histogram" -> ((s, d) =>
+      graft.operators.DataQuality.histogram(Tables.orders(s, d),
+        "o_totalprice")),
+    "d10_canonical_keep" -> ((s, d) =>
+      D.canonicalKeepList(Tables.documents(s, d),
+        D.dedupClusters(D.embeddingNearDups(Tables.embeddings(s, d))))),
+    "l10_file_skipping" -> ((s, d) =>
+      graft.lake.FileSkipping.skippingDemo(s, Tables.orders(s, d))),
+    "l11_snapshot_diff" -> ((s, d) =>
+      graft.lake.LakeQueries.snapshotDiff(s, Tables.orders(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -1765,6 +1781,87 @@ object SparkEntry {
         | md5(substr(hex(encode(text)),
         |   CAST(frame_idx * 512 + 1 AS INT), 512)) AS frame_md5
         |FROM f WHERE frame_idx % 4 = 0
-        |ORDER BY asset_id, frame_idx""".stripMargin
+        |ORDER BY asset_id, frame_idx""".stripMargin,
+    // the bloom pre-filter has no false negatives, so the pruned join
+    // must equal this plain join bitwise — the oracle knows nothing
+    // about the bloom
+    "j01_bloom_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the incremental union must equal the full recompute — the
+    // view-maintenance identity the Spark side exploits
+    "q32_incremental_join" ->
+      """SELECT c_custkey, o_orderkey, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    // identical IEEE expression tree on both sides: same input bits +
+    // same ops = same bin ids and bin_lo bits (floor/least coerce to
+    // BIGINT at the end in both engines)
+    "dq04_price_histogram" ->
+      """WITH b AS (SELECT CAST(min(o_totalprice) AS DOUBLE) AS mn,
+        |  CAST(max(o_totalprice) AS DOUBLE) AS mx FROM orders),
+        |c AS (SELECT CAST(least(floor((CAST(o_totalprice AS DOUBLE) - mn)
+        |    / ((mx - mn) / 20)), 19) AS BIGINT) AS bin_id
+        |  FROM orders CROSS JOIN b),
+        |g AS (SELECT bin_id, COUNT(*) AS n_rows FROM c GROUP BY bin_id)
+        |SELECT r.bin_id, mn + r.bin_id * ((mx - mn) / 20) AS bin_lo,
+        |  COALESCE(g.n_rows, 0) AS n_rows
+        |FROM (SELECT unnest(range(0, 20)) AS bin_id) r CROSS JOIN b
+        |LEFT JOIN g ON r.bin_id = g.bin_id
+        |ORDER BY r.bin_id""".stripMargin,
+    // d07's transitive-closure clusters + singleton completion, keep =
+    // longest member (max n_chars, tie lowest doc_id) — all-integer
+    // decision, no float comparison
+    "d10_canonical_keep" ->
+      """WITH RECURSIVE n AS (SELECT vec_id, label, embedding,
+        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |    (a, b) -> a + b) AS norm2 FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        |  list_reduce(list_transform(range(1, len(a.embedding)+1), i ->
+        |    CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+        |    (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(b.norm2)) AS cosine
+        | FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |pairs AS (SELECT vec_id_a, vec_id_b FROM p WHERE cosine >= 0.35),
+        |edges AS (SELECT vec_id_a AS u, vec_id_b AS v FROM pairs
+        |  UNION SELECT vec_id_b, vec_id_a FROM pairs),
+        |reach AS (
+        |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cl AS (SELECT u AS vec_id, min(v) AS cluster_id
+        |  FROM reach GROUP BY u),
+        |dc AS (SELECT d.doc_id, d.n_chars,
+        |  COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        | FROM documents d LEFT JOIN cl c ON d.doc_id = c.vec_id),
+        |best AS (SELECT cluster_id, COUNT(*) AS n_members,
+        |  max(n_chars) AS max_chars FROM dc GROUP BY cluster_id),
+        |keep AS (SELECT dc.cluster_id, min(dc.doc_id) AS keep_id
+        |  FROM dc JOIN best USING (cluster_id)
+        |  WHERE dc.n_chars = best.max_chars GROUP BY dc.cluster_id)
+        |SELECT dc.doc_id, dc.cluster_id, best.n_members,
+        |  dc.doc_id = keep.keep_id AS is_kept
+        |FROM dc JOIN best USING (cluster_id) JOIN keep USING (cluster_id)
+        |ORDER BY dc.doc_id""".stripMargin,
+    // pruning-invariant: a skipped file provably holds no matching key,
+    // so the manifest-driven scan equals the plain filter
+    "l10_file_skipping" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey >= 1000 AND o_orderkey <= 3000
+        |ORDER BY o_orderkey""".stripMargin,
+    // the diff re-derives l04's change feed from the two published
+    // versions: updates are %7-not-%13 (price +1.0), deletes are %13
+    "l11_snapshot_diff" ->
+      """SELECT o_orderkey, 'update' AS change_type,
+        |  o_totalprice AS old_price, o_totalprice + 1.0 AS new_price
+        |FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, 'delete', o_totalprice, CAST(NULL AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 13 = 0
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

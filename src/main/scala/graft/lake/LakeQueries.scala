@@ -104,7 +104,14 @@ object LakeQueries {
     * [[SnapshotStore.applyChanges]]; the query reads the PUBLISHED v1
     * from disk, so the oracle checks the whole write→publish→read loop,
     * not just the merge plan. Same oracle SQL as l04 by construction. */
-  def snapshotMerge(spark: SparkSession, orders: DataFrame): DataFrame = {
+  def snapshotMerge(spark: SparkSession, orders: DataFrame): DataFrame =
+    committedStore(spark, orders).read().orderBy("o_orderkey")
+
+  /** The shared two-version demo store behind l07 and l11: v0 = base
+    * snapshot of orders, v1 = the l04 change feed committed through
+    * [[SnapshotStore.applyChanges]]. */
+  private def committedStore(spark: SparkSession,
+      orders: DataFrame): SnapshotStore = {
     // inputFiles is empty for non-file-backed DataFrames; keying on "" would
     // collide two different in-memory inputs in one session, so fall back to
     // the analyzed-plan string (a per-input identity) in that case.
@@ -112,7 +119,7 @@ object LakeQueries {
     val key =
       if (files.nonEmpty) files.sorted.mkString(",")
       else "plan:" + orders.queryExecution.analyzed.toString
-    val store = snapCache.getOrElseUpdate((spark, key), {
+    snapCache.getOrElseUpdate((spark, key), {
       val dirPath = Files.createTempDirectory("graft-snap-")
       // deleteOnExit is a no-op on non-empty dirs; clean recursively.
       sys.addShutdownHook {
@@ -127,6 +134,19 @@ object LakeQueries {
       s.applyChanges(Merge.demoChangeFeed(base), Seq("o_orderkey"))
       s
     })
-    store.read().orderBy("o_orderkey")
   }
+
+  /** l11: [[SnapshotStore.diff]] between the two committed versions of
+    * the l07 store — the CDC-READ loop closed: l04/l07 APPLY a change
+    * feed to produce v1; this re-derives that feed from the published
+    * versions alone, the way a downstream incremental consumer (e.g.
+    * [[graft.operators.Relational.incrementalJoinDemo]]'s deltas) would
+    * subscribe to the table. The oracle reconstructs the same
+    * update/delete classification straight from the orders fixture. */
+  def snapshotDiff(spark: SparkSession, orders: DataFrame): DataFrame =
+    committedStore(spark, orders).diff(0L, 1L, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("change_type"),
+        col("_old.o_totalprice").as("old_price"),
+        col("_new.o_totalprice").as("new_price"))
+      .orderBy(col("o_orderkey"))
 }

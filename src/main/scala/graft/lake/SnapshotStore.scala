@@ -2,6 +2,7 @@ package graft.lake
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, struct, when}
 
 /** Versioned table snapshots with an atomic pointer commit — the
   * table-format (Delta/Iceberg) commit protocol in miniature, expressed
@@ -113,6 +114,34 @@ class SnapshotStore(spark: SparkSession, val root: String) {
   def applyChanges(changes: DataFrame, keys: Seq[String],
       op: String = "op"): Long =
     commit(Merge.applyChanges(read(), changes, keys, op))
+
+  /** Version diff — the CDC-read face of the store (Delta's
+    * `table_changes` / Iceberg's incremental read): key-level changes
+    * between two committed versions, classified as insert / update /
+    * delete. Downstream consumers re-derive the change feed FROM the
+    * published versions, without the writer having to retain it.
+    *
+    * Plan shape: one full-outer join on the key between the two version
+    * scans; non-key columns ride in a single struct per side so the
+    * changed-payload test is one null-safe struct comparison
+    * (codegen'd), not per-column plumbing. Unchanged keys — the vast
+    * majority between adjacent versions of a big table — are dropped
+    * before anything else happens to them. At 100 TB both sides are the
+    * SAME table family: identically partitioned writes make this a
+    * co-located join. */
+  def diff(v0: Long, v1: Long, keys: Seq[String]): DataFrame = {
+    val a = read(v0)
+    val valCols = a.columns.filterNot(keys.contains).toSeq
+    def packed(df: DataFrame, as: String): DataFrame =
+      df.select(keys.map(col) :+
+        struct(valCols.map(col): _*).as(as): _*)
+    packed(a, "_old").join(packed(read(v1), "_new"), keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_old").isNull, "insert")
+          .when(col("_new").isNull, "delete")
+          .when(!(col("_old") <=> col("_new")), "update"))
+      .filter(col("change_type").isNotNull)
+  }
 
   /** Drop staging dirs orphaned by crashed or conflicted commits that
     * died before their own cleanup. Always safe: staging dirs are never

@@ -151,4 +151,41 @@ object DataQuality {
         col("n_blank"), col("n_distinct"))
       .orderBy(col("col_name"))
   }
+
+  /** dq04: equi-width histogram of a numeric column — the distribution
+    * face of the profile suite (dq03 counts nulls/cardinality; this
+    * shows WHERE the values sit, the input to bin-packing, pricing-tier
+    * and outlier checks).
+    *
+    * Two passes, both trivial at scale: (1) exact min/max aggregate (one
+    * partial-agg funnel to a 1-row frame), (2) broadcast the bounds back
+    * over the scan and partial-agg the bin counts — `nBins` rows cross
+    * the shuffle per input split, never the data. Empty bins are filled
+    * by a broadcast range join so the histogram shape is total.
+    *
+    * Cross-engine determinism: bin = floor((x − min) / w) computed in
+    * IEEE double with the IDENTICAL expression tree in the oracle — same
+    * input bits + same ops = same result bits in both engines; the top
+    * value is clamped into the last bin on both sides. */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int = 20): DataFrame = {
+    val bounds = df.agg(
+      min(col(valueCol).cast("double")).as("mn"),
+      max(col(valueCol).cast("double")).as("mx"))
+    val w = (col("mx") - col("mn")) / nBins
+    val counts = df.select(col(valueCol).cast("double").as("x"))
+      .join(broadcast(bounds))
+      .select(least(floor((col("x") - col("mn")) / w), lit(nBins - 1))
+        .cast("long").as("bin_id"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_rows"))
+    val allBins = bounds.select(
+      explode(sequence(lit(0L), lit(nBins - 1L))).as("bin_id"),
+      col("mn"), col("mx"))
+    allBins.join(counts, Seq("bin_id"), "left")
+      .select(col("bin_id"),
+        (col("mn") + col("bin_id") * ((col("mx") - col("mn")) / nBins))
+          .as("bin_lo"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+      .orderBy(col("bin_id"))
+  }
 }

@@ -379,6 +379,41 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** d10: the keep-list — the artifact a dedup stage actually publishes:
+    * one row per CORPUS document with its cluster and a keep/drop
+    * decision. [[dedupClusters]] labels only documents that appear in a
+    * near-dup pair; every other document is its own singleton cluster
+    * (`cluster_id = doc_id`). Keep rule: the longest member wins
+    * (`n_chars` max — the standard "keep the fullest version" heuristic),
+    * ties broken by lowest doc_id, so the decision is deterministic with
+    * no float comparison anywhere.
+    *
+    * Scale shape: the cluster table is proportional to NEAR-DUP members
+    * (a small fraction of the corpus), the left join hits the corpus
+    * once on its key, and both reductions (per-cluster best, per-cluster
+    * keeper) partial-aggregate map-side. Nothing is quadratic and no
+    * row carries text — only (doc_id, cluster_id, n_chars). */
+  def canonicalKeepList(documents: DataFrame,
+      clusters: DataFrame): DataFrame = {
+    val withCluster = documents.select(col("doc_id"), col("n_chars"))
+      .join(clusters.select(col("vec_id").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val best = withCluster.groupBy(col("cluster_id")).agg(
+      count(lit(1)).as("n_members"),
+      max(col("n_chars")).as("max_chars"))
+    val keeper = withCluster.join(best, Seq("cluster_id"))
+      .filter(col("n_chars") === col("max_chars"))
+      .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("keep_id"))
+    withCluster
+      .join(best, Seq("cluster_id"))
+      .join(keeper, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        (col("doc_id") === col("keep_id")).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a bucketing column (the
     * IVF-style scale path: only same-bucket pairs are compared, so the
     * cross product is per-bucket, not global). Cosine computed in double

@@ -558,4 +558,40 @@ object Relational {
         col("sum_price_dec").cast("double").as("sum_price"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** Incremental JOIN maintenance — the view-maintenance identity for a
+    * materialized join V = A ⨝ B under inserts ΔA, ΔB:
+    *
+    *   V′ = V  ∪  (ΔA ⨝ B)  ∪  (A ⨝ ΔB)  ∪  (ΔA ⨝ ΔB)
+    *
+    * (q30 maintains an AGGREGATE view; this is the join-view counterpart
+    * — together they cover the two shapes real materialized pipelines
+    * refresh incrementally.)
+    *
+    * Scale story: each delta term joins a DELTA (today's partition)
+    * against a base side, never base ⨝ base — at 100 TB the recompute
+    * touches |Δ|-proportional data, and the base-side scan of the two
+    * mixed terms is semi-join-reducible to delta keys (exactly the
+    * [[BloomJoin]] pre-filter, composable here). The oracle is the full
+    * recompute over A′ ⨝ B′, which the maintained union must equal
+    * bitwise — the identity holds exactly because the four terms
+    * partition the pairs of (old ∪ new) × (old ∪ new) rows.
+    *
+    * Deterministic demo split: customers arriving "today" are
+    * c_custkey % 10 = 3, orders arriving today are o_orderkey % 10 = 0. */
+  def incrementalJoinDemo(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val custBase = customer.filter(col("c_custkey") % 10 =!= 3)
+    val custDelta = customer.filter(col("c_custkey") % 10 === 3)
+    val ordBase = orders.filter(col("o_orderkey") % 10 =!= 0)
+    val ordDelta = orders.filter(col("o_orderkey") % 10 === 0)
+    def j(c: DataFrame, o: DataFrame): DataFrame =
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"), col("c_mktsegment"),
+          col("o_totalprice"))
+    j(custBase, ordBase)                 // V: yesterday's view
+      .unionByName(j(custBase, ordDelta)) // ΔB against old A
+      .unionByName(j(custDelta, ordBase)) // ΔA against old B
+      .unionByName(j(custDelta, ordDelta)) // ΔA ⨝ ΔB
+      .orderBy(col("o_orderkey"))
+  }
 }

@@ -16,7 +16,9 @@ class PlanAuditSpec extends SparkSpec {
     "s09_recall_multiprobe", // s01 exact side + tiny radius-config cross
     "s06_quantized_topk", // s01's shape on the quantized memory tier
     "b01_bm25_rank", // ONE-row corpus-stats frame broadcast-crossed in
-    "k01_kmedians_assign") // broadcast(K=8 centroids) x corpus, twice
+    "k01_kmedians_assign", // broadcast(K=8 centroids) x corpus, twice
+    "j01_bloom_join", // ONE-row 8 KB bitmap broadcast-crossed into the scan
+    "dq04_price_histogram") // ONE-row min/max bounds broadcast-crossed in
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

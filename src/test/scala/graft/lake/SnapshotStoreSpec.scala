@@ -119,6 +119,35 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(out == Seq(1L -> "a", 2L -> "B", 4L -> "d"))
   }
 
+  test("diff classifies insert/update/delete and drops unchanged keys") {
+    val store = freshStore()
+    store.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    store.applyChanges(Seq((2L, "B", "U"),
+      (3L, null.asInstanceOf[String], "D"),
+      (4L, "d", "I")).toDF("k", "v", "op"), Seq("k"))
+    val out = store.diff(0L, 1L, Seq("k"))
+      .select("k", "change_type").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // key 1 is unchanged between versions: it must NOT appear
+    assert(out == Seq(2L -> "update", 3L -> "delete", 4L -> "insert"))
+  }
+
+  test("diff payload columns carry old/new values per side") {
+    val store = freshStore()
+    store.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x"))
+    store.commit(Seq((1L, 11.0), (3L, 30.0)).toDF("k", "x"))
+    val rows = store.diff(0L, 1L, Seq("k"))
+      .select(col("k"), col("change_type"),
+        col("_old.x").as("old_x"), col("_new.x").as("new_x"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))).toSeq
+    assert(rows == Seq(
+      (1L, "update", Some(10.0), Some(11.0)),
+      (2L, "delete", Some(20.0), None),
+      (3L, "insert", None, Some(30.0))))
+  }
+
   test("vacuum drops old versions, keeps the published one") {
     val store = freshStore()
     (0 to 3).foreach(i => store.commit(Seq((i.toLong, "x")).toDF("k", "v")))

@@ -78,4 +78,31 @@ class DataQualitySpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(merged == full)
   }
+
+  test("incremental join maintenance equals full recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val cust = graft.Tables.customer(spark, sf)
+    val ord = graft.Tables.orders(spark, sf)
+    val incr = Relational.incrementalJoinDemo(cust, ord).collect().toSeq
+    val full = ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("c_mktsegment"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey")).collect().toSeq
+    assert(incr == full)
+  }
+
+  test("histogram: total bin range, counts sum to rows, empty bins zero") {
+    import spark.implicits._
+    // 3 tight values + 1 far outlier: bins 1..18 must exist and be zero
+    val df = Seq(0.0, 1.0, 2.0, 100.0).toDF("x")
+    val h = DataQuality.histogram(df, "x", nBins = 20).collect()
+    assert(h.length === 20)
+    assert(h.map(_.getLong(2)).sum === 4)
+    assert(h.head.getLong(2) === 3)   // 0,1,2 land in bin 0 (width 5)
+    assert(h.last.getLong(2) === 1)   // the max value clamps into bin 19
+    assert(h.slice(1, 19).map(_.getLong(2)).forall(_ == 0))
+    // bin_lo ladder starts at min and steps by width
+    assert(h.head.getDouble(1) === 0.0)
+    assert(h(1).getDouble(1) === 5.0)
+  }
 }

@@ -292,4 +292,21 @@ class RepetitionStatsSpec extends graft.SparkSpec {
     assert(r3.getAs[Any]("top_bigram_frac") == null)
     assert(r3.getAs[Boolean]("flag_repetitive"))
   }
+
+  test("keep-list: longest member wins, ties by id, singletons kept") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 5L))
+      .toDF("doc_id", "n_chars")
+    // docs 1-3 form one near-dup cluster; doc 4 is in no pair
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+      .toDF("vec_id", "cluster_id")
+    val out = Dedup.canonicalKeepList(docs, clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(out == Seq(
+      (1L, 1L, 3L, false),  // shorter than the winners
+      (2L, 1L, 3L, true),   // max chars, lowest id among the tie
+      (3L, 1L, 3L, false),  // tied on chars, loses the id tie-break
+      (4L, 4L, 1L, true)))  // singleton: own cluster, kept
+  }
 }
