@@ -223,7 +223,15 @@ object SparkEntry {
     "l10_file_skipping" -> ((s, d) =>
       graft.lake.FileSkipping.skippingDemo(s, Tables.orders(s, d))),
     "l11_snapshot_diff" -> ((s, d) =>
-      graft.lake.LakeQueries.snapshotDiff(s, Tables.orders(s, d)))
+      graft.lake.LakeQueries.snapshotDiff(s, Tables.orders(s, d))),
+    "l12_schema_evolution" -> ((s, d) =>
+      graft.lake.Merge.schemaEvolutionDemo(Tables.orders(s, d))),
+    "t16_temperature_mix" -> ((s, d) =>
+      Sm.temperatureMix(Tables.documents(s, d))),
+    "q33_group_topk" -> ((s, d) =>
+      R.topOrdersPerCustomer(Tables.orders(s, d))),
+    "w12_conversion_funnel" -> ((s, d) =>
+      graft.operators.Funnel.conversionFunnel(Tables.events(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -1862,6 +1870,64 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, 'delete', o_totalprice, CAST(NULL AS DOUBLE)
         |FROM orders WHERE o_orderkey % 13 = 0
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    // the l04 merge with an o_channel column only the updates carry:
+    // evolution widens the schema, untouched base rows read null
+    "l12_schema_evolution" ->
+      """WITH up AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+        |  o_totalprice + 1.0 AS o_totalprice, 'web' AS o_channel
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0),
+        |keep AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(NULL AS VARCHAR) AS o_channel FROM orders
+        |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0)
+        |SELECT * FROM (SELECT * FROM up UNION ALL SELECT * FROM keep)
+        |ORDER BY o_orderkey""".stripMargin,
+    // alpha = 1/2 via sqrt (correctly rounded -> identical bits), integer
+    // quantized weights (exact order-free sum), one double division, and
+    // the identical hex/lpad/lower threshold tree on both engines
+    "t16_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_l,
+        |  CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT)
+        |    AS sq_l
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(SUM(sq_l) AS BIGINT) AS tot FROM c),
+        |r AS (SELECT lang,
+        |  least(1.0, CAST(250 * sq_l AS DOUBLE)
+        |    / CAST(tot * n_l AS DOUBLE)) AS rate
+        |  FROM c CROSS JOIN t),
+        |thr AS (SELECT lang, CASE WHEN rate >= 1.0 THEN 'g'
+        |  ELSE lower(lpad(hex(CAST(floor(rate * 4294967296.0) AS BIGINT)),
+        |    8, '0')) END AS threshold FROM r)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |  < thr.threshold
+        |ORDER BY d.doc_id""".stripMargin,
+    // the bounded-aggregate group top-k must reproduce the window
+    // ranking bitwise (score desc, id asc tie-break)
+    "q33_group_topk" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT)
+        |    AS rank
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice, rank FROM r
+        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+    // strict event-time order: each step's first qualifying event must
+    // be AFTER the user's previous-step time
+    "w12_conversion_funnel" ->
+      """WITH e1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |e2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN e1 ON e.user_id = e1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > e1.t
+        |  GROUP BY e.user_id),
+        |e3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN e2 ON e.user_id = e2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > e2.t
+        |  GROUP BY e.user_id)
+        |SELECT 'step1_view' AS stage, COUNT(*) AS n_users FROM e1
+        |UNION ALL SELECT 'step2_click', COUNT(*) FROM e2
+        |UNION ALL SELECT 'step3_purchase', COUNT(*) FROM e3
+        |ORDER BY stage""".stripMargin
   )
 }

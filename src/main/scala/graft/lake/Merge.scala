@@ -45,12 +45,43 @@ object Merge {
     * (`'U'`/`'I'` upsert, `'D'` delete) folded into the snapshot.
     * Delete keys leave; upsert rows replace-or-insert. The single
     * anti-join uses ALL change keys (deletes and upserts alike), so the
-    * base scan is filtered once. */
+    * base scan is filtered once.
+    *
+    * `evolveSchema = true` is the table-format schema-evolution mode
+    * (Delta's `mergeSchema`): a feed carrying columns the snapshot lacks
+    * widens the result schema, with the untouched base rows null-filled
+    * on the new columns — additive evolution only, nothing is dropped or
+    * retyped, so readers of the previous version stay valid. With the
+    * default `false`, a column mismatch is an analysis error (the safe
+    * default: an unexpected feed schema should fail loudly, not silently
+    * widen the table). */
   def applyChanges(base: DataFrame, changes: DataFrame, keys: Seq[String],
-      op: String = "op"): DataFrame = {
+      op: String = "op", evolveSchema: Boolean = false): DataFrame = {
     val upserts = changes.filter(col(op) =!= "D").drop(op)
     upserts.unionByName(
-      base.join(changes.select(keys.map(col): _*), keys, "left_anti"))
+      base.join(changes.select(keys.map(col): _*), keys, "left_anti"),
+      allowMissingColumns = evolveSchema)
+  }
+
+  /** Oracle demo (l12): the l04 merge with a schema-evolving feed — the
+    * updates carry a NEW `o_channel` column the base snapshot lacks;
+    * [[applyChanges]] in `evolveSchema` mode widens the table, and every
+    * surviving base row reads null on the new column. The same feed
+    * against the default mode would fail analysis — evolution is opt-in. */
+  def schemaEvolutionDemo(orders: DataFrame): DataFrame = {
+    val base = demoBase(orders)
+    val k = col("o_orderkey")
+    val ups = base.filter(k % 7 === 0 && k % 13 =!= 0)
+      .select(k, lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + lit(1.0)).as("o_totalprice"),
+        lit("web").as("o_channel"), lit("U").as("op"))
+    val dels = base.filter(k % 13 === 0)
+      .select(k, lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"),
+        lit(null).cast("string").as("o_channel"), lit("D").as("op"))
+    applyChanges(base, ups.unionByName(dels), Seq("o_orderkey"),
+      evolveSchema = true)
+      .orderBy("o_orderkey")
   }
 
   /** SCD-2 dimension history from a change stream: each change row becomes

@@ -110,10 +110,13 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     spark.read.parquet(versionDir(version).toString)
 
   /** Fold a compacted change feed into the table as one new version:
-    * read-latest → [[Merge.applyChanges]] → commit. */
+    * read-latest → [[Merge.applyChanges]] → commit. `evolveSchema`
+    * opts into additive schema evolution (see [[Merge.applyChanges]]);
+    * old versions keep their own narrower schema — time travel reads
+    * each version exactly as committed. */
   def applyChanges(changes: DataFrame, keys: Seq[String],
-      op: String = "op"): Long =
-    commit(Merge.applyChanges(read(), changes, keys, op))
+      op: String = "op", evolveSchema: Boolean = false): Long =
+    commit(Merge.applyChanges(read(), changes, keys, op, evolveSchema))
 
   /** Version diff — the CDC-read face of the store (Delta's
     * `table_changes` / Iceberg's incremental read): key-level changes

@@ -594,4 +594,25 @@ object Relational {
       .unionByName(j(custDelta, ordDelta)) // ΔA ⨝ ΔB
       .orderBy(col("o_orderkey"))
   }
+
+  /** q33: grouped top-k as a mergeable bounded aggregate — the
+    * RELATIONAL face of the [[graft.functions.TopKByScore]] fix the ANN
+    * tier got: "top 3 orders by value per customer" partial-aggregates
+    * to ≤ k rows per customer per input split MAP-SIDE, so the shuffle
+    * carries k·|splits| rows per key instead of every order, and no
+    * task sorts more than k rows of state. q31 keeps the window form
+    * (the right plan when the per-group row count is bounded); this is
+    * the plan you want when groups are huge — same results, proved by
+    * the row_number oracle. */
+  def topOrdersPerCustomer(orders: DataFrame, k: Int = 3): DataFrame = {
+    val agg = graft.functions.TopKByScore.topK(k)(
+      col("o_totalprice").cast("double"), col("o_orderkey"))
+    orders.groupBy(col("o_custkey")).agg(agg.as("top"))
+      .select(col("o_custkey"),
+        posexplode(col("top")).as(Seq("pos", "nb")))
+      .select(col("o_custkey"), col("nb.id").as("o_orderkey"),
+        col("nb.score").as("o_totalprice"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("o_custkey"), col("rank"))
+  }
 }

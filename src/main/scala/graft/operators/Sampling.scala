@@ -54,6 +54,50 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-flattened language mix (t16): sampling rates derived
+    * FROM the data so that kept counts are proportional to n_lang^α with
+    * α = 1/2 — the standard multinomial-temperature rebalance LLM
+    * pipelines apply so high-resource languages stop drowning the rest
+    * (en at 44% of this corpus lands near 30% of the sample). Rates are
+    * computed per language and applied with the same hash-threshold
+    * filter as [[stratifiedSample]] — deterministic, RNG-free, stable
+    * under repartitioning.
+    *
+    * Cross-engine arithmetic, step by step: α = 1/2 specifically because
+    * IEEE `sqrt` is correctly rounded (identical bits on every engine —
+    * a general `pow` is NOT and could flip a threshold comparison);
+    * per-language weights quantize to integers (`floor(sqrt(n)·10⁶)`)
+    * so the total weight is an order-free exact integer sum; the final
+    * rate is one double division of two exact longs; and the rate
+    * becomes an 8-hex-digit threshold string with the identical
+    * hex/lpad/lower tree in the oracle.
+    *
+    * Scale: one tiny per-language aggregate (broadcast back over the
+    * scan), then a pure filter — no corpus shuffle at all. */
+  def temperatureMix(documents: DataFrame,
+      targetDocs: Long = 250L): DataFrame = {
+    val counts = documents.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_l"))
+      .withColumn("sq_l",
+        floor(sqrt(col("n_l").cast("double")) * 1000000).cast("long"))
+    val tot = counts.agg(sum(col("sq_l")).as("tot"))
+    val rates = counts.join(broadcast(tot))
+      .withColumn("rate", least(lit(1.0),
+        (lit(targetDocs) * col("sq_l")).cast("double") /
+          (col("tot") * col("n_l")).cast("double")))
+      .withColumn("threshold", when(col("rate") >= 1.0, lit("g"))
+        .otherwise(lower(lpad(
+          hex(floor(col("rate") * 4294967296.0).cast("long")), 8, "0"))))
+      .select(col("lang"), col("threshold"))
+    documents
+      .select(col("doc_id"), col("lang"),
+        sampleKey(col("doc_id")).as("sample_key"))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(col("sample_key") < col("threshold"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality-prioritized token-budget mix: per language, rank documents
     * by [[TextAnalysis.qualityScore]] (doc_id tie-break) and keep the
     * prefix whose running token total fits the budget — the "fill each

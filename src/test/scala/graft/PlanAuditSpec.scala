@@ -18,7 +18,8 @@ class PlanAuditSpec extends SparkSpec {
     "b01_bm25_rank", // ONE-row corpus-stats frame broadcast-crossed in
     "k01_kmedians_assign", // broadcast(K=8 centroids) x corpus, twice
     "j01_bloom_join", // ONE-row 8 KB bitmap broadcast-crossed into the scan
-    "dq04_price_histogram") // ONE-row min/max bounds broadcast-crossed in
+    "dq04_price_histogram", // ONE-row min/max bounds broadcast-crossed in
+    "t16_temperature_mix") // ONE-row total-weight frame broadcast-crossed in
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -60,7 +61,7 @@ class PlanAuditSpec extends SparkSpec {
     // split cross the shuffle) — never a Window funneling the whole
     // scored corpus into one task per query
     for (name <- Seq("s01_brute_topk", "s04_lsh_ann_topk",
-        "s06_quantized_topk")) {
+        "s06_quantized_topk", "q33_group_topk")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Window"),

@@ -37,6 +37,25 @@ class MergeSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L -> "new", 2L -> "only"))
   }
 
+  test("schema evolution: feed-only columns widen the table, base rows null") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val feed = Seq((2L, Option("B"), Option("web"), "U"),
+      (3L, None: Option[String], None: Option[String], "D"),
+      (4L, Option("d"), Option("api"), "I"))
+      .toDF("k", "v", "channel", "op")
+    val out = Merge.applyChanges(base, feed, Seq("k"),
+      evolveSchema = true).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).toSeq
+    assert(out == Seq((1L, "a", None), (2L, "B", Some("web")),
+      (4L, "d", Some("api"))))
+    // without opting in, the widened feed must fail analysis loudly
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Merge.applyChanges(base, feed, Seq("k"))
+    }
+  }
+
   test("scd2History versions chain: valid_to = next valid_from, one current per key") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val hist = Merge.scd2History(

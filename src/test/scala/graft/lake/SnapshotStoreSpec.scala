@@ -148,6 +148,36 @@ class SnapshotStoreSpec extends SparkSpec {
       (3L, "insert", None, Some(30.0))))
   }
 
+  test("closed CDC loop: diff output maintains a downstream join view") {
+    val store = freshStore()
+    store.commit(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("k", "dim_key", "x"))
+    store.applyChanges(Seq(
+      (2L, Option("b"), Option(21.0), "U"),
+      (3L, None: Option[String], None: Option[Double], "D"),
+      (4L, Option("b"), Option(40.0), "I")).toDF("k", "dim_key", "x", "op"),
+      Seq("k"))
+    val dim = Seq(("a", "Alpha"), ("b", "Beta")).toDF("dim_key", "dim_name")
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("dim_key"), col("x"), col("dim_name"))
+    // v0's materialized join view, maintained ONLY from the diff feed:
+    // drop every changed key, re-add the new-side of inserts/updates
+    val view0 = proj(store.read(0L).join(dim, "dim_key"))
+    val d = store.diff(0L, 1L, Seq("k"))
+    val additions = proj(d
+      .filter(col("change_type").isin("insert", "update"))
+      .select(col("k"), col("_new.dim_key").as("dim_key"),
+        col("_new.x").as("x"))
+      .join(dim, "dim_key"))
+    val maintained = view0
+      .join(d.select("k"), Seq("k"), "left_anti")
+      .unionByName(additions)
+      .orderBy("k").collect().toSeq
+    val full = proj(store.read(1L).join(dim, "dim_key"))
+      .orderBy("k").collect().toSeq
+    assert(maintained == full)
+  }
+
   test("vacuum drops old versions, keeps the published one") {
     val store = freshStore()
     (0 to 3).foreach(i => store.commit(Seq((i.toLong, "x")).toDF("k", "v")))

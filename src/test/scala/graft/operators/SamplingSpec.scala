@@ -103,4 +103,25 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("temperature mix flattens the language distribution") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val langs = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sampling.temperatureMix(docs, targetDocs = 250L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every language survives, and the mix is FLATTER than the corpus:
+    // the dominant language's share must strictly shrink
+    assert(kept.keySet == langs.keySet)
+    val total = langs.values.sum.toDouble
+    val keptTotal = kept.values.sum.toDouble
+    val top = langs.maxBy(_._2)._1
+    assert(kept(top) / keptTotal < langs(top) / total,
+      s"dominant '$top' share did not shrink: $kept vs $langs")
+    // determinism: a second run selects the identical documents
+    val a = Sampling.temperatureMix(docs).collect().toSeq
+    val b = Sampling.temperatureMix(docs).collect().toSeq
+    assert(a == b)
+  }
 }
