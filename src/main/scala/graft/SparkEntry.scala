@@ -231,7 +231,17 @@ object SparkEntry {
     "q33_group_topk" -> ((s, d) =>
       R.topOrdersPerCustomer(Tables.orders(s, d))),
     "w12_conversion_funnel" -> ((s, d) =>
-      graft.operators.Funnel.conversionFunnel(Tables.events(s, d)))
+      graft.operators.Funnel.conversionFunnel(Tables.events(s, d))),
+    // --- round 8 continued: LM scoring, mix diagnostics, multiset ops ---
+    "t17_unigram_surprise" -> ((s, d) =>
+      T.unigramSurprise(Tables.documents(s, d))),
+    "t18_source_divergence" -> ((s, d) =>
+      T.sourceDivergence(Tables.documents(s, d))),
+    "w13_rolling_active" -> ((s, d) =>
+      W.rollingActiveUsers(Tables.events(s, d))),
+    "dq05_value_outliers" -> ((s, d) =>
+      graft.operators.DataQuality.valueOutliers(Tables.events(s, d))),
+    "q34_set_ops_all" -> ((s, d) => R.setOpsAll(Tables.orders(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -1928,6 +1938,118 @@ object SparkEntry {
         |SELECT 'step1_view' AS stage, COUNT(*) AS n_users FROM e1
         |UNION ALL SELECT 'step2_click', COUNT(*) FROM e2
         |UNION ALL SELECT 'step3_purchase', COUNT(*) FROM e3
-        |ORDER BY stage""".stripMargin
+        |ORDER BY stage""".stripMargin,
+    // surprise in WHOLE BITS: floor(log2) via binary-string length is
+    // exact integer arithmetic in both engines (no libm log whose last
+    // bits could differ), so the per-doc sums are order-free bigints
+    "t17_unigram_surprise" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY tok),
+        |t AS (SELECT CAST(SUM(tf) AS BIGINT) AS corpus_n FROM f),
+        |b AS (SELECT tok.doc_id,
+        |  CAST(length(bin(t.corpus_n)) - 1 AS BIGINT)
+        |    - CAST(length(bin(f.tf)) - 1 AS BIGINT) AS bits
+        | FROM tok JOIN f USING (tok) CROSS JOIN t)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
+        |  CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mean_bits,
+        |  CAST(MAX(bits) AS BIGINT) AS max_bits
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // chi-squared, not KL: its float ops are all IEEE exact-rounded
+    // (x, /, -), so the identical expression tree gives identical bits;
+    // each term quantized to 1e-6 before an order-free bigint sum
+    "t18_source_divergence" ->
+      """WITH tok AS (SELECT source,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_t
+        |  FROM tok GROUP BY tok),
+        |s AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n_st
+        |  FROM tok GROUP BY source, tok),
+        |st AS (SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s
+        |  FROM s GROUP BY source),
+        |t AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n FROM c),
+        |g AS (SELECT st.source, st.n_s, c.tok, c.n_t
+        |  FROM c CROSS JOIN st),
+        |j AS (SELECT g.source, g.n_s, g.n_t, s.n_st
+        |  FROM g LEFT JOIN s ON g.source = s.source AND g.tok = s.tok),
+        |term AS (SELECT source, n_s,
+        |  CASE WHEN n_st IS NOT NULL THEN 1 ELSE 0 END AS present,
+        |  CAST(floor(
+        |    (CAST(COALESCE(n_st, 0) AS DOUBLE)
+        |      - CAST(n_s AS DOUBLE) * CAST(n_t AS DOUBLE)
+        |        / CAST(t.n AS DOUBLE))
+        |    * (CAST(COALESCE(n_st, 0) AS DOUBLE)
+        |      - CAST(n_s AS DOUBLE) * CAST(n_t AS DOUBLE)
+        |        / CAST(t.n AS DOUBLE))
+        |    / (CAST(n_s AS DOUBLE) * CAST(n_t AS DOUBLE)
+        |        / CAST(t.n AS DOUBLE))
+        |    * 1000000.0) AS BIGINT) AS term_fp
+        |  FROM j CROSS JOIN t)
+        |SELECT source, n_s AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(present) AS BIGINT) AS n_present,
+        |  CAST(SUM(term_fp) AS DOUBLE) / 1000000.0 AS chi2
+        |FROM term GROUP BY source, n_s ORDER BY source""".stripMargin,
+    // rolling COUNT(DISTINCT) is not sum-decomposable; both engines
+    // compute set membership over the trailing 3h explicitly
+    "w13_rolling_active" ->
+      """WITH p AS (SELECT DISTINCT user_id,
+        |  date_trunc('hour', ts) AS hbin FROM events),
+        |b AS (SELECT DISTINCT hbin FROM p)
+        |SELECT b.hbin AS wend,
+        |  CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS active_users
+        |FROM b JOIN p
+        |  ON p.hbin BETWEEN b.hbin - INTERVAL 2 HOUR AND b.hbin
+        |GROUP BY b.hbin ORDER BY wend""".stripMargin,
+    // moments over integer hundredths (order-free sums); mean/variance/
+    // threshold are the identical scalar float tree in both engines
+    // (one correctly-rounded sqrt, no libm)
+    "dq05_value_outliers" ->
+      """WITH b AS (SELECT event_type, value,
+        |  CAST(floor(value * 100.0) AS BIGINT) AS vc FROM events),
+        |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(vc) AS BIGINT) AS s1,
+        |  CAST(SUM(vc * vc) AS BIGINT) AS s2
+        |  FROM b GROUP BY event_type),
+        |j AS (SELECT b.event_type, b.value,
+        |  abs(CAST(b.vc AS DOUBLE)
+        |      - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+        |    > 2.0 * sqrt(CAST(s.s2 AS DOUBLE) / CAST(s.n AS DOUBLE)
+        |      - (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+        |        * (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE)))
+        |    AS is_out
+        |  FROM b JOIN s USING (event_type))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  MIN(CASE WHEN is_out THEN value END) AS out_min,
+        |  MAX(CASE WHEN is_out THEN value END) AS out_max
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // multiset semantics: duplicity is min(l,r) for INTERSECT ALL and
+    // l-r clamped at 0 for EXCEPT ALL; identical rows make sort
+    // stability irrelevant to the hash compare
+    "q34_set_ops_all" ->
+      """WITH y1995 AS (SELECT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1995),
+        |     y2000 AS (SELECT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 2000)
+        |SELECT set_kind, custkey FROM (
+        |  SELECT 'both' AS set_kind, o_custkey AS custkey
+        |  FROM (SELECT o_custkey FROM y1995
+        |        INTERSECT ALL SELECT o_custkey FROM y2000)
+        |  UNION ALL
+        |  SELECT 'only_1995', o_custkey
+        |  FROM (SELECT o_custkey FROM y1995
+        |        EXCEPT ALL SELECT o_custkey FROM y2000)
+        |  UNION ALL
+        |  SELECT 'only_2000', o_custkey
+        |  FROM (SELECT o_custkey FROM y2000
+        |        EXCEPT ALL SELECT o_custkey FROM y1995)
+        |) ORDER BY set_kind, custkey""".stripMargin
   )
 }

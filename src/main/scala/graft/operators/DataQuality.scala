@@ -188,4 +188,42 @@ object DataQuality {
         coalesce(col("n_rows"), lit(0L)).as("n_rows"))
       .orderBy(col("bin_id"))
   }
+
+  /** dq05: z-score outlier audit — per-group count of values beyond
+    * `nSigma` standard deviations, the numeric-drift tripwire every
+    * ingestion pipeline runs before a batch is admitted (a price feed
+    * suddenly in cents instead of dollars shows up here, not in
+    * completeness counts).
+    *
+    * Determinism discipline: double SUMs are order-dependent, so the
+    * moments accumulate over values quantized to integer hundredths
+    * (exact order-free bigint sums — same regime note as heavy hitters:
+    * Σx² stays inside int64 up to ~10⁹ rows per group at this value
+    * range; past that, swap the quantized moments for DecimalType).
+    * Mean/variance/threshold are then a handful of scalar float ops on
+    * those exact integers, written as the SAME expression tree in both
+    * engines (÷, ×, − and one correctly-rounded sqrt — no libm).
+    *
+    * Plan shape: one group-keyed moments pass (map-side partial), the
+    * group-count-sized stats broadcast back over the scan, one final
+    * group agg. Two scans of the input, zero wide rows. */
+  def valueOutliers(events: DataFrame, nSigma: Double = 2.0): DataFrame = {
+    val vc = floor(col("value") * lit(100.0)).cast("long")
+    val base = events.select(col("event_type"), col("value"), vc.as("vc"))
+    val stats = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("s1"),
+        sum(col("vc") * col("vc")).as("s2"))
+    val mean = col("s1").cast("double") / col("n").cast("double")
+    val varPop = col("s2").cast("double") / col("n").cast("double") -
+      mean * mean
+    val isOut = abs(col("vc").cast("double") - mean) >
+      lit(nSigma) * sqrt(varPop)
+    base.join(broadcast(stats), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+        min(when(isOut, col("value"))).as("out_min"),
+        max(when(isOut, col("value"))).as("out_max"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -225,6 +225,30 @@ object Relational {
       .orderBy(col("set_kind"), col("custkey"))
   }
 
+  /** q34: the MULTISET forms of [[setOps]] — INTERSECT ALL / EXCEPT ALL
+    * preserve duplicity (a customer with 3 orders in 1995 and 1 in 2000
+    * contributes min(3,1)=1 'both' row and 3−1=2 'only_1995' rows), which
+    * is what bag-semantics reconciliation between two feeds needs: "how
+    * many MORE times does this key appear on the left". Spark plans both
+    * as a single hash aggregate per side plus one join on the value —
+    * same shuffle count as the distinct forms, no row explosion. */
+  def setOpsAll(orders: DataFrame): DataFrame = {
+    val y1995 = orders
+      .filter(org.apache.spark.sql.functions.year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey"))
+    val y2000 = orders
+      .filter(org.apache.spark.sql.functions.year(col("o_orderdate")) === 2000)
+      .select(col("o_custkey"))
+    val both = y1995.intersectAll(y2000).withColumn("set_kind", lit("both"))
+    val only1995 =
+      y1995.exceptAll(y2000).withColumn("set_kind", lit("only_1995"))
+    val only2000 =
+      y2000.exceptAll(y1995).withColumn("set_kind", lit("only_2000"))
+    both.unionByName(only1995).unionByName(only2000)
+      .select(col("set_kind"), col("o_custkey").as("custkey"))
+      .orderBy(col("set_kind"), col("custkey"))
+  }
+
   /** Scalar-function sweep (SURVEY §2.8): string slice/search/replace/trim/
     * concat, casts, date parts, CASE — all codegen'd builtins. */
   def scalarShowcase(part: DataFrame): DataFrame =

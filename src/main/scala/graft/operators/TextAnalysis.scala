@@ -474,4 +474,92 @@ object TextAnalysis {
         col("n_shingles"))
       .orderBy(col("doc_id"))
   }
+
+  /** Integer floor(log2(n)) for positive longs via binary-representation
+    * length — exact in BOTH engines (no libm call whose last bits could
+    * differ), so per-token surprises are order-free integer sums. */
+  private def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+
+  /** t17: unigram language-model surprise per document — the CCNet-style
+    * "perplexity vs an in-domain LM" quality signal, with the corpus
+    * itself as the LM. A token occurring tf times in a corpus of N
+    * carries ~log2(N/tf) bits of surprise; documents whose mean surprise
+    * is far above the corpus norm are improbable under the LM (noise,
+    * boilerplate-free gibberish), far below = highly templated text.
+    *
+    * Determinism discipline: surprise is quantized to WHOLE BITS
+    * (floor(log2 N) − floor(log2 tf)) because integer log2 via
+    * [[ilog2]] is exact in both engines, making every per-doc sum an
+    * order-free bigint; the only float op is one final division.
+    *
+    * Plan shape: one token shuffle for the frequency table (map-side
+    * combined), one skewed-by-construction join back (same AQE
+    * skew-split reliance as [[bigramRarity]] — a stopword's instances
+    * share one key but join 1:1 with the count row), one doc-keyed agg.
+    * The frequency table stays distributed — at 100 TB the vocabulary
+    * (URLs, typos, code identifiers) is far too large to broadcast; the
+    * corpus total rides as a 1-row broadcast. */
+  def unigramSurprise(documents: DataFrame): DataFrame = {
+    val toks = Dedup.spread(documents).select(col("doc_id"),
+      explode(tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = freq.agg(sum(col("tf")).as("corpus_n"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (ilog2(col("corpus_n")) - ilog2(col("tf"))).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits")).as("sum_bits"),
+        max(col("bits")).as("max_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_bits"),
+        col("max_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t18: per-source chi-squared divergence from the corpus unigram
+    * distribution — the data-mixing diagnostic that ranks sources by how
+    * far their token distribution drifts from the blend (domain shift,
+    * scraper breakage, language drift all show up here before a model
+    * run does). Chi-squared rather than KL because its only float ops
+    * are multiply/divide/subtract — IEEE exact-rounded, so identical
+    * expression trees give bitwise-equal terms in both engines, where
+    * log()'s last bits are libm-dependent. Each term is quantized to
+    * 1e-6 fixed point so the per-source sum is an order-free bigint.
+    *
+    * Plan shape: one token shuffle each for the corpus and per-source
+    * frequency tables (map-side combined), then the small source-totals
+    * side broadcasts into the distributed vocabulary to build the full
+    * (source × term) grid — absent terms must contribute (0 − e)²/e, so
+    * the grid is explicit, |vocab| × |sources| rows, followed by one
+    * (source, tok)-keyed left join and a sources-sized final agg. */
+  def sourceDivergence(documents: DataFrame): DataFrame = {
+    val toks = Dedup.spread(documents).select(col("source"),
+      explode(tokens(col("text"))).as("tok"))
+    val corpus = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_t"))
+    val bySrc = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n_st"))
+    val srcTotals = bySrc.groupBy(col("source")).agg(sum("n_st").as("n_s"))
+    val total = corpus.agg(sum(col("n_t")).as("n"))
+    val nst = coalesce(col("n_st"), lit(0L)).cast("double")
+    val e = col("n_s").cast("double") * col("n_t").cast("double") /
+      col("n").cast("double")
+    val term = (nst - e) * (nst - e) / e * lit(1000000.0)
+    corpus.crossJoin(broadcast(srcTotals))
+      .join(bySrc, Seq("source", "tok"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_s"),
+        when(col("n_st").isNotNull, 1L).otherwise(0L).as("present"),
+        floor(term).as("term_fp"))
+      .groupBy(col("source"), col("n_s"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("present")).as("n_present"),
+        sum(col("term_fp")).as("chi2_fp"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("n_terms"),
+        col("n_present"),
+        (col("chi2_fp").cast("double") / lit(1000000.0)).as("chi2"))
+      .orderBy(col("source"))
+  }
 }

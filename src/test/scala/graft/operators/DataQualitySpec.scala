@@ -105,4 +105,19 @@ class DataQualitySpec extends SparkSpec {
     assert(h.head.getDouble(1) === 0.0)
     assert(h(1).getDouble(1) === 5.0)
   }
+
+  test("valueOutliers flags only the planted extreme value per group") {
+    // 'pay': nine 10.00s and one 1000.00 -> |1000 - mean| > 2 sigma for
+    // the plant only; 'ok': uniform values, zero outliers
+    val events = ((1 to 9).map(_ => ("pay", 10.0)) :+ ("pay", 1000.0)) ++
+      (1 to 5).map(_ => ("ok", 7.5))
+    val df = events.toDF("event_type", "value")
+    val out = DataQuality.valueOutliers(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("pay").getAs[Long]("n_outliers") == 1L)
+    assert(out("pay").getAs[Double]("out_min") == 1000.0)
+    assert(out("pay").getAs[Double]("out_max") == 1000.0)
+    assert(out("ok").getAs[Long]("n_outliers") == 0L)
+    assert(out("ok").isNullAt(out("ok").fieldIndex("out_min")))
+  }
 }

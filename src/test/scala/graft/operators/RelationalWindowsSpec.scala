@@ -106,4 +106,38 @@ class RelationalWindowsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(out == Set(("both", 1L), ("only_1995", 2L), ("only_2000", 3L)))
   }
+
+  test("setOpsAll preserves multiplicity (bag semantics)") {
+    import spark.implicits._
+    // cust 1: 3 orders in 1995, 1 in 2000 -> both x1, only_1995 x2
+    val orders = Seq(
+      (1L, java.sql.Timestamp.valueOf("1995-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("1995-02-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("1995-03-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("1995-06-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2000-06-01 00:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2000-06-01 00:00:00")))
+      .toDF("o_custkey", "o_orderdate")
+    val out = Relational.setOpsAll(orders).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("both", 1L), ("only_1995", 1L), ("only_1995", 1L),
+      ("only_1995", 2L), ("only_2000", 3L)))
+  }
+
+  test("rollingActiveUsers counts each user once per trailing window") {
+    import spark.implicits._
+    // hours 0,1,2: user 1 active at h0 and h2 (twice), user 2 at h1
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:10:00")),
+      (2L, java.sql.Timestamp.valueOf("2026-01-01 01:30:00")),
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 02:05:00")),
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 02:40:00")))
+      .toDF("user_id", "ts")
+    val out = Windows.rollingActiveUsers(events).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq
+    assert(out == Seq(
+      ("2026-01-01 00:00:00.0", 1L),   // {1}
+      ("2026-01-01 01:00:00.0", 2L),   // {1,2}: user 1 via h0
+      ("2026-01-01 02:00:00.0", 2L)))  // {1,2}: both within 3h, 1 counted once
+  }
 }

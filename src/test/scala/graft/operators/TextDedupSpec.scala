@@ -309,4 +309,36 @@ class RepetitionStatsSpec extends graft.SparkSpec {
       (3L, 1L, 3L, false),  // tied on chars, loses the id tie-break
       (4L, 4L, 1L, true)))  // singleton: own cluster, kept
   }
+
+  test("unigramSurprise scores in whole bits against the corpus LM") {
+    import spark.implicits._
+    // corpus: a x3, b x1, c x1 -> N=5, ilog2(5)=2
+    // bits(a)=2-ilog2(3)=1, bits(b)=bits(c)=2-0=2
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprise(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 4L, 4.0 / 3.0, 2L),  // 1+1+2 bits over 3 tokens
+      (2L, 2L, 3L, 1.5, 2L)))       // 1+2 bits over 2 tokens
+  }
+
+  test("sourceDivergence: equal sources tie, drifted source scores higher") {
+    import spark.implicits._
+    // srcA and srcB each "a b" (exactly the corpus mix restricted to
+    // their mass); srcC is all-c — maximal drift on this vocabulary
+    val docs = Seq((1L, "a b", "srcA"), (2L, "a b", "srcB"),
+      (3L, "c c", "srcC")).toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.sourceDivergence(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toMap
+    val (nA, termsA, presA, chiA) = rows("srcA")
+    val (_, _, presC, chiC) = rows("srcC")
+    assert(nA == 2 && termsA == 3 && presA == 2 && presC == 1)
+    // srcA observed == expected on every term except c (expected 2/3,
+    // observed 0) -> small positive; srcC concentrates all mass on the
+    // rarest-for-it terms -> strictly larger
+    assert(chiA >= 0.0 && chiC > chiA)
+    assert(rows("srcA") == rows("srcB")) // symmetric inputs, equal scores
+  }
 }
