@@ -241,7 +241,9 @@ object SparkEntry {
       W.rollingActiveUsers(Tables.events(s, d))),
     "dq05_value_outliers" -> ((s, d) =>
       graft.operators.DataQuality.valueOutliers(Tables.events(s, d))),
-    "q34_set_ops_all" -> ((s, d) => R.setOpsAll(Tables.orders(s, d)))
+    "q34_set_ops_all" -> ((s, d) => R.setOpsAll(Tables.orders(s, d))),
+    "l13_mor_chain" -> ((s, d) =>
+      graft.lake.LakeQueries.morChainRead(s, Tables.orders(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -2050,6 +2052,16 @@ object SparkEntry {
         |  SELECT 'only_2000', o_custkey
         |  FROM (SELECT o_custkey FROM y2000
         |        EXCEPT ALL SELECT o_custkey FROM y1995)
-        |) ORDER BY set_kind, custkey""".stripMargin
+        |) ORDER BY set_kind, custkey""".stripMargin,
+    // merge-on-read chain: v1 deletes keys %10==3 without rewriting v0,
+    // v2 appends back the %20==3 half with a +5 price bump; the read
+    // resolves marker chain -> anti-join -> union
+    "l13_mor_chain" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 <> 3
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice + 5.0
+        |  AS o_totalprice FROM orders WHERE o_orderkey % 20 = 3
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

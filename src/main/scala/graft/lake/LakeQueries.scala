@@ -149,4 +149,51 @@ object LakeQueries {
         col("_old.o_totalprice").as("old_price"),
         col("_new.o_totalprice").as("new_price"))
       .orderBy(col("o_orderkey"))
+
+  // One merge-on-read demo store per (session, source files): v0 = the
+  // full orders projection, v1 = a key-only DELETE version (no base
+  // rewrite), v2 = an APPEND version restoring half the deleted keys.
+  // l13 reads the final chain — the oracle reproduces the same set
+  // algebra straight from the orders fixture.
+  private val morCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      SnapshotStore]
+
+  private def morStore(spark: SparkSession,
+      orders: DataFrame): SnapshotStore = {
+    val files = orders.inputFiles
+    val key =
+      if (files.nonEmpty) files.sorted.mkString(",")
+      else "plan:" + orders.queryExecution.analyzed.toString
+    morCache.getOrElseUpdate((spark, key), {
+      val dirPath = Files.createTempDirectory("graft-mor-")
+      sys.addShutdownHook {
+        import java.util.Comparator
+        Files.walk(dirPath).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      val s = new SnapshotStore(spark, dirPath.toFile.getAbsolutePath)
+      val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      s.commit(base)
+      // MoR delete: drop every key ≡ 3 (mod 10) — writes keys only
+      s.deleteByKeys(base.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey")))
+      // MoR append: restore the even half of them, price bumped +5
+      s.appendRows(base.filter(col("o_orderkey") % 10 === 3 &&
+          col("o_orderkey") % 20 === 3)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") + lit(5.0)).as("o_totalprice")))
+      s
+    })
+  }
+
+  /** l13: merge-on-read delete + append chain read back through
+    * [[SnapshotStore.read]] — v1 subtracts keys without rewriting v0,
+    * v2 unions restored rows onto v1; the read resolves marker chain →
+    * anti-join → union lazily. Row-count identity the oracle checks:
+    * all orders minus the odd half of the %10==3 keys, with the
+    * restored (even-half) rows carrying the +5 price bump. */
+  def morChainRead(spark: SparkSession, orders: DataFrame): DataFrame =
+    morStore(spark, orders).read().orderBy(col("o_orderkey"))
 }

@@ -35,17 +35,29 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def pointer = new Path(rootPath, "_LATEST")
   private def versionDir(v: Long) = new Path(rootPath, s"v=$v")
+  // merge-on-read markers: underscore names are invisible to the parquet
+  // reader, so a marked dir still scans as a plain parquet directory
+  private val DeleteBaseMarker = "_DELETE_BASE"
+  private val AppendBaseMarker = "_APPEND_BASE"
+
+  private def readSmall(p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in).mkString.trim
+    finally in.close()
+  }
+
+  private def writeSmall(p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
 
   /** Current committed version, or None for an empty store. */
   def latestVersion: Option[Long] = {
     val f = fs
     if (!f.exists(pointer)) None
     else {
-      val in = f.open(pointer)
-      try {
-        val s = scala.io.Source.fromInputStream(in).mkString.trim
-        if (s.isEmpty) None else Some(s.toLong)
-      } finally in.close()
+      val s = readSmall(pointer)
+      if (s.isEmpty) None else Some(s.toLong)
     }
   }
 
@@ -76,11 +88,22 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * LogStore contract table formats implement). The check converts the
     * silent-overwrite failure mode into a visible error for every
     * interleaving wider than that window. */
-  def commit(df: DataFrame, expectedBase: Option[Long]): Long = {
+  def commit(df: DataFrame, expectedBase: Option[Long]): Long =
+    publish(expectedBase) { staging =>
+      df.write.mode("overwrite").parquet(staging.toString)
+    }
+
+  /** The shared OCC publish protocol behind every commit flavor: fill a
+    * unique staging dir, re-check the pointer, rename into the version
+    * slot, swap the pointer atomically. `fill` receives the staging path
+    * and writes whatever the version's directory should hold (full
+    * snapshot data, or a merge-on-read marker + sidecar rows). */
+  private def publish(expectedBase: Option[Long])(
+      fill: Path => Unit): Long = {
     val v = expectedBase.map(_ + 1).getOrElse(0L)
     val staging = new Path(rootPath,
       s"_staging-v$v-${java.util.UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(staging.toString)
+    fill(staging)
     val f = fs
     val current = latestVersion
     if (current != expectedBase) {
@@ -91,8 +114,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     if (f.exists(versionDir(v))) f.delete(versionDir(v), true) // orphan
     f.rename(staging, versionDir(v))
     val tmp = new Path(rootPath, s"_LATEST.tmp-$v")
-    val out = f.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    writeSmall(tmp, v.toString)
     // FileContext.rename(OVERWRITE): the atomic publish (FileSystem's
     // overwriting rename is not part of its public contract)
     FileContext.getFileContext(rootPath.toUri,
@@ -101,13 +123,74 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     v
   }
 
+  /** Merge-on-read DELETE (delete vectors in miniature): publish a new
+    * version whose directory holds ONLY the deleted keys plus a
+    * `_DELETE_BASE` marker naming the version it subtracts from — the
+    * base data is never rewritten. [[read(version)]] resolves the marker
+    * with one anti-join, so a delete of k rows from a 100 TB table
+    * writes O(k), not O(table); the rewrite is deferred to
+    * [[materialize]] (Delta's deletion vectors / Iceberg's positional
+    * deletes, expressed at key granularity). `deleteKeys`' columns ARE
+    * the key columns — every base row matching on all of them is gone. */
+  def deleteByKeys(deleteKeys: DataFrame): Long = {
+    val base = latestVersion.getOrElse(throw new IllegalStateException(
+      s"cannot delete from never-committed store $root"))
+    publish(Some(base)) { staging =>
+      deleteKeys.write.mode("overwrite").parquet(staging.toString)
+      writeSmall(new Path(staging, DeleteBaseMarker), base.toString)
+    }
+  }
+
+  /** Merge-on-read APPEND: publish the new rows plus an `_APPEND_BASE`
+    * marker; [[read(version)]] unions them onto the base. The streaming
+    * append path runs on this — each micro-batch commit costs O(batch),
+    * not O(table) (the copy-on-write alternative rewrites the table
+    * every batch). Long marker chains re-pay one union per version at
+    * read time; [[materialize]] compacts the chain. */
+  def appendRows(rows: DataFrame): Long = {
+    val base = latestVersion.getOrElse(throw new IllegalStateException(
+      s"cannot append to never-committed store $root; use commit"))
+    publish(Some(base)) { staging =>
+      rows.write.mode("overwrite").parquet(staging.toString)
+      writeSmall(new Path(staging, AppendBaseMarker), base.toString)
+    }
+  }
+
+  /** Compact the merge-on-read marker chain: rewrite the CURRENT logical
+    * contents as one self-contained snapshot version (the OPTIMIZE /
+    * rewrite_data_files maintenance op for delete/append chains). */
+  def materialize(): Long = commit(read())
+
   /** Read the current snapshot (empty-schema error if never committed). */
   def read(): DataFrame = read(latestVersion.getOrElse(
     throw new IllegalStateException(s"no committed snapshot under $root")))
 
-  /** Time travel: read an exact historical version. */
-  def read(version: Long): DataFrame =
-    spark.read.parquet(versionDir(version).toString)
+  /** Time travel: read an exact historical version. A plain version dir
+    * scans directly; a merge-on-read version resolves its marker — one
+    * anti-join (delete) or union (append) onto its base, recursively
+    * down the chain to the last materialized snapshot. */
+  def read(version: Long): DataFrame = {
+    val dir = versionDir(version)
+    val f = fs
+    val delMarker = new Path(dir, DeleteBaseMarker)
+    val appMarker = new Path(dir, AppendBaseMarker)
+    if (f.exists(delMarker)) {
+      val dels = spark.read.parquet(dir.toString)
+      read(readSmall(delMarker).toLong)
+        .join(dels, dels.columns.toSeq, "left_anti")
+    } else if (f.exists(appMarker)) {
+      read(readSmall(appMarker).toLong)
+        .unionByName(spark.read.parquet(dir.toString))
+    } else spark.read.parquet(dir.toString)
+  }
+
+  /** The merge-on-read base a version builds on, if it has one. */
+  private def morBase(v: Long): Option[Long] = {
+    val f = fs
+    Seq(DeleteBaseMarker, AppendBaseMarker)
+      .map(m => new Path(versionDir(v), m)).find(f.exists)
+      .map(p => readSmall(p).toLong)
+  }
 
   /** Fold a compacted change feed into the table as one new version:
     * read-latest → [[Merge.applyChanges]] → commit. `evolveSchema`
@@ -163,14 +246,57 @@ class SnapshotStore(spark: SparkSession, val root: String) {
 
   /** Drop snapshot dirs older than `keepLast` versions (the `VACUUM` /
     * `expire_snapshots` maintenance op). The pointer is never touched, so
-    * this is always safe for current readers; time travel shrinks. */
+    * this is always safe for current readers; time travel shrinks.
+    * Versions a KEPT version still builds on through a merge-on-read
+    * marker chain are live data, not history — they survive regardless
+    * of age (the same reachability rule table-format vacuums apply to
+    * data files still referenced by the current snapshot). */
   def vacuum(keepLast: Int = 1): Seq[Long] = {
     val latest = latestVersion.getOrElse(return Seq.empty)
     val f = fs
+    val live = scala.collection.mutable.Set.empty[Long]
+    def markChain(v: Long): Unit = if (live.add(v)) morBase(v).foreach(markChain)
+    (math.max(0L, latest - keepLast + 1) to latest).foreach(markChain)
     val dropped = (0L to latest - keepLast)
+      .filterNot(live.contains)
       .filter(v => f.exists(versionDir(v)))
     dropped.foreach(v => f.delete(versionDir(v), true))
     dropped
+  }
+
+  /** Highest streaming batch id already committed for `appId`, scanning
+    * the per-version `_txn-<appId>` markers. The marker rides in the
+    * version directory itself, so it becomes visible in the SAME atomic
+    * pointer swap as the data — there is no window where the rows are
+    * published but the batch id is not (the Delta `txn` action's
+    * idempotence contract). */
+  def lastBatchId(appId: String): Option[Long] = {
+    val f = fs
+    if (!f.exists(rootPath)) return None
+    val ids = f.listStatus(rootPath).toSeq
+      .filter(_.getPath.getName.startsWith("v="))
+      .map(s => new Path(s.getPath, s"_txn-$appId"))
+      .filter(f.exists)
+      .map(p => readSmall(p).toLong)
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** Exactly-once streaming append: commit the batch as a merge-on-read
+    * append stamped with (appId, batchId); a REDELIVERED batch (retry
+    * after a sink failure, restart from an old checkpoint) is detected
+    * by [[lastBatchId]] and skipped, returning None. Batch ids must be
+    * monotone per appId — exactly Structured Streaming's foreachBatch
+    * contract. */
+  def appendIfNew(rows: DataFrame, appId: String,
+      batchId: Long): Option[Long] = {
+    if (lastBatchId(appId).exists(_ >= batchId)) return None
+    val base = latestVersion
+    Some(publish(base) { staging =>
+      rows.write.mode("overwrite").parquet(staging.toString)
+      base.foreach(b =>
+        writeSmall(new Path(staging, AppendBaseMarker), b.toString))
+      writeSmall(new Path(staging, s"_txn-$appId"), batchId.toString)
+    })
   }
 }
 
@@ -195,6 +321,23 @@ object SnapshotStore {
           store.applyChanges(Merge.latestByKey(batch, keys, version),
             keys, op)
         }
+        ()
+      }
+      .start()
+
+  /** Exactly-once streaming append: each micro-batch becomes one
+    * idempotent merge-on-read append version via
+    * [[SnapshotStore.appendIfNew]] — a batch redelivered after a sink
+    * crash or checkpoint replay is recognized by its (appId, batchId)
+    * stamp and skipped, so restarts never double-ingest. Per-batch cost
+    * is O(batch): the table is never rewritten on the hot path;
+    * [[SnapshotStore.materialize]] compacts the chain out-of-band. */
+  def exactlyOnceAppendStream(rows: DataFrame, store: SnapshotStore,
+      appId: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) store.appendIfNew(batch, appId, batchId)
         ()
       }
       .start()

@@ -19,7 +19,9 @@ class PlanAuditSpec extends SparkSpec {
     "k01_kmedians_assign", // broadcast(K=8 centroids) x corpus, twice
     "j01_bloom_join", // ONE-row 8 KB bitmap broadcast-crossed into the scan
     "dq04_price_histogram", // ONE-row min/max bounds broadcast-crossed in
-    "t16_temperature_mix") // ONE-row total-weight frame broadcast-crossed in
+    "t16_temperature_mix", // ONE-row total-weight frame broadcast-crossed in
+    "t17_unigram_surprise", // ONE-row corpus-total frame broadcast-crossed in
+    "t18_source_divergence") // sources-sized totals frame crossed into vocab
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

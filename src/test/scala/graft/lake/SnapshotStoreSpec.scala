@@ -212,4 +212,87 @@ class SnapshotStoreSpec extends SparkSpec {
       assert(store.latestVersion.contains(2L)) // one version per batch
     } finally q.stop()
   }
+
+  test("merge-on-read delete writes keys only, never rewrites the base") {
+    val store = freshStore()
+    store.commit((1L to 6L).map(k => (k, s"v$k")).toDF("k", "v"))
+    val v1 = store.deleteByKeys(Seq(2L, 5L).toDF("k"))
+    assert(v1 == 1L)
+    assert(store.read().orderBy("k").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 3L, 4L, 6L))
+    assert(store.read(0L).count() == 6) // time travel: base untouched
+    // the delete version's dir holds the key sidecar + marker, not data:
+    // its parquet rows are exactly the 2 deleted keys
+    assert(spark.read.parquet(store.root + "/v=1").count() == 2)
+    assert(new java.io.File(store.root + "/v=1/_DELETE_BASE").exists())
+  }
+
+  test("merge-on-read chain: delete, append, then materialize compacts") {
+    val store = freshStore()
+    store.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    store.deleteByKeys(Seq(2L, 3L).toDF("k")) // v1
+    store.appendRows(Seq((3L, "c2"), (4L, "d")).toDF("k", "v")) // v2
+    val expect = Seq(1L -> "a", 3L -> "c2", 4L -> "d")
+    def contents() = store.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(contents() == expect)
+    val v3 = store.materialize()
+    assert(v3 == 3L && contents() == expect)
+    // the materialized version is self-contained: vacuuming the whole
+    // chain away leaves it readable
+    assert(store.vacuum(keepLast = 1) == Seq(0L, 1L, 2L))
+    assert(contents() == expect)
+  }
+
+  test("vacuum keeps versions a live merge-on-read chain builds on") {
+    val store = freshStore()
+    store.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // v0
+    store.deleteByKeys(Seq(2L).toDF("k")) // v1 = MoR on v0
+    // keepLast=1 nominally drops v0, but v1 still reads THROUGH v0
+    assert(store.vacuum(keepLast = 1).isEmpty)
+    assert(store.read().collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("appendIfNew skips redelivered batch ids (exactly-once)") {
+    val store = freshStore()
+    assert(store.lastBatchId("app").isEmpty)
+    assert(store.appendIfNew(Seq((1L, "a")).toDF("k", "v"), "app", 0L)
+      .contains(0L))
+    assert(store.appendIfNew(Seq((2L, "b")).toDF("k", "v"), "app", 1L)
+      .contains(1L))
+    // redelivery of batch 1 and a stale batch 0: both no-ops
+    assert(store.appendIfNew(Seq((2L, "b")).toDF("k", "v"), "app", 1L).isEmpty)
+    assert(store.appendIfNew(Seq((1L, "a")).toDF("k", "v"), "app", 0L).isEmpty)
+    assert(store.latestVersion.contains(1L))
+    assert(store.lastBatchId("app").contains(1L))
+    // a DIFFERENT app's batch ids are independent
+    assert(store.appendIfNew(Seq((3L, "c")).toDF("k", "v"), "other", 0L)
+      .contains(2L))
+    assert(store.read().orderBy("k").collect().map(_.getString(1)).toSeq
+      == Seq("a", "b", "c"))
+  }
+
+  test("exactly-once streaming append: O(batch) versions, no double-ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = freshStore()
+    val input = MemoryStream[(Long, String)]
+    val q = SnapshotStore.exactlyOnceAppendStream(
+      input.toDF().toDF("k", "v"), store, "ingest-1")
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(store.read().orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+        == Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+      assert(store.latestVersion.contains(1L)) // one version per batch
+      assert(store.lastBatchId("ingest-1").contains(1L))
+      // simulate the crash-redelivery the checkpoint protocol produces:
+      // re-running batch 1's payload with its original id changes nothing
+      assert(store.appendIfNew(Seq((3L, "c")).toDF("k", "v"),
+        "ingest-1", 1L).isEmpty)
+      assert(store.read().count() == 3)
+    } finally q.stop()
+  }
 }
