@@ -243,7 +243,23 @@ object SparkEntry {
       graft.operators.DataQuality.valueOutliers(Tables.events(s, d))),
     "q34_set_ops_all" -> ((s, d) => R.setOpsAll(Tables.orders(s, d))),
     "l13_mor_chain" -> ((s, d) =>
-      graft.lake.LakeQueries.morChainRead(s, Tables.orders(s, d)))
+      graft.lake.LakeQueries.morChainRead(s, Tables.orders(s, d))),
+    // --- round 8 continued: graph edges, profiling, weighted sampling ---
+    "g01_covisitation" -> ((s, d) =>
+      graft.operators.CoOccurrence.covisitationEdges(Tables.events(s, d))),
+    "w14_cumulative_distinct" -> ((s, d) =>
+      W.cumulativeDistinctTypes(Tables.events(s, d))),
+    "t19_weighted_sample" -> ((s, d) =>
+      Sm.weightedSample(Tables.documents(s, d))),
+    "t20_vocab_coverage" -> ((s, d) =>
+      T.vocabCoverage(Tables.documents(s, d))),
+    "dq06_fd_audit" -> ((s, d) =>
+      graft.operators.DataQuality.fdAudit(Seq(
+        ("events_user_type", Tables.events(s, d), "user_id", "event_type"),
+        ("lineitem_part_supp", Tables.lineitem(s, d),
+          "l_partkey", "l_suppkey"),
+        ("orders_cust_priority", Tables.orders(s, d),
+          "o_custkey", "o_orderpriority"))))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -2062,6 +2078,107 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, o_totalprice + 5.0
         |  AS o_totalprice FROM orders WHERE o_orderkey % 20 = 3
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    // per-user top-4 items by count (event_type tie-break), then the
+    // capped self-join; lift = one double division of exact longs
+    "g01_covisitation" ->
+      """WITH pu AS (SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |cap AS (SELECT user_id, event_type FROM (
+        |  SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY c DESC, event_type) AS rn
+        |  FROM pu) WHERE rn <= 4),
+        |iu AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nu
+        |  FROM cap GROUP BY event_type),
+        |tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u
+        |  FROM cap),
+        |pr AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM cap a JOIN cap b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY a.event_type, b.event_type)
+        |SELECT item_a, item_b, n_users, na.nu AS n_a, nb.nu AS n_b,
+        |  CAST(n_users * u AS DOUBLE)
+        |    / CAST(na.nu * nb.nu AS DOUBLE) AS lift
+        |FROM pr CROSS JOIN tot
+        |JOIN iu na ON pr.item_a = na.event_type
+        |JOIN iu nb ON pr.item_b = nb.event_type
+        |ORDER BY item_a, item_b""".stripMargin,
+    // COUNT(DISTINCT) OVER rewritten identically on both sides: first
+    // sighting within (user, type) marks 1, running sum over the
+    // user's (ts, event_id) timeline is the cumulative distinct count
+    "w14_cumulative_distinct" ->
+      """SELECT user_id, event_id, event_type, is_first,
+        |  CAST(SUM(is_first) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS distinct_types
+        |FROM (SELECT user_id, event_id, ts, event_type,
+        |  CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) = 1 THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS is_first FROM events)
+        |ORDER BY user_id, event_id""".stripMargin,
+    // per-row keep threshold = weight*2^32 div maxWeight — integer
+    // products and a floor division, exact in both engines; the md5
+    // sample key is the same draw as t08's
+    "t19_weighted_sample" ->
+      """WITH b AS (SELECT doc_id, lang, n_chars,
+        |  least(n_chars, 400) AS weight,
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+        |  FROM documents),
+        |t AS (SELECT doc_id, lang, n_chars, weight, sample_key,
+        |  CASE WHEN weight >= 400 THEN 'g'
+        |    ELSE lower(lpad(hex(weight * 4294967296 // 400), 8, '0'))
+        |  END AS threshold FROM b)
+        |SELECT doc_id, lang, n_chars, weight FROM t
+        |WHERE sample_key < threshold ORDER BY doc_id""".stripMargin,
+    // rank/cumsum run over the TYPE table (|vocab| rows), not the
+    // corpus; coverage is one double division of exact longs
+    "t20_vocab_coverage" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(trim(text),
+        |    '\s+')) AS tok FROM documents),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM toks GROUP BY tok),
+        |r AS (SELECT tok, n, CAST(row_number() OVER (
+        |  ORDER BY n DESC, tok ASC) AS BIGINT) AS rk FROM c),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM c),
+        |s AS (SELECT CAST(unnest([5, 10, 15, 20, 25]) AS BIGINT)
+        |  AS vocab_size),
+        |cov AS (SELECT vocab_size, CAST(SUM(n) AS BIGINT)
+        |    AS covered_tokens
+        |  FROM r JOIN s ON r.rk <= s.vocab_size GROUP BY vocab_size)
+        |SELECT vocab_size, covered_tokens, total_tokens,
+        |  CAST(covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+        |    AS coverage
+        |FROM cov CROSS JOIN tot ORDER BY vocab_size""".stripMargin,
+    // one exact count-distinct per rule, rolled up to counters only —
+    // violations are counted, never materialized
+    "dq06_fd_audit" ->
+      """WITH v1 AS (SELECT user_id AS x,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS variants
+        |  FROM events GROUP BY user_id),
+        |v2 AS (SELECT l_partkey AS x,
+        |    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS variants
+        |  FROM lineitem GROUP BY l_partkey),
+        |v3 AS (SELECT o_custkey AS x,
+        |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS variants
+        |  FROM orders GROUP BY o_custkey),
+        |u AS (
+        |  SELECT 'events_user_type' AS rule,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(CASE WHEN variants > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    MAX(variants) AS max_variants FROM v1
+        |  UNION ALL
+        |  SELECT 'lineitem_part_supp', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN variants > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    MAX(variants) FROM v2
+        |  UNION ALL
+        |  SELECT 'orders_cust_priority', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN variants > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    MAX(variants) FROM v3)
+        |SELECT rule, n_keys, n_violating, max_variants,
+        |  n_violating = 0 AS holds
+        |FROM u ORDER BY rule""".stripMargin
   )
 }

@@ -226,4 +226,33 @@ object DataQuality {
         max(when(isOut, col("value"))).as("out_max"))
       .orderBy(col("event_type"))
   }
+
+  /** Functional-dependency audit: for each candidate rule X → Y, how
+    * many X values map to MORE than one distinct Y — the schema-drift /
+    * denormalization-integrity check profilers run before trusting a
+    * column as a lookup key (a violated FD means "X is not a key for
+    * Y"; a freshly-violated one means upstream started double-writing).
+    *
+    * Per rule: one (X)-keyed exact count-distinct aggregate (Spark's
+    * two-phase distinct expansion — the (X, Y) pre-distinct shuffles by
+    * both columns, so a hot X spreads over its Y variants), then a
+    * rule-level rollup to four counters. Violations are COUNTED, never
+    * materialized — the audit output is rules-sized regardless of data
+    * size. Rules on different tables scan independently (no shared-scan
+    * opportunity exists). */
+  def fdAudit(rules: Seq[(String, DataFrame, String, String)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one FD rule")
+    rules.map { case (name, df, det, dep) =>
+      df.select(col(det).as("x"), col(dep).as("y"))
+        .groupBy(col("x"))
+        .agg(countDistinct(col("y")).as("variants"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("variants") > 1, 1L).otherwise(0L))
+            .as("n_violating"),
+          max(col("variants")).as("max_variants"))
+        .select(lit(name).as("rule"), col("n_keys"), col("n_violating"),
+          col("max_variants"),
+          (col("n_violating") === 0).as("holds"))
+    }.reduce(_.unionAll(_)).orderBy(col("rule"))
+  }
 }

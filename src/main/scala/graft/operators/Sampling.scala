@@ -209,4 +209,33 @@ object Sampling {
         col("doc_id"), col("n_tokens"), col("cum_before"))
       .orderBy(col("shard"), col("cum_before"))
   }
+
+  /** Deterministic weighted (importance) sampling: each document is kept
+    * with probability proportional to its weight — here min(n_chars,
+    * maxWeight)/maxWeight, the "prefer substantial documents" prior —
+    * using the same RNG-free hash-threshold mechanism as
+    * [[stratifiedSample]], but with a PER-ROW threshold derived from the
+    * row's own weight. Repartition-stable, rerun-stable, and a pure
+    * filter: no shuffle except the presentation sort.
+    *
+    * Cross-engine arithmetic: the threshold is `w·2³² div maxWeight` —
+    * integer products ≤ n_chars·2³² ≪ 2⁶³ and a floor division, both
+    * exact in any engine (a double divide-then-floor could land on the
+    * wrong side of an integer boundary by one ulp). Full-weight rows
+    * short-circuit to the always-keep sentinel "g" (lexically above any
+    * hex digit), sidestepping the 9-hex-digit 2³² edge. */
+  def weightedSample(documents: DataFrame,
+      maxWeight: Long = 400L): DataFrame = {
+    val w = least(col("n_chars"), lit(maxWeight))
+    documents
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        w.as("weight"), sampleKey(col("doc_id")).as("sample_key"))
+      .withColumn("threshold",
+        when(col("weight") >= maxWeight, lit("g"))
+          .otherwise(lower(lpad(hex(
+            expr(s"weight * 4294967296 div $maxWeight")), 8, "0"))))
+      .filter(col("sample_key") < col("threshold"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("weight"))
+      .orderBy(col("doc_id"))
+  }
 }

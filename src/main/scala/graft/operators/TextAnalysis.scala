@@ -562,4 +562,39 @@ object TextAnalysis {
         (col("chi2_fp").cast("double") / lit(1000000.0)).as("chi2"))
       .orderBy(col("source"))
   }
+
+  /** Vocabulary coverage curve: for each candidate vocabulary size V,
+    * the fraction of all token OCCURRENCES covered by the V most
+    * frequent types — the curve a tokenizer/vocab-size decision reads
+    * (where does coverage flatten?) and a drift monitor for incoming
+    * corpus slices.
+    *
+    * Plan shape: one token-keyed count shuffle (map-side combined), then
+    * the ranked cumulative sum runs over |vocab| rows — a funnel, but
+    * over the TYPE table, not the corpus (the dq02/q29 argument: vocab
+    * cardinality is millions when the corpus is trillions of tokens;
+    * if vocab itself explodes, rank/cumsum shard by count-band first).
+    * Coverage is one double division of exact longs. */
+  def vocabCoverage(documents: DataFrame,
+      sizes: Seq[Int] = Seq(5, 10, 15, 20, 25)): DataFrame = {
+    val counts = documents
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("tok").asc)
+    val ranked = counts
+      .withColumn("rk", row_number().over(w).cast("long"))
+    val total = counts.agg(sum(col("n")).as("total_tokens"))
+    val sizesDf = documents.sparkSession
+      .createDataFrame(sizes.map(Tuple1(_))).toDF("vocab_size")
+      .select(col("vocab_size").cast("long").as("vocab_size"))
+    ranked.join(broadcast(sizesDf), col("rk") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(sum(col("n")).as("covered_tokens"))
+      .join(broadcast(total))
+      .select(col("vocab_size"), col("covered_tokens"), col("total_tokens"),
+        (col("covered_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("coverage"))
+      .orderBy(col("vocab_size"))
+  }
 }

@@ -126,6 +126,33 @@ object Windows {
     * explode multiplies the COMPACT pair set by w, not the event log.
     * Both distincts are plain hash shuffles; no per-window sets, no
     * single-task funnel. */
+  /** Cumulative DISTINCT count over a window — an aggregate Spark (and
+    * ANSI SQL windows generally) cannot express directly
+    * (`COUNT(DISTINCT) OVER` is unsupported), rewritten as the
+    * first-occurrence-marker trick: row_number() = 1 within
+    * (user, type) marks each type's first sighting, and a running sum
+    * of markers over the user's timeline IS the cumulative distinct
+    * count. Two window passes, both keyed by user (the second also
+    * reuses the first's (user, type) sort prefix is NOT possible —
+    * different partition keys — but both distribute by user, so the
+    * exchange is reused and no global funnel exists at any scale).
+    * Per-user state is one long — no distinct-set materialization. */
+  def cumulativeDistinctTypes(events: DataFrame): DataFrame = {
+    val firstSeen = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val timeline = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("is_first",
+        when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+      .withColumn("distinct_types", sum(col("is_first")).over(timeline))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("is_first"), col("distinct_types"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   def rollingActiveUsers(events: DataFrame,
       windowHours: Int = 3): DataFrame = {
     val pairs = events

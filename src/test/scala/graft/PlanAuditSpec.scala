@@ -21,7 +21,9 @@ class PlanAuditSpec extends SparkSpec {
     "dq04_price_histogram", // ONE-row min/max bounds broadcast-crossed in
     "t16_temperature_mix", // ONE-row total-weight frame broadcast-crossed in
     "t17_unigram_surprise", // ONE-row corpus-total frame broadcast-crossed in
-    "t18_source_divergence") // sources-sized totals frame crossed into vocab
+    "t18_source_divergence", // sources-sized totals frame crossed into vocab
+    "g01_covisitation", // ONE-row user-total frame broadcast-crossed in
+    "t20_vocab_coverage") // 5-row size grid + ONE-row total crossed into vocab
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>
