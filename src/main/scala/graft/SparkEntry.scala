@@ -259,7 +259,15 @@ object SparkEntry {
         ("lineitem_part_supp", Tables.lineitem(s, d),
           "l_partkey", "l_suppkey"),
         ("orders_cust_priority", Tables.orders(s, d),
-          "o_custkey", "o_orderpriority"))))
+          "o_custkey", "o_orderpriority")))),
+    "g02_item_neighbors" -> ((s, d) =>
+      graft.operators.CoOccurrence.itemNeighbors(Tables.events(s, d))),
+    "g03_transition_matrix" -> ((s, d) =>
+      graft.operators.Graph.transitionCounts(Tables.events(s, d))),
+    "g04_event_pagerank" -> ((s, d) =>
+      graft.operators.Graph.eventTypePagerank(Tables.events(s, d))),
+    "t21_split_assign" -> ((s, d) =>
+      Sm.splitAssign(Tables.documents(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -2179,6 +2187,104 @@ object SparkEntry {
         |    MAX(variants) FROM v3)
         |SELECT rule, n_keys, n_violating, max_variants,
         |  n_violating = 0 AS holds
-        |FROM u ORDER BY rule""".stripMargin
+        |FROM u ORDER BY rule""".stripMargin,
+    // g01's edge list symmetrized by union-swap, ranked per item by
+    // (lift desc, support desc, neighbor) — both engines rank the same
+    // bitwise-identical lift doubles
+    "g02_item_neighbors" ->
+      """WITH pu AS (SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |cap AS (SELECT user_id, event_type FROM (
+        |  SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY c DESC, event_type) AS rn
+        |  FROM pu) WHERE rn <= 4),
+        |iu AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nu
+        |  FROM cap GROUP BY event_type),
+        |tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u
+        |  FROM cap),
+        |pr AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM cap a JOIN cap b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY a.event_type, b.event_type),
+        |e AS (SELECT item_a, item_b, n_users,
+        |  CAST(n_users * u AS DOUBLE)
+        |    / CAST(na.nu * nb.nu AS DOUBLE) AS lift
+        |  FROM pr CROSS JOIN tot
+        |  JOIN iu na ON pr.item_a = na.event_type
+        |  JOIN iu nb ON pr.item_b = nb.event_type),
+        |sym AS (SELECT item_a AS item, item_b AS neighbor, n_users, lift
+        |  FROM e
+        |  UNION ALL
+        |  SELECT item_b, item_a, n_users, lift FROM e)
+        |SELECT item, neighbor, n_users, lift, rank FROM (
+        |  SELECT item, neighbor, n_users, lift,
+        |    CAST(row_number() OVER (PARTITION BY item
+        |      ORDER BY lift DESC, n_users DESC, neighbor) AS BIGINT)
+        |      AS rank
+        |  FROM sym)
+        |WHERE rank <= 3 ORDER BY item, rank""".stripMargin,
+    // first-order Markov model: lag per user, (src,dst) counts, one
+    // double division for the row-normalized probability
+    "g03_transition_matrix" ->
+      """WITH s AS (SELECT user_id, event_type AS dst,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS src FROM events),
+        |c AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM s WHERE src IS NOT NULL GROUP BY src, dst),
+        |t AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_src
+        |  FROM c GROUP BY src)
+        |SELECT c.src, c.dst, c.n, t.n_src,
+        |  CAST(c.n AS DOUBLE) / CAST(t.n_src AS DOUBLE) AS p
+        |FROM c JOIN t USING (src) ORDER BY src, dst""".stripMargin,
+    // fixed-point PageRank (scale 1e9), 3 synchronous iterations
+    // unrolled: every step is an exact integer product/floor-division,
+    // so both engines produce identical longs — no float drift
+    "g04_event_pagerank" ->
+      """WITH s AS (SELECT user_id, event_type AS dst,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS src FROM events),
+        |c AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM s WHERE src IS NOT NULL GROUP BY src, dst),
+        |n0 AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM c UNION ALL SELECT dst FROM c)),
+        |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS w_out
+        |  FROM c GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM n0),
+        |c1 AS (SELECT c.dst,
+        |    CAST(SUM((r0.r * c.w) // ow.w_out) AS BIGINT) AS sc
+        |  FROM c JOIN ow USING (src) JOIN r0 ON r0.node = c.src
+        |  GROUP BY c.dst),
+        |r1 AS (SELECT n0.node, CAST(150000000
+        |    + (85 * COALESCE(c1.sc, 0)) // 100 AS BIGINT) AS r
+        |  FROM n0 LEFT JOIN c1 ON n0.node = c1.dst),
+        |c2 AS (SELECT c.dst,
+        |    CAST(SUM((r1.r * c.w) // ow.w_out) AS BIGINT) AS sc
+        |  FROM c JOIN ow USING (src) JOIN r1 ON r1.node = c.src
+        |  GROUP BY c.dst),
+        |r2 AS (SELECT n0.node, CAST(150000000
+        |    + (85 * COALESCE(c2.sc, 0)) // 100 AS BIGINT) AS r
+        |  FROM n0 LEFT JOIN c2 ON n0.node = c2.dst),
+        |c3 AS (SELECT c.dst,
+        |    CAST(SUM((r2.r * c.w) // ow.w_out) AS BIGINT) AS sc
+        |  FROM c JOIN ow USING (src) JOIN r2 ON r2.node = c.src
+        |  GROUP BY c.dst),
+        |r3 AS (SELECT n0.node, CAST(150000000
+        |    + (85 * COALESCE(c3.sc, 0)) // 100 AS BIGINT) AS r
+        |  FROM n0 LEFT JOIN c3 ON n0.node = c3.dst)
+        |SELECT node, r AS rank_fp,
+        |  CAST(r AS DOUBLE) / 1000000000.0 AS rank
+        |FROM r3 ORDER BY rank_fp DESC, node""".stripMargin,
+    // hash-range split: thresholds at 0.8/0.9 of the 2^32 key space —
+    // the same md5 draw as t08/t19, disjoint + exhaustive by
+    // construction
+    "t21_split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      < 'cccccccc' THEN 'train'
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      < 'e6666666' THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -71,4 +71,28 @@ object CoOccurrence {
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
       .orderBy(col("item_a"), col("item_b"))
   }
+
+  /** The recommender artifact itself: each item's `k` strongest
+    * neighbors by lift (support tie-break, then neighbor id) — the
+    * "users who touched X also touched" table served online.
+    *
+    * Edges symmetrize by unioning the canonical (a < b) edge list with
+    * its swap — no second self-join. The rank window partitions by
+    * item: per-partition size is the item's co-occurrence breadth
+    * (bounded by the per-user cap times the item's user count, and in
+    * practice by catalog diversity), and items spread across tasks, so
+    * no funnel. Output is ≤ k rows per item. */
+  def itemNeighbors(events: DataFrame, k: Int = 3,
+      cap: Int = 4): DataFrame = {
+    val edges = covisitationEdges(events, cap)
+    val sym = edges.select(col("item_a").as("item"),
+        col("item_b").as("neighbor"), col("n_users"), col("lift"))
+      .unionAll(edges.select(col("item_b").as("item"),
+        col("item_a").as("neighbor"), col("n_users"), col("lift")))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("lift").desc, col("n_users").desc, col("neighbor"))
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("item"), col("rank"))
+  }
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence/graph analytics over the event log: Markov transition
+  * structure and PageRank-style node importance — the behavioral-model
+  * layer (next-event prediction features, funnel diagnostics, node
+  * importance for sampling priorities) that sits on top of the edge
+  * construction in [[CoOccurrence]].
+  *
+  * Determinism discipline: PageRank is computed in FIXED-POINT integer
+  * arithmetic (scale 10⁹, floor divisions) so every iteration is exact
+  * and order-free — a float PageRank would accumulate in shuffle order
+  * and drift across engines/partitionings. Transition probabilities are
+  * one double division of exact longs.
+  */
+object Graph {
+
+  /** Per-user consecutive event-type transitions with row-normalized
+    * probabilities — the first-order Markov model of the event stream.
+    *
+    * One lag window keyed by user (linear, full parallelism), one
+    * (src, dst) count shuffle (map-side combined), then the src-keyed
+    * totals re-join — transition-matrix-sized frames throughout. */
+  def transitionCounts(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val steps = events
+      .select(col("user_id"), col("event_type").as("dst"),
+        lag(col("event_type"), 1).over(w).as("src"))
+      .filter(col("src").isNotNull)
+    val counts = steps.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("src")).agg(sum(col("n")).as("n_src"))
+    counts.join(totals, "src")
+      .select(col("src"), col("dst"), col("n"), col("n_src"),
+        (col("n").cast("double") / col("n_src").cast("double")).as("p"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  /** Weighted PageRank over a directed edge list, `iters` synchronous
+    * iterations in fixed-point arithmetic (scale 10⁹):
+    *
+    *   contrib(j→i) = (r(j) · w_ji) div W_j
+    *   r'(i)        = (15·S) div 100 + (85 · Σ contrib) div 100
+    *
+    * Every operation is an exact integer product/floor-division, so the
+    * result is bit-identical across engines, partitionings, and reruns
+    * — the property a float PageRank cannot give (shuffle-order sums).
+    * Headroom: Σ rank mass ≤ N·S, so N up to ~10⁸ nodes fits int64
+    * through the ·85 product.
+    *
+    * Plan shape per iteration: ranks join edges on src (shuffle keyed
+    * by src — or co-partitioned/bucketed by src at scale, making every
+    * iteration exchange-free on the edge side), contribution agg keyed
+    * by dst (map-side combined), left join back to the node set so
+    * sinks keep receiving the teleport mass. Classic distributed
+    * PageRank; iterations are a driver loop over lazy plans, data
+    * never collects. */
+  def pagerank(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val S = 1000000000L
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
+    var ranks = nodes.select(col("node"), lit(S).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = edges.join(outW, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("r * w div w_out").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      ranks = nodes.join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(15L * S / 100L) +
+            expr("85 * coalesce(sc, 0L) div 100")).as("r"))
+    }
+    ranks
+      .select(col("node"), col("r").as("rank_fp"),
+        (col("r").cast("double") / lit(S.toDouble)).as("rank"))
+      .orderBy(col("rank_fp").desc, col("node"))
+  }
+
+  /** PageRank of the event-type transition graph — node importance of
+    * the behavioral Markov chain. */
+  def eventTypePagerank(events: DataFrame, iters: Int = 3): DataFrame =
+    pagerank(transitionCounts(events)
+      .select(col("src"), col("dst"), col("n").as("w")), iters)
+}

@@ -238,4 +238,24 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("n_chars"), col("weight"))
       .orderBy(col("doc_id"))
   }
+
+  /** Deterministic train/validation/test assignment by hash range —
+    * the split every evaluation pipeline needs to be LEAKAGE-PROOF: a
+    * document's split is a pure function of its id, so reruns,
+    * backfills, and incremental appends can never migrate a test
+    * document into training. Thresholds partition the hash space
+    * (disjoint + exhaustive by construction); a pure projection, no
+    * shuffle, no RNG. */
+  def splitAssign(documents: DataFrame, trainRate: Double = 0.8,
+      valRate: Double = 0.1): DataFrame = {
+    require(trainRate > 0 && valRate > 0 && trainRate + valRate < 1.0,
+      s"rates must leave test mass: train=$trainRate val=$valRate")
+    val key = sampleKey(col("doc_id"))
+    documents
+      .select(col("doc_id"), col("lang"),
+        when(key < hexThreshold(trainRate), "train")
+          .when(key < hexThreshold(trainRate + valRate), "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
 }

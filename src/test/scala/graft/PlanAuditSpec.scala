@@ -23,6 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     "t17_unigram_surprise", // ONE-row corpus-total frame broadcast-crossed in
     "t18_source_divergence", // sources-sized totals frame crossed into vocab
     "g01_covisitation", // ONE-row user-total frame broadcast-crossed in
+    "g02_item_neighbors", // embeds g01's ONE-row total cross
     "t20_vocab_coverage") // 5-row size grid + ONE-row total crossed into vocab
 
   test("no cartesian products; nested-loop joins only where intended") {

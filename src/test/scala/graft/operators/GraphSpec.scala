@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Graph/sequence layer: Markov transitions, fixed-point PageRank
+  * invariants, item-neighbor symmetry, split assignment hygiene. */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.map { case (u, e, t) =>
+      (u, e, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${e % 60}%02d"), t)
+    }.toDF("user_id", "event_id", "ts", "event_type")
+
+  test("transition counts model per-user consecutive steps") {
+    val events = ev((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (2L, 4L, "b"), (2L, 5L, "b"))
+    val got = Graph.transitionCounts(events).collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((1L, 1.0)),
+      ("b", "a") -> ((1L, 0.5)),
+      ("b", "b") -> ((1L, 0.5))))
+  }
+
+  test("pagerank fixed point: a symmetric 2-cycle keeps uniform rank") {
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L))
+      .toDF("src", "dst", "w")
+    val ranks = Graph.pagerank(edges, iters = 3).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_fp")).toMap
+    // contrib = full mass each step: r' = 0.15S + 0.85S = S exactly
+    assert(ranks == Map("a" -> 1000000000L, "b" -> 1000000000L))
+  }
+
+  test("pagerank converges to the hand-computed fixed-point longs") {
+    // a -> b only: a has no in-edges (teleport floor), b absorbs
+    // 0.85 * r(a); all arithmetic exact integers
+    val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
+    val ranks = Graph.pagerank(edges, iters = 3).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_fp")).toMap
+    assert(ranks("a") == 150000000L)
+    assert(ranks("b") == 150000000L + 85L * 150000000L / 100L)
+  }
+
+  test("item neighbors are symmetric with identical lift both ways") {
+    val events = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"), (4L, "c")).toDF("user_id", "event_type")
+    val rows = CoOccurrence.itemNeighbors(events, k = 3).collect()
+    val byPair = rows.map(r => (r.getAs[String]("item"),
+      r.getAs[String]("neighbor")) -> r.getAs[Double]("lift")).toMap
+    assert(byPair(("a", "b")) == byPair(("b", "a")),
+      "lift must be direction-independent")
+    assert(byPair.contains(("c", "a")) && byPair.contains(("a", "c")))
+    // ranks start at 1 per item and are dense
+    val ranks = rows.groupBy(_.getAs[String]("item"))
+      .view.mapValues(_.map(_.getAs[Long]("rank")).sorted.toSeq).toMap
+    assert(ranks.values.forall(rs => rs == (1L to rs.length).toSeq))
+  }
+
+  test("split assignment is disjoint, exhaustive, and ~80/10/10") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    val got = Sampling.splitAssign(docs)
+    assert(got.count() == n, "every document gets exactly one split")
+    val counts = got.groupBy(col("split")).count().collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("count")).toMap
+    assert(counts.values.sum == n)
+    assert(counts("train") > n * 7 / 10 && counts("train") < n * 9 / 10)
+    assert(counts("val") > 0 && counts("test") > 0)
+    // leakage-proofness: reruns never migrate a document
+    assert(got.collect().toSeq == Sampling.splitAssign(docs).collect().toSeq)
+  }
+}
