@@ -267,7 +267,18 @@ object SparkEntry {
     "g04_event_pagerank" -> ((s, d) =>
       graft.operators.Graph.eventTypePagerank(Tables.events(s, d))),
     "t21_split_assign" -> ((s, d) =>
-      Sm.splitAssign(Tables.documents(s, d)))
+      Sm.splitAssign(Tables.documents(s, d))),
+    "dq07_equidepth_hist" -> ((s, d) =>
+      graft.operators.DataQuality.equiDepthHistogram(
+        Tables.lineitem(s, d), "l_returnflag", "l_quantity")),
+    "dq08_join_cardinality" -> ((s, d) =>
+      graft.operators.DataQuality.joinCardinality(
+        Tables.orders(s, d), "o_orderkey",
+        Tables.lineitem(s, d), "l_orderkey")),
+    "t22_interleave" -> ((s, d) =>
+      Sm.interleaveBySource(Tables.documents(s, d))),
+    "t23_exact_sample" -> ((s, d) =>
+      Sm.exactSample(Tables.documents(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -2285,6 +2296,52 @@ object SparkEntry {
         |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
         |      < 'e6666666' THEN 'val'
         |    ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // equi-depth buckets on the value DISTRIBUTION: bucket =
+    // rows_before * B div n — exact integers, tie-groups whole
+    "dq07_equidepth_hist" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |cu AS (SELECT l_returnflag, v, c,
+        |  CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v)
+        |    AS BIGINT) AS cum FROM c),
+        |t AS (SELECT l_returnflag, CAST(MAX(cum) AS BIGINT) AS n
+        |  FROM cu GROUP BY l_returnflag)
+        |SELECT cu.l_returnflag, ((cum - c) * 4) // n AS bucket,
+        |  CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  MIN(v) AS v_min, MAX(v) AS v_max
+        |FROM cu JOIN t USING (l_returnflag)
+        |GROUP BY cu.l_returnflag, ((cum - c) * 4) // n
+        |ORDER BY l_returnflag, bucket""".stripMargin,
+    // Σ_k cA(k)·cB(k) over the per-key count tables — the join's
+    // exact output size without running the join
+    "dq08_join_cardinality" ->
+      """WITH la AS (SELECT o_orderkey AS k,
+        |    CAST(COUNT(*) AS BIGINT) AS ca FROM orders GROUP BY 1),
+        |ra AS (SELECT l_orderkey AS k,
+        |    CAST(COUNT(*) AS BIGINT) AS cb FROM lineitem GROUP BY 1),
+        |j AS (SELECT la.k, ca * cb AS rows_k FROM la JOIN ra USING (k))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+        |  CAST(SUM(rows_k) AS BIGINT) AS est_join_rows,
+        |  CAST(MAX(rows_k) AS BIGINT) AS max_key_rows
+        |FROM j""".stripMargin,
+    // round-robin over sources: per-source shuffle rank, global
+    // (rank, source) order materialized only for the LIMIT prefix
+    "t22_interleave" ->
+      """WITH r AS (SELECT source, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+        |      doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT source, doc_id, rk FROM r
+        |ORDER BY rk, source LIMIT 60""".stripMargin,
+    // exactly-N sample = the N smallest shuffle keys (doc_id
+    // tie-break); deterministic, rerun-stable
+    "t23_exact_sample" ->
+      """SELECT doc_id, lang,
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+        |FROM documents
+        |ORDER BY sample_key, doc_id LIMIT 100""".stripMargin
   )
 }

@@ -255,4 +255,51 @@ object DataQuality {
           (col("n_violating") === 0).as("holds"))
     }.reduce(_.unionAll(_)).orderBy(col("rule"))
   }
+
+  /** Equi-DEPTH histogram (equal row mass per bucket) — the profiling
+    * complement of [[histogram]]'s equi-width bins, and the boundary
+    * source for range-partitioned layouts. Computed entirely on the
+    * VALUE DISTRIBUTION (the q29 trick): per group, distinct values
+    * with counts, a cumulative sum over the value order, and bucket =
+    * `(rows_before · nBuckets) div n` — whole tie-groups land in one
+    * bucket, everything is exact integer arithmetic, and the per-group
+    * funnel is |distinct values| rows, never the row count. Groups
+    * spread across tasks (window partitions by the group key). */
+  def equiDepthHistogram(df: DataFrame, groupCol: String, valueCol: String,
+      nBuckets: Int = 4): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("v"))
+    val cum = counts.withColumn("cum", sum(col("c")).over(w))
+    val totals = cum.groupBy(col(groupCol)).agg(max(col("cum")).as("n"))
+    cum.join(totals, groupCol)
+      .withColumn("bucket",
+        expr(s"(cum - c) * $nBuckets div n"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(sum(col("c")).as("n_rows"),
+        min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+      .orderBy(col(groupCol), col("bucket"))
+  }
+
+  /** Join-cardinality estimation WITHOUT running the join:
+    * |A ⨝ B on k| = Σ_k c_A(k)·c_B(k), over the per-key count tables —
+    * the planner-side diagnostic that catches a key-explosion join
+    * (quadratic blowup on hot keys) before it runs. Also reports the
+    * worst single key's output (the skew share AQE would have to
+    * split). Count tables are |keys|-sized; the key join shuffles
+    * those, never the inputs — at 100 TB this costs two count aggs,
+    * not the join. Exact, not an estimate, because the count tables
+    * are exact; swap in CountMinSketch frames when even |keys| is too
+    * big. */
+  def joinCardinality(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val la = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("ca"))
+    val ra = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cb"))
+    la.join(ra, "k")
+      .select(col("k"), (col("ca") * col("cb")).as("rows_k"))
+      .agg(count(lit(1)).as("n_matching_keys"),
+        sum(col("rows_k")).as("est_join_rows"),
+        max(col("rows_k")).as("max_key_rows"))
+  }
 }

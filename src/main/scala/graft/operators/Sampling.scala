@@ -258,4 +258,38 @@ object Sampling {
           .otherwise("test").as("split"))
       .orderBy(col("doc_id"))
   }
+
+  /** Source-interleaved training order: rank documents WITHIN each
+    * source by the deterministic shuffle key, then read in (rank,
+    * source) order — position 1 of every source, then position 2, … —
+    * so no source ever streams a long contiguous run into training
+    * (the curriculum-stability property round-robin mixing buys).
+    *
+    * The per-source rank window partitions by source (parallel); the
+    * global (rank, source) order is only materialized for the first
+    * `take` positions via orderBy+limit — TakeOrderedAndProject:
+    * per-partition top-N and a driver merge of N-row frames, never a
+    * global sort. */
+  def interleaveBySource(documents: DataFrame, take: Int = 60): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(sampleKey(col("doc_id")), col("doc_id"))
+    documents
+      .select(col("source"), col("doc_id"),
+        row_number().over(w).cast("long").as("rk"))
+      .orderBy(col("rk"), col("source"))
+      .limit(take)
+  }
+
+  /** Exactly-N deterministic global sample: the N smallest shuffle
+    * keys. Same reproducibility contract as [[stratifiedSample]] but
+    * with an exact output size (rate-based sampling only hits N in
+    * expectation). Plans as TakeOrderedAndProject — each partition
+    * keeps its local top-N, the driver merges N-row frames; no global
+    * sort, no funnel. */
+  def exactSample(documents: DataFrame, n: Int = 100): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"),
+        sampleKey(col("doc_id")).as("sample_key"))
+      .orderBy(col("sample_key"), col("doc_id"))
+      .limit(n)
 }

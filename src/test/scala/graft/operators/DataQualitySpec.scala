@@ -120,4 +120,42 @@ class DataQualitySpec extends SparkSpec {
     assert(out("ok").getAs[Long]("n_outliers") == 0L)
     assert(out("ok").isNullAt(out("ok").fieldIndex("out_min")))
   }
+
+  test("equi-depth buckets balance row mass and never overlap") {
+    val sf = "/root/testdata/sf0.001"
+    val li = graft.Tables.lineitem(spark, sf)
+    val h = DataQuality.equiDepthHistogram(li, "l_returnflag",
+      "l_quantity", nBuckets = 4).collect()
+    val byFlag = h.groupBy(_.getString(0))
+    for ((_, rows) <- byFlag) {
+      val masses = rows.map(_.getAs[Long]("n_rows"))
+      val total = masses.sum
+      // equal depth up to tie-group granularity: no bucket strays far
+      // from total/4 on the ~50-distinct-value quantity column
+      assert(masses.forall(m => m > total / 8 && m < total * 3 / 8),
+        s"unbalanced buckets: ${masses.toSeq} of $total")
+      // value ranges ascend without overlap across the bucket order
+      val sorted = rows.sortBy(_.getAs[Long]("bucket"))
+      val pairs = sorted.map(r => (r.getAs[Any]("v_min").toString.toDouble,
+        r.getAs[Any]("v_max").toString.toDouble))
+      assert(pairs.forall { case (lo, hi) => lo <= hi })
+      assert(pairs.sliding(2).forall {
+        case Array((_, hi), (lo2, _)) => hi < lo2
+        case _ => true
+      }, s"overlapping bucket ranges: ${pairs.toSeq}")
+    }
+  }
+
+  test("join cardinality matches the actually-executed join exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = graft.Tables.orders(spark, sf)
+    val li = graft.Tables.lineitem(spark, sf)
+    val est = DataQuality.joinCardinality(orders, "o_orderkey",
+      li, "l_orderkey").collect().head
+    val actual = orders.join(li,
+      col("o_orderkey") === col("l_orderkey")).count()
+    assert(est.getAs[Long]("est_join_rows") == actual,
+      "count-table product must equal the real join size")
+    assert(est.getAs[Long]("max_key_rows") <= actual)
+  }
 }

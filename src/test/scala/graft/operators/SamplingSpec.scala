@@ -124,4 +124,29 @@ class SamplingSpec extends SparkSpec {
     val b = Sampling.temperatureMix(docs).collect().toSeq
     assert(a == b)
   }
+
+  test("interleave round-robins sources in full rank blocks") {
+    val nSources = docs.select("source").distinct().count().toInt
+    val take = nSources * 3
+    val rows = Sampling.interleaveBySource(docs, take).collect()
+    assert(rows.length == take)
+    // with every source deeper than 3 docs, each rank block 1..3 must
+    // contain every source exactly once
+    val blocks = rows.groupBy(_.getAs[Long]("rk"))
+    assert(blocks.keySet == Set(1L, 2L, 3L))
+    assert(blocks.values.forall(
+      _.map(_.getAs[String]("source")).toSet.size == nSources))
+  }
+
+  test("exact sample returns exactly N, nested across sizes, no sort funnel") {
+    val s100 = Sampling.exactSample(docs, 100)
+    assert(s100.count() == 100)
+    val ids50 = Sampling.exactSample(docs, 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids100 = s100.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids50.subsetOf(ids100), "samples must nest as N grows")
+    val plan = s100.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"exact sample should plan per-partition top-N, got:\n$plan")
+  }
 }
