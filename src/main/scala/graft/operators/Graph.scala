@@ -82,8 +82,15 @@ object Graph {
   }
 
   /** PageRank of the event-type transition graph — node importance of
-    * the behavioral Markov chain. */
+    * the behavioral Markov chain. The edge table materializes once
+    * (`localCheckpoint`) before the iteration loop: every iteration's
+    * plan references edges, out-weights, AND the node set, so without
+    * truncation the event scan + lag window would re-execute ~3× per
+    * iteration — the standard checkpoint-between-iterations discipline
+    * of distributed PageRank (at cluster scale, a reliable checkpoint
+    * or a persisted table between supersteps). */
   def eventTypePagerank(events: DataFrame, iters: Int = 3): DataFrame =
     pagerank(transitionCounts(events)
-      .select(col("src"), col("dst"), col("n").as("w")), iters)
+      .select(col("src"), col("dst"), col("n").as("w"))
+      .localCheckpoint(true), iters)
 }

@@ -226,13 +226,47 @@ object Relational {
   }
 
   /** q34: the MULTISET forms of [[setOps]] — INTERSECT ALL / EXCEPT ALL
-    * preserve duplicity (a customer with 3 orders in 1995 and 1 in 2000
+    * duplicity semantics (a customer with 3 orders in 1995 and 1 in 2000
     * contributes min(3,1)=1 'both' row and 3−1=2 'only_1995' rows), which
     * is what bag-semantics reconciliation between two feeds needs: "how
-    * many MORE times does this key appear on the left". Spark plans both
-    * as a single hash aggregate per side plus one join on the value —
-    * same shuffle count as the distinct forms, no row explosion. */
+    * many MORE times does this key appear on the left".
+    *
+    * Computed as ONE pass of duplicity arithmetic rather than three
+    * `intersectAll`/`exceptAll` calls: the naive composition scans the
+    * input SIX times (each builtin re-aggregates both sides); here one
+    * scan builds the per-key (n_1995, n_2000) count table — a single
+    * conditional aggregate, map-side combined — and all three multiset
+    * results are projections of it, replicated to duplicity with an
+    * `explode(sequence)` over count-table-sized rows. Bitwise parity
+    * with the builtin composition is spec-asserted (SetOpsAllSpec). */
   def setOpsAll(orders: DataFrame): DataFrame = {
+    val y = org.apache.spark.sql.functions.year(col("o_orderdate"))
+    val counts = orders
+      .filter(y.isin(1995, 2000))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(y === 1995, 1L).otherwise(0L)).as("nl"),
+        sum(when(y === 2000, 1L).otherwise(0L)).as("nr"))
+    counts
+      .select(col("o_custkey"), explode(array(
+        struct(lit("both").as("set_kind"),
+          least(col("nl"), col("nr")).as("copies")),
+        struct(lit("only_1995").as("set_kind"),
+          greatest(col("nl") - col("nr"), lit(0L)).as("copies")),
+        struct(lit("only_2000").as("set_kind"),
+          greatest(col("nr") - col("nl"), lit(0L)).as("copies"))))
+        .as("k"))
+      .filter(col("k.copies") > 0)
+      .select(col("k.set_kind").as("set_kind"),
+        col("o_custkey").as("custkey"),
+        explode(sequence(lit(1L), col("k.copies"))).as("dup"))
+      .select(col("set_kind"), col("custkey"))
+      .orderBy(col("set_kind"), col("custkey"))
+  }
+
+  /** The builtin-operator composition of [[setOpsAll]] — the executable
+    * spec the one-pass form is parity-checked against, and the §2.7 API
+    * coverage of `intersectAll`/`exceptAll` themselves. */
+  def setOpsAllBuiltin(orders: DataFrame): DataFrame = {
     val y1995 = orders
       .filter(org.apache.spark.sql.functions.year(col("o_orderdate")) === 1995)
       .select(col("o_custkey"))

@@ -140,4 +140,16 @@ class RelationalWindowsSpec extends SparkSpec {
       ("2026-01-01 01:00:00.0", 2L),   // {1,2}: user 1 via h0
       ("2026-01-01 02:00:00.0", 2L)))  // {1,2}: both within 3h, 1 counted once
   }
+
+  test("one-pass multiset set-ops match the builtin composition exactly") {
+    // the q34 production form (one scan, duplicity arithmetic) must be
+    // row-for-row identical to six-scan intersectAll/exceptAll chains
+    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val fast = Relational.setOpsAll(orders).collect().toSeq
+    val builtin = Relational.setOpsAllBuiltin(orders).collect().toSeq
+    assert(fast.nonEmpty && fast.toSet == builtin.toSet)
+    assert(fast.groupBy(identity).view.mapValues(_.size).toMap ==
+      builtin.groupBy(identity).view.mapValues(_.size).toMap,
+      "multiset duplicity must match, not just the distinct rows")
+  }
 }
