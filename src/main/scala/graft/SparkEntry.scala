@@ -278,7 +278,12 @@ object SparkEntry {
     "t22_interleave" -> ((s, d) =>
       Sm.interleaveBySource(Tables.documents(s, d))),
     "t23_exact_sample" -> ((s, d) =>
-      Sm.exactSample(Tables.documents(s, d)))
+      Sm.exactSample(Tables.documents(s, d))),
+    "t24_pmi_collocations" -> ((s, d) =>
+      T.pmiCollocations(Tables.documents(s, d))),
+    "w15_ewma" -> ((s, d) => W.ewmaValue(Tables.events(s, d))),
+    "q36_unpivot" -> ((s, d) =>
+      R.orderStatusUnpivot(Tables.orders(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -2342,6 +2347,70 @@ object SparkEntry {
       """SELECT doc_id, lang,
         |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
         |FROM documents
-        |ORDER BY sample_key, doc_id LIMIT 100""".stripMargin
+        |ORDER BY sample_key, doc_id LIMIT 100""".stripMargin,
+    // e^PMI ratio c_xy*N/(c_x*c_y): two exact-rounded multiplies + one
+    // division over exact longs — no libm log, identical bits
+    "t24_pmi_collocations" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |uni AS (SELECT unnest(toks) AS tok FROM t),
+        |uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM uni GROUP BY tok),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc),
+        |pr AS (SELECT toks[i+1] AS w1, toks[i+2] AS w2 FROM (
+        |  SELECT toks, unnest(range(len(toks) - 1)) AS i
+        |  FROM t WHERE len(toks) >= 2)),
+        |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+        |  FROM pr GROUP BY w1, w2 HAVING COUNT(*) >= 3)
+        |SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y,
+        |  CAST(c_xy AS DOUBLE) * CAST(n.n AS DOUBLE)
+        |    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS pmi_ratio
+        |FROM bc JOIN uc u1 ON bc.w1 = u1.tok
+        |JOIN uc u2 ON bc.w2 = u2.tok CROSS JOIN n
+        |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20""".stripMargin,
+    // α=1/2 EWMA unrolled to power-of-two weights over 8 lags: exact
+    // long numerator/denominator, one double division; short histories
+    // renormalize by the present weight mass
+    "w15_ewma" ->
+      """WITH b AS (SELECT user_id, event_id, ts,
+        |  CAST(floor(value * 100.0) AS BIGINT) AS vc FROM events),
+        |l AS (SELECT user_id, event_id, ts, vc,
+        |  lag(vc, 1) OVER w AS l1, lag(vc, 2) OVER w AS l2,
+        |  lag(vc, 3) OVER w AS l3, lag(vc, 4) OVER w AS l4,
+        |  lag(vc, 5) OVER w AS l5, lag(vc, 6) OVER w AS l6,
+        |  lag(vc, 7) OVER w AS l7
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, ts, vc,
+        |  CAST(COALESCE(vc, 0) * 128 + COALESCE(l1, 0) * 64
+        |    + COALESCE(l2, 0) * 32 + COALESCE(l3, 0) * 16
+        |    + COALESCE(l4, 0) * 8 + COALESCE(l5, 0) * 4
+        |    + COALESCE(l6, 0) * 2 + COALESCE(l7, 0) AS DOUBLE)
+        |  / CAST(CASE WHEN vc IS NOT NULL THEN 128 ELSE 0 END
+        |    + CASE WHEN l1 IS NOT NULL THEN 64 ELSE 0 END
+        |    + CASE WHEN l2 IS NOT NULL THEN 32 ELSE 0 END
+        |    + CASE WHEN l3 IS NOT NULL THEN 16 ELSE 0 END
+        |    + CASE WHEN l4 IS NOT NULL THEN 8 ELSE 0 END
+        |    + CASE WHEN l5 IS NOT NULL THEN 4 ELSE 0 END
+        |    + CASE WHEN l6 IS NOT NULL THEN 2 ELSE 0 END
+        |    + CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END AS DOUBLE)
+        |    AS ewma_centi
+        |FROM l ORDER BY user_id, event_id""".stripMargin,
+    // unpivot = the pivot's inverse: the wide grid folds back to
+    // (priority, status, n) long form
+    "q36_unpivot" ->
+      """WITH p AS (SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_p
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'F' AS o_orderstatus, n_f AS n FROM p
+        |UNION ALL
+        |SELECT o_orderpriority, 'O', n_o FROM p
+        |UNION ALL
+        |SELECT o_orderpriority, 'P', n_p FROM p
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
   )
 }

@@ -541,6 +541,21 @@ object Relational {
         coalesce(col("P"), lit(0L)).as("n_p"))
       .orderBy(col("o_orderpriority"))
 
+  /** q36: UNPIVOT — [[orderStatusPivot]]'s inverse, via the native
+    * `Dataset.unpivot` (melt) API: the wide per-priority status counts
+    * fold back into (priority, status, n) long form. Unpivot is a
+    * zero-shuffle row-expansion projection (each wide row emits one row
+    * per value column); the only shuffles are the pivot's own. The
+    * round-trip property (pivot ∘ unpivot = identity on the grid) is
+    * what reconciliation between wide exports and long fact tables
+    * leans on. */
+  def orderStatusUnpivot(orders: DataFrame): DataFrame =
+    orderStatusPivot(orders)
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("n_f").as("F"), col("n_o").as("O"), col("n_p").as("P")),
+        "o_orderstatus", "n")
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+
   /** JSON construction (SURVEY §2.8 F11 — the reference's Javalin/Jackson
     * response maps as an engine scalar): struct → compact JSON text. */
   def jsonConstruct(part: DataFrame): DataFrame =

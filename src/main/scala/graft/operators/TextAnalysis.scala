@@ -563,6 +563,45 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** PMI collocations: adjacent token pairs ranked by pointwise mutual
+    * information — the association-mining pass that finds multiword
+    * units ("new york") worth protecting from tokenizers and dedup
+    * shinglers. Reported as the RATIO p(xy)/(p(x)·p(y)) = c_xy·N /
+    * (c_x·c_y) (= e^PMI, the same ranking without a libm log whose
+    * last bits differ across engines): two exact-rounded multiplies
+    * and one division over exact longs — the identical IEEE tree in
+    * both engines.
+    *
+    * Plan shape: one unigram count shuffle + one pair count shuffle
+    * (both map-side combined), the min-count filter prunes the pair
+    * table BEFORE the two unigram joins, and the final ranking is a
+    * TakeOrderedAndProject over the surviving collocations. The
+    * 1-row corpus total broadcast-crosses in. */
+  def pmiCollocations(documents: DataFrame, minCount: Long = 3L,
+      k: Int = 20): DataFrame = {
+    val toks = tokens(col("text"))
+    val uni = documents.select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n"))
+    val pairs = documents
+      .filter(size(toks) >= 2)
+      .select(explode(transform(sequence(lit(0), size(toks) - 2),
+        i => struct(element_at(toks, i + 1).as("w1"),
+          element_at(toks, i + 2).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_y")), "w2")
+      .join(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        (col("c_xy").cast("double") * col("n").cast("double") /
+          (col("c_x").cast("double") * col("c_y").cast("double")))
+          .as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Vocabulary coverage curve: for each candidate vocabulary size V,
     * the fraction of all token OCCURRENCES covered by the V most
     * frequent types — the curve a tokenizer/vocab-size decision reads

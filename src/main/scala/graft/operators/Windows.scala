@@ -153,6 +153,42 @@ object Windows {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Exponentially-weighted moving average (α = 1/2) over each user's
+    * trailing 8 events — the smoothing/anomaly-baseline primitive of
+    * time-series monitoring. The textbook recursive EWMA cannot run as
+    * a window function (each row depends on the previous RESULT, not
+    * the previous value); with α = 1/2 the recursion unrolls to
+    * power-of-two weights 2⁷..2⁰ over a FIXED lag depth, so the whole
+    * thing is an 8-term lag chain in one window pass — and because the
+    * weights are exact powers of two over integer-quantized values,
+    * numerator and denominator are exact longs (order-free), with one
+    * final double division. Short histories renormalize by the weight
+    * mass actually present (the standard bias correction).
+    *
+    * One window shuffle keyed by user, 8 codegen'd lag expressions —
+    * linear, no funnel at any scale. */
+  def ewmaValue(events: DataFrame, depth: Int = 8): DataFrame = {
+    require(depth >= 1 && depth <= 62, s"depth out of range: $depth")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val vc = floor(col("value") * lit(100.0)).cast("long")
+    val base = events.select(col("user_id"), col("event_id"), col("ts"),
+      vc.as("vc"))
+    val terms = (0 until depth).map { k =>
+      val weight = 1L << (depth - 1 - k)
+      val v = if (k == 0) col("vc") else lag(col("vc"), k).over(w)
+      (coalesce(v, lit(0L)) * lit(weight),
+        when(v.isNotNull, lit(weight)).otherwise(lit(0L)))
+    }
+    base
+      .withColumn("num", terms.map(_._1).reduce(_ + _))
+      .withColumn("den", terms.map(_._2).reduce(_ + _))
+      .select(col("user_id"), col("event_id"), col("ts"), col("vc"),
+        (col("num").cast("double") / col("den").cast("double"))
+          .as("ewma_centi"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   def rollingActiveUsers(events: DataFrame,
       windowHours: Int = 3): DataFrame = {
     val pairs = events

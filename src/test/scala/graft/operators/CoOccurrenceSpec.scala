@@ -92,6 +92,24 @@ class CoOccurrenceSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("total_tokens") == 10L))
   }
 
+  test("pmi ranks an exclusive pair above a popular-word pair") {
+    // "rare gem" always co-occur and appear nowhere else; "the end"
+    // co-occurs as often but 'the' is everywhere → lower association
+    val docs = Seq(
+      (0L, "rare gem the end the story the tale"),
+      (1L, "rare gem the end the story the tale"),
+      (2L, "rare gem the end the story the tale"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.pmiCollocations(docs, minCount = 3L, k = 50)
+      .collect()
+    val ratio = rows.map(r => (r.getAs[String]("w1"),
+      r.getAs[String]("w2")) -> r.getAs[Double]("pmi_ratio")).toMap
+    assert(ratio(("rare", "gem")) > ratio(("the", "end")),
+      s"exclusive pair must outrank the stopword pair: $ratio")
+    // 8 tokens/doc, 3 docs → N=24; c_xy=c_x=c_y=3 → ratio = 3·24/9 = 8
+    assert(ratio(("rare", "gem")) == 3.0 * 24.0 / 9.0)
+  }
+
   test("fd audit distinguishes held from violated dependencies") {
     val df = Seq((1L, "x", "p"), (1L, "x", "q"), (2L, "y", "p"),
       (3L, "y", "p")).toDF("k", "held_dep", "viol_dep")

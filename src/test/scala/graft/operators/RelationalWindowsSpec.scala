@@ -141,6 +141,36 @@ class RelationalWindowsSpec extends SparkSpec {
       ("2026-01-01 02:00:00.0", 2L)))  // {1,2}: both within 3h, 1 counted once
   }
 
+  test("ewma weights the trailing window by powers of two, renormalized") {
+    import spark.implicits._
+    val events = Seq((1L, 1L, "2024-01-01 00:00:01", 1.0),
+      (1L, 2L, "2024-01-01 00:00:02", 3.0))
+      .map { case (u, e, ts, v) =>
+        (u, e, java.sql.Timestamp.valueOf(ts), v) }
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = Windows.ewmaValue(events).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma_centi"))
+      .toMap
+    // event 1: only itself → 100; event 2: (300·128 + 100·64)/(128+64)
+    assert(got(1L) == 100.0)
+    assert(got(2L) == (300.0 * 128 + 100.0 * 64) / 192.0)
+  }
+
+  test("unpivot inverts the pivot back to the long-form grid") {
+    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val long = Relational.orderStatusUnpivot(orders).collect()
+    val wide = Relational.orderStatusPivot(orders).collect()
+      .flatMap(r => Seq(
+        (r.getString(0), "F", r.getAs[Long]("n_f")),
+        (r.getString(0), "O", r.getAs[Long]("n_o")),
+        (r.getString(0), "P", r.getAs[Long]("n_p"))))
+      .toSet
+    assert(long.map(r => (r.getString(0), r.getString(1),
+      r.getAs[Long]("n"))).toSet == wide)
+    // total mass survives the round trip
+    assert(long.map(_.getAs[Long]("n")).sum == orders.count())
+  }
+
   test("one-pass multiset set-ops match the builtin composition exactly") {
     // the q34 production form (one scan, duplicity arithmetic) must be
     // row-for-row identical to six-scan intersectAll/exceptAll chains

@@ -295,4 +295,42 @@ class StreamStreamJoinSpec extends graft.SparkSpec {
       assert(rows == Set((10L, "gold"), (20L, "free")))
     } finally q.stop()
   }
+
+  test("streaming transitions match the batch lag window across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TypedEvent]
+    val q = StreamingTransitions.transitions(input.toDS())
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try {
+      val t0 = java.time.Instant.parse("2026-01-01T10:00:00Z")
+        .toEpochMilli * 1000L
+      // batch 1: user 1 a->b, user 2 starts with x (no edge yet)
+      input.addData(TypedEvent(1, 1, t0, "a"), TypedEvent(1, 2, t0 + 1, "b"),
+        TypedEvent(2, 3, t0 + 2, "x"))
+      q.processAllAvailable()
+      // batch 2: the cross-batch edges b->c and x->y come FROM STATE
+      input.addData(TypedEvent(1, 4, t0 + 3, "c"),
+        TypedEvent(2, 5, t0 + 4, "y"))
+      q.processAllAvailable()
+      val got = spark.table("transitions").as[Transition].collect()
+        .map(t => (t.user_id, t.src, t.dst)).toSet
+      assert(got == Set((1L, "a", "b"), (1L, "b", "c"), (2L, "x", "y")))
+
+      // parity: the same events through the batch operator's step
+      // extraction (lag window) give the same multiset of edges
+      val batch = Seq((1L, 1L, t0, "a"), (1L, 2L, t0 + 1, "b"),
+        (2L, 3L, t0 + 2, "x"), (1L, 4L, t0 + 3, "c"), (2L, 5L, t0 + 4, "y"))
+        .map { case (u, e, ts, et) =>
+          (u, e, new java.sql.Timestamp(ts / 1000), et)
+        }.toDF("user_id", "event_id", "ts", "event_type")
+      val counts = graft.operators.Graph.transitionCounts(batch)
+        .select("src", "dst", "n").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val streamCounts = got.toSeq.groupBy(t => (t._2, t._3))
+        .view.mapValues(_.size.toLong).toMap
+      assert(streamCounts == counts)
+    } finally q.stop()
+  }
 }
