@@ -283,12 +283,65 @@ object SparkEntry {
       T.pmiCollocations(Tables.documents(s, d))),
     "w15_ewma" -> ((s, d) => W.ewmaValue(Tables.events(s, d))),
     "q36_unpivot" -> ((s, d) =>
-      R.orderStatusUnpivot(Tables.orders(s, d)))
+      R.orderStatusUnpivot(Tables.orders(s, d))),
+    "w16_ewma_spikes" -> ((s, d) => W.ewmaAnomalies(Tables.events(s, d))),
+    "k02_cluster_inertia" -> ((s, d) =>
+      graft.operators.Clustering.clusterInertia(Tables.embeddings(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
   //   dsum(c,s)  ≡ CAST(SUM(CAST(c AS DECIMAL(18,s))) AS DOUBLE)
   //   davg(c,s)  ≡ dsum(c,s)/COUNT(c)
+
+  /** Shared k-medians training CTEs (seed → assign → median update →
+    * final assignment `a2`): k01 selects a2 directly, k02 aggregates
+    * inertia over it. (s08 keeps its own inline copy — its a2 carries
+    * extra columns.) */
+  private val KMediansA2: String =
+    """WITH v AS (SELECT vec_id, embedding AS emb,
+      |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+      |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS vnorm2 FROM embeddings),
+      |c0 AS (SELECT vec_id AS cluster_id, embedding AS cemb,
+      |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+      |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS cnorm2 FROM embeddings WHERE vec_id < 8),
+      |a1 AS (SELECT vec_id, emb, vnorm2, cluster_id, dist2 FROM (
+      |  SELECT vec_id, emb, vnorm2, cluster_id, dist2,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist2 ASC, cluster_id ASC) AS rn
+      |  FROM (SELECT v.vec_id, v.emb, v.vnorm2, c.cluster_id,
+      |    v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
+      |      list_transform(range(1, len(v.emb)+1), i ->
+      |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS dist2
+      |    FROM v CROSS JOIN c0 c)) WHERE rn = 1),
+      |ex1 AS (SELECT cluster_id, vec_id, u.dim AS dim, u.val AS val
+      |  FROM (SELECT cluster_id, vec_id,
+      |    unnest(list_transform(range(1, len(emb)+1),
+      |      i -> {'dim': i, 'val': emb[i]})) AS u FROM a1)),
+      |med1 AS (SELECT cluster_id, dim, val FROM (
+      |  SELECT cluster_id, dim, val,
+      |    row_number() OVER (PARTITION BY cluster_id, dim
+      |      ORDER BY val ASC, vec_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY cluster_id, dim) AS n
+      |  FROM ex1) WHERE rn = (n + 1) // 2),
+      |c1a AS (SELECT cluster_id, list(val ORDER BY dim) AS cemb
+      |  FROM med1 GROUP BY cluster_id),
+      |c1 AS (SELECT cluster_id, cemb,
+      |  list_reduce(list_transform(range(1, len(cemb)+1), i ->
+      |    CAST(cemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS cnorm2 FROM c1a),
+      |a2 AS (SELECT vec_id, cluster_id, dist2 FROM (
+      |  SELECT vec_id, cluster_id, dist2,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist2 ASC, cluster_id ASC) AS rn
+      |  FROM (SELECT v.vec_id, c.cluster_id,
+      |    v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
+      |      list_transform(range(1, len(v.emb)+1), i ->
+      |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS dist2
+      |    FROM v CROSS JOIN c1 c)) WHERE rn = 1)""".stripMargin
 
   /** Shared by l04 (relational merge) and l07 (merge through the
     * snapshot commit path): both must equal this exact-SQL form. */
@@ -1558,53 +1611,20 @@ object SparkEntry {
     // SELECTION (no float summation → no accumulation-order drift), so
     // two full Lloyd rounds stay bitwise-comparable across engines;
     // distances reuse the s01 list_reduce dot idiom
-    "k01_kmedians_assign" ->
-      """WITH v AS (SELECT vec_id, embedding AS emb,
-        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
-        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
-        |    (a, b) -> a + b) AS vnorm2 FROM embeddings),
-        |c0 AS (SELECT vec_id AS cluster_id, embedding AS cemb,
-        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
-        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
-        |    (a, b) -> a + b) AS cnorm2 FROM embeddings WHERE vec_id < 8),
-        |a1 AS (SELECT vec_id, emb, vnorm2, cluster_id, dist2 FROM (
-        |  SELECT vec_id, emb, vnorm2, cluster_id, dist2,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY dist2 ASC, cluster_id ASC) AS rn
-        |  FROM (SELECT v.vec_id, v.emb, v.vnorm2, c.cluster_id,
-        |    v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
-        |      list_transform(range(1, len(v.emb)+1), i ->
-        |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
-        |      (x, y) -> x + y) AS dist2
-        |    FROM v CROSS JOIN c0 c)) WHERE rn = 1),
-        |ex1 AS (SELECT cluster_id, vec_id, u.dim AS dim, u.val AS val
-        |  FROM (SELECT cluster_id, vec_id,
-        |    unnest(list_transform(range(1, len(emb)+1),
-        |      i -> {'dim': i, 'val': emb[i]})) AS u FROM a1)),
-        |med1 AS (SELECT cluster_id, dim, val FROM (
-        |  SELECT cluster_id, dim, val,
-        |    row_number() OVER (PARTITION BY cluster_id, dim
-        |      ORDER BY val ASC, vec_id ASC) AS rn,
-        |    COUNT(*) OVER (PARTITION BY cluster_id, dim) AS n
-        |  FROM ex1) WHERE rn = (n + 1) // 2),
-        |c1a AS (SELECT cluster_id, list(val ORDER BY dim) AS cemb
-        |  FROM med1 GROUP BY cluster_id),
-        |c1 AS (SELECT cluster_id, cemb,
-        |  list_reduce(list_transform(range(1, len(cemb)+1), i ->
-        |    CAST(cemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE)),
-        |    (a, b) -> a + b) AS cnorm2 FROM c1a),
-        |a2 AS (SELECT vec_id, cluster_id, dist2 FROM (
-        |  SELECT vec_id, cluster_id, dist2,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY dist2 ASC, cluster_id ASC) AS rn
-        |  FROM (SELECT v.vec_id, c.cluster_id,
-        |    v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
-        |      list_transform(range(1, len(v.emb)+1), i ->
-        |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
-        |      (x, y) -> x + y) AS dist2
-        |    FROM v CROSS JOIN c1 c)) WHERE rn = 1)
-        |SELECT vec_id, cluster_id, dist2 FROM a2
-        |ORDER BY vec_id""".stripMargin,
+    "k01_kmedians_assign" -> (KMediansA2 +
+      "\nSELECT vec_id, cluster_id, dist2 FROM a2\nORDER BY vec_id"),
+    // per-cluster inertia over a2: dist2 doubles are bitwise
+    // cross-engine, so integer-micro quantization BEFORE the sum makes
+    // the total order-free
+    "k02_cluster_inertia" -> (KMediansA2 + """
+        |SELECT cluster_id, n_vectors, inertia_fp,
+        |  (CAST(inertia_fp AS DOUBLE) / 1000000.0)
+        |    / CAST(n_vectors AS DOUBLE) AS mean_dist2
+        |FROM (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(SUM(CAST(floor(dist2 * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS inertia_fp
+        |  FROM a2 GROUP BY cluster_id)
+        |ORDER BY cluster_id""".stripMargin),
     // IVF probe over TRAINED cells: k01's exact training CTEs (v..c1),
     // final assignment keeps emb/vnorm2, queries probe their own cell,
     // exact-cosine refine + rank inside the cell (s02's probe shape
@@ -2411,6 +2431,37 @@ object SparkEntry {
         |SELECT o_orderpriority, 'O', n_o FROM p
         |UNION ALL
         |SELECT o_orderpriority, 'P', n_p FROM p
-        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+    // vc > factor·(num/den) cross-multiplied to the exact integer test
+    // vc·den_prev > factor·num_prev — zero float arithmetic
+    "w16_ewma_spikes" ->
+      """WITH b AS (SELECT user_id, event_id, ts,
+        |  CAST(floor(value * 100.0) AS BIGINT) AS vc FROM events),
+        |l AS (SELECT user_id, event_id, ts, vc,
+        |  lag(vc, 1) OVER w AS l1, lag(vc, 2) OVER w AS l2,
+        |  lag(vc, 3) OVER w AS l3, lag(vc, 4) OVER w AS l4,
+        |  lag(vc, 5) OVER w AS l5, lag(vc, 6) OVER w AS l6,
+        |  lag(vc, 7) OVER w AS l7
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (SELECT user_id, event_id, ts, vc,
+        |  COALESCE(vc, 0) * 128 + COALESCE(l1, 0) * 64
+        |    + COALESCE(l2, 0) * 32 + COALESCE(l3, 0) * 16
+        |    + COALESCE(l4, 0) * 8 + COALESCE(l5, 0) * 4
+        |    + COALESCE(l6, 0) * 2 + COALESCE(l7, 0) AS num,
+        |  CASE WHEN vc IS NOT NULL THEN 128 ELSE 0 END
+        |    + CASE WHEN l1 IS NOT NULL THEN 64 ELSE 0 END
+        |    + CASE WHEN l2 IS NOT NULL THEN 32 ELSE 0 END
+        |    + CASE WHEN l3 IS NOT NULL THEN 16 ELSE 0 END
+        |    + CASE WHEN l4 IS NOT NULL THEN 8 ELSE 0 END
+        |    + CASE WHEN l5 IS NOT NULL THEN 4 ELSE 0 END
+        |    + CASE WHEN l6 IS NOT NULL THEN 2 ELSE 0 END
+        |    + CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END AS den
+        |  FROM l),
+        |p AS (SELECT user_id, event_id, ts, vc,
+        |  lag(num, 1) OVER w AS prev_num, lag(den, 1) OVER w AS prev_den
+        |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, ts, vc,
+        |  COALESCE(vc * prev_den > 2 * prev_num, FALSE) AS is_spike
+        |FROM p ORDER BY user_id, event_id""".stripMargin
   )
 }

@@ -107,6 +107,25 @@ object Clustering {
       .select(col("vec_id"), col("cluster_id"), col("dist2"))
       .orderBy(col("vec_id"))
 
+  /** k02: clustering-quality evaluation — per-cluster size and inertia
+    * (sum of squared distances to the assigned centroid), the metric
+    * that drives the "is K right / did training converge" loop, just
+    * as s05 closes the ANN loop. The per-vector dist2 doubles are
+    * bitwise cross-engine (k01 hash-matches), so quantizing each to
+    * integer micros BEFORE the sum makes the per-cluster total an
+    * order-free exact long — a raw double SUM would depend on shuffle
+    * order. One K-row output; the cost is k01's assignment itself. */
+  def clusterInertia(embeddings: DataFrame, k: Int = 8): DataFrame =
+    kmediansAssign(embeddings, k)
+      .select(col("cluster_id"),
+        floor(col("dist2") * lit(1000000.0)).cast("long").as("d_fp"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("d_fp")).as("inertia_fp"))
+      .select(col("cluster_id"), col("n_vectors"), col("inertia_fp"),
+        ((col("inertia_fp").cast("double") / lit(1000000.0)) /
+          col("n_vectors").cast("double")).as("mean_dist2"))
+      .orderBy(col("cluster_id"))
+
   /** The trained centroids MATERIALIZED as a local K-row DataFrame — a
     * model artifact, driver-metadata-scale by definition (K ≤ a few
     * thousand for any real IVF index; production stores it beside the

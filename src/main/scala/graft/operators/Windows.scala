@@ -167,7 +167,17 @@ object Windows {
     *
     * One window shuffle keyed by user, 8 codegen'd lag expressions —
     * linear, no funnel at any scale. */
-  def ewmaValue(events: DataFrame, depth: Int = 8): DataFrame = {
+  def ewmaValue(events: DataFrame, depth: Int = 8): DataFrame =
+    ewmaFractions(events, depth)
+      .select(col("user_id"), col("event_id"), col("ts"), col("vc"),
+        (col("num").cast("double") / col("den").cast("double"))
+          .as("ewma_centi"))
+      .orderBy(col("user_id"), col("event_id"))
+
+  /** Shared EWMA state as an exact fraction (num, den) per row — the
+    * [[ewmaValue]] smoother before its one float division, reused by
+    * the all-integer anomaly test in [[ewmaAnomalies]]. */
+  private def ewmaFractions(events: DataFrame, depth: Int): DataFrame = {
     require(depth >= 1 && depth <= 62, s"depth out of range: $depth")
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
@@ -183,9 +193,25 @@ object Windows {
     base
       .withColumn("num", terms.map(_._1).reduce(_ + _))
       .withColumn("den", terms.map(_._2).reduce(_ + _))
+  }
+
+  /** Spike detection against the trailing EWMA baseline with ZERO
+    * float arithmetic: a value is a spike when it exceeds `factor`×
+    * the PREVIOUS event's EWMA, and `vc > factor·(num/den)` cross-
+    * multiplies to the exact integer test `vc·den_prev > factor·
+    * num_prev` — no division, no epsilon, no engine drift. First
+    * events (no baseline) are never spikes. Same single user-keyed
+    * window pass as [[ewmaValue]] plus two lags. */
+  def ewmaAnomalies(events: DataFrame, depth: Int = 8,
+      factor: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    ewmaFractions(events, depth)
+      .withColumn("prev_num", lag(col("num"), 1).over(w))
+      .withColumn("prev_den", lag(col("den"), 1).over(w))
       .select(col("user_id"), col("event_id"), col("ts"), col("vc"),
-        (col("num").cast("double") / col("den").cast("double"))
-          .as("ewma_centi"))
+        coalesce(col("vc") * col("prev_den") >
+          lit(factor.toLong) * col("prev_num"), lit(false)).as("is_spike"))
       .orderBy(col("user_id"), col("event_id"))
   }
 

@@ -156,6 +156,35 @@ class RelationalWindowsSpec extends SparkSpec {
     assert(got(2L) == (300.0 * 128 + 100.0 * 64) / 192.0)
   }
 
+  test("ewma spikes flag only jumps above 2x the trailing baseline") {
+    import spark.implicits._
+    val events = Seq((1L, 1L, 10.0), (1L, 2L, 10.0), (1L, 3L, 50.0),
+      (1L, 4L, 10.0))
+      .map { case (u, e, v) =>
+        (u, e, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0${e}%d"), v) }
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = Windows.ewmaAnomalies(events).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("is_spike"))
+      .toMap
+    // first event: no baseline, never a spike; 50 > 2x(~10): spike;
+    // the return to 10 after the spike raised the baseline: not a spike
+    assert(got == Map(1L -> false, 2L -> false, 3L -> true, 4L -> false))
+  }
+
+  test("cluster inertia decomposes k01's per-vector distances exactly") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val perVec = Clustering.kmediansAssign(emb).collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+      .view.mapValues(rows => (rows.length.toLong,
+        rows.map(r => math.floor(r.getAs[Double]("dist2") * 1e6).toLong)
+          .sum)).toMap
+    val agg = Clustering.clusterInertia(emb).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Long]("inertia_fp"))).toMap
+    assert(agg == perVec)
+    assert(agg.keySet.nonEmpty)
+  }
+
   test("unpivot inverts the pivot back to the long-form grid") {
     val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
     val long = Relational.orderStatusUnpivot(orders).collect()
