@@ -286,7 +286,15 @@ object SparkEntry {
       R.orderStatusUnpivot(Tables.orders(s, d))),
     "w16_ewma_spikes" -> ((s, d) => W.ewmaAnomalies(Tables.events(s, d))),
     "k02_cluster_inertia" -> ((s, d) =>
-      graft.operators.Clustering.clusterInertia(Tables.embeddings(s, d)))
+      graft.operators.Clustering.clusterInertia(Tables.embeddings(s, d))),
+    "dq09_reconciliation" -> ((s, d) =>
+      graft.operators.DataQuality.reconciliationAudit(
+        Tables.orders(s, d), Tables.lineitem(s, d))),
+    "t25_safe_split" -> ((s, d) =>
+      Sm.safeSplit(Tables.documents(s, d),
+        org.apache.spark.sql.functions.col("doc_id") % 100 === 0)),
+    "g05_two_step" -> ((s, d) =>
+      graft.operators.Graph.twoStepPaths(Tables.events(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -2462,6 +2470,68 @@ object SparkEntry {
         |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, event_id, ts, vc,
         |  COALESCE(vc * prev_den > 2 * prev_num, FALSE) AS is_spike
-        |FROM p ORDER BY user_id, event_id""".stripMargin
+        |FROM p ORDER BY user_id, event_id""".stripMargin,
+    // line sums are decimal-exact; the relative difference is the same
+    // two-op float tree over those exact sums in both engines
+    "dq09_reconciliation" ->
+      """WITH s AS (SELECT l_orderkey,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS line_total
+        |  FROM lineitem GROUP BY l_orderkey),
+        |b AS (SELECT CASE WHEN s.line_total IS NULL THEN 'no_lineitems'
+        |  WHEN abs(CAST(o.o_totalprice AS DOUBLE)
+        |      - CAST(s.line_total AS DOUBLE))
+        |    / CAST(o.o_totalprice AS DOUBLE) <= 0.01 THEN 'within_1pct'
+        |  WHEN abs(CAST(o.o_totalprice AS DOUBLE)
+        |      - CAST(s.line_total AS DOUBLE))
+        |    / CAST(o.o_totalprice AS DOUBLE) <= 0.10 THEN 'within_10pct'
+        |  WHEN abs(CAST(o.o_totalprice AS DOUBLE)
+        |      - CAST(s.line_total AS DOUBLE))
+        |    / CAST(o.o_totalprice AS DOUBLE) <= 0.50 THEN 'within_50pct'
+        |  ELSE 'beyond_50pct' END AS band
+        |  FROM orders o LEFT JOIN s ON o.o_orderkey = s.l_orderkey)
+        |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM b GROUP BY band ORDER BY band""".stripMargin,
+    // p02's contamination CTEs feed the quarantine arm; the rest is
+    // t21's hash-range CASE
+    "t25_safe_split" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(range(0, len(toks)-2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM t),
+        |bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM s
+        |  WHERE doc_id % 100 = 0),
+        |train AS (SELECT doc_id, unnest(sh) AS shingle FROM s
+        |  WHERE doc_id % 100 <> 0),
+        |hits AS (SELECT t2.doc_id FROM train t2
+        |  JOIN bench b ON t2.shingle = b.shingle GROUP BY t2.doc_id)
+        |SELECT d.doc_id, d.lang,
+        |  CASE WHEN d.doc_id % 100 = 0 THEN 'benchmark'
+        |    WHEN h.doc_id IS NOT NULL THEN 'quarantine'
+        |    WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |      < 'cccccccc' THEN 'train'
+        |    WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |      < 'e6666666' THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // integer-exact matrix square of the transition graph: path counts
+    // multiply and sum exactly; probabilities would float-drift
+    "g05_two_step" ->
+      """WITH st AS (SELECT user_id, event_type AS dst,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS src FROM events),
+        |c AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM st WHERE src IS NOT NULL GROUP BY src, dst),
+        |p AS (SELECT a.src, b.dst, CAST(SUM(a.n * b.n) AS BIGINT)
+        |    AS n_paths
+        |  FROM c a JOIN c b ON a.dst = b.src GROUP BY a.src, b.dst),
+        |t AS (SELECT src, CAST(SUM(n_paths) AS BIGINT) AS n_src
+        |  FROM p GROUP BY src)
+        |SELECT p.src, p.dst, p.n_paths,
+        |  CAST(p.n_paths AS DOUBLE) / CAST(t.n_src AS DOUBLE) AS share
+        |FROM p JOIN t USING (src) ORDER BY src, dst""".stripMargin
   )
 }

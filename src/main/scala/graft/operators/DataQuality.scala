@@ -282,6 +282,37 @@ object DataQuality {
       .orderBy(col(groupCol), col("bucket"))
   }
 
+  /** Cross-table financial reconciliation: does the order header's
+    * total agree with the sum of its line items? — the referential
+    * AMOUNT check (dq01 checks key existence; this checks the money).
+    * Output is a banded distribution of the relative difference, not a
+    * boolean, because real feeds disagree by degrees (rounding, tax
+    * recalc, partial fills) and the drift BAND is what pages someone.
+    * On this synthetic feed headers don't derive from lines at all and
+    * the audit says so — every order lands in a far band.
+    *
+    * Line sums are decimal-exact (order-free); the relative difference
+    * is a two-op float tree over those exact sums, identical in both
+    * engines. One key-partitioned join + a bands-sized final agg. */
+  def reconciliationAudit(orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val sums = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .as("line_total"))
+    val rel = abs(col("o_totalprice").cast("double") -
+      col("line_total").cast("double")) /
+      col("o_totalprice").cast("double")
+    orders.join(sums, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(when(col("line_total").isNull, "no_lineitems")
+        .when(rel <= 0.01, "within_1pct")
+        .when(rel <= 0.10, "within_10pct")
+        .when(rel <= 0.50, "within_50pct")
+        .otherwise("beyond_50pct").as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("band"))
+  }
+
   /** Join-cardinality estimation WITHOUT running the join:
     * |A ⨝ B on k| = Σ_k c_A(k)·c_B(k), over the per-key count tables —
     * the planner-side diagnostic that catches a key-explosion join

@@ -40,6 +40,32 @@ object Graph {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** Two-hop path composition: the count of length-2 paths a → mid → b
+    * for every (a, b) — the integer-exact matrix square of the
+    * transition-count graph (path counts multiply and sum exactly;
+    * composing PROBABILITIES would float-drift with shuffle order).
+    * The share column normalizes per source with one double division.
+    *
+    * This is the building block of multi-hop reachability and
+    * friends-of-friends scoring: the self-join keys on the
+    * intermediate node (shuffle by mid — or co-partitioned/bucketed by
+    * node at scale), and the output stays |nodes|²-bounded. */
+  def twoStepPaths(events: DataFrame): DataFrame = {
+    val c = transitionCounts(events).select(col("src"), col("dst"),
+      col("n"))
+    val paths = c.as("a")
+      .join(c.as("b"), col("a.dst") === col("b.src"))
+      .groupBy(col("a.src").as("src"), col("b.dst").as("dst"))
+      .agg(sum(col("a.n") * col("b.n")).as("n_paths"))
+    val totals = paths.groupBy(col("src"))
+      .agg(sum(col("n_paths")).as("n_src"))
+    paths.join(totals, "src")
+      .select(col("src"), col("dst"), col("n_paths"),
+        (col("n_paths").cast("double") / col("n_src").cast("double"))
+          .as("share"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** Weighted PageRank over a directed edge list, `iters` synchronous
     * iterations in fixed-point arithmetic (scale 10⁹):
     *

@@ -259,6 +259,36 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Contamination-aware split: [[splitAssign]] composed with
+    * [[TextAnalysis.contaminationScores]] — benchmark documents get
+    * their own label, and any training-side document sharing shingles
+    * with the benchmark set is QUARANTINED instead of split, so eval
+    * integrity survives the assignment step (the leakage t21 cannot
+    * see: hash-disjointness does not imply content-disjointness).
+    *
+    * The quarantine join is a key equi-join against the contaminated
+    * id set (overlap-proportional, usually tiny; no broadcast hint —
+    * AQE decides); everything else is t21's pure projection. */
+  def safeSplit(documents: DataFrame,
+      benchPredicate: org.apache.spark.sql.Column,
+      trainRate: Double = 0.8, valRate: Double = 0.1): DataFrame = {
+    val contaminated = TextAnalysis
+      .contaminationScores(documents, benchPredicate)
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    val key = sampleKey(col("doc_id"))
+    documents
+      .select(col("doc_id"), col("lang"), benchPredicate.as("is_bench"),
+        when(key < hexThreshold(trainRate), "train")
+          .when(key < hexThreshold(trainRate + valRate), "val")
+          .otherwise("test").as("base_split"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("is_bench"), "benchmark")
+          .when(col("contaminated"), "quarantine")
+          .otherwise(col("base_split")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Source-interleaved training order: rank documents WITHIN each
     * source by the deterministic shuffle key, then read in (rank,
     * source) order — position 1 of every source, then position 2, … —

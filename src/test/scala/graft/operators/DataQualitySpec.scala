@@ -146,6 +146,19 @@ class DataQualitySpec extends SparkSpec {
     }
   }
 
+  test("reconciliation bands the header-vs-lines difference correctly") {
+    import spark.implicits._
+    val orders = Seq((1L, 100.0), (2L, 100.0), (3L, 100.0))
+      .toDF("o_orderkey", "o_totalprice")
+    // order 1 reconciles exactly; order 2 is 20% off; order 3 childless
+    val lines = Seq((1L, 60.0), (1L, 40.0), (2L, 80.0))
+      .toDF("l_orderkey", "l_extendedprice")
+    val got = DataQuality.reconciliationAudit(orders, lines).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_orders")).toMap
+    assert(got == Map("within_1pct" -> 1L, "within_50pct" -> 1L,
+      "no_lineitems" -> 1L))
+  }
+
   test("join cardinality matches the actually-executed join exactly") {
     val sf = "/root/testdata/sf0.001"
     val orders = graft.Tables.orders(spark, sf)

@@ -60,6 +60,36 @@ class GraphSpec extends SparkSpec {
     assert(ranks.values.forall(rs => rs == (1L to rs.length).toSeq))
   }
 
+  test("two-step paths are the integer matrix square of transitions") {
+    // user 1: a->b->c; user 2: a->b->c (so a->b n=2, b->c n=2);
+    // user 3: b->c (b->c n=3 total). paths a->c = n(a,b)*n(b,c) = 2*3
+    val events = ev((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
+      (2L, 4L, "a"), (2L, 5L, "b"), (2L, 6L, "c"),
+      (3L, 7L, "b"), (3L, 8L, "c"))
+    val got = Graph.twoStepPaths(events).collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst")) ->
+        r.getAs[Long]("n_paths")).toMap
+    assert(got == Map(("a", "c") -> 6L))
+  }
+
+  test("safe split quarantines contaminated docs and labels benchmarks") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = col("doc_id") % 100 === 0
+    val got = Sampling.safeSplit(docs, bench).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(got.size == docs.count(), "every doc gets exactly one label")
+    val benchIds = docs.filter(bench).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(benchIds.forall(got(_) == "benchmark"))
+    val contaminated = TextAnalysis.contaminationScores(docs, bench)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(contaminated.nonEmpty, "fixture should exhibit contamination")
+    assert(contaminated.forall(got(_) == "quarantine"))
+    // everyone else got a plain t21 split
+    val rest = got.keySet -- benchIds -- contaminated
+    assert(rest.forall(id => Set("train", "val", "test")(got(id))))
+  }
+
   test("split assignment is disjoint, exhaustive, and ~80/10/10") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val n = docs.count()
