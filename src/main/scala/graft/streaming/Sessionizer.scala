@@ -28,6 +28,60 @@ case class ClosedSession(user_id: Long, session_start: Long,
   */
 object Sessionizer {
 
+  /** [[sessionize]] with an EVENT-TIME TIMEOUT: the production variant
+    * that also flushes a session whose user simply went idle — without
+    * it, the last session of every user stays in state forever and is
+    * never emitted. The timeout is driven by the WATERMARK: after each
+    * trigger the open session arms a timeout at `session_end + gap`;
+    * when the watermark (set by the caller on the input, see
+    * StreamingSpec) passes that instant with no new events for the
+    * key, Spark fires the group function with an empty iterator and
+    * `state.hasTimedOut`, and the open session closes and emits.
+    *
+    * Same per-key O(1) state as the timeout-free form; determinism in
+    * tests comes from stepping the watermark explicitly (add a late
+    * marker event, process, assert). */
+  def sessionizeWithTimeout(events: Dataset[SessionEvent],
+      gapMicros: Long = 30L * 60 * 1000000): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, newEvents: Iterator[SessionEvent],
+            state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, s.startMicros, s.endMicros,
+              s.nEvents))
+          } else {
+            val sorted = newEvents.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+            val closed = Seq.newBuilder[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsMicros - s.endMicros > gapMicros =>
+                  closed += ClosedSession(uid, s.startMicros, s.endMicros,
+                    s.nEvents)
+                  cur = Some(OpenSession(e.tsMicros, e.tsMicros, 1))
+                case Some(s) =>
+                  cur = Some(OpenSession(s.startMicros,
+                    math.max(s.endMicros, e.tsMicros), s.nEvents + 1))
+                case None =>
+                  cur = Some(OpenSession(e.tsMicros, e.tsMicros, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // closes when the watermark passes the gap horizon
+              state.setTimeoutTimestamp((s.endMicros + gapMicros) / 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   def sessionize(events: Dataset[SessionEvent],
       gapMicros: Long = 30L * 60 * 1000000): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._

@@ -116,6 +116,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timeout flushes an idle user's open session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    // the timeout clock is the WATERMARK over the event-time column
+    val withWm = input.toDS()
+      .withColumn("ets", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.col("tsMicros")))
+      .withWatermark("ets", "0 seconds")
+      .as[SessionEvent]
+    val q = Sessionizer.sessionizeWithTimeout(withWm)
+      .writeStream.format("memory").queryName("timeout_sessions")
+      .outputMode("append").start()
+    try {
+      val t0 = micros("2026-01-01T10:00:00Z")
+      val min = 60L * 1000000
+      // user 1's session: 2 events, then silence forever
+      input.addData(SessionEvent(1, 1, t0), SessionEvent(1, 2, t0 + 5 * min))
+      q.processAllAvailable()
+      assert(spark.table("timeout_sessions").count() == 0)
+      // an unrelated user's events advance the watermark past user 1's
+      // gap horizon (t0+35min); the next trigger fires the timeout
+      input.addData(SessionEvent(2, 3, t0 + 120 * min))
+      q.processAllAvailable()
+      input.addData(SessionEvent(2, 4, t0 + 121 * min))
+      q.processAllAvailable()
+      val got = spark.table("timeout_sessions").as[ClosedSession]
+        .collect().toSet
+      assert(got.contains(ClosedSession(1, t0, t0 + 5 * min, 2)),
+        s"idle user 1's session should have been flushed by timeout: $got")
+      // user 2 stayed active within its gap: still open, not emitted
+      assert(!got.exists(_.user_id == 2))
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
