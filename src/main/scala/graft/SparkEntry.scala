@@ -294,7 +294,10 @@ object SparkEntry {
       Sm.safeSplit(Tables.documents(s, d),
         org.apache.spark.sql.functions.col("doc_id") % 100 === 0)),
     "g05_two_step" -> ((s, d) =>
-      graft.operators.Graph.twoStepPaths(Tables.events(s, d)))
+      graft.operators.Graph.twoStepPaths(Tables.events(s, d))),
+    "s10_rerank" -> ((s, d) => S.rerankTopK(Tables.embeddings(s, d))),
+    "d11_minhash_eval" -> ((s, d) =>
+      D.minhashJaccardEval(Tables.documents(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -2532,6 +2535,75 @@ object SparkEntry {
         |  FROM p GROUP BY src)
         |SELECT p.src, p.dst, p.n_paths,
         |  CAST(p.n_paths AS DOUBLE) / CAST(t.n_src AS DOUBLE) AS share
-        |FROM p JOIN t USING (src) ORDER BY src, dst""".stripMargin
+        |FROM p JOIN t USING (src) ORDER BY src, dst""".stripMargin,
+    // tier 1 = s06's integer scan kept wide (rank <= 20); tier 2 =
+    // exact cosine (s01's fold order) over candidates only
+    "s10_rerank" ->
+      """WITH qz AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS qemb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, qemb AS q_qemb FROM qz
+        |  WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1, len(c.qemb)+1),
+        |    i -> c.qemb[i] * q.q_qemb[i]), (x, y) -> x + y) AS qdot
+        | FROM qz c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY qdot DESC, neighbor_id ASC) AS BIGINT) AS crank
+        | FROM scored),
+        |cand AS (SELECT query_id, neighbor_id FROM r WHERE crank <= 20),
+        |v AS (SELECT vec_id, embedding AS emb,
+        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |    (a, b) -> a + b) AS norm2 FROM embeddings),
+        |ex AS (SELECT c.query_id, c.neighbor_id,
+        |  list_reduce(list_transform(range(1, len(nv.emb)+1), i ->
+        |    CAST(nv.emb[i] AS DOUBLE) * CAST(qv.emb[i] AS DOUBLE)),
+        |    (x, y) -> x + y) / (sqrt(nv.norm2) * sqrt(qv.norm2))
+        |    AS cosine
+        |  FROM cand c JOIN v nv ON c.neighbor_id = nv.vec_id
+        |  JOIN v qv ON c.query_id = qv.vec_id),
+        |rr AS (SELECT query_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM ex)
+        |SELECT query_id, neighbor_id, cosine, rank FROM rr
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // exact pairs (d02's CTEs) joined to signature agreement (d03's
+    // CTEs): the estimator calibration table
+    "d11_minhash_eval" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(range(0, len(toks)-2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS inter
+        |  FROM e a JOIN e b ON a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / CAST(x.n_sh + y.n_sh - inter AS DOUBLE)
+        |    AS jaccard
+        | FROM p JOIN sz x ON doc_a = x.doc_id
+        | JOIN sz y ON doc_b = y.doc_id),
+        |jp AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5),
+        |g AS (SELECT doc_id, list_transform(range(0, 12), jj ->
+        |  list_min(list_transform(sh, x ->
+        |    md5(concat(CAST(jj AS VARCHAR), ':', x))))) AS sig FROM s),
+        |ag AS (SELECT jp.doc_a, jp.doc_b, jp.jaccard,
+        |  CAST(list_sum(list_transform(range(1, 13), i ->
+        |    CASE WHEN ga.sig[i] = gb.sig[i] THEN 1 ELSE 0 END))
+        |    AS BIGINT) AS n_agree
+        |  FROM jp JOIN g ga ON jp.doc_a = ga.doc_id
+        |  JOIN g gb ON jp.doc_b = gb.doc_id)
+        |SELECT doc_a, doc_b, jaccard, n_agree,
+        |  CAST(n_agree AS DOUBLE) / 12.0 AS est_jaccard
+        |FROM ag ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -239,6 +239,33 @@ object Dedup {
            |    '|')))""".stripMargin))
   }
 
+  /** d11: MinHash estimator calibration — for each exact near-dup pair
+    * (d02's ground truth), the fraction of agreeing signature
+    * components IS the MinHash estimate of Jaccard; reporting both
+    * side by side is the eval loop that justifies k (more components
+    * = tighter estimate = more shuffle volume), exactly as s05
+    * justifies the LSH bit budget. Deterministic: both the exact and
+    * estimated sides are salted-md5 pipelines, no RNG.
+    *
+    * Scale: the component comparison is O(k) per SURVIVING pair (the
+    * near-dup set, not the corpus); signatures join by doc key. */
+  def minhashJaccardEval(documents: DataFrame, k: Int = 12): DataFrame = {
+    val exact = jaccardPairs(documents, maxDocFreq = None)
+    val sig = withMinhash(documents, k).select(col("doc_id"), col("sig"))
+    val agree = aggregate(zip_with(col("sig_a"), col("sig_b"),
+      (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _)
+    exact
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
+      .withColumn("n_agree", agree)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("n_agree"),
+        (col("n_agree").cast("double") / lit(k.toDouble))
+          .as("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Per-document MinHash signature + band digests, presentation form. */
   def minhashSignatures(documents: DataFrame, k: Int = 12,
       rowsPerBand: Int = 3): DataFrame =

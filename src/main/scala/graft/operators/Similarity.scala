@@ -376,6 +376,36 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * 64).cast("long"))
 
+  /** s10: the two-tier retrieval composition production ANN actually
+    * serves — [[quantizedTopK]]'s cheap integer scan keeps a WIDE
+    * candidate set (kCoarse per query), then full-precision cosine
+    * re-ranks ONLY those candidates down to k. The corpus-sized work
+    * runs on 4×-smaller codes; the float work is kCoarse rows per
+    * query — broadcast-sized by construction. Both tiers are
+    * deterministic, so the composition is oracle-checkable end to
+    * end. */
+  def rerankTopK(embeddings: DataFrame, nQueries: Int = 5,
+      kCoarse: Int = 20, k: Int = 10): DataFrame = {
+    // candidates keep the corpus column name (vec_id) — topKByQuery's
+    // bounded aggregate keys its heap entries on it
+    val cand = quantizedTopK(embeddings, nQueries, kCoarse)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+    val corpus = normed(embeddings)
+      .select(col("vec_id"), col("embedding"), col("norm2"))
+    val queries = qnormed(queryVectors(embeddings, nQueries))
+      .select(col("query_id"), col("query_emb"), col("qnorm2"))
+    val scored = cand
+      .join(corpus, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("cosine",
+        Dedup.dotExpr("embedding", "query_emb") /
+          (sqrt(col("norm2")) * sqrt(col("qnorm2"))))
+    topKByQuery(scored, "cosine", k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Memory-tier ANN: top-k by INTEGER dot product over scalar-quantized
     * codes. At 100 TB the float32 corpus does not fit the scan budget;
     * int8-range codes are 4× smaller (8× against float64 pipelines),

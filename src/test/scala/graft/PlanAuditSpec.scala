@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
     "g02_item_neighbors", // embeds g01's ONE-row total cross
     "t20_vocab_coverage", // 5-row size grid + ONE-row total crossed into vocab
     "t24_pmi_collocations", // ONE-row corpus-total frame broadcast-crossed in
-    "k02_cluster_inertia") // k01's broadcast(8 centroids) x corpus inside
+    "k02_cluster_inertia", // k01's broadcast(8 centroids) x corpus inside
+    "s10_rerank") // tier 1 is s06's intended broadcast(5 queries) x corpus
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

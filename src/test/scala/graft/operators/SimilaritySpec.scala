@@ -161,4 +161,34 @@ class SignLshSpec extends graft.SparkSpec {
     val b = graft.operators.Similarity.annRecall(emb).collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
+
+  test("rerank with a full-width coarse tier equals exact brute force") {
+    // when tier 1 keeps every corpus vector, tier 2 IS the exact
+    // search — the composition degrades gracefully to s01
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count().toInt
+    val reranked = graft.operators.Similarity
+      .rerankTopK(emb, nQueries = 3, kCoarse = n, k = 5)
+      .collect().map(_.toSeq).toSeq
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(emb, nQueries = 3, k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(reranked == exact)
+  }
+
+  test("rerank with a narrow coarse tier still ranks by exact cosine") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = graft.operators.Similarity
+      .rerankTopK(emb, nQueries = 3, kCoarse = 8, k = 5).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    for ((_, rs) <- byQuery) {
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+      // cosine non-increasing down the rank order
+      val cs = sorted.map(_.getAs[Double]("cosine"))
+      assert(cs.sliding(2).forall { case Array(a2, b2) => a2 >= b2
+        case _ => true })
+    }
+  }
 }

@@ -341,4 +341,28 @@ class RepetitionStatsSpec extends graft.SparkSpec {
     assert(chiA >= 0.0 && chiC > chiA)
     assert(rows("srcA") == rows("srcB")) // symmetric inputs, equal scores
   }
+
+  test("minhash estimate is exact for identical docs and bounded overall") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog yesterday"),
+      (4L, "completely unrelated text about spark catalyst planning"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.minhashJaccardEval(docs).collect()
+    val byPair = rows.map(r => (r.getAs[Long]("doc_a"),
+      r.getAs[Long]("doc_b")) -> r).toMap
+    // identical docs: identical shingle sets -> identical signatures
+    val dup = byPair((1L, 2L))
+    assert(dup.getAs[Double]("jaccard") == 1.0)
+    assert(dup.getAs[Long]("n_agree") == 12L)
+    assert(dup.getAs[Double]("est_jaccard") == 1.0)
+    // every estimate is a valid fraction of the signature width
+    assert(rows.forall { r =>
+      val a = r.getAs[Long]("n_agree")
+      a >= 0L && a <= 12L &&
+        r.getAs[Double]("est_jaccard") == a.toDouble / 12.0
+    })
+  }
 }
