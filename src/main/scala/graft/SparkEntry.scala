@@ -297,7 +297,9 @@ object SparkEntry {
       graft.operators.Graph.twoStepPaths(Tables.events(s, d))),
     "s10_rerank" -> ((s, d) => S.rerankTopK(Tables.embeddings(s, d))),
     "d11_minhash_eval" -> ((s, d) =>
-      D.minhashJaccardEval(Tables.documents(s, d)))
+      D.minhashJaccardEval(Tables.documents(s, d))),
+    "q37_scalar_subquery" -> ((s, d) =>
+      R.sqlAboveCustomerAverage(s, Tables.orders(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -2604,6 +2606,17 @@ object SparkEntry {
         |  JOIN g gb ON jp.doc_b = gb.doc_id)
         |SELECT doc_a, doc_b, jaccard, n_agree,
         |  CAST(n_agree AS DOUBLE) / 12.0 AS est_jaccard
-        |FROM ag ORDER BY doc_a, doc_b""".stripMargin
+        |FROM ag ORDER BY doc_a, doc_b""".stripMargin,
+    // same correlated scalar subqueries; the cross-multiplied integer
+    // comparison keeps the threshold exact in both engines
+    "q37_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE CAST(floor(o_totalprice * 100) AS BIGINT) * 2 *
+        |  (SELECT COUNT(*) FROM orders i
+        |     WHERE i.o_custkey = o.o_custkey) >
+        |  3 * (SELECT CAST(SUM(CAST(floor(i.o_totalprice * 100)
+        |     AS BIGINT)) AS BIGINT)
+        |     FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -522,6 +522,30 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** q37: correlated SCALAR subqueries — the other decorrelation face
+    * next to [[sqlCorrelatedExists]]'s EXISTS: "orders 1.5× above
+    * their customer's average". Catalyst rewrites each correlated
+    * scalar aggregate into an aggregate-then-left-join on the
+    * correlation key, so the query runs as two hash aggregations and
+    * joins, never a per-row subquery loop.
+    *
+    * The comparison is cross-multiplied into integers (price·2·n >
+    * 3·sum over cents) so the threshold is exact — an AVG-of-doubles
+    * form could flip borderline rows between engines on the last
+    * bit of a shuffle-order sum. */
+  def sqlAboveCustomerAverage(spark: SparkSession,
+      orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_q37")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_q37 o
+        |WHERE CAST(floor(o_totalprice * 100) AS BIGINT) * 2 *
+        |  (SELECT COUNT(*) FROM orders_q37 i
+        |     WHERE i.o_custkey = o.o_custkey) >
+        |  3 * (SELECT SUM(CAST(floor(i.o_totalprice * 100) AS BIGINT))
+        |     FROM orders_q37 i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Pivot (crosstab) of order counts: priority rows × status columns —
     * the wide-report form of grouped aggregation (SURVEY §2.4 EXT).
     *
