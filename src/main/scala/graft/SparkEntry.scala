@@ -299,7 +299,9 @@ object SparkEntry {
     "d11_minhash_eval" -> ((s, d) =>
       D.minhashJaccardEval(Tables.documents(s, d))),
     "q37_scalar_subquery" -> ((s, d) =>
-      R.sqlAboveCustomerAverage(s, Tables.orders(s, d)))
+      R.sqlAboveCustomerAverage(s, Tables.orders(s, d))),
+    "q39_nullsafe_join" -> ((s, d) =>
+      R.nullSafeJoinDiff(Tables.orders(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -2617,6 +2619,23 @@ object SparkEntry {
         |  3 * (SELECT CAST(SUM(CAST(floor(i.o_totalprice * 100)
         |     AS BIGINT)) AS BIGINT)
         |     FROM orders i WHERE i.o_custkey = o.o_custkey)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    // <=> matches NULL keys; = drops them — the pair-count difference
+    // IS the silent data loss a plain join hides
+    "q39_nullsafe_join" ->
+      """WITH a AS (SELECT CASE WHEN o_custkey % 50 = 0 THEN NULL
+        |    ELSE o_custkey % 1000 END AS ka FROM orders
+        |  WHERE year(o_orderdate) = 1995),
+        |b AS (SELECT CASE WHEN o_custkey % 50 = 0 THEN NULL
+        |    ELSE o_custkey % 1000 END AS kb FROM orders
+        |  WHERE year(o_orderdate) = 2000)
+        |SELECT join_kind, n_pairs FROM (
+        |  SELECT 'nullsafe' AS join_kind, CAST(COUNT(*) AS BIGINT)
+        |    AS n_pairs
+        |  FROM a JOIN b ON a.ka IS NOT DISTINCT FROM b.kb
+        |  UNION ALL
+        |  SELECT 'plain', CAST(COUNT(*) AS BIGINT)
+        |  FROM a JOIN b ON a.ka = b.kb)
+        |ORDER BY join_kind""".stripMargin
   )
 }

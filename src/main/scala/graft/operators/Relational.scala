@@ -522,6 +522,32 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** q39: null-safe join semantics — `<=>` (IS NOT DISTINCT FROM)
+    * joins NULL keys to NULL keys where plain `=` silently drops every
+    * null-keyed row. That difference is a classic silent-data-loss bug
+    * in feeds with optional keys; this query measures it directly by
+    * running both joins over the same nullable-keyed sides and
+    * reporting the pair counts.
+    *
+    * Scale note: `EqualNullSafe` is still an equi-join key to Spark —
+    * both variants plan hash/sort-merge joins on the key, never a
+    * nested loop (swept by PlanAudit); the null bucket hashes to one
+    * value, so heavy null shares deserve the usual skew levers. */
+  def nullSafeJoinDiff(orders: DataFrame): DataFrame = {
+    val key = when(col("o_custkey") % 50 === 0, lit(null))
+      .otherwise(col("o_custkey") % 1000)
+    val y = org.apache.spark.sql.functions.year(col("o_orderdate"))
+    val a = orders.filter(y === 1995).select(key.as("ka"))
+    val b = orders.filter(y === 2000).select(key.as("kb"))
+    val nullsafe = a.join(b, col("ka") <=> col("kb"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(lit("nullsafe").as("join_kind"), col("n_pairs"))
+    val plain = a.join(b, col("ka") === col("kb"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(lit("plain").as("join_kind"), col("n_pairs"))
+    nullsafe.unionAll(plain).orderBy(col("join_kind"))
+  }
+
   /** q37: correlated SCALAR subqueries — the other decorrelation face
     * next to [[sqlCorrelatedExists]]'s EXISTS: "orders 1.5× above
     * their customer's average". Catalyst rewrites each correlated
