@@ -301,7 +301,9 @@ object SparkEntry {
     "q37_scalar_subquery" -> ((s, d) =>
       R.sqlAboveCustomerAverage(s, Tables.orders(s, d))),
     "q39_nullsafe_join" -> ((s, d) =>
-      R.nullSafeJoinDiff(Tables.orders(s, d)))
+      R.nullSafeJoinDiff(Tables.orders(s, d))),
+    "t26_cms_estimate" -> ((s, d) =>
+      T.cmsTokenCounts(Tables.documents(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -2636,6 +2638,29 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'plain', CAST(COUNT(*) AS BIGINT)
         |  FROM a JOIN b ON a.ka = b.kb)
-        |ORDER BY join_kind""".stripMargin
+        |ORDER BY join_kind""".stripMargin,
+    // depth=3, width=256; bucket = first 2 hex chars of md5(d:tok) —
+    // string labels, no hex->int engine differences; estimate >= truth
+    "t26_cms_estimate" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(trim(text),
+        |    '\s+')) AS tok FROM documents),
+        |exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count
+        |  FROM toks GROUP BY tok),
+        |occ AS (SELECT tok, unnest(range(0, 3)) AS d FROM toks),
+        |grid AS (SELECT d,
+        |    substr(md5(concat(CAST(d AS VARCHAR), ':', tok)), 1, 2)
+        |      AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM occ GROUP BY 1, 2),
+        |probes AS (SELECT tok, true_count, d,
+        |    substr(md5(concat(CAST(d AS VARCHAR), ':', tok)), 1, 2)
+        |      AS bucket
+        |  FROM exact CROSS JOIN (SELECT unnest(range(0, 3)) AS d))
+        |SELECT p.tok, p.true_count,
+        |  CAST(MIN(g.c) AS BIGINT) AS cms_estimate,
+        |  CAST(MIN(g.c) - p.true_count AS BIGINT) AS overestimate
+        |FROM probes p JOIN grid g ON p.d = g.d AND p.bucket = g.bucket
+        |GROUP BY p.tok, p.true_count
+        |ORDER BY p.tok""".stripMargin
   )
 }

@@ -602,6 +602,44 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Count-min sketch frequency estimation — the fourth sketch family
+    * beside HLL (q18), KMV (q25), and frequent-items (t10): a fixed
+    * (depth × width) counter grid answers "how often does token X
+    * occur?" over any stream slice, with one-sided error (estimate ≥
+    * truth, inflated only by bucket collisions). The sketch is
+    * trivially mergeable (counters add), so it map-side combines and
+    * unions across corpus shards — the property that makes it the
+    * standard distributed frequency monitor.
+    *
+    * Determinism: row d's bucket for a token is the first two hex
+    * chars of md5("d:token") — a STRING bucket label, sidestepping
+    * hex→integer conversion differences between engines; depth=3,
+    * width=256. Output compares the estimate to the exact count per
+    * token, so the collision inflation is visible and the one-sided
+    * bound is oracle-checked. */
+  def cmsTokenCounts(documents: DataFrame, depth: Int = 3): DataFrame = {
+    val toks = documents.select(explode(tokens(col("text"))).as("tok"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_count"))
+    // build: every occurrence increments depth counters
+    val grid = toks
+      .withColumn("d", explode(sequence(lit(0), lit(depth - 1))))
+      .select(col("d"), substring(md5(concat(col("d").cast("string"),
+        lit(":"), col("tok"))), 1, 2).as("bucket"))
+      .groupBy(col("d"), col("bucket")).agg(count(lit(1)).as("c"))
+    // probe: each distinct token reads its depth buckets, takes the min
+    val probes = exact
+      .withColumn("d", explode(sequence(lit(0), lit(depth - 1))))
+      .select(col("tok"), col("true_count"), col("d"),
+        substring(md5(concat(col("d").cast("string"), lit(":"),
+          col("tok"))), 1, 2).as("bucket"))
+    probes.join(grid, Seq("d", "bucket"))
+      .groupBy(col("tok"), col("true_count"))
+      .agg(min(col("c")).as("cms_estimate"))
+      .select(col("tok"), col("true_count"), col("cms_estimate"),
+        (col("cms_estimate") - col("true_count")).as("overestimate"))
+      .orderBy(col("tok"))
+  }
+
   /** Vocabulary coverage curve: for each candidate vocabulary size V,
     * the fraction of all token OCCURRENCES covered by the V most
     * frequent types — the curve a tokenizer/vocab-size decision reads

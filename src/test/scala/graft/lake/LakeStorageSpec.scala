@@ -144,6 +144,30 @@ class LakeStorageSpec extends SparkSpec {
     // physical layout is hive-partitioned for pruning
     assert(new java.io.File(s"$dir/datalake/pdate=20260307/phour=09").exists())
   }
+
+  test("a date/hour predicate prunes partitions at the scan, not a filter") {
+    import java.time.LocalDateTime
+    val dir = Files.createTempDirectory("graft-prune-lake-")
+      .toFile.getAbsolutePath
+    val storage = new SparkLakeStorage(spark, dir)
+    // two partitions: hours 09 and 10
+    storage.saveBooks(books((1L, "h1", "b1")), ts)
+    storage.saveBooks(books((2L, "h2", "b2")),
+      LocalDateTime.of(2026, 3, 7, 10, 0))
+    val pruned = storage.lake
+      .filter(org.apache.spark.sql.functions.col("pdate") === "20260307" &&
+        org.apache.spark.sql.functions.col("phour") === "09")
+    // the predicate must reach the scan's PartitionFilters — pruning
+    // happens at planning time (directories never listed), not as a
+    // post-scan Filter over all partitions
+    val plan = pruned.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse(
+        fail(s"no PartitionFilters in scan:\n$plan"))
+    assert(scanLine.contains("phour"),
+      s"phour predicate did not reach the scan: $scanLine")
+    assert(pruned.count() == 2) // header + body of book 1 only
+  }
 }
 
 /** Manifest index: metadata-only exists/list + rebuild from ground truth. */

@@ -110,6 +110,21 @@ class CoOccurrenceSpec extends SparkSpec {
     assert(ratio(("rare", "gem")) == 3.0 * 24.0 / 9.0)
   }
 
+  test("cms estimates are one-sided and exact for collision-free tokens") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = TextAnalysis.cmsTokenCounts(docs).collect()
+    assert(rows.nonEmpty)
+    // one-sided error: a count-min estimate can never undercount
+    assert(rows.forall(_.getAs[Long]("overestimate") >= 0L),
+      "count-min must never underestimate")
+    // with ~31 tokens in 3x256 buckets, most rows are collision-free
+    // and the estimate is EXACT — the high-accuracy regime the oracle
+    // hash-checks
+    val exactRows = rows.count(_.getAs[Long]("overestimate") == 0L)
+    assert(exactRows * 2 > rows.length,
+      s"expected mostly collision-free estimates, got $exactRows/${rows.length}")
+  }
+
   test("fd audit distinguishes held from violated dependencies") {
     val df = Seq((1L, "x", "p"), (1L, "x", "q"), (2L, "y", "p"),
       (3L, "y", "p")).toDF("k", "held_dep", "viol_dep")
