@@ -303,7 +303,9 @@ object SparkEntry {
     "q39_nullsafe_join" -> ((s, d) =>
       R.nullSafeJoinDiff(Tables.orders(s, d))),
     "t26_cms_estimate" -> ((s, d) =>
-      T.cmsTokenCounts(Tables.documents(s, d)))
+      T.cmsTokenCounts(Tables.documents(s, d))),
+    "t27_tfidf_keywords" -> ((s, d) =>
+      T.tfidfKeywords(Tables.documents(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -2661,6 +2663,26 @@ object SparkEntry {
         |  CAST(MIN(g.c) - p.true_count AS BIGINT) AS overestimate
         |FROM probes p JOIN grid g ON p.d = g.d AND p.bucket = g.bucket
         |GROUP BY p.tok, p.true_count
-        |ORDER BY p.tok""".stripMargin
+        |ORDER BY p.tok""".stripMargin,
+    // rational idf (tf*N/df) — log is monotone so the ranking matches
+    // the textbook form without a libm log in the compare
+    "t27_tfidf_keywords" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY doc_id, tok),
+        |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY tok),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |  CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)
+        |    AS tfidf
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+        |r AS (SELECT doc_id, tok, tf, df, tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, tok ASC) AS BIGINT) AS rk FROM s)
+        |SELECT doc_id, tok, tf, df, tfidf, rk FROM r
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
   )
 }

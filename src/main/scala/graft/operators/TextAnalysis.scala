@@ -602,6 +602,38 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-document TF-IDF keyword extraction — the doc-side complement
+    * of BM25's query-side ranking (b01): each document's top terms by
+    * tf·N/df, the tagging/routing signal curation pipelines attach to
+    * every document. The score is the rational idf form (no libm log —
+    * log is monotone, so the ranking is identical): two exact long
+    * products and one double division, bit-stable across engines.
+    *
+    * Plan shape: one (doc, term) count shuffle; document frequencies
+    * are a term-keyed aggregate joined back on term; the rank window
+    * partitions by doc_id — group size is the document's distinct-term
+    * count, parallel across documents at any corpus size. */
+  def tfidfKeywords(documents: DataFrame, k: Int = 3): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = documents.select(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    tf.join(df, "tok")
+      .join(broadcast(n))
+      .withColumn("tfidf",
+        (col("tf") * col("n_docs")).cast("double") /
+          col("df").cast("double"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        col("tfidf"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Count-min sketch frequency estimation — the fourth sketch family
     * beside HLL (q18), KMV (q25), and frequent-items (t10): a fixed
     * (depth × width) counter grid answers "how often does token X

@@ -110,6 +110,26 @@ class CoOccurrenceSpec extends SparkSpec {
     assert(ratio(("rare", "gem")) == 3.0 * 24.0 / 9.0)
   }
 
+  test("tfidf keywords rank a doc's distinctive term above common ones") {
+    // 'zebra' appears only in doc 0; 'the' in every doc — zebra's
+    // idf dominates regardless of tf
+    val docs = Seq(
+      (0L, "the zebra zebra runs"),
+      (1L, "the cat sleeps all day"),
+      (2L, "the dog barks all night"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.tfidfKeywords(docs, k = 2).collect()
+    val top0 = rows.filter(r => r.getAs[Long]("doc_id") == 0L &&
+      r.getAs[Long]("rk") == 1L).head
+    assert(top0.getAs[String]("tok") == "zebra")
+    // score = tf*N/df = 2*3/1 = 6.0 exactly; 'the' scores 1*3/3 = 1.0
+    assert(top0.getAs[Double]("tfidf") == 6.0)
+    // ranks are dense 1..k per doc
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(perDoc.values.forall(
+      _.map(_.getAs[Long]("rk")).sorted.toSeq == Seq(1L, 2L)))
+  }
+
   test("cms estimates are one-sided and exact for collision-free tokens") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val rows = TextAnalysis.cmsTokenCounts(docs).collect()
