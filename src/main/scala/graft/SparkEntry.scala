@@ -305,7 +305,8 @@ object SparkEntry {
     "t26_cms_estimate" -> ((s, d) =>
       T.cmsTokenCounts(Tables.documents(s, d))),
     "t27_tfidf_keywords" -> ((s, d) =>
-      T.tfidfKeywords(Tables.documents(s, d)))
+      T.tfidfKeywords(Tables.documents(s, d))),
+    "w17_streaks" -> ((s, d) => W.activityStreaks(Tables.events(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -2683,6 +2684,26 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, tok ASC) AS BIGINT) AS rk FROM s)
         |SELECT doc_id, tok, tf, df, tfidf, rk FROM r
-        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // gaps-and-islands: day - rank(day) is constant within a
+    // consecutive run; all arithmetic is dates and integers
+    "w17_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |  CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |    AS INTEGER) AS rn
+        |  FROM d),
+        |i AS (SELECT user_id, day - rn AS island,
+        |    CAST(COUNT(*) AS BIGINT) AS len, MIN(day) AS start_day
+        |  FROM r GROUP BY user_id, day - rn),
+        |p AS (SELECT user_id, len, start_day,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY len DESC, start_day ASC) AS pick FROM i)
+        |SELECT user_id,
+        |  MAX(CASE WHEN pick = 1 THEN len END) AS longest_streak,
+        |  MAX(CASE WHEN pick = 1 THEN start_day END) AS streak_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n_streaks
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

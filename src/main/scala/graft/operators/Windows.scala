@@ -215,6 +215,36 @@ object Windows {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands pattern: consecutive days collapse to one island
+    * because `day − rank(day)` is constant within a run and jumps at
+    * every gap. Engagement/retention analytics' daily-streak metric,
+    * computed in three shuffles all keyed by user (distinct day set →
+    * rank window → island agg → longest pick), integer/date arithmetic
+    * only. Per-user state is its distinct DAY count — bounded by the
+    * calendar, not the event volume. */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = days
+      .withColumn("rn", row_number().over(w))
+      .withColumn("island", date_sub(col("day"), col("rn")))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    val pick = Window.partitionBy(col("user_id"))
+      .orderBy(col("len").desc, col("start_day").asc)
+    islands
+      .withColumn("pick", row_number().over(pick))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("pick") === 1, col("len"))).as("longest_streak"),
+        max(when(col("pick") === 1, col("start_day"))).as("streak_start"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy(col("user_id"))
+  }
+
   def rollingActiveUsers(events: DataFrame,
       windowHours: Int = 3): DataFrame = {
     val pairs = events

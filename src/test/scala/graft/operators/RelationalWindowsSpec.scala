@@ -141,6 +141,25 @@ class RelationalWindowsSpec extends SparkSpec {
       ("2026-01-01 02:00:00.0", 2L)))  // {1,2}: both within 3h, 1 counted once
   }
 
+  test("streaks collapse consecutive days into islands per user") {
+    import spark.implicits._
+    // user 1: Jan 1-3 (streak 3), Jan 5-6 (streak 2); user 2: Jan 10
+    val events = Seq((1L, "2024-01-01"), (1L, "2024-01-02"),
+      (1L, "2024-01-02"), (1L, "2024-01-03"), (1L, "2024-01-05"),
+      (1L, "2024-01-06"), (2L, "2024-01-10"))
+      .zipWithIndex.map { case ((u, d), i) =>
+        (u, i.toLong, java.sql.Timestamp.valueOf(s"$d 12:00:00")) }
+      .toDF("user_id", "event_id", "ts")
+    val got = Windows.activityStreaks(events).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("longest_streak"),
+          r.getAs[java.sql.Date]("streak_start").toString,
+          r.getAs[Long]("n_streaks"))).toMap
+    assert(got == Map(
+      1L -> ((3L, "2024-01-01", 2L)),
+      2L -> ((1L, "2024-01-10", 1L))))
+  }
+
   test("ewma weights the trailing window by powers of two, renormalized") {
     import spark.implicits._
     val events = Seq((1L, 1L, "2024-01-01 00:00:01", 1.0),
