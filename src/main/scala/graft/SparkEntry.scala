@@ -306,7 +306,11 @@ object SparkEntry {
       T.cmsTokenCounts(Tables.documents(s, d))),
     "t27_tfidf_keywords" -> ((s, d) =>
       T.tfidfKeywords(Tables.documents(s, d))),
-    "w17_streaks" -> ((s, d) => W.activityStreaks(Tables.events(s, d)))
+    "w17_streaks" -> ((s, d) => W.activityStreaks(Tables.events(s, d))),
+    "dq10_freshness" -> ((s, d) =>
+      graft.operators.DataQuality.freshnessAudit(Tables.events(s, d))),
+    "l14_version_history" -> ((s, d) =>
+      graft.lake.LakeQueries.versionHistory(s, Tables.orders(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -2704,6 +2708,26 @@ object SparkEntry {
         |  MAX(CASE WHEN pick = 1 THEN len END) AS longest_streak,
         |  MAX(CASE WHEN pick = 1 THEN start_day END) AS streak_start,
         |  CAST(COUNT(*) AS BIGINT) AS n_streaks
-        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // lag = integer microsecond difference floor-divided to minutes
+    "dq10_freshness" ->
+      """WITH p AS (SELECT event_type, CAST(COUNT(*) AS BIGINT)
+        |    AS n_events, MAX(ts) AS last_seen FROM events
+        |  GROUP BY event_type),
+        |g AS (SELECT MAX(last_seen) AS global_last FROM p)
+        |SELECT event_type, n_events, last_seen,
+        |  CAST((epoch_us(global_last) - epoch_us(last_seen)) // 60000000
+        |    AS BIGINT) AS lag_minutes
+        |FROM p CROSS JOIN g ORDER BY event_type""".stripMargin,
+    // v0 = the base snapshot, v1 = the l04 CDC merge (keys %13==0
+    // deleted) — the same feed CdcMergeOracle reconstructs
+    "l14_version_history" ->
+      """SELECT version, n_rows FROM (
+        |  SELECT CAST(0 AS BIGINT) AS version,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 13 <> 0)
+        |ORDER BY version""".stripMargin
   )
 }

@@ -150,6 +150,24 @@ object LakeQueries {
         col("_new.o_totalprice").as("new_price"))
       .orderBy(col("o_orderkey"))
 
+  /** l14: the version-history listing (`DESCRIBE HISTORY` shape) over
+    * the same two-version store — one row per committed snapshot with
+    * its row count, built as a lazy union of per-version reads (no
+    * driver-side counting; at scale the counts come from snapshot
+    * metadata instead of a scan, but the time-travel read path is the
+    * thing exercised here). */
+  def versionHistory(spark: SparkSession, orders: DataFrame): DataFrame = {
+    val store = committedStore(spark, orders)
+    val latest = store.latestVersion.getOrElse(
+      sys.error("version history on an empty store"))
+    (0L to latest)
+      .map(v => store.read(v).select(lit(v).as("version")))
+      .reduce(_.unionAll(_))
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("version"))
+  }
+
   // One merge-on-read demo store per (session, source files): v0 = the
   // full orders projection, v1 = a key-only DELETE version (no base
   // rewrite), v2 = an APPEND version restoring half the deleted keys.

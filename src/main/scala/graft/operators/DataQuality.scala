@@ -282,6 +282,24 @@ object DataQuality {
       .orderBy(col(groupCol), col("bucket"))
   }
 
+  /** Feed-freshness audit: per stream slice, when did data last
+    * arrive and how far does it lag the freshest slice — the first
+    * alarm of a dead upstream (a partition that silently stopped
+    * producing looks healthy to row-count checks for hours). Lag is
+    * integer microsecond arithmetic floor-divided to minutes — exact,
+    * no timezone or float hazards. One group aggregate; the 1-row
+    * global max broadcasts back. */
+  def freshnessAudit(events: DataFrame): DataFrame = {
+    val per = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_seen"))
+    val g = per.agg(max(col("last_seen")).as("global_last"))
+    per.join(broadcast(g))
+      .select(col("event_type"), col("n_events"), col("last_seen"),
+        expr("(unix_micros(global_last) - unix_micros(last_seen))" +
+          " div 60000000").as("lag_minutes"))
+      .orderBy(col("event_type"))
+  }
+
   /** Cross-table financial reconciliation: does the order header's
     * total agree with the sum of its line items? — the referential
     * AMOUNT check (dq01 checks key existence; this checks the money).

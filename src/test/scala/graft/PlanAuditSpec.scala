@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     "t24_pmi_collocations", // ONE-row corpus-total frame broadcast-crossed in
     "k02_cluster_inertia", // k01's broadcast(8 centroids) x corpus inside
     "s10_rerank", // tier 1 is s06's intended broadcast(5 queries) x corpus
-    "t27_tfidf_keywords") // ONE-row doc-count frame broadcast-crossed in
+    "t27_tfidf_keywords", // ONE-row doc-count frame broadcast-crossed in
+    "dq10_freshness") // ONE-row global-max frame broadcast-crossed in
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>
