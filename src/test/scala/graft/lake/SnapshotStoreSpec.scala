@@ -295,4 +295,15 @@ class SnapshotStoreSpec extends SparkSpec {
       assert(store.read().count() == 3)
     } finally q.stop()
   }
+
+  test("version history lists every committed snapshot with its row count") {
+    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val hist = LakeQueries.versionHistory(spark, orders).collect()
+      .map(r => r.getAs[Long]("version") -> r.getAs[Long]("n_rows")).toMap
+    val total = orders.count()
+    val afterMerge = orders
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") % 13 =!= 0)
+      .count()
+    assert(hist == Map(0L -> total, 1L -> afterMerge))
+  }
 }

@@ -146,6 +146,20 @@ class DataQualitySpec extends SparkSpec {
     }
   }
 
+  test("freshness audit reports integer minute lag vs the freshest slice") {
+    import spark.implicits._
+    val events = Seq(
+      ("alive", "2024-01-01 12:00:00"), ("alive", "2024-01-01 11:00:00"),
+      ("stale", "2024-01-01 10:30:30"))
+      .map { case (t, ts) => (t, java.sql.Timestamp.valueOf(ts)) }
+      .toDF("event_type", "ts")
+    val got = DataQuality.freshnessAudit(events).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("lag_minutes"))).toMap
+    // stale's last event is 89.5 min behind; integer floor -> 89
+    assert(got == Map("alive" -> ((2L, 0L)), "stale" -> ((1L, 89L))))
+  }
+
   test("reconciliation bands the header-vs-lines difference correctly") {
     import spark.implicits._
     val orders = Seq((1L, 100.0), (2L, 100.0), (3L, 100.0))
