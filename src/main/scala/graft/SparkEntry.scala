@@ -310,7 +310,12 @@ object SparkEntry {
     "dq10_freshness" -> ((s, d) =>
       graft.operators.DataQuality.freshnessAudit(Tables.events(s, d))),
     "l14_version_history" -> ((s, d) =>
-      graft.lake.LakeQueries.versionHistory(s, Tables.orders(s, d)))
+      graft.lake.LakeQueries.versionHistory(s, Tables.orders(s, d))),
+    "dq11_digit_profile" -> ((s, d) =>
+      graft.operators.DataQuality.leadingDigitProfile(
+        Tables.orders(s, d), "o_totalprice")),
+    "w18_time_of_week" -> ((s, d) =>
+      W.timeOfWeekProfile(Tables.events(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -2728,6 +2733,24 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT)
         |  FROM orders WHERE o_orderkey % 13 <> 0)
-        |ORDER BY version""".stripMargin
+        |ORDER BY version""".stripMargin,
+    // first digit from the DECIMAL STRING of the floored long —
+    // integer-to-string is engine-stable, no log10/float formatting
+    "dq11_digit_profile" ->
+      """WITH c AS (SELECT substr(CAST(CAST(floor(o_totalprice)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+        |SELECT digit, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+        |  AS share
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
+    // weekday Monday=0 in both engines: Spark weekday(), DuckDB
+    // isodow-1 — dow numbering is a classic cross-engine mismatch
+    "w18_time_of_week" ->
+      """SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+        |  CAST(hour(ts) AS BIGINT) AS hod,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin
   )
 }

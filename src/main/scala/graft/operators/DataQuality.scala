@@ -300,6 +300,29 @@ object DataQuality {
       .orderBy(col("event_type"))
   }
 
+  /** Leading-digit distribution (Benford-style forensic profile): the
+    * first significant digit of each amount, with observed shares —
+    * fabricated or clamped monetary data departs from the natural
+    * heavy-1 distribution, and a drifting digit profile is a cheap
+    * upstream-change alarm even where Benford's law itself doesn't
+    * apply. The digit comes from the DECIMAL STRING of the floored
+    * long (integer→string is engine-stable; no log10, no float
+    * formatting). One scan, 9-row output, 1-row total broadcast
+    * back. */
+  def leadingDigitProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val digit = substring(
+      floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+    val counts = df.filter(col(valueCol) >= 1.0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.join(broadcast(total))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("total").cast("double"))
+          .as("share"))
+      .orderBy(col("digit"))
+  }
+
   /** Cross-table financial reconciliation: does the order header's
     * total agree with the sum of its line items? — the referential
     * AMOUNT check (dq01 checks key existence; this checks the money).

@@ -215,6 +215,21 @@ object Windows {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Time-of-week traffic profile: event counts per (weekday, hour)
+    * cell — the seasonality fingerprint capacity planning and anomaly
+    * baselines read (this hour's volume vs the same weekday-hour cell
+    * of history). One map-side-combined aggregate to a 168-row grid;
+    * weekday is Monday=0 in both engines (Spark `weekday`, DuckDB
+    * isodow−1) — day-of-week numbering is a classic cross-engine
+    * mismatch. */
+  def timeOfWeekProfile(events: DataFrame): DataFrame =
+    events
+      .select(weekday(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("dow"), col("hod"))
+
   /** Longest consecutive-day activity streak per user — the
     * gaps-and-islands pattern: consecutive days collapse to one island
     * because `day − rank(day)` is constant within a run and jumps at

@@ -146,6 +146,18 @@ class DataQualitySpec extends SparkSpec {
     }
   }
 
+  test("leading-digit profile counts first significant digits with shares") {
+    import spark.implicits._
+    val df = Seq(123.45, 19.99, 1.02, 987.0, 0.5)
+      .toDF("o_totalprice")
+    val got = DataQuality.leadingDigitProfile(df, "o_totalprice")
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"),
+        r.getAs[Double]("share"))).toMap
+    // 0.5 excluded (< 1); digits: 1 (123, 19, 1), 9 (987)
+    assert(got == Map("1" -> ((3L, 0.75)), "9" -> ((1L, 0.25))))
+  }
+
   test("freshness audit reports integer minute lag vs the freshest slice") {
     import spark.implicits._
     val events = Seq(

@@ -141,6 +141,17 @@ class RelationalWindowsSpec extends SparkSpec {
       ("2026-01-01 02:00:00.0", 2L)))  // {1,2}: both within 3h, 1 counted once
   }
 
+  test("time-of-week profile buckets with Monday=0 weekdays") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday; 2024-01-07 a Sunday
+    val events = Seq("2024-01-01 09:15:00", "2024-01-01 09:45:00",
+      "2024-01-07 23:05:00")
+      .map(s => Tuple1(java.sql.Timestamp.valueOf(s))).toDF("ts")
+    val got = Windows.timeOfWeekProfile(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 9L) -> 2L, (6L, 23L) -> 1L))
+  }
+
   test("streaks collapse consecutive days into islands per user") {
     import spark.implicits._
     // user 1: Jan 1-3 (streak 3), Jan 5-6 (streak 2); user 2: Jan 10
