@@ -1,6 +1,46 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Short id for the driver line ("q01" for "q01_pricing_summary") —
+    * uniqueness across the ledger is guarded by EntrySpec. */
+  private def shortId(name: String): String = name.takeWhile(_ != '_')
+
+  /** Render the ONE stdout JSON line the driver tail-captures. Every byte
+    * counts against a 2000-byte window (the r4 failure mode: a full
+    * per-query map outgrew it and the round's bench parsed null), so the
+    * line carries the total, the query count, and only the TEN slowest
+    * queries in integer milliseconds — its length is ~constant no matter
+    * how far the ledger grows (EntrySpec asserts < 1600 bytes even at
+    * +40 queries). The full per-query map goes to [[fullMapJson]]. */
+  def renderLine(results: Seq[(String, Double)], sfName: String): String = {
+    val ok = results.filter(_._2 >= 0)
+    val total = ok.map(_._2).sum
+    val failed = results.filterNot(_._2 >= 0).map(_._1)
+    val slow = ok.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + shortId(k) + "\":" + math.round(v * 1000) }
+      .mkString("{", ",", "}")
+    val failedPart =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + shortId(_) + "\"").mkString(""","failed":[""", ",", "]")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"slowest_ms":$slow$failedPart,"queries_file":"BENCH_QUERIES.json","sf":"$sfName"}"""
+  }
+
+  /** Full per-query timings (integer ms, full names; -1 = failed), written
+    * to BENCH_QUERIES.json in the working dir — the driver's round-end
+    * commit picks it up, so per-query history survives without spending
+    * stdout-line bytes on it. */
+  def fullMapJson(results: Seq[(String, Double)], sfName: String): String = {
+    val qs = results
+      .map { case (k, v) =>
+        val ms = if (v >= 0) math.round(v * 1000) else -1L
+        "\"" + k + "\":" + ms
+      }
+      .mkString("{", ",", "}")
+    s"""{"unit":"ms","sf":"$sfName","queries":$qs}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -28,9 +68,9 @@ object Bench {
     }
     // noop sink: forces FULL evaluation of every output column (a bare
     // count() would let Catalyst prune projection-only work to nothing).
-    // Failures record -1 so the JSON output distinguishes a broken query
-    // from a fast one.
-    val results = queries.map { case (name, fn) =>
+    // Failures record -1 so the output distinguishes a broken query from
+    // a fast one.
+    val results = queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val elapsed =
         try {
@@ -43,23 +83,19 @@ object Bench {
         }
       name -> elapsed
     }
-    // 3-decimal timings: the driver captures only the tail of stdout, and
-    // 60 queries x 17-digit doubles pushed the JSON line past its window.
-    def fmt(v: Double): String = f"$v%.3f"
-    // Short ids ("q01" for "q01_pricing_summary"): at 68+ queries the full
-    // names alone cost ~1400 bytes of the driver's 2000-byte tail capture.
-    // The prefix before the first '_' is unique across the ledger (guarded
-    // below — any collision falls back to full names for that run).
-    val shortIds = results.keys.map(_.takeWhile(_ != '_')).toSet
-    val useShort = shortIds.size == results.size
-    def key(k: String): String = if (useShort) k.takeWhile(_ != '_') else k
-    val qs = results.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // basename only: every byte of this line counts against the driver's
-    // 2000-byte tail capture, and the query ledger keeps growing
+    // basename only ("sf0.1"), not the full path
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "BENCH_QUERIES.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (fullMapJson(results, sfName) + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    println(renderLine(results, sfName))
     spark.stop()
   }
 }

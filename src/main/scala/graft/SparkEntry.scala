@@ -241,6 +241,9 @@ object SparkEntry {
       W.rollingActiveUsers(Tables.events(s, d))),
     "dq05_value_outliers" -> ((s, d) =>
       graft.operators.DataQuality.valueOutliers(Tables.events(s, d))),
+    // ledger ids q35 and q38 are RETIRED (drafts that merged into q34's
+    // multiset suite and q37's scalar-subquery pair) — the gaps are
+    // intentional, not missing queries; do not reuse the ids.
     "q34_set_ops_all" -> ((s, d) => R.setOpsAll(Tables.orders(s, d))),
     "l13_mor_chain" -> ((s, d) =>
       graft.lake.LakeQueries.morChainRead(s, Tables.orders(s, d))),

@@ -75,33 +75,36 @@ object DataQuality {
     *
     * Cost shape: one partial-agg shuffle per table (group sizes), then a
     * DISTINCT-group-size funnel — the same distribution trick as the q29
-    * percentile tier, so the single-partition window at the end runs over
-    * |distinct sizes| rows (tiny even when |keys| is billions). All
-    * derived stats are integer arithmetic (×100 fixed-point, ceil-rank
-    * percentile) — no float division to drift between engines. */
+    * percentile tier. The cumulative rank is a fold over
+    * `sort_array(collect_list(struct(gsize, nk)))` inside the one global
+    * aggregate (array length = |distinct sizes|, tiny even when |keys|
+    * is billions) — no `Window.orderBy` and therefore no single-partition
+    * window exchange anywhere in the plan. All derived stats are integer
+    * arithmetic (×100 fixed-point, ceil-rank percentile) — no float
+    * division to drift between engines. */
   def keySkew(df: DataFrame, table: String, keyCol: String): DataFrame = {
     val sizes = df.groupBy(col(keyCol)).agg(count(lit(1)).as("gsize"))
     val dist = sizes.groupBy(col("gsize")).agg(count(lit(1)).as("nk"))
-    val cumW = Window.orderBy(col("gsize"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totW = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    // ceil-rank percentile over the size distribution: smallest group
-    // size whose cumulative key count reaches ceil(p% of keys)
-    def pctl(p: Int): Column =
-      min(when(col("cum") >= expr(s"(tot * $p + 99) div 100"), col("gsize")))
+    // ceil-rank percentile: smallest group size whose running key count
+    // reaches ceil(p% of keys), folded over the sorted distribution array
+    def pctl(p: Int): Column = expr(
+      s"""aggregate(dist_arr,
+            struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS BIGINT) AS ans),
+            (acc, x) -> struct(acc.cum + x.nk,
+              CASE WHEN acc.ans IS NULL
+                    AND acc.cum + x.nk >= (n_keys * $p + 99) div 100
+                   THEN x.gsize ELSE acc.ans END),
+            acc -> acc.ans)""")
     dist
-      .withColumn("cum", sum(col("nk")).over(cumW))
-      .withColumn("tot", sum(col("nk")).over(totW))
       .agg(
         sum(col("gsize") * col("nk")).as("n_rows"),
         sum(col("nk")).as("n_keys"),
         max(col("gsize")).as("max_group"),
-        pctl(50).as("p50_group"),
-        pctl(99).as("p99_group"))
+        sort_array(collect_list(struct(col("gsize"), col("nk"))))
+          .as("dist_arr"))
       .select(lit(table).as("tbl"), lit(keyCol).as("key_col"),
         col("n_rows"), col("n_keys"), col("max_group"),
-        col("p50_group"), col("p99_group"),
+        pctl(50).as("p50_group"), pctl(99).as("p99_group"),
         expr("(n_rows * 100) div n_keys").as("avg_group_x100"),
         expr("(max_group * 100 * n_keys) div n_rows").as("skew_x100"))
   }

@@ -679,20 +679,27 @@ object TextAnalysis {
     * corpus slices.
     *
     * Plan shape: one token-keyed count shuffle (map-side combined), then
-    * the ranked cumulative sum runs over |vocab| rows — a funnel, but
-    * over the TYPE table, not the corpus (the dq02/q29 argument: vocab
-    * cardinality is millions when the corpus is trillions of tokens;
-    * if vocab itself explodes, rank/cumsum shard by count-band first).
+    * the curve only needs the TOP max(sizes) types — a bounded top-k, so
+    * it plans as `TakeOrderedAndProject` (per-partition top-k, merged at
+    * the driver; shuffle volume = maxV rows per partition, never the
+    * type table). Rank comes from posexploding one sorted array built by
+    * a global aggregate over those ≤ maxV survivors — no row_number
+    * window, no single-partition exchange over the vocab anywhere.
     * Coverage is one double division of exact longs. */
   def vocabCoverage(documents: DataFrame,
       sizes: Seq[Int] = Seq(5, 10, 15, 20, 25)): DataFrame = {
+    val maxV = sizes.max
     val counts = documents
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("tok").asc)
+    // struct sorts ascending field-by-field: (-n, tok) = n desc, tok asc
     val ranked = counts
-      .withColumn("rk", row_number().over(w).cast("long"))
+      .orderBy(col("n").desc, col("tok").asc).limit(maxV)
+      .agg(sort_array(collect_list(
+        struct((-col("n")).as("negn"), col("tok"), col("n")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("rk"),
+        col("x.tok").as("tok"), col("x.n").as("n"))
     val total = counts.agg(sum(col("n")).as("total_tokens"))
     val sizesDf = documents.sparkSession
       .createDataFrame(sizes.map(Tuple1(_))).toDF("vocab_size")

@@ -111,21 +111,6 @@ object Windows {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
-  /** w13: rolling distinct active users per hour — "users active in the
-    * trailing `windowHours` hours", for every hour that has any event.
-    * COUNT(DISTINCT) over a sliding frame is not sum-decomposable, so no
-    * window function applies; the classic window-fn form would carry a
-    * distinct-set per frame. Instead the count distributes as pure
-    * relational algebra: dedup to (user, hour) presence pairs, explode
-    * each pair onto the `windowHours` window-end hours it covers (a
-    * narrow ×w generator), dedup again — a user active in several hours
-    * of one window still counts once — and count per window end.
-    *
-    * Scale shape: state is bounded by |users| × |hours|, never by raw
-    * event volume (the first distinct collapses events map-side); the
-    * explode multiplies the COMPACT pair set by w, not the event log.
-    * Both distincts are plain hash shuffles; no per-window sets, no
-    * single-task funnel. */
   /** Cumulative DISTINCT count over a window — an aggregate Spark (and
     * ANSI SQL windows generally) cannot express directly
     * (`COUNT(DISTINCT) OVER` is unsupported), rewritten as the
@@ -260,6 +245,21 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** w13: rolling distinct active users per hour — "users active in the
+    * trailing `windowHours` hours", for every hour that has any event.
+    * COUNT(DISTINCT) over a sliding frame is not sum-decomposable, so no
+    * window function applies; the classic window-fn form would carry a
+    * distinct-set per frame. Instead the count distributes as pure
+    * relational algebra: dedup to (user, hour) presence pairs, explode
+    * each pair onto the `windowHours` window-end hours it covers (a
+    * narrow ×w generator), dedup again — a user active in several hours
+    * of one window still counts once — and count per window end.
+    *
+    * Scale shape: state is bounded by |users| × |hours|, never by raw
+    * event volume (the first distinct collapses events map-side); the
+    * explode multiplies the COMPACT pair set by w, not the event log.
+    * Both distincts are plain hash shuffles; no per-window sets, no
+    * single-task funnel. */
   def rollingActiveUsers(events: DataFrame,
       windowHours: Int = 3): DataFrame = {
     val pairs = events

@@ -74,8 +74,17 @@ object Sessionizer {
             }
             cur.foreach { s =>
               state.update(s)
-              // closes when the watermark passes the gap horizon
-              state.setTimeoutTimestamp((s.endMicros + gapMicros) / 1000L)
+              // closes when the watermark passes the gap horizon; clamped
+              // to watermark+1ms because Spark rejects a timeout at or
+              // before the current watermark with IllegalArgumentException.
+              // FlatMapGroupsWithStateExec already filters input rows
+              // older than the watermark in EventTimeTimeout mode
+              // (StreamingSpec's straggler test verifies the drop), so the
+              // clamp is insurance against an engine that delivers a late
+              // row anyway — without it one straggler kills the query.
+              val horizonMs = (s.endMicros + gapMicros) / 1000L
+              state.setTimeoutTimestamp(
+                math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }

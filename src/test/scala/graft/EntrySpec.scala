@@ -27,6 +27,19 @@ class EntrySpec extends SparkSpec {
     assert(clashes.isEmpty, s"colliding bench short ids: $clashes")
   }
 
+  test("bench stdout line stays inside the driver tail window at +40 queries") {
+    // The driver captures only the last 2000 bytes of stdout; r4's bench
+    // line outgrew it and the round's numbers parsed null. The line now
+    // carries only total + slowest-10, so its length must stay ~constant:
+    // project it with 40 EXTRA worst-case queries (long names, 6-digit
+    // ms) and assert comfortable headroom, not just bare fit.
+    val grown = SparkEntry.queries.keys.toSeq.map(_ -> 99.999) ++
+      (1 to 40).map(i => f"zz$i%02d_future_query_with_a_long_name" -> 99.999)
+    val line = Bench.renderLine(grown, "sf0.1")
+    assert(line.length < 1600,
+      s"bench line ${line.length} bytes — headroom gone: $line")
+  }
+
   test("all queries execute on the smoke fixture (sf0.001)") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, "/root/testdata/sf0.001").count()

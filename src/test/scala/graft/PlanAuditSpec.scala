@@ -44,6 +44,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("no single-partition exchanges except the merge of a partial agg") {
+    // A SinglePartition exchange is a global funnel: every surviving row
+    // crosses one task. The ONE legitimate shape is the final merge of a
+    // two-phase global aggregate — its input is one pre-aggregated row
+    // (or bounded sketch buffer) per upstream partition, so the funnel
+    // moves O(partitions), never O(data). Anything else (un-partitioned
+    // windows, single-task sorts) dies at 100x scale. The whitelist is
+    // EMPTY by design: the last offender (the dq02 skew-audit cum-window)
+    // was replaced by a sorted-array fold in round 9 — keep it empty.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val lines = fn(spark, sf).queryExecution.executedPlan.toString
+        .linesIterator.toVector
+      lines.zipWithIndex.foreach { case (line, i) =>
+        if (line.contains("Exchange SinglePartition")) {
+          // pre-order tree print: the line after a one-child node is its
+          // child; a bounded merge reads "...Aggregate(... partial_...)"
+          val child = lines.drop(i + 1).find(_.trim.nonEmpty).getOrElse("")
+          assert(child.contains("partial_"),
+            s"$name plans a non-aggregate single-partition exchange " +
+              s"(child: ${child.trim.take(140)})")
+        }
+      }
+    }
+  }
+
   test("ivf probe joins hash on the cell key, not nested-loop") {
     // label === query_label is an equi key: the cell-probe join must plan
     // a BroadcastHashJoin (queries side broadcast), never BNLJ

@@ -1,0 +1,146 @@
+package graft.lake
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.LocalDateTime
+
+import graft.SparkSpec
+
+/** Boots the JDK-http facade on an ephemeral port against BOTH adapters
+  * and asserts response-shape parity with the reference's endpoints
+  * (Main.java:47-169): success shapes, error envelope, status vocabulary,
+  * id-parse messages, and PORT env semantics. */
+class HttpFacadeSpec extends SparkSpec {
+
+  private val http = HttpClient.newHttpClient()
+
+  private case class Resp(code: Int, body: String)
+
+  private def get(port: Int, path: String): Resp = {
+    val r = http.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    Resp(r.statusCode(), r.body())
+  }
+
+  private def post(port: Int, path: String): Resp = {
+    val r = http.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    Resp(r.statusCode(), r.body())
+  }
+
+  private val ts = LocalDateTime.of(2026, 5, 1, 12, 0, 0)
+
+  private def withServer(storage: LakeStorage)(f: Int => Unit): Unit = {
+    val service = new IngestService(spark, storage, FixtureFetcher)
+    val server = new IngestHttpServer(service, storage, 0, () => ts)
+    server.start()
+    try f(server.boundPort) finally server.stop()
+  }
+
+  private def adapters: Seq[(String, () => LakeStorage)] = Seq(
+    "memory" -> (() => new InMemoryLakeStorage(spark)),
+    "spark-parquet" -> { () =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-http-lake").toString
+      new SparkLakeStorage(spark, s"file:$dir")
+    })
+
+  test("full endpoint parity on both adapters (Main.java:47-169)") {
+    for ((backendName, mk) <- adapters) withServer(mk()) { port =>
+      // health: adapter health map, status ok (Main.java:57-62)
+      val h = get(port, "/health")
+      assert(h.code == 200 && h.body.contains("\"status\":\"ok\"") &&
+        h.body.contains(s""""backend":"$backendName""""),
+        s"$backendName health: $h")
+
+      // ingest success shape (Main.java:116-123)
+      val ok = post(port, "/ingest/1")
+      assert(ok.code == 200, s"$backendName ingest: $ok")
+      assert(ok.body.contains("\"book_id\":1") &&
+        ok.body.contains("\"status\":\"downloaded\"") &&
+        ok.body.contains("\"date\":\"20260501\"") &&
+        ok.body.contains("\"hour\":\"12\"") &&
+        ok.body.contains("\"path\":\"" +
+          LakePaths.relativePathFor(1L, ts) + "\""), ok.body)
+
+      // staging failures → 400 download_failed, reference message
+      // (Main.java:100-103; marker-split failure folds in too,
+      // IngestionService.java:43-62)
+      for (bad <- Seq("/ingest/42", "/ingest/3")) {
+        val r = post(port, bad)
+        assert(r.code == 400 && r.body ==
+          """{"error":{"code":"download_failed","message":"Download failed or invalid book"}}""",
+          s"$backendName $bad: $r")
+      }
+
+      // id-parse errors, exact messages (Main.java:147-160)
+      val neg = post(port, "/ingest/-7")
+      assert(neg.code == 400 &&
+        neg.body.contains("\"code\":\"invalid_book_id\"") &&
+        neg.body.contains("book_id must be a positive integer"), neg.body)
+      val nan = post(port, "/ingest/abc")
+      assert(nan.code == 400 &&
+        nan.body.contains("\"code\":\"invalid_book_id\"") &&
+        nan.body.contains("\"message\":\"book_id must be an integer\""),
+        nan.body)
+      // same parse on the status route
+      assert(get(port, "/ingest/status/abc").code == 400)
+
+      // status vocabulary (Main.java:126-136)
+      val avail = get(port, "/ingest/status/1")
+      assert(avail.code == 200 &&
+        avail.body.contains("\"status\":\"available\""), avail.body)
+      val miss = get(port, "/ingest/status/999")
+      assert(miss.code == 200 &&
+        miss.body.contains("\"status\":\"not_found\""), miss.body)
+
+      // list shape (Main.java:138-145)
+      val ls = get(port, "/ingest/list")
+      assert(ls.code == 200 && ls.body.contains("\"count\":1") &&
+        ls.body.contains("\"books\":[1]"), ls.body)
+
+      // unknown route → 404 in the same error envelope
+      val nf = get(port, "/nope")
+      assert(nf.code == 404 && nf.body.contains("\"code\":\"not_found\""),
+        nf.body)
+    }
+  }
+
+  test("datalake outage surfaces the reference's 500 (Main.java:107-110)") {
+    val broken = new InMemoryLakeStorage(spark) {
+      override def saveBooks(books: org.apache.spark.sql.DataFrame,
+          at: LocalDateTime): Unit =
+        throw new RuntimeException("simulated datalake outage")
+    }
+    withServer(broken) { port =>
+      val r = post(port, "/ingest/1")
+      assert(r.code == 500 && r.body ==
+        """{"error":{"code":"datalake_move_failed","message":"Failed to move files to datalake"}}""",
+        r.toString)
+    }
+  }
+
+  test("handler exceptions map to 500 internal_error (Main.java:186-189)") {
+    val exploding = new InMemoryLakeStorage(spark) {
+      override def listBooks(): Seq[Long] =
+        throw new IllegalStateException("boom")
+    }
+    withServer(exploding) { port =>
+      val r = get(port, "/ingest/list")
+      assert(r.code == 500 &&
+        r.body.contains("\"code\":\"internal_error\"") &&
+        r.body.contains("boom"), r.toString)
+    }
+  }
+
+  test("PORT env semantics match the reference (Main.java:33,176-184)") {
+    assert(IngestHttpServer.portFromEnv(Map.empty) == 7070)
+    assert(IngestHttpServer.portFromEnv(Map("PORT" -> " 8088 ")) == 8088)
+    assert(IngestHttpServer.portFromEnv(Map("PORT" -> "")) == 7070)
+    assert(IngestHttpServer.portFromEnv(Map("PORT" -> "nope")) == 7070)
+  }
+}

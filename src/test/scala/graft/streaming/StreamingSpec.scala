@@ -192,6 +192,106 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("timeout sessionizer reaches FULL bitwise parity with batch") {
+    // The append-mode sessionizer can only emit a user's last session via
+    // the event-time timeout, so this is the one path where stream and
+    // batch can agree on the COMPLETE result: replay the fixture one
+    // event per trigger (deterministic watermark march), then advance the
+    // watermark far past every gap horizon with a sentinel user and
+    // assert exact equality of every (user, start, end, n) long tuple —
+    // a Spark upgrade that forks the two paths fails this bitwise.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = micros("2026-01-01T08:00:00Z")
+    val min = 60L * 1000000
+    val evs = Seq(
+      SessionEvent(1, 1, t0), SessionEvent(2, 4, t0 + 5 * min),
+      SessionEvent(1, 2, t0 + 10 * min),
+      SessionEvent(1, 3, t0 + 90 * min), // u1: new session (80m gap)
+      SessionEvent(2, 5, t0 + 200 * min)) // u2: new session
+
+    val batchDf = evs.toDF()
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("tsMicros")).as("ts"))
+    val batch = EventTimeOps.sessionizeBatch(batchDf, 30)
+      .select(col("user_id"), unix_micros(col("session_start")),
+        unix_micros(col("session_end")), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    val input = MemoryStream[SessionEvent]
+    val withWm = input.toDS()
+      .withColumn("ets", timestamp_micros(col("tsMicros")))
+      .withWatermark("ets", "0 seconds")
+      .as[SessionEvent]
+    val q = Sessionizer.sessionizeWithTimeout(withWm)
+      .writeStream.format("memory").queryName("sessions_parity_full")
+      .outputMode("append").start()
+    try {
+      evs.foreach { e => input.addData(e); q.processAllAvailable() }
+      // sentinel advances the watermark past every open horizon; the
+      // second trigger fires the armed timeouts against it
+      input.addData(SessionEvent(99, 98, t0 + 100000 * min))
+      q.processAllAvailable()
+      input.addData(SessionEvent(99, 99, t0 + 100001 * min))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_parity_full").as[ClosedSession]
+        .collect()
+        .filter(_.user_id != 99)
+        .map(s => (s.user_id, s.session_start, s.session_end,
+          s.n_events.toLong)).toSet
+      assert(streamed == batch,
+        s"stream/batch fork: stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
+  test("a late straggler is dropped as late data and cannot kill the " +
+    "timeout sessionizer") {
+    // Spark's FlatMapGroupsWithStateExec filters input rows older than
+    // the watermark when EventTimeTimeout is armed, so a straggler whose
+    // session_end + gap is already behind the watermark never reaches the
+    // state function (verified here: no user-3 session is ever emitted).
+    // The watermark clamp in sessionizeWithTimeout is insurance for an
+    // engine that delivers such a row anyway — an unclamped
+    // setTimeoutTimestamp at or before the watermark throws
+    // IllegalArgumentException and kills the whole query. Either way the
+    // invariant under test is: a late row must not crash the stream, and
+    // in-watermark sessions keep flushing normally after it.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = micros("2026-01-01T08:00:00Z")
+    val min = 60L * 1000000
+    val input = MemoryStream[SessionEvent]
+    val withWm = input.toDS()
+      .withColumn("ets", timestamp_micros(col("tsMicros")))
+      .withWatermark("ets", "0 seconds")
+      .as[SessionEvent]
+    val q = Sessionizer.sessionizeWithTimeout(withWm)
+      .writeStream.format("memory").queryName("late_straggler")
+      .outputMode("append").start()
+    try {
+      // march the watermark far ahead of the straggler
+      input.addData(SessionEvent(9, 1, t0 + 1000 * min))
+      q.processAllAvailable()
+      // straggler: horizon t0+30min << watermark — must not throw
+      input.addData(SessionEvent(3, 2, t0))
+      q.processAllAvailable()
+      // user 9 goes idle; a sentinel marches the watermark past its gap
+      // horizon and the following trigger fires the armed timeout
+      input.addData(SessionEvent(8, 3, t0 + 2000 * min))
+      q.processAllAvailable()
+      input.addData(SessionEvent(8, 4, t0 + 3000 * min))
+      q.processAllAvailable()
+      val got = spark.table("late_straggler").as[ClosedSession]
+        .collect().toSet
+      assert(!got.exists(_.user_id == 3),
+        s"late straggler should have been dropped, not sessionized: $got")
+      assert(got.contains(
+        ClosedSession(9, t0 + 1000 * min, t0 + 1000 * min, 1)),
+        s"idle session should still flush after the straggler: $got")
+    } finally q.stop()
+  }
+
   test("foreachBatch streaming ingest lands split books in the lake") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
