@@ -46,8 +46,22 @@ import org.apache.spark.sql.functions.col
 class IngestHttpServer(service: IngestService, storage: LakeStorage,
     port: Int, clock: () => LocalDateTime = () => LocalDateTime.now()) {
 
+  import IngestHttpServer.{jstr, obj}
+
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/", (ex: HttpExchange) => route(ex))
+  // The reference serves requests concurrently (Javalin's pool,
+  // Main.java:39); the JDK server's default executor is the dispatch
+  // thread — serial. A small fixed pool restores the contract; Spark
+  // handles concurrent job submission from multiple threads natively,
+  // so parallel status/list/ingest requests are safe.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-http")
+      t.setDaemon(true)
+      t
+    })
+  server.setExecutor(pool)
 
   private def backend: String = storage.health.getOrElse("backend", "spark")
 
@@ -56,7 +70,10 @@ class IngestHttpServer(service: IngestService, storage: LakeStorage,
 
   def start(): Unit = server.start()
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdown()
+  }
 
   // ---- routing ------------------------------------------------------
 
@@ -68,7 +85,12 @@ class IngestHttpServer(service: IngestService, storage: LakeStorage,
         case ("GET", "/ingest/list") => list(ex)
         case ("GET", p) if p.startsWith("/ingest/status/") =>
           withBookId(ex, p.stripPrefix("/ingest/status/"))(status(ex, _))
-        case ("POST", p) if p.startsWith("/ingest/") =>
+        // the status/list sub-paths must NOT be captured as ingest ids:
+        // the reference's router 404s a method+route mismatch (POST
+        // /ingest/status/5 is no route in Main.java:47-55), it does not
+        // try to ingest "status/5"
+        case ("POST", p) if p.startsWith("/ingest/") &&
+            !p.startsWith("/ingest/status") && p != "/ingest/list" =>
           withBookId(ex, p.stripPrefix("/ingest/"))(ingest(ex, _))
         case _ =>
           error(ex, 404, "not_found", "Endpoint not found")
@@ -130,22 +152,7 @@ class IngestHttpServer(service: IngestService, storage: LakeStorage,
       case Some(id) => f(id)
     }
 
-  // ---- json ---------------------------------------------------------
-
-  private def jstr(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
-
-  /** Values arrive pre-rendered (numbers/arrays raw, strings via
-    * [[jstr]]). */
-  private def obj(fields: (String, String)*): String =
-    fields.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+  // ---- json (emitters live in the companion; spec property-tests them)
 
   private def error(ex: HttpExchange, code: Int, errCode: String,
       message: String): Unit =
@@ -162,6 +169,26 @@ class IngestHttpServer(service: IngestService, storage: LakeStorage,
 }
 
 object IngestHttpServer {
+
+  /** JSON string literal with full escaping. The reference's envelope is
+    * produced by Jackson (Main.java:162-169); HttpFacadeSpec holds this
+    * hand-rolled emitter to the same bar with a Jackson round-trip
+    * property over adversarial inputs. */
+  private[lake] def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Values arrive pre-rendered (numbers/arrays raw, strings via
+    * [[jstr]]). */
+  private[lake] def obj(fields: (String, String)*): String =
+    fields.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+
   /** `PORT` env config with the reference's semantics (Main.java:33,
     * 176-184: blank or non-numeric falls back to 7070). */
   val PortEnv = "PORT"

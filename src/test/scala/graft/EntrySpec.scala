@@ -40,6 +40,32 @@ class EntrySpec extends SparkSpec {
       s"bench line ${line.length} bytes — headroom gone: $line")
   }
 
+  test("bench artifact carries every timed pass plus the reported min") {
+    // r9's co-load distortion is only auditable if the artifact itself
+    // shows the pass spread: both sweeps' times must be present verbatim
+    // alongside the min the driver line reports, and a query whose first
+    // pass failed must still report the surviving pass as its min.
+    val json = Bench.fullMapJson(
+      Seq("q01_x" -> Seq(1.234, 0.5), "q02_y" -> Seq(-1.0, 2.0)), "sf0.1")
+    assert(json.contains(""""q01_x":{"passes_ms":[1234,500],"min_ms":500}"""),
+      json)
+    assert(json.contains(""""q02_y":{"passes_ms":[-1,2000],"min_ms":2000}"""),
+      json)
+    assert(json.contains(""""passes":2"""), json)
+    assert(Bench.minOfPasses(Seq(-1.0, -1.0)) == -1.0)
+  }
+
+  test("bench line total is locale-proof JSON") {
+    // renderLine is the sole line the driver parses; under a comma-decimal
+    // default locale an f"%.3f" would emit "value":1,500 — invalid JSON.
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val line = Bench.renderLine(Seq("q01_x" -> 1.5), "sf0.1")
+      assert(line.contains(""""value":1.500"""), line)
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("all queries execute on the smoke fixture (sf0.001)") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, "/root/testdata/sf0.001").count()

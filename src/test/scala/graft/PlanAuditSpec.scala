@@ -1,5 +1,12 @@
 package graft
 
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerge}
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
 /** Automated scale hygiene: every declared query's physical plan is
   * checked for join shapes that would not survive a 100x scale-up.
   * BroadcastNestedLoopJoin is permitted only where a small broadcast side
@@ -44,6 +51,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** AQE wraps the whole query; the pre-execution current plan is the
+    * shape to audit (exchanges are still plain ShuffleExchangeExec there). */
+  private def physicalPlan(plan: SparkPlan): SparkPlan = plan match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case p => p
+  }
+
+  /** Codegen preparation interposes WholeStageCodegen/InputAdapter between
+    * an exchange and its real child; strip them to reach the logical shape. */
+  @annotation.tailrec
+  private def unwrap(p: SparkPlan): SparkPlan = p match {
+    case w: WholeStageCodegenExec => unwrap(w.child)
+    case i: InputAdapter => unwrap(i.child)
+    case other => other
+  }
+
   test("no single-partition exchanges except the merge of a partial agg") {
     // A SinglePartition exchange is a global funnel: every surviving row
     // crosses one task. The ONE legitimate shape is the final merge of a
@@ -53,17 +76,30 @@ class PlanAuditSpec extends SparkSpec {
     // windows, single-task sorts) dies at 100x scale. The whitelist is
     // EMPTY by design: the last offender (the dq02 skew-audit cum-window)
     // was replaced by a sorted-array fold in round 9 — keep it empty.
+    //
+    // Audited by TRAVERSING the plan tree (not string-matching the print,
+    // which breaks with codegen markers or format drift): collect every
+    // shuffle exchange whose output partitioning is SinglePartition —
+    // including inside scalar-subquery plans — and assert its unwrapped
+    // child is an aggregate running in Partial/PartialMerge mode.
     SparkEntry.queries.foreach { case (name, fn) =>
-      val lines = fn(spark, sf).queryExecution.executedPlan.toString
-        .linesIterator.toVector
-      lines.zipWithIndex.foreach { case (line, i) =>
-        if (line.contains("Exchange SinglePartition")) {
-          // pre-order tree print: the line after a one-child node is its
-          // child; a bounded merge reads "...Aggregate(... partial_...)"
-          val child = lines.drop(i + 1).find(_.trim.nonEmpty).getOrElse("")
-          assert(child.contains("partial_"),
-            s"$name plans a non-aggregate single-partition exchange " +
-              s"(child: ${child.trim.take(140)})")
+      val plan = physicalPlan(
+        fn(spark, sf).queryExecution.executedPlan)
+      val funnels = plan.collectWithSubqueries {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning == SinglePartition => e
+      }
+      funnels.foreach { e =>
+        unwrap(e.child) match {
+          case agg: BaseAggregateExec =>
+            assert(agg.aggregateExpressions.nonEmpty &&
+              agg.aggregateExpressions.forall(ae =>
+                ae.mode == Partial || ae.mode == PartialMerge),
+              s"$name funnels a non-partial aggregate into one partition " +
+                s"(modes: ${agg.aggregateExpressions.map(_.mode).distinct})")
+          case other =>
+            fail(s"$name plans a non-aggregate single-partition exchange " +
+              s"(child: ${other.nodeName})")
         }
       }
     }

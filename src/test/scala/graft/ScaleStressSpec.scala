@@ -42,7 +42,15 @@ object ScaledTables {
   * Literal plan equality is deliberately NOT asserted: a join that
   * broadcasts at fixture size and sort-merges at ×8 is the optimizer
   * doing its job, not a regression — the invariants that must hold at
-  * any size are the absence of unbounded shapes and ≲linear growth. */
+  * any size are the absence of unbounded shapes and ≲linear growth.
+  *
+  * Growth factors are additionally ratcheted against committed history
+  * (STRESS_FACTORS.json): each observed ×8 factor must stay within 1.5×
+  * of its recorded value (+1.0 absolute fixture-noise allowance), so a
+  * plan regression that stays under the generous linear bound — e.g. a
+  * broadcast flipping to a quadratic-ish shape only at scale — still
+  * fails even though absolute times drift between rigs. Re-baseline
+  * deliberately with GRAFT_STRESS_RECORD=1. */
 class ScaleStressSpec extends SparkSpec {
 
   private val sf = sys.env.getOrElse("GRAFT_STRESS_SF",
@@ -58,10 +66,17 @@ class ScaleStressSpec extends SparkSpec {
   private def embX = ScaledTables.scaled(emb, factor,
     idCols = Seq("vec_id"), vecCols = Seq("embedding"))
 
+  /** Min of two timed runs (the bench's jitter-proofing, in miniature):
+    * co-load and GC pauses only ever slow a run down, and a shrunk
+    * single-shot baseline t1 is exactly what flaked the r9 ratio — the
+    * min of two runs has to be hit twice to distort. */
   private def time(df: => DataFrame): Double = {
-    val t0 = System.nanoTime()
-    df.write.mode("overwrite").format("noop").save()
-    (System.nanoTime() - t0) / 1e9
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
   }
 
   private val heavyFive: Seq[(String, DataFrame, DataFrame, Boolean)] = Seq(
@@ -86,7 +101,53 @@ class ScaleStressSpec extends SparkSpec {
         ScaledTables.scaled(Tables.lineitem(spark, sf), factor,
           idCols = Seq("l_orderkey"))), false))
 
+  /** Committed growth-factor history, keyed fixture-name -> op -> factor.
+    * Flat hand-rolled read/write (the shape is two levels of string ->
+    * number; jackson stays confined to the facade's parity property). */
+  private val historyPath = java.nio.file.Paths.get("STRESS_FACTORS.json")
+
+  private def sfName: String =
+    sf.split('/').filter(_.nonEmpty).lastOption.getOrElse(sf)
+
+  private def readHistory(): Map[String, Double] = {
+    if (!java.nio.file.Files.exists(historyPath)) Map.empty
+    else {
+      val text = new String(java.nio.file.Files.readAllBytes(historyPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // entries look like "sf0.001/d07_dedup_clusters": 3.21
+      val entry = """"([^"]+)"\s*:\s*(-?[0-9.]+)""".r
+      entry.findAllMatchIn(text)
+        .filter(_.group(1).startsWith(sfName + "/"))
+        .map(m => m.group(1).stripPrefix(sfName + "/") -> m.group(2).toDouble)
+        .toMap
+    }
+  }
+
+  private def writeHistory(merged: Map[String, Double]): Unit = {
+    val keep = if (!java.nio.file.Files.exists(historyPath)) Map.empty[String, Double]
+    else {
+      val text = new String(java.nio.file.Files.readAllBytes(historyPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val entry = """"([^"]+)"\s*:\s*(-?[0-9.]+)""".r
+      entry.findAllMatchIn(text)
+        .filterNot(_.group(1).startsWith(sfName + "/"))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val all = keep ++ merged.map { case (k, v) => s"$sfName/$k" -> v }
+    val body = all.toSeq.sorted
+      .map { case (k, v) =>
+        "  \"" + k + "\": " + String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(v))
+      }
+      .mkString("{\n", ",\n", "\n}\n")
+    java.nio.file.Files.write(historyPath,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   test(s"heavy five grow ≲linearly at ×$factor and keep sane plans ($sf)") {
+    val recorded = readHistory()
+    val rebaseline = sys.env.contains("GRAFT_STRESS_RECORD")
+    val observed = scala.collection.mutable.Map[String, Double]()
     for ((name, baseline, scaledDf, bnljIntended) <- heavyFive) {
       val plan = scaledDf.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -101,7 +162,24 @@ class ScaleStressSpec extends SparkSpec {
       // quadratic operator (~×64) still fails by a wide margin
       assert(tN <= 12 * t1 + 8.0,
         f"$name: ${t1}%.2fs -> ${tN}%.2fs at x$factor — superlinear")
-      info(f"$name: ${t1}%.2fs -> ${tN}%.2fs (x${tN / t1}%.1f)")
+      val growth = tN / t1
+      observed(name) = growth
+      info(f"$name: ${t1}%.2fs -> ${tN}%.2fs (x$growth%.1f)")
+      // history ratchet: a factor that jumped past 1.5x its committed
+      // value (+1.0 fixture-noise allowance) is a plan-shape regression
+      // even if it still clears the generous linear bound above
+      recorded.get(name).filterNot(_ => rebaseline).foreach { rec =>
+        assert(growth <= 1.5 * rec + 1.0,
+          f"$name ×$factor growth x$growth%.2f exceeds 1.5x its recorded " +
+            f"x$rec%.2f (STRESS_FACTORS.json) — plan-shape regression; " +
+            "re-baseline deliberately with GRAFT_STRESS_RECORD=1")
+      }
     }
+    // self-recording: first run at a fixture (or explicit re-baseline)
+    // writes its factors; established entries are never silently moved
+    val toWrite =
+      if (rebaseline) observed.toMap
+      else observed.toMap.filter { case (k, _) => !recorded.contains(k) }
+    if (toWrite.nonEmpty) writeHistory(recorded ++ toWrite)
   }
 }

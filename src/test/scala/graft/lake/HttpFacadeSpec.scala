@@ -137,6 +137,82 @@ class HttpFacadeSpec extends SparkSpec {
     }
   }
 
+  test("method+route mismatches fall through to 404, not ingest " +
+      "(Javalin router parity)") {
+    withServer(new InMemoryLakeStorage(spark)) { port =>
+      // POST against the status/list routes must NOT be parsed as an
+      // ingest of "status/5" (the reference's router has no such route,
+      // Main.java:47-55) — nor may GET hit the POST-only ingest route
+      for (r <- Seq(post(port, "/ingest/status/5"),
+          post(port, "/ingest/status"), post(port, "/ingest/list"),
+          get(port, "/ingest/5"))) {
+        assert(r.code == 404 && r.body.contains("\"code\":\"not_found\""),
+          r.toString)
+      }
+    }
+  }
+
+  test("hand-rolled JSON survives a Jackson round-trip on adversarial " +
+      "strings (envelope parity with Main.java:162-169)") {
+    // the reference's envelope is Jackson-produced; parser-verified
+    // parity is the bar for our hand-rolled emitter. Property: any
+    // key/value pair — quotes, backslashes, control chars, non-ASCII —
+    // rendered by obj/jstr parses back to the identical string under a
+    // real JSON parser (jackson-databind, on the Spark classpath).
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // lone surrogates excluded: they are not valid in any UTF-8 JSON
+    // document and no facade input (paths, messages, env) contains them
+    val nasty: Gen[String] = Gen.listOf(Gen.frequency(
+      4 -> Gen.asciiPrintableChar,
+      2 -> Gen.oneOf('"', '\\', '\n', '\r', '\t', '\u0000', '\b',
+        '\f', '\u001f'),
+      1 -> Gen.choose('\u0080', '\ud7ff'))).map(_.mkString)
+    val prop = Prop.forAll(nasty, nasty) { (k: String, v: String) =>
+      val node = mapper.readTree(
+        IngestHttpServer.obj(k -> IngestHttpServer.jstr(v)))
+      node.size() == 1 && node.has(k) && node.get(k).textValue() == v
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, s"JSON round-trip property failed: ${res.status}")
+  }
+
+  test("concurrent requests all serve (pooled like Javalin, Main.java:39)") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    withServer(new InMemoryLakeStorage(spark)) { port =>
+      assert(post(port, "/ingest/1").code == 200)
+      val exec = java.util.concurrent.Executors.newFixedThreadPool(16)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(exec)
+      try {
+        // 32 in-flight requests across all three GET routes: every one
+        // must answer 200 with its correct body — the JDK server's
+        // default SERIAL executor would still pass this (slowly), so the
+        // real assertion is no deadlock/error when handlers drive Spark
+        // jobs from 8 pool threads at once
+        val futs = (1 to 32).map { i =>
+          Future(i % 3 match {
+            case 0 => ("list", get(port, "/ingest/list"))
+            case 1 => ("status", get(port, "/ingest/status/1"))
+            case _ => ("health", get(port, "/health"))
+          })
+        }
+        val rs = Await.result(Future.sequence(futs), 120.seconds)
+        for ((kind, r) <- rs) {
+          assert(r.code == 200, s"$kind: $r")
+          kind match {
+            case "list" => assert(r.body.contains("\"books\":[1]"), r.body)
+            case "status" =>
+              assert(r.body.contains("\"status\":\"available\""), r.body)
+            case _ => assert(r.body.contains("\"status\":\"ok\""), r.body)
+          }
+        }
+      } finally exec.shutdown()
+    }
+  }
+
   test("PORT env semantics match the reference (Main.java:33,176-184)") {
     assert(IngestHttpServer.portFromEnv(Map.empty) == 7070)
     assert(IngestHttpServer.portFromEnv(Map("PORT" -> " 8088 ")) == 8088)

@@ -342,6 +342,59 @@ class StreamingDedupSpec extends graft.SparkSpec {
       assert(ids == Set(1L, 3L))
     } finally q.stop()
   }
+
+  test("deterministic replay reaches FULL parity with batch exact dedup " +
+      "(d01's operator)") {
+    // closes the chain stream = batch = DuckDB: d01 (exactDedup over the
+    // doubled corpus) is oracle-green, so bitwise stream-vs-batch parity
+    // here transitively pins the stream to the DuckDB oracle. Replay is
+    // deterministic: originals in micro-batch 1 (each digest unique — a
+    // guarded precondition, otherwise which copy survives within a batch
+    // is partition order), their byte-identical +1000000 copies in
+    // micro-batch 2, every arrival inside the 1h watermark horizon. The
+    // stream must keep exactly the batch side's kept (id, digest) pairs:
+    // same digest function (Dedup.contentDigest is the single source of
+    // truth), same keep-lowest-id rule realized as keep-first-arrival.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = graft.operators.Dedup.doubledCorpus(docs)
+    val batch = graft.operators.Dedup.exactDedup(corpus)
+      .select("kept_doc_id", "content_md5", "n_copies").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+    val rows = corpus.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (originals, copies) = rows.partition(_._1 < 1000000L)
+    // precondition for a deterministic replay (see above)
+    assert(batch.length == originals.length && batch.forall(_._3 == 2L),
+      "fixture gained intra-original duplicates; replay order matters now")
+
+    val t0 = java.time.Instant.parse("2026-01-01T10:00:00Z").toEpochMilli
+    def at(i: Int) = new java.sql.Timestamp(t0 + i * 10L)
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StreamingDedup.dedupStream(
+      input.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_parity")
+      .outputMode("append").start()
+    try {
+      input.addData(originals.zipWithIndex.map {
+        case ((id, tx), i) => (at(i), id, tx)
+      }.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(copies.zipWithIndex.map {
+        case ((id, tx), i) => (at(originals.length + i), id, tx)
+      }.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_parity")
+        .select(col("doc_id"), col("content_md5")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch.map { case (id, d, _) => (id, d) }.toSet,
+        s"stream/batch fork: ${streamed.size} streamed vs " +
+          s"${batch.length} batch-kept")
+    } finally q.stop()
+  }
 }
 
 /** Watermarked stream-stream interval join. */
