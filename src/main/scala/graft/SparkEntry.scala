@@ -166,6 +166,10 @@ object SparkEntry {
       D.normalizedDedup(Tables.documents(s, d))),
     "d09_fuzzy_pairs" -> ((s, d) =>
       D.fuzzyPairs(Tables.documents(s, d))),
+    // maxDocFreq = None: exact candidate generation for the oracle
+    // (same contract note as d02)
+    "d12_containment" -> ((s, d) =>
+      D.containmentPairs(Tables.documents(s, d), maxDocFreq = None)),
     "t15_script_profile" -> ((s, d) =>
       T.scriptProfile(Tables.documents(s, d))),
     // --- similarity search (LLM-pipeline north star) ---
@@ -318,7 +322,11 @@ object SparkEntry {
       graft.operators.DataQuality.leadingDigitProfile(
         Tables.orders(s, d), "o_totalprice")),
     "w18_time_of_week" -> ((s, d) =>
-      W.timeOfWeekProfile(Tables.events(s, d)))
+      W.timeOfWeekProfile(Tables.events(s, d))),
+    "dq12_sequence_gaps" -> ((s, d) =>
+      graft.operators.DataQuality.sequenceGaps(
+        Tables.orders(s, d), "o_orderkey")),
+    "t28_code_detect" -> ((s, d) => T.codeDetect(Tables.documents(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -1055,6 +1063,32 @@ object SparkEntry {
         |FROM b a JOIN b c ON a.block = c.block AND a.doc_id < c.doc_id
         |WHERE levenshtein(a.title, c.title) <= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // containment = inter/|A| (asymmetric, directed): same shingle
+    // recipe as d02, denominator is the LEFT side's shingle count
+    "d12_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, 200) FROM documents),
+        |t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM corpus),
+        |s AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(range(0, len(toks)-2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS inter
+        |  FROM e a JOIN e b ON a.shingle = b.shingle
+        |    AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |c AS (SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / CAST(x.n_sh AS DOUBLE) AS containment
+        | FROM p JOIN sz x ON doc_a = x.doc_id)
+        |SELECT doc_a, doc_b, containment FROM c
+        |WHERE containment >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
     "d02_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id,
         |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -2754,6 +2788,36 @@ object SparkEntry {
       """SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
         |  CAST(hour(ts) AS BIGINT) AS hod,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
-        |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin,
+    // per-bucket missing = occupied span − observed keys: exact BIGINT
+    // arithmetic, // is DuckDB's integer division (Spark: div)
+    "dq12_sequence_gaps" ->
+      """WITH k AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+        |b AS (SELECT k // 1000 AS bucket, CAST(COUNT(*) AS BIGINT)
+        |    AS n_keys, MIN(k) AS key_min, MAX(k) AS key_max
+        |  FROM k GROUP BY 1)
+        |SELECT bucket, n_keys, key_min, key_max,
+        |  key_max - key_min + 1 - n_keys AS missing_in_span
+        |FROM b ORDER BY bucket""".stripMargin,
+    // symbol counting via nested literal replace (no regex dialects);
+    // integer cross-multiply threshold, boolean label in both engines
+    "t28_code_detect" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |codeified AS (SELECT doc_id + 1000000 AS doc_id,
+        |  array_to_string(list_transform(
+        |    string_split_regex(trim(text), '\s+'),
+        |    t -> concat('f("', t, '");')), chr(10)) AS text FROM base),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM codeified),
+        |m AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - length(
+        |    replace(replace(replace(replace(replace(replace(text,
+        |      '(', ''), ')', ''), '{', ''), '}', ''), ';', ''), '=', ''))
+        |    AS BIGINT) AS n_sym,
+        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+        | FROM corpus)
+        |SELECT doc_id, n_chars, n_sym, n_lines,
+        |  n_sym * 50 >= n_chars AS is_code
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

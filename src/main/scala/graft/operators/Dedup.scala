@@ -200,6 +200,49 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** d12: shingle CONTAINMENT — the asymmetric near-dup relation Jaccard
+    * structurally misses: a short doc quoted inside a long one scores
+    * near-zero Jaccard (the union is dominated by the long doc's
+    * shingles) but containment |A∩B| / |A| ≈ 1. This is the standard
+    * excerpt/quote detector a training-data pipeline needs on top of
+    * symmetric dedup: Gutenberg-style anthologies, chunked re-posts, and
+    * quote farms all contain other corpus docs without resembling them.
+    *
+    * The fixture corpus is doubled with deterministic excerpts (each
+    * doc's leading 200 chars under id+1000000): a contiguous prefix's
+    * word 3-grams are a subset of the original's, so every
+    * excerpt→original pair scores containment 1.0 (boundary-token
+    * effects may shave the final shingle — threshold 0.9 keeps the
+    * contract) alongside any natural high-containment pairs.
+    *
+    * Scale shape: identical to [[jaccardPairs]] — one inverted-index
+    * shuffle on shingle, posting-capped by default, per-pair counts then
+    * a sizes join; the only change is the denominator (|A| instead of
+    * |A∪B|), which also makes the pair DIRECTED (both orientations are
+    * scored; only high-containment ones survive the filter). */
+  def containmentPairs(documents: DataFrame, n: Int = 3,
+      threshold: Double = 0.9,
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
+    val base = documents.select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      base.select((col("doc_id") + 1000000L).as("doc_id"),
+        substring(col("text"), 1, 200).as("text")))
+    val post = shinglePostings(corpus, n, maxDocFreq)
+    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = post.toDF("doc_a", "shingle")
+      .join(post.toDF("doc_b", "shingle_b"),
+        col("shingle") === col("shingle_b") && col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / col("n_a").cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Distributed MinHash: k salted md5-min hashes over word-3-gram shingles,
     * computed RELATIONALLY — explode postings × salt dimension, shuffle-min
     * on (doc, salt), reassemble the signature ordered by salt index.

@@ -713,4 +713,40 @@ object TextAnalysis {
           col("total_tokens").cast("double")).as("coverage"))
       .orderBy(col("vocab_size"))
   }
+
+  /** t28: code-vs-prose detection — the corpus-composition gate every
+    * LLM data mix needs (route code to the code pipeline, keep prose
+    * benchmarks decontaminated from it, weight the mix deliberately).
+    * The heuristic is symbol density: source code is saturated with
+    * `(){};=` where prose nearly isn't, so `n_sym * 50 >= n_chars`
+    * (≥ 2% density, INTEGER cross-multiply — no float threshold) is a
+    * robust first-pass label. Symbol counting is six nested `replace`
+    * length deltas — byte-identical semantics in any engine, unlike
+    * regex char-class counts whose escaping dialects differ.
+    *
+    * The fixture corpus is prose-only, so it is doubled with a
+    * deterministic code-ified variant of each doc (id+1000000: every
+    * token wrapped as a `f("tok");` call on its own line) — the label
+    * must split the union exactly at the 1000000 boundary, making the
+    * detector's contract visible in the oracle rather than vacuously
+    * all-false.
+    *
+    * Scale: pure per-row codegen scalar work in the scan stage — no
+    * shuffle, no UDF, nothing to skew. */
+  def codeDetect(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), col("text"))
+    val codeified = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      array_join(transform(tokens(col("text")),
+        t => concat(lit("f(\""), t, lit("\");"))), "\n").as("text"))
+    val corpus = base.unionByName(codeified)
+    val stripped = Seq("(", ")", "{", "}", ";", "=")
+      .foldLeft(col("text"))((c, s) => replace(c, lit(s), lit("")))
+    corpus
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        (length(col("text")) - length(stripped)).cast("long").as("n_sym"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"))
+      .withColumn("is_code", col("n_sym") * 50L >= col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -185,6 +185,20 @@ class DataQualitySpec extends SparkSpec {
       "no_lineitems" -> 1L))
   }
 
+  test("sequence gaps localize a silent range drop to its bucket") {
+    import spark.implicits._
+    // contiguous ids 0..29 bucketed by 10, with 13..17 silently dropped:
+    // bucket 1 must report exactly those 5 missing, buckets 0/2 zero
+    val keys = ((0L to 12L) ++ (18L to 29L)).toDF("k")
+    val got = DataQuality.sequenceGaps(keys, "k", bucketSize = 10L)
+      .collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("missing_in_span")))
+      .toMap
+    assert(got == Map(0L -> ((10L, 0L)), 1L -> ((5L, 5L)),
+      2L -> ((10L, 0L))))
+  }
+
   test("join cardinality matches the actually-executed join exactly") {
     val sf = "/root/testdata/sf0.001"
     val orders = graft.Tables.orders(spark, sf)

@@ -365,4 +365,63 @@ class RepetitionStatsSpec extends graft.SparkSpec {
         r.getAs[Double]("est_jaccard") == a.toDouble / 12.0
     })
   }
+
+}
+
+/** Containment (d12) and code detection (t28) on a readable mini-corpus
+  * (fixture-scale behavior is pinned by their oracles). */
+class ContainmentCodeDetectSpec extends graft.SparkSpec {
+
+  private lazy val corpus: org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (3L, "a quick brown fox jumps over the lazy dog near the river bank today"),
+      (4L, "completely different content about spark query engines and shuffles"),
+      (5L, "tiny doc")
+    ).toDF("doc_id", "text")
+  }
+
+  test("containment finds the synthetic excerpts Jaccard misses") {
+    // containmentPairs doubles its input with 200-char prefix excerpts
+    // under id+1000000; every excerpt must score containment 1.0 toward
+    // its original (a contiguous prefix's word 3-grams are a subset of
+    // the original's). All mini-corpus docs are < 200 chars, so here
+    // each excerpt is a bitwise-identical copy and BOTH orientations
+    // score exactly 1.0; fixture-scale behavior (true prefixes, the
+    // directed relation) is pinned by the d12 oracle.
+    val rows = Dedup.containmentPairs(corpus, maxDocFreq = None).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("containment")).toMap
+    for (id <- Seq(1L, 2L, 3L, 4L, 5L)) {
+      assert(rows.get((id + 1000000L, id)).contains(1.0),
+        s"excerpt of $id should be fully contained in it: $rows")
+      assert(rows.get((id, id + 1000000L)).contains(1.0),
+        s"identical-copy excerpt must contain its original too")
+    }
+    // the exact-dup pair (1,2) is mutually contained, both directions
+    assert(rows.get((1L, 2L)).contains(1.0) &&
+      rows.get((2L, 1L)).contains(1.0))
+    // directedness: every surviving pair's score is |A∩B|/|A| ≥ 0.9
+    assert(rows.values.forall(c => c >= 0.9 && c <= 1.0))
+  }
+
+  test("code detector splits the prose/code-ified union at the id " +
+      "boundary") {
+    val got = TextAnalysis.codeDetect(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_code"))
+      .toMap
+    assert(got.size == 10) // 5 prose + 5 code-ified
+    for ((id, isCode) <- got) {
+      assert(isCode == (id >= 1000000L),
+        s"doc $id labeled is_code=$isCode — boundary contract broken")
+    }
+    // symbol accounting: f("tok"); wraps each token in exactly 3
+    // counted symbols — ( ) ; — and none of { } = ; check one row exactly
+    val row5 = TextAnalysis.codeDetect(corpus).filter(col("doc_id") ===
+      1000005L).collect().head // code-ified "tiny doc": 2 tokens
+    assert(row5.getAs[Long]("n_sym") == 6L)
+    assert(row5.getAs[Long]("n_lines") == 2L)
+  }
 }
