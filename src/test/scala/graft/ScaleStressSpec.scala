@@ -18,10 +18,20 @@ object ScaledTables {
       explode(sequence(lit(0L), lit(factor - 1L))))
     val withIds = idCols.foldLeft(rep)((d, c) =>
       d.withColumn(c, col(c) * factor + col("_rep")))
-    // distinct suffix per replica: shingle/minhash structure stays
-    // near-duplicate-ish without becoming bitwise-identical
+    // per-replica token-BIJECTIVE renaming (every token suffixed with the
+    // rep index): within one replica the fixture's whole shingle/Jaccard
+    // pair structure is preserved EXACTLY (equal shingles stay equal,
+    // distinct stay distinct), while replicas share zero shingles with
+    // each other — so near-dup PAIRS grow ×factor, not ×factor². The
+    // earlier trailing-suffix variant left all replicas of a doc mutual
+    // near-dups: posting lists octupled and the uncapped inverted-index
+    // self-join saw ×64 — the ×8 run then measured that synthetic
+    // duplication blowup, not the operator (d11 hit ×31 at sf0.1×8).
+    // This is the text analogue of the vector dim-0 shove below.
     val withText = textCols.foldLeft(withIds)((d, c) =>
-      d.withColumn(c, concat(col(c), lit(" zz"), col("_rep"))))
+      d.withColumn(c, array_join(
+        transform(split(trim(col(c)), "\\s+"),
+          t => concat(t, lit("z"), col("_rep"))), " ")))
     // shove dimension 0 per replica: replicas land in different LSH/IVF
     // cells and stop being mutual near-dups, keeping pair density linear
     val withVec = vecCols.foldLeft(withText)((d, c) =>
