@@ -170,6 +170,15 @@ object SparkEntry {
     // (same contract note as d02)
     "d12_containment" -> ((s, d) =>
       D.containmentPairs(Tables.documents(s, d), maxDocFreq = None)),
+    // the canonical web-dedup pipeline end-to-end: MinHash -> banded
+    // LSH candidates -> connected components -> canonical keep flag
+    "d13_lsh_clusters" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      D.dedupClusters(D.lshCandidates(Tables.documents(s, d)),
+        aCol = "doc_a", bCol = "doc_b")
+        .select(col("vec_id").as("doc_id"), col("cluster_id"),
+          col("is_canonical"))
+    }),
     "t15_script_profile" -> ((s, d) =>
       T.scriptProfile(Tables.documents(s, d))),
     // --- similarity search (LLM-pipeline north star) ---
@@ -326,7 +335,11 @@ object SparkEntry {
     "dq12_sequence_gaps" -> ((s, d) =>
       graft.operators.DataQuality.sequenceGaps(
         Tables.orders(s, d), "o_orderkey")),
-    "t28_code_detect" -> ((s, d) => T.codeDetect(Tables.documents(s, d)))
+    "t28_code_detect" -> ((s, d) => T.codeDetect(Tables.documents(s, d))),
+    "dq13_partition_drift" -> ((s, d) =>
+      graft.operators.DataQuality.partitionDrift(Tables.events(s, d))),
+    "t29_novelty_profile" -> ((s, d) =>
+      T.noveltyProfile(Tables.documents(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -1063,6 +1076,36 @@ object SparkEntry {
         |FROM b a JOIN b c ON a.block = c.block AND a.doc_id < c.doc_id
         |WHERE levenshtein(a.title, c.title) <= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // d04's band CTEs feed d07's recursive-CTE connected components:
+    // the full MinHash -> LSH -> CC pipeline replayed exactly
+    "d13_lsh_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(range(0, len(toks)-2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM t),
+        |g AS (SELECT doc_id, list_transform(range(0, 12), j ->
+        |  list_min(list_transform(sh, x ->
+        |    md5(concat(CAST(j AS VARCHAR), ':', x))))) AS sig FROM s),
+        |b AS (SELECT doc_id, list_transform(range(0, 4), k ->
+        |  md5(array_to_string(sig[k*3+1:k*3+3], '|'))) AS bands FROM g),
+        |e AS (SELECT doc_id, k AS band, bands[k+1] AS digest
+        |      FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS k) u),
+        |pairs AS (SELECT a.doc_id AS u0, b2.doc_id AS v0
+        |  FROM e a JOIN e b2 ON a.band = b2.band AND a.digest = b2.digest
+        |    AND a.doc_id < b2.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT u0 AS u, v0 AS v FROM pairs
+        |  UNION SELECT v0, u0 FROM pairs),
+        |reach AS (
+        |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u)
+        |SELECT u AS doc_id, min(v) AS cluster_id,
+        | (u = min(v)) AS is_canonical
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
     // containment = inter/|A| (asymmetric, directed): same shingle
     // recipe as d02, denominator is the LEFT side's shingle count
     "d12_containment" ->
@@ -2818,6 +2861,37 @@ object SparkEntry {
         | FROM corpus)
         |SELECT doc_id, n_chars, n_sym, n_lines,
         |  n_sym * 50 >= n_chars AS is_code
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // inner join on day-1 drops the first day: every row exact non-null
+    // BIGINT arithmetic; drift flag is an integer cross-multiply
+    "dq13_partition_drift" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1)
+        |SELECT c.day, c.n_events, p.n_events AS prev_n,
+        |  c.n_events - p.n_events AS delta,
+        |  abs(c.n_events - p.n_events) * 10 > p.n_events AS drift_flag
+        |FROM d c JOIN d p ON p.day = c.day - 1
+        |ORDER BY c.day""".stripMargin,
+    // boilerplate share = fraction of a doc's distinct shingles with
+    // corpus df >= 2; d02's shingle recipe, no self-join
+    "t29_novelty_profile" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(range(0, len(toks)-2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |d AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM e GROUP BY 1),
+        |m AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared
+        | FROM e JOIN d USING (shingle) GROUP BY e.doc_id)
+        |SELECT doc_id, n_shingles, n_shared,
+        |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+        |    AS boilerplate_share
         |FROM m ORDER BY doc_id""".stripMargin
   )
 }

@@ -378,6 +378,31 @@ object DataQuality {
         max(col("rows_k")).as("max_key_rows"))
   }
 
+  /** dq13: partition-drift monitor — period-over-period row-count deltas
+    * per event-time day, the arrival-volume alarm that complements dq10
+    * (freshness says WHEN a slice last produced; this says whether
+    * today's VOLUME looks like yesterday's — a half-sized partition from
+    * a flaky upstream passes both freshness and null checks). Flag is an
+    * integer cross-multiply (|Δ|·10 > prev ⇔ drift > 10%), no float
+    * threshold. Days without a predecessor are omitted (inner join):
+    * every emitted row has exact non-null arithmetic.
+    *
+    * Scale: one day-keyed count agg (map-side combined, output is
+    * O(days)), then a self-join of that days-sized frame on day-1 —
+    * broadcast-sized at any corpus scale; no window, no funnel. */
+  def partitionDrift(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val prev = daily.select(col("day").as("prev_day"),
+      col("n_events").as("prev_n"))
+    daily.join(prev, col("day") === date_add(col("prev_day"), 1))
+      .select(col("day"), col("n_events"), col("prev_n"),
+        (col("n_events") - col("prev_n")).as("delta"),
+        (abs(col("n_events") - col("prev_n")) * 10L > col("prev_n"))
+          .as("drift_flag"))
+      .orderBy(col("day"))
+  }
+
   /** dq12: key-sequence gap audit — where did an expected-contiguous id
     * space lose rows? Completeness checks (dq03) count nulls; row counts
     * miss silent range drops (a lost file, a truncated extract, a

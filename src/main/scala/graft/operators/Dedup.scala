@@ -229,11 +229,17 @@ object Dedup {
         substring(col("text"), 1, 200).as("text")))
     val post = shinglePostings(corpus, n, maxDocFreq)
     val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = post.toDF("doc_a", "shingle")
+    // |A∩B| is symmetric, only the denominator is directed: compute each
+    // unordered pair ONCE (a < b — halves the posting self-join output
+    // and the pair-agg shuffle vs a naive a ≠ b join) and emit both
+    // orientations by swapping afterward, which is a cheap projection
+    val interHalf = post.toDF("doc_a", "shingle")
       .join(post.toDF("doc_b", "shingle_b"),
-        col("shingle") === col("shingle_b") && col("doc_a") =!= col("doc_b"))
+        col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    val inter = interHalf.unionByName(interHalf.select(
+      col("doc_b").as("doc_a"), col("doc_a").as("doc_b"), col("inter")))
     inter
       .join(sizes.toDF("doc_a", "n_a"), "doc_a")
       .select(col("doc_a"), col("doc_b"),

@@ -714,6 +714,35 @@ object TextAnalysis {
       .orderBy(col("vocab_size"))
   }
 
+  /** t29: per-doc boilerplate/novelty share — the memorization audit
+    * pair-level dedup doesn't give you: what FRACTION of this document's
+    * content also appears elsewhere in the corpus? Near-dup pairs (d02)
+    * find documents that are mostly copies; this scores every document
+    * by the share of its word 3-gram shingles whose corpus document
+    * frequency is ≥ 2 — licence headers, navigation chrome, quoted
+    * passages, and template text all surface as a high share even when
+    * no single pair crosses a dedup threshold. The standard use: cap or
+    * down-weight high-boilerplate docs in the training mix, and track
+    * the corpus-level share as a crawl-quality metric.
+    *
+    * Scale: one shingle-keyed count shuffle (map-side combined) + one
+    * shingle-keyed join back onto the postings (AQE handles hot-shingle
+    * skew; no self-join anywhere, so hot shingles cost linear work,
+    * unlike pair generation) + one doc-keyed count. Exact longs; the
+    * share is one double division. */
+  def noveltyProfile(documents: DataFrame): DataFrame = {
+    val post = Dedup.shinglePostings(documents, 3, maxDocFreq = None)
+    val dfreq = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    post.join(dfreq, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2L, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles").cast("double"))
+          .as("boilerplate_share"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t28: code-vs-prose detection — the corpus-composition gate every
     * LLM data mix needs (route code to the code pipeline, keep prose
     * benchmarks decontaminated from it, weight the mix deliberately).

@@ -41,7 +41,7 @@ object ScaledTables {
   }
 }
 
-/** The local answer to "would this survive 100×": run the five most
+/** The local answer to "would this survive 100×": run the most
   * expensive ledger operators on the fixture and on a ×8 synthetic
   * scale-up, assert wall time grows at most ~linearly (generous bound —
   * a quadratic shape would show ~64×) and that the scaled plans pick up
@@ -89,11 +89,15 @@ class ScaleStressSpec extends SparkSpec {
     math.min(once(), once())
   }
 
-  private val heavyFive: Seq[(String, DataFrame, DataFrame, Boolean)] = Seq(
+  private val heavySet: Seq[(String, DataFrame, DataFrame, Boolean)] = Seq(
     // (name, baseline, scaled, nested-loop intended)
     ("d07_dedup_clusters",
       D.dedupClusters(D.embeddingNearDups(emb)),
       D.dedupClusters(D.embeddingNearDups(embX)), false),
+    // capped postings (the production default): the stress answers "does
+    // the PRODUCTION path stay linear", the exact variant is oracle-only
+    ("d12_containment",
+      D.containmentPairs(docs), D.containmentPairs(docsX), false),
     ("d10_canonical_keep",
       D.canonicalKeepList(docs, D.dedupClusters(D.embeddingNearDups(emb))),
       D.canonicalKeepList(docsX, D.dedupClusters(D.embeddingNearDups(embX))),
@@ -154,11 +158,11 @@ class ScaleStressSpec extends SparkSpec {
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  test(s"heavy five grow ≲linearly at ×$factor and keep sane plans ($sf)") {
+  test(s"heavy set grows ≲linearly at ×$factor and keep sane plans ($sf)") {
     val recorded = readHistory()
     val rebaseline = sys.env.contains("GRAFT_STRESS_RECORD")
     val observed = scala.collection.mutable.Map[String, Double]()
-    for ((name, baseline, scaledDf, bnljIntended) <- heavyFive) {
+    for ((name, baseline, scaledDf, bnljIntended) <- heavySet) {
       val plan = scaledDf.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"$name goes cartesian at ×$factor")

@@ -199,6 +199,21 @@ class DataQualitySpec extends SparkSpec {
       2L -> ((10L, 0L))))
   }
 
+  test("partition drift flags the half-sized day and keeps steady days") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    // day1: 10 rows, day2: 10 rows (steady), day3: 4 rows (-60% drift)
+    val events = ((1 to 10).map(i => t(f"2026-03-01T10:00:$i%02dZ")) ++
+      (1 to 10).map(i => t(f"2026-03-02T10:00:$i%02dZ")) ++
+      (1 to 4).map(i => t(f"2026-03-03T10:00:$i%02dZ"))).toDF("ts")
+    val got = DataQuality.partitionDrift(events).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("delta"), r.getAs[Boolean]("drift_flag"))).toMap
+    // day1 has no predecessor -> omitted; day2 steady; day3 flagged
+    assert(got == Map("2026-03-02" -> ((0L, false)),
+      "2026-03-03" -> ((-6L, true))))
+  }
+
   test("join cardinality matches the actually-executed join exactly") {
     val sf = "/root/testdata/sf0.001"
     val orders = graft.Tables.orders(spark, sf)

@@ -407,6 +407,18 @@ class ContainmentCodeDetectSpec extends graft.SparkSpec {
     assert(rows.values.forall(c => c >= 0.9 && c <= 1.0))
   }
 
+  test("novelty profile scores exact dups 1.0 and unique docs 0.0") {
+    // docs 1,2 are byte-identical -> every shingle has df >= 2 -> share
+    // 1.0; doc 4 shares no 3-gram with anything -> 0.0; doc 3 (near dup
+    // of 1) sits strictly between
+    val got = TextAnalysis.noveltyProfile(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("boilerplate_share")).toMap
+    assert(got(1L) == 1.0 && got(2L) == 1.0)
+    assert(got(4L) == 0.0 && got(5L) == 0.0)
+    assert(got(3L) > 0.0 && got(3L) < 1.0)
+  }
+
   test("code detector splits the prose/code-ified union at the id " +
       "boundary") {
     val got = TextAnalysis.codeDetect(corpus).collect()
