@@ -339,7 +339,9 @@ object SparkEntry {
     "dq13_partition_drift" -> ((s, d) =>
       graft.operators.DataQuality.partitionDrift(Tables.events(s, d))),
     "t29_novelty_profile" -> ((s, d) =>
-      T.noveltyProfile(Tables.documents(s, d)))
+      T.noveltyProfile(Tables.documents(s, d))),
+    "w19_open_shipments" -> ((s, d) =>
+      W.openShipments(Tables.lineitem(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -2872,6 +2874,22 @@ object SparkEntry {
         |  abs(c.n_events - p.n_events) * 10 > p.n_events AS drift_flag
         |FROM d c JOIN d p ON p.day = c.day - 1
         |ORDER BY c.day""".stripMargin,
+    // interval-overlap concurrency: +1/-1 endpoint deltas, prefix sum
+    // over days — the oracle uses the window form the Spark side
+    // deliberately avoids (sorted-array fold, no global window funnel)
+    "w19_open_shipments" ->
+      """WITH d AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day, CAST(1 AS BIGINT)
+        |    AS delta FROM lineitem
+        |  UNION ALL
+        |  SELECT CAST(l_shipdate AS DATE)
+        |      + CAST(l_orderkey % 30 + 1 AS INTEGER),
+        |    CAST(-1 AS BIGINT) FROM lineitem),
+        |g AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS delta
+        |  FROM d GROUP BY 1)
+        |SELECT day, CAST(SUM(delta) OVER (ORDER BY day) AS BIGINT)
+        |  AS open_shipments
+        |FROM g ORDER BY day""".stripMargin,
     // boilerplate share = fraction of a doc's distinct shingles with
     // corpus df >= 2; d02's shingle recipe, no self-join
     "t29_novelty_profile" ->

@@ -277,4 +277,59 @@ object Windows {
       .agg(count(lit(1)).as("active_users"))
       .orderBy(col("wend"))
   }
+
+  /** w19: GLOBAL cumulative concurrency series — how many shipments are
+    * in flight (shipped, not yet received) on each day the fleet state
+    * changes. The interval-overlap counting problem: +1 at ship, −1 at
+    * receipt (open on d ⇔ ship ≤ d < receipt), prefix-sum over days.
+    * The naive form is `SUM(delta) OVER (ORDER BY day)` — an
+    * un-partitioned window, i.e. the single-partition funnel the plan
+    * gate bans. Instead the textbook TWO-LEVEL distributed prefix sum:
+    *
+    *  1. collapse interval endpoints to O(days) delta rows with one
+    *     partial-agg shuffle (the only stage that sees row volume);
+    *  2. cumulative sum WITHIN each year via a year-partitioned window
+    *     — parallel, bounded partitions (≤ 366 rows each), no funnel;
+    *  3. exclusive prefix of the O(years) year totals via a sorted-array
+    *     fold inside one global agg (the dq02/t20 pattern — an earlier
+    *     all-days append-fold measured 5.0 s at sf0.1 from O(days²)
+    *     interpreted copies; over years the fold is a few elements);
+    *  4. broadcast the year offsets back and add.
+    *
+    * Every per-row stage distributes; the sequential step touches one
+    * row per YEAR no matter the corpus size. */
+  def openShipments(lineitem: DataFrame): DataFrame = {
+    // the fixture lineitem carries no receipt column, so transit time is
+    // injected deterministically: receipt = ship + (orderkey mod 30) + 1
+    // days (the fixture-injection pattern of t06/t13/dq03)
+    val ship = to_date(col("l_shipdate"))
+    val receipt = date_add(ship, (col("l_orderkey") % 30 + 1).cast("int"))
+    val deltas = lineitem
+      .select(ship.as("day"), lit(1L).as("d"))
+      .unionByName(lineitem.select(receipt.as("day"), lit(-1L).as("d")))
+      .groupBy(col("day")).agg(sum(col("d")).as("delta"))
+      .withColumn("yr", year(col("day")))
+    val within = deltas.withColumn("cum_in_year",
+      sum(col("delta")).over(Window.partitionBy(col("yr"))
+        .orderBy(col("day"))))
+    val offsets = deltas
+      .groupBy(col("yr")).agg(sum(col("delta")).as("ytotal"))
+      .agg(sort_array(collect_list(struct(col("yr"), col("ytotal"))))
+        .as("arr"))
+      .select(expr(
+        """aggregate(arr,
+          |  struct(CAST(0 AS BIGINT) AS run,
+          |         CAST(array() AS ARRAY<STRUCT<yr: INT, off: BIGINT>>)
+          |           AS out),
+          |  (acc, x) -> struct(acc.run + x.ytotal,
+          |    array_append(acc.out, named_struct('yr', x.yr,
+          |      'off', acc.run))),
+          |  acc -> acc.out)""".stripMargin).as("offs"))
+      .select(explode(col("offs")).as("o"))
+      .select(col("o.yr").as("yr"), col("o.off").as("off"))
+    within.join(broadcast(offsets), "yr")
+      .select(col("day"),
+        (col("cum_in_year") + col("off")).as("open_shipments"))
+      .orderBy(col("day"))
+  }
 }

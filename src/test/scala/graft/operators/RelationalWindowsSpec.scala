@@ -141,6 +141,21 @@ class RelationalWindowsSpec extends SparkSpec {
       ("2026-01-01 02:00:00.0", 2L)))  // {1,2}: both within 3h, 1 counted once
   }
 
+  test("open shipments: the array fold prefix-sums interval deltas") {
+    import spark.implicits._
+    // transit is orderkey%30+1 days: ok=30 -> 1 day, ok=1 -> 2 days.
+    // Both ship on day 0: open {2, 1, 0} over days 0,1,2 — and day 2
+    // (all closed) must still appear with an explicit 0
+    val li = Seq(
+      (30L, java.sql.Timestamp.valueOf("2026-04-01 08:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2026-04-01 17:30:00")))
+      .toDF("l_orderkey", "l_shipdate")
+    val got = Windows.openShipments(li).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+    assert(got == Seq(("2026-04-01", 2L), ("2026-04-02", 1L),
+      ("2026-04-03", 0L)))
+  }
+
   test("time-of-week profile buckets with Monday=0 weekdays") {
     import spark.implicits._
     // 2024-01-01 is a Monday; 2024-01-07 a Sunday
