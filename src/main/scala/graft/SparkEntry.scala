@@ -221,6 +221,8 @@ object SparkEntry {
     "m02_frame_sample" -> ((s, d) =>
       graft.operators.Multimodal.frameSample(
         graft.operators.Multimodal.assetsFrom(Tables.documents(s, d)))),
+    "m03_media_dedup" -> ((s, d) =>
+      graft.operators.Multimodal.mediaDedup(Tables.documents(s, d))),
     // --- round 8 additions: runtime filtering, IVM, lakehouse reads ---
     "j01_bloom_join" -> ((s, d) =>
       graft.operators.BloomJoin.bloomJoinRevenue(Tables.orders(s, d),
@@ -1973,6 +1975,20 @@ object SparkEntry {
         |   CAST(frame_idx * 512 + 1 AS INT), 512)) AS frame_md5
         |FROM f WHERE frame_idx % 4 = 0
         |ORDER BY asset_id, frame_idx""".stripMargin,
+    // payload digest = md5 of the text's UTF-8 bytes on both sides
+    // (Spark hashes the binary column, DuckDB the varchar's bytes)
+    "m03_media_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |a AS (SELECT doc_id AS asset_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
+        |    AS media_type,
+        |  md5(text) AS content_md5 FROM corpus)
+        |SELECT min(asset_id) AS kept_asset_id, content_md5,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |  CAST(COUNT(DISTINCT media_type) AS BIGINT) AS n_claimed_types
+        |FROM a GROUP BY content_md5 ORDER BY kept_asset_id""".stripMargin,
     // the bloom pre-filter has no false negatives, so the pruned join
     // must equal this plain join bitwise — the oracle knows nothing
     // about the bloom

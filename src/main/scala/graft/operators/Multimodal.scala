@@ -139,4 +139,33 @@ object Multimodal {
         col("content_md5"), col("width"), col("height"),
         col("duration_ms"), col("n_frames"))
       .orderBy(col("asset_id"))
+
+  /** m03: exact media dedup by PAYLOAD digest — the multimodal face of
+    * d01 (text dedup dedups what the bytes SAY; this dedups what the
+    * bytes ARE: the same encoded asset re-uploaded, re-crawled, or
+    * re-labeled). Groups by md5 of the binary payload, keeps the lowest
+    * asset id, and counts DISTINCT CLAIMED MEDIA TYPES per group — the
+    * same bytes filed once as image and once as video is a label-
+    * inconsistency signal dedup gets for free here, and exactly what a
+    * crawler dedup stage wants to surface before a mislabeled copy
+    * routes to the wrong decode pipeline.
+    *
+    * The doubled fixture (ids +1000000) shifts every copy's id-derived
+    * type label (1000000 % 3 = 1), so each group carries 2 claimed
+    * types by construction — the oracle sees the signal, not zeros.
+    *
+    * Scale: d01's shape exactly — one digest shuffle with map-side
+    * partial agg; the payload column never crosses the wire (the digest
+    * is computed in the scan stage, then pruned). */
+  def mediaDedup(documents: DataFrame): DataFrame =
+    assetsFrom(Dedup.doubledCorpus(documents))
+      .select(col("asset_id"), col("media_type"),
+        md5(col("content")).as("content_md5"))
+      .groupBy(col("content_md5"))
+      .agg(min(col("asset_id")).as("kept_asset_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("media_type")).as("n_claimed_types"))
+      .select(col("kept_asset_id"), col("content_md5"), col("n_copies"),
+        col("n_claimed_types"))
+      .orderBy(col("kept_asset_id"))
 }

@@ -70,6 +70,22 @@ class MultimodalSpec extends SparkSpec {
   }
 }
 
+/** Exact payload dedup + the label-inconsistency signal. */
+class MediaDedupSpec extends graft.SparkSpec {
+  test("media dedup keeps the low id and surfaces conflicting type labels") {
+    import spark.implicits._
+    val docs = Seq((1L, "same bytes"), (2L, "other bytes"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.mediaDedup(docs).collect()
+      .map(r => r.getAs[Long]("kept_asset_id") ->
+        (r.getAs[Long]("n_copies"), r.getAs[Long]("n_claimed_types")))
+      .toMap
+    // every doubled copy (+1000000) shifts its id-derived media type
+    // (1000000 % 3 = 1), so each group: 2 copies, 2 claimed types
+    assert(got == Map(1L -> ((2L, 2L)), 2L -> ((2L, 2L))))
+  }
+}
+
 /** Stub resize plumbing. */
 class ResizeSpec extends graft.SparkSpec {
   test("resize downsamples payload bytes deterministically") {
