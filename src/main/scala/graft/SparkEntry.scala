@@ -343,7 +343,9 @@ object SparkEntry {
     "t29_novelty_profile" -> ((s, d) =>
       T.noveltyProfile(Tables.documents(s, d))),
     "w19_open_shipments" -> ((s, d) =>
-      W.openShipments(Tables.lineitem(s, d)))
+      W.openShipments(Tables.lineitem(s, d))),
+    "t30_rolling_fingerprints" -> ((s, d) =>
+      T.rollingFingerprints(Tables.documents(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -2906,6 +2908,29 @@ object SparkEntry {
         |SELECT day, CAST(SUM(delta) OVER (ORDER BY day) AS BIGINT)
         |  AS open_shipments
         |FROM g ORDER BY day""".stripMargin,
+    // direct (non-rolling) Rabin–Karp per window, mod 2^31-1: the
+    // oracle recomputes each window hash from the DEFINITION, so a
+    // match also proves the engine's rolling recurrence correct;
+    // list_prepend(0) supplies the fold's init (DuckDB list_reduce
+    // seeds from the first element)
+    "t30_rolling_fingerprints" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |h AS (SELECT doc_id, list_transform(toks, s ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(s)+1),
+        |        i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 2147483647)) AS th FROM t),
+        |w AS (SELECT doc_id, CASE WHEN len(th) >= 5 THEN
+        |      list_transform(range(0, len(th)-4), i ->
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1:i+5]),
+        |          (a, b) -> (a * 257 + b) % 2147483647))
+        |    ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+        |          (a, b) -> (a * 257 + b) % 2147483647)] END AS wh
+        |  FROM h)
+        |SELECT doc_id, CAST(len(wh) AS BIGINT) AS n_windows,
+        |  list_min(wh) AS min_hash, wh[1] AS first_hash
+        |FROM w ORDER BY doc_id""".stripMargin,
     // boilerplate share = fraction of a doc's distinct shingles with
     // corpus df >= 2; d02's shingle recipe, no self-join
     "t29_novelty_profile" ->

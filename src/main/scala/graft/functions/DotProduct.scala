@@ -112,5 +112,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(TextFns.shinglesInfo)
     ext.injectFunction(NfcFns.nfcInfo)
     ext.injectFunction(TokenFns.tokensInfo)
+    ext.injectFunction(RollFns.rollInfo)
   }
 }

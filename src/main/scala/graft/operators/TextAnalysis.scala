@@ -743,6 +743,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t30: rolling-hash window fingerprints — document fingerprinting on
+    * the O(tokens) path: the codegen'd [[graft.functions.RollingHash]]
+    * produces one Rabin–Karp polynomial hash per `window`-token window
+    * without materializing a single shingle string (t04's md5-shingle
+    * form is the content-addressable tier; this is the throughput tier
+    * a decontamination or plagiarism sweep runs at corpus scale —
+    * per-doc cost drops from O(tokens × window) hashing to O(tokens)).
+    * Emits the per-doc summary (window count, min-hash fingerprint,
+    * first-window hash); the full hash array stays inside the scan
+    * stage. All arithmetic is signed-64-bit-safe mod 2³¹−1, so the
+    * DuckDB oracle reproduces every value bitwise from the direct
+    * (non-rolling) formula — the oracle also re-proves the rolling
+    * recurrence correct against the definition, per doc, per window.
+    *
+    * Scale: pure per-row scan-stage work, no shuffle except the
+    * presentation sort. */
+  def rollingFingerprints(documents: DataFrame, window: Int = 5): DataFrame =
+    documents
+      .select(col("doc_id"),
+        graft.functions.RollFns.rollingHash(col("text"), window).as("wh"))
+      .select(col("doc_id"),
+        size(col("wh")).cast("long").as("n_windows"),
+        array_min(col("wh")).as("min_hash"),
+        element_at(col("wh"), 1).as("first_hash"))
+      .orderBy(col("doc_id"))
+
   /** t28: code-vs-prose detection — the corpus-composition gate every
     * LLM data mix needs (route code to the code pipeline, keep prose
     * benchmarks decontaminated from it, weight the mix deliberately).
