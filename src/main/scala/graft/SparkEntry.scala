@@ -194,6 +194,7 @@ object SparkEntry {
       S.ivfTrainedTopK(Tables.embeddings(s, d))),
     "s09_recall_multiprobe" -> ((s, d) =>
       S.annRecallMultiProbe(Tables.embeddings(s, d))),
+    "s11_pq_adc_topk" -> ((s, d) => S.pqTopK(Tables.embeddings(s, d))),
     // --- lake adapter (reference parity: SURVEY §2.1/2.2, §3 E1-E3) ---
     "l01_marker_split" -> ((s, d) =>
       graft.lake.LakeQueries.markerSplitDemo(Tables.documents(s, d))),
@@ -1803,6 +1804,72 @@ object SparkEntry {
         |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
         | FROM scored)
         |SELECT query_id, cell, neighbor_id, cosine, rank FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // product quantization: subspace-keyed rerun of s08's training
+    // idiom (one median round), then ADC = sum of per-subspace LUT
+    // dots quantized to integer micros BEFORE the sum (order-free)
+    "s11_pq_adc_topk" ->
+      """WITH sn AS (SELECT vec_id, u.sub AS sub, u.semb AS semb,
+        |    list_reduce(list_transform(range(1, len(u.semb)+1), i ->
+        |      CAST(u.semb[i] AS DOUBLE) * CAST(u.semb[i] AS DOUBLE)),
+        |      (a, b) -> a + b) AS snorm2
+        |  FROM (SELECT vec_id, unnest(list_transform(range(0, 4), s ->
+        |    {'sub': s, 'semb': embedding[s*16+1 : s*16+16]})) AS u
+        |   FROM embeddings)),
+        |c0 AS (SELECT sub, vec_id AS code, semb AS cemb,
+        |    snorm2 AS cnorm2 FROM sn WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, sub, code, semb FROM (
+        |  SELECT vec_id, sub, code, semb,
+        |    row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY dist2 ASC, code ASC) AS rn
+        |  FROM (SELECT v.vec_id, v.sub, c.code, v.semb,
+        |    v.snorm2 + c.cnorm2 - 2.0 * list_reduce(
+        |      list_transform(range(1, len(v.semb)+1), i ->
+        |        CAST(v.semb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+        |      (x, y) -> x + y) AS dist2
+        |    FROM sn v JOIN c0 c ON v.sub = c.sub)) WHERE rn = 1),
+        |ex1 AS (SELECT sub, code, vec_id, u.dim AS dim, u.val AS val
+        |  FROM (SELECT sub, code, vec_id,
+        |    unnest(list_transform(range(1, len(semb)+1),
+        |      i -> {'dim': i, 'val': semb[i]})) AS u FROM a1)),
+        |med1 AS (SELECT sub, code, dim, val FROM (
+        |  SELECT sub, code, dim, val,
+        |    row_number() OVER (PARTITION BY sub, code, dim
+        |      ORDER BY val ASC, vec_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY sub, code, dim) AS n
+        |  FROM ex1) WHERE rn = (n + 1) // 2),
+        |c1a AS (SELECT sub, code, list(val ORDER BY dim) AS cemb
+        |  FROM med1 GROUP BY sub, code),
+        |c1 AS (SELECT sub, code, cemb,
+        |  list_reduce(list_transform(range(1, len(cemb)+1), i ->
+        |    CAST(cemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE)),
+        |    (a, b) -> a + b) AS cnorm2 FROM c1a),
+        |codes AS (SELECT vec_id, sub, code FROM (
+        |  SELECT vec_id, sub, code,
+        |    row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY dist2 ASC, code ASC) AS rn
+        |  FROM (SELECT v.vec_id, v.sub, c.code,
+        |    v.snorm2 + c.cnorm2 - 2.0 * list_reduce(
+        |      list_transform(range(1, len(v.semb)+1), i ->
+        |        CAST(v.semb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+        |      (x, y) -> x + y) AS dist2
+        |    FROM sn v JOIN c1 c ON v.sub = c.sub)) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, sub, semb AS qsemb
+        |  FROM sn WHERE vec_id < 5),
+        |lut AS (SELECT q.query_id, c.sub, c.code,
+        |  CAST(floor(list_reduce(list_transform(range(1, len(c.cemb)+1),
+        |    i -> CAST(q.qsemb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+        |    (x, y) -> x + y) * 1000000.0) AS BIGINT) AS pdot_fp
+        |  FROM q JOIN c1 c ON q.sub = c.sub),
+        |adc AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+        |  CAST(SUM(l.pdot_fp) AS BIGINT) AS adc_fp
+        |  FROM codes co JOIN lut l ON co.sub = l.sub AND co.code = l.code
+        |  WHERE co.vec_id <> l.query_id GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, adc_fp,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_fp DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM adc)
+        |SELECT query_id, neighbor_id, adc_fp, rank FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q31_lateral_topn" ->
       """SELECT n.n_name AS nation, t.c_name, t.c_acctbal

@@ -414,6 +414,92 @@ object Similarity {
     * float-accumulation ANN. Production re-ranks the winner set with
     * full-precision cosine ([[bruteForceTopK]] shape) over k rows/query,
     * a driver-free broadcast-sized refinement. */
+  /** s11: product-quantization ADC top-k — the memory tier BETWEEN s06's
+    * scalar quantization and the float corpus, and the layout FAISS-style
+    * IVF-PQ serves at 100 TB: the vector is split into `m` subvectors,
+    * each encoded as the id of its nearest per-subspace centroid (here
+    * trained with one k-medians refinement round per subspace — k01's
+    * machinery keyed by subspace, k=8 matching the fixture's natural
+    * cluster count), so a d-dim float vector stores as m small codes
+    * (64 floats → 4×3 bits here). Queries never decode the
+    * corpus: per query, a lookup table of partial dot products (query
+    * subvector × each subspace centroid) is built — m·k entries — and a
+    * corpus vector's score is the SUM of m table lookups (asymmetric
+    * distance computation).
+    *
+    * Plan shape: training reuses the broadcast-assign + min_by argmin
+    * (plan-audited, map-side partial); the scoring join is codes ⨝
+    * broadcast(LUT) on (sub, code) — the corpus-sized side moves only
+    * its m codes per vector, never floats — then a (query, vec) partial
+    * agg and the bounded TopKByScore rank. Partial dots are quantized
+    * to integer micros BEFORE the 4-term sum (the k02 recipe), so the
+    * ADC score is an order-free exact long and the ranking is bitwise
+    * cross-engine. */
+  def pqTopK(embeddings: DataFrame, m: Int = 4, subDim: Int = 16,
+      k: Int = 8, nQueries: Int = 5, topK: Int = 10): DataFrame = {
+    val vdot = graft.functions.VectorOps.dot _
+    val subs = embeddings
+      .select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+           |  struct(s AS sub,
+           |    slice(embedding, s * $subDim + 1, $subDim) AS semb))"""
+          .stripMargin)).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.semb").as("semb"))
+      .withColumn("snorm2", vdot(col("semb"), col("semb")))
+    val init = subs.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").as("code"),
+        col("semb").as("cemb"), col("snorm2").as("cnorm2"))
+    // nearest subspace centroid per (vector, subspace): broadcast-assign
+    // + map-side min_by argmin, ties toward the lower code
+    def assignSub(cb: DataFrame): DataFrame =
+      subs.join(broadcast(cb), "sub")
+        .withColumn("dist2", col("snorm2") + col("cnorm2") -
+          lit(2.0) * vdot(col("semb"), col("cemb")))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(struct(col("code"), col("semb")),
+          struct(col("dist2"), col("code"))).as("best"))
+        .select(col("vec_id"), col("sub"),
+          col("best.code").as("code"), col("best.semb").as("semb"))
+    val a1 = assignSub(init)
+    // component-wise lower-median refinement per (subspace, code, dim) —
+    // selection of an actual input float, no float arithmetic
+    val ex = a1.select(col("sub"), col("code"), col("vec_id"),
+      posexplode(col("semb")).as(Seq("dim", "value")))
+    val ordW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sub"), col("code"), col("dim"))
+      .orderBy(col("value").asc, col("vec_id").asc)
+    val cntW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sub"), col("code"), col("dim"))
+    val c1 = ex
+      .withColumn("rn", row_number().over(ordW))
+      .withColumn("n", count(lit(1)).over(cntW))
+      .where(col("rn") === expr("(n + 1) div 2"))
+      .groupBy(col("sub"), col("code"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("value")))),
+        s => s.getField("value")).as("cemb"))
+      .withColumn("cnorm2", vdot(col("cemb"), col("cemb")))
+    val codes = assignSub(c1).select(col("vec_id"), col("sub"), col("code"))
+    val qsubs = subs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("sub"),
+        col("semb").as("qsemb"))
+    val lut = qsubs
+      .join(broadcast(c1.select(col("sub"), col("code"), col("cemb"))),
+        "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        floor(vdot(col("qsemb"), col("cemb")) * lit(1000000.0))
+          .cast("long").as("pdot_fp"))
+    val scored = codes
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot_fp")).as("adc_fp"))
+    topKByQuery(scored, "adc_fp", topK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("adc_fp").cast("long").as("adc_fp"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def quantizedTopK(embeddings: DataFrame, nQueries: Int = 5,
       k: Int = 10): DataFrame = {
     val corpus = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qemb"))

@@ -191,4 +191,45 @@ class SignLshSpec extends graft.SparkSpec {
         case _ => true })
     }
   }
+
+  test("PQ ADC top-k: full rank lists, descending exact scores, no self") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Similarity.pqTopK(emb).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == (0L until 5L).toSet)
+    for ((q, rs) <- byQuery) {
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+      assert(sorted.forall(_.getAs[Long]("neighbor_id") != q))
+      // integer ADC scores are exactly ordered (no float-tie ambiguity)
+      val s = sorted.map(_.getAs[Long]("adc_fp"))
+      assert(s.sliding(2).forall { case Array(a2, b2) => a2 >= b2
+        case _ => true })
+    }
+    // Quality floor vs the SAME objective: ADC approximates the INNER
+    // PRODUCT (not cosine — unnormalized, so comparing against cosine
+    // top-k would mix objective mismatch into the metric). Reference =
+    // exact MIPS top-10 per query, computed directly; recall@10 of the
+    // coarse m=4,k=4 codebook must clear a floor far above random
+    // (random ≈ 10/499 ≈ 0.02) — a broken codebook/LUT sends ADC
+    // rankings to chance, quantization loss alone does not.
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def mipsTop10(q: Long): Set[Long] = {
+      val qv = vecs(q)
+      vecs.iterator.filter(_._1 != q)
+        .map { case (id, v) =>
+          id -> qv.zip(v).map { case (a2, b2) => a2 * b2 }.sum }
+        .toSeq.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    }
+    val recall = byQuery.toSeq.map { case (q, rs) =>
+      val got = rs.map(_.getAs[Long]("neighbor_id")).toSet
+      (got intersect mipsTop10(q)).size / 10.0
+    }
+    val mean = recall.sum / recall.size
+    info(f"PQ ADC recall@10 vs exact MIPS: $mean%.2f (per query: " +
+      recall.map(r => f"$r%.1f").mkString(", ") + ")")
+    assert(mean >= 0.15, f"PQ recall@10 $mean%.2f is at chance level")
+  }
 }
