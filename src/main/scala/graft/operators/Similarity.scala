@@ -435,17 +435,14 @@ object Similarity {
     * to integer micros BEFORE the 4-term sum (the k02 recipe), so the
     * ADC score is an order-free exact long and the ranking is bitwise
     * cross-engine. */
-  def pqTopK(embeddings: DataFrame, m: Int = 4, subDim: Int = 16,
-      k: Int = 8, nQueries: Int = 5, topK: Int = 10): DataFrame = {
+  /** PQ model: per-vector subspace codes + the trained codebook —
+    * `(codes (vec_id, sub, code), codebook (sub, code, cemb, cnorm2))`.
+    * One k-medians refinement round per subspace; shared by [[pqTopK]]
+    * (flat ADC) and [[ivfPqTopK]] (cell-pruned ADC). */
+  private[operators] def pqEncode(embeddings: DataFrame, m: Int,
+      subDim: Int, k: Int): (DataFrame, DataFrame) = {
     val vdot = graft.functions.VectorOps.dot _
-    val subs = embeddings
-      .select(col("vec_id"), explode(expr(
-        s"""transform(sequence(0, ${m - 1}), s ->
-           |  struct(s AS sub,
-           |    slice(embedding, s * $subDim + 1, $subDim) AS semb))"""
-          .stripMargin)).as("x"))
-      .select(col("vec_id"), col("x.sub").as("sub"), col("x.semb").as("semb"))
-      .withColumn("snorm2", vdot(col("semb"), col("semb")))
+    val subs = pqSubvectors(embeddings, m, subDim)
     val init = subs.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").as("code"),
         col("semb").as("cemb"), col("snorm2").as("cnorm2"))
@@ -479,16 +476,41 @@ object Similarity {
         array_sort(collect_list(struct(col("dim"), col("value")))),
         s => s.getField("value")).as("cemb"))
       .withColumn("cnorm2", vdot(col("cemb"), col("cemb")))
-    val codes = assignSub(c1).select(col("vec_id"), col("sub"), col("code"))
-    val qsubs = subs.filter(col("vec_id") < nQueries)
+    (assignSub(c1).select(col("vec_id"), col("sub"), col("code")), c1)
+  }
+
+  /** `(vec_id, sub, semb, snorm2)` — the subspace decomposition both
+    * the encoder and the query LUT read. */
+  private def pqSubvectors(embeddings: DataFrame, m: Int,
+      subDim: Int): DataFrame =
+    embeddings
+      .select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+           |  struct(s AS sub,
+           |    slice(embedding, s * $subDim + 1, $subDim) AS semb))"""
+          .stripMargin)).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.semb").as("semb"))
+      .withColumn("snorm2",
+        graft.functions.VectorOps.dot(col("semb"), col("semb")))
+
+  /** Per-query ADC lookup table over a PQ codebook: one integer-micro
+    * partial dot per (query, subspace, code) — m·k rows per query. */
+  private def pqLut(embeddings: DataFrame, codebook: DataFrame, m: Int,
+      subDim: Int, nQueries: Int): DataFrame =
+    pqSubvectors(embeddings, m, subDim)
+      .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("sub"),
         col("semb").as("qsemb"))
-    val lut = qsubs
-      .join(broadcast(c1.select(col("sub"), col("code"), col("cemb"))),
-        "sub")
+      .join(broadcast(codebook.select(col("sub"), col("code"),
+        col("cemb"))), "sub")
       .select(col("query_id"), col("sub"), col("code"),
-        floor(vdot(col("qsemb"), col("cemb")) * lit(1000000.0))
-          .cast("long").as("pdot_fp"))
+        floor(graft.functions.VectorOps.dot(col("qsemb"), col("cemb")) *
+          lit(1000000.0)).cast("long").as("pdot_fp"))
+
+  def pqTopK(embeddings: DataFrame, m: Int = 4, subDim: Int = 16,
+      k: Int = 8, nQueries: Int = 5, topK: Int = 10): DataFrame = {
+    val (codes, codebook) = pqEncode(embeddings, m, subDim, k)
+    val lut = pqLut(embeddings, codebook, m, subDim, nQueries)
     val scored = codes
       .join(broadcast(lut), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -497,6 +519,42 @@ object Similarity {
     topKByQuery(scored, "adc_fp", topK)
       .select(col("query_id"), col("neighbor_id"),
         col("adc_fp").cast("long").as("adc_fp"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s12: the full FAISS-style IVF-PQ serving layout — s08's trained
+    * coarse quantizer prunes the corpus to each query's OWN cell
+    * (at scale: partition pruning to one cell's files), and s11's PQ
+    * codes + per-query LUT score the survivors without touching a
+    * float of the corpus. Compute per query drops from |corpus| LUT
+    * sums to |corpus|/K, exactly the s02→s08 progression applied to
+    * the ADC tier; both trainings and the ADC arithmetic are the
+    * audited, oracle-proven pipelines composed unchanged. */
+  def ivfPqTopK(embeddings: DataFrame, m: Int = 4, subDim: Int = 16,
+      k: Int = 8, nQueries: Int = 5, topK: Int = 10): DataFrame = {
+    val centroids = Clustering.trainedCentroidsLocal(embeddings)
+    val vectors = embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2",
+        graft.functions.VectorOps.dot(col("emb"), col("emb")))
+    val cells = Clustering.assign(vectors, centroids)
+      .select(col("vec_id"), col("cluster_id").as("cell"))
+    val (codes, codebook) = pqEncode(embeddings, m, subDim, k)
+    val lut = pqLut(embeddings, codebook, m, subDim, nQueries)
+    val qcells = cells.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cell").as("qcell"))
+    val scored = codes
+      .join(cells, "vec_id")
+      .join(broadcast(lut), Seq("sub", "code"))
+      .join(broadcast(qcells), "query_id")
+      .filter(col("cell") === col("qcell") &&
+        col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("qcell"), col("vec_id"))
+      .agg(sum(col("pdot_fp")).as("adc_fp"))
+    topKByQuery(scored, "adc_fp", topK, keys = Seq("query_id", "qcell"))
+      .select(col("query_id"), col("qcell").as("cell"),
+        col("neighbor_id"), col("adc_fp").cast("long").as("adc_fp"),
+        col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 

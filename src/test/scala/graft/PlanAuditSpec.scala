@@ -20,6 +20,7 @@ class PlanAuditSpec extends SparkSpec {
     "s05_ann_recall", // embeds s01's exact side as the recall baseline
     "s07_recall_multi_table", // s01 exact side + tiny config-set cross
     "s08_ivf_trained_topk", // k01's broadcast(8 centroids) x corpus, twice
+    "s12_ivfpq_topk", // k01's broadcast(8 centroids) x corpus (coarse cells)
     "s09_recall_multiprobe", // s01 exact side + tiny radius-config cross
     "s06_quantized_topk", // s01's shape on the quantized memory tier
     "b01_bm25_rank", // ONE-row corpus-stats frame broadcast-crossed in

@@ -232,4 +232,33 @@ class SignLshSpec extends graft.SparkSpec {
       recall.map(r => f"$r%.1f").mkString(", ") + ")")
     assert(mean >= 0.15, f"PQ recall@10 $mean%.2f is at chance level")
   }
+
+  test("IVF-PQ is flat PQ restricted to the query's coarse cell") {
+    // composition invariant: wherever a (query, neighbor) pair appears
+    // in BOTH the flat-ADC (s11) and cell-pruned (s12) results, the ADC
+    // score is IDENTICAL — pruning changes the candidate set, never the
+    // arithmetic. And every s12 list stays internally consistent.
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val flat = Similarity.pqTopK(emb).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Long]("adc_fp")).toMap
+    val ivf = Similarity.ivfPqTopK(emb).collect()
+    assert(ivf.nonEmpty)
+    val byQuery = ivf.groupBy(_.getAs[Long]("query_id"))
+    for ((q, rs) <- byQuery) {
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length))
+      assert(sorted.forall(_.getAs[Long]("neighbor_id") != q))
+      // one coarse cell per query
+      assert(rs.map(_.getAs[Long]("cell")).distinct.length == 1)
+    }
+    val overlapping = ivf.flatMap { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      flat.get(key).map(_ -> r.getAs[Long]("adc_fp"))
+    }
+    assert(overlapping.nonEmpty, "no overlap between flat and IVF ADC")
+    assert(overlapping.forall { case (a, b) => a == b },
+      "cell pruning changed an ADC score")
+  }
 }
