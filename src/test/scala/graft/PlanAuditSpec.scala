@@ -144,6 +144,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("PQ ADC ranks via the mergeable bounded top-k aggregate") {
+    // s11/s12 carry partitioned windows inside PQ TRAINING (median
+    // refinement — parallel by (sub, code, dim), fine at scale), so they
+    // can't join the no-Window assertion above; the invariant that must
+    // hold is that the per-query RANKING step is the map-side-partial
+    // TopKByScore aggregate, never a per-query row_number funnel.
+    for (name <- Seq("s11_pq_adc_topk", "s12_ivfpq_topk")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("partial_topkbyscore"),
+        s"$name ADC rank does not partial-aggregate map-side:\n$plan")
+    }
+  }
+
   test("k-medians argmin partial-aggregates via min_by, not a window") {
     val plan = SparkEntry.queries("k01_kmedians_assign")(spark, sf)
       .queryExecution.executedPlan.toString
