@@ -181,12 +181,20 @@ class ScaleStressSpec extends SparkSpec {
       info(f"$name: ${t1}%.2fs -> ${tN}%.2fs (x$growth%.1f)")
       // history ratchet: a factor that jumped past 1.5x its committed
       // value (+1.0 fixture-noise allowance) is a plan-shape regression
-      // even if it still clears the generous linear bound above
+      // even if it still clears the generous linear bound above. The
+      // recorded value is floored at 2.0 inside the bound: ops whose
+      // quiet-rig factor is ~1 have sub-second timings whose RATIO
+      // swings multiples under suite co-load (observed in-suite flake
+      // after a tight rebaseline), while the regressions the ratchet
+      // exists for — a broadcast flipping to BNLJ at scale — are x10-50
+      // jumps that clear any floor this small
       recorded.get(name).filterNot(_ => rebaseline).foreach { rec =>
-        assert(growth <= 1.5 * rec + 1.0,
-          f"$name ×$factor growth x$growth%.2f exceeds 1.5x its recorded " +
-            f"x$rec%.2f (STRESS_FACTORS.json) — plan-shape regression; " +
-            "re-baseline deliberately with GRAFT_STRESS_RECORD=1")
+        val bound = 1.5 * math.max(rec, 2.0) + 1.0
+        assert(growth <= bound,
+          f"$name ×$factor growth x$growth%.2f exceeds x$bound%.2f " +
+            f"(1.5x its recorded x$rec%.2f, floored; STRESS_FACTORS" +
+            ".json) — plan-shape regression; re-baseline deliberately " +
+            "with GRAFT_STRESS_RECORD=1")
       }
     }
     // self-recording: first run at a fixture (or explicit re-baseline)
