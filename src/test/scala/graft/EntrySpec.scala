@@ -58,12 +58,14 @@ class EntrySpec extends SparkSpec {
   test("bench line total is locale-proof JSON") {
     // renderLine is the sole line the driver parses; under a comma-decimal
     // default locale an f"%.3f" would emit "value":1,500 — invalid JSON.
-    val prev = java.util.Locale.getDefault
-    try {
-      java.util.Locale.setDefault(java.util.Locale.GERMANY)
-      val line = Bench.renderLine(Seq("q01_x" -> 1.5), "sf0.1")
-      assert(line.contains(""""value":1.500"""), line)
-    } finally java.util.Locale.setDefault(prev)
+    SparkSpec.localeLock.synchronized {
+      val prev = java.util.Locale.getDefault
+      try {
+        java.util.Locale.setDefault(java.util.Locale.GERMANY)
+        val line = Bench.renderLine(Seq("q01_x" -> 1.5), "sf0.1")
+        assert(line.contains(""""value":1.500"""), line)
+      } finally java.util.Locale.setDefault(prev)
+    }
   }
 
   test("all queries execute on the smoke fixture (sf0.001)") {

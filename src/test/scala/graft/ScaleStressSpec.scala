@@ -117,8 +117,19 @@ class ScaleStressSpec extends SparkSpec {
 
   /** Committed growth-factor history, keyed fixture-name -> op -> factor.
     * Flat hand-rolled read/write (the shape is two levels of string ->
-    * number; jackson stays confined to the facade's parity property). */
-  private val historyPath = java.nio.file.Paths.get("STRESS_FACTORS.json")
+    * number; jackson stays confined to the facade's parity property).
+    * Anchored at the repo root (first ancestor holding build.sbt), not
+    * the process CWD — an sbt launched from elsewhere would otherwise
+    * find no history, silently bypass the ratchet, and self-record a
+    * fresh baseline in the wrong place. Fails loudly if no root. */
+  private val historyPath: java.nio.file.Path = {
+    var d = java.nio.file.Paths.get("").toAbsolutePath
+    while (d != null &&
+        !java.nio.file.Files.exists(d.resolve("build.sbt"))) d = d.getParent
+    require(d != null,
+      "no build.sbt above CWD — cannot anchor STRESS_FACTORS.json ratchet")
+    d.resolve("STRESS_FACTORS.json")
+  }
 
   private def sfName: String =
     sf.split('/').filter(_.nonEmpty).lastOption.getOrElse(sf)

@@ -12,6 +12,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
+  /** Monitor for tests that mutate the JVM-global default Locale —
+    * hold it for the whole mutate/restore span so a concurrently
+    * scheduled locale-sensitive test can't observe the flipped
+    * default (suites run sequentially today, but the guard keeps a
+    * future parallel-execution switch from flaking them). */
+  val localeLock: Object = new Object
+
   lazy val shared: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

@@ -21,7 +21,12 @@ class RollingHashSpec extends SparkSpec {
       }
       h
     }
-    val toks = text.trim.split("\\s+", -1).toSeq
+    // strip only ASCII space 0x20, matching UTF8String.trim in
+    // production (String.trim would also strip tabs/newlines and
+    // diverge on a leading-tab input)
+    val stripped =
+      text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    val toks = stripped.split("\\s+", -1).toSeq
     val th = toks.map(tokHash)
     val ww = math.min(w, th.length)
     val windows =
@@ -33,6 +38,7 @@ class RollingHashSpec extends SparkSpec {
   private val adversarial = Seq(
     "alpha beta gamma delta epsilon zeta eta",
     "  leading and   multiple   spaces\ttabs\nnewlines  ",
+    "\tleading tab and trailing newline\n", // non-0x20 edges stay
     "a", "", "   ",
     "short doc", // fewer tokens than the window
     "exactly five tokens in here",

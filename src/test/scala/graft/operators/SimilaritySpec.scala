@@ -210,7 +210,7 @@ class SignLshSpec extends graft.SparkSpec {
     // PRODUCT (not cosine — unnormalized, so comparing against cosine
     // top-k would mix objective mismatch into the metric). Reference =
     // exact MIPS top-10 per query, computed directly; recall@10 of the
-    // coarse m=4,k=4 codebook must clear a floor far above random
+    // coarse m=4,k=8 codebook (pqTopK defaults) must clear a floor far above random
     // (random ≈ 10/499 ≈ 0.02) — a broken codebook/LUT sends ADC
     // rankings to chance, quantization loss alone does not.
     val vecs = emb.select("vec_id", "embedding").collect()
