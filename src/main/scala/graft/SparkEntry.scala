@@ -170,6 +170,15 @@ object SparkEntry {
     // (same contract note as d02)
     "d12_containment" -> ((s, d) =>
       D.containmentPairs(Tables.documents(s, d), maxDocFreq = None)),
+    // d14: d12's PRODUCTION path — posting cap ON, scaled to the fixture
+    // (cap=10; the doubled sf0.01 corpus tops out at df=13, so the
+    // boilerplate guard genuinely drops postings here the way
+    // DefaultMaxDocFreq does at corpus scale). The oracle applies the
+    // SAME cap, so the capped semantics — candidate generation AND the
+    // capped |A| denominator — are hash-verified, not just the
+    // exactness-mode path.
+    "d14_containment_capped" -> ((s, d) =>
+      D.containmentPairs(Tables.documents(s, d), maxDocFreq = Some(10))),
     // the canonical web-dedup pipeline end-to-end: MinHash -> banded
     // LSH candidates -> connected components -> canonical keep flag
     "d13_lsh_clusters" -> ((s, d) => {
@@ -196,6 +205,11 @@ object SparkEntry {
       S.annRecallMultiProbe(Tables.embeddings(s, d))),
     "s11_pq_adc_topk" -> ((s, d) => S.pqTopK(Tables.embeddings(s, d))),
     "s12_ivfpq_topk" -> ((s, d) => S.ivfPqTopK(Tables.embeddings(s, d))),
+    "s13_pq_recall" -> ((s, d) => S.pqRecall(Tables.embeddings(s, d))),
+    "s14_nprobe_recall" -> ((s, d) =>
+      S.ivfNProbeRecall(Tables.embeddings(s, d))),
+    "s15_ivfpq_serve" -> ((s, d) =>
+      S.ivfPqTopKServe(Tables.embeddings(s, d))),
     // --- lake adapter (reference parity: SURVEY §2.1/2.2, §3 E1-E3) ---
     "l01_marker_split" -> ((s, d) =>
       graft.lake.LakeQueries.markerSplitDemo(Tables.documents(s, d))),
@@ -403,6 +417,332 @@ object SparkEntry {
       |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
       |      (x, y) -> x + y) AS dist2
       |    FROM v CROSS JOIN c1 c)) WHERE rn = 1)""".stripMargin
+
+  /** s01's exact brute-force top-10 — also the ground-truth side of the
+    * recall evals (s13 wraps it as a nested-WITH subquery). */
+  private val BruteTopKOracle: String =
+    """WITH n AS (SELECT vec_id, label, embedding,
+      |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+      |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS norm2 FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS query_emb,
+      |  norm2 AS qnorm2 FROM n WHERE vec_id < 5),
+      |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+      |  list_reduce(list_transform(range(1, len(c.embedding)+1), i ->
+      |    CAST(c.embedding[i] AS DOUBLE) * CAST(q.query_emb[i] AS DOUBLE)),
+      |    (x, y) -> x + y) / (sqrt(c.norm2) * sqrt(q.qnorm2)) AS cosine
+      | FROM n c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+      |r AS (SELECT query_id, neighbor_id, cosine,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      | FROM scored)
+      |SELECT query_id, neighbor_id, cosine, rank FROM r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** s11's flat PQ-ADC top-10: subspace-keyed rerun of s08's training
+    * idiom (one median round), then ADC = sum of per-subspace LUT dots
+    * quantized to integer micros BEFORE the sum (order-free). Also a
+    * recall-eval side of s13. */
+  private val PqAdcOracle: String =
+    """WITH sn AS (SELECT vec_id, u.sub AS sub, u.semb AS semb,
+      |    list_reduce(list_transform(range(1, len(u.semb)+1), i ->
+      |      CAST(u.semb[i] AS DOUBLE) * CAST(u.semb[i] AS DOUBLE)),
+      |      (a, b) -> a + b) AS snorm2
+      |  FROM (SELECT vec_id, unnest(list_transform(range(0, 4), s ->
+      |    {'sub': s, 'semb': embedding[s*16+1 : s*16+16]})) AS u
+      |   FROM embeddings)),
+      |c0 AS (SELECT sub, vec_id AS code, semb AS cemb,
+      |    snorm2 AS cnorm2 FROM sn WHERE vec_id < 8),
+      |a1 AS (SELECT vec_id, sub, code, semb FROM (
+      |  SELECT vec_id, sub, code, semb,
+      |    row_number() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY dist2 ASC, code ASC) AS rn
+      |  FROM (SELECT v.vec_id, v.sub, c.code, v.semb,
+      |    v.snorm2 + c.cnorm2 - 2.0 * list_reduce(
+      |      list_transform(range(1, len(v.semb)+1), i ->
+      |        CAST(v.semb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS dist2
+      |    FROM sn v JOIN c0 c ON v.sub = c.sub)) WHERE rn = 1),
+      |ex1 AS (SELECT sub, code, vec_id, u.dim AS dim, u.val AS val
+      |  FROM (SELECT sub, code, vec_id,
+      |    unnest(list_transform(range(1, len(semb)+1),
+      |      i -> {'dim': i, 'val': semb[i]})) AS u FROM a1)),
+      |med1 AS (SELECT sub, code, dim, val FROM (
+      |  SELECT sub, code, dim, val,
+      |    row_number() OVER (PARTITION BY sub, code, dim
+      |      ORDER BY val ASC, vec_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY sub, code, dim) AS n
+      |  FROM ex1) WHERE rn = (n + 1) // 2),
+      |c1a AS (SELECT sub, code, list(val ORDER BY dim) AS cemb
+      |  FROM med1 GROUP BY sub, code),
+      |c1 AS (SELECT sub, code, cemb,
+      |  list_reduce(list_transform(range(1, len(cemb)+1), i ->
+      |    CAST(cemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS cnorm2 FROM c1a),
+      |codes AS (SELECT vec_id, sub, code FROM (
+      |  SELECT vec_id, sub, code,
+      |    row_number() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY dist2 ASC, code ASC) AS rn
+      |  FROM (SELECT v.vec_id, v.sub, c.code,
+      |    v.snorm2 + c.cnorm2 - 2.0 * list_reduce(
+      |      list_transform(range(1, len(v.semb)+1), i ->
+      |        CAST(v.semb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS dist2
+      |    FROM sn v JOIN c1 c ON v.sub = c.sub)) WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, sub, semb AS qsemb
+      |  FROM sn WHERE vec_id < 5),
+      |lut AS (SELECT q.query_id, c.sub, c.code,
+      |  CAST(floor(list_reduce(list_transform(range(1, len(c.cemb)+1),
+      |    i -> CAST(q.qsemb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |    (x, y) -> x + y) * 1000000.0) AS BIGINT) AS pdot_fp
+      |  FROM q JOIN c1 c ON q.sub = c.sub),
+      |adc AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+      |  CAST(SUM(l.pdot_fp) AS BIGINT) AS adc_fp
+      |  FROM codes co JOIN lut l ON co.sub = l.sub AND co.code = l.code
+      |  WHERE co.vec_id <> l.query_id GROUP BY 1, 2),
+      |r AS (SELECT query_id, neighbor_id, adc_fp,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY adc_fp DESC, neighbor_id ASC) AS BIGINT) AS rank
+      |  FROM adc)
+      |SELECT query_id, neighbor_id, adc_fp, rank FROM r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** s12's IVF-PQ top-10: s08's 2-round coarse training CTEs
+    * (c-prefixed) composed with s11's subspace PQ CTEs (p-prefixed);
+    * ADC scoring restricted to each query's own coarse cell. Shared
+    * verbatim by s15 (the serving form is results-identical by
+    * construction) and the ivfpq side of s13. */
+  private val IvfPqOracle: String =
+    """WITH cv AS (SELECT vec_id, embedding AS emb,
+      |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+      |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS vnorm2 FROM embeddings),
+      |cc0 AS (SELECT vec_id AS cluster_id, embedding AS cemb,
+      |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+      |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS cnorm2 FROM embeddings WHERE vec_id < 8),
+      |ca1 AS (SELECT vec_id, emb, vnorm2, cluster_id FROM (
+      |  SELECT vec_id, emb, vnorm2, cluster_id,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist2 ASC, cluster_id ASC) AS rn
+      |  FROM (SELECT v.vec_id, v.emb, v.vnorm2, c.cluster_id,
+      |    v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
+      |      list_transform(range(1, len(v.emb)+1), i ->
+      |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS dist2
+      |    FROM cv v CROSS JOIN cc0 c)) WHERE rn = 1),
+      |cex1 AS (SELECT cluster_id, vec_id, u.dim AS dim, u.val AS val
+      |  FROM (SELECT cluster_id, vec_id,
+      |    unnest(list_transform(range(1, len(emb)+1),
+      |      i -> {'dim': i, 'val': emb[i]})) AS u FROM ca1)),
+      |cmed1 AS (SELECT cluster_id, dim, val FROM (
+      |  SELECT cluster_id, dim, val,
+      |    row_number() OVER (PARTITION BY cluster_id, dim
+      |      ORDER BY val ASC, vec_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY cluster_id, dim) AS n
+      |  FROM cex1) WHERE rn = (n + 1) // 2),
+      |cc1a AS (SELECT cluster_id, list(val ORDER BY dim) AS cemb
+      |  FROM cmed1 GROUP BY cluster_id),
+      |cc1 AS (SELECT cluster_id, cemb,
+      |  list_reduce(list_transform(range(1, len(cemb)+1), i ->
+      |    CAST(cemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS cnorm2 FROM cc1a),
+      |ca2 AS (SELECT vec_id, cluster_id FROM (
+      |  SELECT vec_id, cluster_id,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist2 ASC, cluster_id ASC) AS rn
+      |  FROM (SELECT v.vec_id, c.cluster_id,
+      |    v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
+      |      list_transform(range(1, len(v.emb)+1), i ->
+      |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS dist2
+      |    FROM cv v CROSS JOIN cc1 c)) WHERE rn = 1),
+      |sn AS (SELECT vec_id, u.sub AS sub, u.semb AS semb,
+      |    list_reduce(list_transform(range(1, len(u.semb)+1), i ->
+      |      CAST(u.semb[i] AS DOUBLE) * CAST(u.semb[i] AS DOUBLE)),
+      |      (a, b) -> a + b) AS snorm2
+      |  FROM (SELECT vec_id, unnest(list_transform(range(0, 4), s ->
+      |    {'sub': s, 'semb': embedding[s*16+1 : s*16+16]})) AS u
+      |   FROM embeddings)),
+      |p0 AS (SELECT sub, vec_id AS code, semb AS cemb,
+      |    snorm2 AS cnorm2 FROM sn WHERE vec_id < 8),
+      |pa1 AS (SELECT vec_id, sub, code, semb FROM (
+      |  SELECT vec_id, sub, code, semb,
+      |    row_number() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY dist2 ASC, code ASC) AS rn
+      |  FROM (SELECT v.vec_id, v.sub, c.code, v.semb,
+      |    v.snorm2 + c.cnorm2 - 2.0 * list_reduce(
+      |      list_transform(range(1, len(v.semb)+1), i ->
+      |        CAST(v.semb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS dist2
+      |    FROM sn v JOIN p0 c ON v.sub = c.sub)) WHERE rn = 1),
+      |pex1 AS (SELECT sub, code, vec_id, u.dim AS dim, u.val AS val
+      |  FROM (SELECT sub, code, vec_id,
+      |    unnest(list_transform(range(1, len(semb)+1),
+      |      i -> {'dim': i, 'val': semb[i]})) AS u FROM pa1)),
+      |pmed1 AS (SELECT sub, code, dim, val FROM (
+      |  SELECT sub, code, dim, val,
+      |    row_number() OVER (PARTITION BY sub, code, dim
+      |      ORDER BY val ASC, vec_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY sub, code, dim) AS n
+      |  FROM pex1) WHERE rn = (n + 1) // 2),
+      |pc1a AS (SELECT sub, code, list(val ORDER BY dim) AS cemb
+      |  FROM pmed1 GROUP BY sub, code),
+      |pc1 AS (SELECT sub, code, cemb,
+      |  list_reduce(list_transform(range(1, len(cemb)+1), i ->
+      |    CAST(cemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS cnorm2 FROM pc1a),
+      |pcodes AS (SELECT vec_id, sub, code FROM (
+      |  SELECT vec_id, sub, code,
+      |    row_number() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY dist2 ASC, code ASC) AS rn
+      |  FROM (SELECT v.vec_id, v.sub, c.code,
+      |    v.snorm2 + c.cnorm2 - 2.0 * list_reduce(
+      |      list_transform(range(1, len(v.semb)+1), i ->
+      |        CAST(v.semb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS dist2
+      |    FROM sn v JOIN pc1 c ON v.sub = c.sub)) WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, sub, semb AS qsemb
+      |  FROM sn WHERE vec_id < 5),
+      |lut AS (SELECT q.query_id, c.sub, c.code,
+      |  CAST(floor(list_reduce(list_transform(range(1, len(c.cemb)+1),
+      |    i -> CAST(q.qsemb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |    (x, y) -> x + y) * 1000000.0) AS BIGINT) AS pdot_fp
+      |  FROM q JOIN pc1 c ON q.sub = c.sub),
+      |qc AS (SELECT vec_id AS query_id, cluster_id AS qcell
+      |  FROM ca2 WHERE vec_id < 5),
+      |adc AS (SELECT l.query_id, qc.qcell, co.vec_id AS neighbor_id,
+      |  CAST(SUM(l.pdot_fp) AS BIGINT) AS adc_fp
+      |  FROM pcodes co
+      |  JOIN ca2 ce ON co.vec_id = ce.vec_id
+      |  JOIN lut l ON co.sub = l.sub AND co.code = l.code
+      |  JOIN qc ON l.query_id = qc.query_id
+      |  WHERE ce.cluster_id = qc.qcell AND co.vec_id <> l.query_id
+      |  GROUP BY 1, 2, 3),
+      |r AS (SELECT query_id, qcell, neighbor_id, adc_fp,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY adc_fp DESC, neighbor_id ASC) AS BIGINT) AS rank
+      |  FROM adc)
+      |SELECT query_id, qcell AS cell, neighbor_id, adc_fp, rank FROM r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** s08's trained-IVF CTE chain, WITHOUT the leading `WITH`: seed
+    * centroids c0 (vec_id < 8), one component-wise lower-median
+    * refinement round (ex1/med1/c1a → c1), final assignment a2
+    * retaining emb/vnorm2 — [[graft.operators.Clustering]]'s exact
+    * training pipeline in SQL. Prefix shared by the s08 own-cell probe
+    * and s14's nprobe recall curve (which ranks cells against the same
+    * trained c1). */
+  private val IvfTrainCtes: String =
+    """v AS (SELECT vec_id, embedding AS emb,
+      |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+      |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS vnorm2 FROM embeddings),
+      |c0 AS (SELECT vec_id AS cluster_id, embedding AS cemb,
+      |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+      |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS cnorm2 FROM embeddings WHERE vec_id < 8),
+      |a1 AS (SELECT vec_id, emb, vnorm2, cluster_id, dist2 FROM (
+      |  SELECT vec_id, emb, vnorm2, cluster_id, dist2,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist2 ASC, cluster_id ASC) AS rn
+      |  FROM (SELECT v.vec_id, v.emb, v.vnorm2, c.cluster_id,
+      |    v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
+      |      list_transform(range(1, len(v.emb)+1), i ->
+      |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS dist2
+      |    FROM v CROSS JOIN c0 c)) WHERE rn = 1),
+      |ex1 AS (SELECT cluster_id, vec_id, u.dim AS dim, u.val AS val
+      |  FROM (SELECT cluster_id, vec_id,
+      |    unnest(list_transform(range(1, len(emb)+1),
+      |      i -> {'dim': i, 'val': emb[i]})) AS u FROM a1)),
+      |med1 AS (SELECT cluster_id, dim, val FROM (
+      |  SELECT cluster_id, dim, val,
+      |    row_number() OVER (PARTITION BY cluster_id, dim
+      |      ORDER BY val ASC, vec_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY cluster_id, dim) AS n
+      |  FROM ex1) WHERE rn = (n + 1) // 2),
+      |c1a AS (SELECT cluster_id, list(val ORDER BY dim) AS cemb
+      |  FROM med1 GROUP BY cluster_id),
+      |c1 AS (SELECT cluster_id, cemb,
+      |  list_reduce(list_transform(range(1, len(cemb)+1), i ->
+      |    CAST(cemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS cnorm2 FROM c1a),
+      |a2 AS (SELECT vec_id, emb, vnorm2, cluster_id FROM (
+      |  SELECT vec_id, emb, vnorm2, cluster_id,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist2 ASC, cluster_id ASC) AS rn
+      |  FROM (SELECT v.vec_id, v.emb, v.vnorm2, c.cluster_id,
+      |    v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
+      |      list_transform(range(1, len(v.emb)+1), i ->
+      |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS dist2
+      |    FROM v CROSS JOIN c1 c)) WHERE rn = 1)""".stripMargin
+
+  /** s13: recall@10 of the two PQ serving tiers vs the s01 exact
+    * ground truth — each tier's full oracle nested as a derived-table
+    * subquery (DuckDB scopes inner WITHs to the subquery, so the three
+    * pipelines' CTE names never collide). Tier strings sort
+    * ivfpq < pq_adc, matching the Spark side's ORDER BY. */
+  private val PqRecallOracle: String =
+    s"""WITH tiers AS (SELECT 'ivfpq' AS tier UNION ALL
+      |  SELECT 'pq_adc' AS tier),
+      |ap AS (
+      |  SELECT 'pq_adc' AS tier, query_id, neighbor_id
+      |    FROM ($PqAdcOracle) px
+      |  UNION ALL
+      |  SELECT 'ivfpq' AS tier, query_id, neighbor_id
+      |    FROM ($IvfPqOracle) ix),
+      |ex AS (SELECT t.tier, b.query_id, b.neighbor_id
+      |  FROM ($BruteTopKOracle) b CROSS JOIN tiers t)
+      |SELECT e.tier, e.query_id, count(a.neighbor_id) AS n_hits,
+      |  CAST(count(a.neighbor_id) AS DOUBLE) / 10.0 AS recall
+      |FROM ex e LEFT JOIN ap a ON e.tier = a.tier
+      |  AND e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      |GROUP BY e.tier, e.query_id
+      |ORDER BY e.tier, e.query_id""".stripMargin
+
+  /** s14: recall@10 of the trained-IVF probe per n_probe (1..2) —
+    * [[IvfTrainCtes]] trains/assigns, pr ranks every trained cell per
+    * query by squared L2 (ties toward the lower cluster_id, the
+    * assignment order, so cell_rank 1 is the query's own cell), config
+    * n probes cell_rank ≤ n. Exact side = s01's brute top-10, nested. */
+  private val NProbeRecallOracle: String =
+    s"WITH $IvfTrainCtes,\n" +
+    s"""q AS (SELECT vec_id AS query_id, emb AS query_emb,
+      |  vnorm2 AS qnorm2 FROM a2 WHERE vec_id < 5),
+      |pr AS (SELECT query_id, cluster_id AS cell,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY dist2 ASC, cluster_id ASC) AS cell_rank
+      |  FROM (SELECT q.query_id, c.cluster_id,
+      |    q.qnorm2 + c.cnorm2 - 2.0 * list_reduce(
+      |      list_transform(range(1, len(q.query_emb)+1), i ->
+      |        CAST(q.query_emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS dist2
+      |    FROM q CROSS JOIN c1 c)),
+      |cf AS (SELECT unnest(range(1, 3)) AS n_probe),
+      |pb AS (SELECT cf.n_probe, pr.query_id, pr.cell
+      |  FROM pr JOIN cf ON pr.cell_rank <= cf.n_probe),
+      |sc AS (SELECT p.n_probe, p.query_id, c.vec_id AS neighbor_id,
+      |  list_reduce(list_transform(range(1, len(c.emb)+1), i ->
+      |    CAST(c.emb[i] AS DOUBLE) * CAST(q.query_emb[i] AS DOUBLE)),
+      |    (x, y) -> x + y) / (sqrt(c.vnorm2) * sqrt(q.qnorm2)) AS cosine
+      |  FROM a2 c JOIN pb p ON c.cluster_id = p.cell
+      |  JOIN q ON p.query_id = q.query_id
+      |  WHERE c.vec_id <> p.query_id),
+      |r AS (SELECT n_probe, query_id, neighbor_id,
+      |  row_number() OVER (PARTITION BY n_probe, query_id
+      |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sc),
+      |ap AS (SELECT n_probe, query_id, neighbor_id, 1 AS hit FROM r
+      |  WHERE rank <= 10),
+      |ex AS (SELECT cf.n_probe, b.query_id, b.neighbor_id
+      |  FROM ($BruteTopKOracle) b CROSS JOIN cf)
+      |SELECT e.n_probe, e.query_id, count(a.hit) AS n_hits,
+      |  CAST(count(a.hit) AS DOUBLE) / 10.0 AS recall
+      |FROM ex e LEFT JOIN ap a ON e.n_probe = a.n_probe
+      |  AND e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      |GROUP BY e.n_probe, e.query_id
+      |ORDER BY e.n_probe, e.query_id""".stripMargin
 
   /** Shared by l04 (relational merge) and l07 (merge through the
     * snapshot commit path): both must equal this exact-SQL form. */
@@ -1140,6 +1480,39 @@ object SparkEntry {
         | FROM p JOIN sz x ON doc_a = x.doc_id)
         |SELECT doc_a, doc_b, containment FROM c
         |WHERE containment >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
+    // d12 with the posting cap applied oracle-side too: shingles with
+    // df > 10 over the DOUBLED corpus are dropped BEFORE pairing, and
+    // the |A| denominator counts only surviving shingles — mirroring
+    // shinglePostings + the sizes-from-capped-postings order in
+    // containmentPairs exactly
+    "d14_containment_capped" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, 200) FROM documents),
+        |t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM corpus),
+        |s AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(range(0, len(toks)-2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM t),
+        |e0 AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |hot AS (SELECT shingle FROM e0 GROUP BY shingle
+        |  HAVING count(*) > 10),
+        |e AS (SELECT doc_id, shingle FROM e0
+        |  WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS inter
+        |  FROM e a JOIN e b ON a.shingle = b.shingle
+        |    AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |c AS (SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / CAST(x.n_sh AS DOUBLE) AS containment
+        | FROM p JOIN sz x ON doc_a = x.doc_id)
+        |SELECT doc_a, doc_b, containment FROM c
+        |WHERE containment >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
     "d02_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id,
         |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -1246,24 +1619,7 @@ object SparkEntry {
         |SELECT u AS vec_id, min(v) AS cluster_id,
         | (u = min(v)) AS is_canonical
         |FROM reach GROUP BY u ORDER BY u""".stripMargin,
-    "s01_brute_topk" ->
-      """WITH n AS (SELECT vec_id, label, embedding,
-        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
-        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
-        |    (a, b) -> a + b) AS norm2 FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, embedding AS query_emb,
-        |  norm2 AS qnorm2 FROM n WHERE vec_id < 5),
-        |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-        |  list_reduce(list_transform(range(1, len(c.embedding)+1), i ->
-        |    CAST(c.embedding[i] AS DOUBLE) * CAST(q.query_emb[i] AS DOUBLE)),
-        |    (x, y) -> x + y) / (sqrt(c.norm2) * sqrt(q.qnorm2)) AS cosine
-        | FROM n c CROSS JOIN q WHERE c.vec_id <> q.query_id),
-        |r AS (SELECT query_id, neighbor_id, cosine,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
-        | FROM scored)
-        |SELECT query_id, neighbor_id, cosine, rank FROM r
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "s01_brute_topk" -> BruteTopKOracle,
     "s02_ivf_topk" ->
       """WITH n AS (SELECT vec_id, label, embedding,
         |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
@@ -1747,51 +2103,8 @@ object SparkEntry {
     // exact-cosine refine + rank inside the cell (s02's probe shape
     // with the trained quantizer instead of the fixture label)
     "s08_ivf_trained_topk" ->
-      """WITH v AS (SELECT vec_id, embedding AS emb,
-        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
-        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
-        |    (a, b) -> a + b) AS vnorm2 FROM embeddings),
-        |c0 AS (SELECT vec_id AS cluster_id, embedding AS cemb,
-        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
-        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
-        |    (a, b) -> a + b) AS cnorm2 FROM embeddings WHERE vec_id < 8),
-        |a1 AS (SELECT vec_id, emb, vnorm2, cluster_id, dist2 FROM (
-        |  SELECT vec_id, emb, vnorm2, cluster_id, dist2,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY dist2 ASC, cluster_id ASC) AS rn
-        |  FROM (SELECT v.vec_id, v.emb, v.vnorm2, c.cluster_id,
-        |    v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
-        |      list_transform(range(1, len(v.emb)+1), i ->
-        |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
-        |      (x, y) -> x + y) AS dist2
-        |    FROM v CROSS JOIN c0 c)) WHERE rn = 1),
-        |ex1 AS (SELECT cluster_id, vec_id, u.dim AS dim, u.val AS val
-        |  FROM (SELECT cluster_id, vec_id,
-        |    unnest(list_transform(range(1, len(emb)+1),
-        |      i -> {'dim': i, 'val': emb[i]})) AS u FROM a1)),
-        |med1 AS (SELECT cluster_id, dim, val FROM (
-        |  SELECT cluster_id, dim, val,
-        |    row_number() OVER (PARTITION BY cluster_id, dim
-        |      ORDER BY val ASC, vec_id ASC) AS rn,
-        |    COUNT(*) OVER (PARTITION BY cluster_id, dim) AS n
-        |  FROM ex1) WHERE rn = (n + 1) // 2),
-        |c1a AS (SELECT cluster_id, list(val ORDER BY dim) AS cemb
-        |  FROM med1 GROUP BY cluster_id),
-        |c1 AS (SELECT cluster_id, cemb,
-        |  list_reduce(list_transform(range(1, len(cemb)+1), i ->
-        |    CAST(cemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE)),
-        |    (a, b) -> a + b) AS cnorm2 FROM c1a),
-        |a2 AS (SELECT vec_id, emb, vnorm2, cluster_id FROM (
-        |  SELECT vec_id, emb, vnorm2, cluster_id,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY dist2 ASC, cluster_id ASC) AS rn
-        |  FROM (SELECT v.vec_id, v.emb, v.vnorm2, c.cluster_id,
-        |    v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
-        |      list_transform(range(1, len(v.emb)+1), i ->
-        |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
-        |      (x, y) -> x + y) AS dist2
-        |    FROM v CROSS JOIN c1 c)) WHERE rn = 1),
-        |q AS (SELECT vec_id AS query_id, cluster_id AS qcell,
+      (s"WITH $IvfTrainCtes,\n" +
+        """q AS (SELECT vec_id AS query_id, cluster_id AS qcell,
         |  emb AS query_emb, vnorm2 AS qnorm2 FROM a2 WHERE vec_id < 5),
         |scored AS (SELECT q.query_id, c.cluster_id AS cell,
         |  c.vec_id AS neighbor_id,
@@ -1805,189 +2118,15 @@ object SparkEntry {
         |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
         | FROM scored)
         |SELECT query_id, cell, neighbor_id, cosine, rank FROM r
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-    // product quantization: subspace-keyed rerun of s08's training
-    // idiom (one median round), then ADC = sum of per-subspace LUT
-    // dots quantized to integer micros BEFORE the sum (order-free)
-    "s11_pq_adc_topk" ->
-      """WITH sn AS (SELECT vec_id, u.sub AS sub, u.semb AS semb,
-        |    list_reduce(list_transform(range(1, len(u.semb)+1), i ->
-        |      CAST(u.semb[i] AS DOUBLE) * CAST(u.semb[i] AS DOUBLE)),
-        |      (a, b) -> a + b) AS snorm2
-        |  FROM (SELECT vec_id, unnest(list_transform(range(0, 4), s ->
-        |    {'sub': s, 'semb': embedding[s*16+1 : s*16+16]})) AS u
-        |   FROM embeddings)),
-        |c0 AS (SELECT sub, vec_id AS code, semb AS cemb,
-        |    snorm2 AS cnorm2 FROM sn WHERE vec_id < 8),
-        |a1 AS (SELECT vec_id, sub, code, semb FROM (
-        |  SELECT vec_id, sub, code, semb,
-        |    row_number() OVER (PARTITION BY vec_id, sub
-        |      ORDER BY dist2 ASC, code ASC) AS rn
-        |  FROM (SELECT v.vec_id, v.sub, c.code, v.semb,
-        |    v.snorm2 + c.cnorm2 - 2.0 * list_reduce(
-        |      list_transform(range(1, len(v.semb)+1), i ->
-        |        CAST(v.semb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
-        |      (x, y) -> x + y) AS dist2
-        |    FROM sn v JOIN c0 c ON v.sub = c.sub)) WHERE rn = 1),
-        |ex1 AS (SELECT sub, code, vec_id, u.dim AS dim, u.val AS val
-        |  FROM (SELECT sub, code, vec_id,
-        |    unnest(list_transform(range(1, len(semb)+1),
-        |      i -> {'dim': i, 'val': semb[i]})) AS u FROM a1)),
-        |med1 AS (SELECT sub, code, dim, val FROM (
-        |  SELECT sub, code, dim, val,
-        |    row_number() OVER (PARTITION BY sub, code, dim
-        |      ORDER BY val ASC, vec_id ASC) AS rn,
-        |    COUNT(*) OVER (PARTITION BY sub, code, dim) AS n
-        |  FROM ex1) WHERE rn = (n + 1) // 2),
-        |c1a AS (SELECT sub, code, list(val ORDER BY dim) AS cemb
-        |  FROM med1 GROUP BY sub, code),
-        |c1 AS (SELECT sub, code, cemb,
-        |  list_reduce(list_transform(range(1, len(cemb)+1), i ->
-        |    CAST(cemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE)),
-        |    (a, b) -> a + b) AS cnorm2 FROM c1a),
-        |codes AS (SELECT vec_id, sub, code FROM (
-        |  SELECT vec_id, sub, code,
-        |    row_number() OVER (PARTITION BY vec_id, sub
-        |      ORDER BY dist2 ASC, code ASC) AS rn
-        |  FROM (SELECT v.vec_id, v.sub, c.code,
-        |    v.snorm2 + c.cnorm2 - 2.0 * list_reduce(
-        |      list_transform(range(1, len(v.semb)+1), i ->
-        |        CAST(v.semb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
-        |      (x, y) -> x + y) AS dist2
-        |    FROM sn v JOIN c1 c ON v.sub = c.sub)) WHERE rn = 1),
-        |q AS (SELECT vec_id AS query_id, sub, semb AS qsemb
-        |  FROM sn WHERE vec_id < 5),
-        |lut AS (SELECT q.query_id, c.sub, c.code,
-        |  CAST(floor(list_reduce(list_transform(range(1, len(c.cemb)+1),
-        |    i -> CAST(q.qsemb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
-        |    (x, y) -> x + y) * 1000000.0) AS BIGINT) AS pdot_fp
-        |  FROM q JOIN c1 c ON q.sub = c.sub),
-        |adc AS (SELECT l.query_id, co.vec_id AS neighbor_id,
-        |  CAST(SUM(l.pdot_fp) AS BIGINT) AS adc_fp
-        |  FROM codes co JOIN lut l ON co.sub = l.sub AND co.code = l.code
-        |  WHERE co.vec_id <> l.query_id GROUP BY 1, 2),
-        |r AS (SELECT query_id, neighbor_id, adc_fp,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY adc_fp DESC, neighbor_id ASC) AS BIGINT) AS rank
-        |  FROM adc)
-        |SELECT query_id, neighbor_id, adc_fp, rank FROM r
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-    // IVF-PQ: s08's 2-round coarse training CTEs (c-prefixed) compose
-    // with s11's subspace PQ CTEs (p-prefixed); ADC scoring restricted
-    // to each query's own coarse cell
-    "s12_ivfpq_topk" ->
-      """WITH cv AS (SELECT vec_id, embedding AS emb,
-        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
-        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
-        |    (a, b) -> a + b) AS vnorm2 FROM embeddings),
-        |cc0 AS (SELECT vec_id AS cluster_id, embedding AS cemb,
-        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
-        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
-        |    (a, b) -> a + b) AS cnorm2 FROM embeddings WHERE vec_id < 8),
-        |ca1 AS (SELECT vec_id, emb, vnorm2, cluster_id FROM (
-        |  SELECT vec_id, emb, vnorm2, cluster_id,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY dist2 ASC, cluster_id ASC) AS rn
-        |  FROM (SELECT v.vec_id, v.emb, v.vnorm2, c.cluster_id,
-        |    v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
-        |      list_transform(range(1, len(v.emb)+1), i ->
-        |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
-        |      (x, y) -> x + y) AS dist2
-        |    FROM cv v CROSS JOIN cc0 c)) WHERE rn = 1),
-        |cex1 AS (SELECT cluster_id, vec_id, u.dim AS dim, u.val AS val
-        |  FROM (SELECT cluster_id, vec_id,
-        |    unnest(list_transform(range(1, len(emb)+1),
-        |      i -> {'dim': i, 'val': emb[i]})) AS u FROM ca1)),
-        |cmed1 AS (SELECT cluster_id, dim, val FROM (
-        |  SELECT cluster_id, dim, val,
-        |    row_number() OVER (PARTITION BY cluster_id, dim
-        |      ORDER BY val ASC, vec_id ASC) AS rn,
-        |    COUNT(*) OVER (PARTITION BY cluster_id, dim) AS n
-        |  FROM cex1) WHERE rn = (n + 1) // 2),
-        |cc1a AS (SELECT cluster_id, list(val ORDER BY dim) AS cemb
-        |  FROM cmed1 GROUP BY cluster_id),
-        |cc1 AS (SELECT cluster_id, cemb,
-        |  list_reduce(list_transform(range(1, len(cemb)+1), i ->
-        |    CAST(cemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE)),
-        |    (a, b) -> a + b) AS cnorm2 FROM cc1a),
-        |ca2 AS (SELECT vec_id, cluster_id FROM (
-        |  SELECT vec_id, cluster_id,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY dist2 ASC, cluster_id ASC) AS rn
-        |  FROM (SELECT v.vec_id, c.cluster_id,
-        |    v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
-        |      list_transform(range(1, len(v.emb)+1), i ->
-        |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
-        |      (x, y) -> x + y) AS dist2
-        |    FROM cv v CROSS JOIN cc1 c)) WHERE rn = 1),
-        |sn AS (SELECT vec_id, u.sub AS sub, u.semb AS semb,
-        |    list_reduce(list_transform(range(1, len(u.semb)+1), i ->
-        |      CAST(u.semb[i] AS DOUBLE) * CAST(u.semb[i] AS DOUBLE)),
-        |      (a, b) -> a + b) AS snorm2
-        |  FROM (SELECT vec_id, unnest(list_transform(range(0, 4), s ->
-        |    {'sub': s, 'semb': embedding[s*16+1 : s*16+16]})) AS u
-        |   FROM embeddings)),
-        |p0 AS (SELECT sub, vec_id AS code, semb AS cemb,
-        |    snorm2 AS cnorm2 FROM sn WHERE vec_id < 8),
-        |pa1 AS (SELECT vec_id, sub, code, semb FROM (
-        |  SELECT vec_id, sub, code, semb,
-        |    row_number() OVER (PARTITION BY vec_id, sub
-        |      ORDER BY dist2 ASC, code ASC) AS rn
-        |  FROM (SELECT v.vec_id, v.sub, c.code, v.semb,
-        |    v.snorm2 + c.cnorm2 - 2.0 * list_reduce(
-        |      list_transform(range(1, len(v.semb)+1), i ->
-        |        CAST(v.semb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
-        |      (x, y) -> x + y) AS dist2
-        |    FROM sn v JOIN p0 c ON v.sub = c.sub)) WHERE rn = 1),
-        |pex1 AS (SELECT sub, code, vec_id, u.dim AS dim, u.val AS val
-        |  FROM (SELECT sub, code, vec_id,
-        |    unnest(list_transform(range(1, len(semb)+1),
-        |      i -> {'dim': i, 'val': semb[i]})) AS u FROM pa1)),
-        |pmed1 AS (SELECT sub, code, dim, val FROM (
-        |  SELECT sub, code, dim, val,
-        |    row_number() OVER (PARTITION BY sub, code, dim
-        |      ORDER BY val ASC, vec_id ASC) AS rn,
-        |    COUNT(*) OVER (PARTITION BY sub, code, dim) AS n
-        |  FROM pex1) WHERE rn = (n + 1) // 2),
-        |pc1a AS (SELECT sub, code, list(val ORDER BY dim) AS cemb
-        |  FROM pmed1 GROUP BY sub, code),
-        |pc1 AS (SELECT sub, code, cemb,
-        |  list_reduce(list_transform(range(1, len(cemb)+1), i ->
-        |    CAST(cemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE)),
-        |    (a, b) -> a + b) AS cnorm2 FROM pc1a),
-        |pcodes AS (SELECT vec_id, sub, code FROM (
-        |  SELECT vec_id, sub, code,
-        |    row_number() OVER (PARTITION BY vec_id, sub
-        |      ORDER BY dist2 ASC, code ASC) AS rn
-        |  FROM (SELECT v.vec_id, v.sub, c.code,
-        |    v.snorm2 + c.cnorm2 - 2.0 * list_reduce(
-        |      list_transform(range(1, len(v.semb)+1), i ->
-        |        CAST(v.semb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
-        |      (x, y) -> x + y) AS dist2
-        |    FROM sn v JOIN pc1 c ON v.sub = c.sub)) WHERE rn = 1),
-        |q AS (SELECT vec_id AS query_id, sub, semb AS qsemb
-        |  FROM sn WHERE vec_id < 5),
-        |lut AS (SELECT q.query_id, c.sub, c.code,
-        |  CAST(floor(list_reduce(list_transform(range(1, len(c.cemb)+1),
-        |    i -> CAST(q.qsemb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
-        |    (x, y) -> x + y) * 1000000.0) AS BIGINT) AS pdot_fp
-        |  FROM q JOIN pc1 c ON q.sub = c.sub),
-        |qc AS (SELECT vec_id AS query_id, cluster_id AS qcell
-        |  FROM ca2 WHERE vec_id < 5),
-        |adc AS (SELECT l.query_id, qc.qcell, co.vec_id AS neighbor_id,
-        |  CAST(SUM(l.pdot_fp) AS BIGINT) AS adc_fp
-        |  FROM pcodes co
-        |  JOIN ca2 ce ON co.vec_id = ce.vec_id
-        |  JOIN lut l ON co.sub = l.sub AND co.code = l.code
-        |  JOIN qc ON l.query_id = qc.query_id
-        |  WHERE ce.cluster_id = qc.qcell AND co.vec_id <> l.query_id
-        |  GROUP BY 1, 2, 3),
-        |r AS (SELECT query_id, qcell, neighbor_id, adc_fp,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY adc_fp DESC, neighbor_id ASC) AS BIGINT) AS rank
-        |  FROM adc)
-        |SELECT query_id, qcell AS cell, neighbor_id, adc_fp, rank FROM r
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    "s11_pq_adc_topk" -> PqAdcOracle,
+    "s12_ivfpq_topk" -> IvfPqOracle,
+    "s13_pq_recall" -> PqRecallOracle,
+    "s14_nprobe_recall" -> NProbeRecallOracle,
+    // the serving form is results-identical to s12 by construction:
+    // same trained artifacts, same ADC arithmetic, only the training
+    // lineage is materialized out of the query
+    "s15_ivfpq_serve" -> IvfPqOracle,
     "q31_lateral_topn" ->
       """SELECT n.n_name AS nation, t.c_name, t.c_acctbal
         |FROM nation n, LATERAL (

@@ -39,20 +39,38 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read the physical
-    * INT64 nanos via `spark.sql.legacy.parquet.nanosAsLong` and convert with
-    * integer `div 1000` → `timestamp_micros`, i.e. floor-truncate to µs —
-    * exactly what DuckDB (the correctness oracle) does when it reads the same
-    * file as a µs TIMESTAMP. Integer division, NOT double: ns epochs (~1.7e18)
-    * exceed double's 53-bit mantissa.
-    */
+  /** `events.parquet` has shipped with two physical layouts for `ts`, and
+    * both must land on the SAME µs TimestampType (UTC session) the whole
+    * pipeline and the DuckDB oracle see:
+    *
+    *   - TIMESTAMP(NANOS) (fixtures through round 10): Spark's vectorized
+    *     reader rejects it ([PARQUET_TYPE_ILLEGAL]), so read the physical
+    *     INT64 nanos via `spark.sql.legacy.parquet.nanosAsLong` and
+    *     floor-truncate with integer `ts div 1000` → `timestamp_micros` —
+    *     exactly what DuckDB does reading the same file as a µs TIMESTAMP.
+    *     Integer division, NOT double: ns epochs (~1.7e18) exceed double's
+    *     53-bit mantissa.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) (round-11 fixtures):
+    *     reads natively as TIMESTAMP_NTZ; cast to TimestampType, which
+    *     under the UTC session timezone preserves the epoch micros bit
+    *     for bit with what the nanos path produced.
+    *
+    * Branching on the LOADED datatype keeps both fixture generations and
+    * any downstream consumer working unchanged. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn(
+          "ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ =>
+        raw.withColumn(
+          "ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

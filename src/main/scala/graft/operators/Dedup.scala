@@ -420,10 +420,22 @@ object Dedup {
     * one aggregation — no component is ever materialized on a single
     * machine, so a 100M-node duplicate graph distributes evenly. Labels
     * are localCheckpoint'ed per round to truncate lineage (20 rounds of
-    * stacked joins would otherwise blow up the plan). Near-dup graphs
-    * have tiny diameters (duplicate groups are dense), so convergence is
-    * a handful of rounds; the driver-side `changed` counter is a scalar
-    * aggregate, the accepted control-loop pattern for iterative Spark.
+    * stacked joins would otherwise blow up the plan).
+    *
+    * ITERATION COST IS THE BUDGET, not the per-round shuffle: the min
+    * label reaches a node in exactly its hop distance from the
+    * component's minimum-id member, so rounds-to-converge = the max such
+    * eccentricity over all components (≤ the largest component's
+    * diameter), plus ONE quiet round for the `changed` counter to read
+    * zero — a diameter-d path graph costs d+1 rounds, each a full
+    * edge-table shuffle plus a driver-side scalar `count()` (the
+    * accepted control-loop pattern for iterative Spark; see
+    * TextDedupSpec's path-graph bound test). Near-dup graphs in
+    * practice are dense, tiny-diameter duplicate groups → a handful of
+    * rounds; a pathological chain topology instead exhausts `maxIters`
+    * and fails loudly rather than returning partial labels. At 100 TB,
+    * budget by graph shape: cap chain formation upstream (e.g. d09-style
+    * blocking bounds component diameter) before raising maxIters.
     *
     * Deterministic output: cluster_id = min member id; is_canonical marks
     * the one row per cluster a dedup keep-filter would retain. */

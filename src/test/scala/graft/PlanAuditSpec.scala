@@ -21,6 +21,9 @@ class PlanAuditSpec extends SparkSpec {
     "s07_recall_multi_table", // s01 exact side + tiny config-set cross
     "s08_ivf_trained_topk", // k01's broadcast(8 centroids) x corpus, twice
     "s12_ivfpq_topk", // k01's broadcast(8 centroids) x corpus (coarse cells)
+    "s13_pq_recall", // s01 exact side + s11/s12 tiers + 2-row tier cross
+    "s14_nprobe_recall", // s01 exact side + s08's centroid crosses + config cross
+    "s15_ivfpq_serve", // s12's serving form: broadcast(model rows) x corpus
     "s09_recall_multiprobe", // s01 exact side + tiny radius-config cross
     "s06_quantized_topk", // s01's shape on the quantized memory tier
     "b01_bm25_rank", // ONE-row corpus-stats frame broadcast-crossed in

@@ -67,7 +67,8 @@ class ScaleStressSpec extends SparkSpec {
     "/root/testdata/sf0.001")
   private val factor = 8
 
-  import graft.operators.{Dedup => D, Similarity => S, DataQuality => DQ}
+  import graft.operators.{Dedup => D, Similarity => S, DataQuality => DQ,
+    Windows => W}
 
   private def docs = Tables.documents(spark, sf)
   private def emb = Tables.embeddings(spark, sf)
@@ -113,7 +114,33 @@ class ScaleStressSpec extends SparkSpec {
         ScaledTables.scaled(Tables.orders(spark, sf), factor,
           idCols = Seq("o_orderkey")),
         ScaledTables.scaled(Tables.lineitem(spark, sf), factor,
-          idCols = Seq("l_orderkey"))), false))
+          idCols = Seq("l_orderkey"))), false),
+    // r11 additions: the four new bench-ceiling queries. The PQ tiers'
+    // trainings (collect-based model materialization) run at
+    // construction, so their factors measure the SERVING plan — encode,
+    // LUT join, ADC partial agg — the part that actually scales with
+    // the corpus.
+    ("s11_pq_adc_topk",
+      S.pqTopK(emb), S.pqTopK(embX), false),
+    ("s12_ivfpq_topk",
+      S.ivfPqTopK(emb), S.ivfPqTopK(embX), true),
+    ("s15_ivfpq_serve",
+      S.ivfPqTopKServe(emb), S.ivfPqTopKServe(embX), true),
+    // d13's connected-components loop materializes (localCheckpoint)
+    // at construction like d07/d10 above, so its factor covers the
+    // post-CC labels projection; the banded candidate JOIN — the part
+    // with quadratic failure modes — is stressed lazily as d04 below
+    ("d13_lsh_clusters",
+      D.dedupClusters(D.lshCandidates(docs),
+        aCol = "doc_a", bCol = "doc_b"),
+      D.dedupClusters(D.lshCandidates(docsX),
+        aCol = "doc_a", bCol = "doc_b"), false),
+    ("d04_lsh_candidates",
+      D.lshCandidates(docs), D.lshCandidates(docsX), false),
+    ("w19_open_shipments",
+      W.openShipments(Tables.lineitem(spark, sf)),
+      W.openShipments(ScaledTables.scaled(Tables.lineitem(spark, sf),
+        factor, idCols = Seq("l_orderkey"))), false))
 
   /** Committed growth-factor history, keyed fixture-name -> op -> factor.
     * Flat hand-rolled read/write (the shape is two levels of string ->

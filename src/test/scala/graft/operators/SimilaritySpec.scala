@@ -261,4 +261,98 @@ class SignLshSpec extends graft.SparkSpec {
     assert(overlapping.forall { case (a, b) => a == b },
       "cell pruning changed an ADC score")
   }
+
+  test("nProbe=2 probes a candidate superset: per-rank cosine never drops") {
+    // exact scoring inside the probed cells means a candidate SUPERSET
+    // can only improve the list: at every rank the nProbe=2 cosine is
+    // >= the nProbe=1 cosine for the same query (the s07 superset
+    // argument — valid here precisely because the refine score is
+    // exact, unlike s13's lossy-ADC case)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def byRank(nProbe: Int): Map[(Long, Long), Double] =
+      Similarity.ivfTrainedTopK(emb, nProbe = nProbe).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+          r.getAs[Double]("cosine")).toMap
+    val one = byRank(1)
+    val two = byRank(2)
+    assert(one.nonEmpty)
+    for (((q, rank), c1) <- one) {
+      val c2 = two((q, rank))
+      assert(c2 >= c1 - 1e-12,
+        s"query $q rank $rank: nProbe=2 cosine $c2 < nProbe=1 $c1")
+    }
+    // the lever widens, never rewrites: reported cell stays the rank-1
+    // (own) cell at any nProbe, so the schema reads the same
+    val cells1 = Similarity.ivfTrainedTopK(emb, nProbe = 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("cell")).toMap
+    val cells2 = Similarity.ivfTrainedTopK(emb, nProbe = 2).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("cell")).toMap
+    assert(cells1 == cells2)
+  }
+
+  test("ivfNProbeRecall: monotone in n_probe, bounded, brute-consistent") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Similarity.ivfNProbeRecall(emb, maxProbe = 2).collect()
+    assert(rows.length == 2 * 5) // configs x queries, no dropped rows
+    val recall = rows.map(r => (r.getAs[Long]("n_probe"),
+      r.getAs[Long]("query_id")) -> r.getAs[Double]("recall")).toMap
+    assert(recall.values.forall(r => r >= 0.0 && r <= 1.0))
+    for (q <- 0L until 5L)
+      assert(recall((2L, q)) >= recall((1L, q)),
+        s"recall regressed at query $q when probing a second cell")
+    // n_hits agrees with a direct recount against the exact ground truth
+    val exact = Similarity.bruteForceTopK(emb).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val approx1 = Similarity.ivfTrainedTopK(emb, nProbe = 1).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    for (q <- 0L until 5L) {
+      val expected = exact.count { case (eq, en) =>
+        eq == q && approx1((q, en)) }
+      assert(rows.find(r => r.getAs[Long]("n_probe") == 1L &&
+        r.getAs[Long]("query_id") == q)
+        .get.getAs[Long]("n_hits") == expected)
+    }
+  }
+
+  test("pqRecall: one row per tier x query, bounded, recount-consistent") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Similarity.pqRecall(emb).collect()
+    assert(rows.map(r => (r.getAs[String]("tier"),
+      r.getAs[Long]("query_id"))).toSet ==
+      (for (t <- Set("pq_adc", "ivfpq"); q <- 0L until 5L) yield (t, q)))
+    assert(rows.forall { r =>
+      val rec = r.getAs[Double]("recall")
+      rec >= 0.0 && rec <= 1.0 &&
+        rec == r.getAs[Long]("n_hits").toDouble / 10.0
+    })
+    // recount one tier directly: pq_adc's n_hits is |pqTopK ∩ brute|
+    val exact = Similarity.bruteForceTopK(emb).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val adc = Similarity.pqTopK(emb).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    for (q <- 0L until 5L) {
+      val expected = exact.count { case (eq, en) => eq == q && adc((q, en)) }
+      assert(rows.find(r => r.getAs[String]("tier") == "pq_adc" &&
+        r.getAs[Long]("query_id") == q)
+        .get.getAs[Long]("n_hits") == expected)
+    }
+  }
+
+  test("serving-form IVF-PQ equals the in-query-training form row-for-row") {
+    // s15's contract: materializing the trained artifacts (centroids +
+    // codebook) out of the query changes the PLAN, never the result
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cell"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_fp"),
+        r.getAs[Long]("rank"))).toSeq
+    val trained = rows(Similarity.ivfPqTopK(emb))
+    val served = rows(Similarity.ivfPqTopKServe(emb))
+    assert(trained.nonEmpty)
+    assert(served == trained)
+  }
 }

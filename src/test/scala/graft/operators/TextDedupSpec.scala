@@ -159,6 +159,29 @@ class TextDedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
     assert(rows.count(_.getAs[Boolean]("is_canonical")) == 2)
   }
+
+  test("label propagation converges in diameter+1 rounds on a path graph") {
+    import spark.implicits._
+    // worst-case geometry for min-label propagation: a 20-edge path
+    // 0-1-...-20 (diameter 20). The min label travels ONE hop per round,
+    // so node k adopts label 0 in exactly round k: convergence takes
+    // diameter rounds, and the `changed` counter needs one more quiet
+    // round to read zero — the driver-round = diameter relationship the
+    // scaladoc promises.
+    val pairs = (0L until 20L).map(i => (i, i + 1))
+      .toDF("vec_id_a", "vec_id_b")
+    // a budget of exactly diameter+1 rounds suffices...
+    val rows = Dedup.dedupClusters(pairs, maxIters = 21).collect()
+    assert(rows.length == 21)
+    assert(rows.forall(_.getAs[Long]("cluster_id") == 0L))
+    assert(rows.count(_.getAs[Boolean]("is_canonical")) == 1)
+    // ...and the bound is TIGHT: half the diameter cannot close the
+    // chain, and the loop fails loudly instead of returning the
+    // partially-propagated labels it holds at that point
+    intercept[IllegalArgumentException] {
+      Dedup.dedupClusters(pairs, maxIters = 10)
+    }
+  }
 }
 
 /** PII redaction + benchmark decontamination semantics. */
@@ -257,6 +280,40 @@ class PostingCapSpec extends graft.SparkSpec {
     // exact mode must keep the hot shingle for all n docs
     assert(Dedup.shinglePostings(docs, 3, maxDocFreq = None)
       .filter("shingle = 'shared boilerplate header'").count() == n)
+  }
+
+  test("capped containment drops hot-shingle-only pairs, keeps rare links") {
+    import spark.implicits._
+    // every doc = ["hot boiler plate", "boiler plate distinctI"]: ONE
+    // hot shingle linking all docs (df=10 after containmentPairs
+    // doubles the corpus with identical sub-200-char excerpts) plus one
+    // rare shingle linking only the doc to its own excerpt copy
+    val docs = (1L to 5L).map(i =>
+      (i, s"hot boiler plate distinct$i")).toDF("doc_id", "text")
+    def keys(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val uncapped = Dedup.containmentPairs(docs, threshold = 0.4,
+      maxDocFreq = None)
+    val capped = Dedup.containmentPairs(docs, threshold = 0.4,
+      maxDocFreq = Some(4))
+    // cap-off: the hot shingle alone links every cross-doc pair at
+    // containment 1/2 >= 0.4
+    assert(keys(uncapped).contains((1L, 2L)))
+    // cap-on (df 10 > 4): the hot shingle is gone, so pairs linked by
+    // NOTHING ELSE vanish; each doc keeps exactly its excerpt pair,
+    // scored over the CAPPED denominator (1 surviving shingle -> 1.0)
+    val cappedRows = capped.collect().map(r =>
+      ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("containment"))).toMap
+    assert(cappedRows.keySet ==
+      (1L to 5L).flatMap(i =>
+        Seq((i, i + 1000000L), (i + 1000000L, i))).toSet)
+    assert(cappedRows.values.forall(_ == 1.0))
+    // the cap only ever REMOVES link evidence here: surviving pairs are
+    // a strict subset of the exact-mode pairs
+    assert(cappedRows.keySet.subsetOf(keys(uncapped)))
+    assert(cappedRows.size < keys(uncapped).size)
   }
 }
 
