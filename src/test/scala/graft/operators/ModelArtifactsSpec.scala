@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The serving tier's model-artifact store stand-in: train once per
+  * (kind, params, input plan) per session, load thereafter. */
+class ModelArtifactsSpec extends SparkSpec {
+
+  test("cached trains exactly once per key and keys on plan + params") {
+    import spark.implicits._
+    ModelArtifacts.clear()
+    val a = Seq((1L, "x")).toDF("id", "v")
+    val b = Seq((2L, "y")).toDF("id", "v")
+    var trains = 0
+    def train(df: org.apache.spark.sql.DataFrame) = { trains += 1; df }
+    ModelArtifacts.cached("t", a, "p=1")(train(a))
+    ModelArtifacts.cached("t", a, "p=1")(train(a))
+    assert(trains == 1, "second call must LOAD, not retrain")
+    // a different input plan or different hyperparameters is a new model
+    ModelArtifacts.cached("t", b, "p=1")(train(b))
+    ModelArtifacts.cached("t", a, "p=2")(train(a))
+    assert(trains == 3)
+    // deliberate retrain path
+    ModelArtifacts.clear()
+    ModelArtifacts.cached("t", a, "p=1")(train(a))
+    assert(trains == 4)
+  }
+
+  test("the serve form answers identically from the cache-warm path") {
+    ModelArtifacts.clear()
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cold = Similarity.ivfPqTopKServe(emb).collect().toSeq
+    val warm = Similarity.ivfPqTopKServe(emb).collect().toSeq
+    assert(cold.nonEmpty && warm == cold)
+  }
+}

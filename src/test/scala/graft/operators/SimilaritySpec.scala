@@ -342,6 +342,29 @@ class SignLshSpec extends graft.SparkSpec {
     }
   }
 
+  test("serve-tier nProbe=2: per-rank ADC score never drops") {
+    // unlike s13's recall-vs-exact (where lossy scores break superset
+    // monotonicity), the list itself is ranked BY the deterministic
+    // integer ADC score — probing a second cell adds candidates under
+    // the same score, so at every rank the nProbe=2 adc_fp >= the
+    // nProbe=1 adc_fp, and the nProbe=2 list is at least as long
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def byRank(n: Int): Map[(Long, Long), Long] =
+      Similarity.ivfPqTopKServe(emb, nProbe = n).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+          r.getAs[Long]("adc_fp")).toMap
+    val one = byRank(1)
+    val two = byRank(2)
+    assert(one.nonEmpty)
+    assert(one.keySet.subsetOf(two.keySet),
+      "widening the probe shortened a result list")
+    for (((q, rank), s1) <- one) {
+      val s2 = two((q, rank))
+      assert(s2 >= s1,
+        s"query $q rank $rank: nProbe=2 adc $s2 < nProbe=1 $s1")
+    }
+  }
+
   test("serving-form IVF-PQ equals the in-query-training form row-for-row") {
     // s15's contract: materializing the trained artifacts (centroids +
     // codebook) out of the query changes the PLAN, never the result
@@ -354,5 +377,13 @@ class SignLshSpec extends graft.SparkSpec {
     val served = rows(Similarity.ivfPqTopKServe(emb))
     assert(trained.nonEmpty)
     assert(served == trained)
+    // the flat tier's serving form carries the same contract
+    def flatRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("adc_fp"), r.getAs[Long]("rank"))).toSeq
+    val flatTrained = flatRows(Similarity.pqTopK(emb))
+    val flatServed = flatRows(Similarity.pqTopKServe(emb))
+    assert(flatTrained.nonEmpty)
+    assert(flatServed == flatTrained)
   }
 }
