@@ -210,6 +210,8 @@ object SparkEntry {
       S.ivfNProbeRecall(Tables.embeddings(s, d))),
     "s15_ivfpq_serve" -> ((s, d) =>
       S.ivfPqTopKServe(Tables.embeddings(s, d))),
+    "s16_pq_nprobe_recall" -> ((s, d) =>
+      S.pqNProbeRecall(Tables.embeddings(s, d))),
     // --- lake adapter (reference parity: SURVEY §2.1/2.2, §3 E1-E3) ---
     "l01_marker_split" -> ((s, d) =>
       graft.lake.LakeQueries.markerSplitDemo(Tables.documents(s, d))),
@@ -507,13 +509,13 @@ object SparkEntry {
       |SELECT query_id, neighbor_id, adc_fp, rank FROM r
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
-  /** s12's IVF-PQ top-10: s08's 2-round coarse training CTEs
-    * (c-prefixed) composed with s11's subspace PQ CTEs (p-prefixed);
-    * ADC scoring restricted to each query's own coarse cell. Shared
-    * verbatim by s15 (the serving form is results-identical by
-    * construction) and the ivfpq side of s13. */
-  private val IvfPqOracle: String =
-    """WITH cv AS (SELECT vec_id, embedding AS emb,
+  /** The IVF-PQ CTE chain WITHOUT the leading `WITH` and without the
+    * final own-cell ADC: coarse training/assignment (cc-/ca-prefixed),
+    * subspace PQ training + codes (p-prefixed), per-query LUT. Shared
+    * by [[IvfPqOracle]] (own-cell ADC suffix) and s16's nprobe curve
+    * (cell-ranked probe suffix). */
+  private val IvfPqCtes: String =
+    """cv AS (SELECT vec_id, embedding AS emb,
       |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
       |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
       |    (a, b) -> a + b) AS vnorm2 FROM embeddings),
@@ -608,8 +610,15 @@ object SparkEntry {
       |  CAST(floor(list_reduce(list_transform(range(1, len(c.cemb)+1),
       |    i -> CAST(q.qsemb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
       |    (x, y) -> x + y) * 1000000.0) AS BIGINT) AS pdot_fp
-      |  FROM q JOIN pc1 c ON q.sub = c.sub),
-      |qc AS (SELECT vec_id AS query_id, cluster_id AS qcell
+      |  FROM q JOIN pc1 c ON q.sub = c.sub)""".stripMargin
+
+  /** s12's IVF-PQ top-10: [[IvfPqCtes]] + ADC scoring restricted to
+    * each query's own coarse cell. Shared verbatim by s15 (the serving
+    * form is results-identical by construction) and the ivfpq side of
+    * s13. */
+  private val IvfPqOracle: String =
+    s"WITH $IvfPqCtes,\n" +
+    """qc AS (SELECT vec_id AS query_id, cluster_id AS qcell
       |  FROM ca2 WHERE vec_id < 5),
       |adc AS (SELECT l.query_id, qc.qcell, co.vec_id AS neighbor_id,
       |  CAST(SUM(l.pdot_fp) AS BIGINT) AS adc_fp
@@ -733,6 +742,47 @@ object SparkEntry {
       |r AS (SELECT n_probe, query_id, neighbor_id,
       |  row_number() OVER (PARTITION BY n_probe, query_id
       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sc),
+      |ap AS (SELECT n_probe, query_id, neighbor_id, 1 AS hit FROM r
+      |  WHERE rank <= 10),
+      |ex AS (SELECT cf.n_probe, b.query_id, b.neighbor_id
+      |  FROM ($BruteTopKOracle) b CROSS JOIN cf)
+      |SELECT e.n_probe, e.query_id, count(a.hit) AS n_hits,
+      |  CAST(count(a.hit) AS DOUBLE) / 10.0 AS recall
+      |FROM ex e LEFT JOIN ap a ON e.n_probe = a.n_probe
+      |  AND e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      |GROUP BY e.n_probe, e.query_id
+      |ORDER BY e.n_probe, e.query_id""".stripMargin
+
+  /** s16: recall@10 of the IVF-PQ tier per n_probe — [[IvfPqCtes]]'
+    * trained pipeline with s14's probe-schedule suffix: pr ranks every
+    * coarse cell per query against the refined centroids cc1 (ties
+    * toward the lower cluster_id, the assignment order), config n ADC-
+    * scores the vectors in cell_rank ≤ n. Exact side = s01, nested. */
+  private val PqNProbeRecallOracle: String =
+    s"WITH $IvfPqCtes,\n" +
+    s"""pr AS (SELECT query_id, cluster_id AS cell,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY dist2 ASC, cluster_id ASC) AS cell_rank
+      |  FROM (SELECT v.vec_id AS query_id, c.cluster_id,
+      |    v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
+      |      list_transform(range(1, len(v.emb)+1), i ->
+      |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS dist2
+      |    FROM cv v CROSS JOIN cc1 c WHERE v.vec_id < 5)),
+      |cf AS (SELECT unnest(range(1, 3)) AS n_probe),
+      |pb AS (SELECT cf.n_probe, pr.query_id, pr.cell
+      |  FROM pr JOIN cf ON pr.cell_rank <= cf.n_probe),
+      |adc AS (SELECT p.n_probe, l.query_id, co.vec_id AS neighbor_id,
+      |  CAST(SUM(l.pdot_fp) AS BIGINT) AS adc_fp
+      |  FROM pcodes co
+      |  JOIN ca2 ce ON co.vec_id = ce.vec_id
+      |  JOIN lut l ON co.sub = l.sub AND co.code = l.code
+      |  JOIN pb p ON l.query_id = p.query_id AND ce.cluster_id = p.cell
+      |  WHERE co.vec_id <> l.query_id
+      |  GROUP BY 1, 2, 3),
+      |r AS (SELECT n_probe, query_id, neighbor_id,
+      |  row_number() OVER (PARTITION BY n_probe, query_id
+      |    ORDER BY adc_fp DESC, neighbor_id ASC) AS rank FROM adc),
       |ap AS (SELECT n_probe, query_id, neighbor_id, 1 AS hit FROM r
       |  WHERE rank <= 10),
       |ex AS (SELECT cf.n_probe, b.query_id, b.neighbor_id
@@ -2127,6 +2177,7 @@ object SparkEntry {
     // same trained artifacts, same ADC arithmetic, only the training
     // lineage is materialized out of the query
     "s15_ivfpq_serve" -> IvfPqOracle,
+    "s16_pq_nprobe_recall" -> PqNProbeRecallOracle,
     "q31_lateral_topn" ->
       """SELECT n.n_name AS nation, t.c_name, t.c_acctbal
         |FROM nation n, LATERAL (

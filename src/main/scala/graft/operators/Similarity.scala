@@ -791,6 +791,67 @@ object Similarity {
       .orderBy(col("tier"), col("query_id"))
   }
 
+  /** s16: recall@k of the IVF-PQ SERVING tier per n_probe — the last
+    * panel of the FAISS tuning triptych: s13 measures what ADC
+    * quantization + own-cell pruning cost, s14 shows what nprobe
+    * recovers under EXACT in-cell refinement, and this shows what it
+    * recovers when the in-cell scores are themselves lossy ADC sums.
+    * One pass at maxProbe serves every config (cell_rank ≤ n filter on
+    * the shared probe schedule), so the curve costs one ADC sweep.
+    * NOT provably monotone (the s13 caveat: candidate supersets under
+    * a lossy score can recall worse) — which is exactly why the curve
+    * must be MEASURED before spending nprobe compute at 100 TB. */
+  def pqNProbeRecall(embeddings: DataFrame, maxProbe: Int = 2,
+      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val m = 4; val subDim = 16; val kCodes = 8
+    val centroids = ModelArtifacts.cached("ivf-centroids", embeddings,
+      "k=8")(Clustering.trainedCentroidsLocal(embeddings))
+    val codebook = ModelArtifacts.cached("pq-codebook", embeddings,
+      s"m=$m,subDim=$subDim,k=$kCodes")(
+      pqCodebookLocal(embeddings, m, subDim, kCodes))
+    val vectors = embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2",
+        graft.functions.VectorOps.dot(col("emb"), col("emb")))
+    val cells = Clustering.assign(vectors, centroids)
+      .select(col("vec_id"), col("cluster_id").as("cell"))
+    val codes = pqAssign(pqSubvectors(embeddings, m, subDim), codebook)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val lut = pqLut(embeddings, codebook, m, subDim, nQueries)
+    val queries = vectors.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("query_emb"),
+        col("vnorm2").as("qnorm2"))
+    val ranked = probeCells(queries, centroids, maxProbe)
+    val configs = embeddings.sparkSession.range(1, maxProbe + 1)
+      .select(col("id").as("n_probe"))
+    val probes = ranked.join(broadcast(configs),
+        col("cell_rank") <= col("n_probe"))
+      .select(col("n_probe"), col("query_id"), col("cell"))
+    // disjoint cells: a (query, code-vector) candidate appears at most
+    // once per config — no dedup before the ADC partial agg
+    val scored = codes
+      .join(cells, "vec_id")
+      .join(broadcast(lut), Seq("sub", "code"))
+      .join(broadcast(probes), Seq("query_id", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("n_probe"), col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot_fp")).as("adc_fp"))
+    val approx = topKByQuery(scored, "adc_fp", k,
+        Seq("n_probe", "query_id"))
+      .select(col("n_probe"), col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    val exact = bruteForceTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(configs))
+    exact.join(approx, Seq("n_probe", "query_id", "neighbor_id"), "left")
+      .groupBy(col("n_probe"), col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("n_probe"), col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(k).cast("double"))
+          .as("recall"))
+      .orderBy(col("n_probe"), col("query_id"))
+  }
+
   def quantizedTopK(embeddings: DataFrame, nQueries: Int = 5,
       k: Int = 10): DataFrame = {
     val corpus = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qemb"))

@@ -365,6 +365,25 @@ class SignLshSpec extends graft.SparkSpec {
     }
   }
 
+  test("pqNProbeRecall: bounded, and its n_probe=1 slice IS s13's ivfpq row") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Similarity.pqNProbeRecall(emb, maxProbe = 2).collect()
+    assert(rows.length == 2 * 5)
+    assert(rows.forall { r =>
+      val rec = r.getAs[Double]("recall")
+      rec >= 0.0 && rec <= 1.0 &&
+        rec == r.getAs[Long]("n_hits").toDouble / 10.0
+    })
+    // probing exactly the own cell is s12/s15's semantics, so the
+    // n_probe=1 slice must agree with the s13 eval's ivfpq tier
+    val curve1 = rows.filter(_.getAs[Long]("n_probe") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("n_hits")).toMap
+    val s13 = Similarity.pqRecall(emb).collect()
+      .filter(_.getAs[String]("tier") == "ivfpq")
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("n_hits")).toMap
+    assert(curve1 == s13)
+  }
+
   test("serving-form IVF-PQ equals the in-query-training form row-for-row") {
     // s15's contract: materializing the trained artifacts (centroids +
     // codebook) out of the query changes the PLAN, never the result
