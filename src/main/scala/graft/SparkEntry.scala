@@ -212,6 +212,8 @@ object SparkEntry {
       S.ivfPqTopKServe(Tables.embeddings(s, d))),
     "s16_pq_nprobe_recall" -> ((s, d) =>
       S.pqNProbeRecall(Tables.embeddings(s, d))),
+    "s17_ivfpq_rerank" -> ((s, d) =>
+      S.ivfPqRerankTopK(Tables.embeddings(s, d))),
     // --- lake adapter (reference parity: SURVEY §2.1/2.2, §3 E1-E3) ---
     "l01_marker_split" -> ((s, d) =>
       graft.lake.LakeQueries.markerSplitDemo(Tables.documents(s, d))),
@@ -793,6 +795,49 @@ object SparkEntry {
       |  AND e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
       |GROUP BY e.n_probe, e.query_id
       |ORDER BY e.n_probe, e.query_id""".stripMargin
+
+  /** s17: IVF-PQ ADC candidates (top-25 over the 2 nearest cells) →
+    * exact-cosine rerank → top-10. [[IvfPqCtes]] + s16's probe suffix
+    * at a fixed n_probe=2, then the s10 rerank recipe over `cv`. */
+  private val IvfPqRerankOracle: String =
+    s"WITH $IvfPqCtes,\n" +
+    """pr AS (SELECT query_id, cluster_id AS cell,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY dist2 ASC, cluster_id ASC) AS cell_rank
+      |  FROM (SELECT v.vec_id AS query_id, c.cluster_id,
+      |    v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
+      |      list_transform(range(1, len(v.emb)+1), i ->
+      |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS dist2
+      |    FROM cv v CROSS JOIN cc1 c WHERE v.vec_id < 5)),
+      |pb AS (SELECT query_id, cell FROM pr WHERE cell_rank <= 2),
+      |adc AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+      |  CAST(SUM(l.pdot_fp) AS BIGINT) AS adc_fp
+      |  FROM pcodes co
+      |  JOIN ca2 ce ON co.vec_id = ce.vec_id
+      |  JOIN lut l ON co.sub = l.sub AND co.code = l.code
+      |  JOIN pb p ON l.query_id = p.query_id AND ce.cluster_id = p.cell
+      |  WHERE co.vec_id <> l.query_id
+      |  GROUP BY 1, 2),
+      |cand AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc_fp DESC, neighbor_id ASC) AS rn FROM adc)
+      |  WHERE rn <= 25),
+      |qv AS (SELECT vec_id AS query_id, emb AS query_emb,
+      |  vnorm2 AS qnorm2 FROM cv WHERE vec_id < 5),
+      |rr AS (SELECT c.query_id, c.neighbor_id,
+      |  list_reduce(list_transform(range(1, len(n.emb)+1), i ->
+      |    CAST(n.emb[i] AS DOUBLE) * CAST(q.query_emb[i] AS DOUBLE)),
+      |    (x, y) -> x + y) / (sqrt(n.vnorm2) * sqrt(q.qnorm2)) AS cosine
+      |  FROM cand c JOIN cv n ON c.neighbor_id = n.vec_id
+      |  JOIN qv q ON c.query_id = q.query_id),
+      |r AS (SELECT query_id, neighbor_id, cosine,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      |  FROM rr)
+      |SELECT query_id, neighbor_id, cosine, rank FROM r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** Shared by l04 (relational merge) and l07 (merge through the
     * snapshot commit path): both must equal this exact-SQL form. */
@@ -2178,6 +2223,7 @@ object SparkEntry {
     // lineage is materialized out of the query
     "s15_ivfpq_serve" -> IvfPqOracle,
     "s16_pq_nprobe_recall" -> PqNProbeRecallOracle,
+    "s17_ivfpq_rerank" -> IvfPqRerankOracle,
     "q31_lateral_topn" ->
       """SELECT n.n_name AS nation, t.c_name, t.c_acctbal
         |FROM nation n, LATERAL (

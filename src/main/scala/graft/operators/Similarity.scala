@@ -852,6 +852,64 @@ object Similarity {
       .orderBy(col("n_probe"), col("query_id"))
   }
 
+  /** s17: the standard FAISS serving composition s16's measurement
+    * motivates — IVF-PQ ADC as the CANDIDATE generator (top-kCoarse
+    * per query over the nProbe nearest cells), exact cosine as the
+    * re-ranker over those candidates only. s16 shows raw ADC lists are
+    * not monotone in nprobe (lossy-score false positives displace real
+    * hits as cells widen); re-ranking restores the guarantee: for a
+    * fixed candidate set C, the exact top-k contains EVERY true
+    * neighbor present in C (|T| = k bounds them), so rerank recall =
+    * |C ∩ T|/k — the maximum extractable from C — and dominates the
+    * raw ADC list's recall at the same probe width (spec-asserted).
+    * Float work per query is kCoarse rows; the corpus-wide pass stays
+    * integer ADC over codes. */
+  def ivfPqRerankTopK(embeddings: DataFrame, m: Int = 4,
+      subDim: Int = 16, k: Int = 8, nQueries: Int = 5,
+      kCoarse: Int = 25, topK: Int = 10, nProbe: Int = 2): DataFrame = {
+    val centroids = ModelArtifacts.cached("ivf-centroids", embeddings,
+      "k=8")(Clustering.trainedCentroidsLocal(embeddings))
+    val codebook = ModelArtifacts.cached("pq-codebook", embeddings,
+      s"m=$m,subDim=$subDim,k=$k")(pqCodebookLocal(embeddings, m, subDim, k))
+    val vectors = embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2",
+        graft.functions.VectorOps.dot(col("emb"), col("emb")))
+    val cells = Clustering.assign(vectors, centroids)
+      .select(col("vec_id"), col("cluster_id").as("cell"))
+    val codes = pqAssign(pqSubvectors(embeddings, m, subDim), codebook)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val lut = pqLut(embeddings, codebook, m, subDim, nQueries)
+    val queries = vectors.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("query_emb"),
+        col("vnorm2").as("qnorm2"))
+    val probes = probeCells(queries, centroids, nProbe)
+    val scored = codes
+      .join(cells, "vec_id")
+      .join(broadcast(lut), Seq("sub", "code"))
+      .join(broadcast(probes.select(col("query_id"), col("cell"))),
+        Seq("query_id", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot_fp")).as("adc_fp"))
+    val cands = topKByQuery(scored, "adc_fp", kCoarse)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact refine on candidates only: kCoarse float rows per query
+    val reranked = cands
+      .join(vectors.select(col("vec_id").as("neighbor_id"),
+        col("emb"), col("vnorm2")), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("cosine",
+        graft.functions.VectorOps.dot(col("emb"), col("query_emb")) /
+          (sqrt(col("vnorm2")) * sqrt(col("qnorm2"))))
+      .select(col("query_id"), col("neighbor_id").as("vec_id"),
+        col("cosine"))
+    topKByQuery(reranked, "cosine", topK)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def quantizedTopK(embeddings: DataFrame, nQueries: Int = 5,
       k: Int = 10): DataFrame = {
     val corpus = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qemb"))

@@ -25,6 +25,7 @@ class PlanAuditSpec extends SparkSpec {
     "s14_nprobe_recall", // s01 exact side + s08's centroid crosses + config cross
     "s15_ivfpq_serve", // s12's serving form: broadcast(model rows) x corpus
     "s16_pq_nprobe_recall", // s15's probe + s01 exact side + config cross
+    "s17_ivfpq_rerank", // s15's probe machinery + broadcast(query) refine
     "s09_recall_multiprobe", // s01 exact side + tiny radius-config cross
     "s06_quantized_topk", // s01's shape on the quantized memory tier
     "b01_bm25_rank", // ONE-row corpus-stats frame broadcast-crossed in

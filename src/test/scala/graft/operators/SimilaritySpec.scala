@@ -384,6 +384,31 @@ class SignLshSpec extends graft.SparkSpec {
     assert(curve1 == s13)
   }
 
+  test("exact rerank dominates the raw ADC list's recall at equal nprobe") {
+    // the provable recovery: for a fixed candidate set C the exact-
+    // cosine top-k contains every true neighbor in C (|T| = k bounds
+    // them), so rerank recall = |C ∩ T|/k — the maximum extractable
+    // from C — while the raw ADC top-k ⊆ C can only miss more. s16
+    // measured the raw list NON-monotone in nprobe; this is the
+    // composition that makes widening the probe safe.
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.bruteForceTopK(emb).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val reranked = Similarity.ivfPqRerankTopK(emb).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val rawCurve = Similarity.pqNProbeRecall(emb, maxProbe = 2).collect()
+      .filter(_.getAs[Long]("n_probe") == 2L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("n_hits")).toMap
+    for (q <- 0L until 5L) {
+      val rerankHits = exact.count { case (eq, en) =>
+        eq == q && reranked((q, en)) }
+      assert(rerankHits >= rawCurve(q),
+        s"query $q: rerank recall $rerankHits below raw ADC ${rawCurve(q)}")
+    }
+  }
+
   test("serving-form IVF-PQ equals the in-query-training form row-for-row") {
     // s15's contract: materializing the trained artifacts (centroids +
     // codebook) out of the query changes the PLAN, never the result
