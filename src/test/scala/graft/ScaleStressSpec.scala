@@ -126,6 +126,8 @@ class ScaleStressSpec extends SparkSpec {
       S.ivfPqTopK(emb), S.ivfPqTopK(embX), true),
     ("s15_ivfpq_serve",
       S.ivfPqTopKServe(emb), S.ivfPqTopKServe(embX), true),
+    ("s17_ivfpq_rerank",
+      S.ivfPqRerankTopK(emb), S.ivfPqRerankTopK(embX), true),
     // d13's connected-components loop materializes (localCheckpoint)
     // at construction like d07/d10 above, so its factor covers the
     // post-CC labels projection; the banded candidate JOIN — the part
