@@ -214,6 +214,8 @@ object SparkEntry {
       S.pqNProbeRecall(Tables.embeddings(s, d))),
     "s17_ivfpq_rerank" -> ((s, d) =>
       S.ivfPqRerankTopK(Tables.embeddings(s, d))),
+    "s18_ivfpq_append" -> ((s, d) =>
+      S.ivfPqAppendServe(Tables.embeddings(s, d))),
     // --- lake adapter (reference parity: SURVEY §2.1/2.2, §3 E1-E3) ---
     "l01_marker_split" -> ((s, d) =>
       graft.lake.LakeQueries.markerSplitDemo(Tables.documents(s, d))),
@@ -837,6 +839,131 @@ object SparkEntry {
       |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
       |  FROM rr)
       |SELECT query_id, neighbor_id, cosine, rank FROM r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** s18: the append form — [[IvfPqCtes]]' chain with every TRAINING
+    * input restricted to the base corpus (vec_id % 5 <> 0; seeds
+    * therefore {1,2,3,4,6,7}) while the ENCODE/assign passes (ca2,
+    * pcodes) and the query/LUT/ADC suffix run over the full corpus:
+    * the frozen-model append semantics, base-trained quantizers coding
+    * vectors they never saw. */
+  private val IvfPqAppendOracle: String =
+    """WITH cv AS (SELECT vec_id, embedding AS emb,
+      |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+      |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS vnorm2 FROM embeddings),
+      |cb AS (SELECT vec_id, emb, vnorm2 FROM cv WHERE vec_id % 5 <> 0),
+      |cc0 AS (SELECT vec_id AS cluster_id, embedding AS cemb,
+      |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+      |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS cnorm2 FROM embeddings
+      |  WHERE vec_id < 8 AND vec_id % 5 <> 0),
+      |ca1 AS (SELECT vec_id, emb, vnorm2, cluster_id FROM (
+      |  SELECT vec_id, emb, vnorm2, cluster_id,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist2 ASC, cluster_id ASC) AS rn
+      |  FROM (SELECT v.vec_id, v.emb, v.vnorm2, c.cluster_id,
+      |    v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
+      |      list_transform(range(1, len(v.emb)+1), i ->
+      |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS dist2
+      |    FROM cb v CROSS JOIN cc0 c)) WHERE rn = 1),
+      |cex1 AS (SELECT cluster_id, vec_id, u.dim AS dim, u.val AS val
+      |  FROM (SELECT cluster_id, vec_id,
+      |    unnest(list_transform(range(1, len(emb)+1),
+      |      i -> {'dim': i, 'val': emb[i]})) AS u FROM ca1)),
+      |cmed1 AS (SELECT cluster_id, dim, val FROM (
+      |  SELECT cluster_id, dim, val,
+      |    row_number() OVER (PARTITION BY cluster_id, dim
+      |      ORDER BY val ASC, vec_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY cluster_id, dim) AS n
+      |  FROM cex1) WHERE rn = (n + 1) // 2),
+      |cc1a AS (SELECT cluster_id, list(val ORDER BY dim) AS cemb
+      |  FROM cmed1 GROUP BY cluster_id),
+      |cc1 AS (SELECT cluster_id, cemb,
+      |  list_reduce(list_transform(range(1, len(cemb)+1), i ->
+      |    CAST(cemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS cnorm2 FROM cc1a),
+      |ca2 AS (SELECT vec_id, cluster_id FROM (
+      |  SELECT vec_id, cluster_id,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist2 ASC, cluster_id ASC) AS rn
+      |  FROM (SELECT v.vec_id, c.cluster_id,
+      |    v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
+      |      list_transform(range(1, len(v.emb)+1), i ->
+      |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS dist2
+      |    FROM cv v CROSS JOIN cc1 c)) WHERE rn = 1),
+      |sn AS (SELECT vec_id, u.sub AS sub, u.semb AS semb,
+      |    list_reduce(list_transform(range(1, len(u.semb)+1), i ->
+      |      CAST(u.semb[i] AS DOUBLE) * CAST(u.semb[i] AS DOUBLE)),
+      |      (a, b) -> a + b) AS snorm2
+      |  FROM (SELECT vec_id, unnest(list_transform(range(0, 4), s ->
+      |    {'sub': s, 'semb': embedding[s*16+1 : s*16+16]})) AS u
+      |   FROM embeddings)),
+      |snb AS (SELECT vec_id, sub, semb, snorm2 FROM sn
+      |  WHERE vec_id % 5 <> 0),
+      |p0 AS (SELECT sub, vec_id AS code, semb AS cemb,
+      |    snorm2 AS cnorm2 FROM sn
+      |  WHERE vec_id < 8 AND vec_id % 5 <> 0),
+      |pa1 AS (SELECT vec_id, sub, code, semb FROM (
+      |  SELECT vec_id, sub, code, semb,
+      |    row_number() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY dist2 ASC, code ASC) AS rn
+      |  FROM (SELECT v.vec_id, v.sub, c.code, v.semb,
+      |    v.snorm2 + c.cnorm2 - 2.0 * list_reduce(
+      |      list_transform(range(1, len(v.semb)+1), i ->
+      |        CAST(v.semb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS dist2
+      |    FROM snb v JOIN p0 c ON v.sub = c.sub)) WHERE rn = 1),
+      |pex1 AS (SELECT sub, code, vec_id, u.dim AS dim, u.val AS val
+      |  FROM (SELECT sub, code, vec_id,
+      |    unnest(list_transform(range(1, len(semb)+1),
+      |      i -> {'dim': i, 'val': semb[i]})) AS u FROM pa1)),
+      |pmed1 AS (SELECT sub, code, dim, val FROM (
+      |  SELECT sub, code, dim, val,
+      |    row_number() OVER (PARTITION BY sub, code, dim
+      |      ORDER BY val ASC, vec_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY sub, code, dim) AS n
+      |  FROM pex1) WHERE rn = (n + 1) // 2),
+      |pc1a AS (SELECT sub, code, list(val ORDER BY dim) AS cemb
+      |  FROM pmed1 GROUP BY sub, code),
+      |pc1 AS (SELECT sub, code, cemb,
+      |  list_reduce(list_transform(range(1, len(cemb)+1), i ->
+      |    CAST(cemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS cnorm2 FROM pc1a),
+      |pcodes AS (SELECT vec_id, sub, code FROM (
+      |  SELECT vec_id, sub, code,
+      |    row_number() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY dist2 ASC, code ASC) AS rn
+      |  FROM (SELECT v.vec_id, v.sub, c.code,
+      |    v.snorm2 + c.cnorm2 - 2.0 * list_reduce(
+      |      list_transform(range(1, len(v.semb)+1), i ->
+      |        CAST(v.semb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS dist2
+      |    FROM sn v JOIN pc1 c ON v.sub = c.sub)) WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, sub, semb AS qsemb
+      |  FROM sn WHERE vec_id < 5),
+      |lut AS (SELECT q.query_id, c.sub, c.code,
+      |  CAST(floor(list_reduce(list_transform(range(1, len(c.cemb)+1),
+      |    i -> CAST(q.qsemb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |    (x, y) -> x + y) * 1000000.0) AS BIGINT) AS pdot_fp
+      |  FROM q JOIN pc1 c ON q.sub = c.sub),
+      |qc AS (SELECT vec_id AS query_id, cluster_id AS qcell
+      |  FROM ca2 WHERE vec_id < 5),
+      |adc AS (SELECT l.query_id, qc.qcell, co.vec_id AS neighbor_id,
+      |  CAST(SUM(l.pdot_fp) AS BIGINT) AS adc_fp
+      |  FROM pcodes co
+      |  JOIN ca2 ce ON co.vec_id = ce.vec_id
+      |  JOIN lut l ON co.sub = l.sub AND co.code = l.code
+      |  JOIN qc ON l.query_id = qc.query_id
+      |  WHERE ce.cluster_id = qc.qcell AND co.vec_id <> l.query_id
+      |  GROUP BY 1, 2, 3),
+      |r AS (SELECT query_id, qcell, neighbor_id, adc_fp,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY adc_fp DESC, neighbor_id ASC) AS BIGINT) AS rank
+      |  FROM adc)
+      |SELECT query_id, qcell AS cell, neighbor_id, adc_fp, rank FROM r
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** Shared by l04 (relational merge) and l07 (merge through the
@@ -2224,6 +2351,7 @@ object SparkEntry {
     "s15_ivfpq_serve" -> IvfPqOracle,
     "s16_pq_nprobe_recall" -> PqNProbeRecallOracle,
     "s17_ivfpq_rerank" -> IvfPqRerankOracle,
+    "s18_ivfpq_append" -> IvfPqAppendOracle,
     "q31_lateral_topn" ->
       """SELECT n.n_name AS nation, t.c_name, t.c_acctbal
         |FROM nation n, LATERAL (

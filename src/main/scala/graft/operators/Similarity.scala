@@ -910,6 +910,68 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s18: INDEX APPEND without retrain — the daily operation of a
+    * production ANN index (FAISS `add()`): the quantizers are FROZEN on
+    * the base corpus (vec_id % 5 != 0, ~80%), newly-arrived vectors
+    * (the delta, % 5 == 0) are encoded with those frozen artifacts, and
+    * serving runs over the union. Retraining per append would both cost
+    * a corpus pass AND silently shift every existing code; freezing the
+    * model keeps old codes valid — encode is per-vector, so
+    * encode(base ∪ delta) = stored-base-codes ∪ encode(delta)
+    * (spec-asserted), and the ledger form recodes everything only
+    * because the fixture carries no code store. Completes the index
+    * lifecycle: train (s12) → serve (s15) → tune (s13/s14/s16) →
+    * rerank (s17) → append (s18). */
+  def ivfPqAppendServe(embeddings: DataFrame, m: Int = 4,
+      subDim: Int = 16, k: Int = 8, nQueries: Int = 5,
+      topK: Int = 10): DataFrame = {
+    val base = embeddings.filter(col("vec_id") % 5 =!= 0)
+    // artifacts keyed by the BASE plan: a different training set is a
+    // different model, never a silent cache share with the full-corpus
+    // tiers
+    val centroids = ModelArtifacts.cached("ivf-centroids", base,
+      "k=8")(Clustering.trainedCentroidsLocal(base))
+    val codebook = ModelArtifacts.cached("pq-codebook", base,
+      s"m=$m,subDim=$subDim,k=$k")(pqCodebookLocal(base, m, subDim, k))
+    val vectors = embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2",
+        graft.functions.VectorOps.dot(col("emb"), col("emb")))
+    val cells = Clustering.assign(vectors, centroids)
+      .select(col("vec_id"), col("cluster_id").as("cell"))
+    val codes = pqAssign(pqSubvectors(embeddings, m, subDim), codebook)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val lut = pqLut(embeddings, codebook, m, subDim, nQueries)
+    val queries = vectors.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("query_emb"),
+        col("vnorm2").as("qnorm2"))
+    val probes = probeCells(queries, centroids, 1)
+    val scored = codes
+      .join(cells, "vec_id")
+      .join(broadcast(lut), Seq("sub", "code"))
+      .join(broadcast(probes.select(col("query_id"), col("cell"))),
+        Seq("query_id", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot_fp")).as("adc_fp"))
+    topKByQuery(scored, "adc_fp", topK)
+      .join(broadcast(probes.filter(col("cell_rank") === 1)
+        .select(col("query_id"), col("cell"))), "query_id")
+      .select(col("query_id"), col("cell"),
+        col("neighbor_id"), col("adc_fp").cast("long").as("adc_fp"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** PQ-encode `vectors` against an explicit codebook — exposed for the
+    * append-safety property: encode is PER-VECTOR (broadcast-assign
+    * argmin, no cross-vector dependency), so appending a delta can
+    * never change an existing vector's code. */
+  def pqEncodeWith(vectors: DataFrame, codebook: DataFrame, m: Int = 4,
+      subDim: Int = 16): DataFrame =
+    pqAssign(pqSubvectors(vectors, m, subDim), codebook)
+      .select(col("vec_id"), col("sub"), col("code"))
+
   def quantizedTopK(embeddings: DataFrame, nQueries: Int = 5,
       k: Int = 10): DataFrame = {
     val corpus = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qemb"))

@@ -26,6 +26,7 @@ class PlanAuditSpec extends SparkSpec {
     "s15_ivfpq_serve", // s12's serving form: broadcast(model rows) x corpus
     "s16_pq_nprobe_recall", // s15's probe + s01 exact side + config cross
     "s17_ivfpq_rerank", // s15's probe machinery + broadcast(query) refine
+    "s18_ivfpq_append", // s15's serve shape over base-trained model rows
     "s09_recall_multiprobe", // s01 exact side + tiny radius-config cross
     "s06_quantized_topk", // s01's shape on the quantized memory tier
     "b01_bm25_rank", // ONE-row corpus-stats frame broadcast-crossed in

@@ -409,6 +409,32 @@ class SignLshSpec extends graft.SparkSpec {
     }
   }
 
+  test("append is code-stable: delta vectors never change base codes") {
+    // the property that makes frozen-model append SAFE: encode is a
+    // per-vector broadcast-assign argmin with no cross-vector
+    // dependency, so coding the union equals coding base and delta
+    // independently — existing stored codes stay valid verbatim
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(org.apache.spark.sql.functions
+      .col("vec_id") % 5 =!= 0)
+    val codebook = Similarity.pqCodebookLocal(base)
+    def codeMap(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqEncodeWith(df, codebook).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub")) ->
+          r.getAs[Long]("code")).toMap
+    val unionCodes = codeMap(emb)
+    val baseCodes = codeMap(base)
+    assert(baseCodes.nonEmpty)
+    assert(baseCodes.forall { case (k, c) => unionCodes(k) == c },
+      "appending the delta changed an existing vector's code")
+    // and the appended vectors are genuinely searchable: the served
+    // top-k over the union surfaces delta members
+    val served = Similarity.ivfPqAppendServe(emb).collect()
+    assert(served.nonEmpty)
+    assert(served.exists(_.getAs[Long]("neighbor_id") % 5 == 0),
+      "no delta vector ever surfaced in the served results")
+  }
+
   test("serving-form IVF-PQ equals the in-query-training form row-for-row") {
     // s15's contract: materializing the trained artifacts (centroids +
     // codebook) out of the query changes the PLAN, never the result
