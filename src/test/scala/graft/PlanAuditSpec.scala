@@ -27,6 +27,7 @@ class PlanAuditSpec extends SparkSpec {
     "s16_pq_nprobe_recall", // s15's probe + s01 exact side + config cross
     "s17_ivfpq_rerank", // s15's probe machinery + broadcast(query) refine
     "s18_ivfpq_append", // s15's serve shape over base-trained model rows
+    "m04_media_retrieval", // s01's broadcast(5 query features) x corpus
     "s09_recall_multiprobe", // s01 exact side + tiny radius-config cross
     "s06_quantized_topk", // s01's shape on the quantized memory tier
     "b01_bm25_rank", // ONE-row corpus-stats frame broadcast-crossed in

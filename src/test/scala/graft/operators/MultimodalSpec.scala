@@ -84,6 +84,37 @@ class MediaDedupSpec extends graft.SparkSpec {
     // (1000000 % 3 = 1), so each group: 2 copies, 2 claimed types
     assert(got == Map(1L -> ((2L, 2L)), 2L -> ((2L, 2L))))
   }
+
+  test("media retrieval: identical payloads rank first with the max score") {
+    import spark.implicits._
+    // asset 5 is a byte-identical copy of query asset 0 -> identical
+    // pseudo-features -> the self-dot is the maximum possible score for
+    // that query, so 5 must rank 1 for query 0
+    val docs = Seq((0L, "payload alpha"), (1L, "payload beta"),
+      (2L, "payload gamma"), (3L, "payload delta"), (4L, "payload eps"),
+      (5L, "payload alpha")).toDF("doc_id", "text")
+    val rows = Multimodal.mediaRetrieval(docs).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == (0L until 5L).toSet)
+    for ((q, rs) <- byQuery) {
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length))
+      assert(sorted.forall(_.getAs[Long]("neighbor_id") != q))
+      // scores descend and are non-negative (digit values are 0..15)
+      val s = sorted.map(_.getAs[Long]("score"))
+      assert(s.sliding(2).forall {
+        case Array(a, b) => a >= b
+        case _ => true
+      })
+      assert(s.forall(_ >= 0L))
+    }
+    val q0 = byQuery(0L).sortBy(_.getAs[Long]("rank"))
+    assert(q0.head.getAs[Long]("neighbor_id") == 5L)
+    // determinism: a second run returns byte-identical rows
+    val again = Multimodal.mediaRetrieval(docs).collect()
+    assert(again.map(_.toString).toSeq == rows.map(_.toString).toSeq)
+  }
 }
 
 /** Stub resize plumbing. */
