@@ -38,13 +38,16 @@ object ModelArtifacts {
     * LOCAL (already-materialized) model frame — see
     * [[Clustering.trainedCentroidsLocal]] / [[Similarity.pqCodebookLocal]].
     *
-    * Key construction: the canonicalized plan STRING identifies file
-    * sources (the print embeds the resolved location) and is stable
-    * across re-reads of the same path — object equality would not be,
-    * each `spark.read` builds a fresh FileIndex and a cache that missed
-    * on every sweep would be no cache at all. LocalRelation leaves
-    * print WITHOUT their rows, so their data hashes in explicitly —
-    * two in-memory corpora with one schema must not share a model. */
+    * Key construction: the canonicalized plan STRING is stable across
+    * re-reads of the same path (object equality would not be — each
+    * `spark.read` builds a fresh FileIndex, and a cache that missed on
+    * every sweep would be no cache at all) but it is NOT sufficient
+    * alone: a parquet relation canonicalizes to just
+    * `Relation [none#..] parquet` — NO path — so two same-typed file
+    * corpora would collide, and LocalRelation leaves print WITHOUT
+    * their rows. Both identity sources enter the key explicitly: the
+    * sorted resolved file listing (`inputFiles`) distinguishes file
+    * corpora, the per-leaf row-data hash distinguishes in-memory ones. */
   def cached(kind: String, input: DataFrame, params: String)(
       train: => DataFrame): DataFrame = {
     val analyzed = input.queryExecution.analyzed
@@ -53,7 +56,8 @@ object ModelArtifacts {
         l.data.hashCode.toString
       case _ => "-"
     }.mkString(",")
-    val key = kind + "|" + params + "|" + leafData + "|" +
+    val files = input.inputFiles.sorted.mkString(";")
+    val key = kind + "|" + params + "|" + leafData + "|" + files + "|" +
       analyzed.canonicalized.toString
     cache.computeIfAbsent(key, _ => train)
   }

@@ -200,9 +200,13 @@ object Multimodal {
         col("vec_id") =!= col("query_id"))
       .withColumn("score",
         graft.functions.VectorOps.dot(col("features"), col("qf")))
-    Similarity.topKByQuery(scored, "score", k)
-      .join(feats.select(col("vec_id").as("neighbor_id"),
-        col("media_type")), "neighbor_id")
+    // the top-k result (nQueries·k rows) is the hinted BROADCAST build
+    // side of the media_type re-attach — it derives from an aggregate,
+    // so Catalyst's size estimate can't be trusted, and a sort-merge
+    // fallback would shuffle the corpus-sized feature frame
+    feats.select(col("vec_id").as("neighbor_id"), col("media_type"))
+      .join(broadcast(Similarity.topKByQuery(scored, "score", k)),
+        "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), col("media_type"),
         col("score").cast("long").as("score"), col("rank"))
       .orderBy(col("query_id"), col("rank"))

@@ -647,6 +647,49 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The coarse-quantizer K every serving-form query trains/loads with
+    * — threaded into both the cache key and the trainer so the two can
+    * never drift apart. */
+  private val CoarseK: Int = 8
+
+  private def cachedCentroids(trainOn: DataFrame): DataFrame =
+    ModelArtifacts.cached("ivf-centroids", trainOn, s"k=$CoarseK")(
+      Clustering.trainedCentroidsLocal(trainOn, CoarseK))
+
+  private def cachedCodebook(trainOn: DataFrame, m: Int, subDim: Int,
+      k: Int): DataFrame =
+    ModelArtifacts.cached("pq-codebook", trainOn,
+      s"m=$m,subDim=$subDim,k=$k")(pqCodebookLocal(trainOn, m, subDim, k))
+
+  /** Everything a serving-form IVF-PQ query builds before its own
+    * probe/score step: the cached model artifacts (trained on
+    * `trainOn`, which is the full corpus except in the append form) and
+    * the encode/LUT/query frames over the full corpus. ONE home for the
+    * artifact loads so the cache-key construction lives in exactly one
+    * place. */
+  private case class ServeCtx(centroids: DataFrame, codebook: DataFrame,
+      vectors: DataFrame, cells: DataFrame, codes: DataFrame,
+      lut: DataFrame, queries: DataFrame)
+
+  private def servingContext(embeddings: DataFrame, trainOn: DataFrame,
+      m: Int, subDim: Int, k: Int, nQueries: Int): ServeCtx = {
+    val centroids = cachedCentroids(trainOn)
+    val codebook = cachedCodebook(trainOn, m, subDim, k)
+    val vectors = embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2",
+        graft.functions.VectorOps.dot(col("emb"), col("emb")))
+    val cells = Clustering.assign(vectors, centroids)
+      .select(col("vec_id"), col("cluster_id").as("cell"))
+    val codes = pqAssign(pqSubvectors(embeddings, m, subDim), codebook)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val lut = pqLut(embeddings, codebook, m, subDim, nQueries)
+    val queries = vectors.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("query_emb"),
+        col("vnorm2").as("qnorm2"))
+    ServeCtx(centroids, codebook, vectors, cells, codes, lut, queries)
+  }
+
   /** [[pqTopK]]'s serving form: the codebook enters as the session
     * model artifact ([[pqCodebookLocal]] via [[ModelArtifacts]] — which
     * IS pqEncode's codebook materialized, so results are identical by
@@ -655,8 +698,7 @@ object Similarity {
     * against the broadcast codebook, ADC partial-agg top-k. */
   def pqTopKServe(embeddings: DataFrame, m: Int = 4, subDim: Int = 16,
       k: Int = 8, nQueries: Int = 5, topK: Int = 10): DataFrame = {
-    val codebook = ModelArtifacts.cached("pq-codebook", embeddings,
-      s"m=$m,subDim=$subDim,k=$k")(pqCodebookLocal(embeddings, m, subDim, k))
+    val codebook = cachedCodebook(embeddings, m, subDim, k)
     val codes = pqAssign(pqSubvectors(embeddings, m, subDim), codebook)
       .select(col("vec_id"), col("sub"), col("code"))
     val lut = pqLut(embeddings, codebook, m, subDim, nQueries)
@@ -710,26 +752,12 @@ object Similarity {
     // carries the serving tier's nprobe lever ([[probeCells]], default
     // 1 = own cell = s12's semantics): probed cells are disjoint, so a
     // (query, code-vector) candidate appears at most once at any nProbe.
-    val centroids = ModelArtifacts.cached("ivf-centroids", embeddings,
-      "k=8")(Clustering.trainedCentroidsLocal(embeddings))
-    val codebook = ModelArtifacts.cached("pq-codebook", embeddings,
-      s"m=$m,subDim=$subDim,k=$k")(pqCodebookLocal(embeddings, m, subDim, k))
-    val vectors = embeddings
-      .select(col("vec_id"), col("embedding").as("emb"))
-      .withColumn("vnorm2",
-        graft.functions.VectorOps.dot(col("emb"), col("emb")))
-    val cells = Clustering.assign(vectors, centroids)
-      .select(col("vec_id"), col("cluster_id").as("cell"))
-    val codes = pqAssign(pqSubvectors(embeddings, m, subDim), codebook)
-      .select(col("vec_id"), col("sub"), col("code"))
-    val lut = pqLut(embeddings, codebook, m, subDim, nQueries)
-    val queries = vectors.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("query_emb"),
-        col("vnorm2").as("qnorm2"))
-    val probes = probeCells(queries, centroids, nProbe)
-    val scored = codes
-      .join(cells, "vec_id")
-      .join(broadcast(lut), Seq("sub", "code"))
+    val ctx = servingContext(embeddings, embeddings, m, subDim, k,
+      nQueries)
+    val probes = probeCells(ctx.queries, ctx.centroids, nProbe)
+    val scored = ctx.codes
+      .join(ctx.cells, "vec_id")
+      .join(broadcast(ctx.lut), Seq("sub", "code"))
       .join(broadcast(probes.select(col("query_id"), col("cell"))),
         Seq("query_id", "cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -803,25 +831,9 @@ object Similarity {
     * must be MEASURED before spending nprobe compute at 100 TB. */
   def pqNProbeRecall(embeddings: DataFrame, maxProbe: Int = 2,
       nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val m = 4; val subDim = 16; val kCodes = 8
-    val centroids = ModelArtifacts.cached("ivf-centroids", embeddings,
-      "k=8")(Clustering.trainedCentroidsLocal(embeddings))
-    val codebook = ModelArtifacts.cached("pq-codebook", embeddings,
-      s"m=$m,subDim=$subDim,k=$kCodes")(
-      pqCodebookLocal(embeddings, m, subDim, kCodes))
-    val vectors = embeddings
-      .select(col("vec_id"), col("embedding").as("emb"))
-      .withColumn("vnorm2",
-        graft.functions.VectorOps.dot(col("emb"), col("emb")))
-    val cells = Clustering.assign(vectors, centroids)
-      .select(col("vec_id"), col("cluster_id").as("cell"))
-    val codes = pqAssign(pqSubvectors(embeddings, m, subDim), codebook)
-      .select(col("vec_id"), col("sub"), col("code"))
-    val lut = pqLut(embeddings, codebook, m, subDim, nQueries)
-    val queries = vectors.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("query_emb"),
-        col("vnorm2").as("qnorm2"))
-    val ranked = probeCells(queries, centroids, maxProbe)
+    val ctx = servingContext(embeddings, embeddings, m = 4, subDim = 16,
+      k = 8, nQueries = nQueries)
+    val ranked = probeCells(ctx.queries, ctx.centroids, maxProbe)
     val configs = embeddings.sparkSession.range(1, maxProbe + 1)
       .select(col("id").as("n_probe"))
     val probes = ranked.join(broadcast(configs),
@@ -829,9 +841,9 @@ object Similarity {
       .select(col("n_probe"), col("query_id"), col("cell"))
     // disjoint cells: a (query, code-vector) candidate appears at most
     // once per config — no dedup before the ADC partial agg
-    val scored = codes
-      .join(cells, "vec_id")
-      .join(broadcast(lut), Seq("sub", "code"))
+    val scored = ctx.codes
+      .join(ctx.cells, "vec_id")
+      .join(broadcast(ctx.lut), Seq("sub", "code"))
       .join(broadcast(probes), Seq("query_id", "cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("n_probe"), col("query_id"), col("vec_id"))
@@ -867,26 +879,12 @@ object Similarity {
   def ivfPqRerankTopK(embeddings: DataFrame, m: Int = 4,
       subDim: Int = 16, k: Int = 8, nQueries: Int = 5,
       kCoarse: Int = 25, topK: Int = 10, nProbe: Int = 2): DataFrame = {
-    val centroids = ModelArtifacts.cached("ivf-centroids", embeddings,
-      "k=8")(Clustering.trainedCentroidsLocal(embeddings))
-    val codebook = ModelArtifacts.cached("pq-codebook", embeddings,
-      s"m=$m,subDim=$subDim,k=$k")(pqCodebookLocal(embeddings, m, subDim, k))
-    val vectors = embeddings
-      .select(col("vec_id"), col("embedding").as("emb"))
-      .withColumn("vnorm2",
-        graft.functions.VectorOps.dot(col("emb"), col("emb")))
-    val cells = Clustering.assign(vectors, centroids)
-      .select(col("vec_id"), col("cluster_id").as("cell"))
-    val codes = pqAssign(pqSubvectors(embeddings, m, subDim), codebook)
-      .select(col("vec_id"), col("sub"), col("code"))
-    val lut = pqLut(embeddings, codebook, m, subDim, nQueries)
-    val queries = vectors.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("query_emb"),
-        col("vnorm2").as("qnorm2"))
-    val probes = probeCells(queries, centroids, nProbe)
-    val scored = codes
-      .join(cells, "vec_id")
-      .join(broadcast(lut), Seq("sub", "code"))
+    val ctx = servingContext(embeddings, embeddings, m, subDim, k,
+      nQueries)
+    val probes = probeCells(ctx.queries, ctx.centroids, nProbe)
+    val scored = ctx.codes
+      .join(ctx.cells, "vec_id")
+      .join(broadcast(ctx.lut), Seq("sub", "code"))
       .join(broadcast(probes.select(col("query_id"), col("cell"))),
         Seq("query_id", "cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -894,11 +892,15 @@ object Similarity {
       .agg(sum(col("pdot_fp")).as("adc_fp"))
     val cands = topKByQuery(scored, "adc_fp", kCoarse)
       .select(col("query_id"), col("neighbor_id"))
-    // exact refine on candidates only: kCoarse float rows per query
-    val reranked = cands
-      .join(vectors.select(col("vec_id").as("neighbor_id"),
-        col("emb"), col("vnorm2")), "neighbor_id")
-      .join(broadcast(queries), "query_id")
+    // exact refine on candidates only: kCoarse float rows per query.
+    // cands (nQueries x kCoarse rows) is hinted as the BROADCAST build
+    // side — it derives from an aggregate, so Catalyst's size estimate
+    // cannot be trusted to stay under the threshold, and a sort-merge
+    // fallback would shuffle the whole corpus to rerank a few dozen rows
+    val reranked = ctx.vectors
+      .select(col("vec_id").as("neighbor_id"), col("emb"), col("vnorm2"))
+      .join(broadcast(cands), "neighbor_id")
+      .join(broadcast(ctx.queries), "query_id")
       .withColumn("cosine",
         graft.functions.VectorOps.dot(col("emb"), col("query_emb")) /
           (sqrt(col("vnorm2")) * sqrt(col("qnorm2"))))
@@ -929,26 +931,12 @@ object Similarity {
     // artifacts keyed by the BASE plan: a different training set is a
     // different model, never a silent cache share with the full-corpus
     // tiers
-    val centroids = ModelArtifacts.cached("ivf-centroids", base,
-      "k=8")(Clustering.trainedCentroidsLocal(base))
-    val codebook = ModelArtifacts.cached("pq-codebook", base,
-      s"m=$m,subDim=$subDim,k=$k")(pqCodebookLocal(base, m, subDim, k))
-    val vectors = embeddings
-      .select(col("vec_id"), col("embedding").as("emb"))
-      .withColumn("vnorm2",
-        graft.functions.VectorOps.dot(col("emb"), col("emb")))
-    val cells = Clustering.assign(vectors, centroids)
-      .select(col("vec_id"), col("cluster_id").as("cell"))
-    val codes = pqAssign(pqSubvectors(embeddings, m, subDim), codebook)
-      .select(col("vec_id"), col("sub"), col("code"))
-    val lut = pqLut(embeddings, codebook, m, subDim, nQueries)
-    val queries = vectors.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("query_emb"),
-        col("vnorm2").as("qnorm2"))
-    val probes = probeCells(queries, centroids, 1)
-    val scored = codes
-      .join(cells, "vec_id")
-      .join(broadcast(lut), Seq("sub", "code"))
+    val ctx = servingContext(embeddings, trainOn = base, m = m,
+      subDim = subDim, k = k, nQueries = nQueries)
+    val probes = probeCells(ctx.queries, ctx.centroids, 1)
+    val scored = ctx.codes
+      .join(ctx.cells, "vec_id")
+      .join(broadcast(ctx.lut), Seq("sub", "code"))
       .join(broadcast(probes.select(col("query_id"), col("cell"))),
         Seq("query_id", "cell"))
       .filter(col("vec_id") =!= col("query_id"))

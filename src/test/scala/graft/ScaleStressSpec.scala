@@ -115,11 +115,15 @@ class ScaleStressSpec extends SparkSpec {
           idCols = Seq("o_orderkey")),
         ScaledTables.scaled(Tables.lineitem(spark, sf), factor,
           idCols = Seq("l_orderkey"))), false),
-    // r11 additions: the four new bench-ceiling queries. The PQ tiers'
-    // trainings (collect-based model materialization) run at
-    // construction, so their factors measure the SERVING plan — encode,
-    // LUT join, ADC partial agg — the part that actually scales with
-    // the corpus.
+    // r11 additions: the new bench-ceiling queries. Two different
+    // timing semantics, deliberate: s11/s12 are the END-TO-END forms —
+    // s11 trains its PQ codebook entirely in-plan and s12 additionally
+    // trains the codebook in-plan (only its coarse centroids
+    // materialize at construction) — so their factors include training
+    // cost. s15 (and s17 below) are the SERVING forms: both model
+    // artifacts materialize at construction via ModelArtifacts, so
+    // their factors isolate the serving plan — encode, LUT join, ADC
+    // partial agg — the part that actually scales with the corpus.
     ("s11_pq_adc_topk",
       S.pqTopK(emb), S.pqTopK(embX), false),
     ("s12_ivfpq_topk",

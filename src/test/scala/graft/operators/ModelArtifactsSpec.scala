@@ -26,6 +26,25 @@ class ModelArtifactsSpec extends SparkSpec {
     assert(trains == 4)
   }
 
+  test("file corpora with identical schemas never share a model") {
+    // regression: a parquet relation canonicalizes to
+    // `Relation [none#..] parquet` — NO path — so without the explicit
+    // inputFiles component two file corpora of the same schema would
+    // collide on one key and the wrong trained model would serve
+    ModelArtifacts.clear()
+    val a = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val b = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    var trains = 0
+    def t(df: org.apache.spark.sql.DataFrame) = { trains += 1; df }
+    ModelArtifacts.cached("t", a, "p")(t(a))
+    ModelArtifacts.cached("t", b, "p")(t(b))
+    assert(trains == 2, "two different parquet corpora shared a cache key")
+    // same path re-read: a fresh FileIndex must still HIT
+    val a2 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ModelArtifacts.cached("t", a2, "p")(t(a2))
+    assert(trains == 2, "re-reading the same path missed the cache")
+  }
+
   test("the serve form answers identically from the cache-warm path") {
     ModelArtifacts.clear()
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")

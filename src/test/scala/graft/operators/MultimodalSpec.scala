@@ -88,8 +88,12 @@ class MediaDedupSpec extends graft.SparkSpec {
   test("media retrieval: identical payloads rank first with the max score") {
     import spark.implicits._
     // asset 5 is a byte-identical copy of query asset 0 -> identical
-    // pseudo-features -> the self-dot is the maximum possible score for
-    // that query, so 5 must rank 1 for query 0
+    // pseudo-features -> its score is the query's self-dot |f|². NOTE
+    // this is a raw (unnormalized) dot, so rank-1 for the copy is NOT
+    // structural — a higher-norm non-copy can out-score |f|² in
+    // general; it holds DETERMINISTICALLY for these fixed payloads
+    // (features are pure digest functions), which is what the
+    // assertion pins
     val docs = Seq((0L, "payload alpha"), (1L, "payload beta"),
       (2L, "payload gamma"), (3L, "payload delta"), (4L, "payload eps"),
       (5L, "payload alpha")).toDF("doc_id", "text")
