@@ -216,6 +216,8 @@ object SparkEntry {
       S.ivfPqRerankTopK(Tables.embeddings(s, d))),
     "s18_ivfpq_append" -> ((s, d) =>
       S.ivfPqAppendServe(Tables.embeddings(s, d))),
+    "s19_ivfpq_stored_serve" -> ((s, d) =>
+      S.ivfPqStoredServe(Tables.embeddings(s, d))),
     // --- lake adapter (reference parity: SURVEY §2.1/2.2, §3 E1-E3) ---
     "l01_marker_split" -> ((s, d) =>
       graft.lake.LakeQueries.markerSplitDemo(Tables.documents(s, d))),
@@ -2354,6 +2356,12 @@ object SparkEntry {
     "s16_pq_nprobe_recall" -> PqNProbeRecallOracle,
     "s17_ivfpq_rerank" -> IvfPqRerankOracle,
     "s18_ivfpq_append" -> IvfPqAppendOracle,
+    // the stored-codes form is results-identical to s12/s15 by
+    // construction: same artifacts, same codes (lossless integer
+    // parquet round-trip), same ADC arithmetic — only WHERE the codes
+    // come from changes (precomputed cell-partitioned table vs
+    // in-query encode)
+    "s19_ivfpq_stored_serve" -> IvfPqOracle,
     "q31_lateral_topn" ->
       """SELECT n.n_name AS nation, t.c_name, t.c_acctbal
         |FROM nation n, LATERAL (

@@ -14,9 +14,11 @@ import org.apache.spark.sql.DataFrame
   * form, and the measured "serve cost" is mostly training — the exact
   * conflation the serving tier exists to remove.
   *
-  * Bounded by construction: each entry is a K- or m·k-row local
-  * DataFrame (a few KB), and the key space is the handful of
-  * (corpus plan, hyperparameters) pairs a session touches.
+  * Bounded two ways: each entry is a K- or m·k-row local DataFrame (a
+  * few KB), and the store itself is a [[MaxEntries]]-capped
+  * access-order LRU — a session sweeping an unbounded hyperparameter
+  * grid recycles the least-recently-served artifact instead of growing
+  * monotonically.
   *
   * Staleness contract: the key is the INPUT PLAN (for file sources it
   * embeds the concrete file listing), not a data snapshot — the same
@@ -30,8 +32,21 @@ import org.apache.spark.sql.DataFrame
   * run one session per JVM. */
 object ModelArtifacts {
 
+  /** Upper bound on resident artifacts. Each entry is a K- or m·k-row
+    * local frame (a few KB), so the cap bounds the cache at well under a
+    * megabyte while still covering any realistic hyperparameter sweep; a
+    * long-lived multi-tenant session sweeping past it evicts
+    * least-recently-USED entries (access-order LRU), which for a sweep
+    * is the config least likely to be served again. */
+  private val MaxEntries = 64
+
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f,
+      /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean =
+        this.size() > MaxEntries
+    }
 
   /** The cached artifact for (kind, params, input-plan), training it via
     * `train` exactly once per key per session. `train` must produce a
@@ -48,8 +63,12 @@ object ModelArtifacts {
     * their rows. Both identity sources enter the key explicitly: the
     * sorted resolved file listing (`inputFiles`) distinguishes file
     * corpora, the per-leaf row-data hash distinguishes in-memory ones. */
-  def cached(kind: String, input: DataFrame, params: String)(
-      train: => DataFrame): DataFrame = {
+  /** The full identity key for (kind, params, input plan) — shared with
+    * [[IndexStore]], which caches DERIVED STORED TABLES (PQ code
+    * columns) under the same training-set-identity contract as the
+    * in-memory model artifacts. */
+  private[operators] def planKey(kind: String, input: DataFrame,
+      params: String): String = {
     val analyzed = input.queryExecution.analyzed
     val leafData = analyzed.collectLeaves().map {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
@@ -57,11 +76,28 @@ object ModelArtifacts {
       case _ => "-"
     }.mkString(",")
     val files = input.inputFiles.sorted.mkString(";")
-    val key = kind + "|" + params + "|" + leafData + "|" + files + "|" +
+    kind + "|" + params + "|" + leafData + "|" + files + "|" +
       analyzed.canonicalized.toString
-    cache.computeIfAbsent(key, _ => train)
   }
 
+  def cached(kind: String, input: DataFrame, params: String)(
+      train: => DataFrame): DataFrame = {
+    val key = planKey(kind, input, params)
+    // LinkedHashMap's access-order bookkeeping mutates on get(), so every
+    // touch synchronizes; artifact trains are seconds, lookups are a map
+    // probe — the lock is not a contention point. Training happens under
+    // the lock deliberately: two concurrent misses on one key must not
+    // train twice (same computeIfAbsent contract as before the LRU).
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else { val v = train; cache.put(key, v); v }
+    }
+  }
+
+  /** Number of resident artifacts (spec hook for the eviction bound). */
+  def size: Int = cache.synchronized(cache.size())
+
   /** Drop every cached artifact (tests; deliberate retrain). */
-  def clear(): Unit = cache.clear()
+  def clear(): Unit = cache.synchronized(cache.clear())
 }

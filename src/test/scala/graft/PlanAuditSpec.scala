@@ -27,6 +27,7 @@ class PlanAuditSpec extends SparkSpec {
     "s16_pq_nprobe_recall", // s15's probe + s01 exact side + config cross
     "s17_ivfpq_rerank", // s15's probe machinery + broadcast(query) refine
     "s18_ivfpq_append", // s15's serve shape over base-trained model rows
+    "s19_ivfpq_stored_serve", // probe schedule: broadcast(centroids) x queries
     "m04_media_retrieval", // s01's broadcast(5 query features) x corpus
     "s09_recall_multiprobe", // s01 exact side + tiny radius-config cross
     "s06_quantized_topk", // s01's shape on the quantized memory tier
@@ -162,6 +163,53 @@ class PlanAuditSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(plan.toLowerCase.contains("partial_topkbyscore"),
         s"$name ADC rank does not partial-aggregate map-side:\n$plan")
+    }
+  }
+
+  test("IVF-PQ probe prune runs BELOW the per-query LUT expansion") {
+    // query_id is born in the LUT join, so Catalyst can never reorder
+    // the (query_id, cell) probe join ahead of it — the plan must carry
+    // an explicit cell semi-join UNDER the LUT join, or every code row
+    // expands ×nQueries before any cell pruning. The semi-join's own
+    // output proves its position: below the LUT join it cannot carry
+    // the LUT's pdot_fp (nor query_id).
+    for (name <- Seq("s12_ivfpq_topk", "s15_ivfpq_serve",
+        "s16_pq_nprobe_recall", "s17_ivfpq_rerank", "s18_ivfpq_append")) {
+      val plan = physicalPlan(SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan)
+      val semis = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(semis.nonEmpty, s"$name lost the probed-cell semi-join")
+      semis.foreach { j =>
+        assert(!j.output.exists(a =>
+            a.name == "pdot_fp" || a.name == "query_id"),
+          s"$name cell semi-join sits above the LUT expansion")
+      }
+    }
+  }
+
+  test("stored-codes serve scan partition-prunes to the probed cells") {
+    // s19's corpus-side scan is the stored cell-partitioned code table
+    // with a literal IN-list on the partition column: the scan must
+    // carry partition filters and select only the probed cells'
+    // directories — at 100 TB that is the difference between reading
+    // nProbe cells and listing the whole index
+    val plan = physicalPlan(SparkEntry.queries("s19_ivfpq_stored_serve")(
+      spark, sf).queryExecution.executedPlan)
+    val codeScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.output.exists(_.name == "code") => f
+    }
+    assert(codeScans.nonEmpty, "stored code-table scan missing from s19")
+    codeScans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        s"stored code scan has no partition filter:\n$f")
+      // default serve probes each query's own cell: 5 queries probe at
+      // most 5 of the 8 cells, so pruning must drop at least 3
+      assert(f.selectedPartitions.partitionCount < 8,
+        s"scan read all ${f.selectedPartitions.partitionCount} cell partitions")
     }
   }
 
