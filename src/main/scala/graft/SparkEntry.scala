@@ -188,6 +188,10 @@ object SparkEntry {
         .select(col("vec_id").as("doc_id"), col("cluster_id"),
           col("is_canonical"))
     }),
+    // d15: SemDeDup — semantic near-dup prune blocked by the TRAINED
+    // k-medians clustering (the s08/s14 coarse quantizer), not a label
+    "d15_semantic_dedup" -> ((s, d) =>
+      D.semanticDedup(Tables.embeddings(s, d))),
     "t15_script_profile" -> ((s, d) =>
       T.scriptProfile(Tables.documents(s, d))),
     // --- similarity search (LLM-pipeline north star) ---
@@ -1822,6 +1826,21 @@ object SparkEntry {
         | FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT vec_id_a, vec_id_b, bucket, cosine FROM p
         |WHERE cosine >= 0.35 ORDER BY vec_id_a, vec_id_b""".stripMargin,
+    // d15: IvfTrainCtes trains/assigns (a2 IS the trained-cluster
+    // blocker the Spark side loads from the model cache); a vector is
+    // dropped iff an earlier same-cluster member clears the cosine bar
+    "d15_semantic_dedup" ->
+      (s"WITH $IvfTrainCtes,\n" +
+      """dup AS (SELECT DISTINCT a.vec_id
+        |  FROM a2 a JOIN a2 b ON a.cluster_id = b.cluster_id
+        |    AND b.vec_id < a.vec_id
+        |  WHERE list_reduce(list_transform(range(1, len(a.emb)+1), i ->
+        |      CAST(a.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE)),
+        |      (x, y) -> x + y) / (sqrt(a.vnorm2) * sqrt(b.vnorm2))
+        |    >= 0.35)
+        |SELECT a2.vec_id, a2.cluster_id, dup.vec_id IS NULL AS is_kept
+        |FROM a2 LEFT JOIN dup ON a2.vec_id = dup.vec_id
+        |ORDER BY a2.vec_id""".stripMargin),
     // Transitive closure of the d06 pair graph via recursive CTE: reach
     // enumerates every node reachable from u, min over it = the
     // min-label-propagation fixpoint the Spark side iterates to.

@@ -519,4 +519,45 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .orderBy(col("vec_id_a"), col("vec_id_b"))
   }
+
+  /** d15: SemDeDup-style SEMANTIC dedup — near-duplicate pruning where
+    * the blocker is a TRAINED clustering of the embedding space rather
+    * than a fixture label (d06) or a hash bucket: k-medians cluster the
+    * corpus (the s08/s14 trained coarse quantizer, loaded via
+    * [[ModelArtifacts]]), compare pairs only WITHIN a cluster, and drop
+    * every vector that has an earlier (lower vec_id) same-cluster
+    * member above the cosine threshold — the deterministic keeper rule
+    * (published SemDeDup keeps one member per duplicate group in
+    * arbitrary order; index order makes the choice engine-stable and
+    * oracle-checkable).
+    *
+    * Scale shape is the published method's own argument: all-pairs over
+    * the corpus is unthinkable at 100 TB, all-pairs within a cluster is
+    * |cluster|² — the clustering IS the blocking, and K grows with the
+    * corpus (√n clusters keeps per-cluster work flat). Training costs
+    * one session-cached pass; the dedup itself is one cluster-keyed
+    * self-join, partitioned by cluster_id, nothing global. */
+  def semanticDedup(embeddings: DataFrame,
+      threshold: Double = 0.35): DataFrame = {
+    val centroids = ModelArtifacts.cached("ivf-centroids", embeddings,
+      "k=8")(Clustering.trainedCentroidsLocal(embeddings, 8))
+    val vectors = embeddings.select(col("vec_id"),
+        col("embedding").as("emb"))
+      .withColumn("vnorm2", dotExpr("emb", "emb"))
+    val assigned = Clustering.assign(vectors, centroids)
+      .select(col("vec_id"), col("cluster_id"), col("emb"), col("vnorm2"))
+    val dups = assigned.toDF("vec_id_a", "cluster_id", "emb_a", "norm2_a")
+      .join(assigned.toDF("vec_id_b", "cluster_b", "emb_b", "norm2_b"),
+        col("cluster_id") === col("cluster_b") &&
+          col("vec_id_b") < col("vec_id_a"))
+      .filter(dotExpr("emb_a", "emb_b") /
+        (sqrt(col("norm2_a")) * sqrt(col("norm2_b"))) >= threshold)
+      .select(col("vec_id_a").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    assigned
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        col("dup").isNull.as("is_kept"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -127,6 +127,34 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("semanticDedup drops later near-dups inside trained clusters only") {
+    // on the real fixture: recompute the keeper rule brute-force from
+    // the SAME trained assignment and check d15 agrees row for row
+    ModelArtifacts.clear()
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Dedup.semanticDedup(emb).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    val rows = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val cluster = rows.map { case (id, _) => id -> out(id)._1 }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = rows.toMap
+    rows.foreach { case (id, v) =>
+      val expectKept = !rows.exists { case (other, _) =>
+        other < id && cluster(other) == cluster(id) &&
+          cos(byId(other), v) >= 0.35
+      }
+      assert(out(id)._2 == expectKept, s"vec $id keep flag mismatch")
+    }
+    // the rule bites: some vector must actually be dropped, most kept
+    val kept = out.values.count(_._2)
+    assert(kept < out.size && kept > out.size / 2)
+  }
+
   test("dedupClusters on an empty pair set returns empty without looping") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("vec_id_a", "vec_id_b")
