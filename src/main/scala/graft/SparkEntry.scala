@@ -282,6 +282,9 @@ object SparkEntry {
       T.unigramSurprise(Tables.documents(s, d))),
     "t18_source_divergence" -> ((s, d) =>
       T.sourceDivergence(Tables.documents(s, d))),
+    // t31: DSIR importance weights vs the src0 target domain
+    "t31_dsir_weights" -> ((s, d) =>
+      T.dsirWeights(Tables.documents(s, d))),
     "w13_rolling_active" -> ((s, d) =>
       W.rollingActiveUsers(Tables.events(s, d))),
     "dq05_value_outliers" -> ((s, d) =>
@@ -2756,6 +2759,31 @@ object SparkEntry {
         |    AS mean_bits,
         |  CAST(MAX(bits) AS BIGINT) AS max_bits
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // t31: whole-bit log-likelihood ratio (target LM vs rest LM, add-one
+    // smoothed) — integer ilog2 in both engines, order-free bigint sums
+    "t31_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok,
+        |  CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS tf_t,
+        |  CAST(SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS tf_r
+        |  FROM tok GROUP BY tok),
+        |tt AS (SELECT CAST(SUM(tf_t) AS BIGINT) AS n_t,
+        |  CAST(SUM(tf_r) AS BIGINT) AS n_r FROM f),
+        |b AS (SELECT t.doc_id, t.source,
+        |  (CAST(length(bin(f.tf_t + 1)) - 1 AS BIGINT)
+        |     - CAST(length(bin(tt.n_t)) - 1 AS BIGINT))
+        |  - (CAST(length(bin(f.tf_r + 1)) - 1 AS BIGINT)
+        |     - CAST(length(bin(tt.n_r)) - 1 AS BIGINT)) AS bits
+        | FROM tok t JOIN f USING (tok) CROSS JOIN tt)
+        |SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
+        |  CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mean_bits
+        |FROM b GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
     // chi-squared, not KL: its float ops are all IEEE exact-rounded
     // (x, /, -), so the identical expression tree gives identical bits;
     // each term quantized to 1e-6 before an order-free bigint sum

@@ -519,6 +519,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t31: DSIR-style importance weights ("Data Selection via Importance
+    * Resampling", Xie et al. 2023) against a TARGET domain — each
+    * document scores the log-likelihood ratio of its tokens under the
+    * target source's unigram LM vs the rest-of-corpus LM; resampling
+    * the raw pool proportionally to the weight yields a target-like
+    * mixture without training a classifier. The standard selection
+    * signal for "make 100 TB of crawl look like my curated domain".
+    *
+    * Determinism discipline (the [[unigramSurprise]] contract): each
+    * token's ratio is quantized to WHOLE BITS via [[ilog2]] with
+    * add-one smoothing keeping every count positive, so per-doc sums
+    * are order-free bigints; the only float op is the final mean.
+    *
+    * Plan shape: ONE token-frequency shuffle builds BOTH LMs
+    * (conditional aggregation on the source flag — not two passes), the
+    * two totals ride as a 1-row broadcast, one skew-tolerant join back
+    * to token instances (AQE splits stopword keys), one doc-keyed agg.
+    * The frequency table stays distributed; nothing vocabulary-sized
+    * ever broadcasts. */
+  def dsirWeights(documents: DataFrame,
+      target: String = "src0"): DataFrame = {
+    val toks = Dedup.spread(documents).select(col("doc_id"), col("source"),
+      explode(tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(
+      sum(when(col("source") === target, 1L).otherwise(0L)).as("tf_t"),
+      sum(when(col("source") === target, 0L).otherwise(1L)).as("tf_r"))
+    val totals = freq.agg(sum(col("tf_t")).as("n_t"),
+      sum(col("tf_r")).as("n_r"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("source"),
+        ((ilog2(col("tf_t") + 1) - ilog2(col("n_t"))) -
+          (ilog2(col("tf_r") + 1) - ilog2(col("n_r")))).as("bits"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_bits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t18: per-source chi-squared divergence from the corpus unigram
     * distribution — the data-mixing diagnostic that ranks sources by how
     * far their token distribution drifts from the blend (domain shift,

@@ -408,6 +408,27 @@ class RepetitionStatsSpec extends graft.SparkSpec {
       (2L, 2L, 3L, 1.5, 2L)))       // 1+2 bits over 2 tokens
   }
 
+  test("dsirWeights: whole-bit LM ratio ranks target-like docs highest") {
+    import spark.implicits._
+    // target src0 LM: apple x3, banana x2 (n_t=5); rest LM: apple x1,
+    // car x2, truck x2 (n_r=5). ilog2(n_t)=ilog2(n_r)=2 cancels, so
+    // bits(tok) = ilog2(tf_t+1) - ilog2(tf_r+1):
+    // apple 2-1=1, banana 1-0=1, car 0-1=-1, truck 0-1=-1
+    val docs = Seq(
+      (1L, "apple apple banana", "src0"),
+      (2L, "apple banana", "src0"),
+      (3L, "car car truck", "src1"),
+      (4L, "apple truck", "src1")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.dsirWeights(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(out == Seq(
+      (1L, 3L, 3L, 1.0),   // 1+1+1 bits
+      (2L, 2L, 2L, 1.0),   // 1+1
+      (3L, 3L, -3L, -1.0), // -1-1-1: pure rest-vocab scores lowest
+      (4L, 2L, 0L, 0.0)))  // 1-1: mixed doc sits between
+  }
+
   test("sourceDivergence: equal sources tie, drifted source scores higher") {
     import spark.implicits._
     // srcA and srcB each "a b" (exactly the corpus mix restricted to
