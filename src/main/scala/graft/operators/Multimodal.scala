@@ -183,17 +183,35 @@ object Multimodal {
     * the integer score is engine-deterministic) → mergeable bounded
     * [[Similarity.topKByQuery]]. Swapping the stub for a real decoder
     * changes ONE select — the retrieval plan, partitioning, and rank
-    * semantics are already proven here. */
+    * semantics are already proven here. The seam is the `featurize`
+    * parameter: any assets → (vec_id, media_type, features) frame plugs
+    * into the identical downstream retrieval plan
+    * ([[MediaRetrievalSeamSpec]] proves the swap with a toy byte-reading
+    * decoder — different embeddings, same physical plan shape). */
   def mediaRetrieval(documents: DataFrame, nQueries: Int = 5,
-      k: Int = 10): DataFrame = {
+      k: Int = 10,
+      featurize: DataFrame => DataFrame = digestFeatures): DataFrame = {
+    val feats = featurize(assetsFrom(documents))
+    retrieve(feats, nQueries, k)
+  }
+
+  /** The default (stub) featurizer: a deterministic 64-dim integer-valued
+    * embedding read off the payload digest — pure column expressions,
+    * constant work per row, computed in the scan stage. */
+  def digestFeatures(assets: DataFrame): DataFrame = {
     val d = md5(col("content"))
-    val feats = assetsFrom(documents)
+    assets
       .withColumn("hx", concat(md5(concat(d, lit(":0"))),
         md5(concat(d, lit(":1")))))
       .select(col("asset_id").as("vec_id"), col("media_type"),
         expr("transform(sequence(1, 64), i -> CAST(" +
           "instr('0123456789abcdef', substr(hx, i, 1)) - 1 AS FLOAT))")
           .as("features"))
+  }
+
+  /** The featurizer-independent retrieval tail of [[mediaRetrieval]]. */
+  private def retrieve(feats: DataFrame, nQueries: Int,
+      k: Int): DataFrame = {
     val queries = feats.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("features").as("qf"))
     val scored = feats.join(broadcast(queries),

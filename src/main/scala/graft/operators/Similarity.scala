@@ -1012,6 +1012,40 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The session-cached serving model artifacts (coarse centroids + PQ
+    * codebook) as the pair a deployment loads from its artifact store —
+    * exposed for the STREAMING serve tier, which broadcasts them into
+    * each micro-batch. Same [[ModelArtifacts]] keys as the batch
+    * serving forms, so batch and stream serve from the SAME trained
+    * model by construction. */
+  def servingArtifacts(embeddings: DataFrame, m: Int = 4,
+      subDim: Int = 16, k: Int = 8): (DataFrame, DataFrame) =
+    (cachedCentroids(embeddings), cachedCodebook(embeddings, m, subDim, k))
+
+  /** The static corpus half of a streaming ANN serve: one row per
+    * vector — (vec_id, cell, codes) with the m PQ codes packed into a
+    * subspace-ordered array — encoded with the SAME cached artifacts
+    * the batch serving forms load. This is the one-row-per-vector view
+    * of [[ivfPqStoredServe]]'s stored table (at rest it would be the
+    * same cell-partitioned parquet); a stream of queries joins it on
+    * `cell` and scores candidates from the code array alone. */
+  def packedIndex(embeddings: DataFrame, m: Int = 4, subDim: Int = 16,
+      k: Int = 8): DataFrame = {
+    val (centroids, codebook) = servingArtifacts(embeddings, m, subDim, k)
+    val vectors = embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2",
+        graft.functions.VectorOps.dot(col("emb"), col("emb")))
+    val cells = Clustering.assign(vectors, centroids)
+      .select(col("vec_id"), col("cluster_id").as("cell"))
+    pqAssign(pqSubvectors(embeddings, m, subDim), codebook)
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+      .join(cells, "vec_id")
+  }
+
   /** PQ-encode `vectors` against an explicit codebook — exposed for the
     * append-safety property: encode is PER-VECTOR (broadcast-assign
     * argmin, no cross-vector dependency), so appending a delta can

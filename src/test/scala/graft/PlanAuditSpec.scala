@@ -46,7 +46,9 @@ class PlanAuditSpec extends SparkSpec {
     "s10_rerank", // tier 1 is s06's intended broadcast(5 queries) x corpus
     "t27_tfidf_keywords", // ONE-row doc-count frame broadcast-crossed in
     "dq10_freshness", // ONE-row global-max frame broadcast-crossed in
-    "dq11_digit_profile") // ONE-row total frame broadcast-crossed in
+    "dq11_digit_profile", // ONE-row total frame broadcast-crossed in
+    "t31_dsir_weights", // ONE-row (n_t, n_r) totals frame broadcast-crossed in
+    "d15_semantic_dedup") // k01's broadcast(8 centroids) x corpus cluster-assign
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

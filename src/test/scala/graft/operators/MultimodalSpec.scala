@@ -121,6 +121,83 @@ class MediaDedupSpec extends graft.SparkSpec {
   }
 }
 
+/** Proves the m04 decoder swap seam: a toy REAL decoder (reads actual
+  * payload bytes, not a digest) plugs into `mediaRetrieval` through the
+  * one `featurize` select, yields different embeddings, and leaves the
+  * physical retrieval plan shape untouched. */
+class MediaRetrievalSeamSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+  /** Toy real decoder: the first 64 PAYLOAD BYTES as float dims (hex
+    * pairs, zero-padded past end-of-payload) — trivial, but it decodes
+    * the bytes themselves, which the digest stub never does. */
+  private def byteFeatures(assets: DataFrame): DataFrame =
+    assets.withColumn("hx", hex(col("content")))
+      .select(col("asset_id").as("vec_id"), col("media_type"),
+        expr("transform(sequence(1, 64), i -> CAST(coalesce(" +
+          "conv(nullif(substr(hx, 2*i - 1, 2), ''), 16, 10), '0')" +
+          " AS FLOAT))").as("features"))
+
+  private def docs = {
+    import spark.implicits._
+    Seq((0L, "payload alpha"), (1L, "payload beta"), (2L, "payload gamma"),
+      (3L, "payload delta"), (4L, "payload eps"), (5L, "payload alpha"),
+      (6L, "another body"), (7L, "yet another"))
+      .toDF("doc_id", "text")
+  }
+
+  /** Multiset of structural physical nodes (joins/aggregates/exchanges)
+    * after AQE unwrap — the retrieval plan's shape signature. */
+  private def shape(df: DataFrame): Map[String, Int] = {
+    val top = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children ++ p.subqueries).flatMap(walk)
+    walk(top).map(_.getClass.getSimpleName)
+      .filter(n => n.contains("Join") || n.contains("Aggregate") ||
+        n.contains("Exchange"))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+  }
+
+  test("toy byte decoder swaps through the one featurize seam") {
+    val stub = Multimodal.mediaRetrieval(docs)
+    val toy = Multimodal.mediaRetrieval(docs,
+      featurize = byteFeatures)
+    assert(toy.schema == stub.schema)
+    val stubRows = stub.collect().map(_.toString).toSeq
+    val toyRows = toy.collect().map(_.toString).toSeq
+    // different embeddings -> different scores somewhere
+    assert(stubRows != toyRows)
+    // ...and the byte-identical copy (asset 5 = asset 0's payload) scores
+    // exactly the query's self-dot under the toy decoder: sum of squared
+    // payload byte values — the real bytes went through the real seam.
+    // (Rank-1 for the copy is NOT asserted here: raw-dot scores of
+    // correlated byte features can legitimately out-score |f|².)
+    val copyScore = toy.collect()
+      .find(r => r.getAs[Long]("query_id") == 0L &&
+        r.getAs[Long]("neighbor_id") == 5L).get.getAs[Long]("score")
+    val wantDot = "payload alpha".getBytes("UTF-8")
+      .map(b => (b & 0xff).toLong * (b & 0xff)).sum
+    assert(copyScore == wantDot)
+    // the featurizers genuinely disagree on the same asset
+    val sf = Multimodal.digestFeatures(Multimodal.assetsFrom(docs))
+      .filter(col("vec_id") === 0L).select("features")
+      .collect().head.getSeq[Float](0)
+    val bf = byteFeatures(Multimodal.assetsFrom(docs))
+      .filter(col("vec_id") === 0L).select("features")
+      .collect().head.getSeq[Float](0)
+    assert(sf != bf)
+    // "p" = 0x70 = 112: the toy decoder really read the payload byte
+    assert(bf.head == 112.0f)
+    // identical physical plan shape: same join/aggregate/exchange nodes
+    assert(shape(toy) == shape(stub))
+  }
+}
+
 /** Stub resize plumbing. */
 class ResizeSpec extends graft.SparkSpec {
   test("resize downsamples payload bytes deterministically") {
