@@ -222,6 +222,9 @@ object SparkEntry {
       S.ivfPqAppendServe(Tables.embeddings(s, d))),
     "s19_ivfpq_stored_serve" -> ((s, d) =>
       S.ivfPqStoredServe(Tables.embeddings(s, d))),
+    // s20: Matryoshka prefix-dim coarse pass + full-dim exact rerank
+    "s20_matryoshka_rerank" -> ((s, d) =>
+      S.matryoshkaTopK(Tables.embeddings(s, d))),
     // --- lake adapter (reference parity: SURVEY §2.1/2.2, §3 E1-E3) ---
     "l01_marker_split" -> ((s, d) =>
       graft.lake.LakeQueries.markerSplitDemo(Tables.documents(s, d))),
@@ -378,7 +381,15 @@ object SparkEntry {
     "w19_open_shipments" -> ((s, d) =>
       W.openShipments(Tables.lineitem(s, d))),
     "t30_rolling_fingerprints" -> ((s, d) =>
-      T.rollingFingerprints(Tables.documents(s, d)))
+      T.rollingFingerprints(Tables.documents(s, d))),
+    // t32: Gopher-style within-doc repetition profile (top-bigram share
+    // + duplicated-trigram coverage)
+    "t32_repetition_profile" -> ((s, d) =>
+      T.repetitionProfile(Tables.documents(s, d))),
+    // dq14: per-source length-distribution drift vs rest of corpus
+    // (exact-integer total-variation numerator, one double division)
+    "dq14_distribution_drift" -> ((s, d) =>
+      graft.operators.DataQuality.distributionDrift(Tables.documents(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -453,6 +464,40 @@ object SparkEntry {
       |  CAST(row_number() OVER (PARTITION BY query_id
       |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
       | FROM scored)
+      |SELECT query_id, neighbor_id, cosine, rank FROM r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** s20: coarse rank by PREFIX-16 cosine (same fold arithmetic as the
+    * brute oracle restricted to the first 16 dims), kCoarse=30
+    * survivors reranked by full-dim cosine. Both tiers tie-break on
+    * neighbor id, mirroring TopKByScore. */
+  private val MatryoshkaOracle: String =
+    """WITH n AS (SELECT vec_id, embedding,
+      |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+      |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS norm2,
+      |  list_reduce(list_transform(range(1, 17), i ->
+      |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS pnorm2 FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS qemb,
+      |  norm2 AS qnorm2, pnorm2 AS qpnorm2 FROM n WHERE vec_id < 5),
+      |coarse AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+      |  c.embedding AS nemb, c.norm2 AS nnorm2, q.qemb, q.qnorm2,
+      |  list_reduce(list_transform(range(1, 17), i ->
+      |    CAST(c.embedding[i] AS DOUBLE) * CAST(q.qemb[i] AS DOUBLE)),
+      |    (x, y) -> x + y) / (sqrt(c.pnorm2) * sqrt(q.qpnorm2)) AS pcos
+      | FROM n c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+      |cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY pcos DESC, neighbor_id ASC) AS crank FROM coarse),
+      |re AS (SELECT query_id, neighbor_id,
+      |  list_reduce(list_transform(range(1, len(nemb)+1), i ->
+      |    CAST(nemb[i] AS DOUBLE) * CAST(qemb[i] AS DOUBLE)),
+      |    (x, y) -> x + y) / (sqrt(nnorm2) * sqrt(qnorm2)) AS cosine
+      | FROM cand WHERE crank <= 30),
+      |r AS (SELECT query_id, neighbor_id, cosine,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      | FROM re)
       |SELECT query_id, neighbor_id, cosine, rank FROM r
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
@@ -2384,6 +2429,7 @@ object SparkEntry {
     // come from changes (precomputed cell-partitioned table vs
     // in-query encode)
     "s19_ivfpq_stored_serve" -> IvfPqOracle,
+    "s20_matryoshka_rerank" -> MatryoshkaOracle,
     "q31_lateral_topn" ->
       """SELECT n.n_name AS nation, t.c_name, t.c_acctbal
         |FROM nation n, LATERAL (
@@ -3585,6 +3631,79 @@ object SparkEntry {
         |SELECT doc_id, n_shingles, n_shared,
         |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE)
         |    AS boilerplate_share
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // top bigram ties toward the lexicographically smallest (count
+    // desc, gram asc — row_number mirrors the Spark min_by struct
+    // order); dup fractions are exact-long ratios divided once in
+    // double, no libm
+    "t32_repetition_profile" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks
+        |  FROM t WHERE len(toks) >= 4),
+        |g2 AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS g
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
+        |    FROM b)),
+        |c2 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM g2 GROUP BY doc_id, g),
+        |tb AS (SELECT doc_id, g AS top_bigram,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g)
+        |    AS rn FROM c2),
+        |d2 AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0
+        |    END) AS BIGINT) AS dup2_count FROM c2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id,
+        |    toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS g
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i
+        |    FROM b)),
+        |c3 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM g3 GROUP BY doc_id, g),
+        |d3 AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0
+        |    END) AS BIGINT) AS dup3_count FROM c3 GROUP BY doc_id),
+        |g4 AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' '
+        |    || toks[i+3] || ' ' || toks[i+4] AS g
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 3)) AS i
+        |    FROM b)),
+        |c4 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM g4 GROUP BY doc_id, g),
+        |d4 AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0
+        |    END) AS BIGINT) AS dup4_count FROM c4 GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, tb.top_bigram,
+        |  d2.dup2_count, CAST(d2.dup2_count AS DOUBLE)
+        |    / CAST(b.n_tokens - 1 AS DOUBLE) AS dup2_frac,
+        |  d3.dup3_count, CAST(d3.dup3_count AS DOUBLE)
+        |    / CAST(b.n_tokens - 2 AS DOUBLE) AS dup3_frac,
+        |  d4.dup4_count, CAST(d4.dup4_count AS DOUBLE)
+        |    / CAST(b.n_tokens - 3 AS DOUBLE) AS dup4_frac
+        |FROM b JOIN tb ON b.doc_id = tb.doc_id AND tb.rn = 1
+        |JOIN d2 ON b.doc_id = d2.doc_id
+        |JOIN d3 ON b.doc_id = d3.doc_id
+        |JOIN d4 ON b.doc_id = d4.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+    // total-variation drift: exact-integer cross-multiplied numerator,
+    // one double division 2.0*t*(n-t) with the same associativity as
+    // the Spark side
+    "dq14_distribution_drift" ->
+      """WITH b AS (SELECT source, n_chars // 100 AS bucket
+        |  FROM documents),
+        |sb AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM b GROUP BY source, bucket),
+        |tb AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS ct
+        |  FROM sb GROUP BY bucket),
+        |ts AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t
+        |  FROM sb GROUP BY source),
+        |n AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM tb),
+        |grid AS (SELECT s.source, tb.bucket, tb.ct
+        |  FROM (SELECT DISTINCT source FROM sb) s CROSS JOIN tb),
+        |j AS (SELECT g.source, g.bucket, COALESCE(sb.c, 0) AS c_s,
+        |    g.ct - COALESCE(sb.c, 0) AS c_r
+        |  FROM grid g LEFT JOIN sb
+        |    ON g.source = sb.source AND g.bucket = sb.bucket)
+        |SELECT j.source, ts.t AS n_docs, n.n - ts.t AS n_rest,
+        |  CAST(SUM(ABS(c_s * (n.n - ts.t) - c_r * ts.t)) AS BIGINT)
+        |    AS tv_num,
+        |  CAST(SUM(ABS(c_s * (n.n - ts.t) - c_r * ts.t)) AS DOUBLE)
+        |    / (2.0 * ts.t * (n.n - ts.t)) AS tv
+        |FROM j JOIN ts ON j.source = ts.source CROSS JOIN n
+        |GROUP BY j.source, ts.t, n.n ORDER BY j.source""".stripMargin
   )
 }

@@ -488,6 +488,54 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s20: Matryoshka-style prefix-dimension retrieval (Kusupati et al.
+    * 2022) — the third coarse-tier family beside quantization (s06/s11)
+    * and cell pruning (s02/s08): an MRL-trained embedding's first
+    * `prefixDim` dimensions are themselves a valid embedding, so the
+    * coarse pass ranks by PREFIX cosine (reading prefixDim/d of the
+    * float budget — at rest, a separate narrow column the scan prunes
+    * to) and only the kCoarse survivors pay the full-dimension exact
+    * rerank. Same funnel contract as [[rerankTopK]]: deterministic
+    * tie-breaks at both tiers, candidate frame broadcast back.
+    *
+    * Scale: coarse tier is s01's broadcast(queries) × corpus scan over
+    * a prefixDim-wide column + the bounded TopKByScore partial agg;
+    * the refine tier touches kCoarse·nQueries rows. The corpus never
+    * moves; full-width floats are read only for candidates (at 100 TB:
+    * the prefix column scans, the full column is a point-lookup join). */
+  def matryoshkaTopK(embeddings: DataFrame, nQueries: Int = 5,
+      k: Int = 10, prefixDim: Int = 16, kCoarse: Int = 30): DataFrame = {
+    val pref = embeddings
+      .select(col("vec_id"), col("embedding"),
+        slice(col("embedding"), 1, prefixDim).as("pemb"))
+      .withColumn("pnorm2", Dedup.dotExpr("pemb", "pemb"))
+      .withColumn("norm2", Dedup.dotExpr("embedding", "embedding"))
+    val queries = pref.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_emb"), col("pemb").as("qpemb"),
+        col("pnorm2").as("qpnorm2"), col("norm2").as("qnorm2"))
+    val coarse = pref
+      .select(col("vec_id"), col("pemb"), col("pnorm2"))
+      .join(broadcast(queries.select(col("query_id"), col("qpemb"),
+        col("qpnorm2"))), col("vec_id") =!= col("query_id"))
+      .withColumn("pcos", Dedup.dotExpr("pemb", "qpemb") /
+        (sqrt(col("pnorm2")) * sqrt(col("qpnorm2"))))
+    // candidate frame derives from an aggregate — size estimation can't
+    // see it's kCoarse·nQueries rows, so hint the broadcast (s17's rule)
+    val cand = topKByQuery(coarse, "pcos", kCoarse)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+    val scored = pref.select(col("vec_id"), col("embedding"), col("norm2"))
+      .join(broadcast(cand), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("query_emb"),
+        col("qnorm2"))), "query_id")
+      .withColumn("cosine", Dedup.dotExpr("embedding", "query_emb") /
+        (sqrt(col("norm2")) * sqrt(col("qnorm2"))))
+    topKByQuery(scored, "cosine", k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Memory-tier ANN: top-k by INTEGER dot product over scalar-quantized
     * codes. At 100 TB the float32 corpus does not fit the scan budget;
     * int8-range codes are 4× smaller (8× against float64 pipelines),

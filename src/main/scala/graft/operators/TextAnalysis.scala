@@ -846,4 +846,53 @@ object TextAnalysis {
       .withColumn("is_code", col("n_sym") * 50L >= col("n_chars"))
       .orderBy(col("doc_id"))
   }
+
+  /** t32: Gopher-style duplicated-n-gram coverage (Rae et al. 2021,
+    * "Scaling Language Models", Table A1) — for n ∈ {2,3,4}, the
+    * fraction of a document's n-gram instances whose gram occurs more
+    * than once in the SAME document, plus WHICH bigram dominates (the
+    * explainability face t05's counts don't carry). Template pages,
+    * keyword-stuffed spam, and decode loops light up the dup fractions
+    * at rising n; clean prose decays fast. Complements
+    * [[repetitionStats]] (t05: top-share + run lengths): t05 asks "how
+    * concentrated", this asks "how much of the doc is literal
+    * self-repeat". Fractions are exact-long ratios divided once in
+    * double (no libm); the top bigram ties toward the
+    * lexicographically smallest — the oracle's `row_number
+    * (ORDER BY c DESC, g)` contract.
+    *
+    * Scale: three doc-keyed n-gram count shuffles (map-side combined,
+    * ~n_tokens rows per doc each), per-doc partial-aggregating
+    * reductions (min_by argmax, conditional sums — no window funnel),
+    * and doc-keyed joins. Nothing global, nothing skewed beyond
+    * document length. */
+  def repetitionProfile(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = documents.filter(size(toks) >= 4)
+      .select(col("doc_id"), toks.as("toks"),
+        size(toks).cast("long").as("n_tokens"))
+    def gramCounts(n: Int) = base
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    def dup(n: Int) = gramCounts(n).groupBy(col("doc_id"))
+      .agg(sum(when(col("c") > 1L, col("c")).otherwise(0L))
+        .as(s"dup${n}_count"))
+    val topBi = gramCounts(2).groupBy(col("doc_id"))
+      .agg(min_by(col("g"),
+        struct((lit(0L) - col("c")).as("negc"), col("g").as("g")))
+        .as("top_bigram"))
+    def frac(n: Int) = (col(s"dup${n}_count").cast("double") /
+      (col("n_tokens") - (n - 1)).cast("double")).as(s"dup${n}_frac")
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(topBi, "doc_id").join(dup(2), "doc_id")
+      .join(dup(3), "doc_id").join(dup(4), "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("top_bigram"),
+        col("dup2_count"), frac(2), col("dup3_count"), frac(3),
+        col("dup4_count"), frac(4))
+      .orderBy(col("doc_id"))
+  }
 }

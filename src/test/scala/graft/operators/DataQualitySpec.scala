@@ -214,6 +214,34 @@ class DataQualitySpec extends SparkSpec {
       "2026-03-03" -> ((-6L, true))))
   }
 
+  test("distribution drift: identical distributions read zero, disjoint read one") {
+    import spark.implicits._
+    // srcA and srcB share one length histogram (TV = 0); srcC lives in
+    // its own bucket entirely (TV vs rest = 1)
+    val docs = (Seq.fill(4)(50L) ++ Seq.fill(4)(150L)).zipWithIndex
+      .flatMap { case (n, i) =>
+        Seq((i.toLong * 2, "srcA", n), (i.toLong * 2 + 1, "srcB", n))
+      } ++ (0 until 4).map(i => (100L + i, "srcC", 950L))
+    val got = docs.toDF("doc_id", "source", "n_chars")
+      .select(col("doc_id"), lit("x").as("text"), col("source"),
+        col("n_chars"))
+      .transform(d => DataQuality.distributionDrift(d))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("tv_num"),
+          r.getAs[Double]("tv"))).toMap
+    // srcA vs rest (srcB 8 + srcC 4 = 12 docs): buckets 0 and 1 hold
+    // 4/8 of srcA vs 4/12 rest each; bucket 9 holds 0 vs 4/12.
+    // tv_num = |4*12-4*8| + |4*12-4*8| + |0*12-4*8| = 16+16+32 = 64
+    // tv = 64 / (2*8*12) = 1/3
+    assert(got("srcA") == ((8L, 64L, 64.0 / 192.0)))
+    assert(got("srcB") == ((8L, 64L, 64.0 / 192.0)))
+    // srcC is fully disjoint from the rest -> TV = 1
+    val (nC, tvNumC, tvC) = got("srcC")
+    assert(nC == 4L && tvC == 1.0 &&
+      tvNumC == 2L * 4L * 16L) // = 2·t_s·t_r exactly at TV 1
+  }
+
   test("join cardinality matches the actually-executed join exactly") {
     val sf = "/root/testdata/sf0.001"
     val orders = graft.Tables.orders(spark, sf)

@@ -192,6 +192,48 @@ class SignLshSpec extends graft.SparkSpec {
     }
   }
 
+  test("matryoshka with full-width prefix and corpus-wide coarse = brute") {
+    // prefixDim = d and kCoarse = n: both tiers are exact, so the
+    // composition must reproduce s01 row-for-row
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count().toInt
+    val got = graft.operators.Similarity
+      .matryoshkaTopK(emb, nQueries = 3, k = 5, prefixDim = 64,
+        kCoarse = n)
+      .collect().map(_.toSeq).toSeq
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(emb, nQueries = 3, k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(got == exact)
+  }
+
+  test("matryoshka narrow prefix: exact-cosine order, recall tracks widening") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(emb, nQueries = 3, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    def recall(kCoarse: Int): Double = {
+      val got = graft.operators.Similarity
+        .matryoshkaTopK(emb, nQueries = 3, k = 5, prefixDim = 16,
+          kCoarse = kCoarse).collect()
+      val byQuery = got.groupBy(_.getAs[Long]("query_id"))
+      for ((_, rs) <- byQuery) {
+        val sorted = rs.sortBy(_.getAs[Long]("rank"))
+        // rerank is exact cosine: non-increasing down the rank order
+        val cs = sorted.map(_.getAs[Double]("cosine"))
+        assert(cs.sliding(2).forall { case Array(a2, b2) => a2 >= b2
+          case _ => true })
+      }
+      val hits = got.map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+      hits.intersect(exact).size.toDouble / exact.size
+    }
+    // widening the coarse funnel can only help: a candidate set is a
+    // superset of any narrower one, and the rerank is exact
+    assert(recall(10) <= recall(30))
+  }
+
   test("PQ ADC top-k: full rank lists, descending exact scores, no self") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rows = Similarity.pqTopK(emb).collect()

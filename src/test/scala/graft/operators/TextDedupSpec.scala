@@ -378,6 +378,37 @@ class RepetitionStatsSpec extends graft.SparkSpec {
     assert(r3.getAs[Boolean]("flag_repetitive"))
   }
 
+  test("repetitionProfile: dup n-gram coverage rises with literal repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b a b a b": bigrams [ab,ba,ab,ba,ab] all duplicated -> dup2 5/5;
+      // trigrams [aba,bab,aba,bab] all dup -> 4/4; 4-grams [abab,baba,abab]
+      // -> abab twice, baba once -> dup4 2/3. top bigram "a b" (3 > 2)
+      (1L, "a b a b a b"),
+      // fully diverse: nothing repeats at any n
+      (2L, "one two three four five"),
+      // shorter than 4 tokens: filtered out entirely
+      (3L, "x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionProfile(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!got.contains(3L))
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_tokens") == 6)
+    assert(r1.getAs[String]("top_bigram") == "a b")
+    assert(r1.getAs[Long]("dup2_count") == 5 &&
+      r1.getAs[Double]("dup2_frac") == 1.0)
+    assert(r1.getAs[Long]("dup3_count") == 4 &&
+      r1.getAs[Double]("dup3_frac") == 1.0)
+    assert(r1.getAs[Long]("dup4_count") == 2 &&
+      r1.getAs[Double]("dup4_frac") == 2.0 / 3.0)
+    val r2 = got(2L)
+    assert(r2.getAs[Long]("dup2_count") == 0 &&
+      r2.getAs[Long]("dup3_count") == 0 &&
+      r2.getAs[Long]("dup4_count") == 0)
+    // tie-break: all bigrams occur once -> lexicographically smallest
+    assert(r2.getAs[String]("top_bigram") == "four five")
+  }
+
   test("keep-list: longest member wins, ties by id, singletons kept") {
     import spark.implicits._
     val docs = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 5L))
