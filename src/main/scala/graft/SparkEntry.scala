@@ -225,6 +225,8 @@ object SparkEntry {
     // s20: Matryoshka prefix-dim coarse pass + full-dim exact rerank
     "s20_matryoshka_rerank" -> ((s, d) =>
       S.matryoshkaTopK(Tables.embeddings(s, d))),
+    // s21: cell-blocked kNN graph — top-k neighbors for EVERY vector
+    "s21_knn_graph" -> ((s, d) => S.knnGraph(Tables.embeddings(s, d))),
     // --- lake adapter (reference parity: SURVEY §2.1/2.2, §3 E1-E3) ---
     "l01_marker_split" -> ((s, d) =>
       graft.lake.LakeQueries.markerSplitDemo(Tables.documents(s, d))),
@@ -747,6 +749,25 @@ object SparkEntry {
       |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
       |      (x, y) -> x + y) AS dist2
       |    FROM v CROSS JOIN c1 c)) WHERE rn = 1)""".stripMargin
+
+  /** s21: the kNN graph blocked by the SAME trained quantizer at K=32
+    * ([[IvfTrainCtes]] with the seed predicate widened — the only K
+    * reference in the CTE text), within-cell self-join, per-vector
+    * top-5 by exact cosine with the (cosine desc, id asc) tie-break. */
+  private val KnnGraphOracle: String =
+    s"WITH ${IvfTrainCtes.replace("WHERE vec_id < 8", "WHERE vec_id < 32")},\n" +
+    s"""sc AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+      |  list_reduce(list_transform(range(1, len(a.emb)+1), i ->
+      |    CAST(a.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE)),
+      |    (x, y) -> x + y) / (sqrt(a.vnorm2) * sqrt(b.vnorm2)) AS cosine
+      |  FROM a2 a JOIN a2 b ON a.cluster_id = b.cluster_id
+      |    AND a.vec_id <> b.vec_id),
+      |r AS (SELECT vec_id, neighbor_id, cosine,
+      |  CAST(row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      | FROM sc)
+      |SELECT vec_id, neighbor_id, cosine, rank FROM r
+      |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
 
   /** s13: recall@10 of the two PQ serving tiers vs the s01 exact
     * ground truth — each tier's full oracle nested as a derived-table
@@ -2430,6 +2451,7 @@ object SparkEntry {
     // in-query encode)
     "s19_ivfpq_stored_serve" -> IvfPqOracle,
     "s20_matryoshka_rerank" -> MatryoshkaOracle,
+    "s21_knn_graph" -> KnnGraphOracle,
     "q31_lateral_topn" ->
       """SELECT n.n_name AS nation, t.c_name, t.c_acctbal
         |FROM nation n, LATERAL (

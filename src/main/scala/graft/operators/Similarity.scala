@@ -536,6 +536,47 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s21: cell-blocked kNN GRAPH — every corpus vector's top-k cosine
+    * neighbors within its trained coarse cell, the all-vectors batch
+    * face of the ANN story (s01-s20 serve a query batch; curation
+    * passes — SemDeDup clustering, graph-based diversity sampling,
+    * duplicate-community mining — need neighbors for EVERYONE). The
+    * blocker is the same trained quantizer the serving tiers load, at
+    * a finer K (default 32): within-cell self-join keeps the work
+    * Σ|cell|² instead of |corpus|², the standard blocked-kNN trade —
+    * boundary-straddling true neighbors are the miss, exactly s02's
+    * recall cliff, bought back at higher K per cell or multi-assign.
+    *
+    * Scale: the self-join is an equi-join on the cell id (hash
+    * partition by cell — at rest both sides are the SAME
+    * cell-partitioned table, so a bucketed layout makes it
+    * exchange-free); per-vector ranks run through the bounded
+    * [[graft.functions.TopKByScore]] partial agg, never a per-vector
+    * window over the corpus. Skew = the largest cell; the K lever and
+    * salted assign handle pathological cells. */
+  def knnGraph(embeddings: DataFrame, k: Int = 5,
+      nCells: Int = 32): DataFrame = {
+    val centroids = Clustering.trainedCentroidsLocal(embeddings, nCells)
+    val vectors = embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2", Dedup.dotExpr("emb", "emb"))
+    val assigned = Clustering.assign(vectors, centroids)
+      .select(col("vec_id"), col("emb"), col("vnorm2"),
+        col("cluster_id").as("cell"))
+    val scored = assigned
+      .join(assigned.select(col("cell"), col("vec_id").as("nbr_id"),
+        col("emb").as("nemb"), col("vnorm2").as("nnorm2")), Seq("cell"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cosine", Dedup.dotExpr("emb", "nemb") /
+        (sqrt(col("vnorm2")) * sqrt(col("nnorm2"))))
+      .select(col("vec_id").as("query_id"), col("nbr_id").as("vec_id"),
+        col("cosine"))
+    topKByQuery(scored, "cosine", k)
+      .select(col("query_id").as("vec_id"), col("neighbor_id"),
+        col("cosine"), col("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** Memory-tier ANN: top-k by INTEGER dot product over scalar-quantized
     * codes. At 100 TB the float32 corpus does not fit the scan budget;
     * int8-range codes are 4× smaller (8× against float64 pipelines),

@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * Shape, per micro-batch:
   *   1. cell routing — the trained coarse centroids (a model artifact,
   *      [[graft.operators.Similarity.servingArtifacts]]) are packed into
-  *      ONE broadcast row and the query's nearest cell is a per-row
-  *      argmin, exactly [[StreamEnrich.assignCellsStream]]'s stateless
-  *      trade (no streaming aggregation, no state);
+  *      ONE broadcast row and the query's nProbe nearest cells are a
+  *      per-row sort-and-take (nProbe=1 is the argmin), exactly
+  *      [[StreamEnrich.assignCellsStream]]'s stateless trade (no
+  *      streaming aggregation, no state);
   *   2. LUT build — the PQ codebook (same artifact pair) rides the same
   *      broadcast row; each query computes its ADC lookup table as a
   *      per-row map keyed by sub·k+code. Keyed, not positional: a
@@ -53,7 +54,8 @@ object StreamingAnnServe {
     * ([[graft.operators.Similarity.packedIndex]]). */
   def ivfPqTopKStream(queries: DataFrame, centroids: DataFrame,
       codebook: DataFrame, index: DataFrame, m: Int = 4, k: Int = 8,
-      subDim: Int = 16, topK: Int = 10, windowDur: String = "1 minute",
+      subDim: Int = 16, topK: Int = 10, nProbe: Int = 1,
+      windowDur: String = "1 minute",
       watermarkDelay: String = "0 seconds"): DataFrame = {
     // both model artifacts packed into one broadcast row: the stream
     // joins the model exactly once per micro-batch, no shuffle
@@ -73,22 +75,28 @@ object StreamingAnnServe {
       .withColumn("vnorm2", vdot(col("emb"), col("emb")))
       .withColumn("jk", lit(1))
       .join(broadcast(packedModel), "jk")
-      // per-row argmin over the K packed centroids — assignCellsStream's
-      // arithmetic and (dist2, cluster_id) tie-break verbatim
-      .withColumn("best", array_min(transform(col("cents"), c =>
-        struct((col("vnorm2") + c.getField("cnorm2") - lit(2.0) *
-          vdot(col("emb"), c.getField("cemb"))).as("dist2"),
-          c.getField("cluster_id").as("cluster_id")))))
+      // per-row probe schedule over the K packed centroids:
+      // assignCellsStream's arithmetic, probeCells's (dist2,
+      // cluster_id) order — sort + take-nProbe generalizes the argmin
+      // (nProbe=1 IS the argmin), then one row per probed cell.
+      // Probed cells are disjoint, so candidates stay unique.
       // per-row ADC LUT: sub·k+code → floor(dot(q_sub, cemb)·1e6), the
-      // batch tier's pqLut fixed-point verbatim
+      // batch tier's pqLut fixed-point verbatim — BEFORE the probe
+      // explode, so it is built once per query, not once per probed cell
       .withColumn("lut", map_from_entries(transform(col("cb"), e =>
         struct((e.getField("sub") * lit(k) + e.getField("code"))
           .cast("int").as("key"),
           floor(vdot(subSlice(e.getField("sub").cast("int")),
             e.getField("cemb")) * lit(1000000.0)).cast("long")
             .as("pdot_fp")))))
+      .withColumn("probe", explode(slice(array_sort(
+        transform(col("cents"), c =>
+          struct((col("vnorm2") + c.getField("cnorm2") - lit(2.0) *
+            vdot(col("emb"), c.getField("cemb"))).as("dist2"),
+            c.getField("cluster_id").as("cluster_id")))),
+        1, nProbe)))
       .select(col("query_id"), col("ts"),
-        col("best.cluster_id").as("cell"), col("lut"))
+        col("probe.cluster_id").as("cell"), col("lut"))
 
     val scored = routed
       .join(index, Seq("cell")) // stream-static; `cell` is the partition

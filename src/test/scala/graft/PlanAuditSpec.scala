@@ -50,7 +50,8 @@ class PlanAuditSpec extends SparkSpec {
     "t31_dsir_weights", // ONE-row (n_t, n_r) totals frame broadcast-crossed in
     "d15_semantic_dedup", // k01's broadcast(8 centroids) x corpus cluster-assign
     "dq14_distribution_drift", // dims-sized sources x buckets grid + ONE-row total cross
-    "s20_matryoshka_rerank") // s01's broadcast(5 queries) x corpus, prefix tier
+    "s20_matryoshka_rerank", // s01's broadcast(5 queries) x corpus, prefix tier
+    "s21_knn_graph") // k01's broadcast(32 centroids) x corpus cell-assign
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

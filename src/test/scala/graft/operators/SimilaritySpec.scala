@@ -234,6 +234,42 @@ class SignLshSpec extends graft.SparkSpec {
     assert(recall(10) <= recall(30))
   }
 
+  test("knnGraph with one cell gives every vector its exact brute top-k") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 40)
+    val graph = graft.operators.Similarity
+      .knnGraph(emb, k = 4, nCells = 1).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rank"))).toSet
+    // nCells=1: the block is the whole corpus, so each vector's list is
+    // the exact brute-force top-4 (s01 with every vector as a query)
+    val brute = graft.operators.Similarity
+      .bruteForceTopK(emb, nQueries = 40, k = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rank"))).toSet
+    assert(graph.nonEmpty && graph == brute)
+  }
+
+  test("knnGraph blocks strictly by trained cell") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 120)
+    val cells = graft.operators.Clustering.kmediansAssign(emb, k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = graft.operators.Similarity
+      .knnGraph(emb, k = 3, nCells = 8).collect()
+    assert(rows.nonEmpty)
+    // every reported neighbor shares the query's trained cell, ranks
+    // are 1..n per vector, and no self-matches survive
+    for (r <- rows) {
+      val (v, n) = (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"))
+      assert(v != n && cells(v) == cells(n))
+    }
+    for ((_, rs) <- rows.groupBy(_.getAs[Long]("vec_id"))) {
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to rs.length))
+    }
+  }
+
   test("PQ ADC top-k: full rank lists, descending exact scores, no self") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rows = Similarity.pqTopK(emb).collect()

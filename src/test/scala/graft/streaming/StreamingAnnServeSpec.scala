@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   * top-k tie-breaks). */
 class StreamingAnnServeSpec extends graft.SparkSpec {
 
-  test("streaming IVF-PQ serve matches the batch serving tier bitwise") {
+  for (nProbe <- Seq(1, 2))
+  test(s"streaming IVF-PQ serve matches the batch tier bitwise, nProbe=$nProbe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
-    // batch truth: the s15 serving form (own-cell probe), same artifacts
-    val want = graft.operators.Similarity.ivfPqTopKServe(emb)
+    // batch truth: the s15 serving form, same artifacts, same nProbe
+    val want = graft.operators.Similarity
+      .ivfPqTopKServe(emb, nProbe = nProbe)
       .select("query_id", "neighbor_id", "adc_fp", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
@@ -31,8 +33,8 @@ class StreamingAnnServeSpec extends graft.SparkSpec {
     val q = StreamingAnnServe.ivfPqTopKStream(
       input.toDF().toDF("query_id", "ts", "emb")
         .withColumn("emb", col("emb").cast("array<float>")),
-      centroids, codebook, index)
-      .writeStream.format("memory").queryName("ann_serve")
+      centroids, codebook, index, nProbe = nProbe)
+      .writeStream.format("memory").queryName(s"ann_serve_$nProbe")
       .outputMode("append").start()
     try {
       // the real queries split across TWO micro-batches, same window
@@ -54,7 +56,7 @@ class StreamingAnnServeSpec extends graft.SparkSpec {
       q.processAllAvailable()
       input.addData((1000001L, t("2026-01-01T10:06:00Z"), qvecs.head._2))
       q.processAllAvailable()
-      val got = spark.table("ann_serve")
+      val got = spark.table(s"ann_serve_$nProbe")
         .filter(col("query_id") < 1000000L).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSet
