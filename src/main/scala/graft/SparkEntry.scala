@@ -147,6 +147,10 @@ object SparkEntry {
     "p02_decontamination" -> ((s, d) =>
       T.contaminationScores(Tables.documents(s, d),
         org.apache.spark.sql.functions.col("doc_id") % 100 === 0)),
+    // p04: quality gate -> exact dedup -> decontamination -> per-lang
+    // token budget, emitting the kept-corpus manifest end to end
+    "p04_pretrain_corpus" -> ((s, d) =>
+      T.pretrainCorpusBuild(Tables.documents(s, d))),
     // --- dedup layer (LLM-pipeline north star) ---
     "d01_exact_dedup" -> ((s, d) =>
       D.exactDedup(D.doubledCorpus(Tables.documents(s, d)))),
@@ -1673,6 +1677,64 @@ object SparkEntry {
         | CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE)
         |   AS contamination
         |FROM hits JOIN sz USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // p04 composes the p01/d01/p02/p03 CTE idioms verbatim: doubled
+    // corpus, t02 quality filter, digest dedup (min per column), exact
+    // 3-gram postings vs the benchmark split, then the per-lang
+    // quality-ranked running token budget
+    "p04_pretrain_corpus" ->
+      """WITH doubled AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text, lang FROM documents),
+        |tq AS (SELECT doc_id, text, lang,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM doubled),
+        |c AS (SELECT doc_id, text, lang,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(toks) AS DOUBLE) AS n_tok,
+        |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS punct,
+        |  CAST(len(list_filter(toks, t -> list_contains(
+        |    ['the','a','and','of','to','in','is','it'], lower(t)))) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS stop,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS diversity
+        | FROM tq),
+        |kept AS (SELECT doc_id, text, lang, n_tokens,
+        |  least(1.0, n_tok/64.0)*0.4 + (1.0-punct)*0.2 + stop*0.2
+        |    + diversity*0.2 AS quality
+        | FROM c
+        | WHERE least(1.0, n_tok/64.0)*0.4 + (1.0-punct)*0.2 + stop*0.2
+        |    + diversity*0.2 >= 0.5),
+        |d AS (SELECT
+        |  md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS content_md5,
+        |  min(doc_id) AS doc_id, min(lang) AS lang, min(text) AS text,
+        |  min(n_tokens) AS n_tokens, min(quality) AS quality
+        | FROM kept GROUP BY 1),
+        |ds AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3 THEN
+        |    list_transform(
+        |      range(0, len(string_split_regex(trim(text), '\s+'))-2),
+        |      i -> array_to_string(
+        |        string_split_regex(trim(text), '\s+')[i+1:i+3], ' '))
+        |  ELSE [array_to_string(
+        |    string_split_regex(trim(text), '\s+'), ' ')] END) AS sh
+        | FROM d),
+        |bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM ds
+        |  WHERE doc_id % 100 = 0),
+        |hits AS (SELECT t2.doc_id FROM
+        |  (SELECT doc_id, unnest(sh) AS shingle FROM ds
+        |    WHERE doc_id % 100 <> 0) t2
+        |  JOIN bench b ON t2.shingle = b.shingle GROUP BY 1),
+        |train AS (SELECT d.* FROM d
+        |  WHERE d.doc_id % 100 <> 0
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM hits)),
+        |budg AS (SELECT lang, doc_id, n_tokens, quality,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY quality DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens
+        | FROM train)
+        |SELECT lang, doc_id, n_tokens, quality, cum_tokens FROM budg
+        |WHERE cum_tokens <= 3000 ORDER BY lang, cum_tokens""".stripMargin,
     "d01_exact_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

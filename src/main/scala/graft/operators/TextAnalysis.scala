@@ -448,6 +448,58 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** p04: the COMPLETE pretrain-corpus build — the four-stage selection
+    * every pretraining run makes, composed from the audited operators
+    * and ending in the kept-document manifest a tokenizer consumes:
+    * quality gate (t02's score) → exact dedup over a doubled corpus
+    * (d01's digest; the copies PROVE the stage fires) → benchmark
+    * decontamination (p02's 3-gram postings: benchmark docs leave, and
+    * so does any training doc sharing a shingle with them) → per-lang
+    * quality-ranked token budget (p03's running sum). Each stage's
+    * semantics and its scale posture are the single-operator query's;
+    * what p04 adds is the evidence they COMPOSE — one DataFrame, one
+    * oracle, end to end. p01 stops at corpus stats; this emits the
+    * corpus itself.
+    *
+    * Scale: three doc-keyed shuffles (quality is scan-stage), the
+    * digest group, the capped posting join, then the per-(lang) budget
+    * window — the one serial funnel, whose production form is
+    * [[Sampling.tokenBudgetMixSharded]] (documented there; the exact
+    * form is the oracle contract). */
+  def pretrainCorpusBuild(documents: DataFrame, minQuality: Double = 0.5,
+      budgetPerLang: Long = 3000L, benchMod: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val doubled = documents.select(col("doc_id"), col("text"), col("lang"))
+      .unionByName(documents.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang")))
+    val quality = qualityScore(doubled)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val kept = doubled.join(quality, "doc_id")
+      .filter(col("quality") >= minQuality)
+    // same-content rows agree on every carried column except doc_id, so
+    // min() is both deterministic and value-preserving
+    val deduped = kept
+      .groupBy(Dedup.contentDigest(col("text")).as("content_md5"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
+        min(col("text")).as("text"), min(col("n_tokens")).as("n_tokens"),
+        min(col("quality")).as("quality"))
+    val benchPred = col("doc_id") % benchMod === 0
+    val contaminated = contaminationScores(
+      deduped.select(col("doc_id"), col("text")), benchPred)
+      .select(col("doc_id"))
+    val train = deduped.filter(!benchPred)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    train
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetPerLang)
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("quality"),
+        col("cum_tokens"))
+      .orderBy(col("lang"), col("cum_tokens"))
+  }
+
   /** Document fingerprints: exact-content hash (md5 of whitespace-normalized
     * text) + winnowing-style min-hash of word-3-gram shingles (the rolling-
     * hash fingerprint: min over shingle hashes selects a content-stable

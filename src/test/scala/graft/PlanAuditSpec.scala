@@ -119,6 +119,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("kNN-graph self-join hashes on the cell key, never nested-loop") {
+    // s21's corpus×corpus self-join carries the cell equi-key; the only
+    // permitted BNLJ in its plan is the K-centroid assign cross. A
+    // nested-loop on the self-join would be |corpus|² at any cell count.
+    val plan = SparkEntry.queries("s21_knn_graph")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashed = plan.contains("ShuffledHashJoin") ||
+      plan.contains("SortMergeJoin") ||
+      // cell-keyed broadcast is fine too if one side estimates tiny
+      "BroadcastHashJoin.*cell".r.findFirstIn(plan).isDefined
+    assert(hashed,
+      s"s21 must equi-join on the cell key, got:\n$plan")
+    // exactly the one intended BNLJ (the centroid-assign cross), which
+    // appears twice in the printed plan only if the self-join degraded
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 2, s"s21 has $bnlj nested-loop joins — the cell " +
+      s"self-join degraded:\n$plan")
+  }
+
   test("ivf probe joins hash on the cell key, not nested-loop") {
     // label === query_label is an equi key: the cell-probe join must plan
     // a BroadcastHashJoin (queries side broadcast), never BNLJ

@@ -68,7 +68,7 @@ class ScaleStressSpec extends SparkSpec {
   private val factor = 8
 
   import graft.operators.{Dedup => D, Similarity => S, DataQuality => DQ,
-    Windows => W}
+    TextAnalysis => T, Windows => W}
 
   private def docs = Tables.documents(spark, sf)
   private def emb = Tables.embeddings(spark, sf)
@@ -146,7 +146,17 @@ class ScaleStressSpec extends SparkSpec {
     ("w19_open_shipments",
       W.openShipments(Tables.lineitem(spark, sf)),
       W.openShipments(ScaledTables.scaled(Tables.lineitem(spark, sf),
-        factor, idCols = Seq("l_orderkey"))), false))
+        factor, idCols = Seq("l_orderkey"))), false),
+    // r12 additions. s21 scales its CELL COUNT with the corpus (K ∝ N
+    // keeps the expected cell size constant — the production lever its
+    // scaladoc names; a fixed K would measure the deliberate per-cell
+    // quadratic at ~×64, the workload's cost model, not a plan
+    // regression)
+    ("s21_knn_graph",
+      S.knnGraph(emb, nCells = 32),
+      S.knnGraph(embX, nCells = 32 * factor), true),
+    ("t32_repetition_profile",
+      T.repetitionProfile(docs), T.repetitionProfile(docsX), false))
 
   /** Committed growth-factor history, keyed fixture-name -> op -> factor.
     * Flat hand-rolled read/write (the shape is two levels of string ->

@@ -378,6 +378,41 @@ class RepetitionStatsSpec extends graft.SparkSpec {
     assert(r3.getAs[Boolean]("flag_repetitive"))
   }
 
+  test("pretrainCorpusBuild: every stage's contract visible in the output") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.pretrainCorpusBuild(docs).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getAs[Long]("doc_id"))
+    // dedup: the doubled copies (+1000000) never survive — the original
+    // (lower id) always wins the digest group
+    assert(ids.forall(_ < 1000000L))
+    assert(ids.distinct.length == ids.length)
+    // decontamination: no benchmark doc, and no doc sharing a 3-gram
+    // with the benchmark set
+    assert(ids.forall(_ % 100 != 0))
+    val contaminated = TextAnalysis.contaminationScores(docs,
+      col("doc_id") % 100 === 0).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.forall(!contaminated(_)))
+    // quality gate + budget: scores clear the bar; per-lang cumulative
+    // tokens are monotone in the (quality desc, id) order and capped
+    assert(out.forall(_.getAs[Double]("quality") >= 0.5))
+    for ((_, rows) <- out.groupBy(_.getAs[String]("lang"))) {
+      val sorted = rows.sortBy(r => (-r.getAs[Double]("quality"),
+        r.getAs[Long]("doc_id")))
+      val cums = sorted.map(_.getAs[Long]("cum_tokens"))
+      assert(cums.forall(_ <= 3000L))
+      assert(cums.sliding(2).forall {
+        case Array(a, b) => a < b
+        case _ => true
+      })
+      // cum_tokens really is the running sum of n_tokens in rank order
+      val expect = sorted.map(_.getAs[Long]("n_tokens"))
+        .scanLeft(0L)(_ + _).tail
+      assert(cums.toSeq == expect.toSeq)
+    }
+  }
+
   test("repetitionProfile: dup n-gram coverage rises with literal repeats") {
     import spark.implicits._
     val docs = Seq(
