@@ -231,6 +231,13 @@ object SparkEntry {
       S.matryoshkaTopK(Tables.embeddings(s, d))),
     // s21: cell-blocked kNN graph — top-k neighbors for EVERY vector
     "s21_knn_graph" -> ((s, d) => S.knnGraph(Tables.embeddings(s, d))),
+    // s22: trained per-dim affine SQ8 (FAISS ScalarQuantizer QT_8bit),
+    // integer-exact ADC ranking via midpoint weights
+    "s22_sq8_topk" -> ((s, d) => S.sq8TopK(Tables.embeddings(s, d))),
+    // s23: MMR-diversified top-k (greedy relevance-vs-redundancy in
+    // integer micros over the s01 candidates)
+    "s23_mmr_diversify" -> ((s, d) =>
+      S.mmrDiversifyTopK(Tables.embeddings(s, d))),
     // --- lake adapter (reference parity: SURVEY §2.1/2.2, §3 E1-E3) ---
     "l01_marker_split" -> ((s, d) =>
       graft.lake.LakeQueries.markerSplitDemo(Tables.documents(s, d))),
@@ -395,7 +402,22 @@ object SparkEntry {
     // dq14: per-source length-distribution drift vs rest of corpus
     // (exact-integer total-variation numerator, one double division)
     "dq14_distribution_drift" -> ((s, d) =>
-      graft.operators.DataQuality.distributionDrift(Tables.documents(s, d)))
+      graft.operators.DataQuality.distributionDrift(Tables.documents(s, d))),
+    // g06: triangle census + clustering coefficient over the s21 kNN
+    // graph (symmetrized) — the community-structure audit
+    "g06_knn_triangles" -> ((s, d) =>
+      graft.operators.Graph.knnTriangles(Tables.embeddings(s, d))),
+    // t33: bigram-LM surprise (context-sensitive fluency, one order
+    // above t17) — whole-bit integer form, add-one smoothing
+    "t33_bigram_surprise" -> ((s, d) =>
+      T.bigramSurprise(Tables.documents(s, d))),
+    // p05: MinHash-LSH fuzzy decontamination (paraphrase-level leak
+    // check; p02's exact-overlap complement). Denser bench predicate
+    // than p02's (%10, not %100): the fixture's near-dup pairs must
+    // straddle the train/bench boundary for the band join to fire
+    "p05_fuzzy_decontam" -> ((s, d) =>
+      T.fuzzyDecontamination(Tables.documents(s, d),
+        org.apache.spark.sql.functions.col("doc_id") % 10 === 0))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -454,8 +476,11 @@ object SparkEntry {
 
   /** s01's exact brute-force top-10 — also the ground-truth side of the
     * recall evals (s13 wraps it as a nested-WITH subquery). */
-  private val BruteTopKOracle: String =
-    """WITH n AS (SELECT vec_id, label, embedding,
+  /** s01's exact-cosine CTE chain WITHOUT the leading `WITH`: norms,
+    * 5-query workload, full-corpus scored cross, deterministic rank.
+    * Shared by the brute-force oracle itself and s23's MMR greedy. */
+  private val BruteCtes: String =
+    """n AS (SELECT vec_id, label, embedding,
       |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
       |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
       |    (a, b) -> a + b) AS norm2 FROM embeddings),
@@ -469,9 +494,64 @@ object SparkEntry {
       |r AS (SELECT query_id, neighbor_id, cosine,
       |  CAST(row_number() OVER (PARTITION BY query_id
       |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
-      | FROM scored)
-      |SELECT query_id, neighbor_id, cosine, rank FROM r
+      | FROM scored)""".stripMargin
+
+  private val BruteTopKOracle: String =
+    s"WITH $BruteCtes\n" +
+    """SELECT query_id, neighbor_id, cosine, rank FROM r
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** s23: the MMR greedy unrolled to k=5 CTE steps over the s01
+    * candidates — relevance and pairwise cosines quantized to integer
+    * micros ONCE, then every selection is an exact-long argmax with
+    * (mmr desc, id asc) tie-breaks; step i scores each remaining
+    * candidate against the accumulated selection a(i−1). Mirrors the
+    * Spark driver loop CTE-for-iteration. */
+  private val MmrOracle: String = {
+    val steps = (2 to 5).map { i =>
+      val prev = if (i == 2) "s1" else s"a${i - 1}"
+      s"""r$i AS (SELECT c.query_id, c.vec_id,
+         |  c.qmu * 7 - MAX(p.pmu) * 3 AS mmr_mu
+         |  FROM cand c JOIN ps p ON p.query_id = c.query_id
+         |    AND p.va = c.vec_id
+         |  JOIN $prev s ON s.query_id = p.query_id AND s.vec_id = p.vb
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+         |    WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+         |  GROUP BY c.query_id, c.vec_id, c.qmu),
+         |s$i AS (SELECT query_id, vec_id, CAST($i AS BIGINT) AS step,
+         |    mmr_mu
+         |  FROM (SELECT query_id, vec_id, mmr_mu,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY mmr_mu DESC, vec_id) AS rn FROM r$i)
+         |  WHERE rn = 1),
+         |a$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"WITH $BruteCtes,\n" +
+    """cand AS (SELECT query_id, neighbor_id AS vec_id,
+      |  CAST(floor(cosine * 1000000.0) AS BIGINT) AS qmu
+      |  FROM r WHERE rank <= 10),
+      |ce AS (SELECT c.query_id, c.vec_id, n.embedding, n.norm2
+      |  FROM cand c JOIN n ON c.vec_id = n.vec_id),
+      |ps AS (SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+      |  CAST(floor(list_reduce(
+      |    list_transform(range(1, len(a.embedding)+1), i ->
+      |      CAST(a.embedding[i] AS DOUBLE)
+      |        * CAST(b.embedding[i] AS DOUBLE)),
+      |    (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(b.norm2))
+      |    * 1000000.0) AS BIGINT) AS pmu
+      |  FROM ce a JOIN ce b ON a.query_id = b.query_id
+      |    AND a.vec_id <> b.vec_id),
+      |s1 AS (SELECT query_id, vec_id, CAST(1 AS BIGINT) AS step,
+      |    qmu * 7 AS mmr_mu
+      |  FROM (SELECT query_id, vec_id, qmu,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY qmu DESC, vec_id) AS rn FROM cand)
+      |  WHERE rn = 1),
+      |""".stripMargin + steps + "\n" +
+    """SELECT query_id, vec_id AS neighbor_id, step, mmr_mu FROM a5
+      |ORDER BY query_id, step""".stripMargin
+  }
 
   /** s20: coarse rank by PREFIX-16 cosine (same fold arithmetic as the
     * brute oracle restricted to the first 16 dims), kCoarse=30
@@ -754,13 +834,15 @@ object SparkEntry {
       |      (x, y) -> x + y) AS dist2
       |    FROM v CROSS JOIN c1 c)) WHERE rn = 1)""".stripMargin
 
-  /** s21: the kNN graph blocked by the SAME trained quantizer at K=32
-    * ([[IvfTrainCtes]] with the seed predicate widened — the only K
-    * reference in the CTE text), within-cell self-join, per-vector
-    * top-5 by exact cosine with the (cosine desc, id asc) tie-break. */
-  private val KnnGraphOracle: String =
-    s"WITH ${IvfTrainCtes.replace("WHERE vec_id < 8", "WHERE vec_id < 32")},\n" +
-    s"""sc AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+  /** s21's kNN-graph CTE chain, WITHOUT the leading `WITH`:
+    * [[IvfTrainCtes]] with the seed predicate widened to K=32 (the
+    * only K reference in the CTE text), within-cell self-join `sc`,
+    * per-vector rank `r` with the (cosine desc, id asc) tie-break.
+    * Shared by the s21 graph itself and g06's triangle census over
+    * its edges. */
+  private val KnnGraphCtes: String =
+    IvfTrainCtes.replace("WHERE vec_id < 8", "WHERE vec_id < 32") + ",\n" +
+    """sc AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
       |  list_reduce(list_transform(range(1, len(a.emb)+1), i ->
       |    CAST(a.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE)),
       |    (x, y) -> x + y) / (sqrt(a.vnorm2) * sqrt(b.vnorm2)) AS cosine
@@ -769,9 +851,75 @@ object SparkEntry {
       |r AS (SELECT vec_id, neighbor_id, cosine,
       |  CAST(row_number() OVER (PARTITION BY vec_id
       |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
-      | FROM sc)
-      |SELECT vec_id, neighbor_id, cosine, rank FROM r
+      | FROM sc)""".stripMargin
+
+  /** s21: the kNN graph blocked by the SAME trained quantizer at K=32,
+    * within-cell self-join, per-vector top-5 by exact cosine. */
+  private val KnnGraphOracle: String =
+    s"WITH $KnnGraphCtes\n" +
+    """SELECT vec_id, neighbor_id, cosine, rank FROM r
       |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
+
+  /** g06: triangle census over the symmetrized s21 edges — undirected
+    * a<b edge set, id-ordered wedge join closed by an EXISTS probe
+    * (each triangle counted once at its smallest vertex), corners
+    * exploded via UNION ALL for per-node counts; coefficient is the
+    * one double division of exact longs. */
+  private val KnnTriangleOracle: String =
+    s"WITH $KnnGraphCtes,\n" +
+    """knn AS (SELECT vec_id, neighbor_id FROM r WHERE rank <= 5),
+      |und AS (SELECT DISTINCT LEAST(vec_id, neighbor_id) AS ea,
+      |  GREATEST(vec_id, neighbor_id) AS eb FROM knn),
+      |tri AS (SELECT x.ea AS ta, x.eb AS tb, y.eb AS tc
+      |  FROM und x JOIN und y ON x.ea = y.ea AND x.eb < y.eb
+      |  WHERE EXISTS (SELECT 1 FROM und e
+      |    WHERE e.ea = x.eb AND e.eb = y.eb)),
+      |pn AS (SELECT vec_id, COUNT(*) AS n_triangles FROM (
+      |  SELECT ta AS vec_id FROM tri
+      |  UNION ALL SELECT tb AS vec_id FROM tri
+      |  UNION ALL SELECT tc AS vec_id FROM tri) GROUP BY vec_id),
+      |deg AS (SELECT vec_id, COUNT(*) AS degree FROM (
+      |  SELECT ea AS vec_id FROM und
+      |  UNION ALL SELECT eb AS vec_id FROM und) GROUP BY vec_id)
+      |SELECT d.vec_id, d.degree,
+      |  COALESCE(pn.n_triangles, 0) AS n_triangles,
+      |  CASE WHEN d.degree <= 1 THEN 0.0
+      |    ELSE CAST(COALESCE(pn.n_triangles, 0) * 2 AS DOUBLE) /
+      |      CAST(d.degree * (d.degree - 1) AS DOUBLE) END
+      |    AS clustering_coeff
+      |FROM deg d LEFT JOIN pn ON d.vec_id = pn.vec_id
+      |ORDER BY d.vec_id""".stripMargin
+
+  /** s22: trained per-dim SQ8 — stats/encode/weight CTEs mirror the
+    * Spark expression trees exactly (same IEEE shapes, floor-to-long,
+    * micros-quantized weights), ADC is an exact BIGINT sum. */
+  private val Sq8Oracle: String =
+    """WITH ex AS (SELECT vec_id, u.pos AS pos, u.val AS val
+      |  FROM (SELECT vec_id,
+      |    unnest(list_transform(range(1, len(embedding)+1),
+      |      i -> {'pos': i, 'val': CAST(embedding[i] AS DOUBLE)})) AS u
+      |  FROM embeddings)),
+      |st AS (SELECT pos, MIN(val) AS vmin, MAX(val) AS vmax
+      |  FROM ex GROUP BY pos),
+      |cd AS (SELECT e.vec_id, e.pos,
+      |  CASE WHEN st.vmax = st.vmin THEN CAST(0 AS BIGINT)
+      |    ELSE LEAST(CAST(255 AS BIGINT),
+      |      CAST(floor((e.val - st.vmin) * 255.0 /
+      |        (st.vmax - st.vmin)) AS BIGINT)) END AS code
+      |  FROM ex e JOIN st ON e.pos = st.pos),
+      |qw AS (SELECT e.vec_id AS query_id, e.pos,
+      |  CAST(floor(e.val * (st.vmax - st.vmin) * 1000000.0) AS BIGINT)
+      |    AS wq
+      |  FROM ex e JOIN st ON e.pos = st.pos WHERE e.vec_id < 5),
+      |sc AS (SELECT q.query_id, c.vec_id,
+      |  CAST(SUM(q.wq * (c.code * 2 + 1)) AS BIGINT) AS adc
+      |  FROM cd c JOIN qw q ON c.pos = q.pos AND c.vec_id <> q.query_id
+      |  GROUP BY q.query_id, c.vec_id),
+      |r AS (SELECT query_id, vec_id AS neighbor_id, adc,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY adc DESC, vec_id ASC) AS BIGINT) AS rank FROM sc)
+      |SELECT query_id, neighbor_id, adc, rank FROM r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** s13: recall@10 of the two PQ serving tiers vs the s01 exact
     * ground truth — each tier's full oracle nested as a derived-table
@@ -1717,7 +1865,7 @@ object SparkEntry {
         |        string_split_regex(trim(text), '\s+')[i+1:i+3], ' '))
         |  ELSE [array_to_string(
         |    string_split_regex(trim(text), '\s+'), ' ')] END) AS sh
-        | FROM d),
+        | FROM doubled),
         |bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM ds
         |  WHERE doc_id % 100 = 0),
         |hits AS (SELECT t2.doc_id FROM
@@ -2514,6 +2662,8 @@ object SparkEntry {
     "s19_ivfpq_stored_serve" -> IvfPqOracle,
     "s20_matryoshka_rerank" -> MatryoshkaOracle,
     "s21_knn_graph" -> KnnGraphOracle,
+    "s22_sq8_topk" -> Sq8Oracle,
+    "s23_mmr_diversify" -> MmrOracle,
     "q31_lateral_topn" ->
       """SELECT n.n_name AS nation, t.c_name, t.c_acctbal
         |FROM nation n, LATERAL (
@@ -3788,6 +3938,62 @@ object SparkEntry {
         |  CAST(SUM(ABS(c_s * (n.n - ts.t) - c_r * ts.t)) AS DOUBLE)
         |    / (2.0 * ts.t * (n.n - ts.t)) AS tv
         |FROM j JOIN ts ON j.source = ts.source CROSS JOIN n
-        |GROUP BY j.source, ts.t, n.n ORDER BY j.source""".stripMargin
+        |GROUP BY j.source, ts.t, n.n ORDER BY j.source""".stripMargin,
+    "g06_knn_triangles" -> KnnTriangleOracle,
+    // bigram LM with add-one smoothing; whole-bit surprises via bin()
+    // length (exact in both engines), one final double division
+    "t33_bigram_surprise" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+        |bg AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
+        |    FROM b)),
+        |lm AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM bg GROUP BY w1, w2),
+        |cx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cu
+        |  FROM bg GROUP BY w1),
+        |vb AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+'))
+        |    AS tok FROM documents)),
+        |s AS (SELECT g.doc_id,
+        |  CAST(length(bin(c.cu + vb.v)) - 1 AS BIGINT)
+        |    - CAST(length(bin(l.cb + 1)) - 1 AS BIGINT) AS bits
+        |  FROM bg g JOIN lm l ON g.w1 = l.w1 AND g.w2 = l.w2
+        |  JOIN cx c ON g.w1 = c.w1 CROSS JOIN vb)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
+        |  CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mean_bits,
+        |  CAST(MAX(bits) AS BIGINT) AS max_bits
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // d04's signature/band CTE chain, split train/bench on the p02
+    // predicate, bipartite band-collision join
+    "p05_fuzzy_decontam" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(range(0, len(toks)-2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM t),
+        |g AS (SELECT doc_id, list_transform(range(0, 12), j ->
+        |  list_min(list_transform(sh, x ->
+        |    md5(concat(CAST(j AS VARCHAR), ':', x))))) AS sig FROM s),
+        |b AS (SELECT doc_id, list_transform(range(0, 4), k ->
+        |  md5(array_to_string(sig[k*3+1:k*3+3], '|'))) AS bands FROM g),
+        |e AS (SELECT doc_id, k AS band, bands[k+1] AS digest
+        |      FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS k) u),
+        |bench AS (SELECT doc_id AS bench_id, band, digest FROM e
+        |  WHERE doc_id % 10 = 0),
+        |train AS (SELECT doc_id, band, digest FROM e
+        |  WHERE doc_id % 10 <> 0)
+        |SELECT tr.doc_id,
+        |  CAST(COUNT(DISTINCT be.bench_id) AS BIGINT) AS n_bench_matches,
+        |  CAST(COUNT(*) AS BIGINT) AS n_band_hits,
+        |  MIN(be.bench_id) AS first_bench_id
+        |FROM train tr JOIN bench be
+        |  ON tr.band = be.band AND tr.digest = be.digest
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
   )
 }

@@ -119,4 +119,70 @@ object Graph {
     pagerank(transitionCounts(events)
       .select(col("src"), col("dst"), col("n").as("w"))
       .localCheckpoint(true), iters)
+
+  /** g06: per-node triangle count + local clustering coefficient over
+    * the symmetrized kNN graph ([[Similarity.knnGraph]]) — the
+    * community-structure audit of the neighbor graph the curation
+    * passes consume: a node whose neighbors are also neighbors of each
+    * other (coefficient → 1) sits inside a tight duplicate/template
+    * community; coefficient → 0 marks hub-like boilerplate bridges.
+    * The standard follow-on to SemDeDup-style pruning (d15): triangles
+    * are the smallest unit of "my neighbors agree with each other".
+    *
+    * Plan shape: the kNN edge list (already cell-blocked, so
+    * |edges| ≤ k·|V|) symmetrizes into an undirected a<b edge set via
+    * least/greatest + DISTINCT (one shuffle on the edge key). Wedges
+    * enumerate per lowest-id endpoint: edges(a,b) ⋈ edges(a,c), b<c —
+    * an equi-join on `a` whose output is Σ_a d(a)², bounded because a
+    * kNN graph's degree is ≤ 2k before hub in-links; the closing edge
+    * (b,c) resolves with a semi-equi-join back against the edge set
+    * (each triangle counted exactly once, at its smallest vertex).
+    * Per-node counts then explode each triangle to its 3 corners — 3
+    * rows per triangle, never corpus-scale. At 100 TB the refinement
+    * is degree-ordering instead of id-ordering (direct each edge
+    * toward the higher-degree endpoint, bounding wedge work by
+    * arboricity) — same plan shape, one extra degree join; id-order
+    * keeps the oracle deterministic here.
+    *
+    * Coefficient = 2·T / (d·(d−1)) — ONE double division of exact
+    * longs per node (< 2⁵³), bit-identical across engines; d ≤ 1
+    * nodes report 0.0 by the CASE guard. */
+  def knnTriangles(embeddings: DataFrame, k: Int = 5,
+      nCells: Int = 32): DataFrame =
+    trianglesOnEdges(Similarity.knnGraph(embeddings, k, nCells)
+      .select(col("vec_id"), col("neighbor_id")))
+
+  /** The edge-level core of [[knnTriangles]]: takes any directed
+    * (vec_id, neighbor_id) pair list, symmetrizes, and runs the
+    * id-ordered wedge-join triangle census. */
+  private[operators] def trianglesOnEdges(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(least(col("vec_id"), col("neighbor_id")).as("ea"),
+        greatest(col("vec_id"), col("neighbor_id")).as("eb"))
+      .distinct()
+      .localCheckpoint(true) // referenced 4×: wedge (×2), close, degree
+    val wedges = edges.as("x")
+      .join(edges.as("y"),
+        col("x.ea") === col("y.ea") && col("x.eb") < col("y.eb"))
+      .select(col("x.ea").as("ta"), col("x.eb").as("tb"),
+        col("y.eb").as("tc"))
+    val triangles = wedges.join(edges,
+      col("tb") === col("ea") && col("tc") === col("eb"), "left_semi")
+    val perNode = triangles
+      .select(explode(array(col("ta"), col("tb"), col("tc")))
+        .as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_triangles"))
+    val degrees = edges
+      .select(explode(array(col("ea"), col("eb"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))
+    degrees.join(perNode, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") <= 1, lit(0.0))
+          .otherwise((coalesce(col("n_triangles"), lit(0L)) * 2L)
+            .cast("double") /
+            (col("degree") * (col("degree") - 1L)).cast("double"))
+          .as("clustering_coeff"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -1162,4 +1162,145 @@ object Similarity {
         col("qdot").cast("long").as("qdot"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** s22: TRAINED scalar quantization (FAISS `ScalarQuantizer`
+    * QT_8bit) — the fourth coarse-tier family: per-DIMENSION affine
+    * ranges learned from the corpus (vs s06's fixed power-of-two
+    * scale, s11's subspace codebooks, s20's dimension truncation).
+    * Each dimension stores `floor((x−vmin_d)·255/(vmax_d−vmin_d))` —
+    * one byte/dim, 4× under float32 — and queries rank by asymmetric
+    * distance against the code midpoints WITHOUT decoding: the
+    * reconstruction `vmin_d + (code+½)·Δ_d/256` is affine in the code,
+    * so `Σ_d q_d·x̂_d` ranks identically to
+    * `Σ_d wq_d·(2·code_d+1)` with `wq_d = q_d·Δ_d` (the per-query
+    * constant `Σ q_d·vmin_d` and positive scale 1/512 drop out).
+    *
+    * Determinism: vmin/vmax are order-free exact (min/max of
+    * float→double casts); the encode and weight trees are fixed-shape
+    * IEEE expressions mirrored in the oracle; `wq` quantizes to
+    * integer MICROS (the k02 recipe) so every ADC score is an exact
+    * order-free long (|wq|·511·dims ≪ 2⁵³) and the ranking is bitwise
+    * cross-engine.
+    *
+    * Plan shape: the dims-sized stats frame (one posexplode agg,
+    * map-side combined) broadcasts back twice — encode pass and query
+    * weights; scoring joins corpus codes ⨝ broadcast(weights) on the
+    * dim id (the corpus side moves one byte-sized code per dim, never
+    * floats) into a (query, vec) partial agg + the bounded
+    * [[graft.functions.TopKByScore]] rank. At rest the codes pack to
+    * a binary column beside the lake exactly like s19's stored PQ
+    * codes; the long form here keeps the encode oracle-visible. */
+  def sq8TopK(embeddings: DataFrame, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val ex = embeddings.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
+    val stats = ex.groupBy(col("pos"))
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val codes = ex.join(broadcast(stats), "pos")
+      .select(col("vec_id"), col("pos"),
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(lit(255L),
+            floor((col("v") - col("vmin")) * lit(255.0) /
+              (col("vmax") - col("vmin"))).cast("long"))).as("code"))
+    val qw = ex.filter(col("vec_id") < nQueries)
+      .join(broadcast(stats), "pos")
+      .select(col("vec_id").as("query_id"), col("pos").as("qpos"),
+        floor(col("v") * (col("vmax") - col("vmin")) * lit(1000000.0))
+          .cast("long").as("wq"))
+    val scored = codes
+      .join(broadcast(qw),
+        col("pos") === col("qpos") && col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("wq") * (col("code") * 2L + 1L)).as("adc"))
+    topKByQuery(scored, "adc", k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("adc").cast("long").as("adc"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s23: Maximal Marginal Relevance diversification (Carbonell &
+    * Goldstein 1998) — greedy re-ranking of the exact top-kCoarse
+    * candidates so each pick trades relevance against redundancy with
+    * what is already selected: step 1 takes the most relevant
+    * candidate, step i takes
+    * `argmax λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s)`. The
+    * diversity-sampling face of retrieval: RAG context assembly and
+    * curation "pick k spread-out exemplars" passes both consume this
+    * instead of a raw top-k whose entries are near-copies of each
+    * other (which the fixture's near-dup clusters make literal).
+    *
+    * Determinism: relevance and candidate-pair cosines are quantized
+    * to integer MICROS once (floor ×1e6 of the same IEEE tree the s01
+    * oracle uses), then the whole greedy runs in exact longs with
+    * λ=0.7 as the 7/3 integer split (score ×10) and id tie-breaks —
+    * bitwise cross-engine, no float comparison anywhere in the loop.
+    *
+    * Plan shape: the corpus-scale work is s01's coarse pass (broadcast
+    * queries × corpus scan → bounded TopKByScore). Everything after
+    * runs on candidate-sized frames — kCoarse·nQueries rows, pairwise
+    * kCoarse²·nQueries — checkpointed once and iterated k times with
+    * driver-side loop control (the k-medians/PageRank discipline: k is
+    * a small constant, each step is one tiny join + argmax, and the
+    * checkpoint keeps plan growth linear). At serving scale the greedy
+    * is per-query post-processing over k·kCoarse numbers; keeping it
+    * in-engine keeps the pipeline one auditable plan. */
+  def mmrDiversifyTopK(embeddings: DataFrame, nQueries: Int = 5,
+      kCoarse: Int = 10, k: Int = 5): DataFrame = {
+    val cand = bruteForceTopK(embeddings, nQueries, kCoarse)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"),
+        floor(col("cosine") * lit(1000000.0)).cast("long").as("qmu"))
+      .localCheckpoint(true) // re-read every greedy step
+    val corpus = normed(embeddings)
+      .select(col("vec_id"), col("embedding"), col("norm2"))
+    // candidate embeddings re-attach: candidate ids are an
+    // aggregate-derived kCoarse·nQueries frame — hint the broadcast
+    val cemb = corpus
+      .join(broadcast(cand.select(col("query_id"), col("vec_id"))),
+        Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"),
+        col("norm2"))
+    val psim = cemb.select(col("query_id"), col("vec_id").as("va"),
+        col("embedding").as("ea"), col("norm2").as("na"))
+      .join(cemb.select(col("query_id").as("qb"),
+        col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("norm2").as("nb")),
+        col("query_id") === col("qb") && col("va") =!= col("vb"))
+      .select(col("query_id"), col("va"), col("vb"),
+        floor(Dedup.dotExpr("ea", "eb") /
+          (sqrt(col("na")) * sqrt(col("nb"))) * lit(1000000.0))
+          .cast("long").as("pmu"))
+      .localCheckpoint(true)
+    // step 1: pure relevance argmax, ties toward the lower id
+    var selected = cand.groupBy(col("query_id"))
+      .agg(min_by(struct(col("vec_id"), col("qmu")),
+        struct((lit(0L) - col("qmu")).as("negq"),
+          col("vec_id").as("v"))).as("s"))
+      .select(col("query_id"), col("s.vec_id").as("vec_id"),
+        lit(1L).as("step"), (col("s.qmu") * 7L).as("mmr_mu"))
+      .localCheckpoint(true)
+    for (i <- 2 to k) {
+      val rem = cand.join(
+        selected.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_anti")
+      val redundancy = psim
+        .join(selected.select(col("query_id"), col("vec_id").as("vb")),
+          Seq("query_id", "vb"))
+        .groupBy(col("query_id"), col("va").as("vec_id"))
+        .agg(max(col("pmu")).as("maxsim"))
+      val next = rem.join(redundancy, Seq("query_id", "vec_id"))
+        .withColumn("mmr_mu", col("qmu") * 7L - col("maxsim") * 3L)
+        .groupBy(col("query_id"))
+        .agg(min_by(struct(col("vec_id"), col("mmr_mu")),
+          struct((lit(0L) - col("mmr_mu")).as("negm"),
+            col("vec_id").as("v"))).as("s"))
+        .select(col("query_id"), col("s.vec_id").as("vec_id"),
+          lit(i.toLong).as("step"), col("s.mmr_mu").as("mmr_mu"))
+      selected = selected.unionByName(next).localCheckpoint(true)
+    }
+    selected
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("step"), col("mmr_mu"))
+      .orderBy(col("query_id"), col("step"))
+  }
 }

@@ -284,6 +284,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** p05: FUZZY benchmark decontamination — MinHash-LSH collision
+    * against the benchmark set, the paraphrase-level complement of
+    * [[contaminationScores]] (p02 catches verbatim n-gram overlap; a
+    * lightly reworded benchmark item shares few exact 3-grams but
+    * still collides in MinHash band space once estimated Jaccard
+    * clears the band threshold (1/nBands)^(1/rowsPerBand) — the same
+    * S-curve d04 exploits for near-dup candidates, pointed at the
+    * train×bench bipartite slice instead of train×train).
+    *
+    * Plan shape: ONE [[Dedup.withMinhash]] pass over the whole corpus
+    * (bench rows ride the same signature pipeline — no second shingle
+    * explode), bands posexplode, then the benchmark band table —
+    * benchmark-suite-sized by nature — broadcasts into an equi-join
+    * on (band, digest); no self-join, nothing corpus×corpus. Returns
+    * flagged training docs with distinct-benchmark-match and
+    * band-collision counts plus the earliest colliding benchmark id
+    * (the audit pointer). Deterministic end to end: salted-md5
+    * signatures, no RNG. */
+  def fuzzyDecontamination(documents: DataFrame, benchPredicate: Column,
+      k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    val banded = Dedup.withMinhash(documents, k, rowsPerBand)
+      .select(col("doc_id"), benchPredicate.as("is_bench"),
+        posexplode(col("bands")).as(Seq("band", "digest")))
+    val bench = banded.filter(col("is_bench"))
+      .select(col("doc_id").as("bench_id"), col("band"), col("digest"))
+    val train = banded.filter(!col("is_bench"))
+      .select(col("doc_id"), col("band"), col("digest"))
+    train.join(broadcast(bench), Seq("band", "digest"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("bench_id")).as("n_bench_matches"),
+        count(lit(1)).as("n_band_hits"),
+        min(col("bench_id")).as("first_bench_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Global top-k bigram collocations: explode word 2-grams, count,
     * deterministic top-k (count desc, bigram asc). The shuffle carries
     * (bigram, partial count) thanks to map-side combine — constant in
@@ -484,8 +519,15 @@ object TextAnalysis {
         min(col("text")).as("text"), min(col("n_tokens")).as("n_tokens"),
         min(col("quality")).as("quality"))
     val benchPred = col("doc_id") % benchMod === 0
+    // decontamination screens against benchmark CONTENT, so its posting
+    // pass reads the UNGATED corpus: a benchmark doc that fails the
+    // quality gate, or whose text dedups into a train-side winner, must
+    // still poison every training doc sharing its shingles (the gated
+    // form silently shrank the reference set — caught by the p04 spec).
+    // Costs one posting pass over the raw corpus; same completeness
+    // stance as p02's exact-postings default.
     val contaminated = contaminationScores(
-      deduped.select(col("doc_id"), col("text")), benchPred)
+      doubled.select(col("doc_id"), col("text")), benchPred)
       .select(col("doc_id"))
     val train = deduped.filter(!benchPred)
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -945,6 +987,61 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("top_bigram"),
         col("dup2_count"), frac(2), col("dup3_count"), frac(3),
         col("dup4_count"), frac(4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t33: BIGRAM language-model surprise — the context-sensitive
+    * fluency signal one order above [[unigramSurprise]] (t17 scores
+    * token rarity; this scores whether each token is probable GIVEN
+    * its predecessor — the actual CCNet/KenLM-proxy perplexity cut
+    * that separates fluent text from shuffled-word salad with an
+    * identical unigram profile). Per-bigram surprise under the corpus
+    * LM with add-one smoothing:
+    * −log₂ p(w₂|w₁) = log₂(c(w₁·)+V) − log₂(c(w₁w₂)+1), where c(w₁·)
+    * is w₁'s CONTEXT count (bigram instances it opens) and V the
+    * corpus vocabulary size.
+    *
+    * Determinism discipline (the [[unigramSurprise]] contract): whole
+    * bits via [[ilog2]] — both counts-plus-smoothing are positive
+    * longs, so per-doc sums are order-free bigints; the only float op
+    * is the final mean.
+    *
+    * Plan shape: one (w₁,w₂) count shuffle for the bigram LM, one
+    * w₁-keyed count for contexts, V as a distinct-count 1-row
+    * broadcast; instances join back on the bigram key then the
+    * context key (stopword-opened bigrams are the hot keys — same AQE
+    * skew-split reliance as [[bigramRarity]]), one doc-keyed agg. Both
+    * LM tables stay distributed; nothing vocabulary-sized broadcasts. */
+  def bigramSurprise(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = Dedup.spread(documents).filter(size(toks) >= 2)
+      .select(col("doc_id"), toks.as("toks"))
+    val bigrams = base.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigramLm = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val contextLm = bigrams.groupBy(col("w1"))
+      .agg(count(lit(1)).as("cu"))
+    val vocab = documents
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    bigrams
+      .join(bigramLm, Seq("w1", "w2"))
+      .join(contextLm, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (ilog2(col("cu") + col("v")) - ilog2(col("cb") + 1L)).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bits")).as("sum_bits"),
+        max(col("bits")).as("max_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_bits"),
+        col("max_bits"))
       .orderBy(col("doc_id"))
   }
 }

@@ -103,4 +103,62 @@ class GraphSpec extends SparkSpec {
     // leakage-proofness: reruns never migrate a document
     assert(got.collect().toSeq == Sampling.splitAssign(docs).collect().toSeq)
   }
+
+  test("triangle census: 4-clique gives coeff 1.0 everywhere") {
+    // directed pairs with duplicates/reversals — symmetrization dedupes
+    val pairs = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 3L)).toDF("vec_id", "neighbor_id")
+    val got = Graph.trianglesOnEdges(pairs).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+          r.getAs[Double]("clustering_coeff")))).toMap
+    // K4: every node degree 3, sits in C(3,2)=3 triangles, coeff 1
+    assert(got == (1L to 4L).map(_ -> ((3L, 3L, 1.0))).toMap)
+  }
+
+  test("triangle census: path graph has zero triangles, coeff 0") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("vec_id", "neighbor_id")
+    val got = Graph.trianglesOnEdges(pairs).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+          r.getAs[Double]("clustering_coeff")))).toMap
+    assert(got == Map(1L -> ((1L, 0L, 0.0)), 2L -> ((2L, 0L, 0.0)),
+      3L -> ((2L, 0L, 0.0)), 4L -> ((1L, 0L, 0.0))))
+  }
+
+  test("triangle census: triangle + pendant mixes coefficients") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("vec_id", "neighbor_id")
+    val got = Graph.trianglesOnEdges(pairs).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+          r.getAs[Double]("clustering_coeff")))).toMap
+    // node 3 bridges: degree 3, 1 triangle of 3 possible pairs
+    assert(got == Map(1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((3L, 1L, 1.0 / 3.0)), 4L -> ((1L, 0L, 0.0))))
+  }
+
+  test("g06 over the fixture kNN graph: counts match a local census") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val knn = Similarity.knnGraph(emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id")))
+    val und = knn.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toSet
+    val nbrs = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val localTri = nbrs.map { case (n, ns) =>
+      n -> ns.toSeq.combinations(2).count {
+        case Seq(x, y) => nbrs(x).contains(y); case _ => false }
+    }
+    val got = Graph.knnTriangles(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("n_triangles")))).toMap
+    assert(got.keySet == nbrs.keySet)
+    nbrs.foreach { case (n, ns) =>
+      assert(got(n) == ((ns.size.toLong, localTri(n).toLong)),
+        s"node $n census mismatch")
+    }
+    assert(got.values.map(_._2).sum > 0, "fixture kNN graph has triangles")
+  }
 }

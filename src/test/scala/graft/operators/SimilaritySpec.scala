@@ -534,4 +534,121 @@ class SignLshSpec extends graft.SparkSpec {
     assert(flatTrained.nonEmpty)
     assert(flatServed == flatTrained)
   }
+
+}
+
+/** s22 trained scalar quantization: hand-verified codes/ADC, recall vs
+  * the exact tier, repartition stability, degenerate-range guard. */
+class Sq8Spec extends graft.SparkSpec {
+
+  // same engineered geometry as SimilaritySpec.vecs
+  private lazy val vecs = {
+    import spark.implicits._
+    Seq(
+      (0L, 0, Array(1.0f, 0.0f)),
+      (1L, 0, Array(1.0f, 0.1f)),
+      (2L, 0, Array(1.0f, 1.0f)),
+      (3L, 1, Array(1.0f, 0.01f)),
+      (4L, 0, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+  }
+
+  test("sq8TopK: hand-computed codes and ADC on known geometry") {
+    // per-dim ranges: dim1 [0,1], dim2 [0,1]. codes = floor(x*255):
+    // v1 (1,.1)->(255,25), v2 (1,1)->(255,255), v3 (1,.01)->(255,2),
+    // v4 (0,1)->(0,255). query 0 = (1,0): wq = (1e6, 0) — dim2 drops,
+    // ADC = 1e6*(2*c1+1): v1=v2=v3=511e6 (tie -> id order), v4=1e6
+    val out = Similarity.sq8TopK(vecs, nQueries = 1, k = 4).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc"),
+        r.getAs[Long]("rank"))).toSeq
+    assert(out == Seq((1L, 511000000L, 1L), (2L, 511000000L, 2L),
+      (3L, 511000000L, 3L), (4L, 1000000L, 4L)))
+  }
+
+  test("sq8TopK approximates brute force and is repartition-stable") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.bruteForceTopK(emb).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val sq8 = Similarity.sq8TopK(emb).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    assert(sq8.keySet == exact.keySet)
+    // 8-bit per-dim quantization is a fine grid: recall@10 stays high
+    val recalls = exact.map { case (q, ids) =>
+      (ids intersect sq8(q)).size.toDouble / ids.size }
+    assert(recalls.sum / recalls.size >= 0.6,
+      s"mean recall ${recalls.sum / recalls.size} below floor")
+    // exact long scores + id tie-breaks: partitioning never moves a rank
+    val repart = Similarity.sq8TopK(emb.repartition(7)).collect()
+      .map(_.toSeq).toSeq
+    assert(repart == Similarity.sq8TopK(emb).collect().map(_.toSeq).toSeq)
+  }
+
+  test("sq8 codes honor the zero-range guard") {
+    import spark.implicits._
+    // dim2 constant -> vmax == vmin -> code 0 branch; scores rank on
+    // dim1 alone and stay finite
+    val flat = Seq((0L, 0, Array(0.0f, 5.0f)), (1L, 0, Array(1.0f, 5.0f)),
+      (2L, 0, Array(0.5f, 5.0f))).toDF("vec_id", "label", "embedding")
+    val out = Similarity.sq8TopK(flat, nQueries = 1, k = 2).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank")))
+    // query (0,5): wq1 = 0 -> all ADC equal -> id-order ties
+    assert(out.toSeq == Seq((1L, 1L), (2L, 2L)))
+  }
+}
+
+/** s23 MMR diversification: the greedy must skip a near-duplicate of
+  * the first pick when a clearly distinct candidate is relevant
+  * enough, and its selections stay inside the coarse candidate set. */
+class MmrSpec extends graft.SparkSpec {
+
+  test("mmr demotes the near-duplicate of the first selection") {
+    import spark.implicits._
+    // query (1,0,0); A(id1) most relevant; B(id2) ~duplicate of A;
+    // C(id3) less relevant but distinct (sim(C,A) ~ 0.72).
+    // scores (micros, lambda=7/3): B ~ 7*948993-3*999990 = 3.64e6,
+    // C ~ 7*900000-3*719000 = 4.14e6 -> step2 = C, step3 = B
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (1L, 0, Array(0.95f, 0.312f, 0.0f)),
+      (2L, 0, Array(0.949f, 0.3153f, 0.0f)),
+      (3L, 0, Array(0.9f, -0.43589f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.mmrDiversifyTopK(vecs, nQueries = 1,
+      kCoarse = 3, k = 3).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("neighbor_id")))
+    assert(out.toSeq == Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+    // plain relevance order would have been 1, 2, 3 — check the premise
+    val plain = Similarity.bruteForceTopK(vecs, nQueries = 1, k = 3)
+      .collect().map(_.getAs[Long]("neighbor_id"))
+    assert(plain.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("fixture invariants: k picks per query from the coarse set") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val coarse = Similarity.bruteForceTopK(emb).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank")))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toMap }
+    val sel = Similarity.mmrDiversifyTopK(emb).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("step"),
+        r.getAs[Long]("neighbor_id")))
+    val byQuery = sel.groupBy(_._1)
+    assert(byQuery.keySet == coarse.keySet)
+    for ((q, rows) <- byQuery) {
+      assert(rows.map(_._2).toSet == (1L to 5L).toSet, s"steps of $q")
+      val picks = rows.sortBy(_._2).map(_._3)
+      assert(picks.distinct.length == picks.length, s"repeat pick in $q")
+      // step 1 is the relevance argmax; all picks from the top-10
+      val rankOf = coarse(q).map(_.swap)
+      assert(picks.head == rankOf(1L), s"step1 of $q not rank 1")
+      assert(picks.forall(coarse(q).contains), s"pick outside top-10: $q")
+    }
+    // integer scores + id tie-breaks: repartition-stable
+    val repart = Similarity.mmrDiversifyTopK(emb.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(repart ==
+      Similarity.mmrDiversifyTopK(emb).collect().map(_.toSeq).toSeq)
+  }
 }

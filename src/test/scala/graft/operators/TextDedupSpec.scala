@@ -608,4 +608,72 @@ class ContainmentCodeDetectSpec extends graft.SparkSpec {
     assert(row5.getAs[Long]("n_sym") == 6L)
     assert(row5.getAs[Long]("n_lines") == 2L)
   }
+
+  test("bigramSurprise scores whole bits under the corpus bigram LM") {
+    import spark.implicits._
+    // bigrams: doc1 (a,b),(b,a); doc2 (a,b). cb(a,b)=2, cb(b,a)=1.
+    // contexts: cu(a)=2, cu(b)=1. vocab {a,b,z} -> V=3.
+    // bits(a,b) = ilog2(2+3) - ilog2(2+1) = 2 - 1 = 1
+    // bits(b,a) = ilog2(1+3) - ilog2(1+1) = 2 - 1 = 1
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprise(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    // doc 3 has no bigram and is excluded
+    assert(out == Seq(
+      (1L, 2L, 2L, 1.0, 1L),
+      (2L, 1L, 1L, 1.0, 1L)))
+  }
+
+  test("bigramSurprise on the fixture: non-negative, repartition-stable") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.bigramSurprise(docs).collect()
+    assert(out.nonEmpty)
+    // cb <= cu and V >= 2 force every whole-bit surprise >= 0
+    assert(out.forall(_.getAs[Long]("sum_bits") >= 0L))
+    val repart = TextAnalysis.bigramSurprise(docs.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(repart == out.map(_.toSeq).toSeq)
+  }
+
+  test("fuzzyDecontamination flags band collisions with the bench set") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (100L, t),                      // benchmark (id % 100 == 0)
+      (7L, t),                        // exact copy -> all bands agree
+      (8L, "completely unrelated words about spark shuffles and joins"),
+      (200L, "another benchmark item entirely"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.fuzzyDecontamination(docs,
+      col("doc_id") % 100 === 0).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bench_matches"), r.getAs[Long]("n_band_hits"),
+          r.getAs[Long]("first_bench_id")))).toMap
+    assert(out == Map(7L -> ((1L, 4L, 100L))))
+  }
+
+  test("fuzzy decontamination agrees with the d04 candidate generator") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = col("doc_id") % 10 === 0
+    val flagged = TextAnalysis.fuzzyDecontamination(docs, bench)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // every flagged doc is on the train side, and the fixture's
+    // near-dup pairs straddle the %10 boundary so the path fires
+    assert(flagged.nonEmpty, "p05 must fire on the fixture")
+    assert(flagged.forall(_ % 10 != 0))
+    // consistency with d04: same signatures, same bands — every LSH
+    // candidate pair with exactly one bench member must flag its
+    // train member
+    val straddling = Dedup.lshCandidates(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .collect {
+        case (a, b) if a % 10 == 0 && b % 10 != 0 => b
+        case (a, b) if a % 10 != 0 && b % 10 == 0 => a
+      }.toSet
+    assert(straddling.nonEmpty, "fixture lost its straddling pairs")
+    assert(straddling.subsetOf(flagged),
+      s"d04 candidates missed by p05: ${straddling -- flagged}")
+  }
 }
