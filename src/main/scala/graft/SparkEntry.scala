@@ -417,7 +417,11 @@ object SparkEntry {
     // straddle the train/bench boundary for the band join to fire
     "p05_fuzzy_decontam" -> ((s, d) =>
       T.fuzzyDecontamination(Tables.documents(s, d),
-        org.apache.spark.sql.functions.col("doc_id") % 10 === 0))
+        org.apache.spark.sql.functions.col("doc_id") % 10 === 0)),
+    // dq15: embedding-table audit (NaN/Inf/null/zero-norm/width-drift/
+    // dup-id) — the vector-side dq01
+    "dq15_embedding_audit" -> ((s, d) =>
+      graft.operators.DataQuality.embeddingAudit(Tables.embeddings(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -3994,6 +3998,41 @@ object SparkEntry {
         |  MIN(be.bench_id) AS first_bench_id
         |FROM train tr JOIN bench be
         |  ON tr.band = be.band AND tr.digest = be.digest
-        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // per-vector flags in one scan; modal width via (count desc, dim)
+    // LIMIT 1; zero-norm is the exact dot fold compared to 0.0
+    "dq15_embedding_audit" ->
+      """WITH f AS (SELECT vec_id, embedding IS NULL AS is_null,
+        |  len(embedding) AS dim,
+        |  CASE WHEN embedding IS NULL THEN FALSE ELSE
+        |    len(list_filter(embedding, x -> isnan(x))) > 0 END AS has_nan,
+        |  CASE WHEN embedding IS NULL THEN FALSE ELSE
+        |    len(list_filter(embedding, x -> isinf(x))) > 0 END AS has_inf,
+        |  CASE WHEN embedding IS NULL THEN FALSE ELSE
+        |    list_reduce(list_transform(range(1, len(embedding)+1), i ->
+        |      CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |      (a, b) -> a + b) = 0.0 END AS zero_norm
+        |  FROM embeddings),
+        |m AS (SELECT CAST(dim AS BIGINT) AS modal_dim FROM (
+        |  SELECT dim, COUNT(*) AS c FROM f WHERE NOT is_null
+        |  GROUP BY dim) ORDER BY c DESC, dim ASC LIMIT 1)
+        |SELECT rule, n FROM (
+        |  SELECT 'dup_vec_id' AS rule,
+        |    CAST(COUNT(*) - COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM f
+        |  UNION ALL SELECT 'inf_component',
+        |    CAST(COUNT(*) FILTER (has_inf) AS BIGINT) FROM f
+        |  UNION ALL SELECT 'modal_dim',
+        |    CAST(MIN(modal_dim) AS BIGINT) FROM m
+        |  UNION ALL SELECT 'n_vectors', CAST(COUNT(*) AS BIGINT) FROM f
+        |  UNION ALL SELECT 'nan_component',
+        |    CAST(COUNT(*) FILTER (has_nan) AS BIGINT) FROM f
+        |  UNION ALL SELECT 'null_embedding',
+        |    CAST(COUNT(*) FILTER (is_null) AS BIGINT) FROM f
+        |  UNION ALL SELECT 'wrong_dim', CAST(COUNT(*) AS BIGINT)
+        |    FROM f CROSS JOIN m
+        |    WHERE NOT is_null AND CAST(dim AS BIGINT) <> modal_dim
+        |  UNION ALL SELECT 'zero_norm',
+        |    CAST(COUNT(*) FILTER (zero_norm) AS BIGINT) FROM f)
+        |ORDER BY rule""".stripMargin
   )
 }

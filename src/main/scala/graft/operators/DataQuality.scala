@@ -475,4 +475,61 @@ object DataQuality {
           (lit(2.0) * col("t") * (col("n") - col("t")))).as("tv"))
       .orderBy(col("source"))
   }
+
+  /** dq15: embedding-table audit — the vector-side [[constraintAudit]]:
+    * before a 100 TB embedding store feeds the ANN/dedup tiers, the
+    * things that silently corrupt them are checked here: NULL vectors,
+    * NaN/±Inf components (one NaN poisons every cosine it touches and
+    * breaks ranking transitivity), zero-norm vectors (cosine division
+    * by zero), width drift (a mixed-dim table breaks every fold), and
+    * duplicate ids (double-counted neighbors). One row per rule.
+    *
+    * Plan shape: ONE corpus scan folds every per-vector predicate into
+    * scan-stage booleans; the width histogram is an O(distinct widths)
+    * aggregate whose modal row (most common width, ties toward the
+    * smaller) broadcasts back; one global conditional-count aggregate +
+    * `stack` emits the report. The norm check reuses the exact
+    * [[Dedup.dotExpr]] fold, so "zero norm" means bitwise 0.0 in both
+    * engines, not an epsilon. */
+  def embeddingAudit(embeddings: DataFrame): DataFrame = {
+    val flags = embeddings.select(
+      col("vec_id"),
+      col("embedding").isNull.as("is_null"),
+      size(col("embedding")).as("dim"),
+      when(col("embedding").isNull, lit(false))
+        .otherwise(exists(col("embedding"), x => isnan(x))).as("has_nan"),
+      when(col("embedding").isNull, lit(false))
+        .otherwise(exists(col("embedding"),
+          x => x === lit(Float.PositiveInfinity) ||
+            x === lit(Float.NegativeInfinity))).as("has_inf"),
+      when(col("embedding").isNull, lit(false))
+        .otherwise(Dedup.dotExpr("embedding", "embedding") === lit(0.0))
+        .as("zero_norm"))
+    val modal = flags.filter(!col("is_null"))
+      .groupBy(col("dim")).agg(count(lit(1)).as("c"))
+      .agg(min_by(col("dim"), struct((lit(0L) - col("c")).as("negc"),
+        col("dim").as("d"))).cast("long").as("modal_dim"))
+    flags.crossJoin(broadcast(modal))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        (count(lit(1)) - count_distinct(col("vec_id"))).as("dup_vec_id"),
+        count(when(col("is_null"), 1)).as("null_embedding"),
+        count(when(!col("is_null") &&
+          col("dim").cast("long") =!= col("modal_dim"), 1))
+          .as("wrong_dim"),
+        count(when(col("has_nan"), 1)).as("nan_component"),
+        count(when(col("has_inf"), 1)).as("inf_component"),
+        count(when(col("zero_norm"), 1)).as("n_zero_norm"),
+        min(col("modal_dim")).as("modal_dim"))
+      .select(expr("""stack(8,
+        'dup_vec_id', dup_vec_id,
+        'inf_component', inf_component,
+        'modal_dim', modal_dim,
+        'n_vectors', n_vectors,
+        'nan_component', nan_component,
+        'null_embedding', null_embedding,
+        'wrong_dim', wrong_dim,
+        'zero_norm', n_zero_norm) AS (rule, n)"""))
+      .orderBy(col("rule"))
+  }
 }

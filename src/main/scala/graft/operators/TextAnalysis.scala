@@ -180,6 +180,22 @@ object TextAnalysis {
   /** Heuristic quality score — the standard cheap LLM-data filters:
     * length prior, punctuation density, stopword density, word diversity —
     * combined into [0,1] with a fixed fold order. */
+  /** The per-row quality value as a pure scan-stage expression over a
+    * text column — shared by [[qualityScore]] and the streaming intake
+    * gate ([[graft.streaming.StreamingCorpusGate]]), which needs it
+    * stateless. */
+  private[graft] def qualityExpr(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val punct = (length(regexp_replace(text, "[^.!?,;:]", ""))
+      .cast("double") / length(text).cast("double"))
+    val stop = countIn(toks, StopEn).cast("double") / nTok
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val lengthScore = least(lit(1.0), nTok / lit(64.0))
+    lengthScore * lit(0.4) + (lit(1.0) - punct) * lit(0.2) +
+      stop * lit(0.2) + diversity * lit(0.2)
+  }
+
   def qualityScore(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
@@ -187,9 +203,7 @@ object TextAnalysis {
       .cast("double") / length(col("text")).cast("double"))
     val stop = countIn(toks, StopEn).cast("double") / nTok
     val diversity = size(array_distinct(toks)).cast("double") / nTok
-    val lengthScore = least(lit(1.0), nTok / lit(64.0))
-    val q = lengthScore * lit(0.4) + (lit(1.0) - punct) * lit(0.2) +
-      stop * lit(0.2) + diversity * lit(0.2)
+    val q = qualityExpr(col("text"))
     documents.select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),

@@ -51,7 +51,11 @@ class PlanAuditSpec extends SparkSpec {
     "d15_semantic_dedup", // k01's broadcast(8 centroids) x corpus cluster-assign
     "dq14_distribution_drift", // dims-sized sources x buckets grid + ONE-row total cross
     "s20_matryoshka_rerank", // s01's broadcast(5 queries) x corpus, prefix tier
-    "s21_knn_graph") // k01's broadcast(32 centroids) x corpus cell-assign
+    "s21_knn_graph", // k01's broadcast(32 centroids) x corpus cell-assign
+    "g06_knn_triangles", // rides s21's centroid-assign cross
+    "s23_mmr_diversify", // s01's broadcast(5 queries) x corpus coarse tier
+    "t33_bigram_surprise", // ONE-row vocab-size frame broadcast-crossed in
+    "dq15_embedding_audit") // ONE-row modal-width frame broadcast-crossed in
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -156,7 +156,20 @@ class ScaleStressSpec extends SparkSpec {
       S.knnGraph(emb, nCells = 32),
       S.knnGraph(embX, nCells = 32 * factor), true),
     ("t32_repetition_profile",
-      T.repetitionProfile(docs), T.repetitionProfile(docsX), false))
+      T.repetitionProfile(docs), T.repetitionProfile(docsX), false),
+    // r12 continuation: g06 rides s21's graph (cells scale with the
+    // corpus for the same reason), s22's ADC join is the corpus-linear
+    // part of the SQ8 tier, t33 doubles t17's shuffle count
+    ("g06_knn_triangles",
+      graft.operators.Graph.knnTriangles(emb, nCells = 32),
+      graft.operators.Graph.knnTriangles(embX, nCells = 32 * factor),
+      true),
+    ("s22_sq8_topk",
+      S.sq8TopK(emb), S.sq8TopK(embX), false),
+    // t33's ONE-row vocab-size frame is broadcast-crossed in (the
+    // t17/t31 pattern) — that BNLJ is the intended shape
+    ("t33_bigram_surprise",
+      T.bigramSurprise(docs), T.bigramSurprise(docsX), true))
 
   /** Committed growth-factor history, keyed fixture-name -> op -> factor.
     * Flat hand-rolled read/write (the shape is two levels of string ->

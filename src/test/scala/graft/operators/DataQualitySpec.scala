@@ -254,4 +254,35 @@ class DataQualitySpec extends SparkSpec {
       "count-table product must equal the real join size")
     assert(est.getAs[Long]("max_key_rows") <= actual)
   }
+
+  test("embedding audit flags each corruption class exactly once") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, Array(1.0f, 2.0f)),
+      (3L, Array(1.0f, 2.0f, 3.0f)),           // width drift
+      (4L, null.asInstanceOf[Array[Float]]),    // null vector
+      (5L, Array(Float.NaN, 1.0f)),             // NaN component
+      (6L, Array(Float.PositiveInfinity, 1.0f)), // Inf component
+      (7L, Array(0.0f, 0.0f)),                  // zero norm
+      (7L, Array(5.0f, 5.0f))                   // duplicate id
+    ).toDF("vec_id", "embedding")
+    val got = DataQuality.embeddingAudit(emb).collect()
+      .map(r => r.getAs[String]("rule") -> r.getAs[Long]("n")).toMap
+    assert(got == Map(
+      "n_vectors" -> 8L, "dup_vec_id" -> 1L, "null_embedding" -> 1L,
+      "modal_dim" -> 2L, "wrong_dim" -> 1L, "nan_component" -> 1L,
+      "inf_component" -> 1L, "zero_norm" -> 1L))
+  }
+
+  test("embedding audit on the fixture: clean except the census rows") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = DataQuality.embeddingAudit(emb).collect()
+      .map(r => r.getAs[String]("rule") -> r.getAs[Long]("n")).toMap
+    assert(got("n_vectors") == emb.count())
+    assert(got("modal_dim") == 64L)
+    for (rule <- Seq("dup_vec_id", "null_embedding", "wrong_dim",
+        "nan_component", "inf_component", "zero_norm"))
+      assert(got(rule) == 0L, s"fixture unexpectedly dirty: $rule")
+  }
 }

@@ -522,3 +522,63 @@ class StreamStreamJoinSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 }
+
+/** Streaming corpus intake: the stream's kept set must equal the batch
+  * composition of the same stages (quality gate ∘ decontamination ∘
+  * corpus-index dedup), with in-stream duplicates dropped. */
+class StreamingCorpusGateSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("corpus gate stream matches the batch stage composition") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val benchPred = col("doc_id") % 100 === 0
+    // benchmark shingle set (exact postings — the p02 contract)
+    val benchShingles = graft.operators.Dedup.shinglePostings(
+      docs.filter(benchPred).select(col("doc_id"), col("text")), 3, None)
+      .select("shingle").distinct().collect().map(_.getString(0)).toSeq
+    assert(benchShingles.nonEmpty)
+    // two documents already landed in the corpus index
+    val landedIds = Set(1L, 3L)
+    val digestIndex = docs.filter(col("doc_id").isin(landedIds.toSeq: _*))
+      .select(graft.operators.Dedup.contentDigest(col("text"))
+        .as("content_md5"))
+    // batch reference over the train side, stage by stage
+    val train = docs.filter(!benchPred)
+    val passQ = graft.operators.TextAnalysis.qualityScore(train)
+      .filter(col("quality") >= 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val contaminated = graft.operators.TextAnalysis.contaminationScores(
+      docs, benchPred).collect().map(_.getAs[Long]("doc_id")).toSet
+    val expected = passQ -- contaminated -- landedIds
+    assert(expected.nonEmpty && contaminated.nonEmpty,
+      "fixture must exercise every stage")
+
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = graft.streaming.StreamingCorpusGate.corpusGateStream(
+      input.toDF().toDF("ts", "doc_id", "text"), digestIndex,
+      benchShingles)
+      .writeStream.format("memory").queryName("corpus_gate")
+      .outputMode("append").start()
+    try {
+      def t(off: Int) = java.sql.Timestamp.from(
+        java.time.Instant.parse("2026-01-01T10:00:00Z").plusSeconds(off))
+      val rows = train.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      input.addData(rows.zipWithIndex.map { case ((id, tx), i) =>
+        (t(i), id, tx) }.toSeq)
+      q.processAllAvailable()
+      // a byte-identical dup of a surviving doc arrives later — the
+      // in-stream watermark dedup must drop it
+      val survivorText = rows.find(r => expected(r._1)).get._2
+      input.addData((t(rows.length + 1), 999999L, survivorText))
+      q.processAllAvailable()
+      val streamed = spark.table("corpus_gate").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == expected,
+        s"missing=${expected -- streamed} extra=${streamed -- expected}")
+    } finally q.stop()
+  }
+}
