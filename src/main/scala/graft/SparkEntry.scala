@@ -238,6 +238,10 @@ object SparkEntry {
     // integer micros over the s01 candidates)
     "s23_mmr_diversify" -> ((s, d) =>
       S.mmrDiversifyTopK(Tables.embeddings(s, d))),
+    // s24: cell-pruned range search (all matches with cosine >= tau —
+    // the radius-query face; no top-k state anywhere)
+    "s24_range_search" -> ((s, d) =>
+      S.rangeSearch(Tables.embeddings(s, d))),
     // --- lake adapter (reference parity: SURVEY §2.1/2.2, §3 E1-E3) ---
     "l01_marker_split" -> ((s, d) =>
       graft.lake.LakeQueries.markerSplitDemo(Tables.documents(s, d))),
@@ -989,6 +993,34 @@ object SparkEntry {
       |  AND e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
       |GROUP BY e.n_probe, e.query_id
       |ORDER BY e.n_probe, e.query_id""".stripMargin
+
+  /** s24: cell-pruned range search — [[IvfTrainCtes]] trains/assigns,
+    * s14's probe schedule restricted to cell_rank ≤ 2, and the final
+    * WHERE is the similarity bar itself (identical IEEE cosine tree,
+    * so the ≥ tau cut is bitwise consistent cross-engine). */
+  private val RangeSearchOracle: String =
+    s"WITH $IvfTrainCtes,\n" +
+    """q AS (SELECT vec_id AS query_id, emb AS query_emb,
+      |  vnorm2 AS qnorm2 FROM a2 WHERE vec_id < 5),
+      |pr AS (SELECT query_id, cluster_id AS cell,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY dist2 ASC, cluster_id ASC) AS cell_rank
+      |  FROM (SELECT q.query_id, c.cluster_id,
+      |    q.qnorm2 + c.cnorm2 - 2.0 * list_reduce(
+      |      list_transform(range(1, len(q.query_emb)+1), i ->
+      |        CAST(q.query_emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS dist2
+      |    FROM q CROSS JOIN c1 c)),
+      |pb AS (SELECT query_id, cell FROM pr WHERE cell_rank <= 2),
+      |sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+      |  list_reduce(list_transform(range(1, len(c.emb)+1), i ->
+      |    CAST(c.emb[i] AS DOUBLE) * CAST(q.query_emb[i] AS DOUBLE)),
+      |    (x, y) -> x + y) / (sqrt(c.vnorm2) * sqrt(q.qnorm2)) AS cosine
+      |  FROM a2 c JOIN pb p ON c.cluster_id = p.cell
+      |  JOIN q ON p.query_id = q.query_id
+      |  WHERE c.vec_id <> p.query_id)
+      |SELECT query_id, neighbor_id, cosine FROM sc
+      |WHERE cosine >= 0.25 ORDER BY query_id, neighbor_id""".stripMargin
 
   /** s16: recall@10 of the IVF-PQ tier per n_probe — [[IvfPqCtes]]'
     * trained pipeline with s14's probe-schedule suffix: pr ranks every
@@ -2668,6 +2700,7 @@ object SparkEntry {
     "s21_knn_graph" -> KnnGraphOracle,
     "s22_sq8_topk" -> Sq8Oracle,
     "s23_mmr_diversify" -> MmrOracle,
+    "s24_range_search" -> RangeSearchOracle,
     "q31_lateral_topn" ->
       """SELECT n.n_name AS nation, t.c_name, t.c_acctbal
         |FROM nation n, LATERAL (

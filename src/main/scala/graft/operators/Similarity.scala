@@ -1219,6 +1219,48 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s24: RANGE search — every neighbor within cosine ≥ tau, the
+    * radius-query face of the ANN API (FAISS `range_search`): dedup
+    * sweeps, "find everything similar to this exemplar" curation
+    * passes, and near-dup audits want ALL matches above a similarity
+    * bar, not a fixed k (top-k under-returns in dense neighborhoods
+    * and pads with junk in sparse ones). Cell-pruned like the serving
+    * tiers: only the query's nProbe nearest trained cells are scanned,
+    * with the same recall contract as s08/s14 (boundary-straddling
+    * matches cost probes, measured there).
+    *
+    * Plan shape: trained centroids materialize once (K-row model
+    * artifact); corpus assigns in the scan stage; the probe schedule
+    * (nQueries·nProbe rows) broadcasts; the threshold filter runs
+    * where the cosine is born, so only matches leave the scan — output
+    * is match-sized, never candidate-sized, and there is NO top-k
+    * state at all (the one ANN query with no per-query aggregate).
+    * At rest the corpus is cell-partitioned and the probe schedule
+    * partition-prunes the scan (s19's layout). */
+  def rangeSearch(embeddings: DataFrame, tau: Double = 0.25,
+      nQueries: Int = 5, nProbe: Int = 2): DataFrame = {
+    val centroids = Clustering.trainedCentroidsLocal(embeddings)
+    val vectors = embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2",
+        graft.functions.VectorOps.dot(col("emb"), col("emb")))
+    val assigned = Clustering.assign(vectors, centroids)
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("emb").as("query_emb"), col("vnorm2").as("qnorm2"))
+    val probes = probeCells(queries, centroids, nProbe)
+    assigned.join(broadcast(probes), col("cluster_id") === col("cell"))
+      .join(broadcast(queries), "query_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        graft.functions.VectorOps.dot(col("emb"), col("query_emb")) /
+          (sqrt(col("vnorm2")) * sqrt(col("qnorm2"))))
+      .filter(col("cosine") >= lit(tau))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** s23: Maximal Marginal Relevance diversification (Carbonell &
     * Goldstein 1998) — greedy re-ranking of the exact top-kCoarse
     * candidates so each pick trades relevance against redundancy with

@@ -652,3 +652,34 @@ class MmrSpec extends graft.SparkSpec {
       Similarity.mmrDiversifyTopK(emb).collect().map(_.toSeq).toSeq)
   }
 }
+
+/** s24 range search: threshold contract, probe-set consistency with the
+  * trained top-k tier, and the empty-bar edge. */
+class RangeSearchSpec extends graft.SparkSpec {
+
+  test("range search returns exactly the above-bar probed matches") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.rangeSearch(emb).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine")))
+    assert(got.nonEmpty, "fixture must produce matches at tau=0.25")
+    assert(got.forall(_._3 >= 0.25))
+    assert(got.forall(r => r._1 != r._2), "self-match leaked")
+    // consistency with the trained top-k tier over the same probes:
+    // every s08 (nProbe=2) hit at or above the bar must be in range
+    val gotSet = got.map(r => (r._1, r._2)).toSet
+    val topk = Similarity.ivfTrainedTopK(emb, nProbe = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine")))
+      .filter(_._3 >= 0.25).map(r => (r._1, r._2)).toSet
+    assert(topk.subsetOf(gotSet),
+      s"top-k hits missing from range: ${topk -- gotSet}")
+    // and range search can exceed k: it reports ALL matches
+    assert(gotSet.size >= topk.size)
+  }
+
+  test("a bar above the attainable cosine returns the empty set") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(Similarity.rangeSearch(emb, tau = 1.1).isEmpty)
+  }
+}
