@@ -358,6 +358,10 @@ object SparkEntry {
     "w16_ewma_spikes" -> ((s, d) => W.ewmaAnomalies(Tables.events(s, d))),
     "k02_cluster_inertia" -> ((s, d) =>
       graft.operators.Clustering.clusterInertia(Tables.embeddings(s, d))),
+    // k03: elbow curve — total inertia at K in {2,4,8,16}, the
+    // model-selection sweep behind the serving tiers' cell count
+    "k03_elbow_curve" -> ((s, d) =>
+      graft.operators.Clustering.elbowCurve(Tables.embeddings(s, d))),
     "dq09_reconciliation" -> ((s, d) =>
       graft.operators.DataQuality.reconciliationAudit(
         Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -2658,6 +2662,27 @@ object SparkEntry {
         |    AS inertia_fp
         |  FROM a2 GROUP BY cluster_id)
         |ORDER BY cluster_id""".stripMargin),
+    // k03: four K-tiers of the k01 pipeline as derived-table subqueries
+    // (inner WITHs scope per subquery — the s13 nesting precedent),
+    // seed predicate replaced per tier; micros-quantized totals
+    "k03_elbow_curve" -> {
+      val tiers = Seq(2, 4, 8, 16).map { k =>
+        val inner =
+          KMediansA2.replace("WHERE vec_id < 8", s"WHERE vec_id < $k") +
+          s"""
+            |SELECT CAST($k AS BIGINT) AS k,
+            |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+            |  CAST(SUM(CAST(floor(dist2 * 1000000.0) AS BIGINT))
+            |    AS BIGINT) AS inertia_fp
+            |FROM a2""".stripMargin
+        s"SELECT * FROM ($inner) t$k"
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT k, n_vectors, inertia_fp,
+         |  (CAST(inertia_fp AS DOUBLE) / 1000000.0)
+         |    / CAST(n_vectors AS DOUBLE) AS mean_dist2
+         |FROM ($tiers)
+         |ORDER BY k""".stripMargin
+    },
     // IVF probe over TRAINED cells: k01's exact training CTEs (v..c1),
     // final assignment keeps emb/vnorm2, queries probe their own cell,
     // exact-cosine refine + rank inside the cell (s02's probe shape

@@ -126,6 +126,40 @@ object Clustering {
           col("n_vectors").cast("double")).as("mean_dist2"))
       .orderBy(col("cluster_id"))
 
+  /** k03: the ELBOW curve — total inertia of the trained quantizer at
+    * a sweep of K values, the model-selection eval that decides the
+    * cell count every serving tier (s08/s12/s15/s19/s21) then lives
+    * with: too few cells and probes scan huge fractions of the corpus,
+    * too many and cell-boundary recall loss dominates (s14's curve).
+    * k02 answers "how good is THIS K per cluster"; this answers
+    * "which K".
+    *
+    * Determinism: each K's pipeline is exactly k01's (median-selection
+    * training, bitwise dist2), and per-vector distances quantize to
+    * integer micros BEFORE the total (the k02 recipe) — order-free
+    * exact longs.
+    *
+    * Scale: the sweep is |ks| independent two-round Lloyd runs — at
+    * 100 TB each trains on the same corpus sample the production
+    * quantizer would, and the runs are embarrassingly parallel
+    * (driver composes a union; nothing is iterated in-plan). Output
+    * is |ks| rows. */
+  def elbowCurve(embeddings: DataFrame,
+      ks: Seq[Int] = Seq(2, 4, 8, 16)): DataFrame =
+    ks.map { k =>
+      kmediansAssign(embeddings, k)
+        .select(floor(col("dist2") * lit(1000000.0)).cast("long")
+          .as("d_fp"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("d_fp")).as("inertia_fp"))
+        .select(lit(k.toLong).as("k"), col("n_vectors"),
+          col("inertia_fp"))
+    }.reduce(_.unionByName(_))
+      .select(col("k"), col("n_vectors"), col("inertia_fp"),
+        ((col("inertia_fp").cast("double") / lit(1000000.0)) /
+          col("n_vectors").cast("double")).as("mean_dist2"))
+      .orderBy(col("k"))
+
   /** The trained centroids MATERIALIZED as a local K-row DataFrame — a
     * model artifact, driver-metadata-scale by definition (K ≤ a few
     * thousand for any real IVF index; production stores it beside the

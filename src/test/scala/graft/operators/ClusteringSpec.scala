@@ -39,4 +39,22 @@ class ClusteringSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  test("elbow curve: every K covers the corpus, inertia falls with K") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val rows = Clustering.elbowCurve(emb).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_vectors"),
+        r.getAs[Long]("inertia_fp"), r.getAs[Double]("mean_dist2")))
+    assert(rows.map(_._1).toSeq == Seq(2L, 4L, 8L, 16L))
+    assert(rows.forall(_._2 == n), "every sweep point assigns all vectors")
+    // seeded k-medians on this fixture: more cells = closer centroids;
+    // the endpoints must improve substantially, the sweep overall
+    // monotonically (the property the elbow read depends on)
+    val inertias = rows.map(_._3)
+    assert(inertias.zip(inertias.tail).forall { case (a, b) => b <= a },
+      s"inertia not non-increasing: ${inertias.toSeq}")
+    assert(inertias.last < inertias.head)
+    assert(rows.forall(_._4 > 0.0))
+  }
 }
