@@ -429,7 +429,18 @@ object SparkEntry {
     // dq15: embedding-table audit (NaN/Inf/null/zero-norm/width-drift/
     // dup-id) — the vector-side dq01
     "dq15_embedding_audit" -> ((s, d) =>
-      graft.operators.DataQuality.embeddingAudit(Tables.embeddings(s, d)))
+      graft.operators.DataQuality.embeddingAudit(Tables.embeddings(s, d))),
+    // d16: cross-doc exact-substring duplication via rolling-hash
+    // window collisions (Lee et al. exact-substring dedup, window form)
+    "d16_substring_dups" -> ((s, d) =>
+      D.substringDups(Tables.documents(s, d))),
+    // w20: OHLC bars per (event_type, hour) — selection-only open/
+    // high/low/close, one map-side-combined aggregate
+    "w20_ohlc_bars" -> ((s, d) => W.ohlcBars(Tables.events(s, d))),
+    // t34: exactly-N-per-stratum deterministic sample (nests, append-
+    // stable) — the eval-set builder beside t08/t23
+    "t34_stratified_exact_n" -> ((s, d) =>
+      Sm.stratifiedExactN(Tables.documents(s, d)))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -4091,6 +4102,72 @@ object SparkEntry {
         |    WHERE NOT is_null AND CAST(dim AS BIGINT) <> modal_dim
         |  UNION ALL SELECT 'zero_norm',
         |    CAST(COUNT(*) FILTER (zero_norm) AS BIGINT) FROM f)
-        |ORDER BY rule""".stripMargin
+        |ORDER BY rule""".stripMargin,
+    // t30's token/window fingerprint CTEs verbatim, distinct postings,
+    // the 1000-cap mirrored, a<b pair counts + TRUE pre-cap sizes
+    "d16_substring_dups" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |h AS (SELECT doc_id, list_transform(toks, s ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(s)+1),
+        |        i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 2147483647)) AS th FROM t),
+        |w AS (SELECT doc_id, CASE WHEN len(th) >= 5 THEN
+        |      list_transform(range(0, len(th)-4), i ->
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1:i+5]),
+        |          (a, b) -> (a * 257 + b) % 2147483647))
+        |    ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+        |          (a, b) -> (a * 257 + b) % 2147483647)] END AS wh
+        |  FROM h),
+        |e AS (SELECT DISTINCT doc_id, unnest(wh) AS wh FROM w),
+        |hot AS (SELECT wh FROM (SELECT wh, COUNT(*) AS df FROM e
+        |  GROUP BY wh) WHERE df > 1000),
+        |p AS (SELECT doc_id, wh FROM e
+        |  WHERE wh NOT IN (SELECT wh FROM hot)),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw
+        |  FROM e GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM p a JOIN p b ON a.wh = b.wh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+        |  sa.nw AS n_a, sb.nw AS n_b,
+        |  CAST(pr.n_shared AS DOUBLE)
+        |    / CAST(LEAST(sa.nw, sb.nw) AS DOUBLE) AS containment
+        |FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id
+        |JOIN sz sb ON pr.doc_b = sb.doc_id
+        |ORDER BY pr.doc_a, pr.doc_b""".stripMargin,
+    // open/close via (ts, event_id)-ordered row_number — the window
+    // mirror of min_by/max_by selection; values are picked, not summed
+    "w20_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |  ts, event_id, value FROM events),
+        |o AS (SELECT event_type, hour, value AS open FROM (
+        |  SELECT event_type, hour, value, row_number() OVER (
+        |    PARTITION BY event_type, hour ORDER BY ts, event_id) AS rn
+        |  FROM e) WHERE rn = 1),
+        |c AS (SELECT event_type, hour, value AS close FROM (
+        |  SELECT event_type, hour, value, row_number() OVER (
+        |    PARTITION BY event_type, hour
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e) WHERE rn = 1),
+        |g AS (SELECT event_type, hour, MAX(value) AS high,
+        |  MIN(value) AS low, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM e GROUP BY event_type, hour)
+        |SELECT g.event_type, g.hour, o.open, g.high, g.low, c.close,
+        |  g.n_events
+        |FROM g JOIN o ON g.event_type = o.event_type AND g.hour = o.hour
+        |JOIN c ON g.event_type = c.event_type AND g.hour = c.hour
+        |ORDER BY g.event_type, g.hour""".stripMargin,
+    "t34_stratified_exact_n" ->
+      """WITH k AS (SELECT lang, doc_id,
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, sample_key,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY sample_key, doc_id) AS BIGINT) AS rank FROM k)
+        |SELECT lang, doc_id, sample_key, rank FROM r
+        |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
   )
 }

@@ -560,4 +560,58 @@ object Dedup {
         col("dup").isNull.as("is_kept"))
       .orderBy(col("vec_id"))
   }
+
+  /** d16: cross-document EXACT-substring duplication — the window form
+    * of Lee et al. 2022's exact-substring dedup ("Deduplicating
+    * Training Data Makes Language Models Better"): two documents share
+    * a duplicated `window`-token SPAN iff some rolling fingerprint
+    * collides, which catches verbatim quotation/boilerplate reuse that
+    * set-based Jaccard (d02) dilutes away and doc-level containment
+    * (d12) only sees in aggregate. Fingerprints are the codegen'd
+    * [[graft.functions.RollFns.rollingHash]] (t30's O(tokens)
+    * Rabin–Karp — no window strings ever materialize); a hash
+    * collision without a true shared span is possible at the usual
+    * 1/2³¹ rate — the standard probabilistic trade, same family as
+    * MinHash, and candidates feed an exact verify pass when stakes
+    * demand it.
+    *
+    * Plan shape: one fingerprint posting pass (distinct per doc), the
+    * [[DefaultMaxDocFreq]] posting cap bounding any hot window's
+    * self-join at cap²/2 (the d04/d12 discipline), inverted-index
+    * a<b pair counting, then the TRUE per-doc distinct-window sizes
+    * (pre-cap — an honest denominator) broadcast back for the
+    * containment share: one double division of exact longs. */
+  def substringDups(documents: DataFrame, window: Int = 5,
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
+    val wh = spread(documents).select(col("doc_id"),
+      array_distinct(graft.functions.RollFns
+        .rollingHash(col("text"), window)).as("whs"))
+    val sizes = wh.select(col("doc_id"),
+      size(col("whs")).cast("long").as("n_windows"))
+    val posts0 = wh.select(col("doc_id"), explode(col("whs")).as("wh"))
+    val posts = maxDocFreq match {
+      case None => posts0
+      case Some(cap) =>
+        val hot = posts0.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("wh"))
+        posts0.join(hot, Seq("wh"), "left_anti")
+          .select(col("doc_id"), col("wh"))
+    }
+    val pairs = posts.select(col("doc_id").as("doc_a"), col("wh"))
+      .join(posts.select(col("doc_id").as("doc_b"),
+        col("wh").as("wh_b")),
+        col("wh") === col("wh_b") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"),
+        col("n_windows").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"),
+        col("n_windows").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

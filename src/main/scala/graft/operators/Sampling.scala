@@ -322,4 +322,32 @@ object Sampling {
         sampleKey(col("doc_id")).as("sample_key"))
       .orderBy(col("sample_key"), col("doc_id"))
       .limit(n)
+
+  /** t34: exactly-N-PER-STRATUM deterministic sample — the eval-set
+    * builder's contract ([[stratifiedSample]] only hits each
+    * stratum's rate in expectation; [[exactSample]] is exact but
+    * global): the N smallest hash keys WITHIN each language. Rerun-
+    * and repartition-stable (a pure function of the data SET), and
+    * samples NEST (the N=10 sample is a prefix of the N=20 sample per
+    * stratum). Unlike the rate-based [[stratifiedSample]], an APPEND
+    * can displace a boundary member (a new doc with a smaller key
+    * shifts ranks) — when append-invariance matters more than exact
+    * size, t08 is the right tool.
+    *
+    * Plan shape: one rank window partitioned by stratum — parallel
+    * across strata (the t22 argument); a pathologically hot stratum
+    * pays its own sort, bounded by per-stratum data, and the
+    * production variant for huge strata is the t23
+    * TakeOrderedAndProject per stratum via a two-level (stratum,
+    * shard) pre-rank. */
+  def stratifiedExactN(documents: DataFrame, n: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("sample_key").asc, col("doc_id").asc)
+    documents
+      .select(col("lang"), col("doc_id"),
+        sampleKey(col("doc_id")).as("sample_key"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .orderBy(col("lang"), col("rank"))
+  }
 }

@@ -332,4 +332,34 @@ object Windows {
         (col("cum_in_year") + col("off")).as("open_shipments"))
       .orderBy(col("day"))
   }
+
+  /** w20: OHLC bars — per (event_type, event-time hour): the opening
+    * value (earliest event, ties by event_id), high, low, closing
+    * value (latest event), and volume. The canonical time-bucketed
+    * downsample every monitoring/market/metrics pipeline runs; beside
+    * the EWMA pair (w15/w16) it gives the bucket-exact rather than
+    * exponentially-faded read of the same stream.
+    *
+    * Determinism: open/close are SELECTION via `min_by`/`max_by` over
+    * the (ts, event_id) struct — no float arithmetic at all, so every
+    * output value is an input value bit-for-bit; high/low are plain
+    * min/max.
+    *
+    * Plan shape: ONE (type, hour) partial aggregate, map-side combined
+    * — min_by/max_by partial-aggregate like any other agg, so the
+    * shuffle carries one candidate row per (type, hour, split), never
+    * the events. Output is bucket-count-sized. */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"), col("hour"))
 }

@@ -169,7 +169,11 @@ class ScaleStressSpec extends SparkSpec {
     // t33's ONE-row vocab-size frame is broadcast-crossed in (the
     // t17/t31 pattern) — that BNLJ is the intended shape
     ("t33_bigram_surprise",
-      T.bigramSurprise(docs), T.bigramSurprise(docsX), true))
+      T.bigramSurprise(docs), T.bigramSurprise(docsX), true),
+    // d16 joins the d04/d12 inverted-index family: the capped posting
+    // self-join is exactly the shape with quadratic failure modes
+    ("d16_substring_dups",
+      D.substringDups(docs), D.substringDups(docsX), false))
 
   /** Committed growth-factor history, keyed fixture-name -> op -> factor.
     * Flat hand-rolled read/write (the shape is two levels of string ->

@@ -149,4 +149,30 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"exact sample should plan per-partition top-N, got:\n$plan")
   }
+
+  test("stratified exact-N: per-stratum counts, nesting, stability") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val strata = docs.groupBy(org.apache.spark.sql.functions.col("lang"))
+      .count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val s20 = Sampling.stratifiedExactN(docs, n = 20).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rank")))
+    val byLang = s20.groupBy(_._1)
+    assert(byLang.keySet == strata.keySet, "every stratum is sampled")
+    for ((lang, rows) <- byLang) {
+      assert(rows.length == math.min(20L, strata(lang)),
+        s"$lang sample size")
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // nesting: the N=10 sample is a per-stratum prefix of N=20
+    val s10 = Sampling.stratifiedExactN(docs, n = 10).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSet
+    assert(s10.subsetOf(s20.map(r => (r._1, r._2)).toSet))
+    // pure function of the data set: repartition cannot move a member
+    val repart = Sampling.stratifiedExactN(docs.repartition(7), n = 20)
+      .collect().map(_.toSeq).toSet
+    assert(repart == Sampling.stratifiedExactN(docs, n = 20)
+      .collect().map(_.toSeq).toSet)
+  }
 }

@@ -676,4 +676,37 @@ class ContainmentCodeDetectSpec extends graft.SparkSpec {
     assert(straddling.subsetOf(flagged),
       s"d04 candidates missed by p05: ${straddling -- flagged}")
   }
+
+  test("substringDups finds the shared 5-token span and nothing else") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),          // windows: "a b c d e", "b c d e f"
+      (2L, "x a b c d e y"),        // shares exactly "a b c d e"
+      (3L, "p q r s t u v w"))      // unrelated
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDups(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_shared"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Double]("containment")))
+    assert(got.toSeq == Seq((1L, 2L, 1L, 2L, 3L, 0.5)))
+  }
+
+  test("substringDups: exact copies reach containment 1.0; stable") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "an entirely different sentence about spark plans here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDups(docs).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("containment"))).toMap
+    assert(got == Map((1L, 2L) -> 1.0))
+    // fixture: non-trivial and repartition-stable
+    val fix = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Dedup.substringDups(fix).collect().map(_.toSeq).toSeq
+    assert(out.nonEmpty)
+    assert(out == Dedup.substringDups(fix.repartition(7)).collect()
+      .map(_.toSeq).toSeq)
+  }
 }

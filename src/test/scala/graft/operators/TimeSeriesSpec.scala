@@ -56,4 +56,36 @@ class TimeSeriesSpec extends SparkSpec {
         r.getAs[Long]("rk"))).toSeq
     assert(out == Seq(("s1", 2L, 1L), ("s1", 3L, 2L), ("s2", 4L, 1L)))
   }
+
+  test("OHLC bars pick open/close by arrival and bound high/low") {
+    import spark.implicits._
+    val events = Seq(
+      (10L, t("2026-01-01T10:05:00Z"), 1L, "buy", 5.0),
+      (11L, t("2026-01-01T10:10:00Z"), 1L, "buy", 9.0),
+      (12L, t("2026-01-01T10:55:00Z"), 1L, "buy", 2.0),
+      (13L, t("2026-01-01T11:01:00Z"), 1L, "buy", 7.0), // next hour
+      (14L, t("2026-01-01T10:30:00Z"), 2L, "sell", 4.0),
+      // same ts as 14: event_id breaks the tie for open/close
+      (15L, t("2026-01-01T10:30:00Z"), 2L, "sell", 6.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Windows.ohlcBars(events).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("hour").toInstant.toString) ->
+        ((r.getAs[Double]("open"), r.getAs[Double]("high"),
+          r.getAs[Double]("low"), r.getAs[Double]("close"),
+          r.getAs[Long]("n_events")))).toMap
+    assert(got == Map(
+      ("buy", "2026-01-01T10:00:00Z") -> ((5.0, 9.0, 2.0, 2.0, 3L)),
+      ("buy", "2026-01-01T11:00:00Z") -> ((7.0, 7.0, 7.0, 7.0, 1L)),
+      ("sell", "2026-01-01T10:00:00Z") -> ((4.0, 6.0, 4.0, 6.0, 2L))))
+    // fixture invariants: low <= open, close <= high everywhere
+    val fix = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val bars = Windows.ohlcBars(fix).collect()
+    assert(bars.nonEmpty)
+    assert(bars.forall { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      l <= o && o <= h && l <= c && c <= h
+    })
+  }
 }
