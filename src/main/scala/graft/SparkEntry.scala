@@ -242,6 +242,10 @@ object SparkEntry {
     // the radius-query face; no top-k state anywhere)
     "s24_range_search" -> ((s, d) =>
       S.rangeSearch(Tables.embeddings(s, d))),
+    // s25: kNN label prediction (majority vote over s01 neighbors) —
+    // the auto-labeling face; output doubles as leave-one-out eval
+    "s25_knn_classify" -> ((s, d) =>
+      S.knnClassify(Tables.embeddings(s, d))),
     // --- lake adapter (reference parity: SURVEY §2.1/2.2, §3 E1-E3) ---
     "l01_marker_split" -> ((s, d) =>
       graft.lake.LakeQueries.markerSplitDemo(Tables.documents(s, d))),
@@ -2737,6 +2741,25 @@ object SparkEntry {
     "s22_sq8_topk" -> Sq8Oracle,
     "s23_mmr_diversify" -> MmrOracle,
     "s24_range_search" -> RangeSearchOracle,
+    // majority vote over the nested s01 top-10; (votes desc, label asc)
+    "s25_knn_classify" ->
+      (s"""WITH nb AS (SELECT query_id, neighbor_id
+         |  FROM ($BruteTopKOracle) b),
+         |""".stripMargin +
+       """v AS (SELECT nb.query_id, e.label,
+         |  CAST(COUNT(*) AS BIGINT) AS votes
+         |  FROM nb JOIN embeddings e ON nb.neighbor_id = e.vec_id
+         |  GROUP BY nb.query_id, e.label),
+         |p AS (SELECT query_id, label AS predicted_label,
+         |  votes AS n_votes FROM (
+         |  SELECT query_id, label, votes, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
+         |  FROM v) WHERE rn = 1)
+         |SELECT p.query_id, p.predicted_label, p.n_votes,
+         |  e.label AS true_label,
+         |  p.predicted_label = e.label AS is_correct
+         |FROM p JOIN embeddings e ON p.query_id = e.vec_id
+         |ORDER BY p.query_id""".stripMargin),
     "q31_lateral_topn" ->
       """SELECT n.n_name AS nation, t.c_name, t.c_acctbal
         |FROM nation n, LATERAL (

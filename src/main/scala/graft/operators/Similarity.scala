@@ -1261,6 +1261,47 @@ object Similarity {
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
+  /** s25: kNN LABEL PREDICTION — majority vote over the exact top-k
+    * neighbors' labels, the auto-labeling/weak-supervision face of the
+    * neighbor machinery: propagate curated labels (quality tiers,
+    * topic tags, safety flags) from a labeled seed set to unlabeled
+    * corpus members. Reports the predicted label, its vote count, and
+    * the true label so the output doubles as the eval (leave-one-out
+    * accuracy over the query set).
+    *
+    * Determinism: the s01 candidate tier is already bitwise; the vote
+    * is exact integer counting with (votes desc, label asc)
+    * tie-breaks.
+    *
+    * Plan shape: s01's corpus-scale coarse pass, then per-query
+    * (label, count) aggregation over k rows and a min_by argmax —
+    * candidate-sized frames; the label re-attach joins the broadcast
+    * query set. */
+  def knnClassify(embeddings: DataFrame, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val neighbors = bruteForceTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val votes = neighbors
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label")), "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val predicted = votes.groupBy(col("query_id"))
+      .agg(min_by(struct(col("label"), col("votes")),
+        struct((lit(0L) - col("votes")).as("negv"),
+          col("label").as("l"))).as("p"))
+      .select(col("query_id"), col("p.label").as("predicted_label"),
+        col("p.votes").as("n_votes"))
+    predicted
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+        col("label").as("true_label"))), "query_id")
+      .select(col("query_id"), col("predicted_label"), col("n_votes"),
+        col("true_label"),
+        (col("predicted_label") === col("true_label")).as("is_correct"))
+      .orderBy(col("query_id"))
+  }
+
   /** s23: Maximal Marginal Relevance diversification (Carbonell &
     * Goldstein 1998) — greedy re-ranking of the exact top-kCoarse
     * candidates so each pick trades relevance against redundancy with

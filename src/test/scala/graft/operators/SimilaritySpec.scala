@@ -682,4 +682,47 @@ class RangeSearchSpec extends graft.SparkSpec {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     assert(Similarity.rangeSearch(emb, tau = 1.1).isEmpty)
   }
+
+  test("knn classify: majority vote beats the single nearest neighbor") {
+    import spark.implicits._
+    // query 0 (true label 0): nearest neighbor has label 0, but the
+    // k=3 majority is label 1 — the vote must win over proximity
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f)),
+      (1L, 0, Array(1.0f, 0.01f)),  // nearest, label 0
+      (2L, 1, Array(1.0f, 0.1f)),   // label 1
+      (3L, 1, Array(1.0f, 0.2f)),   // label 1
+      (4L, 0, Array(0.0f, 1.0f))    // far, excluded at k=3
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.knnClassify(vecs, nQueries = 1, k = 3).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Int]("predicted_label") == 1)
+    assert(r.getAs[Long]("n_votes") == 2L)
+    assert(r.getAs[Int]("true_label") == 0)
+    assert(!r.getAs[Boolean]("is_correct"))
+  }
+
+  test("knn classify: vote ties break toward the lower label") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, 5, Array(1.0f, 0.0f)),
+      (1L, 2, Array(1.0f, 0.01f)),
+      (2L, 1, Array(1.0f, 0.1f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.knnClassify(vecs, nQueries = 1, k = 2).collect()
+    assert(out.head.getAs[Int]("predicted_label") == 1)
+    assert(out.head.getAs[Long]("n_votes") == 1L)
+  }
+
+  test("knn classify fixture run: votes bounded, correctness flag honest") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.knnClassify(emb).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_votes") >= 1L && r.getAs[Long]("n_votes") <= 10L)
+      assert(r.getAs[Boolean]("is_correct") ==
+        (r.getAs[Int]("predicted_label") == r.getAs[Int]("true_label")))
+    }
+  }
 }
