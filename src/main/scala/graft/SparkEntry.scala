@@ -444,7 +444,12 @@ object SparkEntry {
     // t34: exactly-N-per-stratum deterministic sample (nests, append-
     // stable) — the eval-set builder beside t08/t23
     "t34_stratified_exact_n" -> ((s, d) =>
-      Sm.stratifiedExactN(Tables.documents(s, d)))
+      Sm.stratifiedExactN(Tables.documents(s, d))),
+    // p06: the eval-set manifest — t25's safe split composed with
+    // t34's per-stratum exact-N over the test slice only
+    "p06_eval_set" -> ((s, d) =>
+      Sm.evalSetBuild(Tables.documents(s, d),
+        org.apache.spark.sql.functions.col("doc_id") % 100 === 0))
   )
 
   // DuckDB-dialect oracles. Shared fragments:
@@ -4191,6 +4196,39 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY lang
         |    ORDER BY sample_key, doc_id) AS BIGINT) AS rank FROM k)
         |SELECT lang, doc_id, sample_key, rank FROM r
-        |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
+        |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
+    // t25's safe-split CTEs restricted to the test slice, then t34's
+    // per-lang exact-N suffix over the survivors
+    "p06_eval_set" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(range(0, len(toks)-2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM t),
+        |bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM s
+        |  WHERE doc_id % 100 = 0),
+        |train AS (SELECT doc_id, unnest(sh) AS shingle FROM s
+        |  WHERE doc_id % 100 <> 0),
+        |hits AS (SELECT t2.doc_id FROM train t2
+        |  JOIN bench b ON t2.shingle = b.shingle GROUP BY t2.doc_id),
+        |sp AS (SELECT d.doc_id, d.lang,
+        |  CASE WHEN d.doc_id % 100 = 0 THEN 'benchmark'
+        |    WHEN h.doc_id IS NOT NULL THEN 'quarantine'
+        |    WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |      < 'cccccccc' THEN 'train'
+        |    WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |      < 'e6666666' THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id),
+        |k AS (SELECT lang, doc_id,
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+        |  FROM sp WHERE split = 'test'),
+        |r AS (SELECT lang, doc_id, sample_key,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY sample_key, doc_id) AS BIGINT) AS rank FROM k)
+        |SELECT lang, doc_id, sample_key, rank FROM r
+        |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
   )
 }

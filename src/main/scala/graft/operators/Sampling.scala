@@ -350,4 +350,34 @@ object Sampling {
       .filter(col("rank") <= n)
       .orderBy(col("lang"), col("rank"))
   }
+
+  /** p06: the EVAL-SET build — p04's counterpart for the held-out
+    * side: exactly `nPerLang` documents per language drawn ONLY from
+    * the contamination-safe test slice ([[safeSplit]]: benchmark docs
+    * out, benchmark-overlapping docs quarantined, hash-range split so
+    * appends can't migrate a test doc to train), ranked by the
+    * deterministic sample key ([[stratifiedExactN]]'s contract:
+    * nests, rerun-stable). The output is the language-balanced eval
+    * manifest an evaluation harness consumes, with every leakage gate
+    * already applied and each stage's semantics the audited
+    * single-operator query's.
+    *
+    * Plan shape: safeSplit's posting pass + pure-projection split,
+    * then one rank window per stratum over the test-slice survivors —
+    * strata in parallel, window input already filtered to the ~10%
+    * test slice. */
+  def evalSetBuild(documents: DataFrame,
+      benchPredicate: org.apache.spark.sql.Column,
+      nPerLang: Int = 10): DataFrame = {
+    val testIds = safeSplit(documents, benchPredicate)
+      .filter(col("split") === "test").select(col("doc_id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("sample_key").asc, col("doc_id").asc)
+    documents.join(testIds, "doc_id")
+      .select(col("lang"), col("doc_id"),
+        sampleKey(col("doc_id")).as("sample_key"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= nPerLang)
+      .orderBy(col("lang"), col("rank"))
+  }
 }

