@@ -48,6 +48,32 @@ object EventTimeOps {
     * `slide` < `windowLen` gives the sliding form ([[slidingCounts]]'s
     * stream twin): state grows by the overlap factor, still bounded by
     * the watermark horizon. */
+  /** Streaming OHLC bars — w20's stream twin: open/close are
+    * `min_by`/`max_by` SELECTION over the (ts, event_id) struct, which
+    * partial-aggregates in streaming state exactly like any other agg
+    * (state per open (window, type) = one candidate row per function,
+    * not the events), watermark-evicted once the window closes. The
+    * same selection-only determinism contract as the batch form:
+    * every emitted value is an input value bit-for-bit, so
+    * stream-vs-batch parity is exact equality, not tolerance. */
+  def ohlcBarsStream(events: DataFrame,
+      watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"))
+
   def windowedCountsStream(events: DataFrame, watermark: String = "10 minutes",
       windowLen: String = "1 hour", slide: Option[String] = None): DataFrame =
     events

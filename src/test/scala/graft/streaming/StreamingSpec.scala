@@ -582,3 +582,52 @@ class StreamingCorpusGateSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 }
+
+/** w20's stream twin: bitwise stream-vs-batch parity of OHLC bars
+  * across micro-batch boundaries (selection-only aggregates — equality
+  * is exact, not tolerance). */
+class StreamingOhlcSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("streaming OHLC bars reach bitwise parity with w20's batch form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val fix = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "event_type", "value")
+    val rows = fix.collect().map(r => (r.getAs[Long]("event_id"),
+      r.getAs[java.sql.Timestamp]("ts"), r.getAs[String]("event_type"),
+      r.getAs[Double]("value"))).sortBy(_._2.getTime)
+    val batch = graft.operators.Windows.ohlcBars(fix).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("hour").getTime,
+        r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"),
+        r.getAs[Long]("n_events"))).toSet
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val q = graft.streaming.EventTimeOps.ohlcBarsStream(
+      input.toDF().toDF("event_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("ohlc_stream")
+      .outputMode("append").start()
+    try {
+      // feed in three event-time-ordered micro-batches, then a far-
+      // future flush event so the watermark closes every fixture window
+      val thirds = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+      thirds.foreach { g => input.addData(g.toSeq); q.processAllAvailable() }
+      val flushTs = java.sql.Timestamp.from(
+        rows.last._2.toInstant.plusSeconds(14 * 24 * 3600))
+      input.addData((999999L, flushTs, "flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("ohlc_stream")
+        .filter(col("event_type") =!= "flush").collect()
+        .map(r => (r.getAs[String]("event_type"),
+          r.getAs[java.sql.Timestamp]("hour").getTime,
+          r.getAs[Double]("open"), r.getAs[Double]("high"),
+          r.getAs[Double]("low"), r.getAs[Double]("close"),
+          r.getAs[Long]("n_events"))).toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+}
