@@ -246,6 +246,10 @@ object SparkEntry {
     // the auto-labeling face; output doubles as leave-one-out eval
     "s25_knn_classify" -> ((s, d) =>
       S.knnClassify(Tables.embeddings(s, d))),
+    // s26: pre- vs post-filter recall for metadata-filtered search —
+    // the overfetch curve production filtered ANN tunes
+    "s26_filtered_recall" -> ((s, d) =>
+      S.filteredRecall(Tables.embeddings(s, d))),
     // --- lake adapter (reference parity: SURVEY §2.1/2.2, §3 E1-E3) ---
     "l01_marker_split" -> ((s, d) =>
       graft.lake.LakeQueries.markerSplitDemo(Tables.documents(s, d))),
@@ -1045,6 +1049,40 @@ object SparkEntry {
       |  WHERE c.vec_id <> p.query_id)
       |SELECT query_id, neighbor_id, cosine FROM sc
       |WHERE cosine >= 0.25 ORDER BY query_id, neighbor_id""".stripMargin
+
+  /** s26: filtered-search recall — [[BruteCtes]]' unfiltered rank `r`
+    * postfiltered per overfetch factor (candidates rank ≤ k·f, label
+    * parity kept, first k by original rank), scored against the
+    * prefilter truth (the same `scored` restricted to matching
+    * labels, re-ranked). One ranked sweep serves every factor. */
+  private val FilteredRecallOracle: String =
+    s"WITH $BruteCtes,\n" +
+    """fx AS (SELECT unnest([1, 2, 4]) AS factor),
+      |tr AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT s.query_id, s.neighbor_id,
+      |    row_number() OVER (PARTITION BY s.query_id
+      |      ORDER BY s.cosine DESC, s.neighbor_id ASC) AS rk
+      |  FROM scored s JOIN n ON s.neighbor_id = n.vec_id
+      |  WHERE n.label % 2 = 0) WHERE rk <= 10),
+      |po AS (SELECT fx.factor, r.query_id, r.neighbor_id,
+      |    row_number() OVER (PARTITION BY fx.factor, r.query_id
+      |      ORDER BY r.rank) AS prk
+      |  FROM r JOIN n ON r.neighbor_id = n.vec_id CROSS JOIN fx
+      |  WHERE r.rank <= 10 * fx.factor AND n.label % 2 = 0),
+      |sel AS (SELECT factor, query_id, neighbor_id FROM po
+      |  WHERE prk <= 10),
+      |cfg AS (SELECT fx.factor, q.query_id FROM fx CROSS JOIN q)
+      |SELECT cfg.factor, cfg.query_id,
+      |  CAST(COUNT(s.neighbor_id) AS BIGINT) AS n_returned,
+      |  CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits,
+      |  CAST(COUNT(t.neighbor_id) AS DOUBLE) / 10.0 AS recall
+      |FROM cfg
+      |LEFT JOIN sel s ON cfg.factor = s.factor
+      |  AND cfg.query_id = s.query_id
+      |LEFT JOIN tr t ON s.query_id = t.query_id
+      |  AND s.neighbor_id = t.neighbor_id
+      |GROUP BY cfg.factor, cfg.query_id
+      |ORDER BY cfg.factor, cfg.query_id""".stripMargin
 
   /** s16: recall@10 of the IVF-PQ tier per n_probe — [[IvfPqCtes]]'
     * trained pipeline with s14's probe-schedule suffix: pr ranks every
@@ -2746,6 +2784,7 @@ object SparkEntry {
     "s22_sq8_topk" -> Sq8Oracle,
     "s23_mmr_diversify" -> MmrOracle,
     "s24_range_search" -> RangeSearchOracle,
+    "s26_filtered_recall" -> FilteredRecallOracle,
     // majority vote over the nested s01 top-10; (votes desc, label asc)
     "s25_knn_classify" ->
       (s"""WITH nb AS (SELECT query_id, neighbor_id

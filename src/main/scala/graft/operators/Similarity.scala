@@ -1261,6 +1261,66 @@ object Similarity {
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
+  /** s26: FILTERED-search recall — the pre- vs post-filter trade every
+    * production ANN service with metadata predicates lives with
+    * (FAISS/vector-DB "filtered search"): PREFILTER (restrict the
+    * corpus, then exact top-k — the ground truth, exact but
+    * index-hostile at scale because every predicate needs its own
+    * scan) vs POSTFILTER (unfiltered top-k·f, drop non-matching,
+    * truncate to k — index-friendly but under-returns when matches
+    * are sparse near the top). Reports, per (overfetch factor f,
+    * query): how many of k slots were filled and recall vs the
+    * prefilter truth — the curve that picks f in production.
+    *
+    * One unfiltered scored pass at max(f) serves every factor (the
+    * s14 one-sweep pattern); the filter predicate here is the label's
+    * parity — any metadata predicate slots in. Monotone in f by
+    * construction (candidate sets nest). Deterministic: both tiers
+    * are s01 arithmetic with id tie-breaks.
+    *
+    * Plan shape: two corpus-scale bounded top-k passes (truth +
+    * overfetched), then factor expansion and per-(factor, query)
+    * windows over ≤ k·max(f) rows — broadcast-scale. */
+  def filteredRecall(embeddings: DataFrame, nQueries: Int = 5,
+      k: Int = 10, factors: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val pred = col("label") % 2 === 0
+    val corpusAll = normed(embeddings)
+    val queries = qnormed(queryVectors(embeddings, nQueries))
+    def scoredOver(c: DataFrame) = c
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", Dedup.dotExpr("embedding", "query_emb") /
+        (sqrt(col("norm2")) * sqrt(col("qnorm2"))))
+    val truth = topKByQuery(scoredOver(corpusAll.filter(pred)),
+        "cosine", k)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    val unf = topKByQuery(scoredOver(corpusAll), "cosine",
+      k * factors.max)
+    val fdf = factors.toDF("factor")
+    val labels = embeddings
+      .select(col("vec_id").as("neighbor_id"), col("label"))
+    val post = unf.join(labels, "neighbor_id").filter(pred)
+      .join(broadcast(fdf), col("rank") <= col("factor") * k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("factor"), col("query_id")).orderBy(col("rank"))
+    val sel = post.withColumn("prk", row_number().over(w))
+      .filter(col("prk") <= k)
+      .select(col("factor"), col("query_id"), col("neighbor_id"))
+    val cfg = broadcast(fdf)
+      .crossJoin(broadcast(queries.select(col("query_id"))))
+    cfg.join(sel, Seq("factor", "query_id"), "left")
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("factor"), col("query_id"))
+      .agg(count(col("neighbor_id")).as("n_returned"),
+        count(col("hit")).as("n_hits"))
+      .select(col("factor"), col("query_id"), col("n_returned"),
+        col("n_hits"),
+        (col("n_hits").cast("double") / lit(k).cast("double"))
+          .as("recall"))
+      .orderBy(col("factor"), col("query_id"))
+  }
+
   /** s25: kNN LABEL PREDICTION — majority vote over the exact top-k
     * neighbors' labels, the auto-labeling/weak-supervision face of the
     * neighbor machinery: propagate curated labels (quality tiers,

@@ -58,7 +58,8 @@ class PlanAuditSpec extends SparkSpec {
     "dq15_embedding_audit", // ONE-row modal-width frame broadcast-crossed in
     "s24_range_search", // k01's broadcast(8 centroids) x corpus cell-assign
     "k03_elbow_curve", // k01's broadcast(K centroids) x corpus, per tier
-    "s25_knn_classify") // s01's broadcast(5 queries) x corpus coarse tier
+    "s25_knn_classify", // s01's broadcast(5 queries) x corpus coarse tier
+    "s26_filtered_recall") // s01's broadcast cross, truth + overfetch tiers
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -725,4 +725,32 @@ class RangeSearchSpec extends graft.SparkSpec {
         (r.getAs[Int]("predicted_label") == r.getAs[Int]("true_label")))
     }
   }
+
+  test("filtered recall: postfilter climbs toward prefilter with overfetch") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.filteredRecall(emb).collect()
+      .map(r => (r.getAs[Int]("factor"), r.getAs[Long]("query_id")) ->
+        ((r.getAs[Long]("n_returned"), r.getAs[Long]("n_hits"),
+          r.getAs[Double]("recall")))).toMap
+    val queries = out.keys.map(_._2).toSet
+    assert(out.size == 3 * queries.size, "every (factor, query) reported")
+    for (q <- queries) {
+      // candidate sets nest, so filled slots and hits are monotone in f
+      val byF = Seq(1, 2, 4).map(f => out((f, q)))
+      assert(byF.map(_._1).zip(byF.tail.map(_._1))
+        .forall { case (a, b) => a <= b }, s"n_returned not monotone: $q")
+      assert(byF.map(_._2).zip(byF.tail.map(_._2))
+        .forall { case (a, b) => a <= b }, s"n_hits not monotone: $q")
+      byF.foreach { case (ret, hits, rec) =>
+        assert(hits <= ret && ret <= 10L)
+        assert(rec == hits.toDouble / 10.0)
+      }
+    }
+    // the trade must be visible on the fixture: factor 1 misses
+    // something somewhere that factor 4 recovers
+    val sum1 = queries.toSeq.map(q => out((1, q))._2).sum
+    val sum4 = queries.toSeq.map(q => out((4, q))._2).sum
+    assert(sum4 > sum1,
+      s"fixture shows no postfilter gap (f1=$sum1, f4=$sum4)")
+  }
 }
