@@ -250,6 +250,10 @@ object SparkEntry {
     // the overfetch curve production filtered ANN tunes
     "s26_filtered_recall" -> ((s, d) =>
       S.filteredRecall(Tables.embeddings(s, d))),
+    // s27: tombstoned serving — deletes without retrain (the index
+    // lifecycle's last face: create s15 -> append s18 -> delete)
+    "s27_delete_serve" -> ((s, d) =>
+      S.ivfPqDeleteServe(Tables.embeddings(s, d))),
     // --- lake adapter (reference parity: SURVEY §2.1/2.2, §3 E1-E3) ---
     "l01_marker_split" -> ((s, d) =>
       graft.lake.LakeQueries.markerSplitDemo(Tables.documents(s, d))),
@@ -2785,6 +2789,11 @@ object SparkEntry {
     "s23_mmr_diversify" -> MmrOracle,
     "s24_range_search" -> RangeSearchOracle,
     "s26_filtered_recall" -> FilteredRecallOracle,
+    // s12's oracle with deleted candidates pruned from the ADC scan —
+    // the frozen model trains on the FULL corpus (that IS the contract)
+    "s27_delete_serve" ->
+      IvfPqOracle.replace("AND co.vec_id <> l.query_id",
+        "AND co.vec_id <> l.query_id AND co.vec_id % 7 <> 0"),
     // majority vote over the nested s01 top-10; (votes desc, label asc)
     "s25_knn_classify" ->
       (s"""WITH nb AS (SELECT query_id, neighbor_id

@@ -881,6 +881,46 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s27: index DELETES without retrain — the last face of the index
+    * lifecycle (create s12/s15 → append s18 → delete): vectors leave
+    * the corpus by TOMBSTONE, not by retraining — the frozen
+    * quantizers keep serving and deleted candidates are pruned from
+    * the scored set (FAISS `remove_ids` / every vector DB's soft
+    * delete). The contract is exact by construction: results equal
+    * serving over corpus-minus-deleted under the SAME frozen model
+    * (tombstoning prunes candidates; it never moves a centroid — a
+    * retrain WOULD, which is why deletes are cheap and retrains are
+    * scheduled).
+    *
+    * The tombstone prune sits BEFORE the LUT expansion — the same
+    * plan-order rule as the probe prune: prune, then expand
+    * per-query. Here it is a scan-stage predicate; a tombstone TABLE
+    * anti-joins at the same spot identically (broadcast when small,
+    * bloom-filtered when not — j01's machinery). */
+  def ivfPqDeleteServe(embeddings: DataFrame,
+      deletePredicate: Column = col("vec_id") % 7 === 0,
+      m: Int = 4, subDim: Int = 16, k: Int = 8, nQueries: Int = 5,
+      topK: Int = 10, nProbe: Int = 1): DataFrame = {
+    val ctx = servingContext(embeddings, embeddings, m, subDim, k,
+      nQueries)
+    val probes = probeCells(ctx.queries, ctx.centroids, nProbe)
+    val scored = probePrunedCodes(ctx.codes, ctx.cells, probes)
+      .filter(!deletePredicate)
+      .join(broadcast(ctx.lut), Seq("sub", "code"))
+      .join(broadcast(probes.select(col("query_id"), col("cell"))),
+        Seq("query_id", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot_fp")).as("adc_fp"))
+    topKByQuery(scored, "adc_fp", topK)
+      .join(broadcast(probes.filter(col("cell_rank") === 1)
+        .select(col("query_id"), col("cell"))), "query_id")
+      .select(col("query_id"), col("cell"),
+        col("neighbor_id"), col("adc_fp").cast("long").as("adc_fp"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** s13: recall@k of the PQ serving tiers — s11 (flat ADC) and s12
     * (IVF-PQ) — against the s01 exact ground truth: what ADC
     * quantization loses, and what single-cell coarse pruning changes

@@ -753,4 +753,30 @@ class RangeSearchSpec extends graft.SparkSpec {
     assert(sum4 > sum1,
       s"fixture shows no postfilter gap (f1=$sum1, f4=$sum4)")
   }
+
+  test("tombstoned serving: deleted ids vanish, empty tombstones no-op") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cell"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_fp"),
+        r.getAs[Long]("rank"))).toSeq
+    val base = rows(Similarity.ivfPqTopKServe(emb))
+    // premise: the live index actually serves some to-be-deleted ids
+    val affected = base.filter(_._3 % 7 == 0).map(_._1).toSet
+    assert(affected.nonEmpty, "fixture premise lost: no %7 neighbors")
+    val deleted = rows(Similarity.ivfPqDeleteServe(emb))
+    assert(deleted.forall(_._3 % 7 != 0), "a tombstoned id was served")
+    // unaffected queries are untouched; affected ones backfill
+    val byQ = base.groupBy(_._1)
+    val byQd = deleted.groupBy(_._1)
+    for ((q, rs) <- byQ if !affected(q))
+      assert(byQd(q) == rs, s"untouched query $q changed")
+    for (q <- affected)
+      assert(byQd(q) != byQ(q) && byQd(q).forall(_._3 % 7 != 0))
+    // an empty tombstone set is the identity
+    val noop = rows(Similarity.ivfPqDeleteServe(emb,
+      deletePredicate = lit(false)))
+    assert(noop == base)
+  }
 }
