@@ -457,8 +457,119 @@ object SparkEntry {
     // t34's per-stratum exact-N over the test slice only
     "p06_eval_set" -> ((s, d) =>
       Sm.evalSetBuild(Tables.documents(s, d),
-        org.apache.spark.sql.functions.col("doc_id") % 100 === 0))
+        org.apache.spark.sql.functions.col("doc_id") % 100 === 0)),
+    // p07: the per-doc quality feature table (t02+t17+t32+t28 joined)
+    // — what a learned quality classifier trains on
+    "p07_quality_features" -> ((s, d) =>
+      T.qualityFeatures(Tables.documents(s, d)))
   )
+
+  private val QualityScoreOracle: String =
+    """WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(toks) AS DOUBLE) AS n_tok,
+        |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS punct,
+        |  CAST(len(list_filter(toks, t -> list_contains(
+        |    ['the','a','and','of','to','in','is','it'], lower(t)))) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS stop,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS diversity
+        | FROM t)
+        |SELECT doc_id,
+        | CAST(n_tok AS BIGINT) AS n_tokens,
+        | punct AS punct_ratio, stop AS stopword_ratio,
+        | diversity AS word_diversity,
+        | least(1.0, n_tok/64.0)*0.4 + (1.0-punct)*0.2 + stop*0.2
+        |   + diversity*0.2 AS quality,
+        | CASE WHEN least(1.0, n_tok/64.0)*0.4 + (1.0-punct)*0.2 + stop*0.2
+        |   + diversity*0.2 >= 0.55 THEN 'high'
+        |      WHEN least(1.0, n_tok/64.0)*0.4 + (1.0-punct)*0.2 + stop*0.2
+        |   + diversity*0.2 >= 0.45 THEN 'medium'
+        |      ELSE 'low' END AS quality_tier
+        |FROM c ORDER BY doc_id""".stripMargin
+
+  private val UnigramSurpriseOracle: String =
+    """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY tok),
+        |t AS (SELECT CAST(SUM(tf) AS BIGINT) AS corpus_n FROM f),
+        |b AS (SELECT tok.doc_id,
+        |  CAST(length(bin(t.corpus_n)) - 1 AS BIGINT)
+        |    - CAST(length(bin(f.tf)) - 1 AS BIGINT) AS bits
+        | FROM tok JOIN f USING (tok) CROSS JOIN t)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
+        |  CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mean_bits,
+        |  CAST(MAX(bits) AS BIGINT) AS max_bits
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val RepetitionProfileOracle: String =
+    """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks
+        |  FROM t WHERE len(toks) >= 4),
+        |g2 AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS g
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
+        |    FROM b)),
+        |c2 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM g2 GROUP BY doc_id, g),
+        |tb AS (SELECT doc_id, g AS top_bigram,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g)
+        |    AS rn FROM c2),
+        |d2 AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0
+        |    END) AS BIGINT) AS dup2_count FROM c2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id,
+        |    toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS g
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i
+        |    FROM b)),
+        |c3 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM g3 GROUP BY doc_id, g),
+        |d3 AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0
+        |    END) AS BIGINT) AS dup3_count FROM c3 GROUP BY doc_id),
+        |g4 AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' '
+        |    || toks[i+3] || ' ' || toks[i+4] AS g
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 3)) AS i
+        |    FROM b)),
+        |c4 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM g4 GROUP BY doc_id, g),
+        |d4 AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0
+        |    END) AS BIGINT) AS dup4_count FROM c4 GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, tb.top_bigram,
+        |  d2.dup2_count, CAST(d2.dup2_count AS DOUBLE)
+        |    / CAST(b.n_tokens - 1 AS DOUBLE) AS dup2_frac,
+        |  d3.dup3_count, CAST(d3.dup3_count AS DOUBLE)
+        |    / CAST(b.n_tokens - 2 AS DOUBLE) AS dup3_frac,
+        |  d4.dup4_count, CAST(d4.dup4_count AS DOUBLE)
+        |    / CAST(b.n_tokens - 3 AS DOUBLE) AS dup4_frac
+        |FROM b JOIN tb ON b.doc_id = tb.doc_id AND tb.rn = 1
+        |JOIN d2 ON b.doc_id = d2.doc_id
+        |JOIN d3 ON b.doc_id = d3.doc_id
+        |JOIN d4 ON b.doc_id = d4.doc_id
+        |ORDER BY b.doc_id""".stripMargin
+
+  private val CodeDetectOracle: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+        |codeified AS (SELECT doc_id + 1000000 AS doc_id,
+        |  array_to_string(list_transform(
+        |    string_split_regex(trim(text), '\s+'),
+        |    t -> concat('f("', t, '");')), chr(10)) AS text FROM base),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM codeified),
+        |m AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - length(
+        |    replace(replace(replace(replace(replace(replace(text,
+        |      '(', ''), ')', ''), '{', ''), '}', ''), ';', ''), '=', ''))
+        |    AS BIGINT) AS n_sym,
+        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+        | FROM corpus)
+        |SELECT doc_id, n_chars, n_sym, n_lines,
+        |  n_sym * 50 >= n_chars AS is_code
+        |FROM m ORDER BY doc_id""".stripMargin
 
   // DuckDB-dialect oracles. Shared fragments:
   //   dsum(c,s)  ≡ CAST(SUM(CAST(c AS DECIMAL(18,s))) AS DOUBLE)
@@ -1678,30 +1789,7 @@ object SparkEntry {
         |   / CAST(len(toks) AS DOUBLE) AS mean_token_chars
         |FROM t ORDER BY doc_id""".stripMargin,
     "t02_quality_score" ->
-      """WITH t AS (SELECT doc_id, text,
-        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
-        |c AS (SELECT doc_id,
-        |  CAST(len(toks) AS DOUBLE) AS n_tok,
-        |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
-        |    / CAST(length(text) AS DOUBLE) AS punct,
-        |  CAST(len(list_filter(toks, t -> list_contains(
-        |    ['the','a','and','of','to','in','is','it'], lower(t)))) AS DOUBLE)
-        |    / CAST(len(toks) AS DOUBLE) AS stop,
-        |  CAST(len(list_distinct(toks)) AS DOUBLE)
-        |    / CAST(len(toks) AS DOUBLE) AS diversity
-        | FROM t)
-        |SELECT doc_id,
-        | CAST(n_tok AS BIGINT) AS n_tokens,
-        | punct AS punct_ratio, stop AS stopword_ratio,
-        | diversity AS word_diversity,
-        | least(1.0, n_tok/64.0)*0.4 + (1.0-punct)*0.2 + stop*0.2
-        |   + diversity*0.2 AS quality,
-        | CASE WHEN least(1.0, n_tok/64.0)*0.4 + (1.0-punct)*0.2 + stop*0.2
-        |   + diversity*0.2 >= 0.55 THEN 'high'
-        |      WHEN least(1.0, n_tok/64.0)*0.4 + (1.0-punct)*0.2 + stop*0.2
-        |   + diversity*0.2 >= 0.45 THEN 'medium'
-        |      ELSE 'low' END AS quality_tier
-        |FROM c ORDER BY doc_id""".stripMargin,
+      QualityScoreOracle,
     "t03_language_id" ->
       """WITH t AS (SELECT doc_id, lang,
         |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -3172,22 +3260,7 @@ object SparkEntry {
     // exact integer arithmetic in both engines (no libm log whose last
     // bits could differ), so the per-doc sums are order-free bigints
     "t17_unigram_surprise" ->
-      """WITH tok AS (SELECT doc_id,
-        |  unnest(string_split_regex(trim(text), '\s+')) AS tok
-        |  FROM documents),
-        |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf
-        |  FROM tok GROUP BY tok),
-        |t AS (SELECT CAST(SUM(tf) AS BIGINT) AS corpus_n FROM f),
-        |b AS (SELECT tok.doc_id,
-        |  CAST(length(bin(t.corpus_n)) - 1 AS BIGINT)
-        |    - CAST(length(bin(f.tf)) - 1 AS BIGINT) AS bits
-        | FROM tok JOIN f USING (tok) CROSS JOIN t)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
-        |  CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-        |    AS mean_bits,
-        |  CAST(MAX(bits) AS BIGINT) AS max_bits
-        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      UnigramSurpriseOracle,
     // t31: whole-bit log-likelihood ratio (target LM vs rest LM, add-one
     // smoothed) — integer ilog2 in both engines, order-free bigint sums
     "t31_dsir_weights" ->
@@ -3928,23 +4001,7 @@ object SparkEntry {
     // symbol counting via nested literal replace (no regex dialects);
     // integer cross-multiply threshold, boolean label in both engines
     "t28_code_detect" ->
-      """WITH base AS (SELECT doc_id, text FROM documents),
-        |codeified AS (SELECT doc_id + 1000000 AS doc_id,
-        |  array_to_string(list_transform(
-        |    string_split_regex(trim(text), '\s+'),
-        |    t -> concat('f("', t, '");')), chr(10)) AS text FROM base),
-        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM codeified),
-        |m AS (SELECT doc_id,
-        |  CAST(length(text) AS BIGINT) AS n_chars,
-        |  CAST(length(text) - length(
-        |    replace(replace(replace(replace(replace(replace(text,
-        |      '(', ''), ')', ''), '{', ''), '}', ''), ';', ''), '=', ''))
-        |    AS BIGINT) AS n_sym,
-        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
-        | FROM corpus)
-        |SELECT doc_id, n_chars, n_sym, n_lines,
-        |  n_sym * 50 >= n_chars AS is_code
-        |FROM m ORDER BY doc_id""".stripMargin,
+      CodeDetectOracle,
     // inner join on day-1 drops the first day: every row exact non-null
     // BIGINT arithmetic; drift flag is an integer cross-multiply
     "dq13_partition_drift" ->
@@ -4020,48 +4077,7 @@ object SparkEntry {
     // order); dup fractions are exact-long ratios divided once in
     // double, no libm
     "t32_repetition_profile" ->
-      """WITH t AS (SELECT doc_id,
-        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
-        |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks
-        |  FROM t WHERE len(toks) >= 4),
-        |g2 AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS g
-        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
-        |    FROM b)),
-        |c2 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM g2 GROUP BY doc_id, g),
-        |tb AS (SELECT doc_id, g AS top_bigram,
-        |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g)
-        |    AS rn FROM c2),
-        |d2 AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0
-        |    END) AS BIGINT) AS dup2_count FROM c2 GROUP BY doc_id),
-        |g3 AS (SELECT doc_id,
-        |    toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS g
-        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i
-        |    FROM b)),
-        |c3 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM g3 GROUP BY doc_id, g),
-        |d3 AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0
-        |    END) AS BIGINT) AS dup3_count FROM c3 GROUP BY doc_id),
-        |g4 AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' '
-        |    || toks[i+3] || ' ' || toks[i+4] AS g
-        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 3)) AS i
-        |    FROM b)),
-        |c4 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM g4 GROUP BY doc_id, g),
-        |d4 AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0
-        |    END) AS BIGINT) AS dup4_count FROM c4 GROUP BY doc_id)
-        |SELECT b.doc_id, b.n_tokens, tb.top_bigram,
-        |  d2.dup2_count, CAST(d2.dup2_count AS DOUBLE)
-        |    / CAST(b.n_tokens - 1 AS DOUBLE) AS dup2_frac,
-        |  d3.dup3_count, CAST(d3.dup3_count AS DOUBLE)
-        |    / CAST(b.n_tokens - 2 AS DOUBLE) AS dup3_frac,
-        |  d4.dup4_count, CAST(d4.dup4_count AS DOUBLE)
-        |    / CAST(b.n_tokens - 3 AS DOUBLE) AS dup4_frac
-        |FROM b JOIN tb ON b.doc_id = tb.doc_id AND tb.rn = 1
-        |JOIN d2 ON b.doc_id = d2.doc_id
-        |JOIN d3 ON b.doc_id = d3.doc_id
-        |JOIN d4 ON b.doc_id = d4.doc_id
-        |ORDER BY b.doc_id""".stripMargin,
+      RepetitionProfileOracle,
     // total-variation drift: exact-integer cross-multiplied numerator,
     // one double division 2.0*t*(n-t) with the same associativity as
     // the Spark side
@@ -4277,6 +4293,25 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY lang
         |    ORDER BY sample_key, doc_id) AS BIGINT) AS rank FROM k)
         |SELECT lang, doc_id, sample_key, rank FROM r
-        |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
+        |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
+    // each signal's full oracle nested as a derived-table subquery
+    // (inner WITHs scope per subquery — the s13 precedent); t32 LEFT
+    // (its <4-token exclusion is the honest NULL); t28's code-ified
+    // +1000000 ids drop at the base join
+    // NOTE: assembled by concatenation, NOT an outer stripMargin — the
+    // embedded oracles contain `||` concats a margin strip would mangle
+    "p07_quality_features" ->
+      ("WITH b AS (SELECT doc_id, lang, source FROM documents),\n" +
+       s"q AS (SELECT doc_id, quality FROM ($QualityScoreOracle) xq),\n" +
+       s"u AS (SELECT doc_id, mean_bits FROM ($UnigramSurpriseOracle) xu),\n" +
+       s"rp AS (SELECT doc_id, dup2_frac FROM ($RepetitionProfileOracle) xr),\n" +
+       s"cd AS (SELECT doc_id, is_code FROM ($CodeDetectOracle) xc)\n" +
+       "SELECT b.doc_id, b.lang, b.source, q.quality, u.mean_bits,\n" +
+       "  rp.dup2_frac, cd.is_code\n" +
+       "FROM b JOIN q ON b.doc_id = q.doc_id\n" +
+       "JOIN u ON b.doc_id = u.doc_id\n" +
+       "LEFT JOIN rp ON b.doc_id = rp.doc_id\n" +
+       "JOIN cd ON b.doc_id = cd.doc_id\n" +
+       "ORDER BY b.doc_id")
   )
 }

@@ -955,6 +955,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** p07: the per-document quality FEATURE TABLE — the feature-store
+    * face of the text-signal suite: one wide row per document joining
+    * the audited signals a learned quality filter trains on (FineWeb/
+    * DCLM-style classifier pipelines consume exactly this assembly):
+    * heuristic quality (t02), corpus-LM surprise (t17), duplicated-
+    * bigram coverage (t32 — null for <4-token docs, honestly), and
+    * the code/prose label (t28). Each column's semantics and scale
+    * posture is its single-operator query's; what p07 adds is the
+    * assembled frame, oracle-checked as one unit.
+    *
+    * Scale: every join is doc-keyed — with the document table bucketed
+    * by doc_id at rest, the whole assembly is exchange-free after each
+    * signal's own (audited) shuffles. */
+  def qualityFeatures(documents: DataFrame): DataFrame = {
+    val q = qualityScore(documents).select(col("doc_id"), col("quality"))
+    val u = unigramSurprise(documents)
+      .select(col("doc_id"), col("mean_bits"))
+    val r = repetitionProfile(documents)
+      .select(col("doc_id"), col("dup2_frac"))
+    val c = codeDetect(documents).select(col("doc_id"), col("is_code"))
+    documents.select(col("doc_id"), col("lang"), col("source"))
+      .join(q, "doc_id").join(u, "doc_id")
+      .join(r, Seq("doc_id"), "left_outer")
+      .join(c, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** t32: Gopher-style duplicated-n-gram coverage (Rae et al. 2021,
     * "Scaling Language Models", Table A1) — for n ∈ {2,3,4}, the
     * fraction of a document's n-gram instances whose gram occurs more

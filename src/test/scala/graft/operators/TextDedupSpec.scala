@@ -691,6 +691,35 @@ class ContainmentCodeDetectSpec extends graft.SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1L, 2L, 3L, 0.5)))
   }
 
+  test("quality feature table matches each signal column-for-column") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.qualityFeatures(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == docs.count(), "one feature row per document")
+    val q = TextAnalysis.qualityScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality"))
+      .toMap
+    val u = TextAnalysis.unigramSurprise(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_bits"))
+      .toMap
+    val rp = TextAnalysis.repetitionProfile(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup2_frac"))
+      .toMap
+    val cd = TextAnalysis.codeDetect(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_code"))
+      .toMap
+    for ((id, row) <- out) {
+      assert(row.getAs[Double]("quality") == q(id))
+      assert(row.getAs[Double]("mean_bits") == u(id))
+      rp.get(id) match {
+        case Some(f) => assert(row.getAs[Double]("dup2_frac") == f)
+        case None => assert(row.isNullAt(row.fieldIndex("dup2_frac")),
+          s"short doc $id must carry a NULL dup2_frac")
+      }
+      assert(row.getAs[Boolean]("is_code") == cd(id))
+    }
+  }
+
   test("substringDups: exact copies reach containment 1.0; stable") {
     import spark.implicits._
     val docs = Seq(
