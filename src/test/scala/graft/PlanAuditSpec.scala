@@ -60,7 +60,8 @@ class PlanAuditSpec extends SparkSpec {
     "k03_elbow_curve", // k01's broadcast(K centroids) x corpus, per tier
     "s25_knn_classify", // s01's broadcast(5 queries) x corpus coarse tier
     "s26_filtered_recall", // s01's broadcast cross, truth + overfetch tiers
-    "s27_delete_serve") // s15's probe-schedule broadcast(centroids) cross
+    "s27_delete_serve", // s15's probe-schedule broadcast(centroids) cross
+    "p07_quality_features") // embeds t17's ONE-row corpus-total cross
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>
