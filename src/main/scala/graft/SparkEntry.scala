@@ -461,8 +461,38 @@ object SparkEntry {
     // p07: the per-doc quality feature table (t02+t17+t32+t28 joined)
     // — what a learned quality classifier trains on
     "p07_quality_features" -> ((s, d) =>
-      T.qualityFeatures(Tables.documents(s, d)))
+      T.qualityFeatures(Tables.documents(s, d))),
+    // q40: RECURSIVE CTE transitive closure (Spark 4's WITH RECURSIVE
+    // — Catalyst's UnionLoop) over the behavioral transition graph:
+    // min-hop reachability, hop-capped for cycle safety. The SQL text
+    // is the oracle's, verbatim, modulo the view name — the engine-
+    // parity face of the recursion feature.
+    "q40_recursive_paths" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_q40")
+      s.sql(RecursivePathsSql("events_q40"))
+    })
   )
+
+  /** q40's SQL, shared verbatim between the Spark query (over a temp
+    * view) and the DuckDB oracle (over `events`) — the point IS that
+    * the same modern-SQL text runs on both engines. Enumerates every
+    * DISTINCT-edge path of length ≤ 4 (UNION ALL keeps multiplicity,
+    * so the recursion genuinely multiplies on the dense fixture graph
+    * instead of collapsing to 1-hop reachability); the cap bounds the
+    * working set on cyclic graphs at |E|·overlap⁴. */
+  private def RecursivePathsSql(table: String): String =
+    s"""WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT lag(event_type) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id) AS src, event_type AS dst
+       |  FROM $table) x WHERE src IS NOT NULL),
+       |reach(src, dst, hops) AS (
+       |  SELECT src, dst, 1 AS hops FROM e
+       |  UNION ALL
+       |  SELECT r.src, e.dst, r.hops + 1 FROM reach r
+       |  JOIN e ON r.dst = e.src WHERE r.hops < 4)
+       |SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS min_hops,
+       |  CAST(COUNT(*) AS BIGINT) AS n_paths
+       |FROM reach GROUP BY src, dst ORDER BY src, dst""".stripMargin
 
   private val QualityScoreOracle: String =
     """WITH t AS (SELECT doc_id, text,
@@ -4312,6 +4342,8 @@ object SparkEntry {
        "JOIN u ON b.doc_id = u.doc_id\n" +
        "LEFT JOIN rp ON b.doc_id = rp.doc_id\n" +
        "JOIN cd ON b.doc_id = cd.doc_id\n" +
-       "ORDER BY b.doc_id")
+       "ORDER BY b.doc_id"),
+    // the SAME recursive SQL text the Spark side runs, over `events`
+    "q40_recursive_paths" -> RecursivePathsSql("events")
   )
 }

@@ -139,6 +139,45 @@ class GraphSpec extends SparkSpec {
       3L -> ((3L, 1L, 1.0 / 3.0)), 4L -> ((1L, 0L, 0.0))))
   }
 
+  test("q40 recursive paths match local matrix-power path counts") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q40_recursive_paths")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst")) ->
+        ((r.getAs[Long]("min_hops"), r.getAs[Long]("n_paths")))).toMap
+    // reference: adjacency matrix powers over the distinct edge set —
+    // n_paths = sum of A^L entries for L=1..4, min_hops = first L>0
+    val edges = Graph.transitionCounts(
+        graft.Tables.events(spark, sf)).collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst"))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.size
+    val a = Array.ofDim[Long](n, n)
+    for ((s, d) <- edges) a(idx(s))(idx(d)) = 1L
+    def mul(x: Array[Array[Long]], y: Array[Array[Long]]) = {
+      val z = Array.ofDim[Long](n, n)
+      for (i <- 0 until n; k <- 0 until n if x(i)(k) != 0;
+           j <- 0 until n) z(i)(j) += x(i)(k) * y(k)(j)
+      z
+    }
+    val expect = scala.collection.mutable.Map[(String, String), (Long, Long)]()
+    var p = a
+    for (hop <- 1 to 4) {
+      for (i <- 0 until n; j <- 0 until n if p(i)(j) > 0) {
+        val key = (nodes(i), nodes(j))
+        val (mh, np) = expect.getOrElse(key, (hop.toLong, 0L))
+        expect(key) = (mh, np + p(i)(j))
+      }
+      if (hop < 4) p = mul(p, a)
+    }
+    assert(got == expect.toMap,
+      s"missing=${(expect.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- expect.keySet).take(3)}")
+    // the recursion genuinely multiplies: path counts exceed edge counts
+    assert(got.values.exists(_._2 > 1L), "no multi-path pair — vacuous")
+  }
+
   test("g06 over the fixture kNN graph: counts match a local census") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val knn = Similarity.knnGraph(emb).collect()
