@@ -467,6 +467,10 @@ object SparkEntry {
     // min-hop reachability, hop-capped for cycle safety. The SQL text
     // is the oracle's, verbatim, modulo the view name — the engine-
     // parity face of the recursion feature.
+    // dq16: label-balance audit (class-imbalance read before s25's
+    // vote / quantizer training); integer cross-multiply flag
+    "dq16_label_balance" -> ((s, d) =>
+      graft.operators.DataQuality.labelBalance(Tables.embeddings(s, d))),
     "q40_recursive_paths" -> ((s, d) => {
       Tables.events(s, d).createOrReplaceTempView("events_q40")
       s.sql(RecursivePathsSql("events_q40"))
@@ -4344,6 +4348,15 @@ object SparkEntry {
        "JOIN cd ON b.doc_id = cd.doc_id\n" +
        "ORDER BY b.doc_id"),
     // the SAME recursive SQL text the Spark side runs, over `events`
-    "q40_recursive_paths" -> RecursivePathsSql("events")
+    "q40_recursive_paths" -> RecursivePathsSql("events"),
+    "dq16_label_balance" ->
+      """WITH c AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        |  FROM embeddings GROUP BY label),
+        |t AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total,
+        |  CAST(COUNT(*) AS BIGINT) AS n_labels FROM c)
+        |SELECT c.label, c.n_vectors,
+        |  CAST(c.n_vectors AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+        |  c.n_vectors * t.n_labels > t.total * 2 AS over_represented
+        |FROM c CROSS JOIN t ORDER BY c.label""".stripMargin
   )
 }

@@ -476,6 +476,29 @@ object DataQuality {
       .orderBy(col("source"))
   }
 
+  /** dq16: label-balance audit over the embedding table — the
+    * class-imbalance read consumed before anything trains or votes on
+    * the labels (s25's kNN vote, the quantizer's per-cell balance,
+    * stratified eval draws): per-label counts and shares plus each
+    * label's imbalance versus a perfectly uniform split, flagged by
+    * INTEGER cross-multiply (n·|labels| > 2·N ⇔ share > 2× uniform —
+    * no float threshold). One count aggregate, label-domain-sized
+    * output; the total and label count ride back as a one-row
+    * broadcast. */
+  def labelBalance(embeddings: DataFrame): DataFrame = {
+    val counts = embeddings.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val totals = counts.agg(sum(col("n_vectors")).as("total"),
+      count(lit(1)).as("n_labels"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("label"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("total").cast("double"))
+          .as("share"),
+        (col("n_vectors") * col("n_labels") > col("total") * 2L)
+          .as("over_represented"))
+      .orderBy(col("label"))
+  }
+
   /** dq15: embedding-table audit — the vector-side [[constraintAudit]]:
     * before a 100 TB embedding store feeds the ANN/dedup tiers, the
     * things that silently corrupt them are checked here: NULL vectors,

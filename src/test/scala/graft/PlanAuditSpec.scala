@@ -61,7 +61,8 @@ class PlanAuditSpec extends SparkSpec {
     "s25_knn_classify", // s01's broadcast(5 queries) x corpus coarse tier
     "s26_filtered_recall", // s01's broadcast cross, truth + overfetch tiers
     "s27_delete_serve", // s15's probe-schedule broadcast(centroids) cross
-    "p07_quality_features") // embeds t17's ONE-row corpus-total cross
+    "p07_quality_features", // embeds t17's ONE-row corpus-total cross
+    "dq16_label_balance") // ONE-row (total, n_labels) broadcast cross
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

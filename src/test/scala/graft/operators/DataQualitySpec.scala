@@ -275,6 +275,28 @@ class DataQualitySpec extends SparkSpec {
       "inf_component" -> 1L, "zero_norm" -> 1L))
   }
 
+  test("label balance: counts, shares, and the 2x-uniform flag") {
+    import spark.implicits._
+    // 3 labels over 12 rows: label 0 x8 (over 2x uniform = 8), 1 x3, 2 x1
+    val emb = ((1L to 8L).map(i => (i, 0)) ++
+      Seq((9L, 1), (10L, 1), (11L, 1), (12L, 2)))
+      .map { case (id, l) => (id, l, Array(1.0f)) }
+      .toDF("vec_id", "label", "embedding")
+    val got = DataQuality.labelBalance(emb).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n_vectors"), r.getAs[Double]("share"),
+          r.getAs[Boolean]("over_represented")))).toMap
+    // 8*3 = 24 == 2*12 -> NOT over (strict >); flag only past 2x
+    assert(got == Map(0 -> ((8L, 8.0 / 12.0, false)),
+      1 -> ((3L, 0.25, false)), 2 -> ((1L, 1.0 / 12.0, false))))
+    val skew = DataQuality.labelBalance(
+      emb.union(Seq((13L, 0, Array(1.0f)))
+        .toDF("vec_id", "label", "embedding"))).collect()
+      .map(r => r.getAs[Int]("label") ->
+        r.getAs[Boolean]("over_represented")).toMap
+    assert(skew == Map(0 -> true, 1 -> false, 2 -> false))
+  }
+
   test("embedding audit on the fixture: clean except the census rows") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val got = DataQuality.embeddingAudit(emb).collect()
