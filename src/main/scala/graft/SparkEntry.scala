@@ -474,7 +474,29 @@ object SparkEntry {
     "q40_recursive_paths" -> ((s, d) => {
       Tables.events(s, d).createOrReplaceTempView("events_q40")
       s.sql(RecursivePathsSql("events_q40"))
-    })
+    }),
+    // --- round 13: the pretraining quality-filter canon ---
+    // t35: Gopher rule table (Rae et al. 2021) over the page render
+    "t35_gopher_rules" -> ((s, d) =>
+      T.gopherRules(Tables.documents(s, d))),
+    // t36: C4 line cleaning (Raffel et al. 2020), cleaned doc md5'd
+    "t36_c4_line_filter" -> ((s, d) =>
+      T.c4LineFilter(Tables.documents(s, d))),
+    // t37: CCNet head/middle/tail surprise terciles (two-level rank)
+    "t37_ccnet_buckets" -> ((s, d) =>
+      T.ccnetBuckets(Tables.documents(s, d))),
+    // t38: BPE merge-candidate pair counts (bpeTrain's counting core)
+    "t38_bpe_pairs" -> ((s, d) =>
+      T.bpePairCounts(Tables.documents(s, d))),
+    // s28: contrastive positives + hard negatives in one corpus pass
+    "s28_hard_negatives" -> ((s, d) =>
+      S.hardNegativeMining(Tables.embeddings(s, d))),
+    // s29: nearest-class-mean prediction + mislabel flags
+    "s29_centroid_classify" -> ((s, d) =>
+      S.centroidClassify(Tables.embeddings(s, d))),
+    // g07: shared-neighbor (Jaccard) link prediction over s21's graph
+    "g07_shared_neighbors" -> ((s, d) =>
+      graft.operators.Graph.sharedNeighborLinks(Tables.embeddings(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -1452,6 +1474,30 @@ object SparkEntry {
       |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0)
       |SELECT * FROM (SELECT * FROM up UNION ALL SELECT * FROM keep)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** The t35/t36 synthetic page render as a DuckDB CTE chain ending in
+    * `lines(doc_id, line_no, line)` — the SQL twin of
+    * [[graft.operators.TextAnalysis.syntheticLines]]: 6-token lines,
+    * (doc_id+line_no)-keyed decoration, one boilerplate extra per doc. */
+  private val PageLinesCtes: String =
+    """pg AS (SELECT doc_id,
+      |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |basel AS (SELECT doc_id, ln AS line_no,
+      |  array_to_string(toks[ln*6+1 : ln*6+6], ' ') AS line
+      |  FROM pg, UNNEST(range(0, (len(toks) - 1) // 6 + 1)) AS u(ln)),
+      |deco AS (SELECT doc_id, line_no,
+      |  CASE WHEN (doc_id + line_no) % 3 = 0 THEN line || '.'
+      |       WHEN (doc_id + line_no) % 7 = 1 THEN line || '...'
+      |       WHEN (doc_id + line_no) % 5 = 2 THEN '- ' || line
+      |       ELSE line END AS line FROM basel),
+      |extras AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS line_no,
+      |  CASE doc_id % 4 WHEN 0 THEN 'lorem ipsum dolor sit amet.'
+      |       WHEN 1 THEN 'function() { return 42; }'
+      |       WHEN 2 THEN '# header ## section 42'
+      |       ELSE 'read the full article here.' END AS line
+      |  FROM documents),
+      |lines AS (SELECT * FROM deco UNION ALL SELECT * FROM extras)"""
+      .stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4357,6 +4403,175 @@ object SparkEntry {
         |SELECT c.label, c.n_vectors,
         |  CAST(c.n_vectors AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
         |  c.n_vectors * t.n_labels > t.total * 2 AS over_represented
-        |FROM c CROSS JOIN t ORDER BY c.label""".stripMargin
+        |FROM c CROSS JOIN t ORDER BY c.label""".stripMargin,
+    // t35: every metric is a long/long ratio divided once in double,
+    // so the rule booleans compare bitwise across engines
+    "t35_gopher_rules" ->
+      (s"WITH $PageLinesCtes,\n" +
+        """la AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+          |  CAST(SUM(CASE WHEN left(line, 2) = '- ' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS bullet_lines,
+          |  CAST(SUM(CASE WHEN right(line, 3) = '...' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS ellipsis_lines,
+          |  CAST(SUM(length(line) - length(replace(line, '#', '')))
+          |    AS BIGINT) AS hash_marks,
+          |  CAST(SUM(length(line) - length(replace(line, '...', '')))
+          |    // 3 AS BIGINT) AS ellipsis_marks
+          |  FROM lines GROUP BY doc_id),
+          |wrd AS (SELECT doc_id, unnest(string_split(line, ' ')) AS w
+          |  FROM lines),
+          |wa AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+          |  CAST(SUM(length(w)) AS BIGINT) AS sum_word_chars,
+          |  CAST(SUM(CASE WHEN regexp_matches(w, '[A-Za-z]')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
+          |  CAST(COUNT(DISTINCT CASE WHEN w IN ('the','be','to','of',
+          |    'and','that','have','with') THEN w END) AS BIGINT)
+          |    AS n_required_stops
+          |  FROM wrd GROUP BY doc_id),
+          |m AS (SELECT doc_id, n_lines, n_words,
+          |  CAST(sum_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+          |    AS mean_word_len,
+          |  CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+          |    AS alpha_frac,
+          |  CAST(hash_marks + ellipsis_marks AS DOUBLE)
+          |    / CAST(n_words AS DOUBLE) AS symbol_ratio,
+          |  CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+          |    AS bullet_frac,
+          |  CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+          |    AS ellipsis_frac,
+          |  n_required_stops
+          |  FROM wa JOIN la USING (doc_id))
+          |SELECT doc_id, n_lines, n_words, mean_word_len, alpha_frac,
+          |  symbol_ratio, bullet_frac, ellipsis_frac, n_required_stops,
+          |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+          |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_word_len,
+          |  (symbol_ratio <= 0.1) AS r_symbol,
+          |  (bullet_frac <= 0.9) AS r_bullet,
+          |  (ellipsis_frac <= 0.3) AS r_ellipsis,
+          |  (alpha_frac >= 0.8) AS r_alpha,
+          |  (n_required_stops >= 2) AS r_stop,
+          |  (n_words >= 50 AND n_words <= 100000
+          |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+          |   AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+          |   AND n_required_stops >= 2) AS keep
+          |FROM m ORDER BY doc_id""".stripMargin),
+    // t36: kept lines reassemble in line_no order on both engines;
+    // zero-kept docs coalesce to '' so the md5 stays comparable
+    "t36_c4_line_filter" ->
+      (s"WITH $PageLinesCtes,\n" +
+        """k AS (SELECT doc_id, line_no, line,
+          |  (right(line, 1) = '.' AND len(string_split(line, ' ')) >= 4
+          |   AND NOT contains(line, '{')
+          |   AND NOT contains(line, 'lorem ipsum')) AS keepl
+          |  FROM lines),
+          |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+          |  CAST(SUM(CASE WHEN keepl THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_kept,
+          |  COALESCE(string_agg(line, chr(10) ORDER BY line_no)
+          |    FILTER (WHERE keepl), '') AS clean
+          |  FROM k GROUP BY doc_id)
+          |SELECT doc_id, n_lines, n_kept,
+          |  CAST(n_kept AS DOUBLE) / CAST(n_lines AS DOUBLE) AS kept_frac,
+          |  CAST(length(clean) AS BIGINT) AS n_clean_chars,
+          |  md5(clean) AS clean_md5
+          |FROM a ORDER BY doc_id""".stripMargin),
+    // t37: the two-level distributed rank must equal this row_number
+    // over (mean_bits, doc_id); terciles are integer cross-multiplies
+    "t37_ccnet_buckets" ->
+      (s"WITH u AS (SELECT doc_id, n_tokens, mean_bits FROM (\n" +
+        s"$UnigramSurpriseOracle) xu),\n" +
+        """r AS (SELECT doc_id, n_tokens, mean_bits,
+          |  CAST(row_number() OVER (ORDER BY mean_bits, doc_id)
+          |    AS BIGINT) AS ppl_rank,
+          |  CAST(COUNT(*) OVER () AS BIGINT) AS n FROM u)
+          |SELECT doc_id, n_tokens, mean_bits, ppl_rank,
+          |  CASE WHEN (ppl_rank - 1) * 3 < n THEN 'head'
+          |       WHEN (ppl_rank - 1) * 3 < n * 2 THEN 'middle'
+          |       ELSE 'tail' END AS ppl_bucket
+          |FROM r ORDER BY doc_id""".stripMargin),
+    // t38: vocabulary-weighted adjacent char pairs — substr(w,i,2)
+    // IS the pair at char-level symbols; total order (count, pair)
+    "t38_bpe_pairs" ->
+      """WITH wf AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS wf
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+'))
+        |    AS tok FROM documents) x GROUP BY tok),
+        |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, wf FROM wf,
+        |  UNNEST(range(1, length(w))) AS t(i) WHERE length(w) >= 2),
+        |c AS (SELECT pair, CAST(SUM(wf) AS BIGINT) AS pair_count
+        |  FROM p GROUP BY pair)
+        |SELECT pair, pair_count FROM c
+        |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin,
+    // s28: s01's exact-cosine chain with the query label carried and
+    // the rank window keyed (query, role)
+    "s28_hard_negatives" ->
+      """WITH n AS (SELECT vec_id, label, embedding,
+        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |    (a, b) -> a + b) AS norm2 FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS query_label,
+        |  embedding AS query_emb, norm2 AS qnorm2 FROM n
+        |  WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id,
+        |  CASE WHEN c.label = q.query_label THEN 'positive'
+        |       ELSE 'hard_negative' END AS role,
+        |  c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1, len(c.embedding)+1), i ->
+        |    CAST(c.embedding[i] AS DOUBLE) * CAST(q.query_emb[i] AS DOUBLE)),
+        |    (x, y) -> x + y) / (sqrt(c.norm2) * sqrt(q.qnorm2)) AS cosine
+        |  FROM n c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, role, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id, role
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT query_id, role, neighbor_id, cosine, rank FROM r
+        |WHERE rank <= 5 ORDER BY query_id, role, rank""".stripMargin,
+    // s29: integer-micro class sums; the only float op is the final
+    // per-class mean, argmax/margin on those doubles with label ties
+    "s29_centroid_classify" ->
+      """WITH ex AS (SELECT vec_id, label, i - 1 AS pos,
+        |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |    AS micro
+        |  FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+        |sums AS (SELECT label, pos, CAST(SUM(micro) AS BIGINT) AS s_micro
+        |  FROM ex GROUP BY label, pos),
+        |cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM embeddings GROUP BY label),
+        |qs AS (SELECT vec_id AS query_id, label AS true_label, pos,
+        |  micro FROM ex WHERE vec_id < 5),
+        |dots AS (SELECT q.query_id, q.true_label, s.label,
+        |  CAST(SUM(q.micro * s.s_micro) AS BIGINT) AS dot_sum
+        |  FROM qs q JOIN sums s ON q.pos = s.pos
+        |  GROUP BY q.query_id, q.true_label, s.label),
+        |sc AS (SELECT d.query_id, d.true_label, d.label,
+        |  CAST(d.dot_sum AS DOUBLE) / CAST(c.n AS DOUBLE) AS score
+        |  FROM dots d JOIN cnt c ON d.label = c.label),
+        |rk AS (SELECT query_id, true_label, label, score,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, label ASC) AS rn FROM sc)
+        |SELECT a.query_id, a.true_label, a.label AS predicted_label,
+        |  a.score AS best_score, a.score - b.score AS margin,
+        |  (a.label = a.true_label) AS is_correct
+        |FROM rk a JOIN rk b ON a.query_id = b.query_id AND b.rn = 2
+        |WHERE a.rn = 1 ORDER BY a.query_id""".stripMargin,
+    // g07: inverted index on the shared out-neighbor over s21's edges;
+    // jaccard is one double division of exact longs
+    "g07_shared_neighbors" ->
+      (s"WITH $KnnGraphCtes,\n" +
+        """knn AS (SELECT vec_id, neighbor_id FROM r WHERE rank <= 5),
+          |pr AS (SELECT x.vec_id AS a, y.vec_id AS b,
+          |  CAST(COUNT(*) AS BIGINT) AS n_shared
+          |  FROM knn x JOIN knn y ON x.neighbor_id = y.neighbor_id
+          |    AND x.vec_id < y.vec_id
+          |  GROUP BY x.vec_id, y.vec_id),
+          |deg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS deg
+          |  FROM knn GROUP BY vec_id)
+          |SELECT pr.a, pr.b, pr.n_shared, da.deg AS deg_a,
+          |  db.deg AS deg_b,
+          |  CAST(pr.n_shared AS DOUBLE) /
+          |    CAST(da.deg + db.deg - pr.n_shared AS DOUBLE) AS jaccard
+          |FROM pr JOIN deg da ON pr.a = da.vec_id
+          |JOIN deg db ON pr.b = db.vec_id
+          |WHERE pr.n_shared >= 2 ORDER BY pr.a, pr.b""".stripMargin)
   )
 }

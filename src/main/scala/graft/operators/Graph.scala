@@ -185,4 +185,57 @@ object Graph {
           .as("clustering_coeff"))
       .orderBy(col("vec_id"))
   }
+
+  /** g07: shared-neighbor link prediction over the s21 kNN graph —
+    * for every node pair citing ≥ `minShared` common out-neighbors,
+    * the common-neighbor count and the Jaccard of their neighbor
+    * lists (Liben-Nowell & Kleinberg 2003's common-neighbors /
+    * Jaccard predictors). On an embedding kNN graph this is the
+    * NN-Descent neighborhood-agreement signal: pairs with high
+    * neighborhood overlap are near-duplicates or missing edges —
+    * the graph-side confirmation the d06 distance-side near-dup
+    * sweep wants before merging clusters.
+    *
+    * Plan shape: inverted index on the SHARED neighbor (the d02/d04
+    * posting-list shape — never an all-pairs product): the kNN edge
+    * list self-joins on neighbor_id, so work is Σ indeg², bounded by
+    * hub in-degree, not |V|². A kNN graph's out-degree is fixed at k
+    * but in-degree is hubness-skewed; at 100 TB the production form
+    * caps postings (DefaultMaxDocFreq-style: a neighbor cited by
+    * thousands of nodes separates none of them) and relies on AQE
+    * skew splitting — the fixture's hubness is mild, so the exact
+    * uncapped form stays the oracle. Degree joins are |V|-keyed;
+    * jaccard is ONE double division of exact longs. */
+  def sharedNeighborLinks(embeddings: DataFrame, k: Int = 5,
+      minShared: Long = 2L): DataFrame =
+    sharedNeighborsOnEdges(Similarity.knnGraph(embeddings, k)
+      .select(col("vec_id"), col("neighbor_id")), minShared)
+
+  /** The edge-level core of [[sharedNeighborLinks]]: takes any directed
+    * (vec_id, neighbor_id) edge list and computes common-out-neighbor
+    * counts + neighbor-list Jaccard for every id-ordered source pair. */
+  private[operators] def sharedNeighborsOnEdges(edges: DataFrame,
+      minShared: Long): DataFrame = {
+    val knn = edges
+      .localCheckpoint(true) // referenced 3×: posting self-join, degree
+    val pairs = knn.as("x")
+      .join(knn.as("y"),
+        col("x.neighbor_id") === col("y.neighbor_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .groupBy(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val deg = knn.groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
+    pairs
+      .join(deg.select(col("vec_id").as("a"), col("deg").as("deg_a")),
+        "a")
+      .join(deg.select(col("vec_id").as("b"), col("deg").as("deg_b")),
+        "b")
+      .filter(col("n_shared") >= minShared)
+      .select(col("a"), col("b"), col("n_shared"), col("deg_a"),
+        col("deg_b"),
+        (col("n_shared").cast("double") /
+          (col("deg_a") + col("deg_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
 }

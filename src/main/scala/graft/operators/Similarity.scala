@@ -1486,4 +1486,99 @@ object Similarity {
         col("step"), col("mmr_mu"))
       .orderBy(col("query_id"), col("step"))
   }
+
+  /** s28: hard-negative mining for contrastive training (the miner
+    * behind DPR/SimCSE-style retrieval training sets): for each query,
+    * its `k` most-similar SAME-label vectors (the positives) and its
+    * `k` most-similar DIFFERENT-label vectors (the hard negatives —
+    * the near-misses that actually teach the boundary; random
+    * negatives are trivially separable and carry no gradient signal).
+    * One corpus pass serves both roles: the role is a per-row label
+    * comparison, and the bounded top-k aggregate simply keys on
+    * (query, role) — so mining the hard set costs the SAME scan s01
+    * already pays, not a second pass.
+    *
+    * Plan shape: s01's broadcast(queries) × corpus scan → cosine →
+    * TopKByScore keyed (query_id, role): map-side partial keeps ≤ k
+    * candidates per (query, role) per split. At 100 TB this is one
+    * full scan per query batch — the production form would sit the
+    * same role-keyed top-k behind the IVF probe (s15's shape) to scan
+    * cells, not the corpus. */
+  def hardNegativeMining(embeddings: DataFrame, nQueries: Int = 5,
+      k: Int = 5): DataFrame = {
+    val corpus = normed(embeddings)
+    val queries = qnormed(queryVectors(embeddings, nQueries))
+    val scored = corpus.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        Dedup.dotExpr("embedding", "query_emb") /
+          (sqrt(col("norm2")) * sqrt(col("qnorm2"))))
+      .withColumn("role",
+        when(col("label") === col("query_label"), lit("positive"))
+          .otherwise(lit("hard_negative")))
+    topKByQuery(scored, "cosine", k, keys = Seq("query_id", "role"))
+      .select(col("query_id"), col("role"), col("neighbor_id"),
+        col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("role"), col("rank"))
+  }
+
+  /** s29: nearest-class-mean (Rocchio) classification with mislabel
+    * flags — the cheap label-verification pass a labeled corpus gets
+    * before its labels train anything: each query scores every class
+    * by its MEAN dot product to the class members, predicts the
+    * argmax, and a prediction disagreeing with the stored label flags
+    * a candidate mislabel/outlier. Complements s25's kNN vote (local
+    * evidence) with the global class-prototype view — the two
+    * disagree exactly on boundary points and label noise.
+    *
+    * Determinism: components quantize to integer MICROS once; the
+    * class-sum table and the query·classSum dot products are exact
+    * longs (bound: |micro| ≤ 1e6, so a dot term ≤ n_class·10¹² and
+    * the d-dim sum ≤ d·n_class·10¹² — at 10⁵+ rows per class move the
+    * accumulation to DECIMAL(38,0)); the ONLY float op is the final
+    * per-class mean (one division), and argmax/margin compare those
+    * bitwise-identical doubles with a label tie-break.
+    *
+    * Plan shape: one corpus-keyed partial aggregate builds the
+    * (label, dim) sum table — model-sized (|labels|·d rows), like a
+    * codebook; queries broadcast against it; per-query scoring
+    * touches |labels|·d rows total. The corpus is scanned ONCE
+    * regardless of query count — vs s25, which re-scans per query
+    * batch. */
+  def centroidClassify(embeddings: DataFrame,
+      nQueries: Int = 5): DataFrame = {
+    val ex = embeddings.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        floor(col("v").cast("double") * lit(1000000.0)).cast("long")
+          .as("micro"))
+    val sums = ex.groupBy(col("label"), col("pos"))
+      .agg(sum(col("micro")).as("s_micro"))
+    val classN = embeddings.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+    val qs = ex.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("label").as("true_label"),
+        col("pos").as("qpos"), col("micro").as("qmicro"))
+    val scores = sums
+      .join(broadcast(qs), col("pos") === col("qpos"))
+      .groupBy(col("query_id"), col("true_label"), col("label"))
+      .agg(sum(col("qmicro") * col("s_micro")).as("dot_sum"))
+      .join(broadcast(classN), "label")
+      .select(col("query_id"), col("true_label"), col("label"),
+        (col("dot_sum").cast("double") / col("n").cast("double"))
+          .as("score"))
+    scores.groupBy(col("query_id"), col("true_label"))
+      .agg(sort_array(collect_list(struct(
+        (lit(0.0) - col("score")).as("negs"),
+        col("label").as("l"), col("score").as("s")))).as("arr"))
+      .select(col("query_id"), col("true_label"),
+        element_at(col("arr"), 1).getField("l").as("predicted_label"),
+        element_at(col("arr"), 1).getField("s").as("best_score"),
+        (element_at(col("arr"), 1).getField("s") -
+          element_at(col("arr"), 2).getField("s")).as("margin"),
+        (element_at(col("arr"), 1).getField("l") === col("true_label"))
+          .as("is_correct"))
+      .orderBy(col("query_id"))
+  }
 }

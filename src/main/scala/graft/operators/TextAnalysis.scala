@@ -1085,4 +1085,308 @@ object TextAnalysis {
         col("max_bits"))
       .orderBy(col("doc_id"))
   }
+
+  /** The Gopher required-stopword set (Rae et al. 2021, Table A1): a
+    * document must contain at least two of these to pass the rule. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Deterministic synthetic "page render" shared by the line-level
+    * quality filters (t35/t36): the fixture text is a single line of
+    * punctuation-free words, so the line structure those filters
+    * inspect is injected (the fixture-injection pattern of
+    * t06/t13/t14) — tokens chunk into 6-word lines, decoration adds
+    * the artifacts the filters hunt (terminal periods, ellipsis
+    * endings, bullet prefixes, keyed on (doc_id, line_no) so both
+    * engines derive the identical page), and one extra boilerplate
+    * line per doc cycles through the four classic removal targets
+    * (placeholder latin, code braces, markdown headers, clickbait).
+    *
+    * Pure per-row expressions (sequence + slice fan-out, the
+    * chunkDocuments shape): a narrow scan stage, no shuffle — at
+    * 100 TB the render is free relative to the doc-keyed aggregate
+    * that consumes it. */
+  private[operators] def syntheticLines(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = Dedup.spread(documents)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          expr("CAST((size(toks) - 1) div 6 AS BIGINT)"))).as("line_no"),
+        col("toks"))
+      .select(col("doc_id"), col("line_no"),
+        array_join(slice(col("toks"),
+          (col("line_no") * 6 + 1).cast("int"), lit(6)), " ").as("line"))
+    val decorated = base.select(col("doc_id"), col("line_no"),
+      when((col("doc_id") + col("line_no")) % 3 === 0,
+        concat(col("line"), lit(".")))
+        .when((col("doc_id") + col("line_no")) % 7 === 1,
+          concat(col("line"), lit("...")))
+        .when((col("doc_id") + col("line_no")) % 5 === 2,
+          concat(lit("- "), col("line")))
+        .otherwise(col("line")).as("line"))
+    val extras = documents.select(col("doc_id"),
+      lit(1000000L).as("line_no"),
+      when(col("doc_id") % 4 === 0, lit("lorem ipsum dolor sit amet."))
+        .when(col("doc_id") % 4 === 1, lit("function() { return 42; }"))
+        .when(col("doc_id") % 4 === 2, lit("# header ## section 42"))
+        .otherwise(lit("read the full article here.")).as("line"))
+    decorated.unionByName(extras)
+  }
+
+  /** t35: the Gopher quality-rule table (Rae et al. 2021, Table A1)
+    * over the rendered page — per document, every rule's metric AND
+    * its boolean verdict, plus the conjunctive keep flag. The rules:
+    * word count in [50, 100k], mean word length in [3, 10],
+    * symbol-to-word ratio (# and ...) ≤ 0.1, ≤ 90% of lines
+    * bullet-prefixed, ≤ 30% of lines ellipsis-terminated, ≥ 80% of
+    * words containing an alphabetic character, and ≥ 2 distinct
+    * [[GopherStops]] present. Emitting the per-rule columns (not just
+    * the keep bit) is the point: pipeline owners tune thresholds from
+    * exactly this table.
+    *
+    * Determinism: every metric is a ratio of exact longs divided once
+    * in double, so rule comparisons are bitwise identical across
+    * engines. Plan shape: the page render is narrow; two doc-keyed
+    * partial aggregates (word-grain and line-grain) meet in one
+    * doc-keyed join — shuffle volume is O(docs), never O(words). */
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val lines = syntheticLines(documents)
+    val lineAgg = lines.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(expr("left(line, 2)") === "- ", 1L).otherwise(0L))
+        .as("bullet_lines"),
+      sum(when(expr("right(line, 3)") === "...", 1L).otherwise(0L))
+        .as("ellipsis_lines"),
+      sum(length(col("line")) - length(expr("replace(line, '#', '')")))
+        .cast("long").as("hash_marks"),
+      expr("CAST(sum(length(line) - length(replace(line, '...', '')))" +
+        " div 3 AS BIGINT)").as("ellipsis_marks"))
+    val words = lines
+      .select(col("doc_id"), explode(split(col("line"), " ")).as("w"))
+    val wordAgg = words.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_words"),
+      sum(length(col("w"))).cast("long").as("sum_word_chars"),
+      sum(when(col("w").rlike("[A-Za-z]"), 1L).otherwise(0L))
+        .as("alpha_words"),
+      count_distinct(when(col("w").isin(GopherStops: _*), col("w")))
+        .as("n_required_stops"))
+    val meanWordLen =
+      col("sum_word_chars").cast("double") / col("n_words").cast("double")
+    val alphaFrac =
+      col("alpha_words").cast("double") / col("n_words").cast("double")
+    val symbolRatio = (col("hash_marks") + col("ellipsis_marks"))
+      .cast("double") / col("n_words").cast("double")
+    val bulletFrac =
+      col("bullet_lines").cast("double") / col("n_lines").cast("double")
+    val ellipsisFrac =
+      col("ellipsis_lines").cast("double") / col("n_lines").cast("double")
+    val rWordCount = col("n_words") >= 50L && col("n_words") <= 100000L
+    val rWordLen = meanWordLen >= 3.0 && meanWordLen <= 10.0
+    val rSymbol = symbolRatio <= 0.1
+    val rBullet = bulletFrac <= 0.9
+    val rEllipsis = ellipsisFrac <= 0.3
+    val rAlpha = alphaFrac >= 0.8
+    val rStop = col("n_required_stops") >= 2L
+    wordAgg.join(lineAgg, "doc_id")
+      .select(col("doc_id"), col("n_lines"), col("n_words"),
+        meanWordLen.as("mean_word_len"), alphaFrac.as("alpha_frac"),
+        symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+        ellipsisFrac.as("ellipsis_frac"), col("n_required_stops"),
+        rWordCount.as("r_word_count"), rWordLen.as("r_word_len"),
+        rSymbol.as("r_symbol"), rBullet.as("r_bullet"),
+        rEllipsis.as("r_ellipsis"), rAlpha.as("r_alpha"),
+        rStop.as("r_stop"),
+        (rWordCount && rWordLen && rSymbol && rBullet && rEllipsis &&
+          rAlpha && rStop).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t36: C4-style line-level cleaning (Raffel et al. 2020, §2.2) over
+    * the rendered page — a line survives iff it ends in terminal
+    * punctuation, has ≥ 4 words, contains no curly brace (the
+    * javascript/code heuristic) and no "lorem ipsum". Per document:
+    * line counts, the kept fraction, and the CLEANED document itself
+    * verified by md5 — the reassembly is the part line filters get
+    * wrong (order, separator, empty-doc edge), so it is hash-checked,
+    * not just counted.
+    *
+    * Determinism: kept lines reassemble in line_no order via a
+    * sort_array over collected (line_no, line) structs — a total
+    * order, so collect_list's partition nondeterminism cannot leak;
+    * zero-kept docs reassemble to the empty string in both engines.
+    * Plan shape: one doc-keyed aggregate; state per doc is its own
+    * kept lines (bounded by doc length — the same per-doc bound every
+    * d-tier op relies on). */
+  def c4LineFilter(documents: DataFrame): DataFrame = {
+    val lines = syntheticLines(documents)
+    val keepL = expr("right(line, 1)") === "." &&
+      size(split(col("line"), " ")) >= 4 &&
+      !col("line").contains("{") &&
+      !col("line").contains("lorem ipsum")
+    lines.withColumn("keepl", keepL)
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keepl"), 1L).otherwise(0L)).as("n_kept"),
+        sort_array(collect_list(
+          when(col("keepl"), struct(col("line_no"), col("line")))))
+          .as("kept"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_lines").cast("double"))
+          .as("kept_frac"),
+        array_join(transform(col("kept"), x => x.getField("line")), "\n")
+          .as("clean"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        col("kept_frac"),
+        length(col("clean")).cast("long").as("n_clean_chars"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t37: CCNet-style perplexity bucketing (Wenzek et al. 2020) — the
+    * corpus ranked by LM surprise ([[unigramSurprise]]'s mean bits per
+    * token standing in for the KenLM score) and cut into equal-count
+    * head/middle/tail terciles, the standard quality stratification a
+    * pretraining mix samples from (head oversampled, tail dropped or
+    * down-weighted).
+    *
+    * The global rank is NOT a single-partition window: docs hash into
+    * coarse score buckets (floor(mean_bits·4) — monotone in the sort
+    * key, so bucket order IS rank order), rank within each bucket in
+    * parallel, and add exclusive bucket offsets computed by the w19
+    * two-level sorted-array fold over the O(#buckets) bucket counts.
+    * Tercile assignment is integer arithmetic against the broadcast
+    * total, so the result matches `row_number() OVER (ORDER BY
+    * mean_bits, doc_id)` exactly while every row-volume stage
+    * distributes. Skew bound: a bucket holds only docs within 0.25
+    * bits of each other — pathological only if the whole corpus has
+    * near-identical surprise. */
+  def ccnetBuckets(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = unigramSurprise(documents)
+      .select(col("doc_id"), col("n_tokens"), col("mean_bits"))
+    val bucketed =
+      docs.withColumn("bk", floor(col("mean_bits") * 4).cast("long"))
+    val within = bucketed.withColumn("rn",
+      row_number().over(Window.partitionBy(col("bk"))
+        .orderBy(col("mean_bits"), col("doc_id"))).cast("long"))
+    val offsets = bucketed.groupBy(col("bk")).agg(count(lit(1)).as("c"))
+      .agg(sort_array(collect_list(struct(col("bk"), col("c"))))
+        .as("arr"))
+      .select(expr(
+        """aggregate(arr,
+          |  struct(CAST(0 AS BIGINT) AS run,
+          |         CAST(array() AS ARRAY<STRUCT<bk: BIGINT, off: BIGINT>>)
+          |           AS out),
+          |  (acc, x) -> struct(acc.run + x.c,
+          |    array_append(acc.out, named_struct('bk', x.bk,
+          |      'off', acc.run))),
+          |  acc -> acc.out)""".stripMargin).as("offs"))
+      .select(explode(col("offs")).as("o"))
+      .select(col("o.bk").as("bk"), col("o.off").as("off"))
+    // count the BASE table, not the surprise frame: split(trim(x)) is
+    // never empty, so every doc has a surprise row and the counts are
+    // equal — and counting `documents` keeps this branch a clean
+    // partial-count funnel instead of the column-pruned residue of the
+    // surprise plan's embedded one-row cross (an empty-column aggregate
+    // the plan audit correctly rejects)
+    val total = documents.agg(count(lit(1)).as("n_docs"))
+    val rank = col("off") + col("rn")
+    within.join(broadcast(offsets), "bk")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("mean_bits"),
+        rank.as("ppl_rank"),
+        when((rank - 1) * 3 < col("n_docs"), "head")
+          .when((rank - 1) * 3 < col("n_docs") * 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t38: BPE tokenizer training, the counting face — the weighted
+    * adjacent-symbol-pair counts over the word-frequency table that
+    * every merge iteration ranks (Sennrich et al. 2016). This is the
+    * first iteration's candidate table (symbols = characters), the
+    * oracle-checkable core; [[bpeTrain]] runs the actual merge loop on
+    * top of the same counting shape.
+    *
+    * Plan shape: one word-count shuffle collapses the corpus to its
+    * vocabulary (the token-domain reduction every tokenizer trainer
+    * does first — pair counting then touches |vocab| rows, not
+    * |corpus| tokens), one pair-count shuffle, and a
+    * TakeOrderedAndProject top-k (no global sort materializes). */
+  def bpePairCounts(documents: DataFrame, k: Int = 20): DataFrame = {
+    val words = Dedup.spread(documents)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+    words.filter(length(col("w")) >= 2)
+      .select(col("wf"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"),
+        col("w"))
+      .select(expr("substring(w, i, 2)").as("pair"), col("wf"))
+      .groupBy(col("pair")).agg(sum(col("wf")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  /** The BPE merge LOOP (Sennrich et al. 2016, Algorithm 1): `nMerges`
+    * iterations of count-pairs → pick the argmax (ties: higher count,
+    * then lexicographic left, then right) → greedily merge its
+    * non-overlapping occurrences left-to-right in every vocabulary
+    * word. Returns the merge table (iter, left, right, merged,
+    * pair_count) — the artifact a tokenizer ships.
+    *
+    * Distribution contract: the corpus collapses to the (word, freq)
+    * vocabulary ONCE; each iteration is a pair-count partial aggregate
+    * over vocab rows plus a 1-row argmax collect (model-scale, the
+    * k-medians pattern), and the merge itself is a per-row aggregate()
+    * fold — no shuffle grows with the corpus, only with |vocab|.
+    * Lineage is cut every few iterations (localCheckpoint, the
+    * g04/d13 iteration pattern) so the plan doesn't deepen linearly
+    * in nMerges. Spec-verified against a literal single-machine BPE
+    * in BpeSpec; the counting core is oracle-checked as t38. */
+  def bpeTrain(documents: DataFrame, nMerges: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
+    var syms = Dedup.spread(documents)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      // split-by-empty keeps a trailing "" under Spark's limit=-1
+      // semantics — filter it so no phantom empty symbol enters pairs
+      .select(expr("filter(split(w, ''), x -> x != '')").as("syms"),
+        col("wf"))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var it = 1
+    var done = false
+    while (it <= nMerges && !done) {
+      val top = syms.filter(size(col("syms")) >= 2)
+        .select(col("wf"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wf")).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, c) = (top(0).getAs[String]("a"),
+          top(0).getAs[String]("b"), top(0).getAs[Long]("c"))
+        merges += ((it, a, b, a + b, c))
+        val (ea, eb) = (esc(a), esc(b))
+        syms = syms.select(expr(
+          s"""aggregate(syms, CAST(array() AS ARRAY<STRING>),
+             |  (acc, s) -> CASE WHEN size(acc) > 0
+             |      AND element_at(acc, -1) = '$ea' AND s = '$eb'
+             |    THEN concat(slice(acc, 1, size(acc) - 1),
+             |      array('$ea$eb'))
+             |    ELSE concat(acc, array(s)) END,
+             |  acc -> acc)""".stripMargin).as("syms"), col("wf"))
+        if (it % 4 == 0) syms = syms.localCheckpoint(true).toDF()
+        it += 1
+      }
+    }
+    merges.toSeq.toDF("iter", "left", "right", "merged", "pair_count")
+  }
 }

@@ -62,7 +62,10 @@ class PlanAuditSpec extends SparkSpec {
     "s26_filtered_recall", // s01's broadcast cross, truth + overfetch tiers
     "s27_delete_serve", // s15's probe-schedule broadcast(centroids) cross
     "p07_quality_features", // embeds t17's ONE-row corpus-total cross
-    "dq16_label_balance") // ONE-row (total, n_labels) broadcast cross
+    "dq16_label_balance", // ONE-row (total, n_labels) broadcast cross
+    "t37_ccnet_buckets", // t17's corpus-total cross + ONE-row doc-count cross
+    "s28_hard_negatives", // s01's broadcast(5 queries) x corpus by design
+    "g07_shared_neighbors") // rides s21's broadcast centroid-assign cross
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

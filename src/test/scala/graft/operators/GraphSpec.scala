@@ -200,4 +200,34 @@ class GraphSpec extends SparkSpec {
     }
     assert(got.values.map(_._2).sum > 0, "fixture kNN graph has triangles")
   }
+
+  test("shared-neighbor links: hand-computed Jaccard on a crafted graph") {
+    // out-neighbor lists: 1→{10,11,12}, 2→{10,11,13}, 3→{13,14}
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (2L, 13L),
+      (3L, 13L), (3L, 14L)).toDF("vec_id", "neighbor_id")
+    val got = Graph.sharedNeighborsOnEdges(edges, minShared = 1L)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        ((r.getAs[Long]("n_shared"), r.getAs[Double]("jaccard")))).toMap
+    // (1,2): share {10,11} → J = 2/(3+3-2) = 0.5
+    // (2,3): share {13}    → J = 1/(3+2-1) = 0.25
+    // (1,3): share nothing → absent
+    assert(got == Map((1L, 2L) -> ((2L, 0.5)), (2L, 3L) -> ((1L, 0.25))))
+  }
+
+  test("shared-neighbor links honor the minShared floor and a<b order") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Graph.sharedNeighborLinks(emb).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      val (ns, da, db) = (r.getAs[Long]("n_shared"),
+        r.getAs[Long]("deg_a"), r.getAs[Long]("deg_b"))
+      assert(a < b && ns >= 2L)
+      assert(r.getAs[Double]("jaccard") ==
+        ns.toDouble / (da + db - ns).toDouble)
+      assert(ns <= math.min(da, db))
+    }
+  }
 }

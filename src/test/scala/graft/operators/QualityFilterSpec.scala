@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantics of the pretraining quality-filter canon (t35 Gopher rules,
+  * t36 C4 line cleaning, t37 CCNet buckets) on crafted corpora — the
+  * fixture-level behavior is oracle-checked; these pin hand-computable
+  * cases: the page render's line math, rule conjunctions, the cleaned-doc
+  * reassembly, and the two-level rank's agreement with a global sort. */
+class QualityFilterSpec extends SparkSpec {
+
+  // six-token docs render to exactly one base line + one extra line,
+  // with decoration keyed on (doc_id + line_no): doc 0 → terminal '.',
+  // doc 1 → '...' (1%3=1, 1%7=1), doc 2 → '- ' bullet (2%5=2)
+  private lazy val six: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one two three four five six"),
+      (2L, "red green blue cyan magenta yellow")
+    ).toDF("doc_id", "text")
+  }
+
+  test("syntheticLines: chunking, decoration, and extras are as designed") {
+    val lines = TextAnalysis.syntheticLines(six)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(lines.length == 6) // one base line + one extra per doc
+    assert(lines(0)._3 == "alpha beta gamma delta epsilon zeta.")
+    assert(lines(1)._3 == "lorem ipsum dolor sit amet.")
+    assert(lines(2)._3 == "one two three four five six...")
+    assert(lines(3)._3 == "function() { return 42; }")
+    assert(lines(4)._3 == "- red green blue cyan magenta yellow")
+    assert(lines(5)._3 == "# header ## section 42")
+  }
+
+  test("gopherRules: metrics and rule conjunction on hand-computed docs") {
+    val rows = TextAnalysis.gopherRules(six).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 0 page: "alpha beta gamma delta epsilon zeta." +
+    // "lorem ipsum dolor sit amet." = 6 + 5 words, no '#', no '...'
+    val d0 = rows(0L)
+    assert(d0.getAs[Long]("n_lines") == 2L)
+    assert(d0.getAs[Long]("n_words") == 11L)
+    assert(d0.getAs[Double]("symbol_ratio") == 0.0)
+    assert(!d0.getAs[Boolean]("r_word_count")) // 11 < 50
+    assert(!d0.getAs[Boolean]("keep"))
+    // doc 1: one '...' line of two total → ellipsis_frac 0.5 > 0.3
+    val d1 = rows(1L)
+    assert(d1.getAs[Double]("ellipsis_frac") == 0.5)
+    assert(!d1.getAs[Boolean]("r_ellipsis"))
+    // doc 2: one bullet line of two; page has '#' marks from the extra
+    val d2 = rows(2L)
+    assert(d2.getAs[Double]("bullet_frac") == 0.5)
+    assert(d2.getAs[Boolean]("r_bullet")) // 0.5 <= 0.9
+    assert(d2.getAs[Long]("n_required_stops") == 0L)
+    assert(!d2.getAs[Boolean]("r_stop"))
+    // keep is exactly the conjunction of the seven rule columns
+    TextAnalysis.gopherRules(six).collect().foreach { r =>
+      val conj = Seq("r_word_count", "r_word_len", "r_symbol", "r_bullet",
+        "r_ellipsis", "r_alpha", "r_stop")
+        .forall(r.getAs[Boolean])
+      assert(r.getAs[Boolean]("keep") == conj)
+    }
+  }
+
+  test("c4LineFilter: kept lines, reassembly hash, zero-kept edge") {
+    val rows = TextAnalysis.c4LineFilter(six).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 0: base line ends '.', extra is 'lorem ipsum ...' → dropped
+    val d0 = rows(0L)
+    assert(d0.getAs[Long]("n_kept") == 1L)
+    val expected = "alpha beta gamma delta epsilon zeta."
+    assert(d0.getAs[Long]("n_clean_chars") == expected.length.toLong)
+    val md5Hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(d0.getAs[String]("clean_md5") == md5Hex)
+    // doc 2: bullet base line (no '.') + '#' extra (no '.') → nothing
+    val d2 = rows(2L)
+    assert(d2.getAs[Long]("n_kept") == 0L)
+    assert(d2.getAs[Long]("n_clean_chars") == 0L)
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    assert(d2.getAs[String]("clean_md5") == emptyMd5)
+  }
+
+  test("c4LineFilter drops brace lines (doc 1's code extra)") {
+    val d1 = TextAnalysis.c4LineFilter(six)
+      .filter(col("doc_id") === 1L).head()
+    // base line ends '...' → right(1)='.' so it IS terminal-kept;
+    // the code extra has '{' → dropped
+    assert(d1.getAs[Long]("n_kept") == 1L)
+  }
+
+  test("ccnetBuckets: distributed rank equals a global sort's row_number") {
+    val docs = Tables.documentsLike(spark)
+    val out = TextAnalysis.ccnetBuckets(docs).collect()
+    val n = out.length
+    // ranks are a permutation of 1..n
+    assert(out.map(_.getAs[Long]("ppl_rank")).sorted.toSeq ==
+      (1L to n.toLong).toSeq)
+    // and agree with sorting by (mean_bits, doc_id)
+    val sorted = out.sortBy(r =>
+      (r.getAs[Double]("mean_bits"), r.getAs[Long]("doc_id")))
+    sorted.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("ppl_rank") == i + 1L)
+      val expected =
+        if (i * 3 < n) "head" else if (i * 3 < 2 * n) "middle" else "tail"
+      assert(r.getAs[String]("ppl_bucket") == expected)
+    }
+  }
+
+  private object Tables {
+    /** A small surprise-diverse corpus: repeated common words vs rare. */
+    def documentsLike(s: org.apache.spark.sql.SparkSession): DataFrame = {
+      import s.implicits._
+      (0L until 9L).map { i =>
+        val common = Seq.fill(6)("the cat sat").mkString(" ")
+        val rare = s"zeta$i xylo$i quux$i vortex omega kappa"
+        (i, if (i % 3 == 0) common else if (i % 3 == 1) rare
+        else common + " " + rare)
+      }.toDF("doc_id", "text")
+    }
+  }
+}

@@ -780,3 +780,54 @@ class RangeSearchSpec extends graft.SparkSpec {
     assert(noop == base)
   }
 }
+
+/** s28 contrastive mining + s29 nearest-class-mean on known geometry. */
+class ContrastiveSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private lazy val vecs = {
+    import spark.implicits._
+    Seq(
+      (0L, 0, Array(1.0f, 0.0f)),
+      (1L, 0, Array(1.0f, 0.1f)), // cos ~ 0.995
+      (2L, 0, Array(1.0f, 1.0f)), // cos ~ 0.707
+      (3L, 1, Array(1.0f, 0.01f)), // closest of all, but label 1
+      (4L, 0, Array(0.0f, 1.0f)) // cos 0
+    ).toDF("vec_id", "label", "embedding")
+  }
+
+  test("hardNegativeMining splits the top-k by role on the same scan") {
+    val out = Similarity.hardNegativeMining(vecs, nQueries = 1, k = 2)
+      .collect()
+      .map(r => (r.getAs[String]("role"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("rank")))
+    // query 0 (label 0): positives {1,2,4} rank by cosine → 1 then 2;
+    // the only different-label vector 3 is the (closest!) hard negative
+    assert(out.toSet == Set(("positive", 1L, 1L), ("positive", 2L, 2L),
+      ("hard_negative", 3L, 1L)))
+  }
+
+  test("centroidClassify predicts class means and flags mislabels") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, 0, Array(1.0f, 0.0f)),
+      (1L, 1, Array(0.9f, 0.1f)), // mislabeled: sits in class 0 space
+      (2L, 0, Array(0.95f, 0.05f)),
+      (3L, 0, Array(1.0f, 0.1f)),
+      (4L, 1, Array(0.0f, 1.0f)),
+      (5L, 1, Array(0.1f, 0.9f)),
+      (6L, 1, Array(0.05f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.centroidClassify(emb, nQueries = 2).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(out(0L).getAs[Int]("predicted_label") == 0)
+    assert(out(0L).getAs[Boolean]("is_correct"))
+    // the mislabeled vector is pulled to class 0 by the class means
+    assert(out(1L).getAs[Int]("predicted_label") == 0)
+    assert(!out(1L).getAs[Boolean]("is_correct"))
+    out.values.foreach { r =>
+      assert(r.getAs[Double]("margin") > 0.0)
+      assert(r.getAs[Double]("best_score") > 0.0)
+    }
+  }
+}
