@@ -496,7 +496,10 @@ object SparkEntry {
       S.centroidClassify(Tables.embeddings(s, d))),
     // g07: shared-neighbor (Jaccard) link prediction over s21's graph
     "g07_shared_neighbors" -> ((s, d) =>
-      graft.operators.Graph.sharedNeighborLinks(Tables.embeddings(s, d)))
+      graft.operators.Graph.sharedNeighborLinks(Tables.embeddings(s, d))),
+    // p08: gopher → c4 → ppl gates composed into a disposition table
+    "p08_curated_corpus" -> ((s, d) =>
+      T.curatedCorpusV2(Tables.documents(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -1498,6 +1501,89 @@ object SparkEntry {
       |  FROM documents),
       |lines AS (SELECT * FROM deco UNION ALL SELECT * FROM extras)"""
       .stripMargin
+
+  private val GopherRulesOracle: String =
+    (s"WITH $PageLinesCtes,\n" +
+        """la AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+          |  CAST(SUM(CASE WHEN left(line, 2) = '- ' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS bullet_lines,
+          |  CAST(SUM(CASE WHEN right(line, 3) = '...' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS ellipsis_lines,
+          |  CAST(SUM(length(line) - length(replace(line, '#', '')))
+          |    AS BIGINT) AS hash_marks,
+          |  CAST(SUM(length(line) - length(replace(line, '...', '')))
+          |    // 3 AS BIGINT) AS ellipsis_marks
+          |  FROM lines GROUP BY doc_id),
+          |wrd AS (SELECT doc_id, unnest(string_split(line, ' ')) AS w
+          |  FROM lines),
+          |wa AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+          |  CAST(SUM(length(w)) AS BIGINT) AS sum_word_chars,
+          |  CAST(SUM(CASE WHEN regexp_matches(w, '[A-Za-z]')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
+          |  CAST(COUNT(DISTINCT CASE WHEN w IN ('the','be','to','of',
+          |    'and','that','have','with') THEN w END) AS BIGINT)
+          |    AS n_required_stops
+          |  FROM wrd GROUP BY doc_id),
+          |m AS (SELECT doc_id, n_lines, n_words,
+          |  CAST(sum_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+          |    AS mean_word_len,
+          |  CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+          |    AS alpha_frac,
+          |  CAST(hash_marks + ellipsis_marks AS DOUBLE)
+          |    / CAST(n_words AS DOUBLE) AS symbol_ratio,
+          |  CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+          |    AS bullet_frac,
+          |  CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+          |    AS ellipsis_frac,
+          |  n_required_stops
+          |  FROM wa JOIN la USING (doc_id))
+          |SELECT doc_id, n_lines, n_words, mean_word_len, alpha_frac,
+          |  symbol_ratio, bullet_frac, ellipsis_frac, n_required_stops,
+          |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+          |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_word_len,
+          |  (symbol_ratio <= 0.1) AS r_symbol,
+          |  (bullet_frac <= 0.9) AS r_bullet,
+          |  (ellipsis_frac <= 0.3) AS r_ellipsis,
+          |  (alpha_frac >= 0.8) AS r_alpha,
+          |  (n_required_stops >= 2) AS r_stop,
+          |  (n_words >= 50 AND n_words <= 100000
+          |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+          |   AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+          |   AND n_required_stops >= 2) AS keep
+          |FROM m ORDER BY doc_id""".stripMargin)
+
+  private val C4LineFilterOracle: String =
+    (s"WITH $PageLinesCtes,\n" +
+        """k AS (SELECT doc_id, line_no, line,
+          |  (right(line, 1) = '.' AND len(string_split(line, ' ')) >= 4
+          |   AND NOT contains(line, '{')
+          |   AND NOT contains(line, 'lorem ipsum')) AS keepl
+          |  FROM lines),
+          |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+          |  CAST(SUM(CASE WHEN keepl THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_kept,
+          |  COALESCE(string_agg(line, chr(10) ORDER BY line_no)
+          |    FILTER (WHERE keepl), '') AS clean
+          |  FROM k GROUP BY doc_id)
+          |SELECT doc_id, n_lines, n_kept,
+          |  CAST(n_kept AS DOUBLE) / CAST(n_lines AS DOUBLE) AS kept_frac,
+          |  CAST(length(clean) AS BIGINT) AS n_clean_chars,
+          |  md5(clean) AS clean_md5
+          |FROM a ORDER BY doc_id""".stripMargin)
+
+  private val CcnetBucketsOracle: String =
+    (s"WITH u AS (SELECT doc_id, n_tokens, mean_bits FROM (\n" +
+        s"$UnigramSurpriseOracle) xu),\n" +
+        """r AS (SELECT doc_id, n_tokens, mean_bits,
+          |  CAST(row_number() OVER (ORDER BY mean_bits, doc_id)
+          |    AS BIGINT) AS ppl_rank,
+          |  CAST(COUNT(*) OVER () AS BIGINT) AS n FROM u)
+          |SELECT doc_id, n_tokens, mean_bits, ppl_rank,
+          |  CASE WHEN (ppl_rank - 1) * 3 < n THEN 'head'
+          |       WHEN (ppl_rank - 1) * 3 < n * 2 THEN 'middle'
+          |       ELSE 'tail' END AS ppl_bucket
+          |FROM r ORDER BY doc_id""".stripMargin)
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4406,90 +4492,13 @@ object SparkEntry {
         |FROM c CROSS JOIN t ORDER BY c.label""".stripMargin,
     // t35: every metric is a long/long ratio divided once in double,
     // so the rule booleans compare bitwise across engines
-    "t35_gopher_rules" ->
-      (s"WITH $PageLinesCtes,\n" +
-        """la AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
-          |  CAST(SUM(CASE WHEN left(line, 2) = '- ' THEN 1 ELSE 0 END)
-          |    AS BIGINT) AS bullet_lines,
-          |  CAST(SUM(CASE WHEN right(line, 3) = '...' THEN 1 ELSE 0 END)
-          |    AS BIGINT) AS ellipsis_lines,
-          |  CAST(SUM(length(line) - length(replace(line, '#', '')))
-          |    AS BIGINT) AS hash_marks,
-          |  CAST(SUM(length(line) - length(replace(line, '...', '')))
-          |    // 3 AS BIGINT) AS ellipsis_marks
-          |  FROM lines GROUP BY doc_id),
-          |wrd AS (SELECT doc_id, unnest(string_split(line, ' ')) AS w
-          |  FROM lines),
-          |wa AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-          |  CAST(SUM(length(w)) AS BIGINT) AS sum_word_chars,
-          |  CAST(SUM(CASE WHEN regexp_matches(w, '[A-Za-z]')
-          |    THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
-          |  CAST(COUNT(DISTINCT CASE WHEN w IN ('the','be','to','of',
-          |    'and','that','have','with') THEN w END) AS BIGINT)
-          |    AS n_required_stops
-          |  FROM wrd GROUP BY doc_id),
-          |m AS (SELECT doc_id, n_lines, n_words,
-          |  CAST(sum_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
-          |    AS mean_word_len,
-          |  CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
-          |    AS alpha_frac,
-          |  CAST(hash_marks + ellipsis_marks AS DOUBLE)
-          |    / CAST(n_words AS DOUBLE) AS symbol_ratio,
-          |  CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
-          |    AS bullet_frac,
-          |  CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
-          |    AS ellipsis_frac,
-          |  n_required_stops
-          |  FROM wa JOIN la USING (doc_id))
-          |SELECT doc_id, n_lines, n_words, mean_word_len, alpha_frac,
-          |  symbol_ratio, bullet_frac, ellipsis_frac, n_required_stops,
-          |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
-          |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_word_len,
-          |  (symbol_ratio <= 0.1) AS r_symbol,
-          |  (bullet_frac <= 0.9) AS r_bullet,
-          |  (ellipsis_frac <= 0.3) AS r_ellipsis,
-          |  (alpha_frac >= 0.8) AS r_alpha,
-          |  (n_required_stops >= 2) AS r_stop,
-          |  (n_words >= 50 AND n_words <= 100000
-          |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-          |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
-          |   AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
-          |   AND n_required_stops >= 2) AS keep
-          |FROM m ORDER BY doc_id""".stripMargin),
+    "t35_gopher_rules" -> GopherRulesOracle,
     // t36: kept lines reassemble in line_no order on both engines;
     // zero-kept docs coalesce to '' so the md5 stays comparable
-    "t36_c4_line_filter" ->
-      (s"WITH $PageLinesCtes,\n" +
-        """k AS (SELECT doc_id, line_no, line,
-          |  (right(line, 1) = '.' AND len(string_split(line, ' ')) >= 4
-          |   AND NOT contains(line, '{')
-          |   AND NOT contains(line, 'lorem ipsum')) AS keepl
-          |  FROM lines),
-          |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
-          |  CAST(SUM(CASE WHEN keepl THEN 1 ELSE 0 END) AS BIGINT)
-          |    AS n_kept,
-          |  COALESCE(string_agg(line, chr(10) ORDER BY line_no)
-          |    FILTER (WHERE keepl), '') AS clean
-          |  FROM k GROUP BY doc_id)
-          |SELECT doc_id, n_lines, n_kept,
-          |  CAST(n_kept AS DOUBLE) / CAST(n_lines AS DOUBLE) AS kept_frac,
-          |  CAST(length(clean) AS BIGINT) AS n_clean_chars,
-          |  md5(clean) AS clean_md5
-          |FROM a ORDER BY doc_id""".stripMargin),
+    "t36_c4_line_filter" -> C4LineFilterOracle,
     // t37: the two-level distributed rank must equal this row_number
     // over (mean_bits, doc_id); terciles are integer cross-multiplies
-    "t37_ccnet_buckets" ->
-      (s"WITH u AS (SELECT doc_id, n_tokens, mean_bits FROM (\n" +
-        s"$UnigramSurpriseOracle) xu),\n" +
-        """r AS (SELECT doc_id, n_tokens, mean_bits,
-          |  CAST(row_number() OVER (ORDER BY mean_bits, doc_id)
-          |    AS BIGINT) AS ppl_rank,
-          |  CAST(COUNT(*) OVER () AS BIGINT) AS n FROM u)
-          |SELECT doc_id, n_tokens, mean_bits, ppl_rank,
-          |  CASE WHEN (ppl_rank - 1) * 3 < n THEN 'head'
-          |       WHEN (ppl_rank - 1) * 3 < n * 2 THEN 'middle'
-          |       ELSE 'tail' END AS ppl_bucket
-          |FROM r ORDER BY doc_id""".stripMargin),
+    "t37_ccnet_buckets" -> CcnetBucketsOracle,
     // t38: vocabulary-weighted adjacent char pairs — substr(w,i,2)
     // IS the pair at char-level symbols; total order (count, pair)
     "t38_bpe_pairs" ->
@@ -4572,6 +4581,26 @@ object SparkEntry {
           |    CAST(da.deg + db.deg - pr.n_shared AS DOUBLE) AS jaccard
           |FROM pr JOIN deg da ON pr.a = da.vec_id
           |JOIN deg db ON pr.b = db.vec_id
-          |WHERE pr.n_shared >= 2 ORDER BY pr.a, pr.b""".stripMargin)
+          |WHERE pr.n_shared >= 2 ORDER BY pr.a, pr.b""".stripMargin),
+    // p08: the three gate oracles nested as subqueries (the p07
+    // precedent); verdict CASE order = gate order, first failure wins.
+    // Assembled by concatenation — the embedded oracles contain `||`.
+    "p08_curated_corpus" ->
+      (s"WITH g AS (SELECT doc_id, keep AS gopher_keep FROM (\n" +
+        s"$GopherRulesOracle) xg),\n" +
+        s"c AS (SELECT doc_id, n_kept, n_clean_chars FROM (\n" +
+        s"$C4LineFilterOracle) xc),\n" +
+        s"b AS (SELECT doc_id, ppl_bucket FROM (\n" +
+        s"$CcnetBucketsOracle) xb)\n" +
+        "SELECT d.doc_id, d.lang, d.source, g.gopher_keep, c.n_kept,\n" +
+        "  c.n_clean_chars, b.ppl_bucket,\n" +
+        "  CASE WHEN NOT g.gopher_keep THEN 'drop_gopher'\n" +
+        "       WHEN c.n_kept = 0 THEN 'drop_empty'\n" +
+        "       WHEN b.ppl_bucket = 'tail' THEN 'drop_ppl'\n" +
+        "       ELSE 'keep' END AS verdict\n" +
+        "FROM documents d JOIN g ON d.doc_id = g.doc_id\n" +
+        "JOIN c ON d.doc_id = c.doc_id\n" +
+        "JOIN b ON d.doc_id = b.doc_id\n" +
+        "ORDER BY d.doc_id")
   )
 }

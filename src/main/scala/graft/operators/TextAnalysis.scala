@@ -1389,4 +1389,37 @@ object TextAnalysis {
     }
     merges.toSeq.toDF("iter", "left", "right", "merged", "pair_count")
   }
+
+  /** p08: the curated-corpus disposition table — the three round-13
+    * gates composed in the order a modern pretraining pipeline runs
+    * them (RefinedWeb/FineWeb shape): structural quality first
+    * ([[gopherRules]]), then line-level cleaning ([[c4LineFilter]],
+    * dropping docs cleaned to nothing), then the LM-score cut
+    * ([[ccnetBuckets]], dropping the tail tercile). Every doc gets a
+    * verdict with the FIRST failing gate as the drop reason — the
+    * audit view pipeline owners actually read ("how much did each
+    * gate cost me?"), which a bare keep-list cannot answer.
+    *
+    * Plan shape: three doc-keyed frames (each already one or two
+    * doc-keyed aggregates over the shared page render) meeting in
+    * doc-keyed equi-joins — no new corpus-scale stage beyond its
+    * inputs; output is one row per doc. */
+  def curatedCorpusV2(documents: DataFrame): DataFrame = {
+    val g = gopherRules(documents)
+      .select(col("doc_id"), col("keep").as("gopher_keep"))
+    val c = c4LineFilter(documents)
+      .select(col("doc_id"), col("n_kept"), col("n_clean_chars"))
+    val b = ccnetBuckets(documents)
+      .select(col("doc_id"), col("ppl_bucket"))
+    documents.select(col("doc_id"), col("lang"), col("source"))
+      .join(g, "doc_id").join(c, "doc_id").join(b, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("gopher_keep"), col("n_kept"), col("n_clean_chars"),
+        col("ppl_bucket"),
+        when(!col("gopher_keep"), "drop_gopher")
+          .when(col("n_kept") === 0L, "drop_empty")
+          .when(col("ppl_bucket") === "tail", "drop_ppl")
+          .otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
 }

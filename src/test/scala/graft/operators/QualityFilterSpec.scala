@@ -111,6 +111,27 @@ class QualityFilterSpec extends SparkSpec {
     }
   }
 
+  test("curatedCorpusV2: verdict is the FIRST failing gate, in order") {
+    val docs = Tables.documentsLike(spark)
+    val out = TextAnalysis.curatedCorpusV2(docs).collect()
+    assert(out.length == 9)
+    val g = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    val c = TextAnalysis.c4LineFilter(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_kept")).toMap
+    val b = TextAnalysis.ccnetBuckets(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("ppl_bucket")).toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val expected =
+        if (!g(id)) "drop_gopher"
+        else if (c(id) == 0L) "drop_empty"
+        else if (b(id) == "tail") "drop_ppl"
+        else "keep"
+      assert(r.getAs[String]("verdict") == expected, s"doc $id")
+    }
+  }
+
   private object Tables {
     /** A small surprise-diverse corpus: repeated common words vs rare. */
     def documentsLike(s: org.apache.spark.sql.SparkSession): DataFrame = {
@@ -119,8 +140,8 @@ class QualityFilterSpec extends SparkSpec {
         val common = Seq.fill(6)("the cat sat").mkString(" ")
         val rare = s"zeta$i xylo$i quux$i vortex omega kappa"
         (i, if (i % 3 == 0) common else if (i % 3 == 1) rare
-        else common + " " + rare)
-      }.toDF("doc_id", "text")
+        else common + " " + rare, "en", s"src${i % 2}")
+      }.toDF("doc_id", "text", "lang", "source")
     }
   }
 }
