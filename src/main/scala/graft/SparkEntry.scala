@@ -499,7 +499,13 @@ object SparkEntry {
       graft.operators.Graph.sharedNeighborLinks(Tables.embeddings(s, d))),
     // p08: gopher → c4 → ppl gates composed into a disposition table
     "p08_curated_corpus" -> ((s, d) =>
-      T.curatedCorpusV2(Tables.documents(s, d)))
+      T.curatedCorpusV2(Tables.documents(s, d))),
+    // s30: FAISS-fidelity residual IVF-PQ (PQ over coarse residuals)
+    "s30_ivfpq_residual" -> ((s, d) =>
+      S.ivfPqResidualTopK(Tables.embeddings(s, d))),
+    // s31: the raw-vs-residual recall measurement that justifies s30
+    "s31_residual_recall" -> ((s, d) =>
+      S.residualRecall(Tables.embeddings(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -972,8 +978,10 @@ object SparkEntry {
     * each query's own coarse cell. Shared verbatim by s15 (the serving
     * form is results-identical by construction) and the ivfpq side of
     * s13. */
-  private val IvfPqOracle: String =
-    s"WITH $IvfPqCtes,\n" +
+  /** The own-cell ADC tail shared by the raw (s12) and residual (s30)
+    * IVF-PQ oracles — both CTE chains end in the same ca2/pcodes/lut
+    * names, so the scoring suffix is identical text. */
+  private val IvfPqAdcSuffix: String =
     """qc AS (SELECT vec_id AS query_id, cluster_id AS qcell
       |  FROM ca2 WHERE vec_id < 5),
       |adc AS (SELECT l.query_id, qc.qcell, co.vec_id AS neighbor_id,
@@ -990,6 +998,62 @@ object SparkEntry {
       |  FROM adc)
       |SELECT query_id, qcell AS cell, neighbor_id, adc_fp, rank FROM r
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private val IvfPqOracle: String =
+    s"WITH $IvfPqCtes,\n" + IvfPqAdcSuffix
+
+  /** s30: [[IvfPqCtes]] with the PQ half re-pointed at residuals —
+    * text surgery on the shared chain so the two oracles cannot drift:
+    * the coarse half (cv…ca2) is reused verbatim; a residual CTE
+    * (rv/rres: one double subtract of two input floats, rounded once
+    * back to FLOAT) is inserted; the PQ half then trains/encodes over
+    * `rres` instead of `embeddings`, except the query LUT side (q),
+    * which stays RAW (qsn) — the q·centroid term is cell-constant and
+    * drops out of the within-cell ranking. */
+  private val IvfPqResidualOracle: String = {
+    val idx = IvfPqCtes.indexOf("sn AS (")
+    require(idx > 0, "IvfPqCtes drifted: no `sn AS (` anchor")
+    val coarse = IvfPqCtes.substring(0, idx)
+    val pq = IvfPqCtes.substring(idx)
+      .replace("FROM embeddings)", "FROM rres)")
+      .replace("FROM sn WHERE vec_id < 5)", "FROM qsn WHERE vec_id < 5)")
+    require(pq.contains("FROM rres)") && pq.contains("FROM qsn"),
+      "IvfPqCtes drifted: residual rewrite anchors missing")
+    "WITH " + coarse +
+      """rv AS (SELECT a.vec_id, a.cluster_id,
+        |  list_transform(range(1, len(v.emb)+1), i ->
+        |    CAST(CAST(v.emb[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE)
+        |      AS FLOAT)) AS remb
+        |  FROM ca2 a JOIN cv v ON a.vec_id = v.vec_id
+        |  JOIN cc1 c ON a.cluster_id = c.cluster_id),
+        |rres AS (SELECT vec_id, remb AS embedding FROM rv),
+        |qsn AS (SELECT vec_id, u.sub AS sub, u.semb AS semb
+        |  FROM (SELECT vec_id, unnest(list_transform(range(0, 4), s ->
+        |    {'sub': s, 'semb': embedding[s*16+1 : s*16+16]})) AS u
+        |   FROM embeddings)),
+        |""".stripMargin + pq + ",\n" + IvfPqAdcSuffix
+  }
+
+  /** s31: recall@10 of the raw vs residual IVF-PQ tiers vs the s01
+    * exact truth — the s13 nesting pattern; tiers sort raw < residual
+    * matching the Spark ORDER BY. */
+  private val ResidualRecallOracle: String =
+    s"""WITH tiers AS (SELECT 'ivfpq_raw' AS tier UNION ALL
+      |  SELECT 'ivfpq_residual' AS tier),
+      |ap AS (
+      |  SELECT 'ivfpq_raw' AS tier, query_id, neighbor_id
+      |    FROM ($IvfPqOracle) rx
+      |  UNION ALL
+      |  SELECT 'ivfpq_residual' AS tier, query_id, neighbor_id
+      |    FROM ($IvfPqResidualOracle) sx),
+      |ex AS (SELECT t.tier, b.query_id, b.neighbor_id
+      |  FROM ($BruteTopKOracle) b CROSS JOIN tiers t)
+      |SELECT e.tier, e.query_id, count(a.neighbor_id) AS n_hits,
+      |  CAST(count(a.neighbor_id) AS DOUBLE) / 10.0 AS recall
+      |FROM ex e LEFT JOIN ap a ON e.tier = a.tier
+      |  AND e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      |GROUP BY e.tier, e.query_id
+      |ORDER BY e.tier, e.query_id""".stripMargin
 
   /** s08's trained-IVF CTE chain, WITHOUT the leading `WITH`: seed
     * centroids c0 (vec_id < 8), one component-wise lower-median
@@ -4601,6 +4665,8 @@ object SparkEntry {
         "FROM documents d JOIN g ON d.doc_id = g.doc_id\n" +
         "JOIN c ON d.doc_id = c.doc_id\n" +
         "JOIN b ON d.doc_id = b.doc_id\n" +
-        "ORDER BY d.doc_id")
+        "ORDER BY d.doc_id"),
+    "s30_ivfpq_residual" -> IvfPqResidualOracle,
+    "s31_residual_recall" -> ResidualRecallOracle
   )
 }

@@ -207,8 +207,8 @@ object Graph {
     * uncapped form stays the oracle. Degree joins are |V|-keyed;
     * jaccard is ONE double division of exact longs. */
   def sharedNeighborLinks(embeddings: DataFrame, k: Int = 5,
-      minShared: Long = 2L): DataFrame =
-    sharedNeighborsOnEdges(Similarity.knnGraph(embeddings, k)
+      minShared: Long = 2L, nCells: Int = 32): DataFrame =
+    sharedNeighborsOnEdges(Similarity.knnGraph(embeddings, k, nCells)
       .select(col("vec_id"), col("neighbor_id")), minShared)
 
   /** The edge-level core of [[sharedNeighborLinks]]: takes any directed

@@ -1581,4 +1581,102 @@ object Similarity {
           .as("is_correct"))
       .orderBy(col("query_id"))
   }
+
+  /** s30: RESIDUAL IVF-PQ — the actual FAISS IVFPQ layout, closing
+    * the fidelity gap s12 left open: the PQ codebook is trained on and
+    * encodes the coarse RESIDUALS r = x − centroid(cell), not the raw
+    * vectors. Residuals concentrate near the origin (the coarse
+    * quantizer has already explained the between-cell variance), so
+    * the same m×k codebook budget can spend its resolution on the
+    * within-cell structure that actually ranks candidates — the
+    * standard FAISS argument, MEASURED rather than assumed by s31
+    * (and on this fixture the measurement says NO at k=8 codes with
+    * one median refinement round: raw mean recall 0.38 vs residual
+    * 0.30 at sf0.01 — the residual codebook's seeds concentrate near
+    * the origin and one refinement round can't spread them, exactly
+    * the regime where FAISS trains codebooks to convergence).
+    * Scoring keeps the IP-ADC identity q·x = q·c + q·r: the q·c term
+    * is constant within a probed cell, so the LUT is the RAW query's
+    * subvectors against the residual codebook and own-cell ranking by
+    * Σ LUT(q, code(r_x)) matches ranking by q·x up to quantization.
+    *
+    * Determinism: the residual is one double subtract of two input
+    * floats rounded once back to float — correctly-rounded IEEE in
+    * both engines — and everything downstream is the audited s12
+    * pipeline unchanged (integer-micro LUT, exact-long ADC sums).
+    *
+    * Plan shape: identical to s12 plus one broadcast(K centroids)
+    * equi-join and a per-row zip_with producing the residual in the
+    * scan stage (interpreted lambda, but one pass at encode time — at
+    * serving scale residual codes are precomputed columns, s19's
+    * stored-codes argument verbatim). */
+  def ivfPqResidualTopK(embeddings: DataFrame, m: Int = 4,
+      subDim: Int = 16, k: Int = 8, nQueries: Int = 5,
+      topK: Int = 10): DataFrame = {
+    val centroids = Clustering.trainedCentroidsLocal(embeddings)
+    val vectors = embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2",
+        graft.functions.VectorOps.dot(col("emb"), col("emb")))
+    val resid = Clustering.assign(vectors, centroids)
+      .join(broadcast(centroids.select(col("cluster_id"), col("cemb"))),
+        "cluster_id")
+      .select(col("vec_id"), col("cluster_id").as("cell"),
+        expr("""zip_with(emb, cemb, (x, c) ->
+          CAST(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) AS FLOAT))""")
+          .as("embedding"))
+    val resFrame = resid.select(col("vec_id"), col("embedding"))
+    val (codes, codebook) = pqEncode(resFrame, m, subDim, k)
+    // RAW query subvectors × residual codebook (the q·c term is
+    // cell-constant and drops out of the within-cell ranking)
+    val lut = pqLut(embeddings, codebook, m, subDim, nQueries)
+    val cells = resid.select(col("vec_id"), col("cell"))
+    val probes = cells.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val scored = probePrunedCodes(codes, cells, probes)
+      .join(broadcast(lut), Seq("sub", "code"))
+      .join(broadcast(probes), Seq("query_id", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("cell"), col("vec_id"))
+      .agg(sum(col("pdot_fp")).as("adc_fp"))
+    topKByQuery(scored, "adc_fp", topK, keys = Seq("query_id", "cell"))
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        col("adc_fp").cast("long").as("adc_fp"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s31: recall@k of raw-PQ vs residual-PQ IVF tiers against the s01
+    * exact ground truth — the measurement that justifies (or refutes)
+    * s30's extra centroid join: same coarse quantizer, same m×k code
+    * budget, only the encoding target differs. On this fixture it
+    * REFUTES at the current training depth (raw 0.38 vs residual 0.30
+    * mean at sf0.01) — see the s30 scaladoc for why — which is the
+    * point: under a lossy score nothing is provably monotone, so the
+    * switch is measured per corpus, never assumed. Tier strings sort
+    * raw < residual. */
+  def residualRecall(embeddings: DataFrame, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val tiers = embeddings.sparkSession.range(0, 2)
+      .select(element_at(
+        array(lit("ivfpq_raw"), lit("ivfpq_residual")),
+        col("id").cast("int") + 1).as("tier"))
+    val approx = ivfPqTopK(embeddings, nQueries = nQueries, topK = k)
+      .select(lit("ivfpq_raw").as("tier"), col("query_id"),
+        col("neighbor_id"))
+      .unionByName(ivfPqResidualTopK(embeddings, nQueries = nQueries,
+          topK = k)
+        .select(lit("ivfpq_residual").as("tier"), col("query_id"),
+          col("neighbor_id")))
+      .withColumn("hit", lit(1L))
+    val exact = bruteForceTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(tiers))
+    exact.join(approx, Seq("tier", "query_id", "neighbor_id"), "left")
+      .groupBy(col("tier"), col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("tier"), col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(k).cast("double"))
+          .as("recall"))
+      .orderBy(col("tier"), col("query_id"))
+  }
 }

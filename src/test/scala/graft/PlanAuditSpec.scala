@@ -65,7 +65,10 @@ class PlanAuditSpec extends SparkSpec {
     "dq16_label_balance", // ONE-row (total, n_labels) broadcast cross
     "t37_ccnet_buckets", // t17's corpus-total cross + ONE-row doc-count cross
     "s28_hard_negatives", // s01's broadcast(5 queries) x corpus by design
-    "g07_shared_neighbors") // rides s21's broadcast centroid-assign cross
+    "g07_shared_neighbors", // rides s21's broadcast centroid-assign cross
+    "s30_ivfpq_residual", // k01's broadcast(8 centroids) x corpus (coarse)
+    "s31_residual_recall", // s01 exact side + s12/s30 centroid crosses
+    "p08_curated_corpus") // embeds t37's corpus-total + doc-count crosses
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -173,7 +173,23 @@ class ScaleStressSpec extends SparkSpec {
     // d16 joins the d04/d12 inverted-index family: the capped posting
     // self-join is exactly the shape with quadratic failure modes
     ("d16_substring_dups",
-      D.substringDups(docs), D.substringDups(docsX), false))
+      D.substringDups(docs), D.substringDups(docsX), false),
+    // r13 additions: the page-render gates are narrow-scan + doc-keyed
+    // aggs (linear by construction — the ratchet guards the render's
+    // explode fan-out); g07's posting self-join is the inverted-index
+    // family's quadratic-failure shape, cells scaled with the corpus
+    // like s21; s28 is s01's intended broadcast×scan with a role-keyed
+    // bounded top-k
+    ("t35_gopher_rules",
+      T.gopherRules(docs), T.gopherRules(docsX), false),
+    ("t36_c4_line_filter",
+      T.c4LineFilter(docs), T.c4LineFilter(docsX), false),
+    ("g07_shared_neighbors",
+      graft.operators.Graph.sharedNeighborLinks(emb, nCells = 32),
+      graft.operators.Graph.sharedNeighborLinks(embX,
+        nCells = 32 * factor), true),
+    ("s28_hard_negatives",
+      S.hardNegativeMining(emb), S.hardNegativeMining(embX), true))
 
   /** Committed growth-factor history, keyed fixture-name -> op -> factor.
     * Flat hand-rolled read/write (the shape is two levels of string ->

@@ -831,3 +831,49 @@ class ContrastiveSpec extends graft.SparkSpec {
     }
   }
 }
+
+/** s30/s31: residual IVF-PQ shares s12's coarse geometry; the recall
+  * eval is structurally sound (the VALUES are oracle-pinned — the
+  * fixture-level raw-vs-residual outcome lives in CORRECTNESS). */
+class ResidualPqSpec extends graft.SparkSpec {
+
+  private lazy val emb =
+    graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("residual tier probes the SAME coarse cell as the raw tier") {
+    val raw = Similarity.ivfPqTopK(emb).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("cell")).toMap
+    val res = Similarity.ivfPqResidualTopK(emb).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("cell")).toMap
+    assert(res.keySet == raw.keySet)
+    res.foreach { case (q, cell) =>
+      assert(cell == raw(q), s"query $q probes a different cell")
+    }
+  }
+
+  test("residual ADC ranks are contiguous and scores weakly decrease") {
+    val byQ = Similarity.ivfPqResidualTopK(emb).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 5)
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length.toLong))
+      val scores = sorted.map(_.getAs[Long]("adc_fp"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("residualRecall: both tiers, 5 queries each, recall in [0,1]") {
+    val out = Similarity.residualRecall(emb).collect()
+    assert(out.length == 10)
+    val tiers = out.groupBy(_.getAs[String]("tier"))
+    assert(tiers.keySet == Set("ivfpq_raw", "ivfpq_residual"))
+    tiers.values.foreach(rows => assert(rows.length == 5))
+    out.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(rec == r.getAs[Long]("n_hits").toDouble / 10.0)
+    }
+  }
+}
