@@ -505,7 +505,13 @@ object SparkEntry {
       S.ivfPqResidualTopK(Tables.embeddings(s, d))),
     // s31: the raw-vs-residual recall measurement that justifies s30
     "s31_residual_recall" -> ((s, d) =>
-      S.residualRecall(Tables.embeddings(s, d)))
+      S.residualRecall(Tables.embeddings(s, d))),
+    // d17: PPJoin prefix filtering — exact Jaccard join, no cap needed
+    "d17_ppjoin_pairs" -> ((s, d) =>
+      D.ppjoinPairs(Tables.documents(s, d))),
+    // w21: retention cohort matrix (first-day cohorts × week-of-age)
+    "w21_retention_cohorts" -> ((s, d) =>
+      W.retentionCohorts(Tables.events(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -1561,7 +1567,7 @@ object SparkEntry {
       |  CASE doc_id % 4 WHEN 0 THEN 'lorem ipsum dolor sit amet.'
       |       WHEN 1 THEN 'function() { return 42; }'
       |       WHEN 2 THEN '# header ## section 42'
-      |       ELSE 'read the full article here.' END AS line
+      |       ELSE 'subscribe to the newsletter and share with friends.' END AS line
       |  FROM documents),
       |lines AS (SELECT * FROM deco UNION ALL SELECT * FROM extras)"""
       .stripMargin
@@ -4667,6 +4673,66 @@ object SparkEntry {
         "JOIN b ON d.doc_id = b.doc_id\n" +
         "ORDER BY d.doc_id"),
     "s30_ivfpq_residual" -> IvfPqResidualOracle,
-    "s31_residual_recall" -> ResidualRecallOracle
+    "s31_residual_recall" -> ResidualRecallOracle,
+    // d17: df-ascending rank, prefix postings, length filter, then
+    // candidate-restricted exact verification — d02's shingle CTEs
+    "d17_ppjoin_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(range(0, len(toks)-2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM s),
+        |df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM e GROUP BY shingle),
+        |rk AS (SELECT e.doc_id, e.shingle,
+        |  CAST(row_number() OVER (PARTITION BY e.doc_id
+        |    ORDER BY df.df, e.shingle) AS BIGINT) AS rk
+        |  FROM e JOIN df ON e.shingle = df.shingle),
+        |pref AS (SELECT rk.doc_id, rk.shingle
+        |  FROM rk JOIN sz ON rk.doc_id = sz.doc_id
+        |  WHERE rk.rk <= sz.n_sh
+        |    - CAST(CEIL(0.5 * sz.n_sh) AS BIGINT) + 1),
+        |cand AS (SELECT doc_a, doc_b FROM (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pref a JOIN pref b ON a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id) c
+        |  JOIN sz x ON c.doc_a = x.doc_id
+        |  JOIN sz y ON c.doc_b = y.doc_id
+        |  WHERE 0.5 * x.n_sh <= y.n_sh AND 0.5 * y.n_sh <= x.n_sh),
+        |itc AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM cand c
+        |  JOIN e ea ON c.doc_a = ea.doc_id
+        |  JOIN e eb ON c.doc_b = eb.doc_id AND ea.shingle = eb.shingle
+        |  GROUP BY c.doc_a, c.doc_b),
+        |j AS (SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / CAST(x.n_sh + y.n_sh - inter AS DOUBLE)
+        |    AS jaccard
+        |  FROM itc JOIN sz x ON doc_a = x.doc_id
+        |  JOIN sz y ON doc_b = y.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // w21: DATE-DATE is integer days in DuckDB; datediff div 7 on the
+    // Spark side — same exact-long age, one double division
+    "w21_retention_cohorts" ->
+      """WITH fe AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |m AS (SELECT f.cohort_day,
+        |  CAST((ud.day - f.cohort_day) // 7 AS BIGINT) AS age_weeks,
+        |  CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS active_users
+        |  FROM ud JOIN fe f ON ud.user_id = f.user_id
+        |  GROUP BY 1, 2),
+        |cs AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        |  FROM fe GROUP BY cohort_day)
+        |SELECT m.cohort_day, m.age_weeks, m.active_users, cs.cohort_size,
+        |  CAST(m.active_users AS DOUBLE) / CAST(cs.cohort_size AS DOUBLE)
+        |    AS retention
+        |FROM m JOIN cs ON m.cohort_day = cs.cohort_day
+        |ORDER BY m.cohort_day, m.age_weeks""".stripMargin
   )
 }

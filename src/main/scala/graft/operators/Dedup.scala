@@ -614,4 +614,66 @@ object Dedup {
           least(col("n_a"), col("n_b")).cast("double")).as("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** d17: prefix-filtered set-similarity join (the PPJoin family, Xiao
+    * et al. 2008; AllPairs, Bayardo et al. 2007) — EXACT Jaccard join
+    * without d02's full inverted index OR its posting cap: order every
+    * doc's shingles by ascending global document frequency (rarest
+    * first, lexicographic ties) and index only each doc's PREFIX — the
+    * first `n − ⌈t·n⌉ + 1` shingles in that order. Pigeonhole: two sets
+    * with Jaccard ≥ t must overlap in ≥ ⌈t·n⌉ elements, so they cannot
+    * BOTH avoid each other's prefix — candidate generation from prefix
+    * postings alone has no false negatives (spec: result set equals
+    * d02's uncapped join exactly). The length filter (t·|A| ≤ |B| ≤
+    * |A|/t) prunes size-incompatible candidates before verification.
+    *
+    * WHY this beats the cap at scale: d02's hot-posting problem is
+    * FREQUENT shingles exploding the self-join, and the df-ascending
+    * ordering pushes exactly those out of every prefix — boilerplate
+    * prunes itself, with zero recall loss (the cap trades recall; the
+    * prefix trades nothing). Verification touches only candidate
+    * pairs: Σ_cand |A| rows, never the all-pairs product.
+    *
+    * Plan shape: one shingle-keyed df count + join back (AQE-skew
+    * territory, same as t09), a doc-partitioned rank window (parallel),
+    * the prefix self-join (postings ≈ half each doc's rare tail), then
+    * candidate-restricted intersection counts and a sizes join. One
+    * double division per surviving pair. */
+  def ppjoinPairs(documents: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val post = shinglePostings(documents, n, None)
+    val dfreq = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val ranked = post.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("shingle"))).cast("long"))
+    val pref = ranked.join(sizes, "doc_id")
+      .filter(col("rk") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")).cast("long") + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = pref.toDF("doc_a", "shingle")
+      .join(pref.toDF("doc_b", "shingle_b"),
+        col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .filter(lit(threshold) * col("n_a") <= col("n_b") &&
+        lit(threshold) * col("n_b") <= col("n_a"))
+      .select(col("doc_a"), col("doc_b"))
+    val inter = cand
+      .join(post.toDF("doc_a", "shingle"), "doc_a")
+      .join(post.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

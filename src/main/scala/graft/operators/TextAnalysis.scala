@@ -1130,7 +1130,7 @@ object TextAnalysis {
       when(col("doc_id") % 4 === 0, lit("lorem ipsum dolor sit amet."))
         .when(col("doc_id") % 4 === 1, lit("function() { return 42; }"))
         .when(col("doc_id") % 4 === 2, lit("# header ## section 42"))
-        .otherwise(lit("read the full article here.")).as("line"))
+        .otherwise(lit("subscribe to the newsletter and share with friends.")).as("line"))
     decorated.unionByName(extras)
   }
 
@@ -1388,6 +1388,61 @@ object TextAnalysis {
       }
     }
     merges.toSeq.toDF("iter", "left", "right", "merged", "pair_count")
+  }
+
+  /** The t35 keep verdict as ONE stateless column expression over
+    * (doc_id, text): the page render and every rule metric computed
+    * with higher-order array functions instead of explode + groupBy,
+    * so the streaming intake gate can apply the full Gopher rule set
+    * per-row — no shuffle, no state, watermark-free. Parity with
+    * [[gopherRules]].keep is spec-asserted bitwise over the fixture
+    * corpus. Interpreted lambdas (no codegen) — acceptable at intake:
+    * one pass per arriving doc, the zip_with trade s30 documents. */
+  def gopherKeepExpr(docId: Column, text: Column): Column = {
+    val toks = tokens(text)
+    val lastLine = floor((size(toks).cast("double") - 1.0) / 6.0)
+      .cast("long")
+    val rawLines = transform(sequence(lit(0L), lastLine),
+      ln => array_join(slice(toks, (ln * 6 + 1).cast("int"), lit(6)), " "))
+    val decorated = transform(rawLines, (line, i) => {
+      val ln = i.cast("long")
+      when((docId + ln) % 3 === 0, concat(line, lit(".")))
+        .when((docId + ln) % 7 === 1, concat(line, lit("...")))
+        .when((docId + ln) % 5 === 2, concat(lit("- "), line))
+        .otherwise(line)
+    })
+    val extra = when(docId % 4 === 0, lit("lorem ipsum dolor sit amet."))
+      .when(docId % 4 === 1, lit("function() { return 42; }"))
+      .when(docId % 4 === 2, lit("# header ## section 42"))
+      .otherwise(lit("subscribe to the newsletter and share with friends."))
+    val lines = concat(decorated, array(extra))
+    val words = flatten(transform(lines, l => split(l, " ")))
+    val nWords = size(words).cast("long")
+    val sumChars = aggregate(words, lit(0L), (a, w) => a + length(w))
+    val alphaWords =
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nStops = size(array_intersect(array_distinct(words),
+      array(GopherStops.map(lit): _*))).cast("long")
+    val nLines = size(lines).cast("long")
+    val bullets =
+      size(filter(lines, l => l.startsWith("- "))).cast("long")
+    val ellLines =
+      size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val hashMarks = aggregate(lines, lit(0L),
+      (a, l) => a + (length(l) - length(regexp_replace(l, "#", ""))))
+    val ellChars = aggregate(lines, lit(0L), (a, l) =>
+      a + (length(l) - length(regexp_replace(l, "\\.\\.\\.", ""))))
+    val ellMarks = (ellChars / 3).cast("long")
+    val meanWordLen = sumChars.cast("double") / nWords.cast("double")
+    val alphaFrac = alphaWords.cast("double") / nWords.cast("double")
+    val symbolRatio =
+      (hashMarks + ellMarks).cast("double") / nWords.cast("double")
+    val bulletFrac = bullets.cast("double") / nLines.cast("double")
+    val ellipsisFrac = ellLines.cast("double") / nLines.cast("double")
+    (nWords >= 50L && nWords <= 100000L) &&
+      (meanWordLen >= 3.0 && meanWordLen <= 10.0) &&
+      (symbolRatio <= 0.1) && (bulletFrac <= 0.9) &&
+      (ellipsisFrac <= 0.3) && (alphaFrac >= 0.8) && (nStops >= 2L)
   }
 
   /** p08: the curated-corpus disposition table — the three round-13

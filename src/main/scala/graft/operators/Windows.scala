@@ -362,4 +362,44 @@ object Windows {
           .as("close"),
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"), col("hour"))
+
+  /** w21: retention cohort matrix — users grouped by first-activity
+    * day, activity tracked per week-of-age: the (cohort, age) →
+    * active-users/retention-share triangle every product/growth
+    * dashboard reads, and for a data platform the engagement-decay
+    * read that decides how long behavioral logs stay hot. Week 0
+    * retention is 1.0 by construction (every user is active in their
+    * first week — the standard sanity row).
+    *
+    * Determinism: cohort day is a MIN selection; ages are integer
+    * datediffs div 7; retention is one double division of exact longs.
+    *
+    * Plan shape: a user-keyed first-day aggregate (map-side combined),
+    * a distinct on (user, day) bounding the activity stream to one row
+    * per user-day, a user-keyed join, then a (cohort, age) aggregate —
+    * output is cohorts × ages, dashboard-sized. The count_distinct in
+    * the matrix agg is exact; (user, day) rows are already distinct so
+    * it partial-aggregates without a second expansion. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val userDays = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val matrix = userDays.join(firstDay, "user_id")
+      .select(col("cohort_day"),
+        expr("CAST(datediff(day, cohort_day) div 7 AS BIGINT)")
+          .as("age_weeks"),
+        col("user_id"))
+      .groupBy(col("cohort_day"), col("age_weeks"))
+      .agg(count_distinct(col("user_id")).as("active_users"))
+    val cohortSize = firstDay.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    matrix.join(cohortSize, "cohort_day")
+      .select(col("cohort_day"), col("age_weeks"), col("active_users"),
+        col("cohort_size"),
+        (col("active_users").cast("double") /
+          col("cohort_size").cast("double")).as("retention"))
+      .orderBy(col("cohort_day"), col("age_weeks"))
+  }
 }

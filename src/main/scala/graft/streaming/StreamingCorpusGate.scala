@@ -34,13 +34,25 @@ object StreamingCorpusGate {
   def benchShingleArray(benchShingles: Seq[String]): Column =
     array(benchShingles.map(lit): _*)
 
+  /** `requireGopher = true` adds the FULL t35 Gopher rule set as a
+    * stateless per-row gate ([[graft.operators.TextAnalysis
+    * .gopherKeepExpr]] — the page render and every rule aggregate as
+    * higher-order array expressions, batch-parity spec'd), so the
+    * structural-quality cut a batch pipeline runs first (p08's gate
+    * order) happens at intake too, before anything pays dedup state. */
   def corpusGateStream(documents: DataFrame, digestIndex: DataFrame,
       benchShingles: Seq[String], minQuality: Double = 0.5,
       eventTimeCol: String = "ts",
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      requireGopher: Boolean = false): DataFrame = {
     val shingles = array_distinct(
       graft.functions.TextFns.wordShingles(col("text"), 3))
-    documents
+    val gated =
+      if (requireGopher)
+        documents.filter(graft.operators.TextAnalysis
+          .gopherKeepExpr(col("doc_id"), col("text")))
+      else documents
+    gated
       .withColumn("quality",
         graft.operators.TextAnalysis.qualityExpr(col("text")))
       .filter(col("quality") >= minQuality)

@@ -189,7 +189,12 @@ class ScaleStressSpec extends SparkSpec {
       graft.operators.Graph.sharedNeighborLinks(embX,
         nCells = 32 * factor), true),
     ("s28_hard_negatives",
-      S.hardNegativeMining(emb), S.hardNegativeMining(embX), true))
+      S.hardNegativeMining(emb), S.hardNegativeMining(embX), true),
+    // d17's prefix self-join is the exact-join answer to d04/d12's
+    // capped postings — the shape whose whole point is staying
+    // sub-quadratic as boilerplate grows
+    ("d17_ppjoin_pairs",
+      D.ppjoinPairs(docs), D.ppjoinPairs(docsX), false))
 
   /** Committed growth-factor history, keyed fixture-name -> op -> factor.
     * Flat hand-rolled read/write (the shape is two levels of string ->

@@ -111,6 +111,20 @@ class QualityFilterSpec extends SparkSpec {
     }
   }
 
+  test("gopherKeepExpr: stateless expr matches batch gopherRules bitwise") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    val stateless = docs.select(col("doc_id"),
+      TextAnalysis.gopherKeepExpr(col("doc_id"), col("text")).as("keep"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(stateless.keySet == batch.keySet)
+    val diff = batch.keySet.filter(id => batch(id) != stateless(id))
+    assert(diff.isEmpty, s"parity broke for docs $diff")
+    assert(batch.values.exists(identity) && batch.values.exists(!_),
+      "fixture must have both keeps and drops — vacuous otherwise")
+  }
+
   test("curatedCorpusV2: verdict is the FIRST failing gate, in order") {
     val docs = Tables.documentsLike(spark)
     val out = TextAnalysis.curatedCorpusV2(docs).collect()

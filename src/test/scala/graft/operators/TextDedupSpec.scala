@@ -58,6 +58,38 @@ class TextDedupSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("kept_doc_id")).toSeq == Seq(0L, 1L))
   }
 
+  test("ppjoinPairs: prefix filtering is COMPLETE — equals d02 uncapped") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val full = rows(Dedup.jaccardPairs(docs, maxDocFreq = None))
+    val pp = rows(Dedup.ppjoinPairs(docs))
+    assert(pp == full, "prefix filtering missed or invented a pair")
+    assert(full.nonEmpty, "fixture has no near-dup pairs — vacuous test")
+  }
+
+  test("ppjoinPairs: boilerplate-heavy corpus, still exact") {
+    import spark.implicits._
+    // every doc shares an 8-token boilerplate header (a hot shingle d02's
+    // cap would drop); the pairs that matter differ in their tails
+    val header = "standard license header all rights reserved by corp"
+    val docs = Seq(
+      (0L, s"$header alpha beta gamma delta epsilon"),
+      (1L, s"$header alpha beta gamma delta zeta"),
+      (2L, s"$header completely different tail tokens here"),
+      (3L, s"$header another unrelated ending entirely now")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val full = rows(Dedup.jaccardPairs(docs, maxDocFreq = None))
+    assert(rows(Dedup.ppjoinPairs(docs)) == full)
+    // the shared header makes EVERY pair a candidate under plain
+    // inverted-index joining; 0&1 genuinely exceed the bar
+    assert(full.exists { case (a, b, _) => a == 0L && b == 1L })
+  }
+
   test("fuzzyPairs: injected typos found at dist<=1, unrelated blocked out") {
     import spark.implicits._
     val docs = Seq((0L, "alpha document body text here"),

@@ -88,4 +88,29 @@ class TimeSeriesSpec extends SparkSpec {
       l <= o && o <= h && l <= c && c <= h
     })
   }
+
+  test("retentionCohorts: hand-computed matrix, week-0 row is 1.0") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-${day}%02d 12:00:00")
+    // users 1,2 start Jan 1 (cohort A); user 3 starts Jan 2 (cohort B)
+    // user 1 returns on day 9 (age week 1); user 2 never returns;
+    // user 3 returns day 16 (age week 2)
+    val events = Seq(
+      (1L, ts(1)), (1L, ts(9)),
+      (2L, ts(1)),
+      (3L, ts(2)), (3L, ts(16))
+    ).map { case (u, t) => (u, t, 0L, "view", 1.0) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = graft.operators.Windows.retentionCohorts(events).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_day").toString,
+        r.getAs[Long]("age_weeks")) ->
+        ((r.getAs[Long]("active_users"), r.getAs[Long]("cohort_size"),
+          r.getAs[Double]("retention")))).toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> ((2L, 2L, 1.0)),
+      ("2024-01-01", 1L) -> ((1L, 2L, 0.5)),
+      ("2024-01-02", 0L) -> ((1L, 1L, 1.0)),
+      ("2024-01-02", 2L) -> ((1L, 1L, 1.0))))
+  }
 }

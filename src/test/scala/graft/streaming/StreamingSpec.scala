@@ -581,6 +581,45 @@ class StreamingCorpusGateSpec extends graft.SparkSpec {
         s"missing=${expected -- streamed} extra=${streamed -- expected}")
     } finally q.stop()
   }
+
+  test("requireGopher gate matches the batch t35 keep set in-stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    // batch reference: t35 keep ∩ quality gate (no bench/dedup stages:
+    // empty bench set and empty index isolate the gopher stage)
+    val gopherKeep = graft.operators.TextAnalysis.gopherRules(docs)
+      .filter(col("keep")).collect().map(_.getAs[Long]("doc_id")).toSet
+    val passQ = graft.operators.TextAnalysis.qualityScore(docs)
+      .filter(col("quality") >= 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val expected = gopherKeep intersect passQ
+    assert(expected.nonEmpty && (passQ -- gopherKeep).nonEmpty,
+      "fixture must have docs the gopher gate uniquely rejects")
+    val emptyIndex = Seq.empty[String].toDF("content_md5")
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = graft.streaming.StreamingCorpusGate.corpusGateStream(
+      input.toDF().toDF("ts", "doc_id", "text"), emptyIndex,
+      // a shingle no document can contain (empty Seq would make the
+      // literal array untyped) — isolates the gopher stage
+      benchShingles = Seq("     "), requireGopher = true)
+      .writeStream.format("memory").queryName("gopher_gate")
+      .outputMode("append").start()
+    try {
+      def t(off: Int) = java.sql.Timestamp.from(
+        java.time.Instant.parse("2026-01-01T10:00:00Z").plusSeconds(off))
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      input.addData(rows.zipWithIndex.map { case ((id, tx), i) =>
+        (t(i), id, tx) }.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("gopher_gate").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == expected,
+        s"missing=${expected -- streamed} extra=${streamed -- expected}")
+    } finally q.stop()
+  }
 }
 
 /** w20's stream twin: bitwise stream-vs-batch parity of OHLC bars
