@@ -511,7 +511,10 @@ object SparkEntry {
       D.ppjoinPairs(Tables.documents(s, d))),
     // w21: retention cohort matrix (first-day cohorts × week-of-age)
     "w21_retention_cohorts" -> ((s, d) =>
-      W.retentionCohorts(Tables.events(s, d)))
+      W.retentionCohorts(Tables.events(s, d))),
+    // g08: deterministic DeepWalk corpus over the s21 kNN graph
+    "g08_graph_walks" -> ((s, d) =>
+      graft.operators.Graph.deterministicWalks(Tables.embeddings(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -1038,6 +1041,35 @@ object SparkEntry {
         |    {'sub': s, 'semb': embedding[s*16+1 : s*16+16]})) AS u
         |   FROM embeddings)),
         |""".stripMargin + pq + ",\n" + IvfPqAdcSuffix
+  }
+
+  /** g08: the walk recursion unrolled to walkLen=3 step CTEs, each
+    * re-proving the argmin choice (row_number over the same md5 seed
+    * string, dst tie-break) against the s21 edge set. */
+  // lazy: declared above KnnGraphCtes in file order — a strict val
+  // would read it as null at object init
+  private lazy val GraphWalksOracle: String = {
+    def stepCte(i: Int): String =
+      s"""f$i AS (SELECT start_id, walk_no, node FROM (
+         |  SELECT f.start_id, f.walk_no, e.dst AS node,
+         |    row_number() OVER (PARTITION BY f.start_id, f.walk_no
+         |      ORDER BY md5(concat_ws(':', f.start_id, f.walk_no, $i,
+         |        f.node, e.dst)), e.dst) AS rn
+         |  FROM f${i - 1} f JOIN knn e ON f.node = e.src) WHERE rn = 1)"""
+        .stripMargin
+    s"WITH $KnnGraphCtes,\n" +
+      """knn AS (SELECT vec_id AS src, neighbor_id AS dst FROM r
+        |  WHERE rank <= 5),
+        |w0 AS (SELECT DISTINCT src AS start_id FROM knn),
+        |f0 AS (SELECT start_id, wn AS walk_no, start_id AS node
+        |  FROM w0, UNNEST(range(0, 2)) AS u(wn)),
+        |""".stripMargin +
+      (1 to 3).map(stepCte).mkString(",\n") + "\n" +
+      (0 to 3).map(i =>
+        s"SELECT start_id, walk_no, CAST($i AS BIGINT) AS step, node" +
+          s" FROM f$i")
+        .mkString("", "\nUNION ALL ", "\n") +
+      "ORDER BY start_id, walk_no, step"
   }
 
   /** s31: recall@10 of the raw vs residual IVF-PQ tiers vs the s01
@@ -4733,6 +4765,7 @@ object SparkEntry {
         |  CAST(m.active_users AS DOUBLE) / CAST(cs.cohort_size AS DOUBLE)
         |    AS retention
         |FROM m JOIN cs ON m.cohort_day = cs.cohort_day
-        |ORDER BY m.cohort_day, m.age_weeks""".stripMargin
+        |ORDER BY m.cohort_day, m.age_weeks""".stripMargin,
+    "g08_graph_walks" -> GraphWalksOracle
   )
 }

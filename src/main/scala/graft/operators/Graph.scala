@@ -238,4 +238,52 @@ object Graph {
           .as("jaccard"))
       .orderBy(col("a"), col("b"))
   }
+
+  /** g08: DETERMINISTIC random walks over the s21 kNN graph — the
+    * DeepWalk/node2vec corpus generator (Perozzi et al. 2014): per
+    * start node, `nWalks` walks of `walkLen` steps whose "random"
+    * neighbor choice is the argmin of md5(start, walk, step, node,
+    * candidate) — a seeded PRNG both engines reproduce bit-for-bit,
+    * so the walk corpus (the thing a skip-gram embedding trains on)
+    * is hash-verifiable, re-runnable, and append-stable where a real
+    * RNG would be none of those. Different (walk_no, step) contexts
+    * decorrelate choices exactly like per-walk seeds.
+    *
+    * Plan shape: the edge list materializes once (localCheckpoint —
+    * referenced every step); each of the walkLen steps is ONE
+    * frontier ⋈ edges equi-join on the current node plus a
+    * (start, walk)-keyed min_by argmin — map-side partial, k
+    * candidate rows per walk per split. Frontier size is constant
+    * (starts × nWalks) across steps, so total work is walkLen
+    * bounded joins — the k-medians/PageRank loop discipline, NOT a
+    * data-dependent recursion. Walks from dead-end nodes simply stop
+    * (the kNN graph has out-degree k everywhere, so only filtered
+    * subgraphs hit this). */
+  def deterministicWalks(embeddings: DataFrame, k: Int = 5,
+      nWalks: Int = 2, walkLen: Int = 3): DataFrame = {
+    val edges = Similarity.knnGraph(embeddings, k)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint(true)
+    val starts = edges.select(col("src").as("start_id")).distinct()
+      .select(col("start_id"),
+        explode(sequence(lit(0L), lit(nWalks - 1L))).as("walk_no"))
+    var frontier = starts
+      .select(col("start_id"), col("walk_no"),
+        col("start_id").as("node"))
+    var walks = frontier.select(col("start_id"), col("walk_no"),
+      lit(0L).as("step"), col("node"))
+    for (s <- 1 to walkLen) {
+      val stepped = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .withColumn("h", md5(concat_ws(":", col("start_id"),
+          col("walk_no"), lit(s.toLong), col("node"), col("dst"))))
+        .groupBy(col("start_id"), col("walk_no"))
+        .agg(min_by(col("dst"), struct(col("h"), col("dst")))
+          .as("node"))
+      frontier = stepped.localCheckpoint(true)
+      walks = walks.unionByName(frontier.select(col("start_id"),
+        col("walk_no"), lit(s.toLong).as("step"), col("node")))
+    }
+    walks.orderBy(col("start_id"), col("walk_no"), col("step"))
+  }
 }

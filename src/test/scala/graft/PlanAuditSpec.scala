@@ -68,7 +68,8 @@ class PlanAuditSpec extends SparkSpec {
     "g07_shared_neighbors", // rides s21's broadcast centroid-assign cross
     "s30_ivfpq_residual", // k01's broadcast(8 centroids) x corpus (coarse)
     "s31_residual_recall", // s01 exact side + s12/s30 centroid crosses
-    "p08_curated_corpus") // embeds t37's corpus-total + doc-count crosses
+    "p08_curated_corpus", // embeds t37's corpus-total + doc-count crosses
+    "g08_graph_walks") // rides s21's broadcast centroid-assign cross
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

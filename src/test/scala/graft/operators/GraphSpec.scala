@@ -216,6 +216,39 @@ class GraphSpec extends SparkSpec {
     assert(got == Map((1L, 2L) -> ((2L, 0.5)), (2L, 3L) -> ((1L, 0.25))))
   }
 
+  test("deterministic walks: valid edges, constant fan-out, rerun-stable") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val edges = graft.operators.Similarity.knnGraph(emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val nodes = edges.map(_._1)
+    def runOnce() = Graph.deterministicWalks(emb).collect()
+      .map(r => (r.getAs[Long]("start_id"), r.getAs[Long]("walk_no"),
+        r.getAs[Long]("step"), r.getAs[Long]("node")))
+    val w1 = runOnce()
+    // every start × walk emits exactly walkLen+1 = 4 steps (out-degree
+    // is k everywhere, so no walk dies early)
+    assert(w1.length == nodes.size * 2 * 4)
+    // step-0 node is the start; every later hop is a real kNN edge
+    val byWalk = w1.groupBy(t => (t._1, t._2))
+    byWalk.foreach { case ((start, _), steps) =>
+      val path = steps.sortBy(_._3).map(_._4)
+      assert(path.head == start)
+      path.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(edges((a, b)), s"walk used non-edge $a->$b")
+        case _ => ()
+      }
+    }
+    // seeded PRNG: a second run is bit-identical
+    assert(runOnce().toSeq.sorted == w1.toSeq.sorted)
+    // and the two walks from one start genuinely diverge somewhere
+    assert(byWalk.exists { case ((s, w), steps) =>
+      w == 1L && byWalk((s, 0L)).sortBy(_._3).map(_._4).toSeq !=
+        steps.sortBy(_._3).map(_._4).toSeq
+    }, "all walk pairs identical — the per-walk seed is not decorrelating")
+  }
+
   test("shared-neighbor links honor the minShared floor and a<b order") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Graph.sharedNeighborLinks(emb).collect()
