@@ -514,7 +514,13 @@ object SparkEntry {
       W.retentionCohorts(Tables.events(s, d))),
     // g08: deterministic DeepWalk corpus over the s21 kNN graph
     "g08_graph_walks" -> ((s, d) =>
-      graft.operators.Graph.deterministicWalks(Tables.embeddings(s, d)))
+      graft.operators.Graph.deterministicWalks(Tables.embeddings(s, d))),
+    // t39: C4's global repeated-span dedup at line grain
+    "t39_global_line_dedup" -> ((s, d) =>
+      T.globalLineDedup(Tables.documents(s, d))),
+    // p09: DSIR selection — the ranked manifest over t31's weights
+    "p09_dsir_select" -> ((s, d) =>
+      Sm.dsirSelect(Tables.documents(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -1686,6 +1692,30 @@ object SparkEntry {
           |       WHEN (ppl_rank - 1) * 3 < n * 2 THEN 'middle'
           |       ELSE 'tail' END AS ppl_bucket
           |FROM r ORDER BY doc_id""".stripMargin)
+
+  private val DsirWeightsOracle: String =
+    """WITH tok AS (SELECT doc_id, source,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok,
+        |  CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS tf_t,
+        |  CAST(SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS tf_r
+        |  FROM tok GROUP BY tok),
+        |tt AS (SELECT CAST(SUM(tf_t) AS BIGINT) AS n_t,
+        |  CAST(SUM(tf_r) AS BIGINT) AS n_r FROM f),
+        |b AS (SELECT t.doc_id, t.source,
+        |  (CAST(length(bin(f.tf_t + 1)) - 1 AS BIGINT)
+        |     - CAST(length(bin(tt.n_t)) - 1 AS BIGINT))
+        |  - (CAST(length(bin(f.tf_r + 1)) - 1 AS BIGINT)
+        |     - CAST(length(bin(tt.n_r)) - 1 AS BIGINT)) AS bits
+        | FROM tok t JOIN f USING (tok) CROSS JOIN tt)
+        |SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
+        |  CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mean_bits
+        |FROM b GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3531,29 +3561,7 @@ object SparkEntry {
       UnigramSurpriseOracle,
     // t31: whole-bit log-likelihood ratio (target LM vs rest LM, add-one
     // smoothed) — integer ilog2 in both engines, order-free bigint sums
-    "t31_dsir_weights" ->
-      """WITH tok AS (SELECT doc_id, source,
-        |  unnest(string_split_regex(trim(text), '\s+')) AS tok
-        |  FROM documents),
-        |f AS (SELECT tok,
-        |  CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS tf_t,
-        |  CAST(SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END)
-        |    AS BIGINT) AS tf_r
-        |  FROM tok GROUP BY tok),
-        |tt AS (SELECT CAST(SUM(tf_t) AS BIGINT) AS n_t,
-        |  CAST(SUM(tf_r) AS BIGINT) AS n_r FROM f),
-        |b AS (SELECT t.doc_id, t.source,
-        |  (CAST(length(bin(f.tf_t + 1)) - 1 AS BIGINT)
-        |     - CAST(length(bin(tt.n_t)) - 1 AS BIGINT))
-        |  - (CAST(length(bin(f.tf_r + 1)) - 1 AS BIGINT)
-        |     - CAST(length(bin(tt.n_r)) - 1 AS BIGINT)) AS bits
-        | FROM tok t JOIN f USING (tok) CROSS JOIN tt)
-        |SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
-        |  CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-        |    AS mean_bits
-        |FROM b GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
+    "t31_dsir_weights" -> DsirWeightsOracle,
     // chi-squared, not KL: its float ops are all IEEE exact-rounded
     // (x, /, -), so the identical expression tree gives identical bits;
     // each term quantized to 1e-6 before an order-free bigint sum
@@ -4766,6 +4774,32 @@ object SparkEntry {
         |    AS retention
         |FROM m JOIN cs ON m.cohort_day = cs.cohort_day
         |ORDER BY m.cohort_day, m.age_weeks""".stripMargin,
-    "g08_graph_walks" -> GraphWalksOracle
+    "g08_graph_walks" -> GraphWalksOracle,
+    // t39: keeper = order-free MIN over the encoded first-occurrence
+    // key, never a per-line window (hot boilerplate lines at scale)
+    "t39_global_line_dedup" ->
+      (s"WITH $PageLinesCtes,\n" +
+        """occ AS (SELECT doc_id, line_no, line,
+          |  doc_id * 2000000 + line_no AS occ FROM lines),
+          |kp AS (SELECT line, CAST(MIN(occ) AS BIGINT) AS first_occ
+          |  FROM occ GROUP BY line),
+          |sv AS (SELECT o.doc_id, o.line_no, o.line,
+          |  (o.occ = k.first_occ) AS survives
+          |  FROM occ o JOIN kp k ON o.line = k.line)
+          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+          |  CAST(SUM(CASE WHEN survives THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_kept,
+          |  CAST(COUNT(*) - SUM(CASE WHEN survives THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_dropped,
+          |  md5(COALESCE(string_agg(line, chr(10) ORDER BY line_no)
+          |    FILTER (WHERE survives), '')) AS clean_md5
+          |FROM sv GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // p09: t31's oracle nested; ranked cut (mean_bits desc, id)
+    "p09_dsir_select" ->
+      (s"WITH w AS (SELECT doc_id, source, n_tokens, mean_bits FROM (\n" +
+        s"$DsirWeightsOracle) xw)\n" +
+        """SELECT doc_id, source, n_tokens, mean_bits FROM w
+          |WHERE source <> 'src0'
+          |ORDER BY mean_bits DESC, doc_id LIMIT 100""".stripMargin)
   )
 }

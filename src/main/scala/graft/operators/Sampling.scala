@@ -380,4 +380,25 @@ object Sampling {
       .filter(col("rank") <= nPerLang)
       .orderBy(col("lang"), col("rank"))
   }
+
+  /** p09: DSIR data SELECTION (Xie et al. 2023's selection stage on
+    * top of t31's importance weights): from the non-target sources,
+    * the `n` documents whose token distribution most resembles the
+    * target domain — the highest log-likelihood-ratio docs, id
+    * tie-break. This is the "pick pretraining data that looks like
+    * the target" step; t31 computes the estimator, this materializes
+    * the chosen manifest (DSIR's hashed-ngram sampling reduces to a
+    * ranked cut when the selector is deterministic — the t23/t34
+    * exactness stance).
+    *
+    * Plan shape: t31's audited shuffles + a TakeOrderedAndProject
+    * top-n (per-partition top-n, driver merge of n rows) — no global
+    * sort materializes. */
+  def dsirSelect(documents: DataFrame, n: Int = 100): DataFrame =
+    TextAnalysis.dsirWeights(documents)
+      .filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("mean_bits"))
+      .orderBy(col("mean_bits").desc, col("doc_id"))
+      .limit(n)
 }

@@ -1445,6 +1445,42 @@ object TextAnalysis {
       (ellipsisFrac <= 0.3) && (alphaFrac >= 0.8) && (nStops >= 2L)
   }
 
+  /** t39: GLOBAL line-level deduplication (C4's "discard any
+    * three-sentence span seen before", Raffel et al. 2020 §2.2, at
+    * line grain over the page render): every distinct line keeps its
+    * FIRST occurrence corpus-wide — ordered by (doc_id, line_no) —
+    * and every other occurrence is dropped; the injected boilerplate
+    * extras (shared by ~¼ of docs each) are exactly the repeated-span
+    * population the rule exists for. Per doc: survival counts and the
+    * md5 of the surviving text, since reassembly is again where the
+    * operator can silently break.
+    *
+    * Determinism + scale: the keeper is min(doc_id·2000000 + line_no)
+    * per line — an order-free partial-aggregating MIN on an encoded
+    * key (line_no < 2e6 by construction), NOT a per-line row_number
+    * window: a hot boilerplate line's occurrences form one window
+    * partition at web scale, while the MIN combines map-side. One
+    * line-keyed shuffle + one doc-keyed aggregate. */
+  def globalLineDedup(documents: DataFrame): DataFrame = {
+    val lines = syntheticLines(documents)
+      .withColumn("occ", col("doc_id") * 2000000L + col("line_no"))
+    val keeper = lines.groupBy(col("line"))
+      .agg(min(col("occ")).as("first_occ"))
+    lines.join(keeper, "line")
+      .withColumn("survives", col("occ") === col("first_occ"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("survives"), 1L).otherwise(0L)).as("n_kept"),
+        sort_array(collect_list(
+          when(col("survives"), struct(col("line_no"), col("line")))))
+          .as("kept"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        (col("n_lines") - col("n_kept")).as("n_dropped"),
+        md5(array_join(transform(col("kept"),
+          x => x.getField("line")), "\n")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** p08: the curated-corpus disposition table — the three round-13
     * gates composed in the order a modern pretraining pipeline runs
     * them (RefinedWeb/FineWeb shape): structural quality first

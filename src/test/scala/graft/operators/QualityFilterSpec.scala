@@ -146,6 +146,30 @@ class QualityFilterSpec extends SparkSpec {
     }
   }
 
+  test("globalLineDedup: duplicate doc loses every line to the first") {
+    import spark.implicits._
+    // 420 = lcm(3,4,5,7): identical text AND identical decoration +
+    // extras as doc 0, so its whole render collides byte-for-byte.
+    // The control doc is 9, not 8: 8 % 4 == 0 would share doc 0's
+    // boilerplate extra and (correctly) lose that one line.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (420L, "alpha beta gamma delta epsilon zeta"),
+      (9L, "totally different words entirely here now")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.globalLineDedup(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 0 keeps everything; doc 420's render is byte-identical so
+    // every line defers to doc 0's first occurrence
+    assert(out(0L).getAs[Long]("n_kept") == out(0L).getAs[Long]("n_lines"))
+    assert(out(420L).getAs[Long]("n_kept") == 0L)
+    assert(out(420L).getAs[Long]("n_dropped") ==
+      out(420L).getAs[Long]("n_lines"))
+    assert(out(420L).getAs[String]("clean_md5") ==
+      "d41d8cd98f00b204e9800998ecf8427e")
+    assert(out(9L).getAs[Long]("n_kept") == out(9L).getAs[Long]("n_lines"))
+  }
+
   private object Tables {
     /** A small surprise-diverse corpus: repeated common words vs rare. */
     def documentsLike(s: org.apache.spark.sql.SparkSession): DataFrame = {

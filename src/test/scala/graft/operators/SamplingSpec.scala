@@ -203,3 +203,24 @@ class SamplingSpec extends SparkSpec {
     assert(keyOf.nonEmpty)
   }
 }
+
+class DsirSelectSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("dsirSelect: target excluded, ranked cut, weight order holds") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Sampling.dsirSelect(docs, n = 50).collect()
+    assert(out.length == 50)
+    assert(out.forall(_.getAs[String]("source") != "src0"))
+    val bits = out.map(_.getAs[Double]("mean_bits"))
+    assert(bits.zip(bits.tail).forall { case (a, b) => a >= b })
+    // the cut is the true top-50: nothing outside beats the floor
+    val floor = bits.last
+    val picked = out.map(_.getAs[Long]("doc_id")).toSet
+    val better = graft.operators.TextAnalysis.dsirWeights(docs)
+      .filter(col("source") =!= "src0")
+      .filter(col("mean_bits") > floor)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(better.subsetOf(picked))
+  }
+}
