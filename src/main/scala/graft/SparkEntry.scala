@@ -520,7 +520,13 @@ object SparkEntry {
       T.globalLineDedup(Tables.documents(s, d))),
     // p09: DSIR selection — the ranked manifest over t31's weights
     "p09_dsir_select" -> ((s, d) =>
-      Sm.dsirSelect(Tables.documents(s, d)))
+      Sm.dsirSelect(Tables.documents(s, d))),
+    // s32: OPQ-lite variance-balanced permutation under flat PQ
+    "s32_opq_pq_topk" -> ((s, d) =>
+      S.opqPqTopK(Tables.embeddings(s, d))),
+    // s33: raw-order vs OPQ-permuted PQ recall at equal budget
+    "s33_opq_recall" -> ((s, d) =>
+      S.opqRecall(Tables.embeddings(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -1716,6 +1722,58 @@ object SparkEntry {
         |  CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
         |    AS mean_bits
         |FROM b GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
+
+  /** s32/s33: the OPQ-lite permutation CTEs (variance rank via the
+    * same integer-micro sums, snake deal, per-vector rebuild), then
+    * [[PqAdcOracle]] re-pointed at the permuted frame by text surgery
+    * (the s30 discipline — the chains cannot drift). */
+  private val OpqPermCtes: String =
+    """exo AS (SELECT vec_id, i - 1 AS dim, embedding[i] AS v,
+      |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+      |    AS micro
+      |  FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+      |vst AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(micro) AS BIGINT) AS s,
+      |  CAST(SUM(micro * micro) AS BIGINT) AS sq
+      |  FROM exo GROUP BY dim),
+      |vsc AS (SELECT dim,
+      |  CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+      |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) AS vscore FROM vst),
+      |vrk AS (SELECT dim,
+      |  row_number() OVER (ORDER BY vscore DESC, dim) - 1 AS r0
+      |  FROM vsc),
+      |vmp AS (SELECT dim,
+      |  (CASE WHEN (r0 // 4) % 2 = 0 THEN r0 % 4
+      |    ELSE 3 - (r0 % 4) END) * 16 + (r0 // 4) AS newdim FROM vrk),
+      |perm AS (SELECT vec_id, list(v ORDER BY newdim) AS embedding
+      |  FROM exo JOIN vmp ON exo.dim = vmp.dim GROUP BY vec_id)"""
+      .stripMargin
+
+  private val OpqPqOracle: String = {
+    val body = PqAdcOracle.stripPrefix("WITH ")
+      .replace("FROM embeddings)", "FROM perm)")
+    require(body.contains("FROM perm)"),
+      "PqAdcOracle drifted: opq rewrite anchor missing")
+    s"WITH $OpqPermCtes,\n" + body
+  }
+
+  private val OpqRecallOracle: String =
+    s"""WITH tiers AS (SELECT 'pq_opq' AS tier UNION ALL
+      |  SELECT 'pq_raw' AS tier),
+      |ap AS (
+      |  SELECT 'pq_raw' AS tier, query_id, neighbor_id
+      |    FROM ($PqAdcOracle) px
+      |  UNION ALL
+      |  SELECT 'pq_opq' AS tier, query_id, neighbor_id
+      |    FROM ($OpqPqOracle) ox),
+      |ex AS (SELECT t.tier, b.query_id, b.neighbor_id
+      |  FROM ($BruteTopKOracle) b CROSS JOIN tiers t)
+      |SELECT e.tier, e.query_id, count(a.neighbor_id) AS n_hits,
+      |  CAST(count(a.neighbor_id) AS DOUBLE) / 10.0 AS recall
+      |FROM ex e LEFT JOIN ap a ON e.tier = a.tier
+      |  AND e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      |GROUP BY e.tier, e.query_id
+      |ORDER BY e.tier, e.query_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4800,6 +4858,8 @@ object SparkEntry {
         s"$DsirWeightsOracle) xw)\n" +
         """SELECT doc_id, source, n_tokens, mean_bits FROM w
           |WHERE source <> 'src0'
-          |ORDER BY mean_bits DESC, doc_id LIMIT 100""".stripMargin)
+          |ORDER BY mean_bits DESC, doc_id LIMIT 100""".stripMargin),
+    "s32_opq_pq_topk" -> OpqPqOracle,
+    "s33_opq_recall" -> OpqRecallOracle
   )
 }

@@ -69,7 +69,9 @@ class PlanAuditSpec extends SparkSpec {
     "s30_ivfpq_residual", // k01's broadcast(8 centroids) x corpus (coarse)
     "s31_residual_recall", // s01 exact side + s12/s30 centroid crosses
     "p08_curated_corpus", // embeds t37's corpus-total + doc-count crosses
-    "g08_graph_walks") // rides s21's broadcast centroid-assign cross
+    "g08_graph_walks", // rides s21's broadcast centroid-assign cross
+    "s33_opq_recall", // s01 exact side's broadcast(5 queries) x corpus
+    "p09_dsir_select") // embeds t31's ONE-row totals broadcast cross
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

