@@ -526,7 +526,10 @@ object SparkEntry {
       S.opqPqTopK(Tables.embeddings(s, d))),
     // s33: raw-order vs OPQ-permuted PQ recall at equal budget
     "s33_opq_recall" -> ((s, d) =>
-      S.opqRecall(Tables.embeddings(s, d)))
+      S.opqRecall(Tables.embeddings(s, d))),
+    // k04: seed-stability Rand index over the K x K contingency
+    "k04_cluster_agreement" -> ((s, d) =>
+      graft.operators.Clustering.clusterAgreement(Tables.embeddings(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -4860,6 +4863,33 @@ object SparkEntry {
           |WHERE source <> 'src0'
           |ORDER BY mean_bits DESC, doc_id LIMIT 100""".stripMargin),
     "s32_opq_pq_topk" -> OpqPqOracle,
-    "s33_opq_recall" -> OpqRecallOracle
+    "s33_opq_recall" -> OpqRecallOracle,
+    // k04: both trainings nested as scoped-WITH subqueries (the s13
+    // precedent — CTE names never collide); Rand terms are exact longs
+    "k04_cluster_agreement" ->
+      (s"""WITH aa AS (SELECT vec_id, cluster_id AS cluster_a FROM (
+         |WITH $IvfTrainCtes
+         |SELECT vec_id, cluster_id FROM a2) xa),
+         |bb AS (SELECT vec_id, cluster_id AS cluster_b FROM (
+         |WITH ${IvfTrainCtes.replace("WHERE vec_id < 8",
+             "WHERE vec_id >= 8 AND vec_id < 16")}
+         |SELECT vec_id, cluster_id FROM a2) xb),""".stripMargin + "\n" +
+        """ct AS (SELECT cluster_a, cluster_b,
+          |  CAST(COUNT(*) AS BIGINT) AS n_ab
+          |  FROM aa JOIN bb ON aa.vec_id = bb.vec_id GROUP BY 1, 2),
+          |mj AS (SELECT CAST(SUM(n_ab * (n_ab - 1) // 2) AS BIGINT)
+          |  AS same_both FROM ct),
+          |ma AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS same_a
+          |  FROM (SELECT COUNT(*) AS n FROM aa GROUP BY cluster_a)),
+          |mb AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS same_b
+          |  FROM (SELECT COUNT(*) AS n FROM bb GROUP BY cluster_b)),
+          |nn AS (SELECT CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT)
+          |  AS pairs FROM aa),
+          |mt AS (SELECT CAST(pairs + 2 * same_both - same_a - same_b
+          |    AS DOUBLE) / CAST(pairs AS DOUBLE) AS rand_index
+          |  FROM nn CROSS JOIN mj CROSS JOIN ma CROSS JOIN mb)
+          |SELECT ct.cluster_a, ct.cluster_b, ct.n_ab, mt.rand_index
+          |FROM ct CROSS JOIN mt
+          |ORDER BY ct.cluster_a, ct.cluster_b""".stripMargin)
   )
 }

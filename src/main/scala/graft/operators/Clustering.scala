@@ -170,12 +170,21 @@ object Clustering {
     * the query-side filter pushes below the aggregate and breaks
     * subtree identity). Collecting K rows is the broadcast-prep
     * pattern, not a driver-side data loop. */
-  def trainedCentroidsLocal(embeddings: DataFrame, k: Int = 8): DataFrame = {
+  def trainedCentroidsLocal(embeddings: DataFrame, k: Int = 8): DataFrame =
+    trainedCentroidsSeeded(embeddings, k, 0L)
+
+  /** [[trainedCentroidsLocal]] with the seed window shifted: initial
+    * centroids are the vectors with `seedFrom <= vec_id < seedFrom+k`
+    * (cluster ids = the seed vec_ids). Two seedings of the same
+    * trainer are what [[clusterAgreement]] compares. */
+  def trainedCentroidsSeeded(embeddings: DataFrame, k: Int,
+      seedFrom: Long): DataFrame = {
     val vectors = embeddings
       .select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("vnorm2",
         graft.functions.VectorOps.dot(col("emb"), col("emb")))
-    val init = embeddings.filter(col("vec_id") < k)
+    val init = embeddings
+      .filter(col("vec_id") >= seedFrom && col("vec_id") < seedFrom + k)
       .select(col("vec_id").as("cluster_id"),
         col("embedding").as("cemb"))
       .withColumn("cnorm2",
@@ -184,5 +193,54 @@ object Clustering {
     val spark = embeddings.sparkSession
     spark.createDataFrame(
       java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+  }
+
+  /** k04: clustering STABILITY — the Rand index between two runs of
+    * the same trainer seeded differently (seeds 0..k-1 vs k..2k-1),
+    * over the full K×K contingency table. The model-selection eval
+    * k02/k03 don't cover: inertia says how tight the clusters are,
+    * agreement says whether they are REAL (seed-invariant structure)
+    * or seeding artifacts — the check that gates trusting the coarse
+    * quantizer's cells as dedup/serving blocks (d15, s08+). Rand =
+    * (agreeing pairs)/(all pairs) with agree = C(n,2) + 2·Σ C(n_ij,2)
+    * − Σ C(n_i·,2) − Σ C(n_·j,2) — every term an exact long (pair
+    * counts < 2⁵³ up to ~10⁸ rows; beyond that the counts go
+    * DECIMAL(38,0)), ONE double division at the end.
+    *
+    * Plan shape: two broadcast-assign passes over the corpus (each
+    * k01's audited shape), a vec-keyed join, a (cluster_a, cluster_b)
+    * aggregate to the K² contingency, and model-scale marginal sums;
+    * the metrics frame is ONE row, broadcast-crossed back onto the
+    * contingency rows. */
+  def clusterAgreement(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val vectors = embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2",
+        graft.functions.VectorOps.dot(col("emb"), col("emb")))
+    val ca = assign(vectors, trainedCentroidsSeeded(embeddings, k, 0L))
+      .select(col("vec_id"), col("cluster_id").as("cluster_a"))
+    val cb = assign(vectors,
+      trainedCentroidsSeeded(embeddings, k, k.toLong))
+      .select(col("vec_id"), col("cluster_id").as("cluster_b"))
+    val cont = ca.join(cb, "vec_id")
+      .groupBy(col("cluster_a"), col("cluster_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val sameBoth = cont
+      .agg(sum(expr("n_ab * (n_ab - 1) div 2")).as("same_both"))
+    val sameA = ca.groupBy(col("cluster_a")).agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2")).as("same_a"))
+    val sameB = cb.groupBy(col("cluster_b")).agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2")).as("same_b"))
+    val total = ca.agg(count(lit(1)).as("n"))
+      .select(expr("n * (n - 1) div 2").as("pairs"))
+    val metrics = total.crossJoin(broadcast(sameBoth))
+      .crossJoin(broadcast(sameA)).crossJoin(broadcast(sameB))
+      .select(((col("pairs") + lit(2L) * col("same_both") -
+        col("same_a") - col("same_b")).cast("double") /
+        col("pairs").cast("double")).as("rand_index"))
+    cont.crossJoin(broadcast(metrics))
+      .select(col("cluster_a"), col("cluster_b"), col("n_ab"),
+        col("rand_index"))
+      .orderBy(col("cluster_a"), col("cluster_b"))
   }
 }

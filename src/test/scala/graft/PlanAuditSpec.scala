@@ -71,7 +71,8 @@ class PlanAuditSpec extends SparkSpec {
     "p08_curated_corpus", // embeds t37's corpus-total + doc-count crosses
     "g08_graph_walks", // rides s21's broadcast centroid-assign cross
     "s33_opq_recall", // s01 exact side's broadcast(5 queries) x corpus
-    "p09_dsir_select") // embeds t31's ONE-row totals broadcast cross
+    "p09_dsir_select", // embeds t31's ONE-row totals broadcast cross
+    "k04_cluster_agreement") // two k01 centroid crosses + 1-row metric crosses
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -57,4 +57,32 @@ class ClusteringSpec extends SparkSpec {
     assert(inertias.last < inertias.head)
     assert(rows.forall(_._4 > 0.0))
   }
+
+  test("clusterAgreement: separated clusters agree across seedings") {
+    import spark.implicits._
+    // two tight, well-separated blobs; k=2 with seeds {0,1} vs {2,3}
+    // lands one seed in each blob both times → identical partition,
+    // Rand index exactly 1.0
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.98f, 0.02f)), (3L, Array(0.02f, 0.98f)),
+      (4L, Array(0.99f, 0.01f)), (5L, Array(0.01f, 0.99f)),
+      (6L, Array(0.97f, 0.03f)), (7L, Array(0.03f, 0.97f))
+    ).map { case (i, v) => (i, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val out = Clustering.clusterAgreement(emb, k = 2).collect()
+    assert(out.forall(_.getAs[Double]("rand_index") == 1.0))
+    // contingency: every A-cluster maps to exactly one B-cluster
+    val byA = out.groupBy(_.getAs[Long]("cluster_a"))
+    assert(byA.values.forall(_.length == 1))
+    assert(out.map(_.getAs[Long]("n_ab")).sum == 8L)
+  }
+
+  test("clusterAgreement on the fixture: sane bounds, full coverage") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Clustering.clusterAgreement(emb).collect()
+    val rand = out.head.getAs[Double]("rand_index")
+    assert(rand > 0.5 && rand <= 1.0, s"rand=$rand")
+    assert(out.map(_.getAs[Long]("n_ab")).sum == emb.count())
+  }
 }
