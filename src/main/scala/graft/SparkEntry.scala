@@ -529,7 +529,11 @@ object SparkEntry {
       S.opqRecall(Tables.embeddings(s, d))),
     // k04: seed-stability Rand index over the K x K contingency
     "k04_cluster_agreement" -> ((s, d) =>
-      graft.operators.Clustering.clusterAgreement(Tables.embeddings(s, d)))
+      graft.operators.Clustering.clusterAgreement(Tables.embeddings(s, d))),
+    // t40: per-benchmark-item leakage report (p02 from the eval side)
+    "t40_contamination_report" -> ((s, d) =>
+      T.contaminationReport(Tables.documents(s, d),
+        org.apache.spark.sql.functions.col("doc_id") % 100 === 0))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -4890,6 +4894,39 @@ object SparkEntry {
           |  FROM nn CROSS JOIN mj CROSS JOIN ma CROSS JOIN mb)
           |SELECT ct.cluster_a, ct.cluster_b, ct.n_ab, mt.rand_index
           |FROM ct CROSS JOIN mt
-          |ORDER BY ct.cluster_a, ct.cluster_b""".stripMargin)
+          |ORDER BY ct.cluster_a, ct.cluster_b""".stripMargin),
+    // t40: capped postings (the d14 stance — oracle applies the same
+    // production cap); leak face vs distinct train shingles, breadth
+    // face via the bipartite postings join
+    "t40_contamination_report" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(range(0, len(toks)-2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |df AS (SELECT shingle, COUNT(*) AS df FROM e GROUP BY shingle),
+        |p AS (SELECT e.doc_id, e.shingle FROM e
+        |  JOIN df ON e.shingle = df.shingle WHERE df.df <= 1000),
+        |b AS (SELECT doc_id, shingle FROM p WHERE doc_id % 100 = 0),
+        |tr AS (SELECT doc_id, shingle FROM p WHERE doc_id % 100 <> 0),
+        |ts AS (SELECT DISTINCT shingle FROM tr),
+        |lk AS (SELECT b.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bench_shingles,
+        |  CAST(SUM(CASE WHEN ts.shingle IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_leaked_shingles
+        |  FROM b LEFT JOIN ts ON b.shingle = ts.shingle
+        |  GROUP BY b.doc_id),
+        |pc AS (SELECT b.doc_id,
+        |  CAST(COUNT(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs
+        |  FROM b JOIN tr ON b.shingle = tr.shingle GROUP BY b.doc_id)
+        |SELECT lk.doc_id, lk.n_bench_shingles, lk.n_leaked_shingles,
+        |  CAST(n_leaked_shingles AS DOUBLE)
+        |    / CAST(n_bench_shingles AS DOUBLE) AS leak_frac,
+        |  CAST(COALESCE(pc.n_train_docs, 0) AS BIGINT) AS n_train_docs
+        |FROM lk LEFT JOIN pc ON lk.doc_id = pc.doc_id
+        |ORDER BY lk.doc_id""".stripMargin
   )
 }

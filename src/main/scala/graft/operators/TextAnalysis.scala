@@ -298,6 +298,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t40: the per-BENCHMARK leakage report — [[contaminationScores]]
+    * aggregated from the benchmark's side: for each benchmark item,
+    * how much of it leaked (fraction of its shingles appearing in any
+    * training doc) and how widely (distinct training docs sharing a
+    * shingle). p02 answers "which training docs must go"; this
+    * answers "which EVAL items are burned and by how much" — the view
+    * an eval-integrity review actually reads, since a benchmark item
+    * with leak_frac ≈ 1 is dead even after p02 removes the leakers
+    * (the model family may have trained on it elsewhere).
+    *
+    * Plan shape: the leak-fraction face joins bench postings against
+    * the DISTINCT train-shingle set (shingle-keyed, no pair blowup);
+    * the breadth face is the bipartite postings join, bounded by the
+    * posting cap (production default ON — the d14 stance: the oracle
+    * applies the identical cap, so the path users run is the path
+    * verified). */
+  def contaminationReport(documents: DataFrame, benchPredicate: Column,
+      n: Int = 3,
+      maxDocFreq: Option[Int] = Some(Dedup.DefaultMaxDocFreq))
+      : DataFrame = {
+    val post = Dedup.shinglePostings(documents, n, maxDocFreq)
+    val bench = post.filter(benchPredicate)
+    val train = post.filter(!benchPredicate)
+    val trainShingles = train.select(col("shingle")).distinct()
+      .withColumn("leaked", lit(true))
+    val leakCounts = bench.join(trainShingles, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench_shingles"),
+        count(col("leaked")).as("n_leaked_shingles"))
+    val pairCounts = bench.select(col("doc_id"), col("shingle"))
+      .join(train.select(col("doc_id").as("train_doc"), col("shingle")),
+        "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("train_doc")).as("n_train_docs"))
+    leakCounts.join(pairCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bench_shingles"),
+        col("n_leaked_shingles"),
+        (col("n_leaked_shingles").cast("double") /
+          col("n_bench_shingles").cast("double")).as("leak_frac"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** p05: FUZZY benchmark decontamination — MinHash-LSH collision
     * against the benchmark set, the paraphrase-level complement of
     * [[contaminationScores]] (p02 catches verbatim n-gram overlap; a

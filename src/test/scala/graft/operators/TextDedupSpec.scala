@@ -58,6 +58,28 @@ class TextDedupSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("kept_doc_id")).toSeq == Seq(0L, 1L))
   }
 
+  test("contaminationReport: per-benchmark leak fraction and breadth") {
+    import spark.implicits._
+    // doc 0 is the benchmark item (0 % 100 == 0); its first 3-gram
+    // appears verbatim in train docs 1 and 2, its tail nowhere
+    val docs = Seq(
+      (0L, "alpha beta gamma unique1 unique2 unique3"),
+      (1L, "alpha beta gamma other words here"),
+      (2L, "prefix alpha beta gamma suffix tokens"),
+      (3L, "completely unrelated training content")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationReport(docs,
+      col("doc_id") % 100 === 0).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // doc 0 has 4 distinct 3-gram shingles; only 'alpha beta gamma'
+    // leaks; it appears in 2 distinct train docs
+    assert(r.getAs[Long]("n_bench_shingles") == 4L)
+    assert(r.getAs[Long]("n_leaked_shingles") == 1L)
+    assert(r.getAs[Double]("leak_frac") == 0.25)
+    assert(r.getAs[Long]("n_train_docs") == 2L)
+  }
+
   test("ppjoinPairs: prefix filtering is COMPLETE — equals d02 uncapped") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
