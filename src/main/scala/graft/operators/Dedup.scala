@@ -642,7 +642,12 @@ object Dedup {
   def ppjoinPairs(documents: DataFrame, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val post = shinglePostings(documents, n, None)
+    // referenced 5x (df count, sizes, rank, both verify sides) — the
+    // checkpoint trades one postings materialization for five shingle
+    // explodes; measured NEUTRAL at sf0.1 (the explode is not the
+    // dominant stage — the rank/verify shuffles are), kept for the
+    // lineage fan-out
+    val post = shinglePostings(documents, n, None).localCheckpoint(true)
     val dfreq = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val ranked = post.join(dfreq, "shingle")

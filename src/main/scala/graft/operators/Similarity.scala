@@ -1712,7 +1712,9 @@ object Similarity {
     val tiers = embeddings.sparkSession.range(0, 2)
       .select(element_at(array(lit("pq_opq"), lit("pq_raw")),
         col("id").cast("int") + 1).as("tier"))
-    val approx = pqTopK(embeddings, nQueries = nQueries, topK = k)
+    // raw tier through the CACHED serving form (rows identical to
+    // s11 — the s13 rerouting precedent)
+    val approx = pqTopKServe(embeddings, nQueries = nQueries, topK = k)
       .select(lit("pq_raw").as("tier"), col("query_id"),
         col("neighbor_id"))
       .unionByName(opqPqTopK(embeddings, nQueries = nQueries, topK = k)
@@ -1746,7 +1748,11 @@ object Similarity {
       .select(element_at(
         array(lit("ivfpq_raw"), lit("ivfpq_residual")),
         col("id").cast("int") + 1).as("tier"))
-    val approx = ivfPqTopK(embeddings, nQueries = nQueries, topK = k)
+    // raw tier through the CACHED serving form — rows identical to
+    // s12 by construction (s15's oracle/spec contract), and the
+    // session artifact cache pays coarse+PQ training once
+    val approx = ivfPqTopKServe(embeddings, nQueries = nQueries,
+        topK = k)
       .select(lit("ivfpq_raw").as("tier"), col("query_id"),
         col("neighbor_id"))
       .unionByName(ivfPqResidualTopK(embeddings, nQueries = nQueries,
