@@ -533,7 +533,13 @@ object SparkEntry {
     // t40: per-benchmark-item leakage report (p02 from the eval side)
     "t40_contamination_report" -> ((s, d) =>
       T.contaminationReport(Tables.documents(s, d),
-        org.apache.spark.sql.functions.col("doc_id") % 100 === 0))
+        org.apache.spark.sql.functions.col("doc_id") % 100 === 0)),
+    // t41: mojibake detect + repair (ftfy-lite) over injected damage
+    "t41_mojibake_repair" -> ((s, d) =>
+      T.mojibakeRepair(Tables.documents(s, d))),
+    // s34: binary sign-bit codes, popcount(xor) ranking
+    "s34_hamming_topk" -> ((s, d) =>
+      S.hammingTopK(Tables.embeddings(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -1781,6 +1787,67 @@ object SparkEntry {
       |  AND e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
       |GROUP BY e.tier, e.query_id
       |ORDER BY e.tier, e.query_id""".stripMargin
+
+  /** t41: oracle assembled FROM the Scala-side map and injection vals
+    * so the byte sequences can never drift between engines. */
+  private lazy val MojibakeOracle: String = {
+    val m = graft.operators.TextAnalysis.MojibakeMap
+    val ia = graft.operators.TextAnalysis.MojiInjectA
+    val ib = graft.operators.TextAnalysis.MojiInjectB
+    val counts = m.map { case (pat, _) =>
+      s"(length(raw) - length(replace(raw, '$pat', ''))) // ${pat.length}"
+    }.mkString(" + ")
+    val fixed = m.foldLeft("raw") { case (inner, (pat, rep)) =>
+      s"replace($inner, '$pat', '$rep')"
+    }
+    s"""WITH r AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN text || '$ia'
+       |       WHEN doc_id % 3 = 1 THEN text || '$ib'
+       |       ELSE text END AS raw FROM documents),
+       |f AS (SELECT doc_id, raw,
+       |  CAST($counts AS BIGINT) AS n_mojibake,
+       |  $fixed AS fixed FROM r)
+       |SELECT doc_id, n_mojibake,
+       |  CAST(length(raw) AS BIGINT) AS raw_len,
+       |  CAST(length(fixed) AS BIGINT) AS fixed_len,
+       |  (length(raw) <> length(fixed)) AS changed,
+       |  md5(fixed) AS fixed_md5
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** s34: s03's plane/projection CTEs at 16 bits, packed to a BIGINT,
+    * xor+bit_count ranking with the (distance asc, id asc) order. */
+  private val HammingOracle: String =
+    """WITH c1 AS (SELECT vec_id, embedding,
+      |  unnest(range(0, len(embedding))) AS i FROM embeddings),
+      |c2 AS (SELECT vec_id, CAST(i AS INT) AS i, embedding[i+1] AS v
+      |  FROM c1),
+      |planes AS (SELECT a.i, b.j,
+      |  CASE WHEN (strpos('0123456789abcdef',
+      |    substr(md5(a.i || ':' || b.j), 1, 1)) - 1) % 2 = 1
+      |  THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(range(0, 4096)) AS i) a
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS j) b),
+      |proj AS (SELECT c2.vec_id, p.j,
+      |  SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) * p.s)
+      |    AS pr
+      |  FROM c2 JOIN planes p ON c2.i = p.i GROUP BY 1, 2),
+      |codes AS (SELECT vec_id,
+      |  CAST(SUM(CASE WHEN pr > 0
+      |    THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |    AS code
+      |  FROM proj GROUP BY vec_id),
+      |q AS (SELECT vec_id AS query_id, code AS qcode FROM codes
+      |  WHERE vec_id < 5),
+      |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+      |  CAST(bit_count(xor(c.code, q.qcode)) AS BIGINT) AS hamming
+      |  FROM codes c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+      |r AS (SELECT query_id, neighbor_id, hamming,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY hamming ASC, neighbor_id ASC) AS BIGINT) AS rank
+      |  FROM sc)
+      |SELECT query_id, neighbor_id, hamming, rank FROM r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4927,6 +4994,8 @@ object SparkEntry {
         |    / CAST(n_bench_shingles AS DOUBLE) AS leak_frac,
         |  CAST(COALESCE(pc.n_train_docs, 0) AS BIGINT) AS n_train_docs
         |FROM lk LEFT JOIN pc ON lk.doc_id = pc.doc_id
-        |ORDER BY lk.doc_id""".stripMargin
+        |ORDER BY lk.doc_id""".stripMargin,
+    "t41_mojibake_repair" -> MojibakeOracle,
+    "s34_hamming_topk" -> HammingOracle
   )
 }

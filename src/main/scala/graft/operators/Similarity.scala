@@ -1733,6 +1733,49 @@ object Similarity {
       .orderBy(col("tier"), col("query_id"))
   }
 
+  /** s34: BINARY-code Hamming top-k (FAISS IndexBinaryFlat): each
+    * vector compresses to `nBits` sign bits of the deterministic
+    * hyperplane projections (s03's machinery, packed into one BIGINT
+    * instead of a bucket string), and ranking is popcount(xor) — the
+    * cheapest ANN tier there is: 16 bits/vector here vs 32 bytes for
+    * s22's SQ8 or 4 codes for PQ, with integer-exact distances so the
+    * ranking is bitwise deterministic. Production uses 256-1024 bits
+    * and rejects-then-reranks (the s10 shape); the oracle-checkable
+    * 16-bit form keeps the semantics while the packing generalizes to
+    * an array of longs.
+    *
+    * Plan shape: one explode ⋈ broadcast(planes) shuffle builds every
+    * code (s03's shape); queries broadcast; distance is ONE codegen'd
+    * xor+popcount per candidate — no arrays touched at scan time —
+    * then the bounded TopKByScore. At rest codes are an 8-byte
+    * column; a billion vectors fit in 8 GB. */
+  def hammingTopK(embeddings: DataFrame, nBits: Int = 16,
+      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    require(nBits <= 52, s"codes pack via exact double pow2: $nBits")
+    val comps = embeddings
+      .select(col("vec_id"), posexplode(col("embedding"))
+        .as(Seq("i", "v")))
+    val codes = comps
+      .join(broadcast(hyperplanes(embeddings.sparkSession, nBits)), "i")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(floor(col("v").cast("double") * 1000000).cast("long") *
+        col("s")).as("p"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("p") > 0,
+        expr("CAST(power(2, j) AS BIGINT)")).otherwise(0L)).as("code"))
+    val queries = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+    val scored = codes
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("hamming", expr("bit_count(code ^ qcode)"))
+    topKByQuery(scored.withColumn("neg_h",
+        (lit(0L) - col("hamming")).cast("double")), "neg_h", k)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(0.0) - col("neg_h")).cast("long").as("hamming"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** s31: recall@k of raw-PQ vs residual-PQ IVF tiers against the s01
     * exact ground truth — the measurement that justifies (or refutes)
     * s30's extra centroid join: same coarse quantizer, same m×k code

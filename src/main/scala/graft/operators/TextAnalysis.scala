@@ -1524,6 +1524,63 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The ftfy-style mojibake repair map (UTF-8 read as Latin-1 —
+    * public knowledge): each pair is (damage, repair). Includes one
+    * pattern the injected corpus never contains (Ã¤ → ä) so the
+    * repair pass is proven no-op-safe on clean text. */
+  val MojibakeMap: Seq[(String, String)] = Seq(
+    ("\u00c3\u00a9", "\u00e9"), // C3/A9 pair -> e-acute
+    ("\u00c3\u00bc", "\u00fc"), // C3/BC pair -> u-umlaut
+    ("\u00e2\u20ac\u2122", "\u2019"), // E2/20AC/2122 -> right quote
+    ("\u00c3\u00a4", "\u00e4")) // C3/A4 pair -> a-umlaut (never injected)
+
+  /** The two injected damage suffixes, shared verbatim with the
+    * DuckDB oracle so the byte sequences can never drift. */
+  val MojiInjectA: String = " caf\u00c3\u00a9 men\u00c3\u00bc"
+  val MojiInjectB: String = " don\u00e2\u20ac\u2122t worry"
+
+  /** t41: encoding-damage (mojibake) detection and repair — the
+    * ftfy-lite cleaning pass a web corpus needs before tokenization:
+    * UTF-8 bytes decoded as Latin-1 leave signatures (Ã©, â€™) that
+    * poison vocabulary and dedup alike. The fixture text is clean
+    * ASCII, so damage is INJECTED deterministically (the t06/t13
+    * discipline): doc_id % 3 picks a damaged suffix; % 3 == 2 stays
+    * clean — the repair must prove itself a no-op there.
+    *
+    * Detection counts occurrences per pattern via the replace
+    * length-delta (literal, division by the pattern length); repair
+    * is the nested literal replace chain in MAP ORDER (longest
+    * patterns are disjoint from the 2-char ones here, so order only
+    * matters for determinism, which the fixed chain provides). Pure
+    * scan-stage string work, no shuffle but the presentation sort. */
+  def mojibakeRepair(documents: DataFrame): DataFrame = {
+    val raw = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(MojiInjectA)))
+      .when(col("doc_id") % 3 === 1,
+        concat(col("text"), lit(MojiInjectB)))
+      .otherwise(col("text"))
+    val counts = MojibakeMap.map { case (pat, _) =>
+      ((length(col("raw")) -
+        length(expr(s"replace(raw, '$pat', '')"))) / pat.length)
+        .cast("long")
+    }
+    val fixed = expr(MojibakeMap.foldLeft("raw") {
+      case (inner, (pat, rep)) => s"replace($inner, '$pat', '$rep')"
+    })
+    documents
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        counts.reduce(_ + _).as("n_mojibake"),
+        length(col("raw")).as("raw_len"),
+        fixed.as("fixed"))
+      .select(col("doc_id"), col("n_mojibake"),
+        col("raw_len").cast("long").as("raw_len"),
+        length(col("fixed")).cast("long").as("fixed_len"),
+        (col("raw_len") =!= length(col("fixed"))).as("changed"),
+        md5(col("fixed")).as("fixed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** p08: the curated-corpus disposition table — the three round-13
     * gates composed in the order a modern pretraining pipeline runs
     * them (RefinedWeb/FineWeb shape): structural quality first

@@ -72,7 +72,8 @@ class PlanAuditSpec extends SparkSpec {
     "g08_graph_walks", // rides s21's broadcast centroid-assign cross
     "s33_opq_recall", // s01 exact side's broadcast(5 queries) x corpus
     "p09_dsir_select", // embeds t31's ONE-row totals broadcast cross
-    "k04_cluster_agreement") // two k01 centroid crosses + 1-row metric crosses
+    "k04_cluster_agreement", // two k01 centroid crosses + 1-row metric crosses
+    "s34_hamming_topk") // broadcast(5 query codes) x corpus by design
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

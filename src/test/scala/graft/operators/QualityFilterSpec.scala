@@ -170,6 +170,33 @@ class QualityFilterSpec extends SparkSpec {
     assert(out(9L).getAs[Long]("n_kept") == out(9L).getAs[Long]("n_lines"))
   }
 
+  test("mojibakeRepair: hand-computed damage counts and repaired text") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "menu says"), // %3==0: gets cafA~A(c)/menA~A1/4 suffix
+      (1L, "note"),      // %3==1: gets the E2/20AC/2122 quote suffix
+      (2L, "clean text stays clean") // untouched
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.mojibakeRepair(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d0 = out(0L)
+    assert(d0.getAs[Long]("n_mojibake") == 2L)
+    assert(d0.getAs[Boolean]("changed"))
+    assert(d0.getAs[String]("fixed_md5") ==
+      md5("menu says café menü"))
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_mojibake") == 1L)
+    assert(d1.getAs[String]("fixed_md5") ==
+      md5("note don’t worry"))
+    assert(d1.getAs[Long]("raw_len") - d1.getAs[Long]("fixed_len") == 2L)
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("n_mojibake") == 0L)
+    assert(!d2.getAs[Boolean]("changed"))
+    assert(d2.getAs[String]("fixed_md5") == md5("clean text stays clean"))
+  }
+
   private object Tables {
     /** A small surprise-diverse corpus: repeated common words vs rare. */
     def documentsLike(s: org.apache.spark.sql.SparkSession): DataFrame = {

@@ -889,6 +889,31 @@ class ResidualPqSpec extends graft.SparkSpec {
     }
   }
 
+  test("hammingTopK agrees with the s03 bucket strings bit for bit") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 80)
+    val buckets = Similarity.signLshBuckets(emb, nBits = 16).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("bucket"))
+      .toMap
+    def ham(a: String, b: String): Long =
+      a.zip(b).count { case (x, y) => x != y }.toLong
+    val out = Similarity.hammingTopK(emb, nBits = 16, k = 5).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(r.getAs[Long]("hamming") == ham(buckets(q), buckets(n)),
+        s"distance mismatch for ($q,$n)")
+    }
+    // ranks are contiguous and distances weakly increase within a query
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length.toLong))
+      val hs = sorted.map(_.getAs[Long]("hamming"))
+      assert(hs.zip(hs.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("residualRecall: both tiers, 5 queries each, recall in [0,1]") {
     val out = Similarity.residualRecall(emb).collect()
     assert(out.length == 10)
