@@ -539,7 +539,14 @@ object SparkEntry {
       T.mojibakeRepair(Tables.documents(s, d))),
     // s34: binary sign-bit codes, popcount(xor) ranking
     "s34_hamming_topk" -> ((s, d) =>
-      S.hammingTopK(Tables.embeddings(s, d)))
+      S.hammingTopK(Tables.embeddings(s, d))),
+    // s35: recall per code width (bit masks of one 24-bit pass)
+    "s35_hamming_recall" -> ((s, d) =>
+      S.hammingRecall(Tables.embeddings(s, d))),
+    // b02: RRF hybrid fusion of the BM25 and dense tiers
+    "b02_rrf_fusion" -> ((s, d) =>
+      graft.operators.Ranking.rrfFusion(Tables.documents(s, d),
+        Tables.embeddings(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -1848,6 +1855,112 @@ object SparkEntry {
       |  FROM sc)
       |SELECT query_id, neighbor_id, hamming, rank FROM r
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private val Bm25Oracle: String =
+    """WITH d AS (SELECT doc_id,
+      |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |dd AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dd),
+      |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd) u
+      |  WHERE term IN ('vector', 'spark', 'join', 'scan')
+      |  GROUP BY doc_id, dl, term),
+      |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM tf GROUP BY term),
+      |sc AS (SELECT tf.doc_id, tf.term,
+      |  ((CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE)
+      |      + CAST(0.5 AS DOUBLE))
+      |    / (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+      |  * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      |  / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |     * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+      |        + CAST(0.75 AS DOUBLE) * CAST(tf.dl AS DOUBLE)
+      |          / (CAST(st.sum_dl AS DOUBLE)
+      |             / CAST(st.n_docs AS DOUBLE)))) AS score_t
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN st)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      | COALESCE(SUM(CASE WHEN term = 'vector' THEN score_t END),
+      |   CAST(0.0 AS DOUBLE))
+      | + COALESCE(SUM(CASE WHEN term = 'spark' THEN score_t END),
+      |   CAST(0.0 AS DOUBLE))
+      | + COALESCE(SUM(CASE WHEN term = 'join' THEN score_t END),
+      |   CAST(0.0 AS DOUBLE))
+      | + COALESCE(SUM(CASE WHEN term = 'scan' THEN score_t END),
+      |   CAST(0.0 AS DOUBLE)) AS score
+      |FROM sc GROUP BY doc_id
+      |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  /** b02: b01's oracle nested for the lexical list (rank via
+    * row_number — equal to the Spark side's sorted-array fold), the
+    * s01 chain restricted to query 0 / top-20 for the dense list,
+    * fixed-order two-term RRF sum. */
+  private lazy val RrfOracle: String = {
+    val dense = BruteCtes.replace("WHERE vec_id < 5", "WHERE vec_id < 1")
+    s"""WITH bm AS (SELECT doc_id,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+       |    AS BIGINT) AS bm25_rank FROM ($Bm25Oracle) xb),
+       |dn AS (SELECT doc_id, dense_rank FROM (
+       |WITH $dense
+       |SELECT neighbor_id AS doc_id, rank AS dense_rank FROM r
+       |WHERE rank <= 20) xd)
+       |SELECT COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
+       |  bm.bm25_rank, dn.dense_rank,
+       |  COALESCE(1.0 / (60 + bm.bm25_rank), CAST(0.0 AS DOUBLE))
+       |  + COALESCE(1.0 / (60 + dn.dense_rank), CAST(0.0 AS DOUBLE))
+       |    AS rrf_score
+       |FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id
+       |ORDER BY rrf_score DESC, COALESCE(bm.doc_id, dn.doc_id)
+       |LIMIT 10""".stripMargin
+  }
+
+  /** s35: one plane/projection pass at 24 bits; narrower tiers are
+    * `code % 2^n` masks of the same codes; rank per (n_bits, query);
+    * truth = the s01 chain. */
+  private lazy val HammingRecallOracle: String =
+    s"""WITH c1 AS (SELECT vec_id, embedding,
+      |  unnest(range(0, len(embedding))) AS i FROM embeddings),
+      |c2 AS (SELECT vec_id, CAST(i AS INT) AS i, embedding[i+1] AS v
+      |  FROM c1),
+      |planes AS (SELECT a.i, b.j,
+      |  CASE WHEN (strpos('0123456789abcdef',
+      |    substr(md5(a.i || ':' || b.j), 1, 1)) - 1) % 2 = 1
+      |  THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(range(0, 4096)) AS i) a
+      |  CROSS JOIN (SELECT unnest(range(0, 24)) AS j) b),
+      |proj AS (SELECT c2.vec_id, p.j,
+      |  SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) * p.s)
+      |    AS pr
+      |  FROM c2 JOIN planes p ON c2.i = p.i GROUP BY 1, 2),
+      |codes AS (SELECT vec_id,
+      |  CAST(SUM(CASE WHEN pr > 0
+      |    THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |    AS code
+      |  FROM proj GROUP BY vec_id),
+      |cf AS (SELECT unnest([8, 16, 24]) AS n_bits),
+      |mk AS (SELECT cf.n_bits, c.vec_id,
+      |  c.code % CAST(power(2, cf.n_bits) AS BIGINT) AS mcode
+      |  FROM codes c CROSS JOIN cf),
+      |q AS (SELECT n_bits, vec_id AS query_id, mcode AS qcode FROM mk
+      |  WHERE vec_id < 5),
+      |sc AS (SELECT q.n_bits, q.query_id, m.vec_id AS neighbor_id,
+      |  CAST(bit_count(xor(m.mcode, q.qcode)) AS BIGINT) AS hamming
+      |  FROM mk m JOIN q ON m.n_bits = q.n_bits
+      |  WHERE m.vec_id <> q.query_id),
+      |rk AS (SELECT n_bits, query_id, neighbor_id,
+      |  row_number() OVER (PARTITION BY n_bits, query_id
+      |    ORDER BY hamming ASC, neighbor_id ASC) AS rn FROM sc),
+      |ap AS (SELECT n_bits, query_id, neighbor_id FROM rk
+      |  WHERE rn <= 10),
+      |ex AS (SELECT cf.n_bits, b.query_id, b.neighbor_id
+      |  FROM ($BruteTopKOracle) b CROSS JOIN cf)
+      |SELECT CAST(e.n_bits AS BIGINT) AS n_bits, e.query_id,
+      |  count(a.neighbor_id) AS n_hits,
+      |  CAST(count(a.neighbor_id) AS DOUBLE) / 10.0 AS recall
+      |FROM ex e LEFT JOIN ap a ON e.n_bits = a.n_bits
+      |  AND e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      |GROUP BY e.n_bits, e.query_id
+      |ORDER BY n_bits, e.query_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3395,40 +3508,7 @@ object SparkEntry {
     // rational-form idf and fixed-order per-term addition: only IEEE
     // +-*/ (correctly rounded in both engines), never ln() or a
     // float SUM whose accumulation order the engine chooses
-    "b01_bm25_rank" ->
-      """WITH d AS (SELECT doc_id,
-        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
-        |dd AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
-        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dd),
-        |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd) u
-        |  WHERE term IN ('vector', 'spark', 'join', 'scan')
-        |  GROUP BY doc_id, dl, term),
-        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
-        |  FROM tf GROUP BY term),
-        |sc AS (SELECT tf.doc_id, tf.term,
-        |  ((CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE)
-        |      + CAST(0.5 AS DOUBLE))
-        |    / (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-        |  * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
-        |  / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
-        |     * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-        |        + CAST(0.75 AS DOUBLE) * CAST(tf.dl AS DOUBLE)
-        |          / (CAST(st.sum_dl AS DOUBLE)
-        |             / CAST(st.n_docs AS DOUBLE)))) AS score_t
-        |  FROM tf JOIN dfq USING (term) CROSS JOIN st)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
-        | COALESCE(SUM(CASE WHEN term = 'vector' THEN score_t END),
-        |   CAST(0.0 AS DOUBLE))
-        | + COALESCE(SUM(CASE WHEN term = 'spark' THEN score_t END),
-        |   CAST(0.0 AS DOUBLE))
-        | + COALESCE(SUM(CASE WHEN term = 'join' THEN score_t END),
-        |   CAST(0.0 AS DOUBLE))
-        | + COALESCE(SUM(CASE WHEN term = 'scan' THEN score_t END),
-        |   CAST(0.0 AS DOUBLE)) AS score
-        |FROM sc GROUP BY doc_id
-        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "b01_bm25_rank" -> Bm25Oracle,
     "l04_cdc_merge" -> CdcMergeOracle,
     // the same merge, executed through the snapshot commit path — the
     // published on-disk v1 must equal the relational merge bitwise
@@ -4996,6 +5076,8 @@ object SparkEntry {
         |FROM lk LEFT JOIN pc ON lk.doc_id = pc.doc_id
         |ORDER BY lk.doc_id""".stripMargin,
     "t41_mojibake_repair" -> MojibakeOracle,
-    "s34_hamming_topk" -> HammingOracle
+    "s34_hamming_topk" -> HammingOracle,
+    "s35_hamming_recall" -> HammingRecallOracle,
+    "b02_rrf_fusion" -> RrfOracle
   )
 }

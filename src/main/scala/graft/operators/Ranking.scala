@@ -66,4 +66,41 @@ object Ranking {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** b02: Reciprocal Rank Fusion (Cormack et al. 2009) of the lexical
+    * and dense retrieval tiers — THE standard hybrid-retrieval merge
+    * every RAG stack runs: rrf = Σ_lists 1/(60 + rank), docs missing
+    * from a list contribute 0. Fuses b01's BM25 top-20 with the s01
+    * exact-cosine top-20 for query vector 0 under the fixture's
+    * doc_id ↔ vec_id identity (the m04 cross-modal wiring stance: the
+    * fusion plan/semantics are what's proven; a real system swaps the
+    * id mapping). Score determinism: each term is one division and
+    * the two-term sum has a FIXED operand order.
+    *
+    * Plan shape: both tiers are their audited pipelines; the BM25
+    * side's rank comes from the w19 sorted-array fold over its top-k
+    * rows (a partial agg — never an unpartitioned window); the fusion
+    * itself is a full-outer equi-join of two k-row frames + a
+    * TakeOrderedAndProject. */
+  def rrfFusion(documents: DataFrame, embeddings: DataFrame,
+      k: Int = 10, kRrf: Int = 60, kLists: Int = 20): DataFrame = {
+    val bmRanked = bm25Rank(documents, k = kLists)
+      .agg(sort_array(collect_list(struct(
+        (lit(0.0) - col("score")).as("negs"),
+        col("doc_id").as("doc_id")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("p", "e")))
+      .select(col("e.doc_id").as("doc_id"),
+        (col("p") + 1).cast("long").as("bm25_rank"))
+    val dense = Similarity.bruteForceTopK(embeddings, nQueries = 1,
+        k = kLists)
+      .select(col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    bmRanked.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("dense_rank"),
+        (coalesce(lit(1.0) / (lit(kRrf) + col("bm25_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("dense_rank")),
+            lit(0.0))).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

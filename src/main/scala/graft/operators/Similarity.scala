@@ -1776,6 +1776,66 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s35: recall@k of the binary tier per code WIDTH (8/16/24 bits) —
+    * the eval-loop closure every coarse tier gets (s05 LSH bits, s13
+    * PQ, s31 residual, s33 OPQ): how many sign bits buy how much
+    * recall. ONE plane/projection pass at maxBits serves every config
+    * — an n-bit code is the n-bit MASK of the widest code (bits are
+    * independent projections), so narrower tiers are `code % 2ⁿ`, a
+    * per-row expression, not a re-hash. No monotonicity claim: the
+    * top-k sets under different widths are not nested (the s13
+    * stance), so the curve is measured. */
+  def hammingRecall(embeddings: DataFrame,
+      bitsConfigs: Seq[Int] = Seq(8, 16, 24), nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val maxBits = bitsConfigs.max
+    require(maxBits <= 52, s"codes pack via exact double pow2: $maxBits")
+    val comps = embeddings
+      .select(col("vec_id"), posexplode(col("embedding"))
+        .as(Seq("i", "v")))
+    val codes = comps
+      .join(broadcast(hyperplanes(embeddings.sparkSession, maxBits)),
+        "i")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(floor(col("v").cast("double") * 1000000).cast("long") *
+        col("s")).as("p"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("p") > 0,
+        expr("CAST(power(2, j) AS BIGINT)")).otherwise(0L)).as("code"))
+    val configs = embeddings.sparkSession
+      .range(bitsConfigs.length.toLong)
+      .select(element_at(
+        array(bitsConfigs.map(b => lit(b.toLong)): _*),
+        col("id").cast("int") + 1).as("n_bits"))
+    val masked = codes.crossJoin(broadcast(configs))
+      .withColumn("mcode",
+        expr("code % CAST(power(2, n_bits) AS BIGINT)"))
+    val queries = masked.filter(col("vec_id") < nQueries)
+      .select(col("n_bits"), col("vec_id").as("query_id"),
+        col("mcode").as("qcode"))
+    val scored = masked
+      .join(broadcast(queries),
+        masked("n_bits") === queries("n_bits") &&
+          col("vec_id") =!= col("query_id"))
+      .drop(queries("n_bits"))
+      .withColumn("neg_h",
+        (lit(0L) - expr("bit_count(mcode ^ qcode)")).cast("double"))
+    val approx = topKByQuery(scored, "neg_h", k,
+      keys = Seq("n_bits", "query_id"))
+      .select(col("n_bits"), col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    val exact = bruteForceTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(configs))
+    exact.join(approx, Seq("n_bits", "query_id", "neighbor_id"), "left")
+      .groupBy(col("n_bits"), col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("n_bits"), col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(k).cast("double"))
+          .as("recall"))
+      .orderBy(col("n_bits"), col("query_id"))
+  }
+
   /** s31: recall@k of raw-PQ vs residual-PQ IVF tiers against the s01
     * exact ground truth — the measurement that justifies (or refutes)
     * s30's extra centroid join: same coarse quantizer, same m×k code

@@ -73,7 +73,9 @@ class PlanAuditSpec extends SparkSpec {
     "s33_opq_recall", // s01 exact side's broadcast(5 queries) x corpus
     "p09_dsir_select", // embeds t31's ONE-row totals broadcast cross
     "k04_cluster_agreement", // two k01 centroid crosses + 1-row metric crosses
-    "s34_hamming_topk") // broadcast(5 query codes) x corpus by design
+    "s34_hamming_topk", // broadcast(5 query codes) x corpus by design
+    "s35_hamming_recall", // s01 exact side + tiny bit-config crosses
+    "b02_rrf_fusion") // b01's ONE-row stats cross + s01's dense side
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

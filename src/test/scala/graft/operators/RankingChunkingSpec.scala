@@ -59,4 +59,37 @@ class RankingChunkingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
     assert(out.head._1 == 2L && out(0)._2 > out(1)._2)
   }
+
+  test("rrfFusion: both-list docs outrank single-list docs; exact scores") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Ranking.rrfFusion(docs, emb).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val bm = Option(r.getAs[java.lang.Long]("bm25_rank"))
+      val dn = Option(r.getAs[java.lang.Long]("dense_rank"))
+      assert(bm.isDefined || dn.isDefined)
+      val expected = bm.map(v => 1.0 / (60 + v)).getOrElse(0.0) +
+        dn.map(v => 1.0 / (60 + v)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf_score") == expected)
+    }
+    // the fused list is sorted by score desc with id tie-break
+    val scores = out.map(_.getAs[Double]("rrf_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("s35 recall curve: more sign bits buy recall on the fixture") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.hammingRecall(emb).collect()
+    assert(out.length == 15)
+    def mean(bits: Long) = {
+      val rs = out.filter(_.getAs[Long]("n_bits") == bits)
+        .map(_.getAs[Double]("recall"))
+      rs.sum / rs.length
+    }
+    // no per-query monotonicity claim (sets aren't nested) — but the
+    // fixture-level mean improves from the narrowest to widest code
+    assert(mean(24L) > mean(8L),
+      s"widest code no better than narrowest: ${mean(24L)} vs ${mean(8L)}")
+  }
 }
