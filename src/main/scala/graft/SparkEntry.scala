@@ -546,7 +546,10 @@ object SparkEntry {
     // b02: RRF hybrid fusion of the BM25 and dense tiers
     "b02_rrf_fusion" -> ((s, d) =>
       graft.operators.Ranking.rrfFusion(Tables.documents(s, d),
-        Tables.embeddings(s, d)))
+        Tables.embeddings(s, d))),
+    // w22: time-weighted average per (type, day) beside w20's OHLC
+    "w22_twap_daily" -> ((s, d) =>
+      W.twapDaily(Tables.events(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -5078,6 +5081,29 @@ object SparkEntry {
     "t41_mojibake_repair" -> MojibakeOracle,
     "s34_hamming_topk" -> HammingOracle,
     "s35_hamming_recall" -> HammingRecallOracle,
-    "b02_rrf_fusion" -> RrfOracle
+    "b02_rrf_fusion" -> RrfOracle,
+    // w22: micros-weighted exact-long sums, one division per mean;
+    // date_diff('second') == unix-second floor difference
+    "w22_twap_daily" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, ts,
+        |  event_id,
+        |  CAST(floor(value * 1000000) AS BIGINT) AS vmicro FROM events),
+        |l AS (SELECT *, lead(ts) OVER (PARTITION BY event_type, day
+        |  ORDER BY ts, event_id) AS next_ts FROM e),
+        |i AS (SELECT event_type, day, vmicro,
+        |  CAST(date_diff('second', ts, next_ts) AS BIGINT) AS dt
+        |  FROM l WHERE next_ts IS NOT NULL),
+        |g AS (SELECT event_type, day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  CAST(SUM(dt) AS BIGINT) AS sum_dt_s,
+        |  CAST(SUM(vmicro * dt) AS BIGINT) AS sum_wv,
+        |  CAST(SUM(vmicro) AS BIGINT) AS sum_v FROM i GROUP BY 1, 2)
+        |SELECT event_type, day, n_intervals, sum_dt_s,
+        |  CAST(sum_wv AS DOUBLE) / CAST(sum_dt_s AS DOUBLE)
+        |    AS twap_micros,
+        |  CAST(sum_v AS DOUBLE) / CAST(n_intervals AS DOUBLE)
+        |    AS mean_micros
+        |FROM g WHERE sum_dt_s > 0
+        |ORDER BY event_type, day""".stripMargin
   )
 }

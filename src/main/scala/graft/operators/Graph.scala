@@ -260,8 +260,8 @@ object Graph {
     * (the kNN graph has out-degree k everywhere, so only filtered
     * subgraphs hit this). */
   def deterministicWalks(embeddings: DataFrame, k: Int = 5,
-      nWalks: Int = 2, walkLen: Int = 3): DataFrame = {
-    val edges = Similarity.knnGraph(embeddings, k)
+      nWalks: Int = 2, walkLen: Int = 3, nCells: Int = 32): DataFrame = {
+    val edges = Similarity.knnGraph(embeddings, k, nCells)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       .localCheckpoint(true)
     val starts = edges.select(col("src").as("start_id")).distinct()

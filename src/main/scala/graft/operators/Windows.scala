@@ -380,6 +380,50 @@ object Windows {
     * output is cohorts × ages, dashboard-sized. The count_distinct in
     * the matrix agg is exact; (user, day) rows are already distinct so
     * it partial-aggregates without a second expansion. */
+  /** w22: time-weighted average (TWAP) per (event_type, day) — the
+    * irregular-interval mean every metrics/market pipeline needs where
+    * w20's OHLC gives bucket extremes: each observation holds until
+    * the next one, so its weight is its holding interval, and a burst
+    * of identical readings no longer dominates the mean the way it
+    * does the plain average (emitted beside it for the contrast). The
+    * day's last observation has no interval and is excluded — the
+    * standard open-interval convention.
+    *
+    * Determinism: values quantize to micros BEFORE weighting, so
+    * Σ micro·Δt and Σ Δt are exact longs; the two output means are
+    * one division each. Overflow headroom: |micro| ≤ ~3·10⁸ here and
+    * Δt ≤ 86 400, so a day's weighted sum stays < 2⁶³ up to ~3·10⁵
+    * same-type events/day.
+    *
+    * Plan shape: one lead window keyed (type, day) — bounded
+    * partitions, full parallelism — and one (type, day) partial agg;
+    * output is types × days. */
+  def twapDaily(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"),
+        floor(col("value") * lit(1000000.0)).cast("long").as("vmicro"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("dt",
+        unix_timestamp(col("next_ts")) - unix_timestamp(col("ts")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).as("sum_dt_s"),
+        sum(col("vmicro") * col("dt")).as("sum_wv"),
+        sum(col("vmicro")).as("sum_v"))
+      .filter(col("sum_dt_s") > 0)
+      .select(col("event_type"), col("day"), col("n_intervals"),
+        col("sum_dt_s"),
+        (col("sum_wv").cast("double") / col("sum_dt_s").cast("double"))
+          .as("twap_micros"),
+        (col("sum_v").cast("double") / col("n_intervals").cast("double"))
+          .as("mean_micros"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   def retentionCohorts(events: DataFrame): DataFrame = {
     val firstDay = events.groupBy(col("user_id"))
       .agg(min(to_date(col("ts"))).as("cohort_day"))

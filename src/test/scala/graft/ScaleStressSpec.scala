@@ -194,7 +194,22 @@ class ScaleStressSpec extends SparkSpec {
     // capped postings — the shape whose whole point is staying
     // sub-quadratic as boilerplate grows
     ("d17_ppjoin_pairs",
-      D.ppjoinPairs(docs), D.ppjoinPairs(docsX), false))
+      D.ppjoinPairs(docs), D.ppjoinPairs(docsX), false),
+    // r13 continuation: the round's remaining training-heavy forms.
+    // s30/s32 are END-TO-END (in-plan coarse+PQ training — the s11/s12
+    // timing semantics); k04 runs the trainer twice; g08's factor
+    // isolates the walk joins over the (cells ∝ corpus) kNN graph
+    ("s30_ivfpq_residual",
+      S.ivfPqResidualTopK(emb), S.ivfPqResidualTopK(embX), true),
+    ("s32_opq_pq_topk",
+      S.opqPqTopK(emb), S.opqPqTopK(embX), false),
+    ("k04_cluster_agreement",
+      graft.operators.Clustering.clusterAgreement(emb),
+      graft.operators.Clustering.clusterAgreement(embX), true),
+    ("g08_graph_walks",
+      graft.operators.Graph.deterministicWalks(emb),
+      graft.operators.Graph.deterministicWalks(embX,
+        nCells = 32 * factor), true))
 
   /** Committed growth-factor history, keyed fixture-name -> op -> factor.
     * Flat hand-rolled read/write (the shape is two levels of string ->

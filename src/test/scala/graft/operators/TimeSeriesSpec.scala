@@ -89,6 +89,26 @@ class TimeSeriesSpec extends SparkSpec {
     })
   }
 
+  test("twapDaily: holding intervals weight the mean, last point drops") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // value 10 held 30 s, value 100 held 10 s, value 7 closes the day
+    // (no interval) → twap = (10e6*30 + 100e6*10) / 40
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "tick", 10.0),
+      (2L, ts("2024-01-01 10:00:30"), "tick", 100.0),
+      (3L, ts("2024-01-01 10:00:40"), "tick", 7.0)
+    ).map { case (id, t, ty, v) => (0L, t, id, ty, v) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val r = graft.operators.Windows.twapDaily(events).head()
+    assert(r.getAs[Long]("n_intervals") == 2L)
+    assert(r.getAs[Long]("sum_dt_s") == 40L)
+    assert(r.getAs[Double]("twap_micros") ==
+      (10000000L * 30 + 100000000L * 10).toDouble / 40.0)
+    assert(r.getAs[Double]("mean_micros") ==
+      (10000000L + 100000000L).toDouble / 2.0)
+  }
+
   test("retentionCohorts: hand-computed matrix, week-0 row is 1.0") {
     import spark.implicits._
     def ts(day: Int) = java.sql.Timestamp.valueOf(
