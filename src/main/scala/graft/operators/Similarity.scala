@@ -1662,9 +1662,15 @@ object Similarity {
         .as(Seq("dim", "v")))
       .withColumn("micro",
         floor(col("v").cast("double") * lit(1000000.0)).cast("long"))
+    // the squared-micro sum accumulates in DECIMAL(38,0): micro² alone
+    // reaches ~3·10¹⁵ once vector components leave the unit range (the
+    // ×8 stress fixture's dim-0 shove found the long overflow under
+    // ANSI mode), and ~10⁶ rows/dim then break int64 — decimal keeps
+    // the sum exact to 10³⁸; DuckDB's BIGINT sum is HUGEINT-exact the
+    // same way, and both round to double once in the score
     val scoredDims = ex.groupBy(col("dim")).agg(
       count(lit(1)).as("n"), sum(col("micro")).as("s"),
-      sum(col("micro") * col("micro")).as("sq"))
+      sum(col("micro").cast("decimal(38,0)") * col("micro")).as("sq"))
       .select(col("dim"),
         (col("n").cast("double") * col("sq").cast("double") -
           col("s").cast("double") * col("s").cast("double"))
