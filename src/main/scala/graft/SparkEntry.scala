@@ -549,7 +549,10 @@ object SparkEntry {
         Tables.embeddings(s, d))),
     // w22: time-weighted average per (type, day) beside w20's OHLC
     "w22_twap_daily" -> ((s, d) =>
-      W.twapDaily(Tables.events(s, d)))
+      W.twapDaily(Tables.events(s, d))),
+    // l15: dynamic partition overwrite (replaceWhere) round-trip
+    "l15_replace_where" -> ((s, d) =>
+      graft.lake.LakeQueries.replaceWhereRead(s, Tables.orders(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -5104,6 +5107,14 @@ object SparkEntry {
         |  CAST(sum_v AS DOUBLE) / CAST(n_intervals AS DOUBLE)
         |    AS mean_micros
         |FROM g WHERE sum_dt_s > 0
-        |ORDER BY event_type, day""".stripMargin
+        |ORDER BY event_type, day""".stripMargin,
+    // l15: only the URGENT partition's rows change; double multiply is
+    // one IEEE op, parquet round-trips it bitwise
+    "l15_replace_where" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN o_totalprice * 0.9 ELSE o_totalprice END
+        |    AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }
