@@ -1184,6 +1184,18 @@ object SparkEntry {
       |      (x, y) -> x + y) AS dist2
       |    FROM v CROSS JOIN c1 c)) WHERE rn = 1)""".stripMargin
 
+  /** `.replace` with a drift guard: requires the anchor text to be
+    * present FIRST, so an edit to a shared CTE chain fails loudly at
+    * class-init instead of silently no-opping and surfacing only as
+    * an indirect oracle mismatch (the s30/s32 anchor discipline,
+    * applied to every shared-CTE patch site). */
+  private def replaceAnchored(text: String, anchor: String,
+      replacement: String): String = {
+    require(text.contains(anchor),
+      s"shared CTE drifted: anchor `$anchor` missing")
+    text.replace(anchor, replacement)
+  }
+
   /** s21's kNN-graph CTE chain, WITHOUT the leading `WITH`:
     * [[IvfTrainCtes]] with the seed predicate widened to K=32 (the
     * only K reference in the CTE text), within-cell self-join `sc`,
@@ -1191,7 +1203,8 @@ object SparkEntry {
     * Shared by the s21 graph itself and g06's triangle census over
     * its edges. */
   private val KnnGraphCtes: String =
-    IvfTrainCtes.replace("WHERE vec_id < 8", "WHERE vec_id < 32") + ",\n" +
+    replaceAnchored(IvfTrainCtes,
+      "WHERE vec_id < 8", "WHERE vec_id < 32") + ",\n" +
     """sc AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
       |  list_reduce(list_transform(range(1, len(a.emb)+1), i ->
       |    CAST(a.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE)),
@@ -1760,7 +1773,7 @@ object SparkEntry {
       |  FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
       |vst AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(SUM(micro) AS BIGINT) AS s,
-      |  CAST(SUM(micro * micro) AS BIGINT) AS sq
+      |  SUM(micro * micro) AS sq
       |  FROM exo GROUP BY dim),
       |vsc AS (SELECT dim,
       |  CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
@@ -1902,7 +1915,8 @@ object SparkEntry {
     * s01 chain restricted to query 0 / top-20 for the dense list,
     * fixed-order two-term RRF sum. */
   private lazy val RrfOracle: String = {
-    val dense = BruteCtes.replace("WHERE vec_id < 5", "WHERE vec_id < 1")
+    val dense = replaceAnchored(BruteCtes,
+      "WHERE vec_id < 5", "WHERE vec_id < 1")
     s"""WITH bm AS (SELECT doc_id,
        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id)
        |    AS BIGINT) AS bm25_rank FROM ($Bm25Oracle) xb),
@@ -3367,7 +3381,8 @@ object SparkEntry {
     "k03_elbow_curve" -> {
       val tiers = Seq(2, 4, 8, 16).map { k =>
         val inner =
-          KMediansA2.replace("WHERE vec_id < 8", s"WHERE vec_id < $k") +
+          replaceAnchored(KMediansA2,
+            "WHERE vec_id < 8", s"WHERE vec_id < $k") +
           s"""
             |SELECT CAST($k AS BIGINT) AS k,
             |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
@@ -3429,7 +3444,7 @@ object SparkEntry {
     // s12's oracle with deleted candidates pruned from the ADC scan —
     // the frozen model trains on the FULL corpus (that IS the contract)
     "s27_delete_serve" ->
-      IvfPqOracle.replace("AND co.vec_id <> l.query_id",
+      replaceAnchored(IvfPqOracle, "AND co.vec_id <> l.query_id",
         "AND co.vec_id <> l.query_id AND co.vec_id % 7 <> 0"),
     // majority vote over the nested s01 top-10; (votes desc, label asc)
     "s25_knn_classify" ->
@@ -4889,7 +4904,7 @@ object SparkEntry {
         |SELECT a.query_id, a.true_label, a.label AS predicted_label,
         |  a.score AS best_score, a.score - b.score AS margin,
         |  (a.label = a.true_label) AS is_correct
-        |FROM rk a JOIN rk b ON a.query_id = b.query_id AND b.rn = 2
+        |FROM rk a LEFT JOIN rk b ON a.query_id = b.query_id AND b.rn = 2
         |WHERE a.rn = 1 ORDER BY a.query_id""".stripMargin,
     // g07: inverted index on the shared out-neighbor over s21's edges;
     // jaccard is one double division of exact longs
@@ -5028,7 +5043,7 @@ object SparkEntry {
          |WITH $IvfTrainCtes
          |SELECT vec_id, cluster_id FROM a2) xa),
          |bb AS (SELECT vec_id, cluster_id AS cluster_b FROM (
-         |WITH ${IvfTrainCtes.replace("WHERE vec_id < 8",
+         |WITH ${replaceAnchored(IvfTrainCtes, "WHERE vec_id < 8",
              "WHERE vec_id >= 8 AND vec_id < 16")}
          |SELECT vec_id, cluster_id FROM a2) xb),""".stripMargin + "\n" +
         """ct AS (SELECT cluster_a, cluster_b,

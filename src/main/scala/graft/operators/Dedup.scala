@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Anchor.AnchorOps
 
 /** Deduplication layer for LLM training-data pipelines: exact, n-gram
   * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup — the
@@ -419,7 +420,8 @@ object Dedup {
     * Scale posture: every round is one shuffle join keyed by node id plus
     * one aggregation — no component is ever materialized on a single
     * machine, so a 100M-node duplicate graph distributes evenly. Labels
-    * are localCheckpoint'ed per round to truncate lineage (20 rounds of
+    * are anchored per round ([[Anchor]] — reliable checkpoint when a dir
+    * is set, else localCheckpoint) to truncate lineage (20 rounds of
     * stacked joins would otherwise blow up the plan).
     *
     * ITERATION COST IS THE BUDGET, not the per-round shuffle: the min
@@ -443,10 +445,10 @@ object Dedup {
       bCol: String = "vec_id_b", maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .localCheckpoint(true)
+      .anchored
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(true)
+      .anchored
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -455,7 +457,7 @@ object Dedup {
       val next = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
         .select(col("id"), col("lbl").as("old_lbl"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .anchored
       changed = next.filter(col("lbl") =!= col("old_lbl")).count()
       labels = next.select(col("id"), col("lbl"))
       it += 1
@@ -625,7 +627,11 @@ object Dedup {
     * BOTH avoid each other's prefix — candidate generation from prefix
     * postings alone has no false negatives (spec: result set equals
     * d02's uncapped join exactly). The length filter (t·|A| ≤ |B| ≤
-    * |A|/t) prunes size-incompatible candidates before verification.
+    * |A|/t) prunes size-incompatible candidates before verification,
+    * and the POSITIONAL filter (the ppjoin upper bound proper) prunes
+    * pairs whose prefix-match positions already cap the achievable
+    * overlap below α = ⌈t·(|A|+|B|)/(1+t)⌉ — both lossless, both
+    * applied before the verify join pays for the pair.
     *
     * WHY this beats the cap at scale: d02's hot-posting problem is
     * FREQUENT shingles exploding the self-join, and the df-ascending
@@ -647,7 +653,7 @@ object Dedup {
     // explodes; measured NEUTRAL at sf0.1 (the explode is not the
     // dominant stage — the rank/verify shuffles are), kept for the
     // lineage fan-out
-    val post = shinglePostings(documents, n, None).localCheckpoint(true)
+    val post = shinglePostings(documents, n, None).anchored
     val dfreq = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val ranked = post.join(dfreq, "shingle")
@@ -657,15 +663,34 @@ object Dedup {
     val pref = ranked.join(sizes, "doc_id")
       .filter(col("rk") <=
         col("n_sh") - ceil(lit(threshold) * col("n_sh")).cast("long") + 1)
-      .select(col("doc_id"), col("shingle"))
-    val cand = pref.toDF("doc_a", "shingle")
-      .join(pref.toDF("doc_b", "shingle_b"),
+      .select(col("doc_id"), col("shingle"), col("rk"), col("n_sh"))
+    // POSITIONAL filter (Xiao et al. 2008 §3.2, relational form): the
+    // prefix postings carry (rank, size), so a prefix match of shingle
+    // x at positions (pa, pb) bounds the FULL overlap — under the one
+    // global df-ascending order, common elements ≤ x sit at positions
+    // ≤ pa in A and ≤ pb in B (≤ min(pa,pb) of them, x included), and
+    // common elements > x at positions > pa and > pb (≤ min(n_a−pa,
+    // n_b−pb)). Every match yields a valid bound, so min-over-matches
+    // is one; a pair survives only if that bound reaches the overlap
+    // threshold α = ⌈t·(n_a+n_b)/(1+t)⌉ (Jaccard ≥ t ⇔ ∩ ≥ α). The
+    // 1e-9 slack keeps ceil from rounding a float-boundary α UP past
+    // the exact value — it can only weaken pruning, never drop a true
+    // pair, so exactness is invariant (the d02-equality spec stands).
+    // The length filter runs on the match rows too: sizes ride the
+    // postings, replacing the two post-distinct joins against `sizes`.
+    val cand = pref.toDF("doc_a", "shingle", "rk_a", "n_a")
+      .join(pref.toDF("doc_b", "shingle_b", "rk_b", "n_b"),
         col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
-      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
       .filter(lit(threshold) * col("n_a") <= col("n_b") &&
         lit(threshold) * col("n_b") <= col("n_a"))
+      .withColumn("ub", least(col("rk_a"), col("rk_b")) +
+        least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b")))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("ub")).as("min_ub"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .filter(col("min_ub") >=
+        ceil(lit(threshold) * (col("n_a") + col("n_b")) /
+          (lit(1.0) + lit(threshold)) - lit(1e-9)).cast("long"))
       .select(col("doc_a"), col("doc_b"))
     val inter = cand
       .join(post.toDF("doc_a", "shingle"), "doc_a")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Anchor.AnchorOps
 
 /** Sequence/graph analytics over the event log: Markov transition
   * structure and PageRank-style node importance — the behavioral-model
@@ -109,7 +110,8 @@ object Graph {
 
   /** PageRank of the event-type transition graph — node importance of
     * the behavioral Markov chain. The edge table materializes once
-    * (`localCheckpoint`) before the iteration loop: every iteration's
+    * (`Anchor.cut` — reliable checkpoint when a dir is set) before the
+    * iteration loop: every iteration's
     * plan references edges, out-weights, AND the node set, so without
     * truncation the event scan + lag window would re-execute ~3× per
     * iteration — the standard checkpoint-between-iterations discipline
@@ -118,7 +120,7 @@ object Graph {
   def eventTypePagerank(events: DataFrame, iters: Int = 3): DataFrame =
     pagerank(transitionCounts(events)
       .select(col("src"), col("dst"), col("n").as("w"))
-      .localCheckpoint(true), iters)
+      .anchored, iters)
 
   /** g06: per-node triangle count + local clustering coefficient over
     * the symmetrized kNN graph ([[Similarity.knnGraph]]) — the
@@ -160,7 +162,7 @@ object Graph {
       .select(least(col("vec_id"), col("neighbor_id")).as("ea"),
         greatest(col("vec_id"), col("neighbor_id")).as("eb"))
       .distinct()
-      .localCheckpoint(true) // referenced 4×: wedge (×2), close, degree
+      .anchored // referenced 4×: wedge (×2), close, degree
     val wedges = edges.as("x")
       .join(edges.as("y"),
         col("x.ea") === col("y.ea") && col("x.eb") < col("y.eb"))
@@ -217,7 +219,7 @@ object Graph {
   private[operators] def sharedNeighborsOnEdges(edges: DataFrame,
       minShared: Long): DataFrame = {
     val knn = edges
-      .localCheckpoint(true) // referenced 3×: posting self-join, degree
+      .anchored // referenced 3×: posting self-join, degree
     val pairs = knn.as("x")
       .join(knn.as("y"),
         col("x.neighbor_id") === col("y.neighbor_id") &&
@@ -249,7 +251,7 @@ object Graph {
     * RNG would be none of those. Different (walk_no, step) contexts
     * decorrelate choices exactly like per-walk seeds.
     *
-    * Plan shape: the edge list materializes once (localCheckpoint —
+    * Plan shape: the edge list materializes once (anchored —
     * referenced every step); each of the walkLen steps is ONE
     * frontier ⋈ edges equi-join on the current node plus a
     * (start, walk)-keyed min_by argmin — map-side partial, k
@@ -263,7 +265,7 @@ object Graph {
       nWalks: Int = 2, walkLen: Int = 3, nCells: Int = 32): DataFrame = {
     val edges = Similarity.knnGraph(embeddings, k, nCells)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-      .localCheckpoint(true)
+      .anchored
     val starts = edges.select(col("src").as("start_id")).distinct()
       .select(col("start_id"),
         explode(sequence(lit(0L), lit(nWalks - 1L))).as("walk_no"))
@@ -280,7 +282,7 @@ object Graph {
         .groupBy(col("start_id"), col("walk_no"))
         .agg(min_by(col("dst"), struct(col("h"), col("dst")))
           .as("node"))
-      frontier = stepped.localCheckpoint(true)
+      frontier = stepped.anchored
       walks = walks.unionByName(frontier.select(col("start_id"),
         col("walk_no"), lit(s.toLong).as("step"), col("node")))
     }

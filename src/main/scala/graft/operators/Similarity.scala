@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Anchor.AnchorOps
 
 /** Approximate/exact nearest-neighbor search over an embedding column
   * (`array<float>`) — the similarity-search face of an LLM data pipeline.
@@ -1433,7 +1434,7 @@ object Similarity {
     val cand = bruteForceTopK(embeddings, nQueries, kCoarse)
       .select(col("query_id"), col("neighbor_id").as("vec_id"),
         floor(col("cosine") * lit(1000000.0)).cast("long").as("qmu"))
-      .localCheckpoint(true) // re-read every greedy step
+      .anchored // re-read every greedy step
     val corpus = normed(embeddings)
       .select(col("vec_id"), col("embedding"), col("norm2"))
     // candidate embeddings re-attach: candidate ids are an
@@ -1453,7 +1454,7 @@ object Similarity {
         floor(Dedup.dotExpr("ea", "eb") /
           (sqrt(col("na")) * sqrt(col("nb"))) * lit(1000000.0))
           .cast("long").as("pmu"))
-      .localCheckpoint(true)
+      .anchored
     // step 1: pure relevance argmax, ties toward the lower id
     var selected = cand.groupBy(col("query_id"))
       .agg(min_by(struct(col("vec_id"), col("qmu")),
@@ -1461,7 +1462,7 @@ object Similarity {
           col("vec_id").as("v"))).as("s"))
       .select(col("query_id"), col("s.vec_id").as("vec_id"),
         lit(1L).as("step"), (col("s.qmu") * 7L).as("mmr_mu"))
-      .localCheckpoint(true)
+      .anchored
     for (i <- 2 to k) {
       val rem = cand.join(
         selected.select(col("query_id"), col("vec_id")),
@@ -1479,7 +1480,7 @@ object Similarity {
             col("vec_id").as("v"))).as("s"))
         .select(col("query_id"), col("s.vec_id").as("vec_id"),
           lit(i.toLong).as("step"), col("s.mmr_mu").as("mmr_mu"))
-      selected = selected.unionByName(next).localCheckpoint(true)
+      selected = selected.unionByName(next).anchored
     }
     selected
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -1575,8 +1576,12 @@ object Similarity {
       .select(col("query_id"), col("true_label"),
         element_at(col("arr"), 1).getField("l").as("predicted_label"),
         element_at(col("arr"), 1).getField("s").as("best_score"),
-        (element_at(col("arr"), 1).getField("s") -
-          element_at(col("arr"), 2).getField("s")).as("margin"),
+        // single-label corpus ⇒ one score per query: element_at(arr,2)
+        // would be a hard out-of-bounds error under ANSI mode, so the
+        // runner-up gap degrades to a null margin instead
+        when(size(col("arr")) >= 2,
+          element_at(col("arr"), 1).getField("s") -
+            element_at(col("arr"), 2).getField("s")).as("margin"),
         (element_at(col("arr"), 1).getField("l") === col("true_label"))
           .as("is_correct"))
       .orderBy(col("query_id"))
@@ -1816,14 +1821,19 @@ object Similarity {
     val masked = codes.crossJoin(broadcast(configs))
       .withColumn("mcode",
         expr("code % CAST(power(2, n_bits) AS BIGINT)"))
+    // query side renames n_bits → q_bits so the join compares two
+    // DISTINCT attributes: `queries` derives from `masked`, and a
+    // same-lineage masked("n_bits") === queries("n_bits") is the
+    // "trivially true equals predicate" Spark warns about — resolved
+    // correctly today only by self-join disambiguation heuristics
     val queries = masked.filter(col("vec_id") < nQueries)
-      .select(col("n_bits"), col("vec_id").as("query_id"),
+      .select(col("n_bits").as("q_bits"), col("vec_id").as("query_id"),
         col("mcode").as("qcode"))
     val scored = masked
       .join(broadcast(queries),
-        masked("n_bits") === queries("n_bits") &&
+        col("n_bits") === col("q_bits") &&
           col("vec_id") =!= col("query_id"))
-      .drop(queries("n_bits"))
+      .drop("q_bits")
       .withColumn("neg_h",
         (lit(0L) - expr("bit_count(mcode ^ qcode)")).cast("double"))
     val approx = topKByQuery(scored, "neg_h", k,

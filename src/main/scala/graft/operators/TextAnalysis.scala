@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Anchor.AnchorOps
 
 /** Text-analysis layer for LLM training-data pipelines over the `documents`
   * fixture: token counting, quality scoring, language ID, fingerprinting.
@@ -1383,7 +1384,7 @@ object TextAnalysis {
     * over vocab rows plus a 1-row argmax collect (model-scale, the
     * k-medians pattern), and the merge itself is a per-row aggregate()
     * fold — no shuffle grows with the corpus, only with |vocab|.
-    * Lineage is cut every few iterations (localCheckpoint, the
+    * Lineage is cut every few iterations ([[Anchor]], the
     * g04/d13 iteration pattern) so the plan doesn't deepen linearly
     * in nMerges. Spec-verified against a literal single-machine BPE
     * in BpeSpec; the counting core is oracle-checked as t38. */
@@ -1426,7 +1427,7 @@ object TextAnalysis {
              |      array('$ea$eb'))
              |    ELSE concat(acc, array(s)) END,
              |  acc -> acc)""".stripMargin).as("syms"), col("wf"))
-        if (it % 4 == 0) syms = syms.localCheckpoint(true).toDF()
+        if (it % 4 == 0) syms = syms.anchored.toDF()
         it += 1
       }
     }

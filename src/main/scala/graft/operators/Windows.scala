@@ -363,23 +363,6 @@ object Windows {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"), col("hour"))
 
-  /** w21: retention cohort matrix — users grouped by first-activity
-    * day, activity tracked per week-of-age: the (cohort, age) →
-    * active-users/retention-share triangle every product/growth
-    * dashboard reads, and for a data platform the engagement-decay
-    * read that decides how long behavioral logs stay hot. Week 0
-    * retention is 1.0 by construction (every user is active in their
-    * first week — the standard sanity row).
-    *
-    * Determinism: cohort day is a MIN selection; ages are integer
-    * datediffs div 7; retention is one double division of exact longs.
-    *
-    * Plan shape: a user-keyed first-day aggregate (map-side combined),
-    * a distinct on (user, day) bounding the activity stream to one row
-    * per user-day, a user-keyed join, then a (cohort, age) aggregate —
-    * output is cohorts × ages, dashboard-sized. The count_distinct in
-    * the matrix agg is exact; (user, day) rows are already distinct so
-    * it partial-aggregates without a second expansion. */
   /** w22: time-weighted average (TWAP) per (event_type, day) — the
     * irregular-interval mean every metrics/market pipeline needs where
     * w20's OHLC gives bucket extremes: each observation holds until
@@ -424,6 +407,23 @@ object Windows {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** w21: retention cohort matrix — users grouped by first-activity
+    * day, activity tracked per week-of-age: the (cohort, age) →
+    * active-users/retention-share triangle every product/growth
+    * dashboard reads, and for a data platform the engagement-decay
+    * read that decides how long behavioral logs stay hot. Week 0
+    * retention is 1.0 by construction (every user is active in their
+    * first week — the standard sanity row).
+    *
+    * Determinism: cohort day is a MIN selection; ages are integer
+    * datediffs div 7; retention is one double division of exact longs.
+    *
+    * Plan shape: a user-keyed first-day aggregate (map-side combined),
+    * a distinct on (user, day) bounding the activity stream to one row
+    * per user-day, a user-keyed join, then a (cohort, age) aggregate —
+    * output is cohorts × ages, dashboard-sized. The count_distinct in
+    * the matrix agg is exact; (user, day) rows are already distinct so
+    * it partial-aggregates without a second expansion. */
   def retentionCohorts(events: DataFrame): DataFrame = {
     val firstDay = events.groupBy(col("user_id"))
       .agg(min(to_date(col("ts"))).as("cohort_day"))

@@ -264,6 +264,27 @@ class TextDedupSpec extends SparkSpec {
       Dedup.dedupClusters(pairs, maxIters = 10)
     }
   }
+
+  test("Anchor: d13 loop green under a RELIABLE checkpoint dir too") {
+    import spark.implicits._
+    // Anchor.cut switches from executor-resident localCheckpoint to
+    // reliable checkpoint() when a dir is configured — the cluster
+    // posture, where executor loss must not invalidate loop lineage.
+    // Same chain fixture as the transitive-closure test, same answer.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val pairs = Seq((4L, 3L), (3L, 2L), (2L, 1L), (10L, 11L))
+        .toDF("vec_id_a", "vec_id_b")
+      val byId = Dedup.dedupClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byId == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L))
+    } finally {
+      // Option(null) → None: cleanly restores the localCheckpoint path
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
 }
 
 /** PII redaction + benchmark decontamination semantics. */
