@@ -562,7 +562,7 @@ object SparkEntry {
     * so the recursion genuinely multiplies on the dense fixture graph
     * instead of collapsing to 1-hop reachability); the cap bounds the
     * working set on cyclic graphs at |E|·overlap⁴. */
-  private def RecursivePathsSql(table: String): String =
+  private[graft] def RecursivePathsSql(table: String): String =
     s"""WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM (
        |  SELECT lag(event_type) OVER (PARTITION BY user_id
        |    ORDER BY ts, event_id) AS src, event_type AS dst

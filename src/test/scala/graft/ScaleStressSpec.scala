@@ -209,7 +209,40 @@ class ScaleStressSpec extends SparkSpec {
     ("g08_graph_walks",
       graft.operators.Graph.deterministicWalks(emb),
       graft.operators.Graph.deterministicWalks(embX,
-        nCells = 32 * factor), true))
+        nCells = 32 * factor), true),
+    // r14 additions: the remaining bench-top queries without entries.
+    // s31/s33 are recall EVALS — each runs two serving tiers plus the
+    // s01 brute-force ground truth (the intended broadcast×scan, hence
+    // bnljIntended); their factor covers the full eval pipeline.
+    ("s31_residual_recall",
+      S.residualRecall(emb), S.residualRecall(embX), true),
+    ("s33_opq_recall",
+      S.opqRecall(emb), S.opqRecall(embX), true),
+    // k03 trains four K tiers end-to-end (each a broadcast-cross
+    // assign — the k01/k04 timing semantics, training cost included)
+    ("k03_elbow_curve",
+      graft.operators.Clustering.elbowCurve(emb),
+      graft.operators.Clustering.elbowCurve(embX), true),
+    // p08 composes the gopher/c4/ppl gates; the ppl tercile carries
+    // the t17-style ONE-row corpus frame broadcast-cross (whitelisted
+    // in the plan audit, intended here)
+    ("p08_curated_corpus",
+      T.curatedCorpusV2(docs), T.curatedCorpusV2(docsX), true),
+    // q40: WITH RECURSIVE path enumeration. event_type rides the
+    // token-bijective rename, so each replica's transition graph is
+    // isomorphic-but-disjoint: distinct edges AND the bounded-depth
+    // recursion workload both grow ×factor (re-keying only user_id
+    // would leave the edge graph constant and measure just the scan)
+    ("q40_recursive_paths", {
+      Tables.events(spark, sf).createOrReplaceTempView("ev_q40_base")
+      spark.sql(SparkEntry.RecursivePathsSql("ev_q40_base"))
+    }, {
+      ScaledTables.scaled(Tables.events(spark, sf), factor,
+        idCols = Seq("event_id", "user_id"),
+        textCols = Seq("event_type"))
+        .createOrReplaceTempView("ev_q40_scaled")
+      spark.sql(SparkEntry.RecursivePathsSql("ev_q40_scaled"))
+    }, false))
 
   /** Committed growth-factor history, keyed fixture-name -> op -> factor.
     * Flat hand-rolled read/write (the shape is two levels of string ->
