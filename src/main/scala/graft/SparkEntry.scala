@@ -552,7 +552,24 @@ object SparkEntry {
       W.twapDaily(Tables.events(s, d))),
     // l15: dynamic partition overwrite (replaceWhere) round-trip
     "l15_replace_where" -> ((s, d) =>
-      graft.lake.LakeQueries.replaceWhereRead(s, Tables.orders(s, d)))
+      graft.lake.LakeQueries.replaceWhereRead(s, Tables.orders(s, d))),
+    // --- round 14 ---
+    // s36: full index lifecycle — frozen-base train, append, tombstone,
+    // stored-table partition-pruned serve, composed end to end
+    "s36_index_lifecycle" -> ((s, d) =>
+      S.ivfPqLifecycleServe(Tables.embeddings(s, d))),
+    // d18: URL canonicalization + first-occurrence URL-level dedup
+    "d18_url_dedup" -> ((s, d) =>
+      D.urlDedup(Tables.documents(s, d))),
+    // t42: interpolated bigram LM score + perplexity terciles
+    "t42_lm_perplexity" -> ((s, d) =>
+      T.smoothedLmScore(Tables.documents(s, d))),
+    // s37: structured-OPQ PQ — variance permutation + block-Hadamard
+    "s37_rotated_pq" -> ((s, d) =>
+      S.rotatedPqTopK(Tables.embeddings(s, d))),
+    // s38: raw vs perm vs perm+rot recall at equal code budget
+    "s38_rotation_recall" -> ((s, d) =>
+      S.rotationRecall(Tables.embeddings(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -1796,6 +1813,27 @@ object SparkEntry {
     s"WITH $OpqPermCtes,\n" + body
   }
 
+  /** s37: the [[OpqPermCtes]] chain + the per-subspace Walsh–Hadamard
+    * rotation CTE over `perm`, then [[PqAdcOracle]] re-pointed at
+    * `rot` (the s30/s32 text-surgery rule — chains cannot drift).
+    * Signs are integer bit parity; each output dim is one ascending
+    * list_reduce fold × 0.25 rounded once to FLOAT — the identical
+    * fixed-fold arithmetic as the Spark side. */
+  private val RotPqOracle: String = {
+    val body = replaceAnchored(PqAdcOracle.stripPrefix("WITH "),
+      "FROM embeddings)", "FROM rot)")
+    s"WITH $OpqPermCtes,\n" +
+    """rot AS (SELECT vec_id,
+      |  list_transform(range(0, 64), j ->
+      |    CAST(list_reduce(list_transform(range(0, 16), i ->
+      |      (CASE WHEN bit_count((j % 16) & i) % 2 = 0
+      |        THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)
+      |      * CAST(embedding[(j // 16) * 16 + i + 1] AS DOUBLE)),
+      |      (x, y) -> x + y) * CAST(0.25 AS DOUBLE) AS FLOAT))
+      |    AS embedding
+      |  FROM perm),""".stripMargin + "\n" + body
+  }
+
   private val OpqRecallOracle: String =
     s"""WITH tiers AS (SELECT 'pq_opq' AS tier UNION ALL
       |  SELECT 'pq_raw' AS tier),
@@ -1805,6 +1843,30 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT 'pq_opq' AS tier, query_id, neighbor_id
       |    FROM ($OpqPqOracle) ox),
+      |ex AS (SELECT t.tier, b.query_id, b.neighbor_id
+      |  FROM ($BruteTopKOracle) b CROSS JOIN tiers t)
+      |SELECT e.tier, e.query_id, count(a.neighbor_id) AS n_hits,
+      |  CAST(count(a.neighbor_id) AS DOUBLE) / 10.0 AS recall
+      |FROM ex e LEFT JOIN ap a ON e.tier = a.tier
+      |  AND e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      |GROUP BY e.tier, e.query_id
+      |ORDER BY e.tier, e.query_id""".stripMargin
+
+  /** s38: [[OpqRecallOracle]]'s shape with the third tier — all three
+    * serving chains nested as derived tables (the s13 precedent). */
+  private val RotationRecallOracle: String =
+    s"""WITH tiers AS (SELECT 'pq_opq' AS tier UNION ALL
+      |  SELECT 'pq_opqrot' AS tier UNION ALL
+      |  SELECT 'pq_raw' AS tier),
+      |ap AS (
+      |  SELECT 'pq_raw' AS tier, query_id, neighbor_id
+      |    FROM ($PqAdcOracle) px
+      |  UNION ALL
+      |  SELECT 'pq_opq' AS tier, query_id, neighbor_id
+      |    FROM ($OpqPqOracle) ox
+      |  UNION ALL
+      |  SELECT 'pq_opqrot' AS tier, query_id, neighbor_id
+      |    FROM ($RotPqOracle) rx),
       |ex AS (SELECT t.tier, b.query_id, b.neighbor_id
       |  FROM ($BruteTopKOracle) b CROSS JOIN tiers t)
       |SELECT e.tier, e.query_id, count(a.neighbor_id) AS n_hits,
@@ -3429,6 +3491,11 @@ object SparkEntry {
     "s16_pq_nprobe_recall" -> PqNProbeRecallOracle,
     "s17_ivfpq_rerank" -> IvfPqRerankOracle,
     "s18_ivfpq_append" -> IvfPqAppendOracle,
+    // s36: the s18 oracle with the s27 tombstone injected into its ADC
+    // scan — frozen-base model, append encoded, deletes pruned, served
+    "s36_index_lifecycle" ->
+      replaceAnchored(IvfPqAppendOracle, "AND co.vec_id <> l.query_id",
+        "AND co.vec_id <> l.query_id AND co.vec_id % 7 <> 0"),
     // the stored-codes form is results-identical to s12/s15 by
     // construction: same artifacts, same codes (lossless integer
     // parquet round-trip), same ADC arithmetic — only WHERE the codes
@@ -5036,6 +5103,8 @@ object SparkEntry {
           |ORDER BY mean_bits DESC, doc_id LIMIT 100""".stripMargin),
     "s32_opq_pq_topk" -> OpqPqOracle,
     "s33_opq_recall" -> OpqRecallOracle,
+    "s37_rotated_pq" -> RotPqOracle,
+    "s38_rotation_recall" -> RotationRecallOracle,
     // k04: both trainings nested as scoped-WITH subqueries (the s13
     // precedent — CTE names never collide); Rand terms are exact longs
     "k04_cluster_agreement" ->
@@ -5130,6 +5199,90 @@ object SparkEntry {
         |  CASE WHEN o_orderpriority = '1-URGENT'
         |    THEN o_totalprice * 0.9 ELSE o_totalprice END
         |    AS o_totalprice
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // d18: the same url synthesis + canonicalization rules expressed
+    // in SQL — host lowercased, one leading www. stripped, trailing
+    // slash stripped, fragment dropped, utm_* params dropped, the
+    // rest sorted bytewise, scheme dropped; keeper = MIN doc_id.
+    // Assembled by concatenation, not stripMargin — the SQL is full
+    // of `||`, which a margin strip would mangle (the p08 precedent)
+    "d18_url_dedup" ->
+      ("WITH u AS (SELECT doc_id,\n" +
+       "  CASE WHEN doc_id % 5 = 0 THEN 'https://EXAMPLE' ||\n" +
+       "    CAST(doc_id // 50 AS VARCHAR) || '.COM/Page/' ||\n" +
+       "    CAST(doc_id // 5 AS VARCHAR)\n" +
+       "  WHEN doc_id % 5 = 1 THEN 'https://www.example' ||\n" +
+       "    CAST(doc_id // 50 AS VARCHAR) || '.com/Page/' ||\n" +
+       "    CAST(doc_id // 5 AS VARCHAR) || '/'\n" +
+       "  WHEN doc_id % 5 = 2 THEN 'http://example' ||\n" +
+       "    CAST(doc_id // 50 AS VARCHAR) || '.com/Page/' ||\n" +
+       "    CAST(doc_id // 5 AS VARCHAR) || '?utm_source=feed&ref=rss'\n" +
+       "  WHEN doc_id % 5 = 3 THEN 'https://example' ||\n" +
+       "    CAST(doc_id // 50 AS VARCHAR) || '.com/Page/' ||\n" +
+       "    CAST(doc_id // 5 AS VARCHAR) ||\n" +
+       "    '?ref=rss&utm_campaign=x#section-2'\n" +
+       "  ELSE 'https://blog.example' ||\n" +
+       "    CAST(doc_id // 50 AS VARCHAR) || '.com/Page/' ||\n" +
+       "    CAST(doc_id // 5 AS VARCHAR) END AS url FROM documents),\n" +
+       "c AS (SELECT doc_id, url,\n" +
+       "  regexp_replace(lower(regexp_extract(url,\n" +
+       "    '^[a-zA-Z]+://([^/?#]+)', 1)), '^www\\.', '') AS host,\n" +
+       "  regexp_replace(regexp_extract(url,\n" +
+       "    '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/$', '') AS path,\n" +
+       "  regexp_extract(url, '^[^?#]*\\?([^#]*)', 1) AS rawq FROM u),\n" +
+       "p AS (SELECT doc_id, url, host, path,\n" +
+       "  array_to_string(list_sort(list_filter(string_split(rawq, '&'),\n" +
+       "    x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&')\n" +
+       "    AS params FROM c),\n" +
+       "n AS (SELECT doc_id, url,\n" +
+       "  host || path || CASE WHEN params <> '' THEN '?' || params\n" +
+       "    ELSE '' END AS canon_url,\n" +
+       "  regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain FROM p),\n" +
+       "k AS (SELECT canon_url, CAST(MIN(doc_id) AS BIGINT)\n" +
+       "    AS keep_doc_id,\n" +
+       "  CAST(COUNT(*) AS BIGINT) AS n_dups FROM n GROUP BY canon_url)\n" +
+       "SELECT n.doc_id, n.url, n.canon_url, n.domain, k.keep_doc_id,\n" +
+       "  k.n_dups, (n.doc_id = k.keep_doc_id) AS is_kept\n" +
+       "FROM n JOIN k USING (canon_url) ORDER BY n.doc_id"),
+    // t42: the t33 bigram CTEs + unigram table + one-row (N+V+1)
+    // frame; bits = floor-log2 of the exact interpolated rational
+    // (lambda = 3/4, add-one OOV mass); terciles by global row_number
+    // (the oracle may single-partition sort; the Spark side may not)
+    "t42_lm_perplexity" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+        |bg AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
+        |    FROM b)),
+        |lm AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM bg GROUP BY w1, w2),
+        |cx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cu
+        |  FROM bg GROUP BY w1),
+        |un AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cw
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+'))
+        |    AS tok FROM documents) GROUP BY tok),
+        |tt AS (SELECT CAST(SUM(cw) AS BIGINT) + CAST(COUNT(*) AS BIGINT)
+        |    + 1 AS m FROM un),
+        |s AS (SELECT g.doc_id,
+        |  (CAST(length(bin(4 * c.cu * tt.m)) - 1 AS BIGINT)
+        |   - CAST(length(bin(3 * l.cb * tt.m + c.cu * (un.cw + 1))) - 1
+        |       AS BIGINT)) AS bits
+        |  FROM bg g JOIN lm l ON g.w1 = l.w1 AND g.w2 = l.w2
+        |  JOIN cx c ON g.w1 = c.w1 JOIN un ON g.w2 = un.tok
+        |  CROSS JOIN tt),
+        |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
+        |  CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mean_bits FROM s GROUP BY doc_id),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d),
+        |r AS (SELECT doc_id, n_bigrams, sum_bits, mean_bits,
+        |  CAST(row_number() OVER (ORDER BY mean_bits, doc_id)
+        |    AS BIGINT) AS ppl_rank FROM d)
+        |SELECT doc_id, n_bigrams, sum_bits, mean_bits, ppl_rank,
+        |  CASE WHEN (ppl_rank - 1) * 3 < nn.n_docs THEN 'head'
+        |       WHEN (ppl_rank - 1) * 3 < nn.n_docs * 2 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM r CROSS JOIN nn ORDER BY doc_id""".stripMargin
   )
 }

@@ -113,5 +113,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(NfcFns.nfcInfo)
     ext.injectFunction(TokenFns.tokensInfo)
     ext.injectFunction(RollFns.rollInfo)
+    ext.injectFunction(HadamardFns.hadamardInfo)
   }
 }

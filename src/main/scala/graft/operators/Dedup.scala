@@ -706,4 +706,91 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** The d18 canonicalization rule set as one pure Column expression
+    * (testable on handcrafted URLs, reused by [[urlDedup]]): host
+    * lowercased and one leading `www.` stripped, path trailing slash
+    * stripped (path case preserved — it is significant), fragment
+    * dropped, `utm_*` tracking params dropped, surviving params sorted
+    * bytewise, scheme dropped (http/https unified). All codegen'd
+    * string/regexp/array builtins — a map-side expression. */
+  def canonicalUrl(url: Column): Column = {
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^[a-zA-Z]+://([^/?#]+)", 1)),
+      "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1), "/$", "")
+    val params = array_join(array_sort(filter(
+      split(regexp_extract(url, "^[^?#]*\\?([^#]*)", 1), "&"),
+      p => p =!= lit("") && !p.startsWith("utm_"))), "&")
+    concat(host, path,
+      when(params =!= "", concat(lit("?"), params)).otherwise(lit("")))
+  }
+
+  /** Registered domain = last two labels of the canonical host — no
+    * public-suffix list offline (documented approximation; co.uk-style
+    * suffixes would need the PSL). The per-site key for t19-style
+    * domain caps. */
+  def registeredDomain(url: Column): Column =
+    regexp_extract(regexp_replace(
+        lower(regexp_extract(url, "^[a-zA-Z]+://([^/?#]+)", 1)),
+        "^www\\.", ""),
+      "([^.]+\\.[^.]+)$", 1)
+
+  /** d18: URL canonicalization + URL-level first-occurrence dedup —
+    * the web-pipeline gate BOTH C4 (Raffel et al. 2020) and CCNet
+    * (Wenzek et al. 2020) run before any content dedup: a crawl sees
+    * the same page under scheme/case/www/trailing-slash/tracking-param
+    * variants, and deduping by the CANONICAL form removes the bulk of
+    * exact re-crawls for the price of one string expression. Rules
+    * (each a documented choice, mirrored verbatim in the oracle SQL):
+    * lowercase the host, strip one leading `www.`, strip a trailing
+    * slash from the path (path CASE is preserved — it is significant),
+    * drop the fragment, drop `utm_*` tracking params, sort the
+    * surviving query params bytewise, and unify http/https by dropping
+    * the scheme. The registered domain (last two host labels — no
+    * public-suffix list offline, documented approximation) rides along
+    * for per-site caps (t19's key).
+    *
+    * The fixture carries no url column, so a deterministic messy URL
+    * is synthesized from doc_id (five variant shapes; within each
+    * 5-block, variants 0+1 and 2+3 canonicalize together and 4 is a
+    * distinct subdomain) — the SAME construction in both engines, so
+    * the canonicalization logic is what the oracle actually checks.
+    *
+    * Keep rule: first occurrence (MIN doc_id) per canonical URL — the
+    * t39 keeper shape. Plan: one map-side canon expression, one
+    * canon-keyed partial agg (map-side combined), one canon-keyed join
+    * back — two shuffles on the canon key, AQE-skew territory for a
+    * hot URL exactly like t39's hot line. */
+  def urlDedup(documents: DataFrame): DataFrame = {
+    val g = expr("doc_id div 5").cast("string")
+    val h = expr("doc_id div 50").cast("string")
+    val url = when(col("doc_id") % 5 === 0,
+        concat(lit("https://EXAMPLE"), h, lit(".COM/Page/"), g))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("https://www.example"), h, lit(".com/Page/"), g,
+          lit("/")))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("http://example"), h, lit(".com/Page/"), g,
+          lit("?utm_source=feed&ref=rss")))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("https://example"), h, lit(".com/Page/"), g,
+          lit("?ref=rss&utm_campaign=x#section-2")))
+      .otherwise(
+        concat(lit("https://blog.example"), h, lit(".com/Page/"), g))
+    val withUrl = documents.select(col("doc_id"), url.as("url"))
+    val canon = withUrl
+      .select(col("doc_id"), col("url"),
+        canonicalUrl(col("url")).as("canon_url"),
+        registeredDomain(col("url")).as("domain"))
+    val keeper = canon.groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_dups"))
+    canon.join(keeper, "canon_url")
+      .select(col("doc_id"), col("url"), col("canon_url"), col("domain"),
+        col("keep_doc_id"), col("n_dups"),
+        (col("doc_id") === col("keep_doc_id")).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1142,6 +1142,66 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s36: the FULL index lifecycle in one query — the end-to-end claim
+    * a 100 TB index actually needs, composing the three separately
+    * verified faces: the model is FROZEN on the base corpus (s18's
+    * `vec_id % 5 ≠ 0` split), the delta is encoded with those frozen
+    * artifacts and lands in the STORED cell-partitioned code table
+    * (s19's at-rest layout — one table holds base + appended codes,
+    * which is exactly what FAISS `add()` against a persisted index
+    * leaves on disk), a tombstone predicate (s27's `% 7 = 0`) prunes
+    * deleted vectors at the scan stage, and serving is the
+    * partition-pruned probe → broadcast LUT join → ADC partial-agg
+    * top-k. Equivalently: serve(stored(append(train(base))), minus
+    * tombstones) — the steady state after a day of appends and deletes
+    * with no retrain.
+    *
+    * Correctness contract: rows equal the s18 append-serve recomputed
+    * over corpus-minus-tombstones under the same frozen model (encode
+    * is per-vector, tombstoning never moves a centroid), so the oracle
+    * is the s18 oracle with the delete predicate injected into its ADC
+    * scan — the same text surgery s27 applies to the s12 oracle.
+    *
+    * Scale posture: the stored table is written once per (corpus,
+    * params, base-split) per session and partition-pruned by the
+    * probed-cell literal IN-list thereafter; the tombstone filter is a
+    * scan-stage predicate BEFORE the LUT expansion (a tombstone TABLE
+    * anti-joins at the same spot — j01's broadcast/bloom machinery);
+    * nothing here rescans the corpus at serve time. */
+  def ivfPqLifecycleServe(embeddings: DataFrame,
+      deletePredicate: Column = col("vec_id") % 7 === 0,
+      m: Int = 4, subDim: Int = 16, k: Int = 8, nQueries: Int = 5,
+      topK: Int = 10, nProbe: Int = 1): DataFrame = {
+    val base = embeddings.filter(col("vec_id") % 5 =!= 0)
+    // artifacts keyed by the BASE plan (the s18 rule): a model trained
+    // on a different corpus is a different model, never a cache share
+    val ctx = servingContext(embeddings, trainOn = base, m = m,
+      subDim = subDim, k = k, nQueries = nQueries)
+    val storedCodes = IndexStore.storedTable("ivfpq-lifecycle", embeddings,
+        s"m=$m,subDim=$subDim,k=$k,K=$CoarseK,base=mod5", Seq("cell")) {
+      ctx.cells.join(ctx.codes, "vec_id")
+    }
+    val probes = probeCells(ctx.queries, ctx.centroids, nProbe)
+    val probedIds = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val scored = storedCodes
+      .filter(col("cell").isin(probedIds: _*))
+      .filter(!deletePredicate)
+      .join(broadcast(ctx.lut), Seq("sub", "code"))
+      .join(broadcast(probes.select(col("query_id"), col("cell"))),
+        Seq("query_id", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot_fp")).as("adc_fp"))
+    topKByQuery(scored, "adc_fp", topK)
+      .join(broadcast(probes.filter(col("cell_rank") === 1)
+        .select(col("query_id"), col("cell"))), "query_id")
+      .select(col("query_id"), col("cell"),
+        col("neighbor_id"), col("adc_fp").cast("long").as("adc_fp"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The session-cached serving model artifacts (coarse centroids + PQ
     * codebook) as the pair a deployment loads from its artifact store —
     * exposed for the STREAMING serve tier, which broadcasts them into
@@ -1660,8 +1720,8 @@ object Similarity {
     * SQL engine reproduces bit-for-bit. The rank step is the
     * w19/dq02 sorted-array fold over the d-row score frame (one
     * partial agg), not an unpartitioned window. */
-  private def opqPermutedFrame(embeddings: DataFrame, m: Int = 4,
-      subDim: Int = 16): DataFrame = {
+  private[operators] def opqPermutedFrame(embeddings: DataFrame,
+      m: Int = 4, subDim: Int = 16): DataFrame = {
     val ex = embeddings
       .select(col("vec_id"), posexplode(col("embedding"))
         .as(Seq("dim", "v")))
@@ -1730,6 +1790,100 @@ object Similarity {
         col("neighbor_id"))
       .unionByName(opqPqTopK(embeddings, nQueries = nQueries, topK = k)
         .select(lit("pq_opq").as("tier"), col("query_id"),
+          col("neighbor_id")))
+      .withColumn("hit", lit(1L))
+    val exact = bruteForceTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(tiers))
+    exact.join(approx, Seq("tier", "query_id", "neighbor_id"), "left")
+      .groupBy(col("tier"), col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("tier"), col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(k).cast("double"))
+          .as("recall"))
+      .orderBy(col("tier"), col("query_id"))
+  }
+
+  /** The s37 STRUCTURED rotation: [[opqPermutedFrame]] followed by a
+    * per-subspace Walsh–Hadamard rotation — the rotation face of OPQ
+    * (Ge et al. 2014) realized with a STRUCTURED orthogonal matrix
+    * (the trick of cross-polytope LSH, Andoni et al. 2015, and of
+    * structured-projection PQ variants) instead of the eigensolver
+    * rotation no SQL engine reproduces bit-for-bit: within each
+    * subDim-wide block, y_j = (1/√subDim)·Σᵢ (−1)^popcount(j∧i)·xᵢ.
+    * H is symmetric orthogonal (H² = I), so true dot products are
+    * preserved per block and the permutation+rotation pair changes
+    * ONLY what the PQ codebook must quantize — the s32 invariance
+    * argument, extended. The permutation balances variance ACROSS
+    * subspaces; the Hadamard then spreads each subspace's variance
+    * over its own dims (decorrelation), which is what the trained OPQ
+    * rotation buys when codebook cells are axis-aligned.
+    *
+    * Determinism: the sign is integer bit parity; each output dim is
+    * ONE left fold over the block in ascending i (the fixed-fold dot
+    * discipline — both engines add in the identical order), scaled by
+    * 1/√subDim (= 0.25 at subDim 16 — EXACT in binary), rounded once
+    * to FLOAT (the s30 residual precedent). No groupBy float sums. */
+  /** The rotation alone (H is symmetric orthogonal, so this is its own
+    * inverse up to FLOAT rounding — spec-asserted). Runs through the
+    * native codegen'd [[graft.functions.HadamardRotate]]: the builtin
+    * `transform(sequence, j -> aggregate(...))` formulation is a
+    * higher-order lambda tree that evaluates INTERPRETED (no codegen
+    * for HOFs) at a measured ~6 ms/row — and pqTopK references its
+    * input frame ~5×, each inlining the projection — where the native
+    * expression is a primitive fused-multiply-add loop inside
+    * whole-stage codegen with the SAME left-fold association the
+    * DuckDB oracle uses (bitwise-equal, oracle-checked). */
+  private[operators] def hadamardRotate(frame: DataFrame, m: Int = 4,
+      subDim: Int = 16): DataFrame =
+    frame.select(col("vec_id"),
+      graft.functions.HadamardFns.rotate(col("embedding"), m, subDim)
+        .as("embedding"))
+
+  private[operators] def opqRotatedFrame(embeddings: DataFrame,
+      m: Int = 4, subDim: Int = 16): DataFrame =
+    hadamardRotate(opqPermutedFrame(embeddings, m, subDim), m, subDim)
+
+  /** s37: structured-OPQ flat PQ-ADC top-k — s11's exact pipeline
+    * over the permuted-then-Hadamard-rotated frame. Same plan as s32
+    * plus one per-row array expression (the rotation is subDim² fused
+    * multiply-adds per vector in the scan stage — no extra shuffle);
+    * at rest the rotated vector is a stored column (the s19 argument)
+    * and serve cost is identical to s11's. */
+  def rotatedPqTopK(embeddings: DataFrame, m: Int = 4, subDim: Int = 16,
+      k: Int = 8, nQueries: Int = 5, topK: Int = 10): DataFrame =
+    pqTopK(opqRotatedFrame(embeddings, m, subDim), m, subDim, k,
+      nQueries, topK)
+
+  /** s38: recall@k of the three flat-PQ preprocessing tiers — raw
+    * order, OPQ-lite permutation (s32), permutation+Hadamard rotation
+    * (s37) — against the s01 exact truth: the marginal value of each
+    * preprocessing step at equal code budget, measured per corpus
+    * (the s31/s33 stance). Ground truth is computed on the RAW
+    * embeddings — both transforms preserve true neighbors by
+    * orthogonality, so all tiers answer the same question. Measured
+    * at sf0.01: perm 0.28 > perm+rot 0.26 > raw 0.24 mean recall —
+    * the permutation helps, the Hadamard on top gives a bit BACK on
+    * this fixture (the synthetic embeddings are near-isotropic within
+    * a subspace already, so the rotation only reshuffles what k=8
+    * axis-aligned cells must fit) — exactly why the switch is
+    * measured per corpus, never assumed. Tier strings sort
+    * pq_opq < pq_opqrot < pq_raw. */
+  def rotationRecall(embeddings: DataFrame, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val tiers = embeddings.sparkSession.range(0, 3)
+      .select(element_at(
+        array(lit("pq_opq"), lit("pq_opqrot"), lit("pq_raw")),
+        col("id").cast("int") + 1).as("tier"))
+    val approx = pqTopKServe(embeddings, nQueries = nQueries, topK = k)
+      .select(lit("pq_raw").as("tier"), col("query_id"),
+        col("neighbor_id"))
+      .unionByName(opqPqTopK(embeddings, nQueries = nQueries, topK = k)
+        .select(lit("pq_opq").as("tier"), col("query_id"),
+          col("neighbor_id")))
+      .unionByName(rotatedPqTopK(embeddings, nQueries = nQueries,
+          topK = k)
+        .select(lit("pq_opqrot").as("tier"), col("query_id"),
           col("neighbor_id")))
       .withColumn("hit", lit(1L))
     val exact = bruteForceTopK(embeddings, nQueries, k)

@@ -1130,6 +1130,81 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t42: interpolated bigram LM score + perplexity terciles — the
+    * CCNet-style quality signal proper (Wenzek et al. 2020 filter by a
+    * SMOOTHED LM, not raw count surprise): per-bigram probability
+    *   p(w|u) = λ·c(u,w)/c(u) + (1−λ)·(c(w)+1)/(N+V+1),   λ = 3/4,
+    * i.e. the ML bigram estimate interpolated with an add-one unigram
+    * that reserves one pseudo-slot of OOV mass (the +1 in numerator
+    * and the +V+1 in the denominator). Unlike t33's raw bigram
+    * surprise, an unseen-in-context word is scored by its corpus-wide
+    * frequency instead of pinning to the OOV ceiling — the smoothing
+    * that makes LM perplexity a usable filter.
+    *
+    * Integer-exact discipline (the t17/t31/t33 bits rule, extended to
+    * RATIONALS): with λ = 3/4 the probability is the exact fraction
+    *   num/den,  num = 3·c_uw·M + c_u·(c_w+1),  den = 4·c_u·M,
+    * M = N+V+1, and the per-bigram bits are quantized to
+    * ilog2(den) − ilog2(num) — floor-log2 of exact longs, ±1-bit
+    * granularity, zero float ops until the final mean division (and
+    * p ≤ 1 ⇒ num ≤ den ⇒ bits ≥ 0 always). Overflow headroom: the
+    * largest product is 4·c_u·M ≤ 4N·(2N+1); longs hold it to
+    * N ≈ 1.5·10⁹ corpus tokens — past that, accumulate in
+    * DECIMAL(38,0) (the OPQ variance precedent).
+    *
+    * Perplexity itself (2^mean_bits) is deliberately NOT emitted:
+    * pow() differs in ulps across engines, and the tercile bucket —
+    * the thing the pipeline consumes — is rank-based, so mean_bits
+    * carries the same ordering information exactly.
+    *
+    * Plan shape: the t33 bigram explode feeds three count shuffles
+    * (bigram, context, unigram — each map-side combined), the one-row
+    * (N, V) frame broadcast-crosses in (the t17 pattern), scoring
+    * joins are all on count-table keys, and the tercile rank is the
+    * shared two-level [[pplTerciles]] — no single-partition sort. */
+  def smoothedLmScore(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = Dedup.spread(documents).filter(size(toks) >= 2)
+      .select(col("doc_id"), toks.as("toks"))
+    val bigrams = base.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigramLm = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val contextLm = bigrams.groupBy(col("w1"))
+      .agg(count(lit(1)).as("cu"))
+    val uni = documents.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cw"))
+    val corpus = uni.agg(sum(col("cw")).as("n"), count(lit(1)).as("v"))
+    val m = col("n") + col("v") + lit(1L)
+    val scored = bigrams
+      .join(bigramLm, Seq("w1", "w2"))
+      .join(contextLm, Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("cw")), Seq("w2"))
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"),
+        (ilog2(lit(4L) * col("cu") * m) -
+          ilog2(lit(3L) * col("cb") * m + col("cu") * (col("cw") + 1L)))
+          .as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bits")).as("sum_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_bits"))
+    // the tercile population is the ≥2-token base (docs with no bigram
+    // have no LM score), so the total counts THAT filter — not the
+    // full table like t37
+    val total = documents.filter(size(tokens(col("text"))) >= 2)
+      .agg(count(lit(1)).as("n_docs"))
+    pplTerciles(scored, total)
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+        col("mean_bits"), col("ppl_rank"), col("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The Gopher required-stopword set (Rae et al. 2021, Table A1): a
     * document must contain at least two of these to pass the rule. */
   val GopherStops: Seq[String] =
@@ -1306,11 +1381,36 @@ object TextAnalysis {
     * bits of each other — pathological only if the whole corpus has
     * near-identical surprise. */
   def ccnetBuckets(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = unigramSurprise(documents)
       .select(col("doc_id"), col("n_tokens"), col("mean_bits"))
+    // count the BASE table, not the surprise frame: split(trim(x)) is
+    // never empty, so every doc has a surprise row and the counts are
+    // equal — and counting `documents` keeps this branch a clean
+    // partial-count funnel instead of the column-pruned residue of the
+    // surprise plan's embedded one-row cross (an empty-column aggregate
+    // the plan audit correctly rejects)
+    val total = documents.agg(count(lit(1)).as("n_docs"))
+    pplTerciles(docs, total)
+      .select(col("doc_id"), col("n_tokens"), col("mean_bits"),
+        col("ppl_rank"), col("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Global tercile rank over `mean_bits` WITHOUT a single-partition
+    * sort (the t37 two-level-rank shape, shared with t42): bucket by
+    * floor(mean_bits·4) — a partial-agg'able histogram — rank within
+    * each bucket (parallel windows), then recover the exact global
+    * (mean_bits, doc_id) rank as within-rank + per-bucket prefix
+    * offset, the offsets computed by one broadcast fold over the
+    * bucket-count table. `total` must be a one-row count of the SAME
+    * doc population as `scored` (caller's responsibility — t37 counts
+    * `documents`, t42 counts its ≥2-token base). Appends `ppl_rank`
+    * and the head/middle/tail `ppl_bucket` terciles. */
+  private def pplTerciles(scored: DataFrame,
+      total: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bucketed =
-      docs.withColumn("bk", floor(col("mean_bits") * 4).cast("long"))
+      scored.withColumn("bk", floor(col("mean_bits") * 4).cast("long"))
     val within = bucketed.withColumn("rn",
       row_number().over(Window.partitionBy(col("bk"))
         .orderBy(col("mean_bits"), col("doc_id"))).cast("long"))
@@ -1328,22 +1428,15 @@ object TextAnalysis {
           |  acc -> acc.out)""".stripMargin).as("offs"))
       .select(explode(col("offs")).as("o"))
       .select(col("o.bk").as("bk"), col("o.off").as("off"))
-    // count the BASE table, not the surprise frame: split(trim(x)) is
-    // never empty, so every doc has a surprise row and the counts are
-    // equal — and counting `documents` keeps this branch a clean
-    // partial-count funnel instead of the column-pruned residue of the
-    // surprise plan's embedded one-row cross (an empty-column aggregate
-    // the plan audit correctly rejects)
-    val total = documents.agg(count(lit(1)).as("n_docs"))
     val rank = col("off") + col("rn")
     within.join(broadcast(offsets), "bk")
       .crossJoin(broadcast(total))
-      .select(col("doc_id"), col("n_tokens"), col("mean_bits"),
-        rank.as("ppl_rank"),
+      .withColumn("ppl_rank", rank)
+      .withColumn("ppl_bucket",
         when((rank - 1) * 3 < col("n_docs"), "head")
           .when((rank - 1) * 3 < col("n_docs") * 2, "middle")
-          .otherwise("tail").as("ppl_bucket"))
-      .orderBy(col("doc_id"))
+          .otherwise("tail"))
+      .drop("bk", "rn", "off", "n_docs")
   }
 
   /** t38: BPE tokenizer training, the counting face — the weighted

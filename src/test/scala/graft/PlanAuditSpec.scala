@@ -75,7 +75,10 @@ class PlanAuditSpec extends SparkSpec {
     "k04_cluster_agreement", // two k01 centroid crosses + 1-row metric crosses
     "s34_hamming_topk", // broadcast(5 query codes) x corpus by design
     "s35_hamming_recall", // s01 exact side + tiny bit-config crosses
-    "b02_rrf_fusion") // b01's ONE-row stats cross + s01's dense side
+    "b02_rrf_fusion", // b01's ONE-row stats cross + s01's dense side
+    "s36_index_lifecycle", // s18/s19's probe-schedule broadcast crosses
+    "s38_rotation_recall", // s01 exact side + 3-row tier cross
+    "t42_lm_perplexity") // t33's ONE-row (N,V) corpus frame cross
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

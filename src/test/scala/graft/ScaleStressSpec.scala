@@ -228,6 +228,22 @@ class ScaleStressSpec extends SparkSpec {
     // in the plan audit, intended here)
     ("p08_curated_corpus",
       T.curatedCorpusV2(docs), T.curatedCorpusV2(docsX), true),
+    // r14 second batch: the round's new ledger rows. s36 is a SERVING
+    // form (stored table + artifacts materialize at construction —
+    // the s15/s17 timing semantics); s37 is END-TO-END like s32; s38
+    // is a recall eval with the s01 exact side (hence bnljIntended);
+    // d18 is two canon-keyed shuffles; t42 carries t33's one-row
+    // corpus-frame cross
+    ("s36_index_lifecycle",
+      S.ivfPqLifecycleServe(emb), S.ivfPqLifecycleServe(embX), true),
+    ("s37_rotated_pq",
+      S.rotatedPqTopK(emb), S.rotatedPqTopK(embX), false),
+    ("s38_rotation_recall",
+      S.rotationRecall(emb), S.rotationRecall(embX), true),
+    ("d18_url_dedup",
+      D.urlDedup(docs), D.urlDedup(docsX), false),
+    ("t42_lm_perplexity",
+      T.smoothedLmScore(docs), T.smoothedLmScore(docsX), true),
     // q40: WITH RECURSIVE path enumeration. event_type rides the
     // token-bijective rename, so each replica's transition graph is
     // isomorphic-but-disjoint: distinct edges AND the bounded-depth

@@ -111,6 +111,57 @@ class QualityFilterSpec extends SparkSpec {
     }
   }
 
+  test("smoothedLmScore: fluent repetition beats diverse content, bits >= 0") {
+    import spark.implicits._
+    // doc 1: one deterministic bigram pattern (every context has ONE
+    // continuation -> p(w|u) ~ 3/4 + unigram mass, zero quantized
+    // bits). doc 2: context x fans out to SIX continuations -> its
+    // (x,*) bigrams cost ~3 bits each. doc 3: mostly doc-1's pattern
+    // plus two diverse x-bigrams -> strictly between. NOTE a doc of
+    // all-unique words scores ~0 here, NOT high: with no discounting a
+    // hapax context predicts its single continuation perfectly — high
+    // perplexity needs REUSED contexts with diverse continuations.
+    val docs = Seq(
+      (1L, Array.fill(12)("alpha beta").mkString(" "), "en", "s"),
+      (2L, "x one x two x three x four x five x six", "en", "s"),
+      (3L, "alpha beta alpha beta x seven x eight", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.smoothedLmScore(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 3)
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("sum_bits") >= 0L, "negative bits: p > 1?") }
+    val mean = out.map { case (id, r) =>
+      id -> r.getAs[Double]("mean_bits") }
+    assert(mean(1L) < mean(3L) && mean(3L) < mean(2L),
+      s"LM ordering broke: $mean")
+    // terciles over 3 docs: exactly one head, one middle, one tail,
+    // assigned in mean_bits order
+    val buckets = out.map { case (id, r) =>
+      id -> r.getAs[String]("ppl_bucket") }
+    assert(buckets == Map(1L -> "head", 3L -> "middle", 2L -> "tail"))
+  }
+
+  test("smoothedLmScore: interpolation scores unseen-context mass by " +
+      "unigram frequency, not a fixed OOV ceiling") {
+    import spark.implicits._
+    // 'common' appears 12x corpus-wide, 'rare' once; both occur exactly
+    // once as the continuation of context 'x' (cb=1). Under t33's raw
+    // count surprise both bigrams score identically; the interpolated
+    // unigram term must rank p(common|x) > p(rare|x)
+    val docs = Seq(
+      (1L, "x common", "en", "s"),
+      (2L, "x rare", "en", "s"),
+      (3L, Array.fill(11)("common").mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.smoothedLmScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("mean_bits")).toMap
+    // doc1's single bigram (x,common) must cost no more bits than
+    // doc2's (x,rare): same cb/cu, larger unigram mass
+    assert(out(1L) <= out(2L),
+      s"interpolated unigram mass ignored: $out")
+  }
+
   test("gopherKeepExpr: stateless expr matches batch gopherRules bitwise") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val batch = TextAnalysis.gopherRules(docs).collect()

@@ -779,6 +779,61 @@ class RangeSearchSpec extends graft.SparkSpec {
       deletePredicate = lit(false)))
     assert(noop == base)
   }
+
+  test("s36 lifecycle: frozen-base append-serve minus tombstones, " +
+      "stored-table reuse") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cell"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_fp"),
+        r.getAs[Long]("rank"))).toSeq
+    // the composition baseline is the APPEND serve (same frozen-base
+    // model), not the full-corpus-trained delete serve
+    val base = rows(Similarity.ivfPqAppendServe(emb))
+    val affected = base.filter(_._3 % 7 == 0).map(_._1).toSet
+    assert(affected.nonEmpty,
+      "fixture premise lost: append-serve serves no %7 neighbors")
+    val life = rows(Similarity.ivfPqLifecycleServe(emb))
+    assert(life.nonEmpty)
+    assert(life.forall(_._3 % 7 != 0), "a tombstoned id was served")
+    val byQ = base.groupBy(_._1)
+    val byQl = life.groupBy(_._1)
+    for ((q, rs) <- byQ if !affected(q))
+      assert(byQl(q) == rs, s"untouched query $q changed")
+    for (q <- affected)
+      assert(byQl(q) != byQ(q) && byQl(q).forall(_._3 % 7 != 0))
+    // appended (delta) vectors stay searchable unless tombstoned
+    assert(life.exists(t => t._3 % 5 == 0 && t._3 % 7 != 0),
+      "no live delta vector surfaced after the delete")
+    // steady state: the second serve re-reads the stored code table
+    val n = IndexStore.size
+    assert(rows(Similarity.ivfPqLifecycleServe(emb)) == life)
+    assert(IndexStore.size == n, "second lifecycle serve rebuilt codes")
+  }
+
+  test("hadamardRotate: orthogonal (energy-preserving) and self-inverse") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def vecs(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Float]] =
+      df.collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1)).toMap
+    val perm = vecs(Similarity.opqPermutedFrame(emb))
+    val rot = vecs(Similarity.opqRotatedFrame(emb))
+    assert(perm.nonEmpty && rot.keySet == perm.keySet)
+    // ‖Hx‖² = ‖x‖² (H orthonormal) within float-rounding tolerance
+    for ((id, p) <- perm) {
+      val e1 = p.map(v => v.toDouble * v).sum
+      val e2 = rot(id).map(v => v.toDouble * v).sum
+      assert(math.abs(e1 - e2) <= 1e-3 * math.max(1.0, e1),
+        s"vec $id energy drifted: $e1 -> $e2")
+    }
+    // H² = I: rotating the rotated frame recovers the permuted frame
+    val twice = vecs(Similarity.hadamardRotate(
+      Similarity.opqRotatedFrame(emb)))
+    for ((id, p) <- perm; (a, b) <- p.zip(twice(id)))
+      assert(math.abs(a - b) <= 1e-4,
+        s"vec $id not recovered by the involution: $a vs $b")
+  }
 }
 
 /** s28 contrastive mining + s29 nearest-class-mean on known geometry. */

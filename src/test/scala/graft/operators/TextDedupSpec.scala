@@ -265,6 +265,60 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("canonicalUrl: each rule verified on a handcrafted URL") {
+    import spark.implicits._
+    val cases = Seq(
+      // host case + www + trailing slash (path case preserved)
+      ("https://WWW.Example.COM/A/b/", "example.com/A/b"),
+      // utm params dropped, survivors sorted, fragment dropped
+      ("http://example.com/A/b?utm_source=x&b=2&a=1#frag",
+        "example.com/A/b?a=1&b=2"),
+      // all params tracking -> no '?' at all
+      ("https://example.com/p?utm_source=x&utm_medium=y", "example.com/p"),
+      // root path collapses to bare host; scheme dropped (http==https)
+      ("https://example.com/", "example.com"),
+      ("http://example.com", "example.com"),
+      // www stripped only as a LEADING label
+      ("https://notwww.example.com/x", "notwww.example.com/x"))
+    val out = cases.map(_._1).toDF("url")
+      .select(col("url"), Dedup.canonicalUrl(col("url")).as("canon"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (u, expected) =>
+      assert(out(u) == expected, s"canon($u) = ${out(u)}") }
+    val dom = Seq("https://blog.news.example.org/x")
+      .toDF("url")
+      .select(Dedup.registeredDomain(col("url"))).head().getString(0)
+    assert(dom == "example.org")
+  }
+
+  test("urlDedup: 5-block collision structure, MIN keeper, flags") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Dedup.urlDedup(docs).collect()
+    assert(out.length == docs.count())
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // variants 0+1 and 2+3 of each complete 5-block canonicalize
+    // together with the smaller id kept; variant 4 is its own subdomain
+    val maxId = byId.keys.max
+    for (g <- 0L to (maxId / 5 - 1)) {
+      val b = (0 to 4).map(i => byId(g * 5 + i))
+      assert(b(0).getAs[String]("canon_url") ==
+        b(1).getAs[String]("canon_url"))
+      assert(b(2).getAs[String]("canon_url") ==
+        b(3).getAs[String]("canon_url"))
+      assert(b(0).getAs[String]("canon_url") !=
+        b(2).getAs[String]("canon_url"))
+      assert(b(4).getAs[String]("canon_url") !=
+        b(0).getAs[String]("canon_url"))
+      assert(b(0).getAs[Boolean]("is_kept") &&
+        !b(1).getAs[Boolean]("is_kept"))
+      assert(b(1).getAs[Long]("keep_doc_id") == g * 5)
+      assert(b(0).getAs[Long]("n_dups") == 2L)
+      // the registered domain strips the blog. subdomain
+      assert(b(4).getAs[String]("domain") ==
+        b(0).getAs[String]("domain"))
+    }
+  }
+
   test("Anchor: d13 loop green under a RELIABLE checkpoint dir too") {
     import spark.implicits._
     // Anchor.cut switches from executor-resident localCheckpoint to
