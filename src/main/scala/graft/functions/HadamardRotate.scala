@@ -27,9 +27,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType}
   * over its block in ascending i starting from 0.0, scaled once, rounded
   * once to FLOAT — the identical association as the DuckDB twin's
   * `list_reduce(list_transform(range ...))·scale`, so results are
-  * bitwise-equal across engines. Vectors shorter than m·subDim yield
-  * null (dense-by-contract, like graft_dot's prefix rule but strict —
-  * a silently truncated rotation would not be orthogonal).
+  * bitwise-equal across engines. Vectors whose length is NOT exactly
+  * m·subDim yield null — strict in BOTH directions (dense-by-contract,
+  * like graft_dot's prefix rule but stricter): a silently truncated
+  * rotation of a longer vector would not be orthogonal any more than a
+  * zero-padded short one.
   */
 case class HadamardRotate(child: Expression, m: Int, subDim: Int)
     extends UnaryExpression {
@@ -55,7 +57,7 @@ case class HadamardRotate(child: Expression, m: Int, subDim: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
-    if (x.numElements() < d) null
+    if (x.numElements() != d) null
     else {
       val out = new Array[Float](d)
       var j = 0
@@ -86,7 +88,7 @@ case class HadamardRotate(child: Expression, m: Int, subDim: Int)
       val blk = ctx.freshName("blk")
       val jl = ctx.freshName("jl")
       s"""
-         |if ($a.numElements() < $d) {
+         |if ($a.numElements() != $d) {
          |  ${ev.isNull} = true;
          |} else {
          |  float[] $out = new float[$d];
@@ -120,7 +122,20 @@ object HadamardFns {
   private[functions] val hadamardInfo = (
     FunctionIdentifier("graft_hadamard"),
     new ExpressionInfo(classOf[HadamardRotate].getName, "graft_hadamard"),
-    (children: Seq[Expression]) => HadamardRotate(children.head,
-      children(1).asInstanceOf[Literal].value.asInstanceOf[Int],
-      children(2).asInstanceOf[Literal].value.asInstanceOf[Int]))
+    // Validated builder (the graft_shingles precedent): malformed SQL
+    // calls get a descriptive error naming the function, not a raw
+    // IndexOutOfBounds/ClassCast from inside the registry.
+    (children: Seq[Expression]) => children match {
+      case Seq(v, Literal(m: Int, _), Literal(sd: Int, _)) =>
+        HadamardRotate(v, m, sd)
+      case _ => throw new IllegalArgumentException(
+        "graft_hadamard(vec, m, subDim) requires exactly three " +
+          "arguments: an array<float> column and two literal INT " +
+          "block parameters")
+    })
+
+  /** Register `graft_hadamard` for SQL texts on an existing session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      hadamardInfo._1, hadamardInfo._2, hadamardInfo._3)
 }

@@ -81,16 +81,16 @@ class IngestService(spark: SparkSession, storage: LakeStorage,
       val moved =
         try { storage.saveBooks(ok, ts); true }
         catch { case scala.util.control.NonFatal(_) => false }
-      split.select(col("book_id"),
+      // Materialize distributed and cut lineage (Anchor.cut — reliable
+      // when a checkpoint dir is set): once `split` unpersists, a lazy
+      // report would re-run the whole fetch on first use.
+      graft.operators.Anchor.cut(split.select(col("book_id"),
         when(col("book_id") <= 0, "invalid_book_id")
           .when(col("text").isNull, "download_failed")
           .when(!col("split_ok"), "marker_split_failed")
           .otherwise(if (moved) "downloaded" else "datalake_move_failed")
           .as("status"))
-        .orderBy(col("book_id"))
-        // Materialize distributed and cut lineage: once `split` unpersists,
-        // a lazy report would re-run the whole fetch on first use.
-        .localCheckpoint()
+        .orderBy(col("book_id")))
     } finally split.unpersist()
   }
 }

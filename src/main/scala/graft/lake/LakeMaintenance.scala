@@ -34,8 +34,12 @@ object LakeMaintenance {
     val lakeDir = s"$root/datalake"
     val part = spark.read.schema(fullSchema).parquet(lakeDir)
       .filter(col("pdate") === date && col("phour") === hour)
-    // materialize BEFORE overwriting the location being read
-    val snapshot = part.localCheckpoint(true)
+    // Materialize BEFORE overwriting the location being read. Anchor.cut
+    // (not a bare localCheckpoint): this snapshot guards DURABILITY, not
+    // just lineage — on a real cluster an executor loss mid-overwrite
+    // would lose both the local snapshot blocks and the already-deleted
+    // source files, so a configured checkpoint dir must make it reliable.
+    val snapshot = graft.operators.Anchor.cut(part)
     val rows = snapshot.count()
     snapshot
       .coalesce(numFiles)

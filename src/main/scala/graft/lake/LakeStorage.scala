@@ -171,9 +171,11 @@ class SparkLakeStorage(spark: SparkSession, root: String) extends LakeStorage {
   /** Recreate the manifest from lake ground truth (crash between data and
     * manifest append, or adopting a pre-manifest lake). */
   def rebuildManifest(): Unit = {
-    val snapshot = lakeOrEmpty.filter(col("kind") === "body")
-      .select(col("book_id"), col("date"), col("hour"))
-      .localCheckpoint(true)
+    // Anchor.cut, not bare localCheckpoint: read-before-overwrite of the
+    // manifest location — reliable when a checkpoint dir is configured.
+    val snapshot = graft.operators.Anchor.cut(
+      lakeOrEmpty.filter(col("kind") === "body")
+        .select(col("book_id"), col("date"), col("hour")))
     snapshot.write.mode("overwrite").parquet(manifestDir)
   }
 

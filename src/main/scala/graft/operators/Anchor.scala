@@ -1,12 +1,16 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Lineage anchor for iterative loops and multiply-referenced
   * intermediates — the one place that decides HOW lineage is cut, so
   * the strategy is injectable per deployment instead of hard-coded at
   * every loop site (d13 label propagation, d17 postings, g04 PageRank,
-  * g08 walks, s23 MMR, t38 BPE merges).
+  * g08 walks, s23 MMR, t38 BPE merges) and at the lake's
+  * read-before-overwrite snapshots (compaction, manifest rebuild).
   *
   * Strategy:
   *   - If the session has a checkpoint directory configured
@@ -25,12 +29,67 @@ import org.apache.spark.sql.DataFrame
   *
   * Both paths are EAGER (materialize now): loop callers depend on the
   * anchor being a barrier so each round's shuffle happens once.
+  *
+  * Iterative callers use [[Loop]] so superseded anchors are RELEASED
+  * as the loop advances (Spark's own PeriodicCheckpointer discipline,
+  * used by GraphX Pregel and MLlib ALS): without cleanup, a 50-round
+  * label propagation writes 50 full materializations to the
+  * fault-tolerant checkpoint store — linear storage growth for data
+  * that is dead the moment the next round materializes. [[Loop.cut]]
+  * anchors the new frame FIRST (eager), then deletes the previous
+  * anchor's reliable-checkpoint files / unpersists its local blocks —
+  * by then nothing can reference them, because the new anchor is a
+  * materialized superset of the round state.
   */
 object Anchor {
   def cut(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
+
+  /** Release an anchor's storage: reliable-checkpoint files are
+    * deleted, local-checkpoint blocks unpersisted. ONLY for anchors no
+    * live plan references — the caller's result must not be lazy over
+    * `df` (the loop sites release round N−1 after round N materializes,
+    * and loop-invariant anchors after the final round; a returned
+    * DataFrame's own last anchor is never released). */
+  def release(df: DataFrame): Unit =
+    underlying(df).foreach { rdd =>
+      val file = rdd.getCheckpointFile // Some(dir) iff RELIABLE
+      rdd.unpersist(blocking = false)
+      file.foreach { dir =>
+        val p = new Path(dir)
+        val fs = p.getFileSystem(
+          df.sparkSession.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    }
+
+  /** The checkpointed RDD behind an anchored frame: `cut` returns a
+    * Dataset whose analyzed plan is a single LogicalRDD wrapping the
+    * materialized RDD (Dataset.checkpoint's contract). Non-anchored
+    * frames yield None and release is a no-op — safe on any input. */
+  private def underlying(df: DataFrame): Option[RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
+  /** Per-loop anchor tracker (the PeriodicCheckpointer pattern): keeps
+    * exactly ONE live anchor; each `cut` materializes the new round
+    * then releases the superseded one. Call [[close]] only when the
+    * loop's RESULT does not reference the final anchor either (e.g.
+    * t38 BPE, whose output is driver-collected merge rows). */
+  final class Loop {
+    private var prev: Option[DataFrame] = None
+    def cut(df: DataFrame): DataFrame = {
+      val out = Anchor.cut(df)
+      prev.foreach(release)
+      prev = Some(out)
+      out
+    }
+    def close(): Unit = { prev.foreach(release); prev = None }
+  }
 
   /** `.anchored` chains like the `.localCheckpoint(true)` it replaces. */
   implicit class AnchorOps(private val df: DataFrame) extends AnyVal {

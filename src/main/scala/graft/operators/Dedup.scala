@@ -446,23 +446,28 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .anchored
-    var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-      .anchored
+    // PeriodicCheckpointer discipline (Anchor.Loop): each round's anchor
+    // supersedes the last — release it, or 50 rounds pile 50 full label
+    // materializations into the fault-tolerant checkpoint store.
+    val loop = new Anchor.Loop
+    var labels = loop.cut(edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
       val nbrMin = edges.join(labels, edges("v") === labels("id"))
         .groupBy(col("u")).agg(min(col("lbl")).as("nbr_lbl"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
-        .select(col("id"), col("lbl").as("old_lbl"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .anchored
+      val next = loop.cut(
+        labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
+          .select(col("id"), col("lbl").as("old_lbl"),
+            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl")))
+              .as("lbl")))
       changed = next.filter(col("lbl") =!= col("old_lbl")).count()
       labels = next.select(col("id"), col("lbl"))
       it += 1
     }
     require(changed == 0, s"label propagation did not converge in $maxIters rounds")
+    Anchor.release(edges) // loop-invariant; dead once the last round lands
     labels
       .select(col("id").as("vec_id"), col("lbl").as("cluster_id"),
         (col("id") === col("lbl")).as("is_canonical"))

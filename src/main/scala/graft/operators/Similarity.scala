@@ -1515,14 +1515,16 @@ object Similarity {
           (sqrt(col("na")) * sqrt(col("nb"))) * lit(1000000.0))
           .cast("long").as("pmu"))
       .anchored
-    // step 1: pure relevance argmax, ties toward the lower id
-    var selected = cand.groupBy(col("query_id"))
+    // step 1: pure relevance argmax, ties toward the lower id.
+    // Anchor.Loop: each step's `selected` anchor is a materialized
+    // superset of the last — release superseded rounds as we go.
+    val loop = new Anchor.Loop
+    var selected = loop.cut(cand.groupBy(col("query_id"))
       .agg(min_by(struct(col("vec_id"), col("qmu")),
         struct((lit(0L) - col("qmu")).as("negq"),
           col("vec_id").as("v"))).as("s"))
       .select(col("query_id"), col("s.vec_id").as("vec_id"),
-        lit(1L).as("step"), (col("s.qmu") * 7L).as("mmr_mu"))
-      .anchored
+        lit(1L).as("step"), (col("s.qmu") * 7L).as("mmr_mu")))
     for (i <- 2 to k) {
       val rem = cand.join(
         selected.select(col("query_id"), col("vec_id")),
@@ -1540,8 +1542,10 @@ object Similarity {
             col("vec_id").as("v"))).as("s"))
         .select(col("query_id"), col("s.vec_id").as("vec_id"),
           lit(i.toLong).as("step"), col("s.mmr_mu").as("mmr_mu"))
-      selected = selected.unionByName(next).anchored
+      selected = loop.cut(selected.unionByName(next))
     }
+    Anchor.release(cand)  // loop-invariant anchors, dead once the final
+    Anchor.release(psim)  // `selected` (which the result reads) landed
     selected
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("step"), col("mmr_mu"))

@@ -1494,6 +1494,7 @@ object TextAnalysis {
         col("wf"))
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
+    val bpeLoop = new Anchor.Loop
     var it = 1
     var done = false
     while (it <= nMerges && !done) {
@@ -1520,10 +1521,14 @@ object TextAnalysis {
              |      array('$ea$eb'))
              |    ELSE concat(acc, array(s)) END,
              |  acc -> acc)""".stripMargin).as("syms"), col("wf"))
-        if (it % 4 == 0) syms = syms.anchored.toDF()
+        if (it % 4 == 0) syms = bpeLoop.cut(syms.toDF())
         it += 1
       }
     }
+    // The result is driver-collected merge rows — even the FINAL syms
+    // anchor is dead here, so close() releases it too (Anchor.Loop's
+    // PeriodicCheckpointer cleanup keeps one anchor live mid-loop).
+    bpeLoop.close()
     merges.toSeq.toDF("iter", "left", "right", "merged", "pair_count")
   }
 

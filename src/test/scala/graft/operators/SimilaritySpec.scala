@@ -834,6 +834,35 @@ class RangeSearchSpec extends graft.SparkSpec {
       assert(math.abs(a - b) <= 1e-4,
         s"vec $id not recovered by the involution: $a vs $b")
   }
+
+  test("graft_hadamard: strict length contract (null BOTH directions) " +
+      "and a descriptive SQL-builder error") {
+    import spark.implicits._
+    // A truncated rotation of a longer vector is not orthogonal any
+    // more than a padded short one — both must yield null, not a
+    // silently rotated prefix.
+    val df = Seq(
+      (1L, Array.fill(64)(1.0f)), // exact d = 4·16
+      (2L, Array.fill(32)(1.0f)), // short
+      (3L, Array.fill(128)(1.0f)) // LONG — previously truncated
+    ).toDF("vec_id", "embedding")
+    val out = df.select(df("vec_id"),
+        graft.functions.HadamardFns.rotate(df("embedding"), 4, 16)
+          .as("r"))
+      .collect().map(r => r.getLong(0) -> (r.get(1) == null)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true))
+    // SQL registration rejects malformed calls with a named error, not
+    // a raw IndexOutOfBounds/ClassCast from the function registry.
+    graft.functions.HadamardFns.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_hadamard(array(1.0f, 2.0f))").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("graft_hadamard(vec, m, subDim)")),
+      s"wanted the named builder error, got: ${messages(e).mkString(" | ")}")
+  }
 }
 
 /** s28 contrastive mining + s29 nearest-class-mean on known geometry. */

@@ -339,6 +339,43 @@ class TextDedupSpec extends SparkSpec {
       spark.sparkContext.setCheckpointDir(null)
     }
   }
+
+  test("Anchor.Loop releases superseded reliable checkpoints " +
+      "(PeriodicCheckpointer discipline)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-loop")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    def rddDirs: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-"))
+        .map(_.toString).toSeq
+    }
+    try {
+      // d13's loop (chain of 4 → 4 rounds): edges + initial labels +
+      // 4 round anchors = 6 cuts, but only the FINAL round's anchor may
+      // survive — without cleanup a 50-round propagation would pile 50
+      // full materializations into the fault-tolerant store.
+      val pairs = Seq((4L, 3L), (3L, 2L), (2L, 1L))
+        .toDF("vec_id_a", "vec_id_b")
+      val out = Dedup.dedupClusters(pairs)
+      assert(out.collect().length == 4)
+      assert(rddDirs.size == 1,
+        s"expected ONLY the final loop anchor on disk, got: $rddDirs")
+      // the surviving anchor is still readable (release never touches it)
+      assert(out.collect().map(_.getLong(1)).forall(_ == 1L))
+      // close() releases the final anchor too, for loops whose result
+      // is driver-collected (t38 BPE)
+      val loop = new Anchor.Loop
+      loop.cut(spark.range(5).toDF())
+      loop.cut(spark.range(6).toDF())
+      loop.close()
+      assert(rddDirs.size == 1, s"Loop.close left files: $rddDirs")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
 }
 
 /** PII redaction + benchmark decontamination semantics. */
