@@ -564,6 +564,15 @@ object SparkEntry {
     // t42: interpolated bigram LM score + perplexity terciles
     "t42_lm_perplexity" -> ((s, d) =>
       T.smoothedLmScore(Tables.documents(s, d))),
+    // t43: BPE ENCODE — train 8 merges live (t38's loop), replay them
+    // over the |vocab| table, broadcast word→pieces back to the corpus
+    "t43_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = T.bpeTrain(docs, nMerges = 8).collect()
+        .sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      T.bpeEncode(docs, merges)
+    }),
     // s37: structured-OPQ PQ — variance permutation + block-Hadamard
     "s37_rotated_pq" -> ((s, d) =>
       S.rotatedPqTopK(Tables.embeddings(s, d))),
@@ -1875,6 +1884,55 @@ object SparkEntry {
       |  AND e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
       |GROUP BY e.tier, e.query_id
       |ORDER BY e.tier, e.query_id""".stripMargin
+
+  /** t43: the oracle TRAINS its own 8 merges — eight CTE levels, each
+    * counting weighted adjacent pairs over the current delimited-string
+    * vocabulary, picking the bpeTrain argmax (count DESC, a ASC, b ASC)
+    * and replaying it with ONE `replace` — then encodes, exactly the
+    * Spark pipeline's train→replay shape. Fully self-contained SQL: no
+    * pinned merge literals that could drift from a live training run.
+    * The delimited-string replay (sentinel space each end, two spaces
+    * between symbols) is the same representation bpeEncode documents;
+    * `replace`'s left-to-right non-overlapping scan is the greedy fold
+    * in both engines. */
+  private lazy val BpeEncodeOracle: String = {
+    val levels = (1 to 8).map { i =>
+      val p = i - 1
+      // NO inner stripMargin: the outer template strips once over the
+      // joined result — a second pass would eat the `||` concat
+      // operators at continuation-line starts.
+      s"""m$i AS MATERIALIZED (SELECT a, b
+         |  FROM (SELECT l[i] AS a, l[i+1] AS b,
+         |    CAST(SUM(wf) AS BIGINT) AS c
+         |  FROM (SELECT wf, string_split(trim(s, ' '), '  ') AS l
+         |    FROM v$p) t, UNNEST(range(1, len(l))) AS u(i)
+         |  GROUP BY 1, 2) z
+         |  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT w, wf, replace(s,
+         |    ' ' || (SELECT a FROM m$i) || '  ' || (SELECT b FROM m$i)
+         |      || ' ',
+         |    ' ' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || ' ')
+         |  AS s FROM v$p)"""
+    }.mkString(",\n")
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, tok AS w
+       |  FROM (SELECT doc_id,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents) x WHERE tok <> ''),
+       |v0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS wf,
+       |    ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s
+       |  FROM toks GROUP BY w),
+       |$levels,
+       |enc AS (SELECT w, CAST(len(string_split(trim(s, ' '), '  '))
+       |    AS BIGINT) AS n_pieces FROM v8),
+       |agg AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(e.n_pieces) AS BIGINT) AS n_pieces,
+       |    CAST(SUM(length(t.w)) AS BIGINT) AS n_chars
+       |  FROM toks t JOIN enc e USING (w) GROUP BY t.doc_id)
+       |SELECT doc_id, n_tokens, n_pieces, n_chars,
+       |  CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE)
+       |    AS chars_per_piece
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
 
   /** t41: oracle assembled FROM the Scala-side map and injection vals
     * so the byte sequences can never drift between engines. */
@@ -5283,6 +5341,9 @@ object SparkEntry {
         |  CASE WHEN (ppl_rank - 1) * 3 < nn.n_docs THEN 'head'
         |       WHEN (ppl_rank - 1) * 3 < nn.n_docs * 2 THEN 'middle'
         |       ELSE 'tail' END AS ppl_bucket
-        |FROM r CROSS JOIN nn ORDER BY doc_id""".stripMargin
+        |FROM r CROSS JOIN nn ORDER BY doc_id""".stripMargin,
+    // t43: self-training oracle — 8 argmax+replace CTE levels, then the
+    // same delimited-string encode and per-doc rollup
+    "t43_bpe_encode" -> BpeEncodeOracle
   )
 }

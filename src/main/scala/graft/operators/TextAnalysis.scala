@@ -1532,6 +1532,65 @@ object TextAnalysis {
     merges.toSeq.toDF("iter", "left", "right", "merged", "pair_count")
   }
 
+  /** t43: apply a learned BPE merge list to the corpus — the encode
+    * step every pretraining pipeline actually runs after [[bpeTrain]]
+    * (Sennrich et al. 2016 §3: training yields the merge table; the
+    * tokenizer is the table REPLAYED over text). Emits per-doc
+    * (n_tokens, n_pieces, n_chars, chars_per_piece) — the fertility /
+    * compression numbers a data pipeline reports per corpus slice.
+    *
+    * Encoding representation — the delimited-string replay: a word's
+    * symbol sequence is rendered as `' ' + symbols.join("  ") + ' '`
+    * (single sentinel space at each end, TWO spaces between symbols —
+    * tokens are whitespace-split so symbols can never contain a
+    * space), and applying merge (a,b) is ONE codegen'd
+    * `replace(s, " a  b ", " ab ")`. The left-to-right non-overlapping
+    * scan `replace` performs is exactly the greedy fold [[bpeTrain]]
+    * uses (spec-asserted equal on the fixture vocab): the sentinel
+    * spaces pin both symbol BOUNDARIES (" x  ab " can't match " x  a "
+    * — the trailing sentinel fails on 'b'), and the replacement
+    * re-emits both sentinels so consecutive pairs still match
+    * (" a  b  a  b " → " ab  ab ", the [a,b,a,b] case). The identical
+    * builtin exists in DuckDB, so the oracle replays the same strings.
+    *
+    * Scale posture: the merge replay runs over the |vocab| word table
+    * (the token-domain collapse — ONE corpus-wide shuffle builds it),
+    * m chained whole-stage-codegen string replaces over model-scale
+    * rows, never the corpus; the word→n_pieces map then broadcast-joins
+    * back to the exploded token stream (map-side, no second shuffle on
+    * the corpus), and the per-doc rollup is one partial-agg shuffle
+    * keyed by doc_id. At 100 TB: vocab is bounded (≤ tens of millions
+    * of rows — still broadcastable as a 2-column long map; if not,
+    * the join degrades to a shuffle join on `w`, still one exchange).
+    * The only float op is the final per-doc division — one IEEE
+    * divide, bitwise cross-engine. */
+  def bpeEncode(documents: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val docToks = Dedup.spread(documents)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val vocab0 = docToks.select(col("w")).distinct()
+      .select(col("w"), concat(lit(" "),
+        array_join(expr("filter(split(w, ''), x -> x != '')"), "  "),
+        lit(" ")).as("s"))
+    val replayed = merges.foldLeft(vocab0) { case (v, (a, b)) =>
+      v.withColumn("s", call_function("replace", col("s"),
+        lit(s" $a  $b "), lit(s" $a$b ")))
+    }
+    val pieces = replayed.select(col("w"),
+      size(split(trim(col("s")), "  ")).cast("long").as("n_pieces"))
+    docToks.join(broadcast(pieces), Seq("w"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+        col("n_chars"),
+        (col("n_chars").cast("double") / col("n_pieces").cast("double"))
+          .as("chars_per_piece"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The t35 keep verdict as ONE stateless column expression over
     * (doc_id, text): the page render and every rule metric computed
     * with higher-order array functions instead of explode + groupBy,

@@ -72,6 +72,49 @@ class BpeSpec extends SparkSpec {
     assert(top.getAs[Long]("pair_count") == want._5)
   }
 
+  test("bpeEncode replays merges exactly like the greedy fold (t43)") {
+    val merges = TextAnalysis.bpeTrain(corpus, nMerges = 8).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = TextAnalysis.bpeEncode(corpus, merges).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // literal greedy left-to-right non-overlap replay per word
+    def encode(w: String): Long = {
+      var syms = w.split("").filter(_.nonEmpty).toVector
+      for ((a, b) <- merges) {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            buf += a + b; i += 2
+          } else { buf += syms(i); i += 1 }
+        }
+        syms = buf.toVector
+      }
+      syms.length.toLong
+    }
+    val want = corpus.collect().map { row =>
+      val toks = row.getString(1).split("\\s+").filter(_.nonEmpty)
+      row.getLong(0) -> ((toks.length.toLong,
+        toks.map(encode).sum, toks.map(_.length.toLong).sum))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("bpeEncode sentinel spaces pin symbol boundaries") {
+    import spark.implicits._
+    // tokens: 'abab' merges twice (consecutive-pair replay), 'xab'
+    // merges its (a,b) but never a phantom (x,a)·prefix, 'axb' must
+    // NOT merge — 'x' splits the pair; 'b' is a 1-char word
+    val docs = Seq((0L, "abab xab axb b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs, Seq(("a", "b"))).head()
+    assert(out.getAs[Long]("n_tokens") == 4L)
+    // abab→[ab,ab]=2, xab→[x,ab]=2, axb→[a,x,b]=3, b→[b]=1
+    assert(out.getAs[Long]("n_pieces") == 8L)
+    assert(out.getAs[Long]("n_chars") == 11L)
+  }
+
   test("merged symbols stop matching their parts (non-overlap contract)") {
     import spark.implicits._
     // 'aaaa' x3: pairs (a,a)=9 → merge 1 yields 'aa','aa' per word;
