@@ -573,6 +573,12 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       T.bpeEncode(docs, merges)
     }),
+    // --- round 15 ---
+    // p10: incremental corpus build — delta through the stored indexes
+    // (d18 URL → d10 digest → p05 decontam incl. retroactive retraction
+    // → p03 budget), oracle-checked vs the from-scratch union build
+    "p10_incremental_corpus" -> ((s, d) =>
+      T.incrementalCorpusBuild(Tables.documents(s, d))),
     // s37: structured-OPQ PQ — variance permutation + block-Hadamard
     "s37_rotated_pq" -> ((s, d) =>
       S.rotatedPqTopK(Tables.embeddings(s, d))),
@@ -1884,6 +1890,104 @@ object SparkEntry {
       |  AND e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
       |GROUP BY e.tier, e.query_id
       |ORDER BY e.tier, e.query_id""".stripMargin
+
+  /** p10: the FROM-SCRATCH build over the union corpus — the equality
+    * claim incremental pipelines must prove. Stages mirror the audited
+    * single-operator oracles: d18's canon SQL (over the union, copies
+    * included), arrival-ordered URL keep (min by batch, doc_id), d01's
+    * digest keep with the same arrival order, p05's minhash-band chain
+    * over the RAW union as the decontamination reference, and p04's
+    * quality + budget window. The Spark side computes this
+    * incrementally (stored indexes + delta frames); equal output IS
+    * the correctness statement. */
+  private lazy val IncrementalBuildOracle: String =
+    """WITH uni AS MATERIALIZED (
+      |  SELECT doc_id, text, lang,
+      |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS batch
+      |  FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text, lang, 1
+      |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1),
+      |u AS (SELECT doc_id, text, lang, batch,
+      |  CASE WHEN doc_id % 5 = 0 THEN 'https://EXAMPLE' ||
+      |    CAST(doc_id // 50 AS VARCHAR) || '.COM/Page/' ||
+      |    CAST(doc_id // 5 AS VARCHAR)
+      |  WHEN doc_id % 5 = 1 THEN 'https://www.example' ||
+      |    CAST(doc_id // 50 AS VARCHAR) || '.com/Page/' ||
+      |    CAST(doc_id // 5 AS VARCHAR) || '/'
+      |  WHEN doc_id % 5 = 2 THEN 'http://example' ||
+      |    CAST(doc_id // 50 AS VARCHAR) || '.com/Page/' ||
+      |    CAST(doc_id // 5 AS VARCHAR) || '?utm_source=feed&ref=rss'
+      |  WHEN doc_id % 5 = 3 THEN 'https://example' ||
+      |    CAST(doc_id // 50 AS VARCHAR) || '.com/Page/' ||
+      |    CAST(doc_id // 5 AS VARCHAR) ||
+      |    '?ref=rss&utm_campaign=x#section-2'
+      |  ELSE 'https://blog.example' ||
+      |    CAST(doc_id // 50 AS VARCHAR) || '.com/Page/' ||
+      |    CAST(doc_id // 5 AS VARCHAR) END AS url FROM uni),
+      |cn AS (SELECT doc_id, text, lang, batch,
+      |  regexp_replace(lower(regexp_extract(url,
+      |    '^[a-zA-Z]+://([^/?#]+)', 1)), '^www\.', '') ||
+      |  regexp_replace(regexp_extract(url,
+      |    '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/$', '') ||
+      |  CASE WHEN array_to_string(list_sort(list_filter(
+      |      string_split(regexp_extract(url, '^[^?#]*\?([^#]*)', 1),
+      |        '&'), x -> x <> '' AND NOT starts_with(x, 'utm_'))),
+      |      '&') <> ''
+      |    THEN '?' || array_to_string(list_sort(list_filter(
+      |      string_split(regexp_extract(url, '^[^?#]*\?([^#]*)', 1),
+      |        '&'), x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&')
+      |    ELSE '' END AS canon_url FROM u),
+      |uk AS (SELECT doc_id, text, lang, batch FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY canon_url
+      |    ORDER BY batch, doc_id) AS rn FROM cn) WHERE rn = 1),
+      |dk AS MATERIALIZED (SELECT doc_id, text, lang, batch FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY md5(regexp_replace(trim(text), '\s+', ' ', 'g'))
+      |    ORDER BY batch, doc_id) AS rn FROM uk) WHERE rn = 1),
+      |t AS (SELECT doc_id,
+      |  string_split_regex(trim(text), '\s+') AS toks FROM uni),
+      |s AS (SELECT doc_id, list_distinct(
+      |  CASE WHEN len(toks) >= 3 THEN
+      |    list_transform(range(0, len(toks)-2),
+      |      i -> array_to_string(toks[i+1:i+3], ' '))
+      |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM t),
+      |g AS (SELECT doc_id, list_transform(range(0, 12), j ->
+      |  list_min(list_transform(sh, x ->
+      |    md5(concat(CAST(j AS VARCHAR), ':', x))))) AS sig FROM s),
+      |b AS (SELECT doc_id, list_transform(range(0, 4), k ->
+      |  md5(array_to_string(sig[k*3+1:k*3+3], '|'))) AS bands FROM g),
+      |e AS MATERIALIZED (SELECT doc_id, k AS band, bands[k+1] AS digest
+      |  FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS k) x),
+      |bench AS (SELECT DISTINCT band, digest FROM e
+      |  WHERE doc_id % 10 = 0),
+      |contam AS (SELECT DISTINCT tr.doc_id FROM e tr
+      |  JOIN bench be ON tr.band = be.band AND tr.digest = be.digest
+      |  WHERE tr.doc_id % 10 <> 0),
+      |pool AS (SELECT dk.* FROM dk WHERE dk.doc_id % 10 <> 0
+      |  AND dk.doc_id NOT IN (SELECT doc_id FROM contam)),
+      |tq AS (SELECT doc_id, lang, batch,
+      |  string_split_regex(trim(text), '\s+') AS toks, text FROM pool),
+      |q AS (SELECT doc_id, lang, batch,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  least(1.0, CAST(len(toks) AS DOUBLE)/64.0)*0.4 +
+      |  (1.0 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+      |      AS DOUBLE) / CAST(length(text) AS DOUBLE))*0.2 +
+      |  (CAST(len(list_filter(toks, t -> list_contains(
+      |    ['the','a','and','of','to','in','is','it'], lower(t))))
+      |      AS DOUBLE) / CAST(len(toks) AS DOUBLE))*0.2 +
+      |  (CAST(len(list_distinct(toks)) AS DOUBLE)
+      |    / CAST(len(toks) AS DOUBLE))*0.2 AS quality
+      | FROM tq),
+      |budg AS (SELECT lang, doc_id, (batch = 1) AS is_delta, n_tokens,
+      |  quality,
+      |  CAST(SUM(n_tokens) OVER (PARTITION BY lang
+      |    ORDER BY quality DESC, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_tokens
+      | FROM q)
+      |SELECT lang, doc_id, is_delta, n_tokens, quality, cum_tokens
+      |FROM budg WHERE cum_tokens <= 3000
+      |ORDER BY lang, cum_tokens""".stripMargin
 
   /** t43: the oracle TRAINS its own 8 merges — eight CTE levels, each
     * counting weighted adjacent pairs over the current delimited-string
@@ -5344,6 +5448,8 @@ object SparkEntry {
         |FROM r CROSS JOIN nn ORDER BY doc_id""".stripMargin,
     // t43: self-training oracle — 8 argmax+replace CTE levels, then the
     // same delimited-string encode and per-doc rollup
-    "t43_bpe_encode" -> BpeEncodeOracle
+    "t43_bpe_encode" -> BpeEncodeOracle,
+    // p10: the from-scratch union build the incremental path must equal
+    "p10_incremental_corpus" -> IncrementalBuildOracle
   )
 }

@@ -712,6 +712,31 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** d18's deterministic messy-URL synthesis from a doc id (the fixture
+    * carries no url column): five variant shapes per 5-block — within
+    * each block, variants 0+1 and 2+3 canonicalize together and 4 is a
+    * distinct subdomain. Mirrored verbatim in the d18/p10 oracle SQL,
+    * so the canonicalization logic is what the oracle actually checks. */
+  def syntheticUrl(docId: Column): Column = {
+    // integer division via double-divide + truncating cast: ids stay
+    // far below 2^53, so the quotient can't cross an integer boundary
+    val h = (docId / 50).cast("long").cast("string")
+    val grp = (docId / 5).cast("long").cast("string")
+    when(docId % 5 === 0,
+        concat(lit("https://EXAMPLE"), h, lit(".COM/Page/"), grp))
+      .when(docId % 5 === 1,
+        concat(lit("https://www.example"), h, lit(".com/Page/"), grp,
+          lit("/")))
+      .when(docId % 5 === 2,
+        concat(lit("http://example"), h, lit(".com/Page/"), grp,
+          lit("?utm_source=feed&ref=rss")))
+      .when(docId % 5 === 3,
+        concat(lit("https://example"), h, lit(".com/Page/"), grp,
+          lit("?ref=rss&utm_campaign=x#section-2")))
+      .otherwise(
+        concat(lit("https://blog.example"), h, lit(".com/Page/"), grp))
+  }
+
   /** The d18 canonicalization rule set as one pure Column expression
     * (testable on handcrafted URLs, reused by [[urlDedup]]): host
     * lowercased and one leading `www.` stripped, path trailing slash
@@ -769,22 +794,8 @@ object Dedup {
     * back — two shuffles on the canon key, AQE-skew territory for a
     * hot URL exactly like t39's hot line. */
   def urlDedup(documents: DataFrame): DataFrame = {
-    val g = expr("doc_id div 5").cast("string")
-    val h = expr("doc_id div 50").cast("string")
-    val url = when(col("doc_id") % 5 === 0,
-        concat(lit("https://EXAMPLE"), h, lit(".COM/Page/"), g))
-      .when(col("doc_id") % 5 === 1,
-        concat(lit("https://www.example"), h, lit(".com/Page/"), g,
-          lit("/")))
-      .when(col("doc_id") % 5 === 2,
-        concat(lit("http://example"), h, lit(".com/Page/"), g,
-          lit("?utm_source=feed&ref=rss")))
-      .when(col("doc_id") % 5 === 3,
-        concat(lit("https://example"), h, lit(".com/Page/"), g,
-          lit("?ref=rss&utm_campaign=x#section-2")))
-      .otherwise(
-        concat(lit("https://blog.example"), h, lit(".com/Page/"), g))
-    val withUrl = documents.select(col("doc_id"), url.as("url"))
+    val withUrl = documents.select(col("doc_id"),
+      syntheticUrl(col("doc_id")).as("url"))
     val canon = withUrl
       .select(col("doc_id"), col("url"),
         canonicalUrl(col("url")).as("canon_url"),

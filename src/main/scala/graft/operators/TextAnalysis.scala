@@ -600,6 +600,141 @@ object TextAnalysis {
       .orderBy(col("lang"), col("cum_tokens"))
   }
 
+  /** p10: INCREMENTAL corpus build — the text-side s36: a NEW crawl
+    * delta is folded into an existing corpus through the stored
+    * indexes, never rescanning the base text, and the result is
+    * oracle-checked against the from-scratch build on the union. The
+    * four stages are the audited single-operator queries composed:
+    * d18 URL dedup (delta canon vs the stored canon set), d10
+    * incremental exact dedup ([[Dedup.incrementalExactDedup]] vs the
+    * stored digest index), p05 fuzzy decontam (delta bands vs the
+    * UNION bench band index — INCLUDING retroactive retraction of
+    * stored pool docs that collide with newly arrived benchmark
+    * content, the step naive incremental pipelines miss), and p03's
+    * per-lang quality-ranked token budget over the refreshed pool.
+    *
+    * Batch construction (deterministic from the fixture): base = ids
+    * with id%3≠0; the delta = fresh ids (id%3=0) plus exact re-crawls
+    * of base pages (id%7=1 re-keyed +1e6 — the rows the digest index
+    * must reject). Benchmark split id%10=0 (p05's).
+    *
+    * EQUALITY CONTRACT with the from-scratch build (what the oracle
+    * checks): every keep rule is arrival-ordered — min by (batch,
+    * doc_id) — because an incremental pipeline keeps the FIRST-ARRIVED
+    * representative, not the globally-min id; the from-scratch twin
+    * uses the same lexicographic rule. The stored state carries the
+    * FULL surviving pool (not the budget-truncated manifest), so
+    * retractions can never strand a doc the from-scratch build would
+    * re-admit under the freed budget; the budget prefix over the
+    * refreshed pool then equals the from-scratch prefix exactly
+    * (adding competitors only pushes incumbents down, so docs cut by
+    * the old budget stay cut unless mass is freed — and the pool keeps
+    * them available for exactly that case).
+    *
+    * Scale posture: the base text is scanned only to BUILD the stored
+    * state (as the original build did); the incremental path touches
+    * delta-sized frames plus index joins — delta canon anti-join the
+    * canon set, delta digests anti-join the digest index (both
+    * bucketable on their key at 100 TB), delta bands vs a BROADCAST
+    * bench band index (benchmark-suite-sized by nature), and the tiny
+    * delta-bench band set joined against the stored pool band index
+    * for retractions. The final budget window runs over the pool —
+    * manifest-scale, the p03 shape ([[Sampling.tokenBudgetMixSharded]]
+    * is the sharded production form). */
+  def incrementalCorpusBuild(documents: DataFrame,
+      budgetPerLang: Long = 3000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents.select(col("doc_id"), col("text"), col("lang"))
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+      .unionByName(docs.filter(col("doc_id") % 3 =!= 0 &&
+          col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("lang")))
+    val benchPred = col("doc_id") % 10 === 0
+    def withCanon(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      col("text"), col("lang"),
+      Dedup.canonicalUrl(Dedup.syntheticUrl(col("doc_id")))
+        .as("canon_url"))
+    def firstPer(df: DataFrame, key: Column): DataFrame = df
+      .groupBy(key.as("k"))
+      .agg(min_by(struct(col("doc_id"), col("text"), col("lang")),
+        col("doc_id")).as("r"))
+      .select(col("k"), col("r.doc_id").as("doc_id"),
+        col("r.text").as("text"), col("r.lang").as("lang"))
+    def bandsOf(df: DataFrame): DataFrame =
+      Dedup.withMinhash(df).select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band", "digest")))
+
+    // ---- stored state, built ONCE from the base batch ----
+    val baseCanon = withCanon(base)
+    val baseUrlKept = firstPer(baseCanon, col("canon_url"))
+    val digestIndex = baseUrlKept
+      .groupBy(Dedup.contentDigest(col("text")).as("content_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val baseDigestKept = firstPer(baseUrlKept,
+      Dedup.contentDigest(col("text")))
+    val baseBands = bandsOf(base) // bench reference reads the RAW batch
+    val baseBenchBands = baseBands.filter(benchPred)
+      .select(col("band"), col("digest"))
+    val basePoolBands = baseBands.join(
+      baseDigestKept.filter(!benchPred).select(col("doc_id")),
+      Seq("doc_id"))
+    val baseContam = basePoolBands
+      .join(broadcast(baseBenchBands.distinct()), Seq("band", "digest"))
+      .select(col("doc_id")).distinct()
+    val basePool = baseDigestKept.filter(!benchPred)
+      .join(baseContam, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"), col("lang"))
+
+    // ---- the incremental path: delta frames + index joins only ----
+    val deltaCanon = withCanon(delta)
+    val urlAccepted = firstPer(
+      deltaCanon.join(baseCanon.select(col("canon_url")).distinct(),
+        Seq("canon_url"), "left_anti"),
+      col("canon_url"))
+      .select(col("doc_id"), col("text"), col("lang"))
+    val (acceptedIdText, _) =
+      Dedup.incrementalExactDedup(urlAccepted, digestIndex)
+    val accepted = acceptedIdText
+      .join(delta.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val deltaBands = bandsOf(delta)
+    val deltaBenchBands = deltaBands.filter(benchPred)
+      .select(col("band"), col("digest")).distinct()
+    val allBenchBands =
+      baseBenchBands.unionByName(deltaBenchBands).distinct()
+    val deltaTrainBands = deltaBands.join(
+      accepted.filter(!benchPred).select(col("doc_id")), Seq("doc_id"))
+    val deltaContam = deltaTrainBands
+      .join(broadcast(allBenchBands), Seq("band", "digest"))
+      .select(col("doc_id")).distinct()
+    val deltaPool = accepted.filter(!benchPred)
+      .join(deltaContam, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"), col("lang"))
+    // retroactive decontamination: newly arrived benchmark content
+    // retracts stored pool docs it collides with
+    val retracted = basePoolBands
+      .join(broadcast(deltaBenchBands), Seq("band", "digest"))
+      .select(col("doc_id")).distinct()
+    val keptBase = basePool.join(retracted, Seq("doc_id"), "left_anti")
+
+    // ---- p03: per-lang quality-ranked budget over the refreshed pool
+    val pool = keptBase.unionByName(deltaPool)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        qualityExpr(col("text")).as("quality"),
+        (col("doc_id") % 3 === 0 || col("doc_id") >= 1000000L)
+          .as("is_delta"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pool.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetPerLang)
+      .select(col("lang"), col("doc_id"), col("is_delta"),
+        col("n_tokens"), col("quality"), col("cum_tokens"))
+      .orderBy(col("lang"), col("cum_tokens"))
+  }
+
   /** Document fingerprints: exact-content hash (md5 of whitespace-normalized
     * text) + winnowing-style min-hash of word-3-gram shingles (the rolling-
     * hash fingerprint: min over shingle hashes selects a content-stable

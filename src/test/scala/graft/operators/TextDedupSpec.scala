@@ -544,6 +544,40 @@ class RepetitionStatsSpec extends graft.SparkSpec {
     assert(r3.getAs[Boolean]("flag_repetitive"))
   }
 
+  test("incrementalCorpusBuild: every stage fires on a crafted batch " +
+      "(p10) — URL drop, digest reject, bench, retroactive retraction") {
+    import spark.implicits._
+    val t1 = "tiger river dances over bright stones daily"
+    val t14 = "silver harbor boats drift past sleepy lighthouse keepers"
+    val docs = Seq(
+      // id 0: DELTA (%3=0) + BENCH (%10=0); same canon URL as base id 1
+      // (variants 0+1) -> URL-dropped, but its text (= id 1's) still
+      // enters the RAW bench reference and must retract base doc 1
+      (0L, t1, "en"),
+      (1L, t1, "en"), // base; %7=1 so a re-keyed copy 1000001 arrives too
+      (2L, "quiet mountain breeze carries long winter tales", "en"),
+      (3L, "fresh valley morning brings calm golden light", "en"),
+      // ^ delta; canon(3)=canon(2) (variants 2+3) -> URL-dropped
+      (10L, "ancient library shelves hold dusty forgotten pages", "en"),
+      // ^ base BENCH (%10=0): reference content, never in the pool
+      (14L, t14, "en"), // base train doc...
+      (24L, "young foxes chase autumn leaves across empty fields", "en"),
+      // ^ fresh delta train doc (variant 4 canon: no base sibling)
+      (30L, t14, "en")
+      // ^ delta BENCH re-publishing doc 14's content -> 14 RETRACTED
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.incrementalCorpusBuild(docs).collect()
+    val byId = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_delta")).toMap
+    // survivors: base doc 2 and fresh delta doc 24 — nothing else.
+    // 0/3 die at the URL stage, 1000001 at the digest index, 10/30 are
+    // bench, 1 and 14 are retracted by newly arrived bench content.
+    assert(byId == Map(2L -> false, 24L -> true), s"got: $byId")
+    val n = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(n(2L) == 7L && n(24L) == 8L)
+  }
+
   test("pretrainCorpusBuild: every stage's contract visible in the output") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = TextAnalysis.pretrainCorpusBuild(docs).collect()
