@@ -579,6 +579,10 @@ object SparkEntry {
     // → p03 budget), oracle-checked vs the from-scratch union build
     "p10_incremental_corpus" -> ((s, d) =>
       T.incrementalCorpusBuild(Tables.documents(s, d))),
+    // p11: learned quality filter applied (fixed-literal linear model
+    // over p07's features) vs the p08 gate pipeline — agreement table
+    "p11_learned_filter" -> ((s, d) =>
+      T.learnedQualityFilter(Tables.documents(s, d))),
     // s37: structured-OPQ PQ — variance permutation + block-Hadamard
     "s37_rotated_pq" -> ((s, d) =>
       S.rotatedPqTopK(Tables.embeddings(s, d))),
@@ -5450,6 +5454,41 @@ object SparkEntry {
     // same delimited-string encode and per-doc rollup
     "t43_bpe_encode" -> BpeEncodeOracle,
     // p10: the from-scratch union build the incremental path must equal
-    "p10_incremental_corpus" -> IncrementalBuildOracle
+    "p10_incremental_corpus" -> IncrementalBuildOracle,
+    // p11: the identical left-associated margin over the p07 feature
+    // fragments, the p08 verdict CASE, then the agreement rollup —
+    // min/max extremes only (order-free), no float sums
+    "p11_learned_filter" ->
+      (s"WITH q AS (SELECT doc_id, quality FROM ($QualityScoreOracle) xq),\n" +
+       s"u AS (SELECT doc_id, mean_bits FROM ($UnigramSurpriseOracle) xu),\n" +
+       s"rp AS (SELECT doc_id, dup2_frac FROM ($RepetitionProfileOracle) xr),\n" +
+       s"cd AS (SELECT doc_id, is_code FROM ($CodeDetectOracle) xc),\n" +
+       s"g AS (SELECT doc_id, keep AS gopher_keep FROM (\n" +
+       s"$GopherRulesOracle) xg),\n" +
+       s"c AS (SELECT doc_id, n_kept FROM (\n" +
+       s"$C4LineFilterOracle) xc2),\n" +
+       s"b AS (SELECT doc_id, ppl_bucket FROM (\n" +
+       s"$CcnetBucketsOracle) xb),\n" +
+       "v AS (SELECT g.doc_id,\n" +
+       "  CASE WHEN NOT g.gopher_keep THEN 'drop_gopher'\n" +
+       "       WHEN c.n_kept = 0 THEN 'drop_empty'\n" +
+       "       WHEN b.ppl_bucket = 'tail' THEN 'drop_ppl'\n" +
+       "       ELSE 'keep' END AS verdict\n" +
+       "FROM g JOIN c ON g.doc_id = c.doc_id\n" +
+       "JOIN b ON g.doc_id = b.doc_id),\n" +
+       "m AS (SELECT q.doc_id,\n" +
+       "  6.0 * q.quality - 0.08 * u.mean_bits\n" +
+       "    - 2.5 * coalesce(rp.dup2_frac, 0.0)\n" +
+       "    - 1.5 * (CASE WHEN cd.is_code THEN 1.0 ELSE 0.0 END)\n" +
+       "    - 3.2 AS margin, v.verdict\n" +
+       "FROM q JOIN u ON q.doc_id = u.doc_id\n" +
+       "LEFT JOIN rp ON q.doc_id = rp.doc_id\n" +
+       "JOIN cd ON q.doc_id = cd.doc_id\n" +
+       "JOIN v ON q.doc_id = v.doc_id)\n" +
+       "SELECT verdict, margin > 0.0 AS learned_keep,\n" +
+       "  CAST(COUNT(*) AS BIGINT) AS n_docs,\n" +
+       "  MIN(margin) AS min_margin, MAX(margin) AS max_margin\n" +
+       "FROM m GROUP BY verdict, learned_keep\n" +
+       "ORDER BY verdict, learned_keep")
   )
 }

@@ -1906,4 +1906,50 @@ object TextAnalysis {
           .otherwise("keep").as("verdict"))
       .orderBy(col("doc_id"))
   }
+
+  /** p11: LEARNED quality-filter application — the step the p07
+    * scaladoc promises: score every document's feature row with a
+    * linear classifier and compare the learned disposition against the
+    * heuristic gate pipeline (p08), closing the FineWeb/DCLM loop
+    * (heuristic gates label a seed set → a cheap linear model learns
+    * to imitate/extend them → the MODEL becomes the corpus filter).
+    * Weights are FIXED LITERALS (the public logistic-regression form;
+    * training is out of scope offline — what this operator proves is
+    * the application plan): margin = w·x + b over (quality, mean_bits,
+    * dup2_frac, is_code), and keep = margin > 0. The sigmoid is
+    * deliberately NOT applied — it is monotone, so thresholding the
+    * margin is thresholding the probability, and skipping it keeps the
+    * comparison free of libm ulp drift (the t42 pow() stance).
+    *
+    * Float determinism: every feature is an oracle-green double; the
+    * margin is the identical left-associated chain in both engines, so
+    * the > 0 cut and the min/max extremes compare bitwise.
+    *
+    * Output: the (gate verdict × learned keep) agreement table — the
+    * confusion matrix a pipeline owner reads before swapping the gates
+    * for the model — with per-cell margin extremes (min/max are
+    * shuffle-order-free; no float sums).
+    *
+    * Scale: the feature table is p07's plan (doc-keyed aggregates);
+    * scoring is ONE map-side expression over it; the agreement rollup
+    * is a partial agg on a ≤8-key space. Nothing new shuffles. */
+  def learnedQualityFilter(documents: DataFrame): DataFrame = {
+    val feats = qualityFeatures(documents)
+      .select(col("doc_id"), col("quality"), col("mean_bits"),
+        col("dup2_frac"), col("is_code"))
+    val gates = curatedCorpusV2(documents)
+      .select(col("doc_id"), col("verdict"))
+    val margin = lit(6.0) * col("quality") -
+      lit(0.08) * col("mean_bits") -
+      lit(2.5) * coalesce(col("dup2_frac"), lit(0.0)) -
+      lit(1.5) * when(col("is_code"), lit(1.0)).otherwise(lit(0.0)) -
+      lit(3.2)
+    feats.select(col("doc_id"), margin.as("margin"))
+      .join(gates, Seq("doc_id"))
+      .groupBy(col("verdict"), (col("margin") > 0.0).as("learned_keep"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("margin")).as("min_margin"),
+        max(col("margin")).as("max_margin"))
+      .orderBy(col("verdict"), col("learned_keep"))
+  }
 }

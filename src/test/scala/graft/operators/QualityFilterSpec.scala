@@ -248,6 +248,26 @@ class QualityFilterSpec extends SparkSpec {
     assert(d2.getAs[String]("fixed_md5") == md5("clean text stays clean"))
   }
 
+  test("p11 learnedQualityFilter: cells partition the corpus and " +
+      "margins respect the threshold cut") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.learnedQualityFilter(docs).collect()
+    assert(out.nonEmpty)
+    // the agreement table partitions the corpus exactly
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // cell keys are unique and the margin extremes honor keep = m > 0
+    val keys = out.map(r => (r.getAs[String]("verdict"),
+      r.getAs[Boolean]("learned_keep")))
+    assert(keys.distinct.length == keys.length)
+    for (r <- out) {
+      val mn = r.getAs[Double]("min_margin")
+      val mx = r.getAs[Double]("max_margin")
+      assert(mn <= mx)
+      if (r.getAs[Boolean]("learned_keep")) assert(mn > 0.0)
+      else assert(mx <= 0.0)
+    }
+  }
+
   private object Tables {
     /** A small surprise-diverse corpus: repeated common words vs rare. */
     def documentsLike(s: org.apache.spark.sql.SparkSession): DataFrame = {
