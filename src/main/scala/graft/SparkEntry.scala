@@ -586,6 +586,10 @@ object SparkEntry {
     // s37: structured-OPQ PQ — variance permutation + block-Hadamard
     "s37_rotated_pq" -> ((s, d) =>
       S.rotatedPqTopK(Tables.embeddings(s, d))),
+    // s39: the s38 tiers over the anisotropic counter-fixture — the
+    // view where the rotation should pay (per-corpus measurement)
+    "s39_aniso_rotation_recall" -> ((s, d) =>
+      S.anisotropicRotationRecall(Tables.embeddings(s, d))),
     // s38: raw vs perm vs perm+rot recall at equal code budget
     "s38_rotation_recall" -> ((s, d) =>
       S.rotationRecall(Tables.embeddings(s, d)))
@@ -1894,6 +1898,33 @@ object SparkEntry {
       |  AND e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
       |GROUP BY e.tier, e.query_id
       |ORDER BY e.tier, e.query_id""".stripMargin
+
+  /** s39: [[RotationRecallOracle]] re-pointed wholesale at the
+    * anisotropic view — one text surgery (`FROM embeddings` →
+    * `FROM aniso`, word-bounded) plus the view CTE prepended, so the
+    * three serving chains and the ground truth are character-identical
+    * to s38's and can never drift from it. The view arithmetic is the
+    * identical left-associated (double·ramp + double·0.25) chain as
+    * the Spark expression, rounded once to FLOAT. */
+  private lazy val AnisoRotationRecallOracle: String = {
+    val repointed = RotationRecallOracle
+      .replaceAll("FROM embeddings\\b", "FROM aniso")
+    require(!repointed.contains("FROM embeddings"),
+      "s39 surgery incomplete: a base-table reference survived")
+    val view =
+      """aniso AS MATERIALIZED (SELECT vec_id, label,
+        |  list_transform(range(0, 64), i -> CAST((
+        |    CAST(embedding[i + 1] AS DOUBLE)
+        |      * (1.0 + 3.0 * CAST(i % 16 AS DOUBLE) / 15.0)
+        |    + CAST(embedding[(i + 1) % 64 + 1] AS DOUBLE)
+        |      * 0.25) AS FLOAT)) AS embedding
+        |  FROM embeddings)""".stripMargin
+    val out = repointed.replaceFirst("^WITH ",
+      java.util.regex.Matcher.quoteReplacement(s"WITH $view,\n"))
+    require(out.startsWith("WITH aniso AS MATERIALIZED"),
+      "s39 surgery failed: view CTE not prepended")
+    out
+  }
 
   /** p10: the FROM-SCRATCH build over the union corpus — the equality
     * claim incremental pipelines must prove. Stages mirror the audited
@@ -5271,6 +5302,8 @@ object SparkEntry {
     "s33_opq_recall" -> OpqRecallOracle,
     "s37_rotated_pq" -> RotPqOracle,
     "s38_rotation_recall" -> RotationRecallOracle,
+    // s39: s38's oracle re-pointed at the anisotropic view CTE
+    "s39_aniso_rotation_recall" -> AnisoRotationRecallOracle,
     // k04: both trainings nested as scoped-WITH subqueries (the s13
     // precedent — CTE names never collide); Rand terms are exact longs
     "k04_cluster_agreement" ->

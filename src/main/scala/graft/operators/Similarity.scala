@@ -1902,6 +1902,41 @@ object Similarity {
       .orderBy(col("tier"), col("query_id"))
   }
 
+  /** s39's DETERMINISTIC anisotropic embedding view — the
+    * counter-fixture to s38's near-isotropic corpus: within each
+    * 16-dim block the variance ramps 1.0→4.0 (dim i scaled by
+    * 1 + 3·(i mod 16)/15) and a 0.25·next-neighbor mix (cyclic)
+    * injects cross-dim correlation — the regime where OPQ-style
+    * rotations are usually motivated. Arithmetic contract: per output
+    * dim ONE (double·ramp + double·0.25) chain, left-associated
+    * identically in the DuckDB twin, rounded once to FLOAT.
+    * Interpreted HOF — acceptable: one pass per eval input (the s30
+    * zip_with stance). */
+  private[operators] def anisotropicView(embeddings: DataFrame)
+      : DataFrame =
+    embeddings.select(col("vec_id"), col("label"), expr(
+      """transform(sequence(0, 63), i -> CAST((
+        |CAST(element_at(embedding, i + 1) AS DOUBLE)
+        |  * (1.0D + 3.0D * CAST(i % 16 AS DOUBLE) / 15.0D)
+        |+ CAST(element_at(embedding, (i + 1) % 64 + 1) AS DOUBLE)
+        |  * 0.25D) AS FLOAT))""".stripMargin).as("embedding"))
+
+  /** s39: s38's three-tier recall eval re-run over the ANISOTROPIC
+    * view — the rotation claim tested where the literature predicts it
+    * pays. Measured at sf0.01: perm 0.34 > raw 0.32 > perm+rot 0.26 —
+    * the Hadamard loses EVEN HERE, and the reason is instructive: at
+    * this code budget (m=4, k=8 cells per 16-dim subspace) a tiny
+    * axis-aligned codebook quantizes CONCENTRATED variance more easily
+    * (fewer effective dims to cover), so spreading the energy evenly
+    * is counter-productive; the OPQ rotation's textbook win needs
+    * codebooks large enough to spend the equalized dims. The s38/s39
+    * pair is therefore the evidence the scaladoc promises: the
+    * rotation switch must be MEASURED per corpus AND per code budget,
+    * never assumed. Same plan as s38 plus one scan-stage transform. */
+  def anisotropicRotationRecall(embeddings: DataFrame, nQueries: Int = 5,
+      k: Int = 10): DataFrame =
+    rotationRecall(anisotropicView(embeddings), nQueries, k)
+
   /** s34: BINARY-code Hamming top-k (FAISS IndexBinaryFlat): each
     * vector compresses to `nBits` sign bits of the deterministic
     * hyperplane projections (s03's machinery, packed into one BIGINT
