@@ -5436,7 +5436,14 @@ object SparkEntry {
        "n AS (SELECT doc_id, url,\n" +
        "  host || path || CASE WHEN params <> '' THEN '?' || params\n" +
        "    ELSE '' END AS canon_url,\n" +
-       "  regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain FROM p),\n" +
+       // PSL-lite domain: the regex alternation is assembled from the
+       // SAME Scala list the Spark expression uses — cannot drift
+       s"  CASE WHEN regexp_extract(host, '([^.]+\\." +
+       graft.operators.Dedup.MultiLabelSuffixRegex + ")$', 1) <> ''\n" +
+       s"    THEN regexp_extract(host, '([^.]+\\." +
+       graft.operators.Dedup.MultiLabelSuffixRegex + ")$', 1)\n" +
+       "    ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END\n" +
+       "    AS domain FROM p),\n" +
        "k AS (SELECT canon_url, CAST(MIN(doc_id) AS BIGINT)\n" +
        "    AS keep_doc_id,\n" +
        "  CAST(COUNT(*) AS BIGINT) AS n_dups FROM n GROUP BY canon_url)\n" +

@@ -757,15 +757,40 @@ object Dedup {
       when(params =!= "", concat(lit("?"), params)).otherwise(lit("")))
   }
 
-  /** Registered domain = last two labels of the canonical host — no
-    * public-suffix list offline (documented approximation; co.uk-style
-    * suffixes would need the PSL). The per-site key for t19-style
-    * domain caps. */
-  def registeredDomain(url: Column): Column =
-    regexp_extract(regexp_replace(
-        lower(regexp_extract(url, "^[a-zA-Z]+://([^/?#]+)", 1)),
-        "^www\\.", ""),
-      "([^.]+\\.[^.]+)$", 1)
+  /** PSL-lite: the most common MULTI-LABEL public suffixes, embedded
+    * as literals (the full Public Suffix List is not available
+    * offline; this covers the high-traffic ccTLD second-level zones).
+    * A host ending in one of these registers at the THIRD label —
+    * without it, `a.co.uk` and `b.co.uk` silently merge into `co.uk`
+    * for per-site caps. The SAME list builds the oracle's regex
+    * (assembled from this value in SparkEntry — cannot drift). */
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp",
+    "co.nz", "org.nz", "net.nz",
+    "com.br", "com.cn", "com.mx", "com.ar", "com.sg",
+    "com.tr", "com.hk", "co.in", "co.za", "co.kr")
+
+  /** The suffix alternation as a regex fragment (dots escaped). */
+  val MultiLabelSuffixRegex: String =
+    "(?:" + MultiLabelSuffixes.map(_.replace(".", "\\.")).mkString("|") +
+      ")"
+
+  /** Registered domain of the canonical host: label + multi-label
+    * public suffix when the host ends in a PSL-lite entry (so
+    * `blog.example.co.uk` → `example.co.uk`), else the last two labels
+    * (`blog.example.com` → `example.com`). The per-site key for
+    * t19-style domain caps. One regexp per branch — map-side. */
+  def registeredDomain(url: Column): Column = {
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^[a-zA-Z]+://([^/?#]+)", 1)),
+      "^www\\.", "")
+    val psl = regexp_extract(host,
+      s"([^.]+\\.$MultiLabelSuffixRegex)$$", 1)
+    when(psl =!= "", psl)
+      .otherwise(regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+  }
 
   /** d18: URL canonicalization + URL-level first-occurrence dedup —
     * the web-pipeline gate BOTH C4 (Raffel et al. 2020) and CCNet

@@ -291,6 +291,28 @@ class TextDedupSpec extends SparkSpec {
     assert(dom == "example.org")
   }
 
+  test("registeredDomain: PSL-lite multi-label suffixes register at " +
+      "the third label") {
+    import spark.implicits._
+    val cases = Seq(
+      // co.uk sites must NOT merge into 'co.uk'
+      ("https://a.co.uk/x", "a.co.uk"),
+      ("https://b.co.uk/y", "b.co.uk"),
+      ("https://WWW.Blog.Example.CO.UK/x", "example.co.uk"),
+      ("https://shop.something.com.au/", "something.com.au"),
+      ("http://news.media.co.jp/a", "media.co.jp"),
+      // ordinary gTLDs stay last-two-labels
+      ("https://deep.sub.example.com/x", "example.com"),
+      ("https://example.org", "example.org"),
+      // 'co.uk'-LOOKALIKE label inside an ordinary domain: no PSL hit
+      ("https://co.uk.example.com/x", "example.com"))
+    val out = cases.map(_._1).toDF("url")
+      .select(col("url"), Dedup.registeredDomain(col("url")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (u, want) =>
+      assert(out(u) == want, s"domain($u) = ${out(u)}, want $want") }
+  }
+
   test("urlDedup: 5-block collision structure, MIN keeper, flags") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Dedup.urlDedup(docs).collect()
