@@ -78,7 +78,9 @@ class PlanAuditSpec extends SparkSpec {
     "b02_rrf_fusion", // b01's ONE-row stats cross + s01's dense side
     "s36_index_lifecycle", // s18/s19's probe-schedule broadcast crosses
     "s38_rotation_recall", // s01 exact side + 3-row tier cross
-    "t42_lm_perplexity") // t33's ONE-row (N,V) corpus frame cross
+    "t42_lm_perplexity", // t33's ONE-row (N,V) corpus frame cross
+    "s39_aniso_rotation_recall", // s38's eval shape over the aniso view
+    "p11_learned_filter") // embeds p07's t17 corpus-total cross
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -244,6 +244,30 @@ class ScaleStressSpec extends SparkSpec {
       D.urlDedup(docs), D.urlDedup(docsX), false),
     ("t42_lm_perplexity",
       T.smoothedLmScore(docs), T.smoothedLmScore(docsX), true),
+    // r15 additions. t43 TRAINS at construction (8 driver-argmax
+    // rounds — the d07/d13 materialize-at-construction semantics) and
+    // the timed plan is the encode: vocab replay + broadcast join back
+    // to the corpus. p10's incremental path is index joins + the p05
+    // band screen; p11 composes p07's features (t17's one-row corpus
+    // cross rides along — intended); s39 is s38's eval shape plus one
+    // scan-stage transform (the s01 exact side → bnljIntended).
+    ("t43_bpe_encode", {
+      val m = T.bpeTrain(docs, nMerges = 8).collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      T.bpeEncode(docs, m)
+    }, {
+      val mX = T.bpeTrain(docsX, nMerges = 8).collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      T.bpeEncode(docsX, mX)
+    }, false),
+    ("p10_incremental_corpus",
+      T.incrementalCorpusBuild(docs), T.incrementalCorpusBuild(docsX),
+      false),
+    ("p11_learned_filter",
+      T.learnedQualityFilter(docs), T.learnedQualityFilter(docsX), true),
+    ("s39_aniso_rotation_recall",
+      S.anisotropicRotationRecall(emb), S.anisotropicRotationRecall(embX),
+      true),
     // q40: WITH RECURSIVE path enumeration. event_type rides the
     // token-bijective rename, so each replica's transition graph is
     // isomorphic-but-disjoint: distinct edges AND the bounded-depth
