@@ -561,6 +561,10 @@ object SparkEntry {
     // d18: URL canonicalization + first-occurrence URL-level dedup
     "d18_url_dedup" -> ((s, d) =>
       D.urlDedup(Tables.documents(s, d))),
+    // d19: duplicate-SPAN removal (Lee et al. exact-substring dedup,
+    // the cutting step d16 only reports) — owner keeps, others excise
+    "d19_span_removal" -> ((s, d) =>
+      D.removeDuplicateSpans(Tables.documents(s, d))),
     // t42: interpolated bigram LM score + perplexity terciles
     "t42_lm_perplexity" -> ((s, d) =>
       T.smoothedLmScore(Tables.documents(s, d))),
@@ -5490,6 +5494,46 @@ object SparkEntry {
         |       WHEN (ppl_rank - 1) * 3 < nn.n_docs * 2 THEN 'middle'
         |       ELSE 'tail' END AS ppl_bucket
         |FROM r CROSS JOIN nn ORDER BY doc_id""".stripMargin,
+    // d19: d16's rolling-hash CTEs + min-owner table + coverage union
+    // + t36-style ordered reassembly; only n>=5 docs enter the postings
+    "d19_span_removal" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |h AS (SELECT doc_id, toks, list_transform(toks, s ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(s)+1),
+        |        i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 2147483647)) AS th FROM t),
+        |e AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1:i+5]),
+        |      (a, b) -> (a * 257 + b) % 2147483647) AS wh
+        |  FROM h, UNNEST(range(0, len(th)-4)) AS u(i)
+        |  WHERE len(th) >= 5),
+        |pd AS (SELECT DISTINCT doc_id, wh FROM e),
+        |dup AS (SELECT wh, MIN(doc_id) AS owner FROM pd GROUP BY wh
+        |  HAVING COUNT(*) >= 2),
+        |fl AS (SELECT e.doc_id, e.start FROM e JOIN dup USING (wh)
+        |  WHERE e.doc_id <> dup.owner),
+        |dw AS (SELECT doc_id, CAST(COUNT(DISTINCT start) AS BIGINT)
+        |    AS n_dup_windows FROM fl GROUP BY doc_id),
+        |rp AS (SELECT DISTINCT doc_id, start + j AS pos FROM fl,
+        |  UNNEST(range(0, 5)) AS v(j)),
+        |rc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+        |  FROM rp GROUP BY doc_id),
+        |tp AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i+1] AS tok
+        |  FROM t, UNNEST(range(0, len(toks))) AS u2(i)),
+        |kp AS (SELECT tp.doc_id,
+        |    string_agg(tp.tok, ' ' ORDER BY tp.pos) AS kept_text
+        |  FROM tp LEFT JOIN rp ON tp.doc_id = rp.doc_id
+        |    AND tp.pos = rp.pos
+        |  WHERE rp.pos IS NULL GROUP BY tp.doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  COALESCE(dw.n_dup_windows, CAST(0 AS BIGINT))
+        |    AS n_dup_windows,
+        |  COALESCE(rc.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+        |  md5(COALESCE(kp.kept_text, '')) AS kept_md5
+        |FROM t LEFT JOIN dw USING (doc_id) LEFT JOIN rc USING (doc_id)
+        |LEFT JOIN kp USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     // t43: self-training oracle — 8 argmax+replace CTE levels, then the
     // same delimited-string encode and per-doc rollup
     "t43_bpe_encode" -> BpeEncodeOracle,

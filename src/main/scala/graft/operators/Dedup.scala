@@ -622,6 +622,83 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** d19: cross-document duplicate-SPAN removal — the applied face of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": the step that actually CUTS
+    * repeated spans, where d16 only reports which docs share them).
+    * A `window`-token span is duplicated when its rolling fingerprint
+    * occurs in ≥2 distinct documents; the MIN-doc_id holder of each
+    * fingerprint is its owner and keeps every occurrence, every other
+    * document drops all tokens covered by any duplicated window —
+    * first occurrence survives, the boilerplate tail is excised.
+    * Within-doc repeats in the owner are deliberately kept (within-doc
+    * repetition is t05/t32's signal, not cross-doc contamination).
+    * Docs shorter than `window` tokens are untouched (the whole-doc
+    * fallback hash never enters the posting table).
+    *
+    * Emits per doc: n_tokens, n_dup_windows (flagged starts),
+    * n_removed (covered positions), and md5 of the rebuilt kept text
+    * (the t36 cleaned-doc contract — reassembly order and the
+    * everything-removed edge are where span cutters break; empty
+    * survivors hash '' via coalesce).
+    *
+    * Scale posture — why removal needs NO posting cap where d16's
+    * pairing does: pairing is quadratic in a fingerprint's document
+    * frequency (df² pairs per hot window — hence d16's cap), but
+    * removal touches each occurrence ONCE — the dup table is one
+    * (wh → owner) row regardless of df and the join back fans out
+    * linearly in occurrences, which is the work any cutter must do to
+    * cut. Plan: one O(tokens) codegen'd fingerprint scan (graft_
+    * rollhash), two wh-keyed shuffles (ownership agg + flag join, AQE
+    * skew territory for boilerplate windows exactly like t09's hot
+    * bigrams), a (doc, pos)-keyed coverage distinct + anti-join, and
+    * one doc-keyed rebuild agg whose state is bounded by document
+    * length (the t36 sort_array reassembly). Nothing quadratic
+    * anywhere, no recall trade. */
+  def removeDuplicateSpans(documents: DataFrame,
+      window: Int = 5): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val base = spread(documents).select(col("doc_id"), col("text"),
+      size(toks).cast("long").as("n_tokens"))
+    val wh = base.filter(col("n_tokens") >= window)
+      .select(col("doc_id"), posexplode(
+        graft.functions.RollFns.rollingHash(col("text"), window))
+        .as(Seq("i", "wh")))
+    val dup = wh.select(col("doc_id"), col("wh")).distinct()
+      .groupBy(col("wh"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+      .filter(col("df") >= 2)
+    val flagged = wh.join(dup.select(col("wh"), col("owner")), Seq("wh"))
+      .filter(col("doc_id") =!= col("owner"))
+    val dupWin = flagged.groupBy(col("doc_id"))
+      .agg(count_distinct(col("i")).as("n_dup_windows"))
+    val removedPos = flagged
+      .select(col("doc_id"),
+        explode(sequence(col("i").cast("long"),
+          col("i").cast("long") + lit(window - 1L))).as("pos"))
+      .distinct()
+    val removedCnt = removedPos.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_removed"))
+    val tokPos = base
+      .select(col("doc_id"), posexplode(toks).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"), col("tok"))
+    val kept = tokPos
+      .join(removedPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ").as("kept_text"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(dupWin, Seq("doc_id"), "left")
+      .join(removedCnt, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        md5(coalesce(col("kept_text"), lit(""))).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d17: prefix-filtered set-similarity join (the PPJoin family, Xiao
     * et al. 2008; AllPairs, Bayardo et al. 2007) — EXACT Jaccard join
     * without d02's full inverted index OR its posting cap: order every

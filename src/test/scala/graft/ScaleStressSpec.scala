@@ -263,6 +263,11 @@ class ScaleStressSpec extends SparkSpec {
     ("p10_incremental_corpus",
       T.incrementalCorpusBuild(docs), T.incrementalCorpusBuild(docsX),
       false),
+    // d19 is the d16 family's REMOVAL face: linear in occurrences by
+    // design (one wh->owner row per fingerprint, no pair join)
+    ("d19_span_removal",
+      D.removeDuplicateSpans(docs), D.removeDuplicateSpans(docsX),
+      false),
     ("p11_learned_filter",
       T.learnedQualityFilter(docs), T.learnedQualityFilter(docsX), true),
     ("s39_aniso_rotation_recall",

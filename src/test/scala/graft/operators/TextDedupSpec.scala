@@ -566,6 +566,37 @@ class RepetitionStatsSpec extends graft.SparkSpec {
     assert(r3.getAs[Boolean]("flag_repetitive"))
   }
 
+  test("removeDuplicateSpans (d19): owner keeps, others excise; " +
+      "overlapping windows union; short docs untouched") {
+    import spark.implicits._
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Seq(
+      (0L, "a b c d e f g h"), // owns every shared fingerprint
+      (1L, "x y a b c d e z w"), // one shared window at start 2
+      (2L, "a b c d e"), // the whole doc IS the shared span
+      (3L, "p q r s"), // < window tokens: untouched by contract
+      (4L, "m a b c d e f n") // TWO overlapping shared windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def row(id: Long) = (out(id).getAs[Long]("n_tokens"),
+      out(id).getAs[Long]("n_dup_windows"),
+      out(id).getAs[Long]("n_removed"),
+      out(id).getAs[String]("kept_md5"))
+    // owner: nothing removed, text bit-identical
+    assert(row(0L) == ((8L, 0L, 0L, md5("a b c d e f g h"))))
+    // one 5-token span excised from the middle
+    assert(row(1L) == ((9L, 1L, 5L, md5("x y z w"))))
+    // everything removed -> kept text is '' (the t36 empty edge)
+    assert(row(2L) == ((5L, 1L, 5L, md5(""))))
+    // short doc never enters the posting table
+    assert(row(3L) == ((4L, 0L, 0L, md5("p q r s"))))
+    // overlapping flagged windows union their coverage (6 positions)
+    assert(row(4L) == ((8L, 2L, 6L, md5("m n"))))
+  }
+
   test("incrementalCorpusBuild: every stage fires on a crafted batch " +
       "(p10) — URL drop, digest reject, bench, retroactive retraction") {
     import spark.implicits._
