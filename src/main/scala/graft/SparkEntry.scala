@@ -166,6 +166,10 @@ object SparkEntry {
       D.embeddingNearDups(Tables.embeddings(s, d))),
     "d07_dedup_clusters" -> ((s, d) =>
       D.dedupClusters(D.embeddingNearDups(Tables.embeddings(s, d)))),
+    // d20: the SAME clusters as d07 via two-phase star contraction —
+    // O(log² n) rounds vs label propagation's diameter rounds
+    "d20_cc_star" -> ((s, d) =>
+      D.starContraction(D.embeddingNearDups(Tables.embeddings(s, d)))),
     "d08_normalized_dedup" -> ((s, d) =>
       D.normalizedDedup(Tables.documents(s, d))),
     "d09_fuzzy_pairs" -> ((s, d) =>
@@ -285,6 +289,9 @@ object SparkEntry {
       graft.operators.Multimodal.mediaDedup(Tables.documents(s, d))),
     "m04_media_retrieval" -> ((s, d) =>
       graft.operators.Multimodal.mediaRetrieval(Tables.documents(s, d))),
+    // m05: blockhash perceptual near-dup pairs (banded + Hamming verify)
+    "m05_perceptual_dedup" -> ((s, d) =>
+      graft.operators.Multimodal.perceptualDedup(Tables.documents(s, d))),
     // --- round 8 additions: runtime filtering, IVM, lakehouse reads ---
     "j01_bloom_join" -> ((s, d) =>
       graft.operators.BloomJoin.bloomJoinRevenue(Tables.orders(s, d),
@@ -578,6 +585,10 @@ object SparkEntry {
       T.bpeEncode(docs, merges)
     }),
     // --- round 15 ---
+    // t44: per-domain boilerplate-line profile (d18 registered domain
+    // × t39 line render — the CCNet per-site template signal)
+    "t44_domain_boilerplate" -> ((s, d) =>
+      T.domainBoilerplate(Tables.documents(s, d))),
     // p10: incremental corpus build — delta through the stored indexes
     // (d18 URL → d10 digest → p05 decontam incl. retroactive retraction
     // → p03 budget), oracle-checked vs the from-scratch union build
@@ -596,7 +607,15 @@ object SparkEntry {
       S.anisotropicRotationRecall(Tables.embeddings(s, d))),
     // s38: raw vs perm vs perm+rot recall at equal code budget
     "s38_rotation_recall" -> ((s, d) =>
-      S.rotationRecall(Tables.embeddings(s, d)))
+      S.rotationRecall(Tables.embeddings(s, d))),
+    // b03: pseudo-relevance-feedback query expansion (Rocchio) —
+    // feedback pass, term mining, down-weighted re-rank
+    "b03_prf_expansion" -> ((s, d) =>
+      graft.operators.Ranking.prfExpansion(Tables.documents(s, d))),
+    // p12: the sharded-export publish manifest — per-shard counts,
+    // key ranges, order markers, order-free exact content checksum
+    "p12_shard_manifest" -> ((s, d) =>
+      graft.operators.Sampling.shardManifest(Tables.documents(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -780,6 +799,62 @@ object SparkEntry {
       |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
       |      (x, y) -> x + y) AS dist2
       |    FROM v CROSS JOIN c1 c)) WHERE rn = 1)""".stripMargin
+
+  /** d18's deterministic messy-URL synthesis as a CTE (`u`) — the SQL
+    * mirror of [[graft.operators.Dedup.syntheticUrl]], shared by the
+    * d18 and t44 oracles so the construction cannot drift. */
+  private val SynthUrlCte: String =
+    "u AS (SELECT doc_id,\n" +
+    "  CASE WHEN doc_id % 5 = 0 THEN 'https://EXAMPLE' ||\n" +
+    "    CAST(doc_id // 50 AS VARCHAR) || '.COM/Page/' ||\n" +
+    "    CAST(doc_id // 5 AS VARCHAR)\n" +
+    "  WHEN doc_id % 5 = 1 THEN 'https://www.example' ||\n" +
+    "    CAST(doc_id // 50 AS VARCHAR) || '.com/Page/' ||\n" +
+    "    CAST(doc_id // 5 AS VARCHAR) || '/'\n" +
+    "  WHEN doc_id % 5 = 2 THEN 'http://example' ||\n" +
+    "    CAST(doc_id // 50 AS VARCHAR) || '.com/Page/' ||\n" +
+    "    CAST(doc_id // 5 AS VARCHAR) || '?utm_source=feed&ref=rss'\n" +
+    "  WHEN doc_id % 5 = 3 THEN 'https://example' ||\n" +
+    "    CAST(doc_id // 50 AS VARCHAR) || '.com/Page/' ||\n" +
+    "    CAST(doc_id // 5 AS VARCHAR) ||\n" +
+    "    '?ref=rss&utm_campaign=x#section-2'\n" +
+    "  ELSE 'https://blog.example' ||\n" +
+    "    CAST(doc_id // 50 AS VARCHAR) || '.com/Page/' ||\n" +
+    "    CAST(doc_id // 5 AS VARCHAR) END AS url FROM documents)"
+
+  /** PSL-lite registered-domain CASE over a `host` column — assembled
+    * from the SAME Scala suffix list the Spark expression uses. */
+  private val DomainCaseSql: String =
+    s"CASE WHEN regexp_extract(host, '([^.]+\\." +
+    graft.operators.Dedup.MultiLabelSuffixRegex + ")$', 1) <> ''\n" +
+    s"    THEN regexp_extract(host, '([^.]+\\." +
+    graft.operators.Dedup.MultiLabelSuffixRegex + ")$', 1)\n" +
+    "    ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END"
+
+  /** The min-label connected-components ground truth over the d06
+    * near-dup pair graph (recursive reachability + per-node MIN) —
+    * shared by d07 (label propagation) and d20 (star contraction):
+    * both algorithms must land on the SAME fixed point. */
+  private val MinLabelCcOracle: String =
+    """WITH RECURSIVE n AS (SELECT vec_id, label, embedding,
+      |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+      |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS norm2 FROM embeddings),
+      |p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+      |  list_reduce(list_transform(range(1, len(a.embedding)+1), i ->
+      |    CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+      |    (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(b.norm2)) AS cosine
+      | FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
+      |pairs AS (SELECT vec_id_a, vec_id_b FROM p WHERE cosine >= 0.35),
+      |edges AS (SELECT vec_id_a AS u, vec_id_b AS v FROM pairs
+      |  UNION SELECT vec_id_b, vec_id_a FROM pairs),
+      |reach AS (
+      |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+      |SELECT u AS vec_id, min(v) AS cluster_id,
+      | (u = min(v)) AS is_canonical
+      |FROM reach GROUP BY u ORDER BY u""".stripMargin
 
   /** s01's exact brute-force top-10 — also the ground-truth side of the
     * recall evals (s13 wraps it as a nested-WITH subquery). */
@@ -2197,6 +2272,69 @@ object SparkEntry {
        |LIMIT 10""".stripMargin
   }
 
+  /** b03: the full PRF chain in SQL — feedback pass IS Bm25Oracle
+    * (LIMIT surgically narrowed to the feedback depth), expansion
+    * terms mined with the same exclusion list the Scala side builds
+    * (interpolated from the SAME Seq values — the lists cannot
+    * drift), and the re-rank's fixed-order sum realized as a
+    * term-ASC-ordered list fold with a prepended 0.0 (bitwise equal
+    * to the Spark side's COALESCE-slot chain because x + 0.0 == x
+    * for the positive partials). */
+  private lazy val PrfOracle: String = {
+    val fbPass = replaceAnchored(Bm25Oracle,
+      "ORDER BY score DESC, doc_id ASC LIMIT 20",
+      "ORDER BY score DESC, doc_id ASC LIMIT 10")
+    val excluded = (graft.operators.Ranking.DefaultTerms ++
+      (graft.operators.TextAnalysis.StopEn ++
+        graft.operators.TextAnalysis.StopEs ++
+        graft.operators.TextAnalysis.StopDe ++
+        graft.operators.TextAnalysis.StopFr).distinct)
+      .map(t => s"'$t'").mkString(", ")
+    val origVals = graft.operators.Ranking.DefaultTerms
+      .map(t => s"('$t')").mkString(", ")
+    s"""WITH fb AS (SELECT doc_id FROM ($fbPass) xfb),
+       |d AS (SELECT doc_id,
+       |  string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |dd AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dd),
+       |cand AS (SELECT DISTINCT u.doc_id, u.term FROM
+       |  (SELECT dd.doc_id, unnest(dd.toks) AS term
+       |   FROM dd JOIN fb USING (doc_id)) u
+       |  WHERE u.term NOT IN ($excluded)),
+       |expt AS (SELECT term FROM (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_fb
+       |  FROM cand GROUP BY term
+       |  ORDER BY df_fb DESC, term ASC LIMIT 5) xe),
+       |allt AS (SELECT term, CAST(1.0 AS DOUBLE) AS w
+       |    FROM (VALUES $origVals) vo(term)
+       |  UNION ALL
+       |  SELECT term, CAST(0.5 AS DOUBLE) AS w FROM expt),
+       |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd) u
+       |  WHERE term IN (SELECT term FROM allt)
+       |  GROUP BY doc_id, dl, term),
+       |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+       |  FROM tf GROUP BY term),
+       |sc AS (SELECT tf.doc_id, tf.term, allt.w *
+       |  (((CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE)
+       |      + CAST(0.5 AS DOUBLE))
+       |    / (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |  * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+       |  / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+       |     * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+       |        + CAST(0.75 AS DOUBLE) * CAST(tf.dl AS DOUBLE)
+       |          / (CAST(st.sum_dl AS DOUBLE)
+       |             / CAST(st.n_docs AS DOUBLE))))) AS w_t
+       |  FROM tf JOIN dfq USING (term) JOIN allt USING (term)
+       |  CROSS JOIN st)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(w_t ORDER BY term)), (a, b) -> a + b) AS score
+       |FROM sc GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
   /** s35: one plane/projection pass at 24 bits; narrower tiers are
     * `code % 2^n` masks of the same codes; rank per (n_bits, query);
     * truth = the s01 chain. */
@@ -3139,26 +3277,12 @@ object SparkEntry {
     // Transitive closure of the d06 pair graph via recursive CTE: reach
     // enumerates every node reachable from u, min over it = the
     // min-label-propagation fixpoint the Spark side iterates to.
-    "d07_dedup_clusters" ->
-      """WITH RECURSIVE n AS (SELECT vec_id, label, embedding,
-        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
-        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
-        |    (a, b) -> a + b) AS norm2 FROM embeddings),
-        |p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-        |  list_reduce(list_transform(range(1, len(a.embedding)+1), i ->
-        |    CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
-        |    (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(b.norm2)) AS cosine
-        | FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
-        |pairs AS (SELECT vec_id_a, vec_id_b FROM p WHERE cosine >= 0.35),
-        |edges AS (SELECT vec_id_a AS u, vec_id_b AS v FROM pairs
-        |  UNION SELECT vec_id_b, vec_id_a FROM pairs),
-        |reach AS (
-        |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
-        |  UNION
-        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-        |SELECT u AS vec_id, min(v) AS cluster_id,
-        | (u = min(v)) AS is_canonical
-        |FROM reach GROUP BY u ORDER BY u""".stripMargin,
+    "d07_dedup_clusters" -> MinLabelCcOracle,
+    // d20: SAME oracle as d07 by design — star contraction and label
+    // propagation are different ALGORITHMS for the same fixed point
+    // (cluster_id = min component member); sharing the text makes the
+    // equivalence the checked statement
+    "d20_cc_star" -> MinLabelCcOracle,
     "s01_brute_topk" -> BruteTopKOracle,
     "s02_ivf_topk" ->
       """WITH n AS (SELECT vec_id, label, embedding,
@@ -3916,6 +4040,44 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_copies,
         |  CAST(COUNT(DISTINCT media_type) AS BIGINT) AS n_claimed_types
         |FROM a GROUP BY content_md5 ORDER BY kept_asset_id""".stripMargin,
+    // m05: the blockhash loop re-derived char-by-char — unicode(substr)
+    // equals the payload byte for the ASCII fixture (the d19 reliance);
+    // bands, candidate join, and Hamming verify mirror the Spark plan
+    // so the banded-candidate semantics are what the oracle checks
+    "m05_perceptual_dedup" ->
+      """WITH c1 AS (SELECT doc_id AS asset_id, text,
+        |  CAST(length(text) AS BIGINT) AS n FROM documents),
+        |b1 AS (SELECT asset_id, n,
+        |  CAST(unicode(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT)
+        |    AS v,
+        |  i * 64 // n AS blk
+        |  FROM c1, UNNEST(range(0, n)) AS u(i)),
+        |s1 AS (SELECT asset_id, blk, SUM(v) AS bsum,
+        |  CAST(COUNT(*) AS BIGINT) AS blen
+        |  FROM b1 GROUP BY asset_id, blk),
+        |g AS (SELECT asset_id, n, SUM(v) AS total
+        |  FROM b1 GROUP BY asset_id, n),
+        |bits AS (SELECT g.asset_id,
+        |  string_agg(CASE WHEN COALESCE(s1.bsum, 0) * g.n >
+        |      g.total * COALESCE(s1.blen, 0) THEN '1' ELSE '0' END,
+        |    '' ORDER BY r.b) AS sig
+        |  FROM g CROSS JOIN (SELECT unnest(range(0, 64)) AS b) r
+        |  LEFT JOIN s1 ON s1.asset_id = g.asset_id AND s1.blk = r.b
+        |  GROUP BY g.asset_id),
+        |bands AS (SELECT asset_id, sig, b AS band,
+        |  substr(sig, CAST(b * 16 + 1 AS INT), 16) AS band_val
+        |  FROM bits, UNNEST(range(0, 4)) AS u(b)),
+        |cand AS (SELECT DISTINCT a.asset_id AS asset_id_a,
+        |    b.asset_id AS asset_id_b, a.sig AS sig_a, b.sig AS sig_b
+        |  FROM bands a JOIN bands b ON a.band = b.band
+        |    AND a.band_val = b.band_val AND a.asset_id < b.asset_id),
+        |h AS (SELECT asset_id_a, asset_id_b,
+        |  CAST(len(list_filter(range(1, 65), i ->
+        |    substr(sig_a, CAST(i AS INT), 1) <>
+        |    substr(sig_b, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+        |  FROM cand)
+        |SELECT asset_id_a, asset_id_b, hamming FROM h
+        |WHERE hamming <= 16 ORDER BY asset_id_a, asset_id_b""".stripMargin,
     // the bloom pre-filter has no false negatives, so the pruned join
     // must equal this plain join bitwise — the oracle knows nothing
     // about the bloom
@@ -5410,23 +5572,7 @@ object SparkEntry {
     // Assembled by concatenation, not stripMargin — the SQL is full
     // of `||`, which a margin strip would mangle (the p08 precedent)
     "d18_url_dedup" ->
-      ("WITH u AS (SELECT doc_id,\n" +
-       "  CASE WHEN doc_id % 5 = 0 THEN 'https://EXAMPLE' ||\n" +
-       "    CAST(doc_id // 50 AS VARCHAR) || '.COM/Page/' ||\n" +
-       "    CAST(doc_id // 5 AS VARCHAR)\n" +
-       "  WHEN doc_id % 5 = 1 THEN 'https://www.example' ||\n" +
-       "    CAST(doc_id // 50 AS VARCHAR) || '.com/Page/' ||\n" +
-       "    CAST(doc_id // 5 AS VARCHAR) || '/'\n" +
-       "  WHEN doc_id % 5 = 2 THEN 'http://example' ||\n" +
-       "    CAST(doc_id // 50 AS VARCHAR) || '.com/Page/' ||\n" +
-       "    CAST(doc_id // 5 AS VARCHAR) || '?utm_source=feed&ref=rss'\n" +
-       "  WHEN doc_id % 5 = 3 THEN 'https://example' ||\n" +
-       "    CAST(doc_id // 50 AS VARCHAR) || '.com/Page/' ||\n" +
-       "    CAST(doc_id // 5 AS VARCHAR) ||\n" +
-       "    '?ref=rss&utm_campaign=x#section-2'\n" +
-       "  ELSE 'https://blog.example' ||\n" +
-       "    CAST(doc_id // 50 AS VARCHAR) || '.com/Page/' ||\n" +
-       "    CAST(doc_id // 5 AS VARCHAR) END AS url FROM documents),\n" +
+      ("WITH " + SynthUrlCte + ",\n" +
        "c AS (SELECT doc_id, url,\n" +
        "  regexp_replace(lower(regexp_extract(url,\n" +
        "    '^[a-zA-Z]+://([^/?#]+)', 1)), '^www\\.', '') AS host,\n" +
@@ -5442,11 +5588,7 @@ object SparkEntry {
        "    ELSE '' END AS canon_url,\n" +
        // PSL-lite domain: the regex alternation is assembled from the
        // SAME Scala list the Spark expression uses — cannot drift
-       s"  CASE WHEN regexp_extract(host, '([^.]+\\." +
-       graft.operators.Dedup.MultiLabelSuffixRegex + ")$', 1) <> ''\n" +
-       s"    THEN regexp_extract(host, '([^.]+\\." +
-       graft.operators.Dedup.MultiLabelSuffixRegex + ")$', 1)\n" +
-       "    ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END\n" +
+       "  " + DomainCaseSql + "\n" +
        "    AS domain FROM p),\n" +
        "k AS (SELECT canon_url, CAST(MIN(doc_id) AS BIGINT)\n" +
        "    AS keep_doc_id,\n" +
@@ -5454,6 +5596,41 @@ object SparkEntry {
        "SELECT n.doc_id, n.url, n.canon_url, n.domain, k.keep_doc_id,\n" +
        "  k.n_dups, (n.doc_id = k.keep_doc_id) AS is_kept\n" +
        "FROM n JOIN k USING (canon_url) ORDER BY n.doc_id"),
+    // t44: t39's line CTEs × d18's URL synthesis + PSL-lite domain;
+    // in-domain line doc-frequency ≥ 2 = boilerplate; one double
+    // division at the end (exact-integer counts everywhere else)
+    "t44_domain_boilerplate" ->
+      ("WITH " + PageLinesCtes + ",\n" +
+       SynthUrlCte + ",\n" +
+       "hh AS (SELECT doc_id,\n" +
+       "  regexp_replace(lower(regexp_extract(url,\n" +
+       "    '^[a-zA-Z]+://([^/?#]+)', 1)), '^www\\.', '') AS host\n" +
+       "  FROM u),\n" +
+       "dom AS (SELECT doc_id, " + DomainCaseSql + " AS domain\n" +
+       "  FROM hh),\n" +
+       "dl AS (SELECT dom.domain, l.line, l.doc_id\n" +
+       "  FROM lines l JOIN dom ON l.doc_id = dom.doc_id),\n" +
+       "ldf AS (SELECT domain, line,\n" +
+       "    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS line_docs\n" +
+       "  FROM dl GROUP BY domain, line),\n" +
+       "pd AS (SELECT domain,\n" +
+       "    CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,\n" +
+       "    CAST(SUM(CASE WHEN line_docs >= 2 THEN 1 ELSE 0 END)\n" +
+       "      AS BIGINT) AS n_boilerplate_lines\n" +
+       "  FROM ldf GROUP BY domain),\n" +
+       "oc AS (SELECT dl.domain,\n" +
+       "    CAST(COUNT(DISTINCT dl.doc_id) AS BIGINT) AS n_docs,\n" +
+       "    CAST(COUNT(*) AS BIGINT) AS n_line_occurrences,\n" +
+       "    CAST(SUM(CASE WHEN ldf.line_docs >= 2 THEN 1 ELSE 0 END)\n" +
+       "      AS BIGINT) AS n_boilerplate_occurrences\n" +
+       "  FROM dl JOIN ldf ON dl.domain = ldf.domain\n" +
+       "    AND dl.line = ldf.line\n" +
+       "  GROUP BY dl.domain)\n" +
+       "SELECT oc.domain, n_docs, n_line_occurrences, n_distinct_lines,\n" +
+       "  n_boilerplate_lines, n_boilerplate_occurrences,\n" +
+       "  CAST(n_boilerplate_occurrences AS DOUBLE) /\n" +
+       "    CAST(n_line_occurrences AS DOUBLE) AS boilerplate_frac\n" +
+       "FROM oc JOIN pd ON oc.domain = pd.domain ORDER BY oc.domain"),
     // t42: the t33 bigram CTEs + unigram table + one-row (N+V+1)
     // frame; bits = floor-log2 of the exact interpolated rational
     // (lambda = 3/4, add-one OOV mass); terciles by global row_number
@@ -5573,6 +5750,32 @@ object SparkEntry {
        "  CAST(COUNT(*) AS BIGINT) AS n_docs,\n" +
        "  MIN(margin) AS min_margin, MAX(margin) AS max_margin\n" +
        "FROM m GROUP BY verdict, learned_keep\n" +
-       "ORDER BY verdict, learned_keep")
+       "ORDER BY verdict, learned_keep"),
+    "b03_prf_expansion" -> PrfOracle,
+    // p12: md5 key/digest parity (the t08 sampleKey idiom + a 15-hex
+    // big-endian parse fold); HUGEINT sum cast to the Spark side's
+    // DECIMAL(38,0). Assembled by concatenation — the SQL carries ||
+    // concats (the p08 precedent).
+    "p12_shard_manifest" ->
+      ("WITH b AS (SELECT doc_id,\n" +
+       "  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS key,\n" +
+       "  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)\n" +
+       "    AS n_tokens,\n" +
+       "  substr(md5(text), 1, 15) AS dh FROM documents),\n" +
+       "c AS (SELECT substr(key, 1, 1) AS shard, key,\n" +
+       "  key || ':' || lpad(CAST(doc_id AS VARCHAR), 10, '0')\n" +
+       "    AS marker,\n" +
+       "  n_tokens,\n" +
+       "  list_reduce(list_transform(range(1, 16), i ->\n" +
+       "    CAST(strpos('0123456789abcdef',\n" +
+       "      substr(dh, CAST(i AS INT), 1)) - 1 AS BIGINT)),\n" +
+       "    (a, b) -> a * 16 + b) AS digest FROM b)\n" +
+       "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,\n" +
+       "  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,\n" +
+       "  MIN(key) AS min_key, MAX(key) AS max_key,\n" +
+       "  MIN(marker) AS first_marker, MAX(marker) AS last_marker,\n" +
+       "  CAST(SUM(CAST(digest AS HUGEINT)) AS DECIMAL(38,0))\n" +
+       "    AS content_checksum\n" +
+       "FROM c GROUP BY shard ORDER BY shard")
   )
 }

@@ -474,6 +474,102 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** d20: connected components by TWO-PHASE STAR CONTRACTION (Kiveris
+    * et al. 2014, "Connected Components in MapReduce and Beyond" —
+    * the alternating large-star/small-star algorithm, also the engine
+    * behind GraphFrames' `connectedComponents`). Same contract as
+    * [[dedupClusters]] (cluster_id = min member id, is_canonical on
+    * the minimum), different convergence law: label propagation needs
+    * DIAMETER rounds (a 1M-node duplicate chain = 1M shuffles), star
+    * contraction provably converges in O(log² n) rounds regardless of
+    * topology — each large-star hangs every node's larger neighbors
+    * off its local minimum, each small-star collapses the smaller
+    * neighborhood onto it, so component depth roughly halves per
+    * round. At 100 TB this is the CC you run when you CANNOT bound
+    * the duplicate-graph diameter upstream (d07's documented budget
+    * assumption).
+    *
+    * Representation: canonical undirected edges (hi > lo), distinct.
+    * Large-star emits, for every canonical edge, (hi, m_lo) where
+    * m_lo = min(Γ(lo) ∪ {lo}) over the SYMMETRIC neighborhood — one
+    * neighborhood-min aggregate + one join, orientation preserved
+    * because m_lo ≤ lo < hi. Small-star re-hangs each node's smaller
+    * neighbors (and itself) onto its smallest neighbor — one
+    * per-hi min aggregate + one join. Both are key-partitioned
+    * shuffles with map-side-combining MINs; a web-scale boilerplate
+    * hub (one node in millions of pairs) is a hot GROUP BY key — AQE
+    * skew territory — never a collected adjacency list.
+    *
+    * Convergence check per round: anchored edge-set counts (cheap on
+    * the materialized anchor), then a one-sided `exceptAll` only when
+    * counts tie — two distinct sets of equal size with empty
+    * difference are EQUAL, so the fixed point is detected exactly,
+    * never by a hash signature that could collide silently. Rounds
+    * are [[Anchor.Loop]]-cut (PeriodicCheckpointer discipline).
+    *
+    * Fixed point: the graph is a forest of stars centered at each
+    * component's minimum, so labels read directly off the edge list
+    * (hi → lo); roots and never-paired nodes label themselves. */
+  def starContraction(pairs: DataFrame, aCol: String = "vec_id_a",
+      bCol: String = "vec_id_b", maxIters: Int = 30): DataFrame = {
+    // nodes is ANCHORED, not left lazy over `pairs`: the result frame
+    // joins against it, and an unanchored node set would re-run the
+    // whole upstream candidate-pair computation (for d20 that is the
+    // near-dup join — the most expensive stage of the pipeline) on
+    // EVERY downstream action. Node-count-sized, materialized once.
+    val nodes = Anchor.cut(pairs.select(col(aCol).as("vec_id"))
+      .union(pairs.select(col(bCol).as("vec_id"))).distinct())
+    // edge anchors are managed manually, NOT via Anchor.Loop: the
+    // convergence check reads the PREVIOUS round's anchor after the
+    // new one materializes, so release must wait until the compare
+    // is done (Loop.cut would release it at cut time)
+    var cur = Anchor.cut(pairs
+      .select(greatest(col(aCol), col(bCol)).as("hi"),
+        least(col(aCol), col(bCol)).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct())
+    var curCount = cur.count()
+    var converged = curCount == 0L
+    var it = 0
+    while (!converged && it < maxIters) {
+      // large-star: m_u = min over the symmetric neighborhood ∪ self;
+      // each canonical edge (hi, lo) re-hangs hi onto m_lo
+      val mins = cur.select(col("hi").as("u"), col("lo").as("v"))
+        .union(cur.select(col("lo").as("u"), col("hi").as("v")))
+        .groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val e1 = cur.join(mins, cur("lo") === mins("u"))
+        .select(col("hi"), col("m").as("lo")).distinct()
+      // small-star: hang each node's smaller neighbors AND itself onto
+      // its smallest neighbor (all strictly smaller, so m < hi)
+      val smins = e1.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val joined = e1.join(smins, "hi")
+      val next = Anchor.cut(joined
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(joined.select(col("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo")).distinct())
+      val nextCount = next.count()
+      converged = nextCount == curCount &&
+        next.exceptAll(cur).isEmpty
+      Anchor.release(cur) // compare done — NOW the old round is dead
+      cur = next
+      curCount = nextCount
+      it += 1
+    }
+    require(converged, s"star contraction did not converge in $maxIters rounds")
+    val nonRoots = cur
+      .select(col("hi").as("vec_id"), col("lo").as("cluster_id"))
+    val roots = nodes.join(nonRoots.select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("vec_id").as("cluster_id"))
+    // the result is lazy over the loop's FINAL anchor (cur) and the
+    // nodes anchor — neither is released here; d07's contract note
+    // applies identically
+    nonRoots.union(roots)
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vec_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy(col("vec_id"))
+  }
+
   /** d10: the keep-list — the artifact a dedup stage actually publishes:
     * one row per CORPUS document with its cluster and a keep/drop
     * decision. [[dedupClusters]] labels only documents that appear in a

@@ -103,4 +103,94 @@ object Ranking {
       .orderBy(col("rrf_score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** b03: PSEUDO-RELEVANCE-FEEDBACK query expansion (Rocchio 1971 /
+    * the RM-family relevance models) — the standard second retrieval
+    * pass every serious lexical stack runs when queries are short:
+    * take the top `kFeedback` BM25 docs as pseudo-relevant, mine the
+    * `nExpand` terms most characteristic of that set (here: feedback
+    * document frequency, the binary Rocchio weight — excluding the
+    * original query terms and the four stopword lists, which would
+    * otherwise dominate any feedback set), then re-rank the WHOLE
+    * corpus against the expanded query with expansion terms
+    * down-weighted by `beta` (Rocchio's β; 0.5 is exact in binary so
+    * the weighting adds no float noise).
+    *
+    * The expansion-term list is collected to the driver — bounded by
+    * `nExpand` (a model artifact, the k-medians discipline), never
+    * corpus-scale — so the second pass is b01's audited static-term
+    * plan with a wider IN-list.
+    *
+    * Score determinism (the b01 contract, dynamic-term form): per-term
+    * scores are conditional aggregates summed in a FIXED left-to-right
+    * chain over the term-ASC-sorted union vocabulary; the DuckDB twin
+    * folds the term-ASC-ordered per-doc score list with a prepended
+    * 0.0 — inserting the missing-term 0.0s Spark's COALESCE slots add
+    * is bitwise free (x + 0.0 == x for the positive partials here), so
+    * both engines build the identical float, not merely a close one.
+    *
+    * Plan shape: feedback pass = b01 (one (doc, term) partial agg +
+    * broadcasts + TakeOrderedAndProject); term mining runs over the
+    * kFeedback-doc slice only (broadcast semi-join, then a term-keyed
+    * partial agg on a few hundred rows); the re-rank pass is b01's
+    * shape again. At 100 TB the corpus is scanned twice — the price
+    * every PRF system pays by definition. */
+  def prfExpansion(documents: DataFrame, terms: Seq[String] = DefaultTerms,
+      kFeedback: Int = 10, nExpand: Int = 5, beta: Double = 0.5,
+      k: Int = 20): DataFrame = {
+    val fb = bm25Rank(documents, terms, kFeedback).select(col("doc_id"))
+    val stop = (TextAnalysis.StopEn ++ TextAnalysis.StopEs ++
+      TextAnalysis.StopDe ++ TextAnalysis.StopFr).distinct
+    val excluded = terms ++ stop
+    val expansion = documents.join(broadcast(fb), "doc_id")
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(!col("term").isin(excluded: _*))
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df_fb"))
+      .orderBy(col("df_fb").desc, col("term").asc)
+      .limit(nExpand)
+      .collect().map(_.getString(0)).toSeq
+    val weights = terms.map(_ -> 1.0).toMap ++
+      expansion.map(_ -> beta).toMap
+    val allTerms = (terms ++ expansion).distinct.sorted
+    val docs = documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = col("n_docs").cast("double")
+    val dfd = col("df").cast("double")
+    val tfd = col("tf").cast("double")
+    val dld = col("dl").cast("double")
+    val weightCol = allTerms.foldLeft(lit(1.0)) { case (acc, t) =>
+      when(col("term") === t, lit(weights(t))).otherwise(acc)
+    }
+    val scored = tf
+      .join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / nd)
+      .withColumn("w_t", weightCol *
+        (((nd - dfd + lit(0.5)) / (dfd + lit(0.5))) * (tfd * lit(2.2)) /
+          (tfd + lit(1.2) *
+            (lit(1.0) - lit(0.75) + lit(0.75) * dld / col("avgdl")))))
+    val perTerm = allTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("w_t"))).as(s"s_$i")
+    }
+    val total = allTerms.indices
+      .map(i => coalesce(col(s"s_$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    scored
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), perTerm: _*)
+      .select(col("doc_id"), col("n_terms"), total.as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

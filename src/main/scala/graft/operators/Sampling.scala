@@ -401,4 +401,55 @@ object Sampling {
         col("mean_bits"))
       .orderBy(col("mean_bits").desc, col("doc_id"))
       .limit(n)
+
+  /** p12: the PUBLISH manifest — the integrity artifact a pipeline
+    * writes next to its sharded corpus export (the Dolma/OLMo-style
+    * "data card" every reproducible training run starts from). Each
+    * document lands in a shard by the first hex digit of its md5
+    * shuffle key (the [[packSequences]] deterministic permutation, so
+    * the export IS the training order) and each shard row attests:
+    * document count, exact token sum, the shard's key range
+    * (min/max shuffle key — adjacent shards must not overlap), first
+    * and last document markers in shuffle order (`key:doc_id`
+    * composite strings, so an 8-hex-digit key collision — ~40% likely
+    * at 60k docs by birthday — still breaks ties deterministically),
+    * and an ORDER-FREE content checksum: the exact integer sum of
+    * each document's 60-bit md5(text) prefix. Any dropped, duplicated,
+    * or altered document flips the checksum; any reordering doesn't —
+    * order is attested by the marker columns, content by the sum, and
+    * the split keeps the aggregate fully partial (map-side combinable),
+    * where an order-SENSITIVE digest (md5-of-concatenation) would
+    * force per-shard collect_list state.
+    *
+    * Overflow headroom: each digest < 2⁶⁰; DECIMAL(38,0) holds 10³⁸,
+    * so the sum is exact past 10²⁰ documents per shard — far beyond
+    * the 100 TB posture (DuckDB mirrors with a HUGEINT sum cast to the
+    * same DECIMAL). conv() parses at most 15 hex digits, inside the
+    * unsigned-64 range where Spark's conv is exact.
+    *
+    * Plan shape: ONE narrow scan computes key, token count, and digest
+    * (all codegen scalar work; text never leaves the scan stage), then
+    * ONE shard-keyed partial aggregate → 16 rows. Nothing else moves.
+    * At larger scale widen the shard prefix (2 hex digits → 256
+    * shards), exactly as [[packSequences]] documents. */
+  def shardManifest(documents: DataFrame): DataFrame = {
+    val key = sampleKey(col("doc_id"))
+    val base = documents.select(
+      substring(key, 1, 1).as("shard"),
+      key.as("shuffle_key"),
+      concat(key, lit(":"),
+        lpad(col("doc_id").cast("string"), 10, "0")).as("marker"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10)
+        .cast("decimal(38,0)").as("content_digest"))
+    base.groupBy(col("shard")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("shuffle_key")).as("min_key"),
+        max(col("shuffle_key")).as("max_key"),
+        min(col("marker")).as("first_marker"),
+        max(col("marker")).as("last_marker"),
+        sum(col("content_digest")).as("content_checksum"))
+      .orderBy(col("shard"))
+  }
 }

@@ -1817,6 +1817,58 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t44: PER-DOMAIN boilerplate-line profile — the site-level template
+    * signal CCNet (Wenzek et al. 2020) and every serious web pipeline
+    * compute before cutting: t39 dedups lines GLOBALLY, but nav bars,
+    * footers, and cookie banners are per-SITE templates — a line
+    * repeated across ≥2 distinct documents of the same registered
+    * domain ([[Dedup.registeredDomain]] over the d18 synthetic URL) is
+    * that site's boilerplate. Emits, per domain: document count, line
+    * occurrences, distinct lines, boilerplate lines (distinct lines
+    * with in-domain doc-frequency ≥ 2), boilerplate occurrences, and
+    * the occurrence fraction — the table a pipeline owner reads to
+    * decide which sites need template stripping before quality
+    * scoring (boilerplate inflates t01-style counts).
+    *
+    * Determinism: all counts are exact integers; the single fraction
+    * is ONE double division of exact longs (the t42 discipline).
+    *
+    * Scale: the line render is t39's scan-stage machinery; the domain
+    * attach is a map-side expression (no URL table join); then two
+    * (domain, line)-keyed aggregates with map-side combine and a
+    * (domain, line) join back — a hot template line concentrates ONE
+    * key, AQE skew territory like t39's hot line, never a collected
+    * per-domain line list. Output is domain-count sized. */
+  def domainBoilerplate(documents: DataFrame): DataFrame = {
+    val lines = syntheticLines(documents)
+    val domains = documents.select(col("doc_id"),
+      Dedup.registeredDomain(Dedup.syntheticUrl(col("doc_id")))
+        .as("domain"))
+    val dl = lines.join(domains, "doc_id")
+    val lineDf = dl.select(col("domain"), col("line"), col("doc_id"))
+      .distinct()
+      .groupBy(col("domain"), col("line"))
+      .agg(count(lit(1)).as("line_docs"))
+    val perLines = lineDf.groupBy(col("domain")).agg(
+      count(lit(1)).as("n_distinct_lines"),
+      sum(when(col("line_docs") >= 2, 1L).otherwise(0L))
+        .as("n_boilerplate_lines"))
+    val occ = dl.join(lineDf, Seq("domain", "line"))
+      .groupBy(col("domain")).agg(
+        count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_line_occurrences"),
+        sum(when(col("line_docs") >= 2, 1L).otherwise(0L))
+          .as("n_boilerplate_occurrences"))
+    occ.join(perLines, "domain")
+      .select(col("domain"), col("n_docs"), col("n_line_occurrences"),
+        col("n_distinct_lines"), col("n_boilerplate_lines"),
+        col("n_boilerplate_occurrences"),
+        (col("n_boilerplate_occurrences").cast("double") /
+          col("n_line_occurrences").cast("double"))
+          .as("boilerplate_frac"))
+      .orderBy(col("domain"))
+  }
+
   /** The ftfy-style mojibake repair map (UTF-8 read as Latin-1 —
     * public knowledge): each pair is (damage, repair). Includes one
     * pattern the injected corpus never contains (Ã¤ → ä) so the

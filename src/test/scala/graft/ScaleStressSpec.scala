@@ -268,6 +268,43 @@ class ScaleStressSpec extends SparkSpec {
     ("d19_span_removal",
       D.removeDuplicateSpans(docs), D.removeDuplicateSpans(docsX),
       false),
+    // d20: star-contraction CC — per-round cost is the edge-table
+    // shuffle; the ROUND COUNT is the log-vs-diameter claim, asserted
+    // separately in TextDedupSpec. Like d07, the contraction loop runs
+    // EAGERLY when this Seq is built (counts + anchors per round), so
+    // the timed ratio below measures the anchored serve tail — the
+    // loop's own scaling is the d07-shaped per-round shuffle. NOTE the
+    // ×8 vector fixture is hostile to exact-cosine pair ops: the dim-0
+    // shove makes every rep≥1 vector near-parallel to every other
+    // (cosine dominated by the shoved component), so the near-dup
+    // graph blows up ~×25,000 (9.8M pairs, max degree 1528 at sf0.1)
+    // — both CC algorithms converging on THAT graph is the actual
+    // stress content here
+    ("d20_cc_star",
+      D.starContraction(D.embeddingNearDups(emb)),
+      D.starContraction(D.embeddingNearDups(embX)), false),
+    // m05: banded blockhash near-dup — candidate volume is the risk,
+    // and here the ×8 factor MEASURES it: the per-replica bijective
+    // token rename keeps shingle-EQUALITY structure linear but
+    // perceptual signatures are robust to small edits BY DESIGN, so
+    // the 8 replicas of a doc stay at small Hamming from each other
+    // and pair volume grows ~×64 (the d11 pre-rename precedent);
+    // runtime grows ~×33 < ×64 — output-dominated, the operator
+    // itself stays linear in emitted pairs
+    ("m05_perceptual_dedup",
+      graft.operators.Multimodal.perceptualDedup(docs),
+      graft.operators.Multimodal.perceptualDedup(docsX), false),
+    ("t44_domain_boilerplate",
+      T.domainBoilerplate(docs), T.domainBoilerplate(docsX), false),
+    // b03: the feedback pass + term mining run eagerly at construction
+    // (the nExpand-bounded collect); the timed ratio is the re-rank —
+    // the corpus-scale stage. 1-row stats cross is the intended BNLJ
+    ("b03_prf_expansion",
+      graft.operators.Ranking.prfExpansion(docs),
+      graft.operators.Ranking.prfExpansion(docsX), true),
+    ("p12_shard_manifest",
+      graft.operators.Sampling.shardManifest(docs),
+      graft.operators.Sampling.shardManifest(docsX), false),
     ("p11_learned_filter",
       T.learnedQualityFilter(docs), T.learnedQualityFilter(docsX), true),
     ("s39_aniso_rotation_recall",
@@ -346,8 +383,18 @@ class ScaleStressSpec extends SparkSpec {
   test(s"heavy set grows ≲linearly at ×$factor and keep sane plans ($sf)") {
     val recorded = readHistory()
     val rebaseline = sys.env.contains("GRAFT_STRESS_RECORD")
+    // GRAFT_STRESS_ONLY=d20,m05 runs a comma-separated subset — for
+    // re-recording individual entries (delete their STRESS_FACTORS
+    // keys first) without paying the full-suite wall time. Entries are
+    // timed sequentially either way, so filtering does not change what
+    // a timed run sees.
+    val only = sys.env.get("GRAFT_STRESS_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = heavySet.filter { case (name, _, _, _) =>
+      only.forall(_.exists(name.startsWith))
+    }
     val observed = scala.collection.mutable.Map[String, Double]()
-    for ((name, baseline, scaledDf, bnljIntended) <- heavySet) {
+    for ((name, baseline, scaledDf, bnljIntended) <- selected) {
       val plan = scaledDf.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"$name goes cartesian at ×$factor")

@@ -198,6 +198,54 @@ class MediaRetrievalSeamSpec extends graft.SparkSpec {
   }
 }
 
+/** m05: blockhash signature semantics + banded perceptual near-dup. */
+class PerceptualDedupSpec extends graft.SparkSpec {
+
+  test("BlockBitsUtil: strict mean compare, short payloads, empty") {
+    import graft.functions.BlockBitsUtil
+    def bits(bs: Array[Int], n: Int): String =
+      BlockBitsUtil.compute(bs.map(_.toByte), n).toString
+    // blocks [0, 0, 255, 255], total 510: only the high blocks set
+    assert(bits(Array(0, 0, 255, 255), 4) == "0011")
+    // uniform payload: no block STRICTLY exceeds the global mean
+    assert(bits(Array.fill(8)(7), 4) == "0000")
+    // shorter than nBlocks: empty blocks read '0'; the lone byte's
+    // block doesn't strictly beat its own mean either
+    assert(bits(Array(10), 4) == "0000")
+    // empty payload: all-'0' signature, no division anywhere
+    assert(bits(Array.empty[Int], 4) == "0000")
+    // one hot region among zeros: exactly that block set
+    assert(bits(Array(0, 0, 0, 0, 0, 0, 200, 200), 4) == "0001")
+  }
+
+  test("perceptualDedup: near-identical payloads pair at small " +
+      "Hamming; band-colliding far payloads are verified away") {
+    import spark.implicits._
+    val uniform = "a" * 512
+    // a few flipped bytes: block means move slightly -> small Hamming
+    val nearDup = "a" * 500 + "zzzzzzzzzzzz"
+    // half-ramp: bands 0-1 match uniform's all-zero bands (candidate!)
+    // but full Hamming is 32 — the verify step must drop it
+    val ramp = "a" * 256 + "z" * 256
+    val docs = Seq((0L, uniform), (1L, nearDup), (2L, ramp))
+      .toDF("doc_id", "text")
+    val out = Multimodal.perceptualDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.contains((0L, 1L)))
+    assert(out((0L, 1L)) <= 6L && out((0L, 1L)) >= 1L)
+    assert(!out.contains((0L, 2L)) && !out.contains((1L, 2L)))
+  }
+
+  test("perceptualDedup finds pairs on the fixture and stays " +
+      "band-candidate-bounded") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Multimodal.perceptualDedup(docs)
+    assert(out.count() > 0)
+    assert(out.columns.toSeq ==
+      Seq("asset_id_a", "asset_id_b", "hamming"))
+  }
+}
+
 /** Stub resize plumbing. */
 class ResizeSpec extends graft.SparkSpec {
   test("resize downsamples payload bytes deterministically") {

@@ -92,4 +92,51 @@ class RankingChunkingSpec extends SparkSpec {
     assert(mean(24L) > mean(8L),
       s"widest code no better than narrowest: ${mean(24L)} vs ${mean(8L)}")
   }
+
+  test("prfExpansion (b03): expansion recalls a no-query-term doc, " +
+      "mines the highest-df feedback term, skips stopwords") {
+    val docs = Seq(
+      (1L, "spark rdd cluster"),
+      (2L, "spark rdd shuffle"),
+      (3L, "rdd tuning notes"),
+      (4L, "cat dog"),
+      // stopword-heavy matcher: "the" must never be mined even though
+      // it dominates the feedback set's term frequencies
+      (5L, "spark the the the")
+    ).toDF("doc_id", "text")
+    val out = Ranking.prfExpansion(docs, terms = Seq("spark"),
+      kFeedback = 3, nExpand = 1, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // feedback = docs 1, 2, 5 (the only "spark" matchers); candidate
+    // df over them: rdd 2, cluster/shuffle 1, "the" excluded → rdd
+    // mined → doc 3 (zero query terms) enters the ranking; doc 4 never
+    val ids = out.map(_._1).toSet
+    assert(ids == Set(1L, 2L, 3L, 5L))
+    // n_terms counts matched union terms: 1+2 match both, 3 only rdd
+    val nTerms = out.map(t => t._1 -> t._2).toMap
+    assert(nTerms(1L) == 2L && nTerms(2L) == 2L &&
+      nTerms(3L) == 1L && nTerms(5L) == 1L)
+    // sorted by score desc, doc_id tie-break
+    val scores = out.map(_._3)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("prfExpansion: beta exactly scales expansion-only scores " +
+      "(bitwise — 0.5 is an exponent decrement)") {
+    val docs = Seq(
+      (1L, "spark rdd a"),
+      (2L, "spark rdd b"),
+      (3L, "rdd only here"),
+      (4L, "unrelated words")
+    ).toDF("doc_id", "text")
+    def score3(beta: Double): Double =
+      Ranking.prfExpansion(docs, terms = Seq("spark"), kFeedback = 2,
+        nExpand = 1, beta = beta, k = 10)
+        .collect().find(_.getLong(0) == 3L).get.getDouble(2)
+    assert(score3(0.5) == 0.5 * score3(1.0))
+    // determinism: the whole frame reproduces bitwise
+    val a = Ranking.prfExpansion(docs, terms = Seq("spark")).collect()
+    val b = Ranking.prfExpansion(docs, terms = Seq("spark")).collect()
+    assert(a.toSeq == b.toSeq)
+  }
 }

@@ -224,3 +224,56 @@ class DsirSelectSpec extends graft.SparkSpec {
     assert(better.subsetOf(picked))
   }
 }
+
+class ShardManifestSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val docs = (0L until 50L)
+    .map(i => (i, s"alpha bravo tok$i word${i % 7}"))
+    .toDF("doc_id", "text")
+
+  test("shardManifest (p12): counts/tokens reconcile, key ranges are " +
+      "disjoint hex prefixes, markers carry the boundary keys") {
+    val rows = Sampling.shardManifest(docs).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 50L)
+    assert(rows.map(_.getAs[Long]("sum_tokens")).sum == 200L) // 4 each
+    rows.foreach { r =>
+      val shard = r.getAs[String]("shard")
+      assert(shard.length == 1 && "0123456789abcdef".contains(shard))
+      val (lo, hi) = (r.getAs[String]("min_key"), r.getAs[String]("max_key"))
+      // every key in a shard starts with the shard's hex digit — so
+      // adjacent shards' ranges cannot overlap
+      assert(lo.startsWith(shard) && hi.startsWith(shard) && lo <= hi)
+      assert(r.getAs[String]("first_marker").startsWith(lo + ":"))
+      assert(r.getAs[String]("last_marker").startsWith(hi + ":"))
+    }
+    // shards are emitted sorted and at most 16
+    val shards = rows.map(_.getAs[String]("shard")).toSeq
+    assert(shards == shards.sorted && shards.toSet.size == shards.length)
+  }
+
+  test("shardManifest: checksum flips on a content edit in exactly the " +
+      "edited doc's shard; row order and partitioning never matter") {
+    val base = Sampling.shardManifest(docs).collect().toSeq
+    // partition/order invariance: the checksum aggregate is order-free
+    val shuffled = Sampling.shardManifest(
+      docs.repartition(7).sortWithinPartitions(col("doc_id").desc))
+      .collect().toSeq
+    assert(base == shuffled)
+    // flip ONE document's text: only that doc's shard row changes, and
+    // only in content_checksum (same key set, same counts)
+    val edited = docs
+      .withColumn("text", when(col("doc_id") === 17L,
+        lit("alpha bravo tok17 TAMPERED")).otherwise(col("text")))
+    val after = Sampling.shardManifest(edited).collect().toSeq
+    val changed = base.zip(after).filter { case (a, b) => a != b }
+    assert(changed.size == 1)
+    val (b17, a17) = changed.head
+    assert(b17.getAs[String]("shard") == a17.getAs[String]("shard"))
+    assert(b17.getAs[Long]("n_docs") == a17.getAs[Long]("n_docs"))
+    assert(b17.getAs[String]("min_key") == a17.getAs[String]("min_key"))
+    assert(b17.getAs[java.math.BigDecimal]("content_checksum") !=
+      a17.getAs[java.math.BigDecimal]("content_checksum"))
+  }
+}

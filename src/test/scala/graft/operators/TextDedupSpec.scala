@@ -265,6 +265,39 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("starContraction (d20): same fixed point as dedupClusters, " +
+      "empty-safe, and LOGARITHMIC rounds on the path graph") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("vec_id_a", "vec_id_b")
+    assert(Dedup.starContraction(empty).count() == 0)
+    val pairs = Seq((4L, 3L), (3L, 2L), (2L, 1L), (10L, 11L))
+      .toDF("vec_id_a", "vec_id_b")
+    val rows = Dedup.starContraction(pairs).collect()
+    val byId = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    assert(rows.count(_.getAs[Boolean]("is_canonical")) == 2)
+    // the reason d20 exists: the 20-edge path needs 21 propagation
+    // rounds in dedupClusters (asserted above) but converges within a
+    // LOG-sized budget under star contraction — depth roughly halves
+    // per large/small-star pass
+    val path = (0L until 20L).map(i => (i, i + 1))
+      .toDF("vec_id_a", "vec_id_b")
+    val star = Dedup.starContraction(path, maxIters = 8).collect()
+    assert(star.length == 21)
+    assert(star.forall(_.getAs[Long]("cluster_id") == 0L))
+    assert(star.count(_.getAs[Boolean]("is_canonical")) == 1)
+  }
+
+  test("starContraction equals dedupClusters on the fixture near-dup " +
+      "graph (two algorithms, one fixed point)") {
+    val pairs = Dedup.embeddingNearDups(
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.001"))
+    val a = Dedup.dedupClusters(pairs).collect().toSeq
+    val b = Dedup.starContraction(pairs).collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("canonicalUrl: each rule verified on a handcrafted URL") {
     import spark.implicits._
     val cases = Seq(
@@ -595,6 +628,30 @@ class RepetitionStatsSpec extends graft.SparkSpec {
     assert(row(3L) == ((4L, 0L, 0L, md5("p q r s"))))
     // overlapping flagged windows union their coverage (6 positions)
     assert(row(4L) == ((8L, 2L, 6L, md5("m n"))))
+  }
+
+  test("domainBoilerplate (t44): in-domain df>=2 lines flagged; " +
+      "hand-computed single-domain profile") {
+    import spark.implicits._
+    // docs 0..7 share registered domain example0.com (all five URL
+    // variants); each text is exactly SIX distinct tokens, so each doc
+    // renders ONE unique content line — only the injected extras
+    // (shared by doc_id % 4) repeat within the domain
+    val docs = (0L until 8L).map(i =>
+      (i, (0 until 6).map(j => s"tok${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.domainBoilerplate(docs).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "example0.com")
+    assert(r.getAs[Long]("n_docs") == 8L)
+    // 8 content lines + 8 extras observed; 8 + 4 distinct
+    assert(r.getAs[Long]("n_line_occurrences") == 16L)
+    assert(r.getAs[Long]("n_distinct_lines") == 12L)
+    // the 4 extras each appear in 2 docs -> boilerplate
+    assert(r.getAs[Long]("n_boilerplate_lines") == 4L)
+    assert(r.getAs[Long]("n_boilerplate_occurrences") == 8L)
+    assert(r.getAs[Double]("boilerplate_frac") == 0.5)
   }
 
   test("incrementalCorpusBuild: every stage fires on a crafted batch " +
