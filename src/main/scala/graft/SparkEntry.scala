@@ -292,6 +292,9 @@ object SparkEntry {
     // m05: blockhash perceptual near-dup pairs (banded + Hamming verify)
     "m05_perceptual_dedup" -> ((s, d) =>
       graft.operators.Multimodal.perceptualDedup(Tables.documents(s, d))),
+    // m06: video near-dup by sampled-frame signature Jaccard
+    "m06_video_frame_dedup" -> ((s, d) =>
+      graft.operators.Multimodal.videoFrameDedup(Tables.documents(s, d))),
     // --- round 8 additions: runtime filtering, IVM, lakehouse reads ---
     "j01_bloom_join" -> ((s, d) =>
       graft.operators.BloomJoin.bloomJoinRevenue(Tables.orders(s, d),
@@ -4078,6 +4081,61 @@ object SparkEntry {
         |  FROM cand)
         |SELECT asset_id_a, asset_id_b, hamming FROM h
         |WHERE hamming <= 16 ORDER BY asset_id_a, asset_id_b""".stripMargin,
+    // m06: the m05 blockhash loop applied PER SAMPLED FRAME (m02's
+    // slicing: 128-byte frames, stride 2) over the video slice of a
+    // tripled corpus (+3M byte-identical, +6M the reversed-opening
+    // outro appended — offsets ≡ 0 mod 3 keep the id-derived type),
+    // blank (all-'0') signatures excluded from the index, then
+    // set-Jaccard over distinct per-video signatures with the exact
+    // cross-multiplied 50% keep
+    "m06_video_frame_dedup" ->
+      """WITH trip AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 3000000, text FROM documents
+        |  UNION ALL SELECT doc_id + 6000000,
+        |    text || reverse(substr(text, 1, 128)) FROM documents),
+        |vids AS (SELECT doc_id AS asset_id, text,
+        |  CAST(length(text) AS BIGINT) AS n
+        |  FROM trip WHERE doc_id % 3 = 2),
+        |fr AS (SELECT asset_id, text, f,
+        |  CASE WHEN n - f * 128 < 128 THEN n - f * 128 ELSE 128 END
+        |    AS flen
+        |  FROM vids, UNNEST(range(0, (n + 127) // 128)) AS u(f)
+        |  WHERE f % 2 = 0),
+        |b1 AS (SELECT asset_id, f, flen,
+        |  CAST(unicode(substr(text, CAST(f * 128 + j + 1 AS INT), 1))
+        |    AS BIGINT) AS v,
+        |  j * 64 // flen AS blk
+        |  FROM fr, UNNEST(range(0, flen)) AS u(j)),
+        |s1 AS (SELECT asset_id, f, flen, blk, SUM(v) AS bsum,
+        |  CAST(COUNT(*) AS BIGINT) AS blen
+        |  FROM b1 GROUP BY asset_id, f, flen, blk),
+        |g AS (SELECT asset_id, f, flen, SUM(v) AS total
+        |  FROM b1 GROUP BY asset_id, f, flen),
+        |bits AS (SELECT g.asset_id,
+        |  string_agg(CASE WHEN COALESCE(s1.bsum, 0) * g.flen >
+        |      g.total * COALESCE(s1.blen, 0) THEN '1' ELSE '0' END,
+        |    '' ORDER BY r.b) AS sig
+        |  FROM g CROSS JOIN (SELECT unnest(range(0, 64)) AS b) r
+        |  LEFT JOIN s1 ON s1.asset_id = g.asset_id AND s1.f = g.f
+        |    AND s1.blk = r.b
+        |  GROUP BY g.asset_id, g.f),
+        |sigs AS (SELECT DISTINCT asset_id, sig FROM bits
+        |  WHERE sig LIKE '%1%'),
+        |sz AS (SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_sigs
+        |  FROM sigs GROUP BY asset_id),
+        |cm AS (SELECT a.asset_id AS video_a, b.asset_id AS video_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM sigs a JOIN sigs b ON a.sig = b.sig
+        |    AND a.asset_id < b.asset_id
+        |  GROUP BY 1, 2)
+        |SELECT cm.video_a, cm.video_b, cm.n_common,
+        |  sa.n_sigs AS n_a, sb.n_sigs AS n_b,
+        |  CAST(cm.n_common AS DOUBLE) /
+        |    CAST(sa.n_sigs + sb.n_sigs - cm.n_common AS DOUBLE) AS jaccard
+        |FROM cm JOIN sz sa ON sa.asset_id = cm.video_a
+        |JOIN sz sb ON sb.asset_id = cm.video_b
+        |WHERE cm.n_common * 100 >= (sa.n_sigs + sb.n_sigs - cm.n_common) * 50
+        |ORDER BY cm.video_a, cm.video_b""".stripMargin,
     // the bloom pre-filter has no false negatives, so the pruned join
     // must equal this plain join bitwise — the oracle knows nothing
     // about the bloom

@@ -294,6 +294,13 @@ class ScaleStressSpec extends SparkSpec {
     ("m05_perceptual_dedup",
       graft.operators.Multimodal.perceptualDedup(docs),
       graft.operators.Multimodal.perceptualDedup(docsX), false),
+    // m06: frame-sig Jaccard — the sig self-join is quadratic only
+    // within one signature's posting list; the x8 rename keeps replica
+    // frames distinct except degenerate (uniform) frames, so this
+    // measures the hot-sig bucket exposure directly
+    ("m06_video_frame_dedup",
+      graft.operators.Multimodal.videoFrameDedup(docs),
+      graft.operators.Multimodal.videoFrameDedup(docsX), false),
     ("t44_domain_boilerplate",
       T.domainBoilerplate(docs), T.domainBoilerplate(docsX), false),
     // b03: the feedback pass + term mining run eagerly at construction

@@ -246,6 +246,60 @@ class PerceptualDedupSpec extends graft.SparkSpec {
   }
 }
 
+/** m06: sampled-frame signature Jaccard over the video slice. */
+class VideoFrameDedupSpec extends graft.SparkSpec {
+
+  test("videoFrameDedup: exact copy scores 1.0; appended-outro copy " +
+      "shares the sampled prefix set; blank-only videos pair nothing") {
+    import spark.implicits._
+    // doc 2 (a video: 2 % 3 = 2): two 128-byte frames — only frame 0
+    // is sampled at stride 2, so the +6M outro (reverse of the first
+    // 128 bytes) lands ON the stride grid (idx 2) and becomes visible.
+    // f0 is deliberately ASYMMETRIC (32/96) so its reverse is a
+    // different signature from both f0 and g0.
+    val f0 = "a" * 32 + "z" * 96
+    val f1 = "m" * 128
+    // doc 5: different split point and alphabet — the two video
+    // families (and their reversed outros) never share a signature
+    val g0 = "m" * 64 + "q" * 64
+    // doc 8: uniform payload — every sampled frame is BLANK (all-'0'
+    // signature), so the blank filter removes it from the index
+    // entirely: no pairs, not even with its byte-identical +3M copy
+    val docs = Seq((2L, f0 + f1), (5L, g0 + f1), (8L, "u" * 256))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.videoFrameDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // byte-identical re-upload: one sampled sig each, fully shared
+    assert(rows((2L, 3000002L)) == ((1L, 1L, 1L, 1.0)))
+    assert(rows((5L, 3000005L)) == ((1L, 1L, 1L, 1.0)))
+    // outro copy: shares frame 0's sig, adds the reversed-opening sig
+    // -> J = 1/2, exactly at the 50% keep threshold
+    assert(rows((2L, 6000002L)) == ((1L, 1L, 2L, 0.5)))
+    assert(rows((3000002L, 6000002L)) == ((1L, 1L, 2L, 0.5)))
+    assert(rows((5L, 6000005L)) == ((1L, 1L, 2L, 0.5)))
+    // blank-only family reports nothing; families never cross-pair
+    assert(!rows.keySet.exists { case (a, b) =>
+      a % 1000000 == 8 || b % 1000000 == 8 })
+    assert(!rows.keySet.exists { case (a, b) =>
+      a % 1000000 != b % 1000000 })
+  }
+
+  test("videoFrameDedup fires on the fixture; every kept pair clears " +
+      "the exact integer threshold") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Multimodal.videoFrameDedup(docs)
+    assert(out.columns.toSeq == Seq("video_a", "video_b", "n_common",
+      "n_a", "n_b", "jaccard"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c, a, b) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(c * 100 >= (a + b - c) * 50)
+    }
+  }
+}
+
 /** Stub resize plumbing. */
 class ResizeSpec extends graft.SparkSpec {
   test("resize downsamples payload bytes deterministically") {
