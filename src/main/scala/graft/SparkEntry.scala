@@ -540,6 +540,10 @@ object SparkEntry {
     // k04: seed-stability Rand index over the K x K contingency
     "k04_cluster_agreement" -> ((s, d) =>
       graft.operators.Clustering.clusterAgreement(Tables.embeddings(s, d))),
+    // k05: centroid-form (simplified) silhouette per cluster
+    "k05_silhouette" -> ((s, d) =>
+      graft.operators.Clustering.simplifiedSilhouette(
+        Tables.embeddings(s, d))),
     // t40: per-benchmark-item leakage report (p02 from the eval side)
     "t40_contamination_report" -> ((s, d) =>
       T.contaminationReport(Tables.documents(s, d),
@@ -5528,6 +5532,33 @@ object SparkEntry {
     "s38_rotation_recall" -> RotationRecallOracle,
     // s39: s38's oracle re-pointed at the anisotropic view CTE
     "s39_aniso_rotation_recall" -> AnisoRotationRecallOracle,
+    // k05: the k01 training CTEs, all K distances per point (sqrt of
+    // the clamped norm expansion — the identical IEEE tree), argmin +
+    // runner-up by (d, cluster_id), micros-quantized per-point
+    // silhouette summed per cluster (the k02 order-free recipe)
+    "k05_silhouette" ->
+      (s"WITH $IvfTrainCtes,\n" +
+        """dd AS (SELECT v.vec_id, c.cluster_id,
+          |  sqrt(greatest(v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
+          |    list_transform(range(1, len(v.emb)+1), i ->
+          |      CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+          |    (x, y) -> x + y), 0.0)) AS d
+          |  FROM v CROSS JOIN c1 c),
+          |r AS (SELECT vec_id, cluster_id, d,
+          |  row_number() OVER (PARTITION BY vec_id
+          |    ORDER BY d ASC, cluster_id ASC) AS rn FROM dd),
+          |p AS (SELECT a.vec_id, a.cluster_id, a.d AS a_d, b.d AS b_d
+          |  FROM r a JOIN r b ON a.vec_id = b.vec_id
+          |  WHERE a.rn = 1 AND b.rn = 2),
+          |s AS (SELECT cluster_id,
+          |  CAST(floor((CASE WHEN greatest(a_d, b_d) = 0.0 THEN 0.0
+          |    ELSE (b_d - a_d) / greatest(a_d, b_d) END) * 1000000.0)
+          |    AS BIGINT) AS s_fp FROM p)
+          |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+          |  CAST(SUM(s_fp) AS BIGINT) AS sil_fp_sum,
+          |  (CAST(SUM(s_fp) AS DOUBLE) / 1000000.0) /
+          |    CAST(COUNT(*) AS DOUBLE) AS mean_sil
+          |FROM s GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
     // k04: both trainings nested as scoped-WITH subqueries (the s13
     // precedent — CTE names never collide); Rand terms are exact longs
     "k04_cluster_agreement" ->

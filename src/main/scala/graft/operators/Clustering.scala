@@ -243,4 +243,68 @@ object Clustering {
         col("rand_index"))
       .orderBy(col("cluster_a"), col("cluster_b"))
   }
+
+  /** k05: SIMPLIFIED SILHOUETTE (Hruschka et al. 2004 — the
+    * centroid-distance silhouette, the form that survives scale) —
+    * per point, a = distance to its OWN trained centroid, b = distance
+    * to the nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1];
+    * rolled up per cluster. This is the per-point eval the k-suite
+    * lacked: k02's inertia measures COHESION only (how tight each
+    * cluster is), silhouette weighs cohesion against SEPARATION — a
+    * tight cluster sitting on top of another scores near 0 where
+    * inertia calls it perfect, and s < 0 flags points the assignment
+    * itself put on the wrong side of a boundary. The classic
+    * silhouette's all-pairs a(i)/b(i) is O(n²) and dead at corpus
+    * scale; the centroid form is the standard production substitute
+    * (one broadcast cross, K distances per point).
+    *
+    * Determinism: distances reuse k01's exact expression tree
+    * (√ of the norm expansion, clamped at 0 before the sqrt so FP
+    * cancellation on a centroid-coincident point can't produce NaN);
+    * ordering by (d, cluster_id) is exactly assign()'s tie-break
+    * (sqrt is monotone), so cluster_id here IS a2's assignment.
+    * Per-point s quantizes to integer MICROS before the cluster sum
+    * (the k02 recipe) — order-free exact longs (|s_fp| ≤ 10⁶, exact
+    * past 10¹² points per cluster), ONE double division per output
+    * row at the end.
+    *
+    * Plan shape: one broadcast(K centroids) cross over the corpus
+    * scan, one vec-keyed partial agg whose state is the SORTED K-row
+    * struct list (bounded by K — the argmin-and-runner-up need the
+    * two smallest, and K ≤ a few thousand for any real quantizer),
+    * one cluster-keyed partial agg → K rows. */
+  def simplifiedSilhouette(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val centroids = trainedCentroidsLocal(embeddings, k)
+    val vectors = embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2",
+        graft.functions.VectorOps.dot(col("emb"), col("emb")))
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .withColumn("d", sqrt(greatest(
+        col("vnorm2") + col("cnorm2") - lit(2.0) *
+          graft.functions.VectorOps.dot(col("emb"), col("cemb")),
+        lit(0.0))))
+    val per = scored
+      .select(col("vec_id"),
+        struct(col("d"), col("cluster_id").as("c")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(col("dc"))).as("ds"))
+      .select(col("vec_id"),
+        col("ds").getItem(0).getField("c").as("cluster_id"),
+        col("ds").getItem(0).getField("d").as("a_d"),
+        col("ds").getItem(1).getField("d").as("b_d"))
+      .withColumn("sil",
+        when(greatest(col("a_d"), col("b_d")) === 0.0, lit(0.0))
+          .otherwise((col("b_d") - col("a_d")) /
+            greatest(col("a_d"), col("b_d"))))
+    per.select(col("cluster_id"),
+        floor(col("sil") * lit(1000000.0)).cast("long").as("s_fp"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("s_fp")).as("sil_fp_sum"))
+      .select(col("cluster_id"), col("n_vectors"), col("sil_fp_sum"),
+        ((col("sil_fp_sum").cast("double") / lit(1000000.0)) /
+          col("n_vectors").cast("double")).as("mean_sil"))
+      .orderBy(col("cluster_id"))
+  }
 }

@@ -206,6 +206,12 @@ class ScaleStressSpec extends SparkSpec {
     ("k04_cluster_agreement",
       graft.operators.Clustering.clusterAgreement(emb),
       graft.operators.Clustering.clusterAgreement(embX), true),
+    // k05: one broadcast-cross + two partial aggs; the cross is the
+    // intended tiny-side BNLJ (k01's timing semantics, training cost
+    // included via trainedCentroidsLocal at construction)
+    ("k05_silhouette",
+      graft.operators.Clustering.simplifiedSilhouette(emb),
+      graft.operators.Clustering.simplifiedSilhouette(embX), true),
     ("g08_graph_walks",
       graft.operators.Graph.deterministicWalks(emb),
       graft.operators.Graph.deterministicWalks(embX,

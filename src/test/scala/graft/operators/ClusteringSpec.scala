@@ -85,4 +85,40 @@ class ClusteringSpec extends SparkSpec {
     assert(rand > 0.5 && rand <= 1.0, s"rand=$rand")
     assert(out.map(_.getAs[Long]("n_ab")).sum == emb.count())
   }
+
+  test("simplifiedSilhouette: hand-checked two-cluster values") {
+    import spark.implicits._
+    // same two-blob fixture as the k-medians test: trained centroids
+    // land exactly on [0,0] and [10,10]
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 10.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)),
+      (4L, Array(9.0f, 10.0f)), (5L, Array(10.0f, 9.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.simplifiedSilhouette(vecs, k = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    // seeds sit ON their centroid: a=0 -> s=1 (s_fp 1,000,000); the
+    // four satellites: a=1, b=sqrt(181) (e.g. [1,0] to [10,10]:
+    // 1+200-2*10), s=(b-1)/b — the same double tree as the plan's
+    val b = math.sqrt(181.0)
+    val sat = math.floor((b - 1.0) / b * 1000000.0).toLong
+    val expectSum = 1000000L + 2L * sat
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L)._1 == 3L && out(1L)._1 == 3L)
+    assert(out(0L)._2 == expectSum && out(1L)._2 == expectSum)
+    assert(out.values.forall(v => v._3 > 0.9 && v._3 < 1.0))
+  }
+
+  test("simplifiedSilhouette on the fixture: full coverage, bounded, " +
+      "deterministic") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Clustering.simplifiedSilhouette(emb).collect()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == emb.count())
+    assert(rows.length <= 8)
+    assert(rows.forall { r =>
+      val m = r.getAs[Double]("mean_sil"); m >= -1.0 && m <= 1.0 })
+    val again = Clustering.simplifiedSilhouette(emb).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
