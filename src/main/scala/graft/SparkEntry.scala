@@ -525,6 +525,9 @@ object SparkEntry {
     // g08: deterministic DeepWalk corpus over the s21 kNN graph
     "g08_graph_walks" -> ((s, d) =>
       graft.operators.Graph.deterministicWalks(Tables.embeddings(s, d))),
+    // g09: Newman-Girvan modularity of the trained cells on that graph
+    "g09_cell_modularity" -> ((s, d) =>
+      graft.operators.Graph.cellModularity(Tables.embeddings(s, d))),
     // t39: C4's global repeated-span dedup at line grain
     "t39_global_line_dedup" -> ((s, d) =>
       T.globalLineDedup(Tables.documents(s, d))),
@@ -5106,6 +5109,43 @@ object SparkEntry {
         |FROM j JOIN ts ON j.source = ts.source CROSS JOIN n
         |GROUP BY j.source, ts.t, n.n ORDER BY j.source""".stripMargin,
     "g06_knn_triangles" -> KnnTriangleOracle,
+    // g09: the g06 symmetrized edge set + a2's cell assignment; every
+    // term an exact BIGINT (q_num = 4*m*e_c - deg_c^2), the overall Q
+    // summed over the per-cell LONGS, single double divisions at the end
+    "g09_cell_modularity" ->
+      (s"WITH $KnnGraphCtes,\n" +
+        """knn AS (SELECT vec_id, neighbor_id FROM r WHERE rank <= 5),
+          |und AS (SELECT DISTINCT LEAST(vec_id, neighbor_id) AS ea,
+          |  GREATEST(vec_id, neighbor_id) AS eb FROM knn),
+          |ec AS (SELECT u.ea, u.eb, ca.cluster_id AS cell_a,
+          |    cb.cluster_id AS cell_b
+          |  FROM und u JOIN a2 ca ON u.ea = ca.vec_id
+          |  JOIN a2 cb ON u.eb = cb.vec_id),
+          |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM und),
+          |dg AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS deg_sum FROM (
+          |  SELECT cell_a AS cell FROM ec
+          |  UNION ALL SELECT cell_b AS cell FROM ec) GROUP BY cell),
+          |ia AS (SELECT cell_a AS cell, CAST(COUNT(*) AS BIGINT)
+          |    AS e_intra
+          |  FROM ec WHERE cell_a = cell_b GROUP BY cell_a),
+          |nn AS (SELECT cluster_id AS cell, CAST(COUNT(*) AS BIGINT)
+          |    AS n_nodes FROM a2 GROUP BY cluster_id),
+          |qn AS (SELECT nn.cell, nn.n_nodes,
+          |  COALESCE(ia.e_intra, 0) AS e_intra,
+          |  COALESCE(dg.deg_sum, 0) AS deg_sum,
+          |  COALESCE(ia.e_intra, 0) * 4 * t.m_edges -
+          |    COALESCE(dg.deg_sum, 0) * COALESCE(dg.deg_sum, 0) AS q_num,
+          |  t.m_edges AS m_edges
+          |  FROM nn LEFT JOIN dg ON nn.cell = dg.cell
+          |  LEFT JOIN ia ON nn.cell = ia.cell CROSS JOIN tot t),
+          |qt AS (SELECT CAST(SUM(q_num) AS BIGINT) AS q_total FROM qn)
+          |SELECT cell, n_nodes, e_intra, deg_sum,
+          |  CAST(q_num AS BIGINT) AS q_num,
+          |  CAST(q_num AS DOUBLE) / (4.0 * CAST(m_edges AS DOUBLE) *
+          |    CAST(m_edges AS DOUBLE)) AS q_term,
+          |  CAST(q_total AS DOUBLE) / (4.0 * CAST(m_edges AS DOUBLE) *
+          |    CAST(m_edges AS DOUBLE)) AS modularity
+          |FROM qn CROSS JOIN qt ORDER BY cell""".stripMargin),
     // bigram LM with add-one smoothing; whole-bit surprises via bin()
     // length (exact in both engines), one final double division
     "t33_bigram_surprise" ->

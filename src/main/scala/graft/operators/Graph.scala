@@ -288,4 +288,77 @@ object Graph {
     }
     walks.orderBy(col("start_id"), col("walk_no"), col("step"))
   }
+
+  /** g09: MODULARITY of the trained IVF cells over the kNN graph
+    * (Newman–Girvan Q, per community and overall) — the graph-side
+    * answer to k05's silhouette: silhouette asks whether points sit
+    * near their own centroid, modularity asks whether the quantizer's
+    * CELLS respect the corpus's neighborhood structure — the property
+    * every cell-blocked pass (s21's graph itself, d15's semantic
+    * dedup, s08+'s probes) silently assumes. Q_c = e_c/m −
+    * (deg_c/2m)²; an inter-cell kNN edge is exactly a neighbor a
+    * 1-probe query would MISS (s14's recall cliff), so low Q here
+    * predicts the s14 curve before any query runs.
+    *
+    * Exactness: every term is an exact BIGINT until the final
+    * divisions — q_num = 4·m·e_c − deg_c² (headroom: both products
+    * ≤ 4m², exact in Long to m ≈ 1.5·10⁹ edges; past that the counts
+    * go DECIMAL(38,0), the k04 escape), q_term and the overall
+    * modularity are single double divisions of exact longs. The
+    * overall Q sums the per-cell q_num LONGS (order-free) — never the
+    * per-cell doubles.
+    *
+    * Plan shape: the s21 edge list symmetrizes to the a<b distinct
+    * set (one shuffle); two id-keyed joins attach endpoint cells; one
+    * UNION-ALL degree aggregate and one intra filter+aggregate, both
+    * (cell)-keyed partial aggs → K rows; the edge total and q_num
+    * total are 1-row aggregates broadcast-crossed back (the k04
+    * metrics pattern). Construction trains the coarse quantizer —
+    * the same artifact the graph build trains; production shares the
+    * materialized cell map, and here determinism makes both trainings
+    * land on identical centroids. */
+  def cellModularity(embeddings: DataFrame, k: Int = 5,
+      nCells: Int = 32): DataFrame = {
+    val edges = Similarity.knnGraph(embeddings, k, nCells)
+      .select(least(col("vec_id"), col("neighbor_id")).as("ea"),
+        greatest(col("vec_id"), col("neighbor_id")).as("eb"))
+      .distinct()
+    val centroids = Clustering.trainedCentroidsLocal(embeddings, nCells)
+    val vectors = embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2", Dedup.dotExpr("emb", "emb"))
+    val cells = Clustering.assign(vectors, centroids)
+      .select(col("vec_id"), col("cluster_id").as("cell"))
+    val ec = edges
+      .join(cells.select(col("vec_id").as("ea"), col("cell").as("cell_a")),
+        "ea")
+      .join(cells.select(col("vec_id").as("eb"), col("cell").as("cell_b")),
+        "eb")
+    val tot = edges.agg(count(lit(1)).as("m_edges"))
+    val deg = ec.select(col("cell_a").as("cell"))
+      .unionAll(ec.select(col("cell_b").as("cell")))
+      .groupBy(col("cell")).agg(count(lit(1)).as("deg_sum"))
+    val intra = ec.filter(col("cell_a") === col("cell_b"))
+      .select(col("cell_a").as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("e_intra"))
+    val per = cells.groupBy(col("cell")).agg(count(lit(1)).as("n_nodes"))
+      .join(deg, Seq("cell"), "left")
+      .join(intra, Seq("cell"), "left")
+      .select(col("cell"), col("n_nodes"),
+        coalesce(col("e_intra"), lit(0L)).as("e_intra"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"))
+      .crossJoin(broadcast(tot))
+      .withColumn("q_num",
+        col("e_intra") * lit(4L) * col("m_edges") -
+          col("deg_sum") * col("deg_sum"))
+    val qTotal = per.agg(sum(col("q_num")).as("q_total"))
+    val denom = lit(4.0) * col("m_edges").cast("double") *
+      col("m_edges").cast("double")
+    per.crossJoin(broadcast(qTotal))
+      .select(col("cell"), col("n_nodes"), col("e_intra"),
+        col("deg_sum"), col("q_num"),
+        (col("q_num").cast("double") / denom).as("q_term"),
+        (col("q_total").cast("double") / denom).as("modularity"))
+      .orderBy(col("cell"))
+  }
 }

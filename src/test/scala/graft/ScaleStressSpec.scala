@@ -216,6 +216,13 @@ class ScaleStressSpec extends SparkSpec {
       graft.operators.Graph.deterministicWalks(emb),
       graft.operators.Graph.deterministicWalks(embX,
         nCells = 32 * factor), true),
+    // g09: modularity over the (cells ∝ corpus) kNN graph — the edge
+    // joins and cell-keyed aggs are the scaling surface; 1-row metric
+    // crosses are the intended BNLJ
+    ("g09_cell_modularity",
+      graft.operators.Graph.cellModularity(emb),
+      graft.operators.Graph.cellModularity(embX, nCells = 32 * factor),
+      true),
     // r14 additions: the remaining bench-top queries without entries.
     // s31/s33 are recall EVALS — each runs two serving tiers plus the
     // s01 brute-force ground truth (the intended broadcast×scan, hence

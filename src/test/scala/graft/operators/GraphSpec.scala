@@ -263,4 +263,48 @@ class GraphSpec extends SparkSpec {
       assert(ns <= math.min(da, db))
     }
   }
+  test("g09 modularity: two clean blobs at k=2 score exactly 0.5") {
+    // two tight 4-point blobs; nCells=2 seeds {0,1} land one per blob;
+    // k=3 within-cell kNN makes each blob a complete K4: e_c=6, m=12,
+    // deg_c=12 -> Q = 2*(6/12 - (12/24)^2) = 0.5, exact in doubles
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.98f, 0.02f)), (3L, Array(0.02f, 0.98f)),
+      (4L, Array(0.99f, 0.01f)), (5L, Array(0.01f, 0.99f)),
+      (6L, Array(0.97f, 0.03f)), (7L, Array(0.03f, 0.97f))
+    ).toDF("vec_id", "embedding")
+    val rows = Graph.cellModularity(emb, k = 3, nCells = 2).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") == 4L)
+      assert(r.getAs[Long]("e_intra") == 6L)
+      assert(r.getAs[Long]("deg_sum") == 12L)
+      assert(r.getAs[Long]("q_num") == 144L)
+      assert(r.getAs[Double]("q_term") == 0.25)
+      assert(r.getAs[Double]("modularity") == 0.5)
+    }
+  }
+
+  test("g09 on the fixture: exact invariants and determinism") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Graph.cellModularity(emb).collect()
+    assert(rows.nonEmpty && rows.length <= 32)
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == emb.count())
+    // recompute m from the symmetrized edge list and check identities:
+    // sum(deg) = 2m, sum(e_intra) <= m, Q = sum(q_num)/(4m^2)
+    val und = Similarity.knnGraph(emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id")))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val m = und.size.toLong
+    assert(rows.map(_.getAs[Long]("deg_sum")).sum == 2L * m)
+    assert(rows.map(_.getAs[Long]("e_intra")).sum <= m)
+    val q = rows.map(_.getAs[Long]("q_num")).sum.toDouble /
+      (4.0 * m.toDouble * m.toDouble)
+    val rep = rows.head.getAs[Double]("modularity")
+    assert(rep == q, s"reported $rep vs recomputed $q")
+    assert(rep > 0.0 && rep <= 1.0, s"modularity out of band: $rep")
+    val again = Graph.cellModularity(emb).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
 }
