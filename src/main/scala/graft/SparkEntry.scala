@@ -625,7 +625,11 @@ object SparkEntry {
     // p12: the sharded-export publish manifest — per-shard counts,
     // key ranges, order markers, order-free exact content checksum
     "p12_shard_manifest" -> ((s, d) =>
-      graft.operators.Sampling.shardManifest(Tables.documents(s, d)))
+      graft.operators.Sampling.shardManifest(Tables.documents(s, d))),
+    // p13: the two-stage/anneal schedule — learned-keep docs phased by
+    // margin tercile onto the p12 shard grid
+    "p13_anneal_schedule" -> ((s, d) =>
+      T.annealSchedule(Tables.documents(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -2392,6 +2396,25 @@ object SparkEntry {
       |  AND e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
       |GROUP BY e.n_bits, e.query_id
       |ORDER BY n_bits, e.query_id""".stripMargin
+
+  /** p12's per-doc shard CTEs (b: key/tokens/digest hex; c: shard,
+    * marker, 15-hex big-endian digest parse — WITH doc_id carried so
+    * joins can attach phases) WITHOUT the leading WITH — shared by the
+    * p12 manifest and p13 schedule so the shard law cannot drift. */
+  private val ShardBaseOracleCtes: String =
+    "b AS (SELECT doc_id,\n" +
+    "  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS key,\n" +
+    "  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)\n" +
+    "    AS n_tokens,\n" +
+    "  substr(md5(text), 1, 15) AS dh FROM documents),\n" +
+    "c AS (SELECT doc_id, substr(key, 1, 1) AS shard, key,\n" +
+    "  key || ':' || lpad(CAST(doc_id AS VARCHAR), 10, '0')\n" +
+    "    AS marker,\n" +
+    "  n_tokens,\n" +
+    "  list_reduce(list_transform(range(1, 16), i ->\n" +
+    "    CAST(strpos('0123456789abcdef',\n" +
+    "      substr(dh, CAST(i AS INT), 1)) - 1 AS BIGINT)),\n" +
+    "    (a, b) -> a * 16 + b) AS digest FROM b)"
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5886,25 +5909,49 @@ object SparkEntry {
     // DECIMAL(38,0). Assembled by concatenation — the SQL carries ||
     // concats (the p08 precedent).
     "p12_shard_manifest" ->
-      ("WITH b AS (SELECT doc_id,\n" +
-       "  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS key,\n" +
-       "  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)\n" +
-       "    AS n_tokens,\n" +
-       "  substr(md5(text), 1, 15) AS dh FROM documents),\n" +
-       "c AS (SELECT substr(key, 1, 1) AS shard, key,\n" +
-       "  key || ':' || lpad(CAST(doc_id AS VARCHAR), 10, '0')\n" +
-       "    AS marker,\n" +
-       "  n_tokens,\n" +
-       "  list_reduce(list_transform(range(1, 16), i ->\n" +
-       "    CAST(strpos('0123456789abcdef',\n" +
-       "      substr(dh, CAST(i AS INT), 1)) - 1 AS BIGINT)),\n" +
-       "    (a, b) -> a * 16 + b) AS digest FROM b)\n" +
+      (s"WITH $ShardBaseOracleCtes\n" +
        "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,\n" +
        "  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,\n" +
        "  MIN(key) AS min_key, MAX(key) AS max_key,\n" +
        "  MIN(marker) AS first_marker, MAX(marker) AS last_marker,\n" +
        "  CAST(SUM(CAST(digest AS HUGEINT)) AS DECIMAL(38,0))\n" +
        "    AS content_checksum\n" +
-       "FROM c GROUP BY shard ORDER BY shard")
+       "FROM c GROUP BY shard ORDER BY shard"),
+    // p13: p11's margin chain (feature fragments reused verbatim, no
+    // verdict join), keepers ranked by the exact (margin, doc_id)
+    // order, phase terciles against the exact keeper count, laid onto
+    // the shared shard CTEs — min/max margins and the HUGEINT checksum
+    // are all order-free
+    "p13_anneal_schedule" ->
+      (s"WITH q AS (SELECT doc_id, quality FROM ($QualityScoreOracle) xq),\n" +
+       s"u AS (SELECT doc_id, mean_bits FROM ($UnigramSurpriseOracle) xu),\n" +
+       s"rp AS (SELECT doc_id, dup2_frac FROM ($RepetitionProfileOracle) xr),\n" +
+       s"cd AS (SELECT doc_id, is_code FROM ($CodeDetectOracle) xc),\n" +
+       "m AS (SELECT q.doc_id,\n" +
+       "  6.0 * q.quality - 0.08 * u.mean_bits\n" +
+       "    - 2.5 * coalesce(rp.dup2_frac, 0.0)\n" +
+       "    - 1.5 * (CASE WHEN cd.is_code THEN 1.0 ELSE 0.0 END)\n" +
+       "    - 3.2 AS margin\n" +
+       "FROM q JOIN u ON q.doc_id = u.doc_id\n" +
+       "LEFT JOIN rp ON q.doc_id = rp.doc_id\n" +
+       "JOIN cd ON q.doc_id = cd.doc_id),\n" +
+       "kk AS (SELECT doc_id, margin FROM m WHERE margin > 0.0),\n" +
+       "tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keep FROM kk),\n" +
+       "rr AS (SELECT doc_id, margin,\n" +
+       "  CAST(row_number() OVER (ORDER BY margin, doc_id) AS BIGINT)\n" +
+       "    AS rk FROM kk),\n" +
+       "ph AS (SELECT rr.doc_id, rr.margin,\n" +
+       "  CASE WHEN (rk - 1) * 3 < t.n_keep THEN 'stage1_bulk'\n" +
+       "       WHEN (rk - 1) * 3 < t.n_keep * 2 THEN 'stage2_bulk'\n" +
+       "       ELSE 'stage3_anneal' END AS phase\n" +
+       "FROM rr CROSS JOIN tt t),\n" +
+       s"$ShardBaseOracleCtes\n" +
+       "SELECT ph.phase, c.shard, CAST(COUNT(*) AS BIGINT) AS n_docs,\n" +
+       "  CAST(SUM(c.n_tokens) AS BIGINT) AS sum_tokens,\n" +
+       "  MIN(ph.margin) AS min_margin, MAX(ph.margin) AS max_margin,\n" +
+       "  CAST(SUM(CAST(c.digest AS HUGEINT)) AS DECIMAL(38,0))\n" +
+       "    AS content_checksum\n" +
+       "FROM ph JOIN c ON ph.doc_id = c.doc_id\n" +
+       "GROUP BY ph.phase, c.shard ORDER BY ph.phase, c.shard")
   )
 }

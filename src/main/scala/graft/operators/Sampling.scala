@@ -432,9 +432,13 @@ object Sampling {
     * ONE shard-keyed partial aggregate → 16 rows. Nothing else moves.
     * At larger scale widen the shard prefix (2 hex digits → 256
     * shards), exactly as [[packSequences]] documents. */
-  def shardManifest(documents: DataFrame): DataFrame = {
+  /** The per-doc shard row behind [[shardManifest]] — shared with p13's
+    * schedule export so shard key, token law, and checksum digest stay
+    * one source of truth across every manifest the pipeline publishes. */
+  private[operators] def shardBase(documents: DataFrame): DataFrame = {
     val key = sampleKey(col("doc_id"))
-    val base = documents.select(
+    documents.select(
+      col("doc_id"),
       substring(key, 1, 1).as("shard"),
       key.as("shuffle_key"),
       concat(key, lit(":"),
@@ -442,6 +446,10 @@ object Sampling {
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
       conv(substring(md5(col("text")), 1, 15), 16, 10)
         .cast("decimal(38,0)").as("content_digest"))
+  }
+
+  def shardManifest(documents: DataFrame): DataFrame = {
+    val base = shardBase(documents)
     base.groupBy(col("shard")).agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("sum_tokens"),

@@ -1541,14 +1541,14 @@ object TextAnalysis {
     * doc population as `scored` (caller's responsibility — t37 counts
     * `documents`, t42 counts its ≥2-token base). Appends `ppl_rank`
     * and the head/middle/tail `ppl_bucket` terciles. */
-  private def pplTerciles(scored: DataFrame,
-      total: DataFrame): DataFrame = {
+  private[operators] def pplTerciles(scored: DataFrame,
+      total: DataFrame, valueCol: String = "mean_bits"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucketed =
-      scored.withColumn("bk", floor(col("mean_bits") * 4).cast("long"))
+      scored.withColumn("bk", floor(col(valueCol) * 4).cast("long"))
     val within = bucketed.withColumn("rn",
       row_number().over(Window.partitionBy(col("bk"))
-        .orderBy(col("mean_bits"), col("doc_id"))).cast("long"))
+        .orderBy(col(valueCol), col("doc_id"))).cast("long"))
     val offsets = bucketed.groupBy(col("bk")).agg(count(lit(1)).as("c"))
       .agg(sort_array(collect_list(struct(col("bk"), col("c"))))
         .as("arr"))
@@ -1985,23 +1985,72 @@ object TextAnalysis {
     * Scale: the feature table is p07's plan (doc-keyed aggregates);
     * scoring is ONE map-side expression over it; the agreement rollup
     * is a partial agg on a ≤8-key space. Nothing new shuffles. */
-  def learnedQualityFilter(documents: DataFrame): DataFrame = {
+  /** The p11 classifier's per-doc margin — ONE source of truth shared
+    * by p11's agreement table and p13's schedule, so the keep law can
+    * never drift between the eval and the export that ships it. */
+  private[operators] def learnedMargin(documents: DataFrame): DataFrame = {
     val feats = qualityFeatures(documents)
       .select(col("doc_id"), col("quality"), col("mean_bits"),
         col("dup2_frac"), col("is_code"))
-    val gates = curatedCorpusV2(documents)
-      .select(col("doc_id"), col("verdict"))
     val margin = lit(6.0) * col("quality") -
       lit(0.08) * col("mean_bits") -
       lit(2.5) * coalesce(col("dup2_frac"), lit(0.0)) -
       lit(1.5) * when(col("is_code"), lit(1.0)).otherwise(lit(0.0)) -
       lit(3.2)
     feats.select(col("doc_id"), margin.as("margin"))
+  }
+
+  def learnedQualityFilter(documents: DataFrame): DataFrame = {
+    val gates = curatedCorpusV2(documents)
+      .select(col("doc_id"), col("verdict"))
+    learnedMargin(documents)
       .join(gates, Seq("doc_id"))
       .groupBy(col("verdict"), (col("margin") > 0.0).as("learned_keep"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("margin")).as("min_margin"),
         max(col("margin")).as("max_margin"))
       .orderBy(col("verdict"), col("learned_keep"))
+  }
+
+  /** p13: the STAGED-PRETRAINING data schedule (the two-stage /
+    * anneal recipe of OLMo 1.7 and MiniCPM: bulk data first, the
+    * highest-quality slice reserved for the final decay phase) —
+    * learned-keep documents ([[learnedMargin]] > 0, p11's law) are
+    * ranked by margin and split into phase terciles (lowest third →
+    * stage1_bulk, middle → stage2_bulk, top → stage3_anneal), then
+    * laid onto p12's shard grid: per (phase, shard) — doc count,
+    * exact token sum, margin extremes (order-free min/max, no float
+    * sums), and p12's order-free DECIMAL(38,0) content checksum. This
+    * is the table a staged run trains FROM: each phase is a shard set
+    * with attested sizes and content, so the anneal slice is
+    * reproducible and auditable rather than "whatever sorted last".
+    *
+    * Determinism: margins are p11's oracle-green doubles; the phase
+    * boundary is the exact (margin, doc_id) rank — computed with the
+    * t37/t42 two-level parallel rank, NEVER a single-partition window
+    * — against the exact keeper count; shard key, token law, and
+    * digest are [[Sampling.shardBase]]'s, shared with p12 so the two
+    * manifests can never drift.
+    *
+    * Scale: the margin is one map-side expression over p07's audited
+    * feature plan; the rank is bucket-parallel windows + one
+    * broadcast offset fold; the rollup is a (phase, shard)-keyed
+    * partial agg → ≤ 3·16 rows. */
+  def annealSchedule(documents: DataFrame): DataFrame = {
+    val keep = learnedMargin(documents).filter(col("margin") > 0.0)
+    val total = keep.agg(count(lit(1)).as("n_docs"))
+    val phased = pplTerciles(keep, total, valueCol = "margin")
+      .select(col("doc_id"), col("margin"),
+        when(col("ppl_bucket") === "head", "stage1_bulk")
+          .when(col("ppl_bucket") === "middle", "stage2_bulk")
+          .otherwise("stage3_anneal").as("phase"))
+    phased.join(Sampling.shardBase(documents), Seq("doc_id"))
+      .groupBy(col("phase"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("margin")).as("min_margin"),
+        max(col("margin")).as("max_margin"),
+        sum(col("content_digest")).as("content_checksum"))
+      .orderBy(col("phase"), col("shard"))
   }
 }

@@ -327,6 +327,10 @@ class ScaleStressSpec extends SparkSpec {
       graft.operators.Sampling.shardManifest(docsX), false),
     ("p11_learned_filter",
       T.learnedQualityFilter(docs), T.learnedQualityFilter(docsX), true),
+    // p13: p11's margin plan + the two-level rank + the p12 rollup;
+    // the one-row keeper-count cross is the intended BNLJ
+    ("p13_anneal_schedule",
+      T.annealSchedule(docs), T.annealSchedule(docsX), true),
     ("s39_aniso_rotation_recall",
       S.anisotropicRotationRecall(emb), S.anisotropicRotationRecall(embX),
       true),

@@ -277,3 +277,44 @@ class ShardManifestSpec extends graft.SparkSpec {
       a17.getAs[java.math.BigDecimal]("content_checksum"))
   }
 }
+
+/** p13: the staged-pretraining (two-stage/anneal) schedule export. */
+class AnnealScheduleSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("annealSchedule (p13): phases partition the keepers into exact " +
+      "terciles ordered by margin; shard laws match p12") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Sampling  // touch object init order deterministically
+      .shardManifest(docs).collect()
+    val sched = graft.operators.TextAnalysis.annealSchedule(docs).collect()
+    val nKeep = graft.operators.TextAnalysis.learnedMargin(docs)
+      .filter(col("margin") > 0.0).count()
+    assert(sched.map(_.getAs[Long]("n_docs")).sum == nKeep)
+    val phases = sched.map(_.getAs[String]("phase")).distinct.sorted
+    assert(phases.toSeq ==
+      Seq("stage1_bulk", "stage2_bulk", "stage3_anneal"))
+    // tercile sizes: each phase within 1 of n/3
+    val byPhase = sched.groupBy(_.getAs[String]("phase"))
+      .map { case (ph, rs) => ph -> rs.map(_.getAs[Long]("n_docs")).sum }
+    byPhase.values.foreach(n =>
+      assert(math.abs(n - nKeep / 3.0) <= 1.0, s"$byPhase vs $nKeep"))
+    // the margin ranges of successive phases are ordered (ties split
+    // by doc_id can touch at the boundary, never cross)
+    def mm(ph: String) = {
+      val rs = sched.filter(_.getAs[String]("phase") == ph)
+      (rs.map(_.getAs[Double]("min_margin")).min,
+        rs.map(_.getAs[Double]("max_margin")).max)
+    }
+    assert(mm("stage1_bulk")._2 <= mm("stage2_bulk")._1 ||
+      mm("stage1_bulk")._2 == mm("stage2_bulk")._1)
+    assert(mm("stage2_bulk")._2 <= mm("stage3_anneal")._1)
+    assert(mm("stage1_bulk")._1 > 0.0, "keepers all have positive margin")
+    // every (phase, shard) key is a p12 shard digit; deterministic rerun
+    sched.foreach(r => assert("0123456789abcdef"
+      .contains(r.getAs[String]("shard"))))
+    val again = graft.operators.TextAnalysis.annealSchedule(docs).collect()
+    assert(sched.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    assert(rows.nonEmpty)
+  }
+}
