@@ -599,6 +599,9 @@ object SparkEntry {
     // × t39 line render — the CCNet per-site template signal)
     "t44_domain_boilerplate" -> ((s, d) =>
       T.domainBoilerplate(Tables.documents(s, d))),
+    // t45: Heaps-law vocab growth over nested deterministic prefixes
+    "t45_vocab_growth" -> ((s, d) =>
+      T.vocabGrowth(Tables.documents(s, d))),
     // p10: incremental corpus build — delta through the stored indexes
     // (d18 URL → d10 digest → p05 decontam incl. retroactive retraction
     // → p03 budget), oracle-checked vs the from-scratch union build
@@ -5748,6 +5751,34 @@ object SparkEntry {
        "SELECT n.doc_id, n.url, n.canon_url, n.domain, k.keep_doc_id,\n" +
        "  k.n_dups, (n.doc_id = k.keep_doc_id) AS is_kept\n" +
        "FROM n JOIN k USING (canon_url) ORDER BY n.doc_id"),
+    // t45: per-type MIN(first-hex tier) + tiny tier histograms joined
+    // to the nested thresholds — vocab at every prefix from one pass
+    "t45_vocab_growth" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  CAST(strpos('0123456789abcdef',
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)
+        |    AS hexv FROM documents),
+        |tk AS (SELECT hexv,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok FROM d),
+        |tm AS (SELECT tok, MIN(hexv) AS min_hexv FROM tk GROUP BY tok),
+        |tmh AS (SELECT min_hexv, CAST(COUNT(*) AS BIGINT) AS n_types
+        |  FROM tm GROUP BY min_hexv),
+        |th AS (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT)
+        |  AS prefix_16ths),
+        |voc AS (SELECT th.prefix_16ths,
+        |  CAST(SUM(n_types) AS BIGINT) AS vocab_types
+        |  FROM tmh JOIN th ON tmh.min_hexv < th.prefix_16ths GROUP BY 1),
+        |dh AS (SELECT hexv, CAST(COUNT(*) AS BIGINT) AS nd,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+        |    AS BIGINT) AS nt_sum FROM d GROUP BY hexv),
+        |dm AS (SELECT th.prefix_16ths, CAST(SUM(nd) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nt_sum) AS BIGINT) AS n_tokens
+        |  FROM dh JOIN th ON dh.hexv < th.prefix_16ths GROUP BY 1)
+        |SELECT dm.prefix_16ths, dm.n_docs, dm.n_tokens, voc.vocab_types,
+        |  CAST(voc.vocab_types AS DOUBLE) / CAST(dm.n_tokens AS DOUBLE)
+        |    AS type_token_ratio
+        |FROM dm JOIN voc ON dm.prefix_16ths = voc.prefix_16ths
+        |ORDER BY dm.prefix_16ths""".stripMargin,
     // t44: t39's line CTEs × d18's URL synthesis + PSL-lite domain;
     // in-domain line doc-frequency ≥ 2 = boilerplate; one double
     // division at the end (exact-integer counts everywhere else)

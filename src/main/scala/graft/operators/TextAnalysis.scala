@@ -2053,4 +2053,57 @@ object TextAnalysis {
         sum(col("content_digest")).as("content_checksum"))
       .orderBy(col("phase"), col("shard"))
   }
+
+  /** t45: HEAPS-LAW vocabulary growth — distinct-type count at nested
+    * deterministic corpus prefixes (1/16, 1/8, 1/4, 1/2, all of the
+    * docs by shuffle-key order), the curve that answers "is more data
+    * still buying new vocabulary, or are we re-crawling the same
+    * text?" — flattening ahead of the Heaps V = K·Nᵝ trend is the
+    * corpus-level duplication signal that motivates the d-suite, and
+    * tokenizer training (t38/t43) reads the same curve to size its
+    * vocab. The exponent itself is deliberately NOT emitted: it needs
+    * a log, and libm ulps differ across engines (the t42 pow stance);
+    * the raw (n_tokens, vocab) pairs ARE the deliverable.
+    *
+    * Prefixes nest by construction — doc tier = value of the first
+    * hex digit of [[Sampling.sampleKey]] (a deterministic uniform
+    * draw, the t08/p12 idiom), prefix t = docs with tier < t — so no
+    * ranking, no sorting, no seed: the same docs are "first" in every
+    * engine and every rerun.
+    *
+    * Scale: vocab at EVERY prefix from ONE pass — per-type
+    * MIN(tier) (one token-keyed shuffle with map-side combine, the
+    * t20 shape) collapses the corpus to its vocabulary, then a 16-row
+    * tier histogram joined to 5 thresholds; doc/token totals ride an
+    * equally tiny per-tier histogram. Nothing rescans per prefix. */
+  def vocabGrowth(documents: DataFrame): DataFrame = {
+    val tiered = documents.select(col("doc_id"), col("text"))
+      .withColumn("hexv",
+        (call_function("locate",
+          substring(Sampling.sampleKey(col("doc_id")), 1, 1),
+          lit("0123456789abcdef")) - 1).cast("long"))
+    val spark = documents.sparkSession
+    val th = broadcast(spark.createDataFrame(
+        Seq(1L, 2L, 4L, 8L, 16L).map(Tuple1(_))).toDF("prefix_16ths"))
+    val typeMin = tiered
+      .select(col("hexv"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("hexv")).as("min_hexv"))
+      .groupBy(col("min_hexv")).agg(count(lit(1)).as("n_types"))
+    val voc = typeMin.join(th, col("min_hexv") < col("prefix_16ths"))
+      .groupBy(col("prefix_16ths")).agg(sum(col("n_types")).as("vocab_types"))
+    val docHist = tiered
+      .select(col("hexv"),
+        size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("hexv"))
+      .agg(count(lit(1)).as("nd"), sum(col("nt")).as("nt_sum"))
+    val dm = docHist.join(th, col("hexv") < col("prefix_16ths"))
+      .groupBy(col("prefix_16ths"))
+      .agg(sum(col("nd")).as("n_docs"), sum(col("nt_sum")).as("n_tokens"))
+    dm.join(voc, Seq("prefix_16ths"))
+      .select(col("prefix_16ths"), col("n_docs"), col("n_tokens"),
+        col("vocab_types"),
+        (col("vocab_types").cast("double") /
+          col("n_tokens").cast("double")).as("type_token_ratio"))
+      .orderBy(col("prefix_16ths"))
+  }
 }

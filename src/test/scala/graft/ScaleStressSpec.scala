@@ -316,6 +316,11 @@ class ScaleStressSpec extends SparkSpec {
       graft.operators.Multimodal.videoFrameDedup(docsX), false),
     ("t44_domain_boilerplate",
       T.domainBoilerplate(docs), T.domainBoilerplate(docsX), false),
+    // t45: one token-keyed MIN shuffle + constant-size histogram
+    // joins; the threshold joins are INEQUALITY joins against the
+    // broadcast 5-row frame — the intended tiny-side BNLJ (16x5 work)
+    ("t45_vocab_growth",
+      T.vocabGrowth(docs), T.vocabGrowth(docsX), true),
     // b03: the feedback pass + term mining run eagerly at construction
     // (the nExpand-bounded collect); the timed ratio is the re-rank —
     // the corpus-scale stage. 1-row stats cross is the intended BNLJ

@@ -92,6 +92,38 @@ class CoOccurrenceSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("total_tokens") == 10L))
   }
 
+  test("vocabGrowth (t45): nested prefixes match a local replay; the " +
+      "full-corpus row is exact") {
+    // replicate the tier law locally: first hex digit of md5(doc_id)
+    def hexv(id: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      "0123456789abcdef".indexOf(h.charAt(0))
+    }
+    val docs = (0L until 40L)
+      .map(i => (i, s"common tok$i shared${i % 5} common"))
+    val df = docs.toDF("doc_id", "text")
+    val rows = TextAnalysis.vocabGrowth(df).collect()
+      .map(r => r.getAs[Long]("prefix_16ths") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("vocab_types"))).toMap
+    for (th <- Seq(1L, 2L, 4L, 8L, 16L) if rows.contains(th)) {
+      val in = docs.filter { case (id, _) => hexv(id) < th }
+      val toks = in.flatMap(_._2.split("\\s+"))
+      assert(rows(th) == ((in.size.toLong, toks.size.toLong,
+        toks.distinct.size.toLong)), s"prefix $th")
+    }
+    // the full-corpus row always exists and covers everything
+    assert(rows(16L)._1 == 40L)
+    // growth curves are monotone in the prefix
+    val present = Seq(1L, 2L, 4L, 8L, 16L).filter(rows.contains)
+    present.zip(present.tail).foreach { case (a, b) =>
+      assert(rows(a)._1 <= rows(b)._1 && rows(a)._2 <= rows(b)._2 &&
+        rows(a)._3 <= rows(b)._3)
+    }
+  }
+
   test("pmi ranks an exclusive pair above a popular-word pair") {
     // "rare gem" always co-occur and appear nowhere else; "the end"
     // co-occurs as often but 'the' is everywhere → lower association
