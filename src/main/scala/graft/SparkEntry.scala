@@ -547,6 +547,9 @@ object SparkEntry {
     "k05_silhouette" -> ((s, d) =>
       graft.operators.Clustering.simplifiedSilhouette(
         Tables.embeddings(s, d))),
+    // s40: hot-cell split — the rebalance plan + its exact size effect
+    "s40_cell_split" -> ((s, d) =>
+      graft.operators.Clustering.hotCellSplit(Tables.embeddings(s, d))),
     // t40: per-benchmark-item leakage report (p02 from the eval side)
     "t40_contamination_report" -> ((s, d) =>
       T.contaminationReport(Tables.documents(s, d),
@@ -5625,6 +5628,49 @@ object SparkEntry {
           |  (CAST(SUM(s_fp) AS DOUBLE) / 1000000.0) /
           |    CAST(COUNT(*) AS DOUBLE) AS mean_sil
           |FROM s GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
+    // s40: k01's trained assignment, exact cross-multiplied hot test
+    // (n*K > total*factor), row_number seeds (2 lowest ids per hot
+    // cell), nearest-of-two re-assignment with the (d2, sub) tie, skew
+    // x100 via exact integer division (the dq02 idiom)
+    "s40_cell_split" ->
+      (s"WITH $IvfTrainCtes,\n" +
+        """sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_before
+          |  FROM a2 GROUP BY cluster_id),
+          |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM a2),
+          |hot AS (SELECT cluster_id FROM sz CROSS JOIN tt
+          |  WHERE n_before * 8 > n_total * 2),
+          |mem AS (SELECT a2.* FROM a2 JOIN hot USING (cluster_id)),
+          |sd AS (SELECT cluster_id, CAST(rn AS BIGINT) AS sub_id,
+          |    emb AS semb, vnorm2 AS snorm2
+          |  FROM (SELECT cluster_id, emb, vnorm2,
+          |    row_number() OVER (PARTITION BY cluster_id
+          |      ORDER BY vec_id) AS rn FROM mem) WHERE rn <= 2),
+          |sa AS (SELECT cluster_id, vec_id, sub_id FROM (
+          |  SELECT m.cluster_id, m.vec_id, s.sub_id,
+          |    row_number() OVER (PARTITION BY m.cluster_id, m.vec_id
+          |      ORDER BY (m.vnorm2 + s.snorm2 - 2.0 * list_reduce(
+          |        list_transform(range(1, len(m.emb)+1), i ->
+          |          CAST(m.emb[i] AS DOUBLE) * CAST(s.semb[i] AS DOUBLE)),
+          |        (x, y) -> x + y)) ASC, s.sub_id ASC) AS rk
+          |  FROM mem m JOIN sd s USING (cluster_id)) WHERE rk = 1),
+          |sp AS (SELECT cluster_id, sub_id,
+          |  CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS was_hot
+          |  FROM sa GROUP BY cluster_id, sub_id),
+          |cold AS (SELECT sz.cluster_id, CAST(0 AS BIGINT) AS sub_id,
+          |  n_before AS n_vectors, FALSE AS was_hot
+          |  FROM sz WHERE cluster_id NOT IN (SELECT cluster_id FROM hot)),
+          |af AS (SELECT * FROM cold UNION ALL SELECT * FROM sp),
+          |bs AS (SELECT MAX(n_before) AS max_before,
+          |  CAST(COUNT(*) AS BIGINT) AS k_before FROM sz),
+          |a3 AS (SELECT MAX(n_vectors) AS max_after,
+          |  CAST(COUNT(*) AS BIGINT) AS k_after FROM af)
+          |SELECT af.cluster_id, af.sub_id, af.n_vectors, af.was_hot,
+          |  (bs.max_before * 100 * bs.k_before) // tt.n_total
+          |    AS skew_before_x100,
+          |  (a3.max_after * 100 * a3.k_after) // tt.n_total
+          |    AS skew_after_x100
+          |FROM af CROSS JOIN bs CROSS JOIN a3 CROSS JOIN tt
+          |ORDER BY af.cluster_id, af.sub_id""".stripMargin),
     // k04: both trainings nested as scoped-WITH subqueries (the s13
     // precedent — CTE names never collide); Rand terms are exact longs
     "k04_cluster_agreement" ->

@@ -307,4 +307,75 @@ object Clustering {
           col("n_vectors").cast("double")).as("mean_sil"))
       .orderBy(col("cluster_id"))
   }
+
+  /** s40: HOT-CELL SPLIT — the index-MAINTENANCE verb the s36
+    * lifecycle (train → append → tombstone → serve) still lacked:
+    * appends concentrate, cell sizes skew, and a hot cell is a probe
+    * whose scan cost quietly became a multiple of the design point —
+    * the reason FAISS deployments periodically re-shard. A cell is
+    * hot when its size exceeds `hotFactor`× the mean (exact
+    * cross-multiplied: n·K > total·hotFactor — no float mean); each
+    * hot cell splits in two by SEEDED nearest-of-two assignment (the
+    * two lowest-id members as sub-seeds, ties to the lower sub) —
+    * deterministic, one pass, no retraining. The output is the
+    * REBALANCE PLAN: every final cell (cold cells as-is, hot halves)
+    * with its size, plus the max/mean skew ×100 before and after (the
+    * dq02 metric — exact integer division) attached to every row so
+    * the plan carries its own justification. Production follow-up is
+    * k01's median update over the split map — this operator decides
+    * WHAT to split and proves the size effect; the refinement is the
+    * trainer's existing job.
+    *
+    * Scale: sizes/hot are K-row aggregates; seeds are parallel
+    * per-cell windows truncated at 2 rows (2·|hot| rows, broadcast);
+    * the re-assignment is a broadcast join over hot-cell members only
+    * with a map-side `min_by` argmin — cold cells are never touched;
+    * skew stats are 1-row aggregates broadcast-crossed back (the k04
+    * pattern). Headroom: max·100·K exact in Long past 10¹⁴ vectors. */
+  def hotCellSplit(embeddings: DataFrame, k: Int = 8,
+      hotFactor: Int = 2): DataFrame = {
+    val assigned = kmediansAssignFull(embeddings, k)
+    val sizes = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_before"))
+    val tot = assigned.agg(count(lit(1)).as("n_total"))
+    val hot = sizes.crossJoin(broadcast(tot))
+      .filter(col("n_before") * lit(k.toLong) >
+        col("n_total") * lit(hotFactor.toLong))
+      .select(col("cluster_id"))
+    val members = assigned.join(broadcast(hot), Seq("cluster_id"))
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("vec_id"))
+    val seeds = members
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("cluster_id"), col("rn").cast("long").as("sub_id"),
+        col("emb").as("semb"), col("vnorm2").as("snorm2"))
+    val splitCells = members
+      .join(broadcast(seeds), Seq("cluster_id"))
+      .withColumn("d2", col("vnorm2") + col("snorm2") - lit(2.0) *
+        graft.functions.VectorOps.dot(col("emb"), col("semb")))
+      .groupBy(col("cluster_id"), col("vec_id"))
+      .agg(min_by(col("sub_id"), struct(col("d2"), col("sub_id")))
+        .as("sub_id"))
+      .groupBy(col("cluster_id"), col("sub_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .select(col("cluster_id"), col("sub_id"), col("n_vectors"),
+        lit(true).as("was_hot"))
+    val coldCells = sizes.join(hot, Seq("cluster_id"), "left_anti")
+      .select(col("cluster_id"), lit(0L).as("sub_id"),
+        col("n_before").as("n_vectors"), lit(false).as("was_hot"))
+    val after = coldCells.unionByName(splitCells)
+    val before = sizes.agg(max(col("n_before")).as("max_before"),
+      count(lit(1)).as("k_before"))
+    val afterStats = after.agg(max(col("n_vectors")).as("max_after"),
+      count(lit(1)).as("k_after"))
+    after.crossJoin(broadcast(before)).crossJoin(broadcast(afterStats))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster_id"), col("sub_id"), col("n_vectors"),
+        col("was_hot"),
+        expr("max_before * 100 * k_before div n_total")
+          .as("skew_before_x100"),
+        expr("max_after * 100 * k_after div n_total")
+          .as("skew_after_x100"))
+      .orderBy(col("cluster_id"), col("sub_id"))
+  }
 }

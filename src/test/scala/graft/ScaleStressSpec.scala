@@ -212,6 +212,11 @@ class ScaleStressSpec extends SparkSpec {
     ("k05_silhouette",
       graft.operators.Clustering.simplifiedSilhouette(emb),
       graft.operators.Clustering.simplifiedSilhouette(embX), true),
+    // s40: k01 training at construction semantics; the re-assignment
+    // touches hot members only; 1-row metric crosses intended
+    ("s40_cell_split",
+      graft.operators.Clustering.hotCellSplit(emb),
+      graft.operators.Clustering.hotCellSplit(embX), true),
     ("g08_graph_walks",
       graft.operators.Graph.deterministicWalks(emb),
       graft.operators.Graph.deterministicWalks(embX,

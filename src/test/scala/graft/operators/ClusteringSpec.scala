@@ -121,4 +121,45 @@ class ClusteringSpec extends SparkSpec {
     val again = Clustering.simplifiedSilhouette(emb).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+  test("hotCellSplit: a 6-vs-2 skew splits the hot cell on its two " +
+      "lowest-id seeds; skew metric drops") {
+    import spark.implicits._
+    // cell A (trained id 0): sub-blob P {0,3,5} near (1,0) and
+    // sub-blob Q {2,4,6} near (0.7,0.3); cell B (trained id 1): {1,7}.
+    // k=2, hotFactor=1: A (6 of 8) is hot; seeds are vec 0 (P) and
+    // vec 2 (Q), so the nearest-of-two halves ARE the sub-blobs.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.7f, 0.3f)), (3L, Array(0.98f, 0.02f)),
+      (4L, Array(0.68f, 0.32f)), (5L, Array(0.96f, 0.04f)),
+      (6L, Array(0.66f, 0.34f)), (7L, Array(0.02f, 0.98f))
+    ).toDF("vec_id", "embedding")
+    val rows = Clustering.hotCellSplit(emb, k = 2, hotFactor = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(rows.keySet == Set((0L, 1L), (0L, 2L), (1L, 0L)))
+    assert(rows((0L, 1L)) == ((3L, true, 150L, 112L)))
+    assert(rows((0L, 2L)) == ((3L, true, 150L, 112L)))
+    assert(rows((1L, 0L)) == ((2L, false, 150L, 112L)))
+  }
+
+  test("hotCellSplit on the fixture: coverage, skew non-increasing, " +
+      "deterministic") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Clustering.hotCellSplit(emb).collect()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == emb.count())
+    val (sb, sa) = (rows.head.getAs[Long]("skew_before_x100"),
+      rows.head.getAs[Long]("skew_after_x100"))
+    assert(sa <= sb, s"skew went up: $sb -> $sa")
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("was_hot"))
+        assert(Set(1L, 2L).contains(r.getAs[Long]("sub_id")))
+      else assert(r.getAs[Long]("sub_id") == 0L)
+    }
+    val again = Clustering.hotCellSplit(emb).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
 }
