@@ -80,7 +80,13 @@ class PlanAuditSpec extends SparkSpec {
     "s38_rotation_recall", // s01 exact side + 3-row tier cross
     "t42_lm_perplexity", // t33's ONE-row (N,V) corpus frame cross
     "s39_aniso_rotation_recall", // s38's eval shape over the aniso view
-    "p11_learned_filter") // embeds p07's t17 corpus-total cross
+    "p11_learned_filter", // embeds p07's t17 corpus-total cross
+    "b03_prf_expansion", // b01's ONE-row corpus-stats cross, both passes
+    "k05_silhouette", // k01's broadcast(8 centroids) x corpus cross
+    "g09_cell_modularity", // s21's centroid cross + 1-row metric crosses
+    "p13_anneal_schedule", // p07's corpus-total cross + 1-row keeper count
+    "t45_vocab_growth", // 5-row threshold grid: inequality broadcast joins
+    "s40_cell_split") // k01 centroid cross + 1-row size/skew crosses
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>
