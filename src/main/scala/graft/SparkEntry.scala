@@ -573,6 +573,10 @@ object SparkEntry {
     // l15: dynamic partition overwrite (replaceWhere) round-trip
     "l15_replace_where" -> ((s, d) =>
       graft.lake.LakeQueries.replaceWhereRead(s, Tables.orders(s, d))),
+    // l16: write-audit-publish — staged commit, audits over the staged
+    // files, publish-or-abort; ledger + published state read back
+    "l16_wap_commit" -> ((s, d) =>
+      graft.lake.LakeQueries.wapRead(s, Tables.orders(s, d))),
     // --- round 14 ---
     // s36: full index lifecycle — frozen-base train, append, tombstone,
     // stored-table partition-pruned serve, composed end to end
@@ -5994,6 +5998,52 @@ object SparkEntry {
        "  CAST(SUM(CAST(digest AS HUGEINT)) AS DECIMAL(38,0))\n" +
        "    AS content_checksum\n" +
        "FROM c GROUP BY shard ORDER BY shard"),
+    // l16: the WAP slices re-derived in SQL; delta2's duplicate check
+    // runs against the CONDITIONALLY-published state (base ∪ delta1 iff
+    // delta1's own audits are zero), and the publish verdicts are
+    // DERIVED from the counts — the oracle encodes the law, not the
+    // fixture's outcome
+    "l16_wap_commit" ->
+      """WITH cl AS (SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 1),
+        |dr AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * -1
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 2
+        |  UNION ALL SELECT o_orderkey, o_totalprice FROM orders
+        |    WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 = 0),
+        |b0 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+        |a1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 END), 0)
+        |    AS BIGINT) AS n_bad_price,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderkey IN
+        |    (SELECT o_orderkey FROM b0) THEN 1 END), 0) AS BIGINT)
+        |    AS n_dup_keys
+        |  FROM cl),
+        |p2 AS (SELECT o_orderkey FROM b0
+        |  UNION ALL SELECT o_orderkey FROM cl
+        |    WHERE (SELECT n_bad_price + n_dup_keys FROM a1) = 0),
+        |a2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 END), 0)
+        |    AS BIGINT) AS n_bad_price,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderkey IN
+        |    (SELECT o_orderkey FROM p2) THEN 1 END), 0) AS BIGINT)
+        |    AS n_dup_keys
+        |  FROM dr),
+        |led AS (SELECT 'delta1_clean' AS delta_id, n_rows, n_bad_price,
+        |    n_dup_keys, (n_bad_price = 0 AND n_dup_keys = 0) AS published
+        |  FROM a1
+        |  UNION ALL SELECT 'delta2_dirty', n_rows, n_bad_price,
+        |    n_dup_keys, (n_bad_price = 0 AND n_dup_keys = 0) FROM a2),
+        |fin AS (SELECT o_orderkey FROM p2
+        |  UNION ALL SELECT o_orderkey FROM dr
+        |    WHERE (SELECT n_bad_price = 0 AND n_dup_keys = 0 FROM a2)),
+        |ps AS (SELECT CAST(COUNT(*) AS BIGINT) AS published_rows,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS published_key_sum FROM fin)
+        |SELECT led.delta_id, led.n_rows, led.n_bad_price,
+        |  led.n_dup_keys, led.published, ps.published_rows,
+        |  ps.published_key_sum
+        |FROM led CROSS JOIN ps ORDER BY led.delta_id""".stripMargin,
     // p13: p11's margin chain (feature fragments reused verbatim, no
     // verdict join), keepers ranked by the exact (margin, doc_id)
     // order, phase terciles against the exact keeper count, laid onto

@@ -86,7 +86,8 @@ class PlanAuditSpec extends SparkSpec {
     "g09_cell_modularity", // s21's centroid cross + 1-row metric crosses
     "p13_anneal_schedule", // p07's corpus-total cross + 1-row keeper count
     "t45_vocab_growth", // 5-row threshold grid: inequality broadcast joins
-    "s40_cell_split") // k01 centroid cross + 1-row size/skew crosses
+    "s40_cell_split", // k01 centroid cross + 1-row size/skew crosses
+    "l16_wap_commit") // 2-row audit ledger x 1-row published-stats cross
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>
