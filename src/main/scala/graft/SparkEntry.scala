@@ -295,6 +295,9 @@ object SparkEntry {
     // m06: video near-dup by sampled-frame signature Jaccard
     "m06_video_frame_dedup" -> ((s, d) =>
       graft.operators.Multimodal.videoFrameDedup(Tables.documents(s, d))),
+    // m07: set-vs-sequence similarity — the re-edit/recut detector
+    "m07_sequence_dedup" -> ((s, d) =>
+      graft.operators.Multimodal.sequenceDedup(Tables.documents(s, d))),
     // --- round 8 additions: runtime filtering, IVM, lakehouse reads ---
     "j01_bloom_join" -> ((s, d) =>
       graft.operators.BloomJoin.bloomJoinRevenue(Tables.orders(s, d),
@@ -4176,6 +4179,87 @@ object SparkEntry {
         |JOIN sz sb ON sb.asset_id = cm.video_b
         |WHERE cm.n_common * 100 >= (sa.n_sigs + sb.n_sigs - cm.n_common) * 50
         |ORDER BY cm.video_a, cm.video_b""".stripMargin,
+    // m07: the m06 per-frame blockhash machinery UNSTRIDED over the
+    // rotation corpus (+9M recut at the frame boundary mid =
+    // (len div 2·fb)·fb), set candidates at the exact 50% keep, plus
+    // the lead()-shingle sequence Jaccard LEFT-joined on
+    "m07_sequence_dedup" ->
+      """WITH trip AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 3000000, text FROM documents
+        |  UNION ALL SELECT doc_id + 9000000,
+        |    substr(text, CAST((length(text) // 256) * 128 + 1 AS INT))
+        |      || substr(text, 1, CAST((length(text) // 256) * 128 AS INT))
+        |    FROM documents),
+        |vids AS (SELECT doc_id AS asset_id, text,
+        |  CAST(length(text) AS BIGINT) AS n
+        |  FROM trip WHERE doc_id % 3 = 2),
+        |fr AS (SELECT asset_id, text, f,
+        |  CASE WHEN n - f * 128 < 128 THEN n - f * 128 ELSE 128 END
+        |    AS flen
+        |  FROM vids, UNNEST(range(0, (n + 127) // 128)) AS u(f)),
+        |b1 AS (SELECT asset_id, f, flen,
+        |  CAST(unicode(substr(text, CAST(f * 128 + j + 1 AS INT), 1))
+        |    AS BIGINT) AS v,
+        |  j * 64 // flen AS blk
+        |  FROM fr, UNNEST(range(0, flen)) AS u(j)),
+        |s1 AS (SELECT asset_id, f, flen, blk, SUM(v) AS bsum,
+        |  CAST(COUNT(*) AS BIGINT) AS blen
+        |  FROM b1 GROUP BY asset_id, f, flen, blk),
+        |g AS (SELECT asset_id, f, flen, SUM(v) AS total
+        |  FROM b1 GROUP BY asset_id, f, flen),
+        |bits AS (SELECT g.asset_id, g.f,
+        |  string_agg(CASE WHEN COALESCE(s1.bsum, 0) * g.flen >
+        |      g.total * COALESCE(s1.blen, 0) THEN '1' ELSE '0' END,
+        |    '' ORDER BY r.b) AS sig
+        |  FROM g CROSS JOIN (SELECT unnest(range(0, 64)) AS b) r
+        |  LEFT JOIN s1 ON s1.asset_id = g.asset_id AND s1.f = g.f
+        |    AND s1.blk = r.b
+        |  GROUP BY g.asset_id, g.f),
+        |sets AS (SELECT DISTINCT asset_id, sig FROM bits
+        |  WHERE sig LIKE '%1%'),
+        |sz AS (SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_sigs
+        |  FROM sets GROUP BY asset_id),
+        |cm AS (SELECT a.asset_id AS video_a, b.asset_id AS video_b,
+        |  CAST(COUNT(*) AS BIGINT) AS set_common
+        |  FROM sets a JOIN sets b ON a.sig = b.sig
+        |    AND a.asset_id < b.asset_id
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT cm.video_a, cm.video_b, cm.set_common,
+        |  sa.n_sigs AS n_a, sb.n_sigs AS n_b
+        |  FROM cm JOIN sz sa ON sa.asset_id = cm.video_a
+        |  JOIN sz sb ON sb.asset_id = cm.video_b
+        |  WHERE cm.set_common * 100 >=
+        |    (sa.n_sigs + sb.n_sigs - cm.set_common) * 50),
+        |sq AS (SELECT asset_id, f, sig,
+        |  lead(sig) OVER (PARTITION BY asset_id ORDER BY f) AS nxt
+        |  FROM bits),
+        |sh AS (SELECT DISTINCT asset_id, sig || '|' || nxt AS sh FROM sq
+        |  WHERE nxt IS NOT NULL
+        |    AND (sig LIKE '%1%' OR nxt LIKE '%1%')),
+        |shs AS (SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+        |  FROM sh GROUP BY asset_id),
+        |shc AS (SELECT a.asset_id AS video_a, b.asset_id AS video_b,
+        |  CAST(COUNT(*) AS BIGINT) AS seq_common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh
+        |    AND a.asset_id < b.asset_id
+        |  GROUP BY 1, 2)
+        |SELECT c.video_a, c.video_b, c.set_common, c.n_a, c.n_b,
+        |  COALESCE(shc.seq_common, 0) AS seq_common,
+        |  COALESCE(sa.n_sh, 0) AS sh_a, COALESCE(sb.n_sh, 0) AS sh_b,
+        |  CAST(c.set_common AS DOUBLE) /
+        |    CAST(c.n_a + c.n_b - c.set_common AS DOUBLE) AS set_jaccard,
+        |  CASE WHEN COALESCE(sa.n_sh, 0) + COALESCE(sb.n_sh, 0)
+        |      - COALESCE(shc.seq_common, 0) = 0 THEN 0.0
+        |    ELSE CAST(COALESCE(shc.seq_common, 0) AS DOUBLE) /
+        |      CAST(COALESCE(sa.n_sh, 0) + COALESCE(sb.n_sh, 0)
+        |        - COALESCE(shc.seq_common, 0) AS DOUBLE) END
+        |    AS seq_jaccard
+        |FROM cand c
+        |LEFT JOIN shc ON shc.video_a = c.video_a
+        |  AND shc.video_b = c.video_b
+        |LEFT JOIN shs sa ON sa.asset_id = c.video_a
+        |LEFT JOIN shs sb ON sb.asset_id = c.video_b
+        |ORDER BY c.video_a, c.video_b""".stripMargin,
     // the bloom pre-filter has no false negatives, so the pruned join
     // must equal this plain join bitwise — the oracle knows nothing
     // about the bloom

@@ -374,6 +374,125 @@ object Multimodal {
       .orderBy(col("video_a"), col("video_b"))
   }
 
+  /** m07: SEQUENCE-aware video similarity — the temporal refinement of
+    * [[videoFrameDedup]]: m06's set-Jaccard says "these two videos are
+    * built from the same frames"; this adds the ordered 2-gram shingle
+    * Jaccard over the frame-signature SEQUENCE, and the gap between
+    * the two scores is the RE-EDIT detector (the montage/recut whose
+    * frame set matches the original but whose cut order doesn't — the
+    * classic set-vs-sequence distinction in video copy detection,
+    * temporal-network verification in the CBCD literature). An exact
+    * copy scores 1 on both; a rotation/recut keeps the set score but
+    * breaks exactly the shingles that straddle its cut points.
+    *
+    * Fixture: videos of a TRIPLED corpus — original, byte-identical
+    * copy (+3,000,000), and a RECUT (+9,000,000: the text rotated at a
+    * frame boundary, `mid = (len div 2·fb)·fb` — the frame multiset is
+    * preserved except at the seam, so set-J stays high while seq-J
+    * drops by the broken shingles; docs shorter than two frames rotate
+    * to themselves, deterministically, in both engines). Frames are
+    * NOT strided here (every frame participates) — order is the
+    * subject, so skipping frames would change the shingle alphabet.
+    *
+    * Candidates come from the SET index (the m06 machinery, blank
+    * signatures excluded) with the same exact ≥ 50% keep — a recut
+    * with zero surviving shingles is still found and scored seq-J 0.
+    * Shingles where BOTH signatures are blank are excluded for the
+    * same hot-key reason as m06's blank filter (a run of black frames
+    * orders nothing); a shingle with one blank side keeps the order
+    * information of its non-blank neighbor.
+    *
+    * Scale: m06's shapes plus one per-video `lead` window (partitioned
+    * by video, state = one row — sequence order is inherently
+    * per-video and each video's frame list is bounded); the shingle
+    * pair counts ride a second inverted index joined back LEFT onto
+    * the set candidates. Both divisions are exact-BIGINT ratios. */
+  def sequenceDedup(documents: DataFrame, frameBytes: Int = 128,
+      nBlocks: Int = 64, minSetJaccardPct: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = documents.select(col("doc_id"), col("text"))
+    val mid = expr(s"(length(text) div ${2 * frameBytes})" +
+      s" * ${frameBytes}")
+    val corpus = base
+      .unionByName(base.select((col("doc_id") + 3000000L).as("doc_id"),
+        col("text")))
+      .unionByName(base.select((col("doc_id") + 9000000L).as("doc_id"),
+        concat(
+          col("text").substr((mid + lit(1)).cast("int"),
+            lit(1000000000)),
+          col("text").substr(lit(1), mid.cast("int"))).as("text")))
+    val vids = assetsFrom(corpus).filter(col("media_type") === "video")
+    val frames = vids
+      .withColumn("n_frames",
+        ceil(octet_length(col("content")).cast("double") / frameBytes)
+          .cast("long"))
+      .select(col("asset_id"), col("content"),
+        explode(when(col("n_frames") > 0,
+          sequence(lit(0), col("n_frames") - 1))
+          .otherwise(array().cast("array<bigint>"))).as("frame_idx"))
+      .select(col("asset_id"), col("frame_idx"),
+        graft.functions.BlockFns.blockBits(
+          col("content").substr(
+            (col("frame_idx") * frameBytes + 1).cast("int"),
+            lit(frameBytes)), nBlocks).as("sig"))
+    val sets = frames.filter(col("sig").contains("1"))
+      .select(col("asset_id"), col("sig")).distinct()
+    val setSizes = sets.groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_sigs"))
+    val cand = sets.select(col("sig"), col("asset_id").as("video_a"))
+      .join(sets.select(col("sig"), col("asset_id").as("video_b")), "sig")
+      .filter(col("video_a") < col("video_b"))
+      .groupBy(col("video_a"), col("video_b"))
+      .agg(count(lit(1)).as("set_common"))
+      .join(setSizes.select(col("asset_id").as("video_a"),
+        col("n_sigs").as("n_a")), "video_a")
+      .join(setSizes.select(col("asset_id").as("video_b"),
+        col("n_sigs").as("n_b")), "video_b")
+      .filter(col("set_common") * 100 >=
+        (col("n_a") + col("n_b") - col("set_common")) * minSetJaccardPct)
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("frame_idx"))
+    val shingles = frames
+      .withColumn("nxt", lead(col("sig"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .filter(col("sig").contains("1") || col("nxt").contains("1"))
+      .select(col("asset_id"),
+        concat(col("sig"), lit("|"), col("nxt")).as("sh"))
+      .distinct()
+    val shSizes = shingles.groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_sh"))
+    val shCommon = shingles.select(col("sh"), col("asset_id").as("video_a"))
+      .join(shingles.select(col("sh"), col("asset_id").as("video_b")),
+        "sh")
+      .filter(col("video_a") < col("video_b"))
+      .groupBy(col("video_a"), col("video_b"))
+      .agg(count(lit(1)).as("seq_common"))
+    val withSeq = cand
+      .join(shCommon, Seq("video_a", "video_b"), "left")
+      .join(shSizes.select(col("asset_id").as("video_a"),
+        col("n_sh").as("sh_a")), Seq("video_a"), "left")
+      .join(shSizes.select(col("asset_id").as("video_b"),
+        col("n_sh").as("sh_b")), Seq("video_b"), "left")
+      .select(col("video_a"), col("video_b"), col("set_common"),
+        col("n_a"), col("n_b"),
+        coalesce(col("seq_common"), lit(0L)).as("seq_common"),
+        coalesce(col("sh_a"), lit(0L)).as("sh_a"),
+        coalesce(col("sh_b"), lit(0L)).as("sh_b"))
+    withSeq
+      .withColumn("set_union",
+        col("n_a") + col("n_b") - col("set_common"))
+      .withColumn("seq_union",
+        col("sh_a") + col("sh_b") - col("seq_common"))
+      .select(col("video_a"), col("video_b"), col("set_common"),
+        col("n_a"), col("n_b"), col("seq_common"), col("sh_a"),
+        col("sh_b"),
+        (col("set_common").cast("double") /
+          col("set_union").cast("double")).as("set_jaccard"),
+        when(col("seq_union") === 0L, lit(0.0))
+          .otherwise(col("seq_common").cast("double") /
+            col("seq_union").cast("double")).as("seq_jaccard"))
+      .orderBy(col("video_a"), col("video_b"))
+  }
+
   /** The featurizer-independent retrieval tail of [[mediaRetrieval]]. */
   private def retrieve(feats: DataFrame, nQueries: Int,
       k: Int): DataFrame = {

@@ -319,6 +319,10 @@ class ScaleStressSpec extends SparkSpec {
     ("m06_video_frame_dedup",
       graft.operators.Multimodal.videoFrameDedup(docs),
       graft.operators.Multimodal.videoFrameDedup(docsX), false),
+    // m07: m06's index shapes + per-video lead windows; unstrided
+    ("m07_sequence_dedup",
+      graft.operators.Multimodal.sequenceDedup(docs),
+      graft.operators.Multimodal.sequenceDedup(docsX), false),
     ("t44_domain_boilerplate",
       T.domainBoilerplate(docs), T.domainBoilerplate(docsX), false),
     // t45: one token-keyed MIN shuffle + constant-size histogram

@@ -300,6 +300,68 @@ class VideoFrameDedupSpec extends graft.SparkSpec {
   }
 }
 
+/** m07: set-vs-sequence similarity — the re-edit detector. */
+class SequenceDedupSpec extends graft.SparkSpec {
+
+  test("sequenceDedup: exact copy 1/1; frame-boundary recut keeps the " +
+      "set score and halves the sequence score; one-blank shingles " +
+      "keep order info") {
+    import spark.implicits._
+    // doc 2: four frames with DISTINCT block patterns (blockbits sees
+    // patterns, not byte values — 'a/z half-half' and 'm/q half-half'
+    // would collide); 512 chars -> the +9M recut rotates at mid=256:
+    // [s2,s3,s0,s1], set preserved, shingles {s2|s3, s3|s0, s0|s1}
+    val f0 = "a" * 32 + "z" * 96
+    val f1 = "a" * 64 + "z" * 64
+    val f2 = "a" * 96 + "z" * 32
+    val f3 = "z" * 32 + "a" * 96
+    // doc 5: distinct patterns + a BLANK middle frame; 384 chars ->
+    // mid=128: orig [s4, blank, s5] vs recut [blank, s5, s4]
+    val f4 = "m" * 16 + "q" * 112
+    val f5 = "q" * 112 + "m" * 16
+    val docs = Seq((2L, f0 + f1 + f2 + f3), (5L, f4 + "u" * 128 + f5))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.sequenceDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Double]("set_jaccard"), r.getAs[Double]("seq_jaccard")))
+      .toMap
+    assert(rows((2L, 3000002L)) == ((1.0, 1.0)))
+    assert(rows((2L, 9000002L)) == ((1.0, 0.5)))
+    assert(rows((3000002L, 9000002L)) == ((1.0, 0.5)))
+    assert(rows((5L, 3000005L)) == ((1.0, 1.0)))
+    // blank-middle doc: shingles {s4|b, b|s5} vs {b|s5, s5|s4} ->
+    // seq-J = 1/3 while the (blank-filtered) set still matches fully
+    assert(rows((5L, 9000005L)) == ((1.0, 1.0 / 3.0)))
+    assert(rows((3000005L, 9000005L)) == ((1.0, 1.0 / 3.0)))
+    // families never cross-pair (no shared non-blank signatures)
+    assert(!rows.keySet.exists { case (a, b) =>
+      a % 1000000 != b % 1000000 })
+  }
+
+  test("sequenceDedup on the fixture: exact copies sequence-match; " +
+      "every pair clears the set threshold") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Multimodal.sequenceDedup(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c, a, b) = (r.getAs[Long]("set_common"),
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(c * 100 >= (a + b - c) * 50)
+      val sj = r.getAs[Double]("seq_jaccard")
+      assert(sj >= 0.0 && sj <= 1.0)
+    }
+    // the byte-identical +3M family must sequence-match at exactly 1.0
+    // whenever it has any shingles at all
+    val copies = rows.filter(r => r.getAs[Long]("video_b") ==
+      r.getAs[Long]("video_a") + 3000000L)
+    assert(copies.nonEmpty)
+    copies.foreach { r =>
+      if (r.getAs[Long]("sh_a") > 0L)
+        assert(r.getAs[Double]("seq_jaccard") == 1.0)
+    }
+  }
+}
+
 /** Stub resize plumbing. */
 class ResizeSpec extends graft.SparkSpec {
   test("resize downsamples payload bytes deterministically") {
