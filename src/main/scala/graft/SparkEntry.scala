@@ -642,7 +642,10 @@ object SparkEntry {
     // p13: the two-stage/anneal schedule — learned-keep docs phased by
     // margin tercile onto the p12 shard grid
     "p13_anneal_schedule" -> ((s, d) =>
-      T.annealSchedule(Tables.documents(s, d)))
+      T.annealSchedule(Tables.documents(s, d))),
+    // p14: the per-source dataset card (datasheet rollup of t02/p08/d01)
+    "p14_dataset_card" -> ((s, d) =>
+      T.datasetCard(Tables.documents(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -6128,6 +6131,55 @@ object SparkEntry {
         |  led.n_dup_keys, led.published, ps.published_rows,
         |  ps.published_key_sum
         |FROM led CROSS JOIN ps ORDER BY led.delta_id""".stripMargin,
+    // p14: audited fragments re-aggregated by source — t02's quality,
+    // p08's verdict chain, d01's digest law; counts exact, quality
+    // micros-quantized before the sum, one division per output row
+    "p14_dataset_card" ->
+      (s"WITH q AS (SELECT doc_id, n_tokens, quality FROM " +
+       s"($QualityScoreOracle) xq),\n" +
+       s"g AS (SELECT doc_id, keep AS gopher_keep FROM (\n" +
+       s"$GopherRulesOracle) xg),\n" +
+       s"c AS (SELECT doc_id, n_kept FROM (\n" +
+       s"$C4LineFilterOracle) xc2),\n" +
+       s"b AS (SELECT doc_id, ppl_bucket FROM (\n" +
+       s"$CcnetBucketsOracle) xb),\n" +
+       "v AS (SELECT g.doc_id,\n" +
+       "  CASE WHEN NOT g.gopher_keep THEN 'drop_gopher'\n" +
+       "       WHEN c.n_kept = 0 THEN 'drop_empty'\n" +
+       "       WHEN b.ppl_bucket = 'tail' THEN 'drop_ppl'\n" +
+       "       ELSE 'keep' END AS verdict\n" +
+       "FROM g JOIN c ON g.doc_id = c.doc_id\n" +
+       "JOIN b ON g.doc_id = b.doc_id),\n" +
+       "d AS (SELECT doc_id,\n" +
+       "  md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS dg\n" +
+       "  FROM documents),\n" +
+       "dc AS (SELECT dg, CAST(COUNT(*) AS BIGINT) AS nc\n" +
+       "  FROM d GROUP BY dg),\n" +
+       "pd AS (SELECT d.doc_id, (dc.nc > 1) AS is_dup\n" +
+       "  FROM d JOIN dc USING (dg)),\n" +
+       "agg AS (SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_docs,\n" +
+       "  CAST(SUM(q.n_tokens) AS BIGINT) AS n_tokens,\n" +
+       "  CAST(COALESCE(SUM(CASE WHEN v.verdict = 'keep' THEN 1 END),\n" +
+       "    0) AS BIGINT) AS n_keep,\n" +
+       "  CAST(COALESCE(SUM(CASE WHEN v.verdict = 'drop_gopher'\n" +
+       "    THEN 1 END), 0) AS BIGINT) AS n_drop_gopher,\n" +
+       "  CAST(COALESCE(SUM(CASE WHEN v.verdict = 'drop_empty'\n" +
+       "    THEN 1 END), 0) AS BIGINT) AS n_drop_empty,\n" +
+       "  CAST(COALESCE(SUM(CASE WHEN v.verdict = 'drop_ppl'\n" +
+       "    THEN 1 END), 0) AS BIGINT) AS n_drop_ppl,\n" +
+       "  CAST(SUM(CAST(floor(q.quality * 1000000.0) AS BIGINT))\n" +
+       "    AS BIGINT) AS quality_fp_sum,\n" +
+       "  CAST(COALESCE(SUM(CASE WHEN pd.is_dup THEN 1 END), 0)\n" +
+       "    AS BIGINT) AS n_dup_docs\n" +
+       "FROM (SELECT doc_id, source FROM documents) s\n" +
+       "JOIN q ON s.doc_id = q.doc_id\n" +
+       "JOIN v ON s.doc_id = v.doc_id\n" +
+       "JOIN pd ON s.doc_id = pd.doc_id\n" +
+       "GROUP BY s.source)\n" +
+       "SELECT source, n_docs, n_tokens, n_keep, n_drop_gopher,\n" +
+       "  n_drop_empty, n_drop_ppl, quality_fp_sum, n_dup_docs,\n" +
+       "  CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS keep_frac\n" +
+       "FROM agg ORDER BY source"),
     // p13: p11's margin chain (feature fragments reused verbatim, no
     // verdict join), keepers ranked by the exact (margin, doc_id)
     // order, phase terciles against the exact keeper count, laid onto

@@ -2054,6 +2054,53 @@ object TextAnalysis {
       .orderBy(col("phase"), col("shard"))
   }
 
+  /** p14: the per-source DATASET CARD (Datasheets for Datasets /
+    * Dolma's data-card discipline — the table a release ships beside
+    * the corpus): per source — document and exact token counts, the
+    * p08 gate-verdict breakdown (how much of this source survives
+    * curation, and which gate eats the rest), the micros-quantized
+    * quality mass (order-free exact longs; mean = one division by the
+    * reader), and the exact-duplicate exposure (docs whose d01 content
+    * digest is shared). Every signal is an already-audited operator's
+    * law — t02's quality, p08's verdicts, d01's digest — re-aggregated
+    * by source, so the card can never disagree with the pipeline that
+    * produced it.
+    *
+    * Scale: three doc-keyed joins of audited per-doc plans plus one
+    * digest-keyed dup count, then a single (source)-keyed partial agg
+    * → sources-sized output. */
+  def datasetCard(documents: DataFrame): DataFrame = {
+    val qual = qualityScore(documents)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val gates = curatedCorpusV2(documents)
+      .select(col("doc_id"), col("verdict"))
+    val dg = documents.select(col("doc_id"),
+      Dedup.contentDigest(col("text")).as("dg"))
+    val dupFlag = dg.join(
+        dg.groupBy(col("dg")).agg(count(lit(1)).as("nc")), "dg")
+      .select(col("doc_id"), (col("nc") > 1).as("is_dup"))
+    documents.select(col("doc_id"), col("source"))
+      .join(qual, "doc_id").join(gates, "doc_id").join(dupFlag, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        count(when(col("verdict") === "keep", 1)).as("n_keep"),
+        count(when(col("verdict") === "drop_gopher", 1))
+          .as("n_drop_gopher"),
+        count(when(col("verdict") === "drop_empty", 1))
+          .as("n_drop_empty"),
+        count(when(col("verdict") === "drop_ppl", 1)).as("n_drop_ppl"),
+        sum(floor(col("quality") * lit(1000000.0)).cast("long"))
+          .as("quality_fp_sum"),
+        count(when(col("is_dup"), 1)).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_keep"), col("n_drop_gopher"), col("n_drop_empty"),
+        col("n_drop_ppl"), col("quality_fp_sum"), col("n_dup_docs"),
+        (col("n_keep").cast("double") / col("n_docs").cast("double"))
+          .as("keep_frac"))
+      .orderBy(col("source"))
+  }
+
   /** t45: HEAPS-LAW vocabulary growth — distinct-type count at nested
     * deterministic corpus prefixes (1/16, 1/8, 1/4, 1/2, all of the
     * docs by shuffle-key order), the curve that answers "is more data

@@ -345,6 +345,10 @@ class ScaleStressSpec extends SparkSpec {
     // the one-row keeper-count cross is the intended BNLJ
     ("p13_anneal_schedule",
       T.annealSchedule(docs), T.annealSchedule(docsX), true),
+    // p14: audited per-doc plans re-aggregated by source; p08's
+    // embedded one-row corpus crosses ride along (intended)
+    ("p14_dataset_card",
+      T.datasetCard(docs), T.datasetCard(docsX), true),
     ("s39_aniso_rotation_recall",
       S.anisotropicRotationRecall(emb), S.anisotropicRotationRecall(embX),
       true),

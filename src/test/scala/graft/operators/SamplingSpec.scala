@@ -318,3 +318,35 @@ class AnnealScheduleSpec extends graft.SparkSpec {
     assert(rows.nonEmpty)
   }
 }
+
+/** p14: per-source dataset card — the datasheet rollup. */
+class DatasetCardSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("datasetCard (p14): counts reconcile with the per-doc signals " +
+      "it rolls up") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val card = graft.operators.TextAnalysis.datasetCard(docs).collect()
+    assert(card.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    card.foreach { r =>
+      val (nd, nk, ng, ne, np) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_keep"), r.getAs[Long]("n_drop_gopher"),
+        r.getAs[Long]("n_drop_empty"), r.getAs[Long]("n_drop_ppl"))
+      assert(nk + ng + ne + np == nd, s"verdicts don't partition: $r")
+      assert(r.getAs[Double]("keep_frac") ==
+        nk.toDouble / nd.toDouble)
+      assert(r.getAs[Long]("n_dup_docs") <= nd)
+    }
+    // quality mass reconciles against the audited per-doc t02 signal
+    val qBySrc = graft.operators.TextAnalysis.qualityScore(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"),
+        floor(col("quality") * 1000000.0).cast("long").as("qfp"))
+      .groupBy("source").agg(sum(col("qfp")).as("s")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("s")).toMap
+    card.foreach { r =>
+      assert(r.getAs[Long]("quality_fp_sum") ==
+        qBySrc(r.getAs[String]("source")))
+    }
+  }
+}
