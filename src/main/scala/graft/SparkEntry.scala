@@ -573,6 +573,10 @@ object SparkEntry {
     // w22: time-weighted average per (type, day) beside w20's OHLC
     "w22_twap_daily" -> ((s, d) =>
       W.twapDaily(Tables.events(s, d))),
+    // w23: watermark-lateness histogram — the out-of-orderness profile
+    // that sizes the streaming suite's withWatermark delays
+    "w23_watermark_lateness" -> ((s, d) =>
+      W.watermarkLateness(Tables.events(s, d))),
     // l15: dynamic partition overwrite (replaceWhere) round-trip
     "l15_replace_where" -> ((s, d) =>
       graft.lake.LakeQueries.replaceWhereRead(s, Tables.orders(s, d))),
@@ -2708,6 +2712,26 @@ object SparkEntry {
         | epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_micros
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+    // w23: the running high-watermark over arrival order (event_id as
+    // the ingest sequence), exact micros lateness, fixed delay buckets
+    "w23_watermark_lateness" ->
+      """WITH l AS (SELECT event_type,
+        |  epoch_us(MAX(ts) OVER (PARTITION BY event_type ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |    - epoch_us(ts) AS late_us
+        |  FROM events),
+        |b AS (SELECT event_type,
+        |  CASE WHEN late_us = 0 THEN 'b0_on_time'
+        |       WHEN late_us <= 60000000 THEN 'b1_under_1m'
+        |       WHEN late_us <= 300000000 THEN 'b2_under_5m'
+        |       WHEN late_us <= 3600000000 THEN 'b3_under_1h'
+        |       ELSE 'b4_over_1h' END AS late_bucket, late_us
+        |  FROM l)
+        |SELECT event_type, late_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MAX(late_us) AS BIGINT) AS max_late_us
+        |FROM b GROUP BY event_type, late_bucket
+        |ORDER BY event_type, late_bucket""".stripMargin,
     "w03_running_totals" ->
       """SELECT user_id, event_id,
         | CAST(SUM(CAST(value AS DECIMAL(18,6)))

@@ -446,4 +446,42 @@ object Windows {
           col("cohort_size").cast("double")).as("retention"))
       .orderBy(col("cohort_day"), col("age_weeks"))
   }
+
+  /** w23: WATERMARK-LATENESS profile — the out-of-orderness table that
+    * SIZES every `withWatermark` delay the streaming suite (§2.9)
+    * otherwise picks by folklore: per event, lateness = the high
+    * watermark at its arrival (running max event-time over arrival
+    * order, `event_id` as the ingest sequence — the documented proxy)
+    * minus its own event time, bucketed into the delays an operator
+    * would actually configure (on-time / ≤1m / ≤5m / ≤1h / beyond).
+    * The reader picks the watermark delay directly off the histogram:
+    * each bucket's cumulative share IS the fraction of events a delay
+    * of that size retains, and `max_late_us` bounds the loss of any
+    * shorter choice. Lateness is an exact integer micros difference
+    * (the w02 discipline — `unix_timestamp` would floor each side to
+    * seconds first).
+    *
+    * Scale: the running max is a per-event-type ordered window —
+    * parallel across types, and the per-type sequential read is the
+    * question itself (a watermark IS a sequential property of one
+    * stream's arrival order; in production the partition key is the
+    * source partition, same shape). One (type, bucket)-keyed partial
+    * agg follows → at most 5·|types| rows. */
+  def watermarkLateness(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("late_us",
+        unix_micros(max(col("ts")).over(w)) - unix_micros(col("ts")))
+      .withColumn("late_bucket",
+        when(col("late_us") === 0L, "b0_on_time")
+          .when(col("late_us") <= 60L * 1000000L, "b1_under_1m")
+          .when(col("late_us") <= 300L * 1000000L, "b2_under_5m")
+          .when(col("late_us") <= 3600L * 1000000L, "b3_under_1h")
+          .otherwise("b4_over_1h"))
+      .groupBy(col("event_type"), col("late_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("late_us")).as("max_late_us"))
+      .orderBy(col("event_type"), col("late_bucket"))
+  }
 }

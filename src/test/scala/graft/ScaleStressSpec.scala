@@ -147,6 +147,11 @@ class ScaleStressSpec extends SparkSpec {
       W.openShipments(Tables.lineitem(spark, sf)),
       W.openShipments(ScaledTables.scaled(Tables.lineitem(spark, sf),
         factor, idCols = Seq("l_orderkey"))), false),
+    // w23: per-type arrival-ordered running max + one tiny partial agg
+    ("w23_watermark_lateness",
+      W.watermarkLateness(Tables.events(spark, sf)),
+      W.watermarkLateness(ScaledTables.scaled(Tables.events(spark, sf),
+        factor, idCols = Seq("event_id"))), false),
     // r12 additions. s21 scales its CELL COUNT with the corpus (K ∝ N
     // keeps the expected cell size constant — the production lever its
     // scaladoc names; a fixed K would measure the deliberate per-cell

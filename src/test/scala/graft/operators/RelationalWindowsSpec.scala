@@ -257,3 +257,41 @@ class RelationalWindowsSpec extends SparkSpec {
       "multiset duplicity must match, not just the distinct rows")
   }
 }
+
+/** w23: watermark-lateness profile semantics. */
+class WatermarkLatenessSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("watermarkLateness: running high-watermark over arrival order, " +
+      "exact micros, bucket boundaries inclusive") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // arrival order = event_id; hwm after e2 is 10:05:00, so e3 is 30s
+    // late (b1), e4 is 240s late (b2, <=5m inclusive), e5 is 65m late
+    // (b4); on-time events report exactly 0
+    val ev = Seq(
+      (1L, t("2026-01-01 10:00:00"), "click"),
+      (2L, t("2026-01-01 10:05:00"), "click"),
+      (3L, t("2026-01-01 10:04:30"), "click"),
+      (4L, t("2026-01-01 10:01:00"), "click"),
+      (5L, t("2026-01-01 09:00:00"), "click"),
+      (6L, t("2026-01-01 12:00:00"), "view")
+    ).toDF("event_id", "ts", "event_type")
+    val rows = graft.operators.Windows.watermarkLateness(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(rows(("click", "b0_on_time")) == ((2L, 0L)))
+    assert(rows(("click", "b1_under_1m")) == ((1L, 30L * 1000000L)))
+    assert(rows(("click", "b2_under_5m")) == ((1L, 240L * 1000000L)))
+    assert(rows(("click", "b4_over_1h")) == ((1L, 3900L * 1000000L)))
+    assert(rows(("view", "b0_on_time")) == ((1L, 0L)))
+    assert(rows.size == 5)
+  }
+
+  test("watermarkLateness on the fixture: totals reconcile, lateness " +
+      "non-negative") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = graft.operators.Windows.watermarkLateness(ev).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == ev.count())
+    rows.foreach(r => assert(r.getAs[Long]("max_late_us") >= 0L))
+  }
+}
