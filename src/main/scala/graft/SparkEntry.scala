@@ -6097,16 +6097,18 @@ object SparkEntry {
        "ORDER BY verdict, learned_keep"),
     "b03_prf_expansion" -> PrfOracle,
     // p12: md5 key/digest parity (the t08 sampleKey idiom + a 15-hex
-    // big-endian parse fold); HUGEINT sum cast to the Spark side's
-    // DECIMAL(38,0). Assembled by concatenation — the SQL carries ||
-    // concats (the p08 precedent).
+    // big-endian parse fold); HUGEINT sum rendered as the fixed-width
+    // 39-char decimal string both engines publish (decimal128 output
+    // columns hash asymmetrically in the driver — the r15 lesson).
+    // Assembled by concatenation — the SQL carries || concats (the
+    // p08 precedent).
     "p12_shard_manifest" ->
       (s"WITH $ShardBaseOracleCtes\n" +
        "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,\n" +
        "  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,\n" +
        "  MIN(key) AS min_key, MAX(key) AS max_key,\n" +
        "  MIN(marker) AS first_marker, MAX(marker) AS last_marker,\n" +
-       "  CAST(SUM(CAST(digest AS HUGEINT)) AS DECIMAL(38,0))\n" +
+       "  lpad(CAST(SUM(CAST(digest AS HUGEINT)) AS VARCHAR), 39, '0')\n" +
        "    AS content_checksum\n" +
        "FROM c GROUP BY shard ORDER BY shard"),
     // l16: the WAP slices re-derived in SQL; delta2's duplicate check
@@ -6236,7 +6238,7 @@ object SparkEntry {
        "SELECT ph.phase, c.shard, CAST(COUNT(*) AS BIGINT) AS n_docs,\n" +
        "  CAST(SUM(c.n_tokens) AS BIGINT) AS sum_tokens,\n" +
        "  MIN(ph.margin) AS min_margin, MAX(ph.margin) AS max_margin,\n" +
-       "  CAST(SUM(CAST(c.digest AS HUGEINT)) AS DECIMAL(38,0))\n" +
+       "  lpad(CAST(SUM(CAST(c.digest AS HUGEINT)) AS VARCHAR), 39, '0')\n" +
        "    AS content_checksum\n" +
        "FROM ph JOIN c ON ph.doc_id = c.doc_id\n" +
        "GROUP BY ph.phase, c.shard ORDER BY ph.phase, c.shard")

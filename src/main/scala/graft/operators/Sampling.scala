@@ -421,17 +421,35 @@ object Sampling {
     * where an order-SENSITIVE digest (md5-of-concatenation) would
     * force per-shard collect_list state.
     *
-    * Overflow headroom: each digest < 2⁶⁰; DECIMAL(38,0) holds 10³⁸,
-    * so the sum is exact past 10²⁰ documents per shard — far beyond
-    * the 100 TB posture (DuckDB mirrors with a HUGEINT sum cast to the
-    * same DECIMAL). conv() parses at most 15 hex digits, inside the
-    * unsigned-64 range where Spark's conv is exact.
+    * Overflow headroom: each digest < 2⁶⁰; the internal DECIMAL(38,0)
+    * sum holds 10³⁸, so it is exact past 10²⁰ documents per shard —
+    * far beyond the 100 TB posture (DuckDB mirrors with a HUGEINT
+    * sum). conv() parses at most 15 hex digits, inside the
+    * unsigned-64 range where Spark's conv is exact. The PUBLISHED
+    * checksum is the sum rendered as a zero-padded fixed-width
+    * 39-char decimal STRING, not a decimal column: string rendering
+    * is byte-identical across engines and readers, where
+    * decimal128's physical layout is canonicalized differently by
+    * different Arrow/parquet paths (observed: the round-15 driver
+    * hashed the identical decimal values unequally between its
+    * DuckDB fetch and its parquet read — p12/p13 were the suite's
+    * only decimal-emitting queries and its only hash failures).
+    * Fixed width keeps the string ordering identical to the numeric
+    * ordering, so the column still sorts/compares like the integer.
     *
     * Plan shape: ONE narrow scan computes key, token count, and digest
     * (all codegen scalar work; text never leaves the scan stage), then
     * ONE shard-keyed partial aggregate → 16 rows. Nothing else moves.
     * At larger scale widen the shard prefix (2 hex digits → 256
     * shards), exactly as [[packSequences]] documents. */
+  /** Renders an exact integer checksum sum as the published
+    * fixed-width decimal string (39 chars — one more than the
+    * DECIMAL(38,0) accumulator can ever need, so no value truncates).
+    * Shared by p12/p13 so the rendering law cannot drift; the DuckDB
+    * twins carry the same `lpad(CAST(x AS VARCHAR), 39, '0')`. */
+  private[operators] def checksumRender(sum: Column): Column =
+    lpad(sum.cast("string"), 39, "0")
+
   /** The per-doc shard row behind [[shardManifest]] — shared with p13's
     * schedule export so shard key, token law, and checksum digest stay
     * one source of truth across every manifest the pipeline publishes. */
@@ -457,7 +475,8 @@ object Sampling {
         max(col("shuffle_key")).as("max_key"),
         min(col("marker")).as("first_marker"),
         max(col("marker")).as("last_marker"),
-        sum(col("content_digest")).as("content_checksum"))
+        checksumRender(sum(col("content_digest")))
+          .as("content_checksum"))
       .orderBy(col("shard"))
   }
 }

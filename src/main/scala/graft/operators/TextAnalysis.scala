@@ -2020,7 +2020,8 @@ object TextAnalysis {
     * stage1_bulk, middle → stage2_bulk, top → stage3_anneal), then
     * laid onto p12's shard grid: per (phase, shard) — doc count,
     * exact token sum, margin extremes (order-free min/max, no float
-    * sums), and p12's order-free DECIMAL(38,0) content checksum. This
+    * sums), and p12's order-free content checksum (published as the
+    * fixed-width string [[Sampling.checksumRender]] mandates). This
     * is the table a staged run trains FROM: each phase is a shard set
     * with attested sizes and content, so the anneal slice is
     * reproducible and auditable rather than "whatever sorted last".
@@ -2050,7 +2051,8 @@ object TextAnalysis {
         sum(col("n_tokens")).as("sum_tokens"),
         min(col("margin")).as("min_margin"),
         max(col("margin")).as("max_margin"),
-        sum(col("content_digest")).as("content_checksum"))
+        Sampling.checksumRender(sum(col("content_digest")))
+          .as("content_checksum"))
       .orderBy(col("phase"), col("shard"))
   }
 

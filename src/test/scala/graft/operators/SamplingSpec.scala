@@ -273,8 +273,13 @@ class ShardManifestSpec extends graft.SparkSpec {
     assert(b17.getAs[String]("shard") == a17.getAs[String]("shard"))
     assert(b17.getAs[Long]("n_docs") == a17.getAs[Long]("n_docs"))
     assert(b17.getAs[String]("min_key") == a17.getAs[String]("min_key"))
-    assert(b17.getAs[java.math.BigDecimal]("content_checksum") !=
-      a17.getAs[java.math.BigDecimal]("content_checksum"))
+    // published rendering is the fixed-width 39-char decimal string —
+    // driver-stable (r15: decimal128 output hashed asymmetrically)
+    val (bSum, aSum) = (b17.getAs[String]("content_checksum"),
+      a17.getAs[String]("content_checksum"))
+    assert(bSum != aSum)
+    assert(bSum.length == 39 && aSum.length == 39)
+    assert(bSum.forall(_.isDigit) && aSum.forall(_.isDigit))
   }
 }
 
