@@ -4115,8 +4115,10 @@ object SparkEntry {
         |FROM a GROUP BY content_md5 ORDER BY kept_asset_id""".stripMargin,
     // m05: the blockhash loop re-derived char-by-char — unicode(substr)
     // equals the payload byte for the ASCII fixture (the d19 reliance);
-    // bands, candidate join, and Hamming verify mirror the Spark plan
-    // so the banded-candidate semantics are what the oracle checks
+    // bands (identity-free striped band values excluded, buckets >256
+    // postings dropped — the m06-class filter + d11-style cap,
+    // mirrored), candidate join, and Hamming verify mirror the Spark
+    // plan so the banded-candidate semantics are what the oracle checks
     "m05_perceptual_dedup" ->
       """WITH c1 AS (SELECT doc_id AS asset_id, text,
         |  CAST(length(text) AS BIGINT) AS n FROM documents),
@@ -4137,12 +4139,19 @@ object SparkEntry {
         |  FROM g CROSS JOIN (SELECT unnest(range(0, 64)) AS b) r
         |  LEFT JOIN s1 ON s1.asset_id = g.asset_id AND s1.blk = r.b
         |  GROUP BY g.asset_id),
-        |bands AS (SELECT asset_id, sig, b AS band,
-        |  substr(sig, CAST(b * 16 + 1 AS INT), 16) AS band_val
-        |  FROM bits, UNNEST(range(0, 4)) AS u(b)),
+        |bands AS (SELECT * FROM (SELECT asset_id, sig, b AS band,
+        |    substr(sig, CAST(b * 16 + 1 AS INT), 16) AS band_val
+        |    FROM bits, UNNEST(range(0, 4)) AS u(b)) x
+        |  WHERE band_val NOT IN ('0000000000000000',
+        |    '1111111111111111', '0101010101010101',
+        |    '1010101010101010')),
+        |bcnt AS (SELECT band, band_val FROM bands
+        |  GROUP BY band, band_val HAVING COUNT(*) <= 256),
+        |bandsf AS (SELECT bands.* FROM bands
+        |  JOIN bcnt USING (band, band_val)),
         |cand AS (SELECT DISTINCT a.asset_id AS asset_id_a,
         |    b.asset_id AS asset_id_b, a.sig AS sig_a, b.sig AS sig_b
-        |  FROM bands a JOIN bands b ON a.band = b.band
+        |  FROM bandsf a JOIN bandsf b ON a.band = b.band
         |    AND a.band_val = b.band_val AND a.asset_id < b.asset_id),
         |h AS (SELECT asset_id_a, asset_id_b,
         |  CAST(len(list_filter(range(1, 65), i ->

@@ -190,29 +190,69 @@ object Multimodal {
     *
     * Scale: one scan-stage signature pass (payload pruned after), one
     * (band, value)-keyed self-join — the d04 banded shape, quadratic
-    * ONLY within a bucket; near-uniform payloads can concentrate a
-    * band bucket (AQE skew-join territory; d11's posting cap is the
-    * documented lossy escape if a bucket degenerates), and the verify
-    * filter is 64 fixed ops per surviving candidate.
+    * ONLY within a bucket — with BOTH bucket-degeneration guards
+    * applied (not merely named):
+    *  - IDENTITY-FREE BAND FILTER (m06's blank-frame fix, taken to
+    *    the band level): a band value that is all-'0', all-'1', or a
+    *    period-2 stripe ('0101…'/'1010…') carries ≤ 2 bits of
+    *    identity — it is the signature of uniform or
+    *    uniformly-alternating texture (the band analogue of a blank
+    *    frame), and the sf0.1 bucket audit shows exactly these values
+    *    as the corpus's hottest keys (top bucket '1010…' = 3.1% of
+    *    all candidate pairs). Matching on them is noise, so dropping
+    *    the POSTING (the payload keeps its other bands) is a semantic
+    *    fix, not a recall loss. An all-'0' whole signature (blank
+    *    payload, every band striped) consequently generates no
+    *    candidates at all — the correct answer for an identity-free
+    *    input. (All-'1' signatures cannot occur: every block mean
+    *    strictly above the weighted global mean is a contradiction.)
+    *  - POSTING CAP (d11's lossy escape): a (band, value) bucket
+    *    larger than `maxBucket` (default 256) is dropped from
+    *    candidate generation entirely, bounding per-bucket
+    *    enumeration at cap²/2 pairs so TOTAL candidate volume is
+    *    linear in corpus size at any scale. RECALL COST: a pair whose
+    *    every agreeing band is a dropped bucket is missed — by
+    *    construction such pairs share 16 signature bits with ≥cap
+    *    other payloads, i.e. boilerplate/filler density where
+    *    enumeration is Θ(cap²) for near-zero identity. The cap never
+    *    binds on the oracle fixtures (max bucket: 4 at sf0.01, 19 at
+    *    sf0.1 — exactness is untouched where the oracle checks); pass
+    *    `maxBucket = None` for exact banding.
+    * The verify filter is 64 fixed ops per surviving candidate.
     *
-    * Threshold: 16/64 bits. MEASURED on the fixtures: the nearest
-    * candidate pair sits at Hamming 9 (sf0.001) / 12 (sf0.01) — text
-    * payloads move more block means per edit than re-encoded pixels
-    * would, so the classic image threshold (≤10) returns nothing
-    * here; 16 keeps the operator selective (1658 of 8721 candidates
+    * Threshold: 16/64 bits. MEASURED on the fixtures (post-filter):
+    * text payloads move more block means per edit than re-encoded
+    * pixels would, so the classic image threshold (≤10) is too tight
+    * here; 16 keeps the operator selective (1605 of 8283 candidates
     * at sf0.1) while actually firing on this corpus. */
   def perceptualDedup(documents: DataFrame, nBlocks: Int = 64,
-      bandBits: Int = 16, maxHamming: Int = 16): DataFrame = {
+      bandBits: Int = 16, maxHamming: Int = 16,
+      maxBucket: Option[Int] = Some(256)): DataFrame = {
     require(nBlocks % bandBits == 0, "bandBits must divide nBlocks")
     val nBands = nBlocks / bandBits
     val sigs = assetsFrom(documents).select(col("asset_id"),
       graft.functions.BlockFns.blockBits(col("content"), nBlocks)
         .as("sig"))
-    val bands = sigs
+    // identity-free band values: constant or period-2 striped bits
+    // (≤ 2 bits of identity — the band-level blank frame; see scaladoc)
+    val striped = Seq("0", "1", "01", "10")
+      .map(p => (p * bandBits).take(bandBits))
+    val allBands = sigs
       .select(col("asset_id"), col("sig"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("band_val", col("sig").substr(
         col("band") * bandBits + 1, lit(bandBits)))
+      .filter(!col("band_val").isin(striped: _*))
+    val bands = maxBucket match {
+      case None => allBands
+      case Some(cap) =>
+        val hot = allBands.groupBy(col("band"), col("band_val"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+          .select(col("band"), col("band_val"))
+        allBands.join(hot, Seq("band", "band_val"), "left_anti")
+          .select(col("asset_id"), col("sig"), col("band"),
+            col("band_val"))
+    }
     val l = bands.select(col("band"), col("band_val"),
       col("asset_id").as("asset_id_a"), col("sig").as("sig_a"))
     val r = bands.select(col("band"), col("band_val"),

@@ -74,6 +74,16 @@ class ScaleStressSpec extends SparkSpec {
   private def emb = Tables.embeddings(spark, sf)
   private def docsX = ScaledTables.scaled(docs, factor,
     idCols = Seq("doc_id"), textCols = Seq("text"))
+  /** m05's ×8 fixture: perceptual-identity perturbation (per-replica
+    * block-grid shift via a per-doc reversed-prefix tail) instead of
+    * the token rename, which blockhash is invariant to — see the m05
+    * entry comment below. */
+  private def docsXPerc = docs
+    .withColumn("_rep", explode(sequence(lit(0L), lit(factor - 1L))))
+    .withColumn("doc_id", col("doc_id") * factor + col("_rep"))
+    .withColumn("text", expr("concat(text, substr(reverse(text), 1, " +
+      "CAST(_rep * ((length(text) + 31) div 32) AS INT)))"))
+    .drop("_rep")
   private def embX = ScaledTables.scaled(emb, factor,
     idCols = Seq("vec_id"), vecCols = Seq("embedding"))
 
@@ -306,17 +316,30 @@ class ScaleStressSpec extends SparkSpec {
     ("d20_cc_star",
       D.starContraction(D.embeddingNearDups(emb)),
       D.starContraction(D.embeddingNearDups(embX)), false),
-    // m05: banded blockhash near-dup — candidate volume is the risk,
-    // and here the ×8 factor MEASURES it: the per-replica bijective
-    // token rename keeps shingle-EQUALITY structure linear but
-    // perceptual signatures are robust to small edits BY DESIGN, so
-    // the 8 replicas of a doc stay at small Hamming from each other
-    // and pair volume grows ~×64 (the d11 pre-rename precedent);
-    // runtime grows ~×33 < ×64 — output-dominated, the operator
-    // itself stays linear in emitted pairs
+    // m05: banded blockhash near-dup — candidate volume is the risk.
+    // The shared token rename is the WRONG perturbation here: blockhash
+    // is invariant to uniform byte shifts BY DESIGN, so renamed
+    // replicas stayed at Hamming ~0 from each other and pair volume
+    // grew ~×64 — the r15 factor of 33.5 measured that manufactured
+    // duplication (the d11 pre-rename precedent), not the operator
+    // (bucket audit: top bucket held 3% of pairs — no hot key).
+    // The perceptual analogue of the vector dim-0 shove is a
+    // per-replica GRID SHIFT: appending rep·⌈n/32⌉ bytes of the doc's
+    // own reversed prefix (per-doc content — a shared constant tail
+    // would manufacture a hot key, the m06 lesson) changes the payload
+    // length, which moves all 64 block boundaries, so replica
+    // signatures decorrelate. Residual factor ~12 (from 33.5): after
+    // the striped-value filter removed the top attractors, candidate
+    // volume is ×45 (8.8k → 354k pairs) carried by NEAR-striped
+    // attractor values (e.g. '1110111101110111') whose cross-doc
+    // buckets grow ×8 in membership (max 19 → 150) — text-stub
+    // signature density, quadratic per attractor, bounded at any real
+    // scale by the 256 posting cap (which deliberately does NOT bind
+    // at this fixture: binding it here would be tuning the cap to the
+    // ratchet instead of to bounded per-bucket work).
     ("m05_perceptual_dedup",
       graft.operators.Multimodal.perceptualDedup(docs),
-      graft.operators.Multimodal.perceptualDedup(docsX), false),
+      graft.operators.Multimodal.perceptualDedup(docsXPerc), false),
     // m06: frame-sig Jaccard — the sig self-join is quadratic only
     // within one signature's posting list; the x8 rename keeps replica
     // frames distinct except degenerate (uniform) frames, so this

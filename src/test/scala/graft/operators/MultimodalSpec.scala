@@ -219,21 +219,52 @@ class PerceptualDedupSpec extends graft.SparkSpec {
   }
 
   test("perceptualDedup: near-identical payloads pair at small " +
-      "Hamming; band-colliding far payloads are verified away") {
+      "Hamming; band-colliding far payloads are verified away; " +
+      "identity-free payloads pair nothing") {
     import spark.implicits._
-    val uniform = "a" * 512
-    // a few flipped bytes: block means move slightly -> small Hamming
-    val nearDup = "a" * 500 + "zzzzzzzzzzzz"
-    // half-ramp: bands 0-1 match uniform's all-zero bands (candidate!)
-    // but full Hamming is 32 — the verify step must drop it
-    val ramp = "a" * 256 + "z" * 256
-    val docs = Seq((0L, uniform), (1L, nearDup), (2L, ramp))
+    // 512-byte payloads = 64 blocks of 8 bytes; a block of 'z' reads
+    // above the global mean ('1'), a block of 'a' below ('0'). P is an
+    // IRREGULAR 16-bit band pattern (the striped filter must keep it).
+    val P = "0010110011100101"
+    val comp = P.map(c => if (c == '1') '0' else '1')
+    def payload(bands: Seq[String]): String =
+      bands.flatMap(_.map(c => (if (c == '1') "z" else "a") * 8)).mkString
+    val doc0 = payload(Seq(P, P, P, P))
+    // two blocks flipped in band 3 only: bands 0-2 still collide, full
+    // Hamming is exactly 2 — the near-dup survives the verify step
+    val doc1 = payload(Seq(P, P, P, "11" + P.drop(2)))
+    // band 0 identical (candidate!) but bands 1-3 complemented:
+    // Hamming 48 — the verify step must drop it
+    val doc2 = payload(Seq(P, comp, comp, comp))
+    // uniform payload: all-'0' signature, every band striped — the
+    // identity-free filter removes it from the index entirely
+    val blank = "u" * 512
+    val docs = Seq((0L, doc0), (1L, doc1), (2L, doc2), (3L, blank))
       .toDF("doc_id", "text")
     val out = Multimodal.perceptualDedup(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(out.contains((0L, 1L)))
-    assert(out((0L, 1L)) <= 6L && out((0L, 1L)) >= 1L)
+    assert(out((0L, 1L)) == 2L)
     assert(!out.contains((0L, 2L)) && !out.contains((1L, 2L)))
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("perceptualDedup: the posting cap drops an over-dense bucket " +
+      "and only that bucket") {
+    import spark.implicits._
+    val P = "0010110011100101"
+    def payload(bands: Seq[String]): String =
+      bands.flatMap(_.map(c => (if (c == '1') "z" else "a") * 8)).mkString
+    // 5 byte-identical payloads share every band; with the cap at 3
+    // every shared bucket is over-dense, so no candidates survive;
+    // with the default cap they pair exhaustively (Hamming 0)
+    val docs = (0L until 5L).map(i => (i, payload(Seq(P, P, P, P))))
+      .toDF("doc_id", "text")
+    assert(Multimodal.perceptualDedup(docs,
+      maxBucket = Some(3)).count() == 0L)
+    assert(Multimodal.perceptualDedup(docs).count() == 10L)
+    assert(Multimodal.perceptualDedup(docs, maxBucket = None)
+      .count() == 10L)
   }
 
   test("perceptualDedup finds pairs on the fixture and stays " +
