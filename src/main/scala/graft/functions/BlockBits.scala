@@ -21,12 +21,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * near-identical payloads land at small Hamming distance where any
   * cryptographic digest flips half its bits.
   *
-  * All arithmetic is EXACT signed 64-bit integers — the mean compare
-  * is cross-multiplied (`blockSum·n > totalSum·blockLen`), never a
-  * float division, so the DuckDB oracle reproduces it bitwise.
-  * Overflow headroom: both sides are ≤ 255·n²/nBlocks·(1+nBlocks/n) ≈
-  * 4n² at nBlocks = 64, exact in Long for payloads up to ~1.5 GB —
-  * far past any single media asset this schema carries.
+  * All arithmetic is EXACT integers — the mean compare is
+  * cross-multiplied (`blockSum·n > totalSum·blockLen`), never a float
+  * division, so the DuckDB oracle reproduces it bitwise. Overflow
+  * discipline: both products are ≤ 255·n·maxBlockLen ≤ 255·n², which
+  * fits a signed 64-bit Long only for payloads under
+  * ~√(2⁶³/255) ≈ 190 MB (the bound is per-PAYLOAD, independent of
+  * nBlocks — at nBlocks = 1 one block IS the payload, so the old
+  * "~1.5 GB at nBlocks = 64" claim silently wrapped for big payloads
+  * at small block counts). Below that bound the compare is one Long
+  * multiply each side; at or above it the same compare runs exactly
+  * in 128 bits via Math.multiplyHigh — no value range silently flips
+  * a signature bit at any payload size the binary type can hold.
   *
   * Block layout: byte i belongs to block `i·nBlocks div n` — the
   * equal-span partition. Payloads shorter than nBlocks leave some
@@ -65,6 +71,24 @@ case class BlockBits(child: Expression, nBlocks: Int)
 
 /** Static helper invoked from generated code. */
 object BlockBitsUtil {
+
+  /** Payload sizes below this keep both cross-products inside a signed
+    * Long (255·n² < 2⁶³ → n < ~1.9e8); larger payloads take the exact
+    * 128-bit path. */
+  private val LongSafeBytes: Long = 190000000L
+
+  /** Exact `blockSum·n > total·blockLen` over nonnegative Longs: the
+    * 126-bit products are compared via their Math.multiplyHigh high
+    * words (nonnegative here, so the signed high word IS the unsigned
+    * one) then unsigned low words. */
+  private[graft] def exceeds(blockSum: Long, n: Long, total: Long,
+      blockLen: Long): Boolean = {
+    val hiL = Math.multiplyHigh(blockSum, n)
+    val hiR = Math.multiplyHigh(total, blockLen)
+    if (hiL != hiR) hiL > hiR
+    else java.lang.Long.compareUnsigned(blockSum * n, total * blockLen) > 0
+  }
+
   def compute(bytes: Array[Byte], nBlocks: Int): UTF8String = {
     val n = bytes.length.toLong
     val sums = new Array[Long](nBlocks)
@@ -79,10 +103,14 @@ object BlockBitsUtil {
       total += v
       i += 1
     }
+    val wide = n >= LongSafeBytes
     val out = new Array[Byte](nBlocks)
     var k = 0
     while (k < nBlocks) {
-      out(k) = if (sums(k) * n > total * lens(k)) '1'.toByte else '0'.toByte
+      val bit =
+        if (wide) exceeds(sums(k), n, total, lens(k))
+        else sums(k) * n > total * lens(k)
+      out(k) = if (bit) '1'.toByte else '0'.toByte
       k += 1
     }
     UTF8String.fromBytes(out)

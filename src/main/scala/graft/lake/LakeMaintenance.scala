@@ -48,6 +48,13 @@ object LakeMaintenance {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pdate", "phour")
       .parquet(lakeDir)
+    // The committed overwrite was the snapshot's LAST reader: release
+    // the anchor (reliable-checkpoint files would otherwise accumulate
+    // one full partition copy per maintenance run — cleanCheckpoints is
+    // off by default, so nothing else ever reclaims them). Deliberately
+    // NOT in a finally: if the overwrite fails midway, the snapshot may
+    // be the only durable copy of the partition — keep it for recovery.
+    graft.operators.Anchor.release(snapshot)
     rows
   }
 

@@ -177,6 +177,11 @@ class SparkLakeStorage(spark: SparkSession, root: String) extends LakeStorage {
       lakeOrEmpty.filter(col("kind") === "body")
         .select(col("book_id"), col("date"), col("hour")))
     snapshot.write.mode("overwrite").parquet(manifestDir)
+    // the committed overwrite was the snapshot's last reader — release
+    // the anchor so reliable-checkpoint runs don't leak a manifest copy
+    // per rebuild (released on success only: on a failed overwrite the
+    // snapshot stays available for a retry)
+    graft.operators.Anchor.release(snapshot)
   }
 
   private def manifestOrEmpty: DataFrame =

@@ -719,12 +719,16 @@ object TextAnalysis {
     val keptBase = basePool.join(retracted, Seq("doc_id"), "left_anti")
 
     // ---- p03: per-lang quality-ranked budget over the refreshed pool
-    val pool = keptBase.unionByName(deltaPool)
+    // is_delta is BRANCH PROVENANCE (which batch the row survived from),
+    // tagged literally at the union — never re-derived from the id (an
+    // id-range inference would silently misflag once fixture ids reach
+    // the re-key offset; the oracle's uni.batch column is the same tag)
+    val pool = keptBase.withColumn("is_delta", lit(false))
+      .unionByName(deltaPool.withColumn("is_delta", lit(true)))
       .select(col("doc_id"), col("lang"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
         qualityExpr(col("text")).as("quality"),
-        (col("doc_id") % 3 === 0 || col("doc_id") >= 1000000L)
-          .as("is_delta"))
+        col("is_delta"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("quality").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

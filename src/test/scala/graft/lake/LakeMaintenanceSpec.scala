@@ -43,4 +43,39 @@ class LakeMaintenanceSpec extends SparkSpec {
     assert(lakeAfter == lakeBefore)
     assert(storage.listBooks() == Seq(1L, 2L, 3L, 9L))
   }
+
+  test("compactPartition and rebuildManifest release their reliable " +
+      "snapshot anchors after the overwrite commits") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-compact-rel-")
+      .toFile.getAbsolutePath
+    val storage = new SparkLakeStorage(spark, root)
+    val ts = LocalDateTime.of(2026, 4, 2, 6, 0)
+    (1 to 2).foreach { i =>
+      storage.saveBooks(
+        Seq((i.toLong, s"h$i", s"b$i")).toDF("book_id", "header", "body"), ts)
+    }
+    val ckpt = Files.createTempDirectory("graft-ckpt-lake")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    def rddDirs: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(ckpt).iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-"))
+        .map(_.toString).toSeq
+    }
+    try {
+      // without release, each maintenance run would permanently leak a
+      // full partition copy into the checkpoint store
+      // (cleanCheckpoints is off by default)
+      assert(LakeMaintenance.compactPartition(
+        spark, root, "20260402", "06") == 4)
+      assert(rddDirs.isEmpty, s"compaction leaked anchors: $rddDirs")
+      storage.rebuildManifest()
+      assert(rddDirs.isEmpty, s"manifest rebuild leaked anchors: $rddDirs")
+      assert(storage.listBooks() == Seq(1L, 2L))
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
 }

@@ -218,6 +218,43 @@ class PerceptualDedupSpec extends graft.SparkSpec {
     assert(bits(Array(0, 0, 0, 0, 0, 0, 200, 200), 4) == "0001")
   }
 
+  test("BlockBitsUtil.exceeds: exact 128-bit compare agrees with " +
+      "BigInteger on Long-overflowing cross-products") {
+    import graft.functions.BlockBitsUtil
+    def oracle(a: Long, b: Long, c: Long, d: Long): Boolean = {
+      import java.math.BigInteger.valueOf
+      valueOf(a).multiply(valueOf(b))
+        .compareTo(valueOf(c).multiply(valueOf(d))) > 0
+    }
+    // the naive Long compare wraps on all of these (255-byte means over
+    // multi-hundred-MB payloads: sums ~255n, n ~2e8 -> products ~1e19)
+    val cases = Seq(
+      (255L * 200000000L, 200000000L, 255L * 200000000L, 199999999L),
+      (255L * 200000000L, 200000000L, 255L * 200000000L, 200000000L),
+      (Long.MaxValue / 3, 5L, Long.MaxValue / 5, 7L),
+      (1L << 62, 4L, (1L << 62) - 1L, 4L),
+      (0L, 123456789L, 1L, 1L),
+      (7L, 8L, 8L, 7L))
+    cases.foreach { case (a, b, c, d) =>
+      assert(BlockBitsUtil.exceeds(a, b, c, d) == oracle(a, b, c, d),
+        s"($a,$b,$c,$d)")
+      assert(BlockBitsUtil.exceeds(c, d, a, b) == oracle(c, d, a, b),
+        s"($c,$d,$a,$b)")
+    }
+    // deterministic pseudo-random sweep across magnitudes
+    var seed = 0x9e3779b97f4a7c15L
+    def next(bound: Long): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      java.lang.Long.remainderUnsigned(seed, bound)
+    }
+    (1 to 2000).foreach { _ =>
+      val a = next(255L * 300000000L); val b = next(300000000L)
+      val c = next(255L * 300000000L); val d = next(300000000L)
+      assert(BlockBitsUtil.exceeds(a, b, c, d) == oracle(a, b, c, d),
+        s"($a,$b,$c,$d)")
+    }
+  }
+
   test("perceptualDedup: near-identical payloads pair at small " +
       "Hamming; band-colliding far payloads are verified away; " +
       "identity-free payloads pair nothing") {

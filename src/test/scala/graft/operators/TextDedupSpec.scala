@@ -688,6 +688,16 @@ class RepetitionStatsSpec extends graft.SparkSpec {
     assert(n(2L) == 7L && n(24L) == 8L)
   }
 
+  test("fixture doc ids stay below the smallest re-key offset — " +
+      "p10's +1M and m06/m07's +3M/+6M/+9M re-keyed id spaces rely on " +
+      "disjointness from real ids") {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val mx = graft.Tables.documents(spark, s"/root/testdata/$sf")
+        .agg(max(col("doc_id"))).head.getLong(0)
+      assert(mx < 1000000L, s"$sf max doc_id $mx collides with re-keys")
+    }
+  }
+
   test("pretrainCorpusBuild: every stage's contract visible in the output") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = TextAnalysis.pretrainCorpusBuild(docs).collect()
