@@ -616,6 +616,26 @@ object SparkEntry {
     // t45: Heaps-law vocab growth over nested deterministic prefixes
     "t45_vocab_growth" -> ((s, d) =>
       T.vocabGrowth(Tables.documents(s, d))),
+    // --- round 16 ---
+    // t46: longest-match encode against the trained vocab — t43's twin
+    // at constant plan depth (merge list as broadcast DATA, not as
+    // |merges| unrolled replace operators)
+    "t46_bpe_longest_match" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = T.bpeTrain(docs, nMerges = 8).collect()
+        .sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      T.bpeLongestMatchEncode(docs, merges)
+    }),
+    // t47: detokenize round trip — decode(encode(text)) reproduces the
+    // whitespace-normalized text, md5-attested per doc
+    "t47_detok_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = T.bpeTrain(docs, nMerges = 8).collect()
+        .sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      T.detokenizeRoundTrip(docs, merges)
+    }),
     // p10: incremental corpus build — delta through the stored indexes
     // (d18 URL → d10 digest → p05 decontam incl. retroactive retraction
     // → p03 budget), oracle-checked vs the from-scratch union build
@@ -2147,7 +2167,7 @@ object SparkEntry {
     * between symbols) is the same representation bpeEncode documents;
     * `replace`'s left-to-right non-overlapping scan is the greedy fold
     * in both engines. */
-  private lazy val BpeEncodeOracle: String = {
+  private lazy val BpeTrainCtes: String = {
     val levels = (1 to 8).map { i =>
       val p = i - 1
       // NO inner stripMargin: the outer template strips once over the
@@ -2166,25 +2186,84 @@ object SparkEntry {
          |    ' ' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || ' ')
          |  AS s FROM v$p)"""
     }.mkString(",\n")
-    s"""WITH toks AS MATERIALIZED (SELECT doc_id, tok AS w
+    // fully stripped HERE (once): t43/t46/t47 compose it by plain
+    // concatenation, so no second stripMargin pass ever runs over the
+    // `||` concat operators inside.
+    s"""toks AS MATERIALIZED (SELECT doc_id, tok AS w
        |  FROM (SELECT doc_id,
        |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
        |  FROM documents) x WHERE tok <> ''),
        |v0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS wf,
        |    ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s
        |  FROM toks GROUP BY w),
-       |$levels,
-       |enc AS (SELECT w, CAST(len(string_split(trim(s, ' '), '  '))
-       |    AS BIGINT) AS n_pieces FROM v8),
-       |agg AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       |    CAST(SUM(e.n_pieces) AS BIGINT) AS n_pieces,
-       |    CAST(SUM(length(t.w)) AS BIGINT) AS n_chars
-       |  FROM toks t JOIN enc e USING (w) GROUP BY t.doc_id)
-       |SELECT doc_id, n_tokens, n_pieces, n_chars,
-       |  CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE)
-       |    AS chars_per_piece
-       |FROM agg ORDER BY doc_id""".stripMargin
+       |$levels""".stripMargin
   }
+
+  private lazy val BpeEncodeOracle: String =
+    s"WITH $BpeTrainCtes,\n" +
+    "enc AS (SELECT w, CAST(len(string_split(trim(s, ' '), '  '))\n" +
+    "    AS BIGINT) AS n_pieces FROM v8),\n" +
+    "agg AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,\n" +
+    "    CAST(SUM(e.n_pieces) AS BIGINT) AS n_pieces,\n" +
+    "    CAST(SUM(length(t.w)) AS BIGINT) AS n_chars\n" +
+    "  FROM toks t JOIN enc e USING (w) GROUP BY t.doc_id)\n" +
+    "SELECT doc_id, n_tokens, n_pieces, n_chars,\n" +
+    "  CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE)\n" +
+    "    AS chars_per_piece\n" +
+    "FROM agg ORDER BY doc_id"
+
+  /** t46: the longest-match encode — vocab symbols from the trained
+    * merge rows, per-position longest hit (the substring join is the
+    * trie), greedy cursor walk via a RECURSIVE CTE (the SQL twin of the
+    * Spark side's aggregate fold), then t43's fertility rollup. */
+  private lazy val BpeLongestMatchOracle: String =
+    s"WITH RECURSIVE $BpeTrainCtes,\n" +
+    "syms AS MATERIALIZED (SELECT DISTINCT a || b AS sym FROM (\n" +
+    (1 to 8).map(i => s"  SELECT a, b FROM m$i")
+      .mkString("", " UNION ALL\n", ") mm),\n") +
+    "words AS MATERIALIZED (SELECT DISTINCT w FROM toks),\n" +
+    "pos AS (SELECT w, CAST(i AS INT) AS pos FROM words,\n" +
+    "  UNNEST(range(1, length(w) + 1)) AS u(i)),\n" +
+    "mt AS (SELECT p.w, p.pos,\n" +
+    "    CAST(MAX(length(s.sym)) AS INT) AS mstep\n" +
+    "  FROM pos p JOIN syms s\n" +
+    "    ON substr(p.w, p.pos, length(s.sym)) = s.sym\n" +
+    "  GROUP BY p.w, p.pos),\n" +
+    "st AS MATERIALIZED (SELECT p.w, p.pos,\n" +
+    "    COALESCE(mt.mstep, 1) AS step\n" +
+    "  FROM pos p LEFT JOIN mt ON p.w = mt.w AND p.pos = mt.pos),\n" +
+    "wk AS (SELECT w, 1 AS pos FROM words\n" +
+    "  UNION ALL SELECT wk.w, wk.pos + st.step\n" +
+    "  FROM wk JOIN st ON st.w = wk.w AND st.pos = wk.pos),\n" +
+    "enc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_pieces\n" +
+    "  FROM wk WHERE pos <= length(w) GROUP BY w),\n" +
+    "agg AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,\n" +
+    "    CAST(SUM(e.n_pieces) AS BIGINT) AS n_pieces,\n" +
+    "    CAST(SUM(length(t.w)) AS BIGINT) AS n_chars\n" +
+    "  FROM toks t JOIN enc e USING (w) GROUP BY t.doc_id)\n" +
+    "SELECT doc_id, n_tokens, n_pieces, n_chars,\n" +
+    "  CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE)\n" +
+    "    AS chars_per_piece\n" +
+    "FROM agg ORDER BY doc_id"
+
+  /** t47: decode = delete every delimiter space from the replay string
+    * (symbols never contain spaces, so that IS piece concatenation);
+    * reassemble per doc in original token order, md5 both sides. */
+  private lazy val DetokRoundTripOracle: String =
+    s"WITH $BpeTrainCtes,\n" +
+    "tp AS (SELECT doc_id, l[i] AS w, CAST(i AS BIGINT) AS pos\n" +
+    "  FROM (SELECT doc_id,\n" +
+    "    string_split_regex(trim(text), '\\s+') AS l FROM documents) t,\n" +
+    "  UNNEST(range(1, len(l) + 1)) AS u(i) WHERE l[i] <> ''),\n" +
+    "dec AS (SELECT w, replace(s, ' ', '') AS w_decoded FROM v8),\n" +
+    "agg AS (SELECT tp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,\n" +
+    "    md5(string_agg(tp.w, ' ' ORDER BY tp.pos)) AS original_md5,\n" +
+    "    md5(string_agg(d.w_decoded, ' ' ORDER BY tp.pos))\n" +
+    "      AS decoded_md5\n" +
+    "  FROM tp JOIN dec d USING (w) GROUP BY tp.doc_id)\n" +
+    "SELECT doc_id, n_tokens, original_md5, decoded_md5,\n" +
+    "  (original_md5 = decoded_md5) AS round_trip_ok\n" +
+    "FROM agg ORDER BY doc_id"
 
   /** t41: oracle assembled FROM the Scala-side map and injection vals
     * so the byte sequences can never drift between engines. */
@@ -6067,6 +6146,8 @@ object SparkEntry {
     // t43: self-training oracle — 8 argmax+replace CTE levels, then the
     // same delimited-string encode and per-doc rollup
     "t43_bpe_encode" -> BpeEncodeOracle,
+    "t46_bpe_longest_match" -> BpeLongestMatchOracle,
+    "t47_detok_roundtrip" -> DetokRoundTripOracle,
     // p10: the from-scratch union build the incremental path must equal
     "p10_incremental_corpus" -> IncrementalBuildOracle,
     // p11: the identical left-associated margin over the p07 feature

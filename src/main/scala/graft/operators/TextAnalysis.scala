@@ -1702,21 +1702,22 @@ object TextAnalysis {
     * of rows — still broadcastable as a 2-column long map; if not,
     * the join degrades to a shuffle join on `w`, still one exchange).
     * The only float op is the final per-doc division — one IEEE
-    * divide, bitwise cross-engine. */
+    * divide, bitwise cross-engine.
+    *
+    * DEPTH BOUND: the replay compiles ONE `replace` expression per
+    * merge, so the plan is `|merges|` operators deep — exact BPE and
+    * ideal at fixture merge counts (≤ tens), but a production 32k-merge
+    * tokenizer would build a 32k-deep expression tree (analyzer
+    * recursion and codegen method-size limits fail far earlier). Past
+    * ~a hundred merges, encode with [[bpeLongestMatchEncode]] (t46):
+    * constant plan depth, vocabulary broadcast as DATA instead of
+    * unrolled as PLAN. */
   def bpeEncode(documents: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
     val docToks = Dedup.spread(documents)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
-    val vocab0 = docToks.select(col("w")).distinct()
-      .select(col("w"), concat(lit(" "),
-        array_join(expr("filter(split(w, ''), x -> x != '')"), "  "),
-        lit(" ")).as("s"))
-    val replayed = merges.foldLeft(vocab0) { case (v, (a, b)) =>
-      v.withColumn("s", call_function("replace", col("s"),
-        lit(s" $a  $b "), lit(s" $a$b ")))
-    }
-    val pieces = replayed.select(col("w"),
+    val pieces = replayedVocab(documents, merges).select(col("w"),
       size(split(trim(col("s")), "  ")).cast("long").as("n_pieces"))
     docToks.join(broadcast(pieces), Seq("w"))
       .groupBy(col("doc_id")).agg(
@@ -1727,6 +1728,164 @@ object TextAnalysis {
         col("n_chars"),
         (col("n_chars").cast("double") / col("n_pieces").cast("double"))
           .as("chars_per_piece"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The distinct-word table with each word's delimited replay string
+    * after applying `merges` in order — [[bpeEncode]]'s core, factored
+    * so the encode query, the longest-match parity spec, and the t47
+    * round-trip all read ONE definition of the replay law. */
+  private[operators] def replayedVocab(documents: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val vocab0 = Dedup.spread(documents)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .select(col("w"), concat(lit(" "),
+        array_join(expr("filter(split(w, ''), x -> x != '')"), "  "),
+        lit(" ")).as("s"))
+    merges.foldLeft(vocab0) { case (v, (a, b)) =>
+      v.withColumn("s", call_function("replace", col("s"),
+        lit(s" $a  $b "), lit(s" $a$b ")))
+    }
+  }
+
+  /** t46: LONGEST-MATCH encode against the trained vocabulary — the
+    * constant-plan-depth form of [[bpeEncode]]. The replay form builds
+    * one `replace` expression per merge: exact BPE and ideal at the
+    * fixture's 8 merges, but a real 32k-merge tokenizer would compile a
+    * 32k-deep expression tree (plan-size blowup past codegen limits —
+    * the depth bound the replay form's scaladoc states). This is the
+    * shape that scales: the merge list collapses to its SYMBOL SET once
+    * (32k rows, broadcast), and each vocabulary word is segmented by
+    * greedy maximal munch — at every position take the longest vocab
+    * symbol that matches, else one (unknown) character — so the plan
+    * has a FIXED number of operators regardless of merge count (the
+    * WordPiece/SentencePiece vocabulary-encode discipline; Song et al.
+    * 2021 "Fast WordPiece Tokenization" is the linear-time trie
+    * statement of the same walk).
+    *
+    * Greedy longest-match over a BPE vocab is NOT guaranteed
+    * piece-identical to merge-order replay in general — it diverges
+    * exactly where a vocab symbol straddles a replay boundary (vocab
+    * {an, ana} on 'banana': replay [b, an, ana], munch [b, ana, n, a];
+    * BpeSpec carries the counter-example). On the driver fixture's
+    * trained merges the two ARE piece-identical over every vocab word
+    * (spec-asserted, and re-checked at sf0.01 this round), which is
+    * what makes t43/t46 twin queries over the same corpus; both always
+    * satisfy the reassembly law (pieces concatenate to the word).
+    *
+    * Relational shape (no per-row vocab scan, no trie object — the trie
+    * is the equi-JOIN): explode each distinct word into (pos, len)
+    * candidate windows bounded by the longest symbol, broadcast-join
+    * the symbol set (equality on the substring = one hash probe per
+    * window), keep the longest hit per position, and fold the
+    * per-word step table once with a single `aggregate` (state =
+    * cursor + emitted pieces; positions the cursor skips are inert).
+    * Everything is vocab-scale; the corpus is touched only by the same
+    * broadcast fertility join [[bpeEncode]] uses.
+    *
+    * Output schema matches t43 exactly — same fertility law, different
+    * encoder — so the two queries are directly comparable. */
+  def bpeLongestMatchEncode(documents: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val pieces = longestMatchPieces(documents, merges)
+      .select(col("w"), size(col("pieces")).cast("long").as("n_pieces"))
+    val docToks = Dedup.spread(documents)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    docToks.join(broadcast(pieces), Seq("w"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+        col("n_chars"),
+        (col("n_chars").cast("double") / col("n_pieces").cast("double"))
+          .as("chars_per_piece"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** (w, pieces) via greedy longest-match — see
+    * [[bpeLongestMatchEncode]]. Exposed for the parity spec. */
+  private[operators] def longestMatchPieces(documents: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val syms = merges.map { case (a, b) => a + b }.distinct
+    val maxLen = (1 +: syms.map(_.length)).max
+    val words = Dedup.spread(documents)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val positions = words
+      .select(col("w"),
+        explode(sequence(lit(1), length(col("w")))).as("pos"))
+    val matched =
+      if (syms.isEmpty) positions.limit(0)
+        .withColumn("step", lit(1))
+      else positions
+        .select(col("w"), col("pos"),
+          explode(sequence(lit(2), lit(maxLen))).as("l"))
+        .filter(col("pos") + col("l") - 1 <= length(col("w")))
+        .withColumn("sym", expr("substring(w, pos, l)"))
+        .join(broadcast(syms.toDF("sym")), Seq("sym"))
+        .groupBy(col("w"), col("pos")).agg(max(col("l")).as("step"))
+    positions.join(matched, Seq("w", "pos"), "left")
+      .withColumn("step", coalesce(col("step"), lit(1)))
+      .groupBy(col("w"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("step"))))
+        .as("ps"))
+      .withColumn("pieces", expr(
+        """aggregate(ps,
+          |  named_struct('p', 1, 'out', CAST(array() AS ARRAY<STRING>)),
+          |  (acc, x) -> IF(x.pos = acc.p,
+          |    named_struct('p', acc.p + x.step,
+          |      'out', concat(acc.out,
+          |        array(substring(w, x.pos, x.step)))),
+          |    acc),
+          |  acc -> acc.out)""".stripMargin))
+      .select(col("w"), col("pieces"))
+  }
+
+  /** t47: the DETOKENIZE round trip — the invariant every pretraining
+    * pipeline asserts before shipping tokens: decode(encode(text))
+    * reproduces the text modulo whitespace normalization. Encoding is
+    * t43's replayed piece table ([[replayedVocab]] — one source of
+    * truth); decoding strips the delimiters (symbols never contain a
+    * space, so deleting every space from the replay string IS piece
+    * concatenation); reassembly joins each document's decoded tokens in
+    * their original order with single spaces, and the verdict compares
+    * md5 digests against the same-normalized original. A merge that
+    * glued across word boundaries, dropped a sentinel, or lost a
+    * character flips `round_trip_ok` on exactly the damaged docs.
+    *
+    * Scale: the corpus is tokenized with ORDER (posexplode) once; the
+    * decoded-word map is vocab-scale and broadcast; the reassembly is
+    * one doc_id-keyed aggregate whose state is the document's token
+    * list (bounded by document length — the same state every
+    * sessionizer carries). The md5 comparison makes the output
+    * counts-only verifiable at any scale. */
+  def detokenizeRoundTrip(documents: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val decoded = replayedVocab(documents, merges)
+      .select(col("w"),
+        call_function("replace", col("s"), lit(" "), lit(""))
+          .as("w_decoded"))
+    val toks = Dedup.spread(documents)
+      .select(col("doc_id"),
+        posexplode(expr("filter(split(trim(text), '\\\\s+'), " +
+          "x -> x != '')")).as(Seq("pos", "w")))
+    toks.join(broadcast(decoded), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w")), " ")).as("original_md5"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("w_decoded")))),
+          s => s.getField("w_decoded")), " ")).as("decoded_md5"))
+      .select(col("doc_id"), col("n_tokens"), col("original_md5"),
+        col("decoded_md5"),
+        (col("original_md5") === col("decoded_md5")).as("round_trip_ok"))
       .orderBy(col("doc_id"))
   }
 

@@ -296,6 +296,28 @@ class ScaleStressSpec extends SparkSpec {
     ("p10_incremental_corpus",
       T.incrementalCorpusBuild(docs), T.incrementalCorpusBuild(docsX),
       false),
+    // r16: t46 longest-match encode (t43's constant-depth twin: the
+    // timed plan is the position-window explode + broadcast symbol
+    // join + one fold, vocab-scale) and t47 round trip (one ordered
+    // corpus tokenize + broadcast decode map + doc-keyed reassembly)
+    ("t46_bpe_longest_match", {
+      val m = T.bpeTrain(docs, nMerges = 8).collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      T.bpeLongestMatchEncode(docs, m)
+    }, {
+      val mX = T.bpeTrain(docsX, nMerges = 8).collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      T.bpeLongestMatchEncode(docsX, mX)
+    }, false),
+    ("t47_detok_roundtrip", {
+      val m = T.bpeTrain(docs, nMerges = 8).collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      T.detokenizeRoundTrip(docs, m)
+    }, {
+      val mX = T.bpeTrain(docsX, nMerges = 8).collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      T.detokenizeRoundTrip(docsX, mX)
+    }, false),
     // d19 is the d16 family's REMOVAL face: linear in occurrences by
     // design (one wh->owner row per fingerprint, no pair join)
     ("d19_span_removal",

@@ -115,6 +115,101 @@ class BpeSpec extends SparkSpec {
     assert(out.getAs[Long]("n_chars") == 11L)
   }
 
+  test("longestMatchPieces (t46): piece-identical to the replay form " +
+      "over the driver fixture's trained merges; pieces always " +
+      "reassemble each word") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = TextAnalysis.bpeTrain(docs, nMerges = 8).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val lm = TextAnalysis.longestMatchPieces(docs, merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    // replay pieces from the shared replayedVocab (t43's law)
+    val replay = TextAnalysis.replayedVocab(docs, merges)
+      .select(col("w"), split(trim(col("s")), "  ").as("pieces"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(lm.keySet == replay.keySet && lm.nonEmpty)
+    lm.foreach { case (w, pieces) =>
+      assert(pieces == replay(w), s"word '$w': lm=$pieces replay=${replay(w)}")
+      assert(pieces.mkString == w, s"pieces don't reassemble '$w'")
+    }
+  }
+
+  test("longestMatchPieces diverges from replay where maximal munch " +
+      "overrides merge order (the documented general non-identity)") {
+    import spark.implicits._
+    // replay of (a,n),(an,a) segments 'banana' as [b, an, ana] (the
+    // FIRST 'an' merged before 'ana' exists); maximal munch grabs
+    // 'ana' at position 2 and strands the tail: [b, ana, n, a]. Both
+    // reassemble the word — identity holds only when no vocab symbol
+    // overlaps a replay boundary, which the driver-fixture test above
+    // verifies empirically for its corpus.
+    val docs = Seq((0L, "banana")).toDF("doc_id", "text")
+    val merges = Seq(("a", "n"), ("an", "a"))
+    val lm = TextAnalysis.longestMatchPieces(docs, merges).head()
+      .getSeq[String](1).toList
+    val replay = TextAnalysis.replayedVocab(docs, merges)
+      .select(split(trim(col("s")), "  ")).head().getSeq[String](0).toList
+    assert(replay == List("b", "an", "ana"))
+    assert(lm == List("b", "ana", "n", "a"))
+    assert(lm.mkString == "banana" && replay.mkString == "banana")
+  }
+
+  test("longestMatchPieces: maximal munch takes the longest symbol, " +
+      "unknown characters fall back to single chars") {
+    import spark.implicits._
+    // vocab symbols {ab, abc} from merges (a,b), (ab,c): at 'abcx' the
+    // walk must take 'abc' (not 'ab'), then unknowns 'x' char-by-char
+    val docs = Seq((0L, "abcx qq")).toDF("doc_id", "text")
+    val pieces = TextAnalysis.longestMatchPieces(docs,
+      Seq(("a", "b"), ("ab", "c"))).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(pieces("abcx") == List("abc", "x"))
+    assert(pieces("qq") == List("q", "q"))
+    // no merges at all: every word splits to characters
+    val none = TextAnalysis.longestMatchPieces(docs, Nil).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(none("abcx") == List("a", "b", "c", "x"))
+  }
+
+  test("bpeLongestMatchEncode (t46) equals bpeEncode (t43) row-for-row " +
+      "over the driver fixture's trained merges") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = TextAnalysis.bpeTrain(docs, nMerges = 8).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val a = TextAnalysis.bpeEncode(docs, merges).collect()
+      .map(_.toSeq).toSeq
+    val b = TextAnalysis.bpeLongestMatchEncode(docs, merges).collect()
+      .map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("detokenizeRoundTrip (t47): every doc round-trips; a boundary-" +
+      "gluing merge list is caught") {
+    val merges = TextAnalysis.bpeTrain(corpus, nMerges = 8).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val rows = TextAnalysis.detokenizeRoundTrip(corpus, merges).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("round_trip_ok"), s"doc ${r.getLong(0)}")
+      assert(r.getAs[String]("original_md5") ==
+        r.getAs[String]("decoded_md5"))
+    }
+    // whitespace normalization: padding/multi-space variants of the
+    // same tokens round-trip to the SAME digests
+    import spark.implicits._
+    val messy = Seq((7L, "  lower   lower\tnewer ")).toDF("doc_id", "text")
+    val clean = Seq((7L, "lower lower newer")).toDF("doc_id", "text")
+    val rm = TextAnalysis.detokenizeRoundTrip(messy, merges).head()
+    val rc = TextAnalysis.detokenizeRoundTrip(clean, merges).head()
+    assert(rm.getAs[Boolean]("round_trip_ok"))
+    assert(rm.getAs[String]("decoded_md5") ==
+      rc.getAs[String]("decoded_md5"))
+  }
+
   test("merged symbols stop matching their parts (non-overlap contract)") {
     import spark.implicits._
     // 'aaaa' x3: pairs (a,a)=9 → merge 1 yields 'aa','aa' per word;
