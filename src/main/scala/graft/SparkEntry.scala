@@ -669,7 +669,12 @@ object SparkEntry {
       T.annealSchedule(Tables.documents(s, d))),
     // p14: the per-source dataset card (datasheet rollup of t02/p08/d01)
     "p14_dataset_card" -> ((s, d) =>
-      T.datasetCard(Tables.documents(s, d)))
+      T.datasetCard(Tables.documents(s, d))),
+    // p15: source×source near-dup overlap matrix — p14's missing
+    // datasheet row (which sources copy which), d03/d04 band machinery
+    // with the d11 posting cap
+    "p15_source_overlap" -> ((s, d) =>
+      D.sourceOverlapMatrix(Tables.documents(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -6296,6 +6301,64 @@ object SparkEntry {
        "  n_drop_empty, n_drop_ppl, quality_fp_sum, n_dup_docs,\n" +
        "  CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS keep_frac\n" +
        "FROM agg ORDER BY source"),
+    // p15: d04's minhash-band CTEs + the d11 cap (HAVING <= 1000),
+    // distinct pairs attributed to unordered source pairs; diagonal
+    // rows count the involved-doc UNION on both sides
+    "p15_source_overlap" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(range(0, len(toks)-2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))
+        |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM t),
+        |g AS (SELECT doc_id, list_transform(range(0, 12), j ->
+        |  list_min(list_transform(sh, x ->
+        |    md5(concat(CAST(j AS VARCHAR), ':', x))))) AS sig FROM s),
+        |b AS (SELECT doc_id, list_transform(range(0, 4), k ->
+        |  md5(array_to_string(sig[k*3+1:k*3+3], '|'))) AS bands FROM g),
+        |e AS (SELECT doc_id, k AS band, bands[k+1] AS digest
+        |      FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS k) u),
+        |keepb AS (SELECT band, digest FROM e
+        |  GROUP BY band, digest HAVING COUNT(*) <= 1000),
+        |ec AS (SELECT e.* FROM e JOIN keepb USING (band, digest)),
+        |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM ec a JOIN ec b2 ON a.band = b2.band
+        |    AND a.digest = b2.digest AND a.doc_id < b2.doc_id),
+        |sd AS (SELECT doc_id, source FROM documents),
+        |ws AS (SELECT least(x.source, y.source) AS source_a,
+        |    greatest(x.source, y.source) AS source_b,
+        |    CASE WHEN x.source <= y.source THEN p.doc_a ELSE p.doc_b END
+        |      AS d_a,
+        |    CASE WHEN x.source <= y.source THEN p.doc_b ELSE p.doc_a END
+        |      AS d_b
+        |  FROM pr p JOIN sd x ON p.doc_a = x.doc_id
+        |    JOIN sd y ON p.doc_b = y.doc_id),
+        |np AS (SELECT source_a, source_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM ws GROUP BY 1, 2),
+        |rl AS (SELECT source_a, source_b, 'a' AS role, d_a AS doc FROM ws
+        |  UNION ALL SELECT source_a, source_b, 'b', d_b FROM ws
+        |  UNION ALL SELECT source_a, source_b, 'a', d_b FROM ws
+        |    WHERE source_a = source_b
+        |  UNION ALL SELECT source_a, source_b, 'b', d_a FROM ws
+        |    WHERE source_a = source_b),
+        |nd AS (SELECT source_a, source_b,
+        |    CAST(COUNT(DISTINCT CASE WHEN role = 'a' THEN doc END)
+        |      AS BIGINT) AS n_docs_a,
+        |    CAST(COUNT(DISTINCT CASE WHEN role = 'b' THEN doc END)
+        |      AS BIGINT) AS n_docs_b
+        |  FROM rl GROUP BY 1, 2),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM documents GROUP BY source)
+        |SELECT np.source_a, np.source_b, np.n_pairs, nd.n_docs_a,
+        |  nd.n_docs_b, za.sz AS size_a, zb.sz AS size_b,
+        |  CAST(nd.n_docs_a AS DOUBLE) / CAST(za.sz AS DOUBLE) AS frac_a,
+        |  CAST(nd.n_docs_b AS DOUBLE) / CAST(zb.sz AS DOUBLE) AS frac_b
+        |FROM np JOIN nd USING (source_a, source_b)
+        |JOIN sz za ON np.source_a = za.source
+        |JOIN sz zb ON np.source_b = zb.source
+        |ORDER BY source_a, source_b""".stripMargin,
     // p13: p11's margin chain (feature fragments reused verbatim, no
     // verdict join), keepers ranked by the exact (margin, doc_id)
     // order, phase terciles against the exact keeper count, laid onto

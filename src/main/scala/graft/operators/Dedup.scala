@@ -343,6 +343,99 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** p15: the SOURCE×SOURCE near-dup OVERLAP MATRIX — the datasheet row
+    * p14's per-source card is missing: which sources copy which
+    * (Datasheets for Datasets' provenance-overlap question; Dolma and
+    * the C4/Pile analyses report exactly this cross-source duplication
+    * table before fixing mixture weights, because budgeting two sources
+    * as independent when one mirrors the other double-counts content).
+    * For every unordered source pair: MinHash-band candidate pair count
+    * (the d04 estimator — band collision ≈ Jaccard above the band
+    * threshold), the distinct documents of each side involved, source
+    * sizes, and the involved fraction per side (frac_a = what share of
+    * source_a has a near-dup in source_b — the "who copies whom"
+    * number; for the diagonal both sides read the same involved-doc
+    * union).
+    *
+    * Candidates are CAPPED by the d11 discipline (`maxBucket`, default
+    * [[DefaultMaxDocFreq]]): a (band, digest) bucket larger than the
+    * cap is boilerplate-density enumeration (Θ(cap²) pairs of near-zero
+    * provenance signal) and is dropped whole; the recall cost is pairs
+    * whose EVERY agreeing band is over-cap — the d02/d04 trade,
+    * documented there. Pass None for exact banding.
+    *
+    * Scale: signatures are [[withMinhash]]'s one relational pass; the
+    * banded self-join shuffles only band collisions (both sides reuse
+    * one exchange); pair→source attribution is two joins against the
+    * (doc_id, source) projection; everything after is agg over ≤
+    * |sources|² rows with broadcast size joins. */
+  def sourceOverlapMatrix(documents: DataFrame,
+      maxBucket: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
+    val src = documents.select(col("doc_id"), col("source"))
+    val banded = withMinhash(documents)
+      .select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band", "digest")))
+    val capped = maxBucket match {
+      case None => banded
+      case Some(cap) =>
+        val hot = banded.groupBy(col("band"), col("digest"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+          .select(col("band"), col("digest"))
+        banded.join(hot, Seq("band", "digest"), "left_anti")
+          .select(col("doc_id"), col("band"), col("digest"))
+    }
+    val pairs = capped.toDF("doc_a", "band", "digest")
+      .join(capped.toDF("doc_b", "band_b", "digest_b"),
+        col("band") === col("band_b") &&
+          col("digest") === col("digest_b") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val withSrc = pairs
+      .join(src.toDF("doc_a", "src_a"), "doc_a")
+      .join(src.toDF("doc_b", "src_b"), "doc_b")
+      .select(
+        least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        when(col("src_a") <= col("src_b"), col("doc_a"))
+          .otherwise(col("doc_b")).as("d_a"),
+        when(col("src_a") <= col("src_b"), col("doc_b"))
+          .otherwise(col("doc_a")).as("d_b"))
+    val nPairs = withSrc.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    // role rows: on the diagonal a pair's BOTH docs belong to the one
+    // source, so both feed both sides' involved-doc counts (the union)
+    val roles = withSrc.select(col("source_a"), col("source_b"),
+        explode(when(col("source_a") === col("source_b"),
+          array(struct(lit("a").as("role"), col("d_a").as("doc")),
+            struct(lit("a").as("role"), col("d_b").as("doc")),
+            struct(lit("b").as("role"), col("d_a").as("doc")),
+            struct(lit("b").as("role"), col("d_b").as("doc"))))
+          .otherwise(
+            array(struct(lit("a").as("role"), col("d_a").as("doc")),
+              struct(lit("b").as("role"), col("d_b").as("doc")))))
+          .as("r"))
+      .select(col("source_a"), col("source_b"),
+        col("r.role").as("role"), col("r.doc").as("doc"))
+    val nDocs = roles.groupBy(col("source_a"), col("source_b"))
+      .agg(
+        countDistinct(when(col("role") === "a", col("doc")))
+          .as("n_docs_a"),
+        countDistinct(when(col("role") === "b", col("doc")))
+          .as("n_docs_b"))
+    val sizes = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("sz"))
+    nPairs.join(nDocs, Seq("source_a", "source_b"))
+      .join(broadcast(sizes.toDF("source_a", "size_a")), "source_a")
+      .join(broadcast(sizes.toDF("source_b", "size_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        col("n_docs_a"), col("n_docs_b"), col("size_a"), col("size_b"),
+        (col("n_docs_a").cast("double") / col("size_a").cast("double"))
+          .as("frac_a"),
+        (col("n_docs_b").cast("double") / col("size_b").cast("double"))
+          .as("frac_b"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Incremental exact dedup — the production shape: a NEW batch arrives
     * and must be deduped against the corpus WITHOUT rescanning it. The
     * corpus is represented by its digest index (content_md5 → kept

@@ -309,6 +309,10 @@ class ScaleStressSpec extends SparkSpec {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       T.bpeLongestMatchEncode(docsX, mX)
     }, false),
+    // p15: d04's banded candidate join (exchange-reused, d11-capped)
+    // + two source-attribution joins + sources² aggregation
+    ("p15_source_overlap",
+      D.sourceOverlapMatrix(docs), D.sourceOverlapMatrix(docsX), false),
     ("t47_detok_roundtrip", {
       val m = T.bpeTrain(docs, nMerges = 8).collect().sortBy(_.getInt(0))
         .map(r => (r.getString(1), r.getString(2))).toSeq

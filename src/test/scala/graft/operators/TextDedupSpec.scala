@@ -496,6 +496,61 @@ class IncrementalDedupSpec extends graft.SparkSpec {
 }
 
 /** Posting-list frequency cap (the boilerplate guard for web-scale corpora). */
+/** p15: the source×source near-dup overlap matrix. */
+class SourceOverlapSpec extends graft.SparkSpec {
+  test("sourceOverlapMatrix: cross-source copies land in the right " +
+      "cells; the diagonal counts the involved-doc union; fractions " +
+      "read off source sizes") {
+    import spark.implicits._
+    val copyA = "tiger river dances over bright stones daily"
+    val copyB = "silver harbor boats drift past sleepy lighthouse keepers"
+    val docs = Seq(
+      (1L, "quiet mountain breeze carries long winter tales", "s1"),
+      (2L, "fresh valley morning brings calm golden light", "s1"),
+      (3L, copyA, "s1"),
+      (4L, copyA, "s2"), // s1↔s2 and s2↔s3 and s1↔s3 via the trio
+      (5L, "young foxes chase autumn leaves across empty fields", "s2"),
+      (6L, copyA, "s3"),
+      (7L, copyB, "s3"),
+      (8L, copyB, "s3")  // intra-s3 pair
+    ).toDF("doc_id", "text", "source")
+    val m = Dedup.sourceOverlapMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getDouble(7), r.getDouble(8)))).toMap
+    assert(m.keySet == Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3"),
+      ("s3", "s3")))
+    assert(m(("s1", "s2")) == ((1L, 1L, 1L, 3L, 2L, 1.0 / 3.0, 0.5)))
+    assert(m(("s1", "s3")) == ((1L, 1L, 1L, 3L, 3L, 1.0 / 3.0, 1.0 / 3.0)))
+    assert(m(("s2", "s3")) == ((1L, 1L, 1L, 2L, 3L, 0.5, 1.0 / 3.0)))
+    // diagonal: pair (7,8) involves {7,8} on BOTH sides of source s3
+    assert(m(("s3", "s3")) == ((1L, 2L, 2L, 3L, 3L, 2.0 / 3.0, 2.0 / 3.0)))
+  }
+
+  test("sourceOverlapMatrix: the d11 bucket cap drops over-dense " +
+      "buckets and only those") {
+    import spark.implicits._
+    val copyA = "tiger river dances over bright stones daily"
+    val copyB = "silver harbor boats drift past sleepy lighthouse keepers"
+    val docs = Seq(
+      (3L, copyA, "s1"), (4L, copyA, "s2"), (6L, copyA, "s3"),
+      (7L, copyB, "s3"), (8L, copyB, "s3")
+    ).toDF("doc_id", "text", "source")
+    // cap 2: copyA's 3-doc buckets dropped, copyB's 2-doc buckets kept
+    val capped = Dedup.sourceOverlapMatrix(docs, maxBucket = Some(2))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(capped == Map(("s3", "s3") -> 1L))
+    // cap 1: everything shared is over-cap — empty matrix
+    assert(Dedup.sourceOverlapMatrix(docs, maxBucket = Some(1))
+      .count() == 0L)
+    // exact: all 3 trio pairs + the intra pair
+    val exact = Dedup.sourceOverlapMatrix(docs, maxBucket = None)
+      .agg(org.apache.spark.sql.functions.sum("n_pairs")).head().getLong(0)
+    assert(exact == 4L)
+  }
+}
+
 class PostingCapSpec extends graft.SparkSpec {
   test("maxDocFreq drops shingles shared by more docs than the cap") {
     import spark.implicits._
