@@ -636,6 +636,18 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       T.detokenizeRoundTrip(docs, merges)
     }),
+    // t48: tokenizer fertility by source — the tokenizer-fairness
+    // datasheet row (who pays more pieces per word)
+    "t48_fertility_by_source" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = T.bpeTrain(docs, nMerges = 8).collect()
+        .sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      T.fertilityBySource(docs, merges)
+    }),
+    // p16: the data-constrained epoch/repeat plan (Muennighoff 2023)
+    "p16_epoch_plan" -> ((s, d) =>
+      graft.operators.Sampling.epochPlan(Tables.documents(s, d))),
     // p10: incremental corpus build — delta through the stored indexes
     // (d18 URL → d10 digest → p05 decontam incl. retroactive retraction
     // → p03 budget), oracle-checked vs the from-scratch union build
@@ -6153,6 +6165,51 @@ object SparkEntry {
     "t43_bpe_encode" -> BpeEncodeOracle,
     "t46_bpe_longest_match" -> BpeLongestMatchOracle,
     "t47_detok_roundtrip" -> DetokRoundTripOracle,
+    // t48: the v8 piece table rolled up by source instead of doc
+    "t48_fertility_by_source" ->
+      (s"WITH $BpeTrainCtes,\n" +
+       "enc AS (SELECT w, CAST(len(string_split(trim(s, ' '), '  '))\n" +
+       "    AS BIGINT) AS n_pieces FROM v8),\n" +
+       "ts AS (SELECT t.doc_id, d.source, t.w FROM toks t\n" +
+       "  JOIN (SELECT doc_id, source FROM documents) d USING (doc_id))\n" +
+       "SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,\n" +
+       "  CAST(COUNT(*) AS BIGINT) AS n_tokens,\n" +
+       "  CAST(SUM(e.n_pieces) AS BIGINT) AS n_pieces,\n" +
+       "  CAST(SUM(length(w)) AS BIGINT) AS n_chars,\n" +
+       "  CAST(SUM(length(w)) AS DOUBLE) / CAST(SUM(e.n_pieces) AS DOUBLE)\n" +
+       "    AS chars_per_piece,\n" +
+       "  CAST(SUM(e.n_pieces) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)\n" +
+       "    AS pieces_per_token\n" +
+       "FROM ts JOIN enc e USING (w) GROUP BY source ORDER BY source"),
+    // p16: quantized-sqrt weights (t08/temperatureMix law), target =
+    // floor(B · (w/Σw)) with the divide FIRST (same IEEE tree both
+    // engines), integer ceil-div epochs capped at 4
+    "p16_epoch_plan" ->
+      """WITH c AS (SELECT source,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+        |    AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY source),
+        |w AS (SELECT source, n_tokens,
+        |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000)
+        |    AS BIGINT) AS weight_fp FROM c),
+        |t AS (SELECT CAST(SUM(weight_fp) AS BIGINT) AS tot FROM w),
+        |p AS (SELECT w.source, w.n_tokens, w.weight_fp,
+        |  CAST(floor(60000.0 * (CAST(w.weight_fp AS DOUBLE) /
+        |    CAST(t.tot AS DOUBLE))) AS BIGINT) AS target_tokens
+        | FROM w CROSS JOIN t),
+        |e AS (SELECT *, least(greatest(
+        |    (target_tokens + n_tokens - 1) // n_tokens, 1), 4) AS epochs
+        |  FROM p),
+        |sv AS (SELECT *, least(target_tokens, epochs * n_tokens)
+        |    AS served_tokens FROM e)
+        |SELECT source, n_tokens, weight_fp, target_tokens,
+        |  CAST(epochs AS BIGINT) AS epochs, served_tokens,
+        |  target_tokens - served_tokens AS deficit,
+        |  CASE WHEN served_tokens > 0 THEN
+        |    CAST(served_tokens - least(served_tokens, n_tokens) AS DOUBLE)
+        |      / CAST(served_tokens AS DOUBLE)
+        |  ELSE 0.0 END AS repeat_frac
+        |FROM sv ORDER BY source""".stripMargin,
     // p10: the from-scratch union build the incremental path must equal
     "p10_incremental_corpus" -> IncrementalBuildOracle,
     // p11: the identical left-associated margin over the p07 feature

@@ -442,6 +442,61 @@ object Sampling {
     * ONE shard-keyed partial aggregate → 16 rows. Nothing else moves.
     * At larger scale widen the shard prefix (2 hex digits → 256
     * shards), exactly as [[packSequences]] documents. */
+  /** p16: the EPOCH / REPEAT PLAN under a token budget — the
+    * data-constrained scheduling table (Muennighoff et al. 2023
+    * "Scaling Data-Constrained Language Models": repeating a source up
+    * to ~4 epochs is nearly as good as fresh data, returns decay fast
+    * beyond that). Per source: exact unique-token count, the
+    * temperature-α=½ mixture weight ([[temperatureMix]]'s quantized-
+    * sqrt law — IEEE sqrt is correctly rounded, a general pow is not),
+    * the budget's target token allocation, the integral epoch count the
+    * cap allows, the tokens actually servable, the deficit the cap
+    * refuses (reported, NOT silently reallocated — reallocation is
+    * p03's budget job and hiding a deficit is how a mixture silently
+    * drifts), and the repeated-token fraction.
+    *
+    * Cross-engine arithmetic: weights are order-free exact integer
+    * sums (floor(sqrt(n)·10⁶)); the target is floor(B · (w/Σw)) with
+    * the division FIRST — one IEEE divide then one multiply of an
+    * exact small integer, the same expression tree in DuckDB, so the
+    * floor can never straddle engines; epochs are pure integer
+    * ceil-div; the only other float is the final repeat_frac divide.
+    *
+    * Scale: one narrow corpus scan → per-source token sums (broadcast
+    * back over ≤ |sources| rows); everything else is model-scale. */
+  def epochPlan(documents: DataFrame, budgetTokens: Long = 60000L,
+      maxEpochs: Int = 4): DataFrame = {
+    val counts = documents
+      .groupBy(col("source"))
+      .agg(sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+        .as("n_tokens"))
+      .withColumn("weight_fp",
+        floor(sqrt(col("n_tokens").cast("double")) * 1000000).cast("long"))
+    val tot = counts.agg(sum(col("weight_fp")).as("tot"))
+    counts.join(broadcast(tot))
+      .withColumn("target_tokens",
+        floor(lit(budgetTokens.toDouble) *
+          (col("weight_fp").cast("double") / col("tot").cast("double")))
+          .cast("long"))
+      .withColumn("epochs",
+        least(greatest(
+          expr("(target_tokens + n_tokens - 1) div n_tokens"), lit(1L)),
+          lit(maxEpochs.toLong)))
+      .withColumn("served_tokens",
+        least(col("target_tokens"), col("epochs") * col("n_tokens")))
+      .withColumn("deficit", col("target_tokens") - col("served_tokens"))
+      .withColumn("repeat_frac",
+        when(col("served_tokens") > 0,
+          (col("served_tokens") -
+            least(col("served_tokens"), col("n_tokens"))).cast("double") /
+            col("served_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .select(col("source"), col("n_tokens"), col("weight_fp"),
+        col("target_tokens"), col("epochs"), col("served_tokens"),
+        col("deficit"), col("repeat_frac"))
+      .orderBy(col("source"))
+  }
+
   /** Renders an exact integer checksum sum as the published
     * fixed-width decimal string (39 chars — one more than the
     * DECIMAL(38,0) accumulator can ever need, so no value truncates).

@@ -1846,6 +1846,45 @@ object TextAnalysis {
       .select(col("w"), col("pieces"))
   }
 
+  /** t48: TOKENIZER FERTILITY BY SOURCE — the tokenizer-fairness
+    * datasheet row (Ahia et al. 2023 "Do All Languages Cost the Same?":
+    * a tokenizer trained on a skewed mixture fragments the
+    * under-represented slices into more pieces per word, so their
+    * documents cost more tokens per character — measured here per
+    * SOURCE over the corpus-trained merge list). Per source: document,
+    * token, piece, and char totals plus the two fertility ratios
+    * (chars_per_piece — higher is better compression for that slice;
+    * pieces_per_token — the per-word fragmentation factor). The table a
+    * release ships next to p14's card to show which slices the
+    * tokenizer serves worst.
+    *
+    * Scale: t43's vocab-replay pieces broadcast back to the exploded
+    * token stream, one (source)-keyed partial agg over the corpus scan
+    * (distinct-doc count rides the same shuffle); two IEEE divides per
+    * output row. */
+  def fertilityBySource(documents: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val pieces = replayedVocab(documents, merges).select(col("w"),
+      size(split(trim(col("s")), "  ")).cast("long").as("n_pieces"))
+    val docToks = Dedup.spread(documents)
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    docToks.join(broadcast(pieces), Seq("w"))
+      .groupBy(col("source")).agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_pieces"), col("n_chars"),
+        (col("n_chars").cast("double") / col("n_pieces").cast("double"))
+          .as("chars_per_piece"),
+        (col("n_pieces").cast("double") / col("n_tokens").cast("double"))
+          .as("pieces_per_token"))
+      .orderBy(col("source"))
+  }
+
   /** t47: the DETOKENIZE round trip — the invariant every pretraining
     * pipeline asserts before shipping tokens: decode(encode(text))
     * reproduces the text modulo whitespace normalization. Encoding is

@@ -313,6 +313,21 @@ class ScaleStressSpec extends SparkSpec {
     // + two source-attribution joins + sources² aggregation
     ("p15_source_overlap",
       D.sourceOverlapMatrix(docs), D.sourceOverlapMatrix(docsX), false),
+    // p16: one narrow corpus scan + model-scale source math (the
+    // 1-row total broadcast cross is intended)
+    ("p16_epoch_plan",
+      graft.operators.Sampling.epochPlan(docs),
+      graft.operators.Sampling.epochPlan(docsX), true),
+    // t48: t43's piece broadcast + one source-keyed corpus agg
+    ("t48_fertility_by_source", {
+      val m = T.bpeTrain(docs, nMerges = 8).collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      T.fertilityBySource(docs, m)
+    }, {
+      val mX = T.bpeTrain(docsX, nMerges = 8).collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      T.fertilityBySource(docsX, mX)
+    }, false),
     ("t47_detok_roundtrip", {
       val m = T.bpeTrain(docs, nMerges = 8).collect().sortBy(_.getInt(0))
         .map(r => (r.getString(1), r.getString(2))).toSeq

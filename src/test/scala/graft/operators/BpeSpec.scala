@@ -210,6 +210,20 @@ class BpeSpec extends SparkSpec {
       rc.getAs[String]("decoded_md5"))
   }
 
+  test("fertilityBySource (t48): per-source totals and both fertility " +
+      "ratios read off a crafted two-source corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ab ab cd", "s1"),   // ab→[ab]=1, cd→[c,d]=2
+      (2L, "abab xy", "s2"),    // abab→[ab,ab]=2, xy→[x,y]=2
+      (3L, "ab", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.fertilityBySource(docs, Seq(("a", "b")))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(out("s1") == Seq(1L, 3L, 4L, 6L, 1.5, 4.0 / 3.0))
+    assert(out("s2") == Seq(2L, 3L, 5L, 8L, 1.6, 5.0 / 3.0))
+  }
+
   test("merged symbols stop matching their parts (non-overlap contract)") {
     import spark.implicits._
     // 'aaaa' x3: pairs (a,a)=9 → merge 1 yields 'aa','aa' per word;

@@ -283,6 +283,49 @@ class ShardManifestSpec extends graft.SparkSpec {
   }
 }
 
+/** p16: the data-constrained epoch/repeat plan. */
+class EpochPlanSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("epochPlan: sqrt-quantized weights, floor targets, capped " +
+      "ceil-div epochs, deficit reported not reallocated") {
+    import spark.implicits._
+    // exact token counts: 900 and 100 → weights 30e6/10e6 → shares ¾/¼
+    val docs = Seq(
+      (1L, Seq.fill(900)("tok").mkString(" "), "big"),
+      (2L, Seq.fill(100)("tok").mkString(" "), "small")
+    ).toDF("doc_id", "text", "source")
+    val out = Sampling.epochPlan(docs, budgetTokens = 4000L)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    // big: target 3000, ceil(3000/900)=4 (inside the cap), served 3000,
+    // no deficit, repeat 2100/3000
+    assert(out("big") == Seq(900L, 30000000L, 3000L, 4L, 3000L, 0L, 0.7))
+    // small: target 1000 wants 10 epochs, cap 4 → served 400,
+    // deficit 600 SURFACES, repeat 300/400
+    assert(out("small") ==
+      Seq(100L, 10000000L, 1000L, 4L, 400L, 600L, 0.75))
+  }
+
+  test("epochPlan: a source inside its budget runs one epoch with " +
+      "zero repeats; budget conservation holds") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(400)("tok").mkString(" "), "a"),
+      (2L, Seq.fill(400)("tok").mkString(" "), "b")
+    ).toDF("doc_id", "text", "source")
+    val rows = Sampling.epochPlan(docs, budgetTokens = 400L).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("epochs") == 1L)
+      assert(r.getAs[Double]("repeat_frac") == 0.0)
+      assert(r.getAs[Long]("deficit") == 0L)
+      assert(r.getAs[Long]("served_tokens") == 200L)
+    }
+    // targets partition the budget up to floor rounding
+    val tgt = rows.map(_.getAs[Long]("target_tokens")).sum
+    assert(tgt <= 400L && tgt >= 398L)
+  }
+}
+
 /** p13: the staged-pretraining (two-stage/anneal) schedule export. */
 class AnnealScheduleSpec extends graft.SparkSpec {
   import org.apache.spark.sql.functions._
