@@ -298,6 +298,10 @@ object SparkEntry {
     // m07: set-vs-sequence similarity — the re-edit/recut detector
     "m07_sequence_dedup" -> ((s, d) =>
       graft.operators.Multimodal.sequenceDedup(Tables.documents(s, d))),
+    // m08: modality-aware sequence packing manifest (p06's law with
+    // per-modality token cost)
+    "m08_multimodal_packing" -> ((s, d) =>
+      graft.operators.Multimodal.multimodalPacking(Tables.documents(s, d))),
     // --- round 8 additions: runtime filtering, IVM, lakehouse reads ---
     "j01_bloom_join" -> ((s, d) =>
       graft.operators.BloomJoin.bloomJoinRevenue(Tables.orders(s, d),
@@ -4392,6 +4396,42 @@ object SparkEntry {
         |LEFT JOIN shs sa ON sa.asset_id = c.video_a
         |LEFT JOIN shs sb ON sb.asset_id = c.video_b
         |ORDER BY c.video_a, c.video_b""".stripMargin,
+    // m08: t12's packing law with per-modality token costs read off
+    // m01's envelope laws (duration = bytes·40, frames = ceil(bytes/256))
+    "m08_multimodal_packing" ->
+      """WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |    AS text_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
+        |    AS media_type
+        | FROM documents),
+        |m AS (SELECT *, n_bytes * 40 AS duration_ms,
+        |  CAST(ceil(CAST(n_bytes AS DOUBLE) / 256.0) AS BIGINT)
+        |    AS n_frames FROM t),
+        |i AS (SELECT doc_id, media_type, text_tokens,
+        |  CAST(CASE WHEN media_type = 'image' THEN 576
+        |       WHEN media_type = 'audio' THEN duration_ms // 80
+        |       ELSE n_frames * 64 END AS BIGINT) AS media_tokens,
+        |  substr(h, 1, 1) AS shard, substr(h, 1, 8) AS shuffle_key
+        | FROM m),
+        |c AS (SELECT *, text_tokens + media_tokens AS item_tokens FROM i),
+        |d AS (SELECT *, CAST(COALESCE(SUM(item_tokens) OVER (
+        |    PARTITION BY shard ORDER BY shuffle_key, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cum_before FROM c)
+        |SELECT shard, CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(COALESCE(SUM(CASE WHEN media_type = 'image' THEN 1 END),
+        |    0) AS BIGINT) AS n_image,
+        |  CAST(COALESCE(SUM(CASE WHEN media_type = 'audio' THEN 1 END),
+        |    0) AS BIGINT) AS n_audio,
+        |  CAST(COALESCE(SUM(CASE WHEN media_type = 'video' THEN 1 END),
+        |    0) AS BIGINT) AS n_video,
+        |  CAST(SUM(text_tokens) AS BIGINT) AS text_tokens,
+        |  CAST(SUM(media_tokens) AS BIGINT) AS media_tokens,
+        |  CAST(SUM(item_tokens) AS BIGINT) AS total_tokens
+        |FROM d GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
     // the bloom pre-filter has no false negatives, so the pruned join
     // must equal this plain join bitwise — the oracle knows nothing
     // about the bloom

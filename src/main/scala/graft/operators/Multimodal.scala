@@ -270,6 +270,73 @@ object Multimodal {
       .orderBy(col("asset_id_a"), col("asset_id_b"))
   }
 
+  /** m08: MODALITY-AWARE SEQUENCE PACKING — the multimodal face of
+    * p06's packing manifest (the MM1/Chameleon/Flamingo intake shape:
+    * interleaved documents where the text and the attached media both
+    * spend the sequence's token budget, and media spends it by a
+    * MODALITY LAW, not by byte count). Each document is one multimodal
+    * item: its text token count plus its attachment's cost —
+    * image = 576 (the ViT-L/14@336 patch budget), audio =
+    * duration_ms ÷ 80 (a 12.5-token/s codec rate), video =
+    * n_frames × 64 (64 patch-tokens per sampled frame) — all read off
+    * [[withMetadata]]'s envelope, so swapping the decode stub for real
+    * codecs changes the ENVELOPE inputs, never the packing law. Items
+    * pack with p06's exact discipline (md5-shard, shuffle-key order,
+    * running-sum prefix division — the deterministic permutation IS
+    * the training order) and the output is the per-sequence manifest:
+    * item/modality counts and the text/media/total token spend.
+    *
+    * Token arithmetic is all exact integers (one multiply + one floor
+    * div per row); the only per-sequence law is the p06 cumulative
+    * window.
+    *
+    * Scale: one scan computes every cost column (codegen, payload
+    * pruned at the projection); the pack is p06's shard-parallel
+    * running sum (16-way here, widen the shard prefix at scale exactly
+    * as [[Sampling.packSequences]] documents); the manifest is one
+    * (shard, seq)-keyed partial agg. */
+  def multimodalPacking(documents: DataFrame,
+      seqTokens: Long = 2048L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val meta = withMetadata(assetsFrom(documents))
+      .select(col("asset_id").as("doc_id"), col("media_type"),
+        col("duration_ms"), col("n_frames"))
+    val items = documents.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long")
+          .as("text_tokens"))
+      .join(meta, "doc_id")
+      .withColumn("media_tokens",
+        when(col("media_type") === "image", lit(576L))
+          .when(col("media_type") === "audio",
+            expr("duration_ms div 80"))
+          .otherwise(col("n_frames") * 64L))
+      .withColumn("item_tokens",
+        col("text_tokens") + col("media_tokens"))
+    val key = Sampling.sampleKey(col("doc_id"))
+    val base = items
+      .withColumn("shard", substring(key, 1, 1))
+      .withColumn("shuffle_key", key)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("cum_before",
+        coalesce(sum(col("item_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"cum_before div $seqTokens"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("media_type") === "image", 1L).otherwise(0L))
+          .as("n_image"),
+        sum(when(col("media_type") === "audio", 1L).otherwise(0L))
+          .as("n_audio"),
+        sum(when(col("media_type") === "video", 1L).otherwise(0L))
+          .as("n_video"),
+        sum(col("text_tokens")).as("text_tokens"),
+        sum(col("media_tokens")).as("media_tokens"),
+        sum(col("item_tokens")).as("total_tokens"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
   /** m04: cross-modal retrieval WIRING — binary payload → (stub)
     * feature extraction → the audited ANN path. The feature extractor
     * is the honest decode stub this rig allows (no codecs): a

@@ -313,6 +313,10 @@ class ScaleStressSpec extends SparkSpec {
     // + two source-attribution joins + sources² aggregation
     ("p15_source_overlap",
       D.sourceOverlapMatrix(docs), D.sourceOverlapMatrix(docsX), false),
+    // m08: one cost-column scan + the p06 shard-parallel running sum
+    ("m08_multimodal_packing",
+      graft.operators.Multimodal.multimodalPacking(docs),
+      graft.operators.Multimodal.multimodalPacking(docsX), false),
     // p16: one narrow corpus scan + model-scale source math (the
     // 1-row total broadcast cross is intended)
     ("p16_epoch_plan",

@@ -314,6 +314,45 @@ class PerceptualDedupSpec extends graft.SparkSpec {
   }
 }
 
+/** m08: modality-aware sequence packing manifest. */
+class MultimodalPackingSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("multimodalPacking: per-modality cost laws, conservation, and " +
+      "the p06 straddler bound") {
+    import spark.implicits._
+    // text "a b c" = 3 tokens, 5 bytes → image 576, audio (5·40)÷80=2,
+    // video ceil(5/256)·64 = 64
+    val docs = (0L until 30L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val out = Multimodal.multimodalPacking(docs, seqTokens = 700L)
+      .collect()
+    // conservation: every item lands in exactly one sequence
+    assert(out.map(_.getAs[Long]("n_items")).sum == 30L)
+    val (nImg, nAud, nVid) = (out.map(_.getAs[Long]("n_image")).sum,
+      out.map(_.getAs[Long]("n_audio")).sum,
+      out.map(_.getAs[Long]("n_video")).sum)
+    assert((nImg, nAud, nVid) == ((10L, 10L, 10L)))
+    // cost laws: text 3/doc; media 576/2/64 by modality
+    assert(out.map(_.getAs[Long]("text_tokens")).sum == 90L)
+    assert(out.map(_.getAs[Long]("media_tokens")).sum ==
+      10L * 576 + 10L * 2 + 10L * 64)
+    out.foreach { r =>
+      assert(r.getAs[Long]("total_tokens") ==
+        r.getAs[Long]("text_tokens") + r.getAs[Long]("media_tokens"))
+      assert(r.getAs[Long]("n_items") == r.getAs[Long]("n_image") +
+        r.getAs[Long]("n_audio") + r.getAs[Long]("n_video"))
+    }
+    // p06 straddler bound: a sequence overflows by at most ONE item
+    // (max item cost here = 3 + 576)
+    out.foreach { r =>
+      assert(r.getAs[Long]("total_tokens") <= 700L + 579L, r.toString) }
+    // determinism: rerun under different partitioning is identical
+    val again = Multimodal
+      .multimodalPacking(docs.repartition(7), seqTokens = 700L).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+}
+
 /** m06: sampled-frame signature Jaccard over the video slice. */
 class VideoFrameDedupSpec extends graft.SparkSpec {
 
