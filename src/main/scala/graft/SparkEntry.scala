@@ -586,6 +586,10 @@ object SparkEntry {
       graft.lake.LakeQueries.replaceWhereRead(s, Tables.orders(s, d))),
     // l16: write-audit-publish — staged commit, audits over the staged
     // files, publish-or-abort; ledger + published state read back
+    // l17: zero-copy branch refs — fork marker + MOR correction on the
+    // branch, independent append on main, both refs read back
+    "l17_branch_refs" -> ((s, d) =>
+      graft.lake.LakeQueries.branchRead(s, Tables.orders(s, d))),
     "l16_wap_commit" -> ((s, d) =>
       graft.lake.LakeQueries.wapRead(s, Tables.orders(s, d))),
     // --- round 14 ---
@@ -6398,6 +6402,25 @@ object SparkEntry {
        "  n_drop_empty, n_drop_ppl, quality_fp_sum, n_dup_docs,\n" +
        "  CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS keep_frac\n" +
        "FROM agg ORDER BY source"),
+    // l17: both refs' contents re-derived as set algebra over orders —
+    // the oracle encodes isolation (main shows no ×2 correction, the
+    // branch shows no main-only keys)
+    "l17_branch_refs" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0),
+        |mn AS (SELECT * FROM base
+        |  UNION ALL SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0),
+        |br AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0
+        |  UNION ALL SELECT o_orderkey, o_totalprice * 2 FROM base
+        |  WHERE o_orderkey % 7 = 0),
+        |u AS (SELECT 'fix' AS ref, o_orderkey, o_totalprice FROM br
+        |  UNION ALL SELECT 'main', o_orderkey, o_totalprice FROM mn)
+        |SELECT ref, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum
+        |FROM u GROUP BY ref ORDER BY ref""".stripMargin,
     // p15: d04's minhash-band CTEs + the d11 cap (HAVING <= 1000),
     // distinct pairs attributed to unordered source pairs; diagonal
     // rows count the involved-doc UNION on both sides

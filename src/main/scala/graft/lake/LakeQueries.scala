@@ -376,4 +376,72 @@ object LakeQueries {
       .crossJoin(broadcast(published))
       .orderBy(col("delta_id"))
   }
+
+  // One branched store per (session, input) — main and its "fix" branch
+  // diverge from one shared immutable v0.
+  private val brCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      SnapshotStore]
+
+  /** l17: ZERO-COPY BRANCHING ([[SnapshotStore.branch]] — Iceberg
+    * branches / Nessie refs in miniature): main commits v0; branch
+    * `fix` forks it with a MARKER, no data copied; the branch then
+    * applies an O(delta) merge-on-read correction (delete the %7≡0
+    * keys, append them back price-doubled — an UPDATE as
+    * delete+append); main independently appends its own new keys. The
+    * query reads BOTH refs back through the published chains (branch
+    * read resolves append → delete → fork → parent v0 lazily) and
+    * rolls each up to (n_rows, exact key sum, exact cents sum) — one
+    * row per ref, so the oracle checks both lines' full
+    * fork→edit→read loops AND their isolation from each other: main's
+    * summary must show no trace of the branch's correction and vice
+    * versa.
+    *
+    * Price cents are floor(price·100) per row then summed — exact
+    * longs, order-free (the p14 quantization discipline); the ×2
+    * correction is a power-of-two multiply, IEEE-exact in both
+    * engines.
+    *
+    * Scale: the fork writes one marker file regardless of table size;
+    * branch edits cost O(delta) (MOR); reads are the l13 chain shapes.
+    * Retention interplay documented at [[SnapshotStore.branch]]. */
+  def branchRead(spark: SparkSession, orders: DataFrame): DataFrame = {
+    val files = orders.inputFiles
+    val key =
+      if (files.nonEmpty) files.sorted.mkString(",")
+      else "plan:" + orders.queryExecution.analyzed.toString
+    val base = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val store = brCache.getOrElseUpdate((spark, key), {
+      val dirPath = Files.createTempDirectory("graft-branch-")
+      sys.addShutdownHook {
+        import java.util.Comparator
+        Files.walk(dirPath)
+          .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      val s = new SnapshotStore(spark,
+        dirPath.toFile.getAbsolutePath + "/table")
+      s.commit(base) // main v0
+      val br = s.branch("fix", 0L) // zero-copy fork
+      val fixKeys = base.filter(col("o_orderkey") % 7 === 0)
+      br.deleteByKeys(fixKeys.select(col("o_orderkey")))
+      br.appendRows(fixKeys.select(col("o_orderkey"),
+        (col("o_totalprice") * lit(2.0)).as("o_totalprice")))
+      // main moves on independently: new keys, untouched by the branch
+      s.appendRows(orders
+        .filter(col("o_orderkey") % 3 === 1 && col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_totalprice")))
+      s
+    })
+    def rollup(ref: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("cents_sum"))
+        .select(lit(ref).as("ref"), col("n_rows"), col("key_sum"),
+          col("cents_sum"))
+    rollup("fix", store.branchStore("fix").read())
+      .unionByName(rollup("main", store.read()))
+      .orderBy(col("ref"))
+  }
 }

@@ -39,6 +39,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
   // reader, so a marked dir still scans as a plain parquet directory
   private val DeleteBaseMarker = "_DELETE_BASE"
   private val AppendBaseMarker = "_APPEND_BASE"
+  // zero-copy fork marker: "<parentRoot>\n<parentVersion>"
+  private val ForkBaseMarker = "_FORK_BASE"
 
   private def readSmall(p: Path): String = {
     val in = fs.open(p)
@@ -174,6 +176,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     val f = fs
     val delMarker = new Path(dir, DeleteBaseMarker)
     val appMarker = new Path(dir, AppendBaseMarker)
+    val forkMarker = new Path(dir, ForkBaseMarker)
     if (f.exists(delMarker)) {
       val dels = spark.read.parquet(dir.toString)
       read(readSmall(delMarker).toLong)
@@ -181,8 +184,49 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     } else if (f.exists(appMarker)) {
       read(readSmall(appMarker).toLong)
         .unionByName(spark.read.parquet(dir.toString))
+    } else if (f.exists(forkMarker)) {
+      val Array(parentRoot, pv) = readSmall(forkMarker).split('\n')
+      new SnapshotStore(spark, parentRoot).read(pv.toLong)
     } else spark.read.parquet(dir.toString)
   }
+
+  /** ZERO-COPY BRANCH (Iceberg branches / Nessie refs in miniature):
+    * create a child store at `<root>/branch=<name>` whose v0 is a fork
+    * MARKER referencing this store's `from` version — no data file is
+    * copied or rewritten; the branch reads through to the parent's
+    * immutable snapshot exactly as a merge-on-read marker reads through
+    * to its base. Branch commits (full, or O(delta) merge-on-read
+    * delete/append — both compose on top of the fork) land in the child
+    * store under its own version chain and pointer; the parent's chain,
+    * pointer, and data are never touched, so main and branch evolve in
+    * isolation and a branch experiment is abandoned by deleting one
+    * directory. Publishing a branch back IS a normal parent commit of
+    * [[read]] output (a merge commit) — OCC-checked like any other.
+    *
+    * Retention contract (the same one Iceberg documents): the parent's
+    * [[vacuum]] walks ITS version chain only — it does not discover
+    * child branches, so a fork into a version older than the parent's
+    * retention window dangles after a parent vacuum. Branch before you
+    * vacuum, or keep branches on recent versions. */
+  def branch(name: String, from: Long): SnapshotStore = {
+    require(fs.exists(versionDir(from)),
+      s"cannot branch: no version $from under $root")
+    require(!name.contains('/') && !name.contains('='),
+      s"invalid branch name: $name")
+    val child = new SnapshotStore(spark,
+      new Path(rootPath, s"branch=$name").toString)
+    require(child.latestVersion.isEmpty,
+      s"branch $name already exists under $root")
+    child.publish(None) { staging =>
+      child.writeSmall(new Path(staging, ForkBaseMarker), s"$root\n$from")
+    }
+    child
+  }
+
+  /** Open an existing branch created by [[branch]]. */
+  def branchStore(name: String): SnapshotStore =
+    new SnapshotStore(spark,
+      new Path(rootPath, s"branch=$name").toString)
 
   /** The merge-on-read base a version builds on, if it has one. */
   private def morBase(v: Long): Option[Long] = {

@@ -296,6 +296,51 @@ class SnapshotStoreSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("branch (l17): zero-copy fork, isolated evolution both ways, " +
+      "abandon = delete one directory") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-br-")
+      .toFile.getAbsolutePath + "/t"
+    val store = new SnapshotStore(spark, root)
+    store.commit(Seq((1L, 10.0), (7L, 70.0), (14L, 140.0))
+      .toDF("k", "p"))
+    val br = store.branch("fix", 0L)
+    // ZERO-COPY: the branch's v0 directory holds the fork marker and
+    // no parquet data files
+    val v0 = new java.io.File(s"$root/branch=fix/v=0")
+    assert(v0.listFiles().exists(_.getName == "_FORK_BASE"))
+    assert(!v0.listFiles().exists(_.getName.endsWith(".parquet")))
+    // the fork reads the parent's snapshot through the marker
+    assert(br.read().count() == 3)
+    // branch correction: MOR delete + append (an update), O(delta)
+    br.deleteByKeys(Seq(Tuple1(7L)).toDF("k"))
+    br.appendRows(Seq((7L, 77.0)).toDF("k", "p"))
+    // main moves on independently
+    store.appendRows(Seq((2L, 20.0)).toDF("k", "p"))
+    val brOut = br.read().collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    val mnOut = store.read().collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // isolation: the branch never sees main's append; main never sees
+    // the branch's correction
+    assert(brOut == Map(1L -> 10.0, 7L -> 77.0, 14L -> 140.0))
+    assert(mnOut == Map(1L -> 10.0, 7L -> 70.0, 14L -> 140.0, 2L -> 20.0))
+    // reopening by name sees the same chain; double-create is refused
+    assert(store.branchStore("fix").read().count() == 3)
+    intercept[IllegalArgumentException](store.branch("fix", 0L))
+    // publishing the branch back is a plain OCC merge commit on main
+    store.commit(store.branchStore("fix").read())
+    assert(store.read().collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap == Map(1L -> 10.0, 7L -> 77.0, 14L -> 140.0))
+    // abandon: one directory delete, main untouched
+    val brDir = new java.io.File(s"$root/branch=fix")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(brDir)
+    assert(!brDir.exists() && store.read().count() == 3)
+  }
+
   test("version history lists every committed snapshot with its row count") {
     val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
     val hist = LakeQueries.versionHistory(spark, orders).collect()
