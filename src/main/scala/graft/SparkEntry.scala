@@ -694,7 +694,11 @@ object SparkEntry {
     // datasheet row (which sources copy which), d03/d04 band machinery
     // with the d11 posting cap
     "p15_source_overlap" -> ((s, d) =>
-      D.sourceOverlapMatrix(Tables.documents(s, d)))
+      D.sourceOverlapMatrix(Tables.documents(s, d))),
+    // p17: p12's manifest maintained incrementally (per-batch raw
+    // manifests merged, no rescan) — oracle is p12's SQL verbatim
+    "p17_incremental_manifest" -> ((s, d) =>
+      graft.operators.Sampling.incrementalManifest(Tables.documents(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -2539,6 +2543,18 @@ object SparkEntry {
     "    CAST(strpos('0123456789abcdef',\n" +
     "      substr(dh, CAST(i AS INT), 1)) - 1 AS BIGINT)),\n" +
     "    (a, b) -> a * 16 + b) AS digest FROM b)"
+
+  /** p12's manifest SQL — shared verbatim with p17 (incremental merge
+    * must equal from-scratch recompute). */
+  private lazy val ShardManifestOracle: String =
+    s"WITH $ShardBaseOracleCtes\n" +
+    "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,\n" +
+    "  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,\n" +
+    "  MIN(key) AS min_key, MAX(key) AS max_key,\n" +
+    "  MIN(marker) AS first_marker, MAX(marker) AS last_marker,\n" +
+    "  lpad(CAST(SUM(CAST(digest AS HUGEINT)) AS VARCHAR), 39, '0')\n" +
+    "    AS content_checksum\n" +
+    "FROM c GROUP BY shard ORDER BY shard"
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -6298,15 +6314,10 @@ object SparkEntry {
     // columns hash asymmetrically in the driver — the r15 lesson).
     // Assembled by concatenation — the SQL carries || concats (the
     // p08 precedent).
-    "p12_shard_manifest" ->
-      (s"WITH $ShardBaseOracleCtes\n" +
-       "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,\n" +
-       "  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,\n" +
-       "  MIN(key) AS min_key, MAX(key) AS max_key,\n" +
-       "  MIN(marker) AS first_marker, MAX(marker) AS last_marker,\n" +
-       "  lpad(CAST(SUM(CAST(digest AS HUGEINT)) AS VARCHAR), 39, '0')\n" +
-       "    AS content_checksum\n" +
-       "FROM c GROUP BY shard ORDER BY shard"),
+    "p12_shard_manifest" -> ShardManifestOracle,
+    // p17: merged-incremental must equal recomputed-from-scratch bit
+    // for bit — the oracle IS p12's whole-corpus SQL, verbatim
+    "p17_incremental_manifest" -> ShardManifestOracle,
     // l16: the WAP slices re-derived in SQL; delta2's duplicate check
     // runs against the CONDITIONALLY-published state (base ∪ delta1 iff
     // delta1's own audits are zero), and the publish verdicts are

@@ -521,17 +521,69 @@ object Sampling {
         .cast("decimal(38,0)").as("content_digest"))
   }
 
-  def shardManifest(documents: DataFrame): DataFrame = {
-    val base = shardBase(documents)
-    base.groupBy(col("shard")).agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("sum_tokens"),
-        min(col("shuffle_key")).as("min_key"),
-        max(col("shuffle_key")).as("max_key"),
-        min(col("marker")).as("first_marker"),
-        max(col("marker")).as("last_marker"),
-        checksumRender(sum(col("content_digest")))
-          .as("content_checksum"))
+  def shardManifest(documents: DataFrame): DataFrame =
+    renderManifest(rawManifest(documents))
+
+  /** The UNRENDERED manifest — every column either an exact integer
+    * aggregate (count/sum, the checksum still DECIMAL(38,0)) or a
+    * min/max, i.e. a fully MERGEABLE partial-aggregate state: two raw
+    * manifests over disjoint batches merge to the raw manifest of
+    * their union ([[mergeManifests]]), which is what lets a pipeline
+    * maintain the manifest incrementally instead of rescanning the
+    * corpus per publish. Publication always goes through
+    * [[renderManifest]] (the decimal never leaves the engine). */
+  private[operators] def rawManifest(documents: DataFrame): DataFrame =
+    shardBase(documents).groupBy(col("shard")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("sum_tokens"),
+      min(col("shuffle_key")).as("min_key"),
+      max(col("shuffle_key")).as("max_key"),
+      min(col("marker")).as("first_marker"),
+      max(col("marker")).as("last_marker"),
+      sum(col("content_digest")).as("checksum_acc"))
+
+  /** Merge mergeable raw manifests ([[rawManifest]]) — counts/sums
+    * add (the checksum is an order-free integer sum by construction),
+    * key ranges and markers min/max. Associative and commutative, so
+    * any batching of the corpus folds to the same manifest. */
+  private[operators] def mergeManifests(parts: DataFrame*): DataFrame =
+    parts.reduce(_ unionByName _).groupBy(col("shard")).agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("sum_tokens")).as("sum_tokens"),
+      min(col("min_key")).as("min_key"),
+      max(col("max_key")).as("max_key"),
+      min(col("first_marker")).as("first_marker"),
+      max(col("last_marker")).as("last_marker"),
+      sum(col("checksum_acc")).as("checksum_acc"))
+
+  /** Render a raw manifest for publication (fixed-width string
+    * checksum, shard order). */
+  private[operators] def renderManifest(raw: DataFrame): DataFrame =
+    raw.select(col("shard"), col("n_docs"), col("sum_tokens"),
+        col("min_key"), col("max_key"), col("first_marker"),
+        col("last_marker"),
+        checksumRender(col("checksum_acc")).as("content_checksum"))
       .orderBy(col("shard"))
+
+  /** p17: INCREMENTAL MANIFEST MAINTENANCE — the mergeability law of
+    * p12's manifest made the query: the corpus arrives as three
+    * batches (doc_id mod 3), each batch is manifested INDEPENDENTLY
+    * ([[rawManifest]] — one narrow scan per batch, exactly what a
+    * per-ingest job sees), and the stored states merge
+    * ([[mergeManifests]]: counts/sums/checksum add, ranges min/max) —
+    * no batch is ever rescanned. The oracle is p12's whole-corpus SQL
+    * VERBATIM: merged-incremental must equal recomputed-from-scratch
+    * bit for bit, which is precisely the property (order-free exact
+    * integer checksum, associative range bounds) the manifest's design
+    * paid for. This is how the manifest stays current next to a
+    * streaming ingest: each micro-batch contributes its raw rows, the
+    * stored state folds them in at shard granularity (16 rows), and
+    * publish renders — O(batch) per commit, never O(corpus)
+    * (StreamingManifestSpec runs this loop through foreachBatch and
+    * asserts bitwise parity with the batch form). */
+  def incrementalManifest(documents: DataFrame): DataFrame = {
+    val batches = (0 to 2).map(r =>
+      rawManifest(documents.filter(col("doc_id") % 3 === r)))
+    renderManifest(mergeManifests(batches: _*))
   }
 }

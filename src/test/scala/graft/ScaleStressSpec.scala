@@ -313,6 +313,12 @@ class ScaleStressSpec extends SparkSpec {
     // + two source-attribution joins + sources² aggregation
     ("p15_source_overlap",
       D.sourceOverlapMatrix(docs), D.sourceOverlapMatrix(docsX), false),
+    // p17: three batch scans (each p12's narrow shape) + one 48-row
+    // merge agg — the per-batch scans are what a real incremental run
+    // amortizes; the merge itself is O(shards)
+    ("p17_incremental_manifest",
+      graft.operators.Sampling.incrementalManifest(docs),
+      graft.operators.Sampling.incrementalManifest(docsX), false),
     // m08: one cost-column scan + the p06 shard-parallel running sum
     ("m08_multimodal_packing",
       graft.operators.Multimodal.multimodalPacking(docs),

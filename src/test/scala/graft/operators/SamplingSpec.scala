@@ -283,6 +283,67 @@ class ShardManifestSpec extends graft.SparkSpec {
   }
 }
 
+/** p17: the manifest mergeability law + its streaming maintenance. */
+class IncrementalManifestSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def docs(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"alpha tok$i beta word${i % 5}"))
+      .toDF("doc_id", "text")
+  }
+
+  test("mergeManifests: merging per-batch raw manifests equals the " +
+      "from-scratch manifest bitwise, under any batching") {
+    val all = docs(0 until 60)
+    val whole = Sampling.shardManifest(all).collect().map(_.toString)
+    // two different batchings of the same corpus
+    val byThirds = Sampling.renderManifest(Sampling.mergeManifests(
+      (0 to 2).map(r => Sampling.rawManifest(
+        all.filter(col("doc_id") % 3 === r))): _*))
+      .collect().map(_.toString)
+    val lopsided = Sampling.renderManifest(Sampling.mergeManifests(
+      Sampling.rawManifest(all.filter(col("doc_id") < 7)),
+      Sampling.rawManifest(all.filter(col("doc_id") >= 7))))
+      .collect().map(_.toString)
+    assert(byThirds.toSeq == whole.toSeq)
+    assert(lopsided.toSeq == whole.toSeq)
+  }
+
+  test("streaming manifest maintenance: foreachBatch folding of raw " +
+      "manifests is bitwise the batch manifest") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // the stored state: one raw manifest, folded per micro-batch and
+    // anchored (16 rows — model-scale state, the p17 scale story)
+    var state: org.apache.spark.sql.DataFrame = null
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val raw = Sampling.rawManifest(batch)
+        state = graft.operators.Anchor.cut(
+          if (state == null) raw
+          else Sampling.mergeManifests(state, raw))
+        ()
+      }
+      .start()
+    try {
+      (0 until 60).grouped(17).foreach { g =>
+        input.addData(g.map(i =>
+          (i.toLong, s"alpha tok$i beta word${i % 5}")))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = Sampling.renderManifest(state)
+      .collect().map(_.toString).toSeq
+    val batch = Sampling.shardManifest(docs(0 until 60))
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch)
+  }
+}
+
 /** p16: the data-constrained epoch/repeat plan. */
 class EpochPlanSpec extends graft.SparkSpec {
   import org.apache.spark.sql.functions._
