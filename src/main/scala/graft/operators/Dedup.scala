@@ -375,13 +375,16 @@ object Dedup {
     val banded = withMinhash(documents)
       .select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band", "digest")))
+    // the cap rides the SAME (band, digest) exchange the self-join
+    // needs: a whole-partition window count + filter (the m05 lesson —
+    // a separate groupBy+anti-join pays a second aggregate for nothing)
     val capped = maxBucket match {
       case None => banded
       case Some(cap) =>
-        val hot = banded.groupBy(col("band"), col("digest"))
-          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
-          .select(col("band"), col("digest"))
-        banded.join(hot, Seq("band", "digest"), "left_anti")
+        banded.withColumn("_df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("digest"))))
+          .filter(col("_df") <= cap)
           .select(col("doc_id"), col("band"), col("digest"))
     }
     val pairs = capped.toDF("doc_a", "band", "digest")

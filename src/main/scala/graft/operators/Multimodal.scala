@@ -243,13 +243,17 @@ object Multimodal {
       .withColumn("band_val", col("sig").substr(
         col("band") * bandBits + 1, lit(bandBits)))
       .filter(!col("band_val").isin(striped: _*))
+    // the cap rides the SAME (band, band_val) exchange the self-join
+    // needs: a whole-partition window count + filter, no second
+    // aggregate and no anti-join (measured: the groupBy+anti form
+    // doubled m05's wall time at sf0.1)
     val bands = maxBucket match {
       case None => allBands
       case Some(cap) =>
-        val hot = allBands.groupBy(col("band"), col("band_val"))
-          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
-          .select(col("band"), col("band_val"))
-        allBands.join(hot, Seq("band", "band_val"), "left_anti")
+        allBands.withColumn("_df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("band_val"))))
+          .filter(col("_df") <= cap)
           .select(col("asset_id"), col("sig"), col("band"),
             col("band_val"))
     }

@@ -379,15 +379,17 @@ class ScaleStressSpec extends SparkSpec {
     // own reversed prefix (per-doc content — a shared constant tail
     // would manufacture a hot key, the m06 lesson) changes the payload
     // length, which moves all 64 block boundaries, so replica
-    // signatures decorrelate. Residual factor ~12 (from 33.5): after
-    // the striped-value filter removed the top attractors, candidate
-    // volume is ×45 (8.8k → 354k pairs) carried by NEAR-striped
-    // attractor values (e.g. '1110111101110111') whose cross-doc
-    // buckets grow ×8 in membership (max 19 → 150) — text-stub
-    // signature density, quadratic per attractor, bounded at any real
-    // scale by the 256 posting cap (which deliberately does NOT bind
-    // at this fixture: binding it here would be tuning the cap to the
-    // ratchet instead of to bounded per-bucket work).
+    // signatures decorrelate. Residual factor ~7.5 (from 33.5; the
+    // window-count cap that rides the join's own exchange took the
+    // groupBy+anti form's ~12 down further): after the striped-value
+    // filter removed the top attractors, candidate volume is ×45
+    // (8.8k → 354k pairs) carried by NEAR-striped attractor values
+    // (e.g. '1110111101110111') whose cross-doc buckets grow ×8 in
+    // membership (max 19 → 150) — text-stub signature density,
+    // quadratic per attractor, bounded at any real scale by the 256
+    // posting cap (which deliberately does NOT bind at this fixture:
+    // binding it here would be tuning the cap to the ratchet instead
+    // of to bounded per-bucket work).
     ("m05_perceptual_dedup",
       graft.operators.Multimodal.perceptualDedup(docs),
       graft.operators.Multimodal.perceptualDedup(docsXPerc), false),
