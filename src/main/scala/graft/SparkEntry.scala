@@ -148,6 +148,9 @@ object SparkEntry {
       Sm.packSequences(Tables.documents(s, d))),
     "c01_doc_chunking" -> ((s, d) =>
       T.chunkDocuments(Tables.documents(s, d))),
+    // c02: chunk-level BM25 with maxP doc scoring (Dai & Callan 2019)
+    "c02_chunk_maxp" -> ((s, d) =>
+      graft.operators.Ranking.chunkMaxPRank(Tables.documents(s, d))),
     "t13_nfc_normalize" -> ((s, d) =>
       T.nfcNormalize(Tables.documents(s, d))),
     "t14_unicode_tokens" -> ((s, d) =>
@@ -6306,6 +6309,64 @@ object SparkEntry {
        "FROM m GROUP BY verdict, learned_keep\n" +
        "ORDER BY verdict, learned_keep"),
     "b03_prf_expansion" -> PrfOracle,
+    // c02: c01's chunk CTEs as the scoring unit, b01's exact BM25 law
+    // verbatim (rational idf, fixed-order 4-term sum), maxP per doc
+    // with min-chunk-idx tie break, b01's doc rank LEFT-joined on
+    "c02_chunk_maxp" ->
+      (s"""WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |  unnest(generate_series(0, greatest(len(toks) - 1, 0), 48))
+        |    AS cs FROM t),
+        |cd AS (SELECT doc_id, cs // 48 AS chunk_idx,
+        |  CAST(len(toks[(cs + 1):(cs + 64)]) AS BIGINT) AS dl,
+        |  toks[(cs + 1):(cs + 64)] AS chunk FROM s),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |  CAST(SUM(dl) AS BIGINT) AS sum_dl FROM cd),
+        |tf AS (SELECT doc_id, chunk_idx, dl, term,
+        |    CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, chunk_idx, dl, unnest(chunk) AS term
+        |    FROM cd) u
+        |  WHERE term IN ('vector', 'spark', 'join', 'scan')
+        |  GROUP BY doc_id, chunk_idx, dl, term),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id, tf.chunk_idx, tf.term,
+        |  ((CAST(st.n_units AS DOUBLE) - CAST(dfq.df AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE))
+        |    / (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+        |  * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |  / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |     * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |        + CAST(0.75 AS DOUBLE) * CAST(tf.dl AS DOUBLE)
+        |          / (CAST(st.sum_dl AS DOUBLE)
+        |             / CAST(st.n_units AS DOUBLE)))) AS score_t
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN st),
+        |cscore AS (SELECT doc_id, chunk_idx,
+        |  COALESCE(SUM(CASE WHEN term = 'vector' THEN score_t END),
+        |    CAST(0.0 AS DOUBLE))
+        |  + COALESCE(SUM(CASE WHEN term = 'spark' THEN score_t END),
+        |    CAST(0.0 AS DOUBLE))
+        |  + COALESCE(SUM(CASE WHEN term = 'join' THEN score_t END),
+        |    CAST(0.0 AS DOUBLE))
+        |  + COALESCE(SUM(CASE WHEN term = 'scan' THEN score_t END),
+        |    CAST(0.0 AS DOUBLE)) AS score
+        |  FROM sc GROUP BY doc_id, chunk_idx),
+        |mp AS (SELECT doc_id, MAX(score) AS maxp_score,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks_matched
+        |  FROM cscore GROUP BY doc_id),
+        |bst AS (SELECT c.doc_id, mp.maxp_score, mp.n_chunks_matched,
+        |  CAST(MIN(c.chunk_idx) AS BIGINT) AS best_chunk_idx
+        |  FROM cscore c JOIN mp ON c.doc_id = mp.doc_id
+        |    AND c.score = mp.maxp_score
+        |  GROUP BY c.doc_id, mp.maxp_score, mp.n_chunks_matched),
+        |dr AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |    AS BIGINT) AS doc_rank FROM ($Bm25Oracle) xb)
+        |SELECT b.doc_id, b.best_chunk_idx, b.n_chunks_matched,
+        |  b.maxp_score, COALESCE(dr.doc_rank, 0) AS doc_rank
+        |FROM bst b LEFT JOIN dr USING (doc_id)
+        |ORDER BY b.maxp_score DESC, b.doc_id LIMIT 20""").stripMargin,
     // p12: md5 key/digest parity (the t08 sampleKey idiom + a 15-hex
     // big-endian parse fold); HUGEINT sum rendered as the fixed-width
     // 39-char decimal string both engines publish (decimal128 output

@@ -67,6 +67,88 @@ object Ranking {
       .limit(k)
   }
 
+  /** c02: CHUNK-level retrieval with maxP document scoring (Dai &
+    * Callan 2019: score fixed-size passages, a document's relevance is
+    * its BEST passage) — the standard fix for BM25's long-document
+    * dilution, and the unit every RAG stack actually retrieves. Chunks
+    * come from c01's overlapping windows ([[TextAnalysis
+    * .chunkDocuments]]); each chunk is scored as an independent BM25
+    * unit (N = chunk count, dl = chunk length, df over chunks — b01's
+    * exact rational-idf, fixed-operand-order law verbatim, so chunk
+    * scores are bitwise cross-engine); per document the max chunk
+    * score wins, ties to the lowest chunk index. The whole-document
+    * b01 rank rides along (0 = absent from the doc-level top-k) so one
+    * table shows where passage scoring and document scoring disagree —
+    * the re-ranking signal maxP exists to provide.
+    *
+    * Plan shape: c01's narrow chunk explode → b01's one (unit, term)
+    * partial agg + broadcast df/stats → per-chunk fixed-order term sum
+    * → one doc-keyed max + a tie-break min — every shuffle is a
+    * partial agg, the final k rows via TakeOrderedAndProject. At
+    * 100 TB this is b01's cost on ~tokens/stride units. */
+  def chunkMaxPRank(documents: DataFrame,
+      terms: Seq[String] = DefaultTerms, window: Int = 64,
+      stride: Int = 48, k: Int = 20): DataFrame = {
+    val chunks = TextAnalysis.chunkDocuments(documents, window, stride)
+      .select(col("doc_id"), col("chunk_idx"),
+        col("n_chunk_tokens").cast("long").as("dl"),
+        TextAnalysis.tokens(col("chunk_text")).as("toks"))
+    val stats = chunks.agg(count(lit(1)).as("n_units"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = chunks
+      .select(col("doc_id"), col("chunk_idx"), col("dl"),
+        explode(col("toks")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("chunk_idx"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = col("n_units").cast("double")
+    val dfd = col("df").cast("double")
+    val tfd = col("tf").cast("double")
+    val dld = col("dl").cast("double")
+    val scored = tf
+      .join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / nd)
+      .withColumn("score_t",
+        ((nd - dfd + lit(0.5)) / (dfd + lit(0.5))) * (tfd * lit(2.2)) /
+          (tfd + lit(1.2) *
+            (lit(1.0) - lit(0.75) + lit(0.75) * dld / col("avgdl"))))
+    val perTerm = terms.map(t =>
+      sum(when(col("term") === t, col("score_t"))).as(s"s_$t"))
+    val total = terms
+      .map(t => coalesce(col(s"s_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val chunkScores = scored
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"), col("chunk_idx"), total.as("score"))
+    val maxp = chunkScores.groupBy(col("doc_id"))
+      .agg(max(col("score")).as("maxp_score"),
+        count(lit(1)).as("n_chunks_matched"))
+    val best = chunkScores.join(maxp, "doc_id")
+      .filter(col("score") === col("maxp_score"))
+      .groupBy(col("doc_id"), col("maxp_score"),
+        col("n_chunks_matched"))
+      .agg(min(col("chunk_idx")).as("best_chunk_idx"))
+    // whole-doc b01 rank via the b02 sorted-array fold (never an
+    // unpartitioned window)
+    val docRank = bm25Rank(documents, terms, k)
+      .agg(sort_array(collect_list(struct(
+        (lit(0.0) - col("score")).as("negs"),
+        col("doc_id").as("doc_id")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("p", "e")))
+      .select(col("e.doc_id").as("doc_id"),
+        (col("p") + 1).cast("long").as("doc_rank"))
+    best.join(docRank, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("best_chunk_idx").cast("long")
+          .as("best_chunk_idx"),
+        col("n_chunks_matched"), col("maxp_score"),
+        coalesce(col("doc_rank"), lit(0L)).as("doc_rank"))
+      .orderBy(col("maxp_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** b02: Reciprocal Rank Fusion (Cormack et al. 2009) of the lexical
     * and dense retrieval tiers — THE standard hybrid-retrieval merge
     * every RAG stack runs: rrf = Σ_lists 1/(60 + rank), docs missing

@@ -89,7 +89,8 @@ class PlanAuditSpec extends SparkSpec {
     "s40_cell_split", // k01 centroid cross + 1-row size/skew crosses
     "l16_wap_commit", // 2-row audit ledger x 1-row published-stats cross
     "p14_dataset_card", // embeds p08's t37/t17 corpus-total crosses
-    "p16_epoch_plan") // ONE-row weight-total frame broadcast-crossed in
+    "p16_epoch_plan", // ONE-row weight-total frame broadcast-crossed in
+    "c02_chunk_maxp") // b01's ONE-row corpus-stats cross, chunk units
 
   test("no cartesian products; nested-loop joins only where intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -374,6 +374,12 @@ class ScaleStressSpec extends SparkSpec {
       graft.operators.Graph.eventTypePagerank(ScaledTables.scaled(
         Tables.events(spark, sf), factor, idCols = Seq("user_id"))),
       false),
+    // c02: b01's one (unit, term) partial agg over ~tokens/stride
+    // chunk units + broadcast stats (1-row cross intended) + one
+    // doc-keyed max
+    ("c02_chunk_maxp",
+      graft.operators.Ranking.chunkMaxPRank(docs),
+      graft.operators.Ranking.chunkMaxPRank(docsX), true),
     // p17: three batch scans (each p12's narrow shape) + one 48-row
     // merge agg — the per-batch scans are what a real incremental run
     // amortizes; the merge itself is O(shards)

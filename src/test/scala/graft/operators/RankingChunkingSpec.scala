@@ -139,4 +139,44 @@ class RankingChunkingSpec extends SparkSpec {
     val b = Ranking.prfExpansion(docs, terms = Seq("spark")).collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("chunkMaxPRank (c02): best chunk points at the terms, ties " +
+      "break to the lowest index, term-free docs are absent") {
+    val filler = (1 to 48).map(i => s"filler$i").mkString(" ")
+    val burst = Seq.fill(4)("vector spark join scan").mkString(" ")
+    // docA: 48 filler + 16 term tokens + 48 filler = 112 tokens.
+    // window 64 / stride 48: chunk 0 = tokens 1-64 and chunk 1 =
+    // tokens 49-112 BOTH hold all 16 term tokens at dl 64 -> equal
+    // scores, tie -> best_chunk_idx 0; chunk 2 (tail) has no terms.
+    val docs = Seq(
+      (1L, s"$filler $burst $filler"),
+      (2L, "vector " + (1 to 9).map(i => s"pad$i").mkString(" ")),
+      (3L, (1 to 30).map(i => s"noise$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Ranking.chunkMaxPRank(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val (bestA, nA, scoreA, rankA) = out(1L)
+    assert(bestA == 0L && nA == 2L && scoreA > 0.0)
+    val (bestB, nB, scoreB, rankB) = out(2L)
+    assert(bestB == 0L && nB == 1L && scoreB > 0.0)
+    // both docs are in the 2-doc whole-document top-k: ranks 1 and 2
+    assert(Set(rankA, rankB) == Set(1L, 2L))
+    // determinism
+    val again = Ranking.chunkMaxPRank(docs).collect()
+    assert(Ranking.chunkMaxPRank(docs).collect().map(_.toString).toSeq ==
+      again.map(_.toString).toSeq)
+  }
+
+  test("chunkMaxPRank surfaces maxP-vs-doc-rank disagreement on the " +
+      "fixture and stays bounded at k") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Ranking.chunkMaxPRank(docs).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.forall(_.getDouble(3) > 0.0))
+    // order: maxp desc, doc_id tie-break
+    val scores = out.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
 }
