@@ -505,6 +505,11 @@ object SparkEntry {
     // vote / quantizer training); integer cross-multiply flag
     "dq16_label_balance" -> ((s, d) =>
       graft.operators.DataQuality.labelBalance(Tables.embeddings(s, d))),
+    // dq17: median/MAD robust outlier audit (Hampel identifier) — the
+    // masking-proof complement to dq05's z-score gate; integer-exact
+    // decision path (quantized values, lower medians, long compares)
+    "dq17_mad_outliers" -> ((s, d) =>
+      graft.operators.DataQuality.madOutliers(Tables.events(s, d))),
     "q40_recursive_paths" -> ((s, d) => {
       Tables.events(s, d).createOrReplaceTempView("events_q40")
       s.sql(RecursivePathsSql("events_q40"))
@@ -4671,6 +4676,42 @@ object SparkEntry {
         |  MIN(CASE WHEN is_out THEN value END) AS out_min,
         |  MAX(CASE WHEN is_out THEN value END) AS out_max
         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // dq17: lower medians over the quantized-value DISTRIBUTION (rank
+    // (n+1)//2 via cumulative counts — the q29 trick), MAD the same on
+    // exact |vc - med| longs, the Hampel flag compares pure integers
+    "dq17_mad_outliers" ->
+      """WITH b AS (SELECT event_type,
+        |  CAST(floor(value * 100.0) AS BIGINT) AS vc FROM events),
+        |c1 AS (SELECT event_type, vc AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM b GROUP BY event_type, vc),
+        |cu1 AS (SELECT event_type, v, c,
+        |  CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v)
+        |    AS BIGINT) AS cum,
+        |  CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM c1),
+        |med AS (SELECT event_type, v AS med FROM cu1
+        |  WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum),
+        |d AS (SELECT b.event_type, b.vc, abs(b.vc - med.med) AS adc
+        |  FROM b JOIN med USING (event_type)),
+        |c2 AS (SELECT event_type, adc AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM d GROUP BY event_type, adc),
+        |cu2 AS (SELECT event_type, v, c,
+        |  CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v)
+        |    AS BIGINT) AS cum,
+        |  CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM c2),
+        |mad AS (SELECT event_type, v AS mad FROM cu2
+        |  WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum)
+        |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(med.med) AS DOUBLE) / 100.0 AS median_value,
+        |  CAST(MIN(mad.mad) AS DOUBLE) / 100.0 AS mad_value,
+        |  CAST(SUM(CASE WHEN d.adc > 3 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  CAST(SUM(CASE WHEN d.adc > 3 * mad.mad THEN 1 ELSE 0 END)
+        |      AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS outlier_share
+        |FROM d JOIN med USING (event_type) JOIN mad USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     // multiset semantics: duplicity is min(l,r) for INTERSECT ALL and
     // l-r clamped at 0 for EXCEPT ALL; identical rows make sort
     // stability irrelevant to the hash compare

@@ -555,4 +555,74 @@ object DataQuality {
         'zero_norm', n_zero_norm) AS (rule, n)"""))
       .orderBy(col("rule"))
   }
+
+  /** dq17: MEDIAN/MAD robust outlier audit — [[valueOutliers]]' z-score
+    * tripwire breaks exactly when it matters most: a batch of gross
+    * outliers inflates the mean AND the standard deviation it is judged
+    * against (masking), so the corrupted feed passes its own gate. The
+    * robust form (Hampel identifier: flag |x − median| > k·MAD) has a
+    * 50% breakdown point — half the batch must be corrupt before the
+    * threshold moves — and is the estimator profiling suites reach for
+    * on heavy-tailed value feeds.
+    *
+    * Determinism discipline: NO float enters the decision path. Values
+    * quantize to integer hundredths (the dq05/heavy-hitters regime);
+    * the per-group median is the LOWER median of the quantized-value
+    * DISTRIBUTION (rank (n+1)/2 over distinct values with cumulative
+    * counts — the q29/IVF-training median), the MAD is the same lower
+    * median over the EXACT integer deviations |vc − med|, and the flag
+    * `|vc − med| > k·MAD` compares longs. Every count, rank, deviation
+    * and threshold is order-free integer arithmetic — bitwise equal in
+    * any engine at any partitioning; the doubles in the OUTPUT (median,
+    * mad, share) are single exact-integer renderings, never inputs.
+    *
+    * Plan shape (the q29 distribution trick, twice): pass 1 = one
+    * (group, value) partial-agg count table + per-group cumulative rank
+    * over DISTINCT values (the only sequential step — distinct ≪ rows
+    * for quantized domains) → group-count-sized medians broadcast back;
+    * pass 2 = the identical shape over (group, |vc − med|); final =
+    * one conditional-count aggregate with both tiny stat frames
+    * broadcast. Three scan-shaped passes, no wide rows, no per-group
+    * value buffers — group count rows of output at any corpus size. */
+  def madOutliers(events: DataFrame, k: Long = 3L): DataFrame = {
+    val base = events.select(col("event_type"),
+      floor(col("value") * lit(100.0)).cast("long").as("vc"))
+
+    // lower median of an integer column per group, via the distinct-value
+    // cumulative-count distribution (no per-group buffering)
+    def lowerMedian(df: DataFrame, valueCol: String,
+        as: String): DataFrame = {
+      val counts = df.groupBy(col("event_type"), col(valueCol).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val cum = counts.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("event_type"))
+          .orderBy(col("v"))))
+      cum.withColumn("n",
+          max(col("cum")).over(Window.partitionBy(col("event_type"))))
+        .withColumn("rk", expr("(n + 1) div 2"))
+        .filter(col("cum") - col("c") < col("rk") &&
+          col("rk") <= col("cum"))
+        .select(col("event_type"), col("v").as(as))
+    }
+
+    val med = lowerMedian(base, "vc", "med")
+    val dev = base.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("vc"),
+        abs(col("vc") - col("med")).as("adc"))
+    val mad = lowerMedian(dev, "adc", "mad")
+    dev.join(broadcast(med), "event_type")
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("med")).as("medq"),
+        min(col("mad")).as("madq"),
+        sum(when(col("adc") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n"),
+        (col("medq").cast("double") / lit(100.0)).as("median_value"),
+        (col("madq").cast("double") / lit(100.0)).as("mad_value"),
+        col("n_outliers"),
+        (col("n_outliers").cast("double") / col("n").cast("double"))
+          .as("outlier_share"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -307,4 +307,34 @@ class DataQualitySpec extends SparkSpec {
         "nan_component", "inf_component", "zero_norm"))
       assert(got(rule) == 0L, s"fixture unexpectedly dirty: $rule")
   }
+
+  test("MAD outliers: hand-computed medians, and the masking case " +
+      "where the z-score gate misses what the robust gate catches") {
+    import spark.implicits._
+    // group a: 7 clean values 1.00..7.00 + 3 gross outliers; group b clean
+    val rows =
+      (1 to 7).map(i => ("a", i.toDouble)) ++
+        Seq(("a", 1000.0), ("a", 2000.0), ("a", 3000.0)) ++
+        (10 to 14).map(i => ("b", i.toDouble))
+    val events = rows.toDF("event_type", "value")
+    val got = DataQuality.madOutliers(events).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    // a: lower median of {100..700, 1e5, 2e5, 3e5} at rank 5 = 500;
+    // deviations {0,100,100,200,200,300,400,99500,199500,299500} rank 5
+    // = 200; flag adc > 600 → exactly the 3 gross rows
+    assert(got("a").getAs[Double]("median_value") == 5.0)
+    assert(got("a").getAs[Double]("mad_value") == 2.0)
+    assert(got("a").getAs[Long]("n_outliers") == 3L)
+    assert(got("a").getAs[Double]("outlier_share") == 0.3)
+    // b: median 12.00, MAD 1.00, nothing beyond 3 MAD
+    assert(got("b").getAs[Double]("median_value") == 12.0)
+    assert(got("b").getAs[Double]("mad_value") == 1.0)
+    assert(got("b").getAs[Long]("n_outliers") == 0L)
+    // masking: the 3 gross rows inflate mean AND sigma so the dq05
+    // z-score gate admits 2 of them — the robust gate's reason to exist
+    val z = DataQuality.valueOutliers(events).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("n_outliers")).toMap
+    assert(z("a") == 1L)
+  }
 }
