@@ -685,6 +685,10 @@ object SparkEntry {
     // feedback pass, term mining, down-weighted re-rank
     "b03_prf_expansion" -> ((s, d) =>
       graft.operators.Ranking.prfExpansion(Tables.documents(s, d))),
+    // b04: graded retrieval eval (P@k/R@k/MRR/AP@k vs title-zone
+    // pseudo-qrels) — the TREC loop closed over the b01 scorer
+    "b04_retrieval_eval" -> ((s, d) =>
+      graft.operators.Ranking.retrievalEval(Tables.documents(s, d))),
     // p12: the sharded-export publish manifest — per-shard counts,
     // key ranges, order markers, order-free exact content checksum
     "p12_shard_manifest" -> ((s, d) =>
@@ -2482,6 +2486,74 @@ object SparkEntry {
        |FROM sc GROUP BY doc_id
        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
   }
+
+  /** b04: relevance = term in the first-10-token title zone
+    * (DISTINCT per doc); candidates via Bm25Oracle's tf/df/score CTEs
+    * restricted per term; per-term rank by (score desc, doc_id asc);
+    * AP's sum realized as the rank-ordered list fold with a prepended
+    * 0.0 (non-relevant ranks contribute a bitwise-free +0.0 — the b03
+    * fold contract). */
+  private val RetrievalEvalOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |dd AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dd),
+      |rel AS (SELECT DISTINCT doc_id, term FROM (
+      |  SELECT doc_id, unnest(toks[1:10]) AS term FROM dd) u
+      |  WHERE term IN ('vector', 'spark', 'join', 'scan')),
+      |nr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_rel
+      |  FROM rel GROUP BY term),
+      |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd) u
+      |  WHERE term IN ('vector', 'spark', 'join', 'scan')
+      |  GROUP BY doc_id, dl, term),
+      |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM tf GROUP BY term),
+      |sc AS (SELECT tf.doc_id, tf.term,
+      |  ((CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE)
+      |      + CAST(0.5 AS DOUBLE))
+      |    / (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+      |  * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      |  / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |     * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+      |        + CAST(0.75 AS DOUBLE) * CAST(tf.dl AS DOUBLE)
+      |          / (CAST(st.sum_dl AS DOUBLE)
+      |             / CAST(st.n_docs AS DOUBLE)))) AS score_t
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN st),
+      |rk AS (SELECT term, doc_id,
+      |  CAST(row_number() OVER (PARTITION BY term
+      |    ORDER BY score_t DESC, doc_id ASC) AS BIGINT) AS rank
+      |  FROM sc),
+      |top AS (SELECT term, doc_id, rank FROM rk WHERE rank <= 10),
+      |j AS (SELECT t.term, t.rank,
+      |  CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+      |  FROM top t LEFT JOIN rel r
+      |    ON t.term = r.term AND t.doc_id = r.doc_id),
+      |cu AS (SELECT term, rank, rel,
+      |  CAST(SUM(rel) OVER (PARTITION BY term ORDER BY rank)
+      |    AS BIGINT) AS cum FROM j),
+      |co AS (SELECT term, rank, rel,
+      |  CASE WHEN rel = 1
+      |    THEN CAST(cum AS DOUBLE) / CAST(rank AS DOUBLE)
+      |    ELSE CAST(0.0 AS DOUBLE) END AS contrib FROM cu),
+      |pt AS (SELECT term, CAST(SUM(rel) AS BIGINT) AS n_hits,
+      |  COALESCE(1.0 / CAST(MIN(CASE WHEN rel = 1 THEN rank END)
+      |    AS DOUBLE), CAST(0.0 AS DOUBLE)) AS mrr,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(contrib ORDER BY rank)), (a, b) -> a + b) AS ap_num
+      |  FROM co GROUP BY term)
+      |SELECT pt.term, COALESCE(nr.n_rel, 0) AS n_rel, pt.n_hits,
+      |  CAST(pt.n_hits AS DOUBLE) / 10.0 AS p_at_k,
+      |  CASE WHEN COALESCE(nr.n_rel, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+      |    ELSE CAST(pt.n_hits AS DOUBLE) / CAST(nr.n_rel AS DOUBLE)
+      |    END AS r_at_k,
+      |  pt.mrr,
+      |  CASE WHEN COALESCE(nr.n_rel, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+      |    ELSE pt.ap_num / CAST(LEAST(nr.n_rel, 10) AS DOUBLE)
+      |    END AS ap_at_k
+      |FROM pt LEFT JOIN nr USING (term)
+      |ORDER BY term""".stripMargin
 
   /** s35: one plane/projection pass at 24 bits; narrower tiers are
     * `code % 2^n` masks of the same codes; rank per (n_bits, query);
@@ -6350,6 +6422,7 @@ object SparkEntry {
        "FROM m GROUP BY verdict, learned_keep\n" +
        "ORDER BY verdict, learned_keep"),
     "b03_prf_expansion" -> PrfOracle,
+    "b04_retrieval_eval" -> RetrievalEvalOracle,
     // c02: c01's chunk CTEs as the scoring unit, b01's exact BM25 law
     // verbatim (rational idf, fixed-order 4-term sum), maxP per doc
     // with min-chunk-idx tie break, b01's doc rank LEFT-joined on

@@ -275,4 +275,101 @@ object Ranking {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** b04: GRADED RETRIEVAL EVALUATION — per-query P@k / R@k / MRR /
+    * AP@k of the single-term BM25 ranking against deterministic
+    * relevance judgments (the TREC qrel loop every retrieval stack
+    * closes before shipping an index change; Manning et al., IIR
+    * ch. 8). Each probe term is its own query; a document is RELEVANT
+    * to a term iff the term appears in its TITLE ZONE (first
+    * `titleTokens` tokens) — a label derived independently of the
+    * full-text score being judged, the standard pseudo-qrel when no
+    * human judgments exist. AP@k uses the interpolation-free form
+    * Σ_{i≤k} P(i)·rel(i) / min(n_rel, k).
+    *
+    * Float discipline: every metric is a ratio of exact longs — P(i) =
+    * cum_hits(i)/i, MRR = 1/first_rel_rank, P@k, R@k — and AP's sum
+    * folds those per-rank contributions in RANK order via the b03
+    * sorted-list fold (0.0-seeded; non-relevant ranks contribute a
+    * bitwise-free +0.0), so both engines build identical doubles.
+    *
+    * Plan shape: relevance labels are one narrow title-zone explode
+    * (at a real eval the qrel set is a bounded artifact that
+    * broadcast-joins instead); candidate scoring is b01's one
+    * (doc, term) partial agg + broadcast df/stats; the per-term top-k
+    * is the bounded mergeable [[graft.functions.TopKByScore]] partial
+    * agg (map-side ≤ k rows per term per split — never a corpus-wide
+    * per-term window funnel); everything after operates on
+    * |terms|·k rows. At 100 TB the eval costs one corpus scan. */
+  def retrievalEval(documents: DataFrame,
+      terms: Seq[String] = DefaultTerms, k: Int = 10,
+      titleTokens: Int = 10): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val rel = docs
+      .select(col("doc_id"), explode(array_distinct(
+        slice(col("toks"), 1, titleTokens))).as("term"))
+      .where(col("term").isin(terms: _*))
+    val nRel = rel.groupBy(col("term")).agg(count(lit(1)).as("n_rel"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = col("n_docs").cast("double")
+    val dfd = col("df").cast("double")
+    val tfd = col("tf").cast("double")
+    val dld = col("dl").cast("double")
+    val scored = tf
+      .join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / nd)
+      .withColumn("score_t",
+        ((nd - dfd + lit(0.5)) / (dfd + lit(0.5))) * (tfd * lit(2.2)) /
+          (tfd + lit(1.2) *
+            (lit(1.0) - lit(0.75) + lit(0.75) * dld / col("avgdl"))))
+    val topAgg = graft.functions.TopKByScore.topK(k)(
+      col("score_t"), col("doc_id"))
+    val ranked = scored.groupBy(col("term")).agg(topAgg.as("top"))
+      .select(col("term"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("term"), col("e.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+    val judged = ranked
+      .join(rel.withColumn("is_rel", lit(1L)), Seq("term", "doc_id"),
+        "left")
+      .select(col("term"), col("rank"),
+        coalesce(col("is_rel"), lit(0L)).as("rel"))
+    val cum = judged.withColumn("cum_hits",
+      sum(col("rel")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term")).orderBy(col("rank"))))
+      .withColumn("contrib",
+        when(col("rel") === 1L,
+          col("cum_hits").cast("double") / col("rank").cast("double"))
+          .otherwise(lit(0.0)))
+    val perTerm = cum.groupBy(col("term"))
+      .agg(sum(col("rel")).as("n_hits"),
+        coalesce(lit(1.0) /
+          min(when(col("rel") === 1L, col("rank"))).cast("double"),
+          lit(0.0)).as("mrr"),
+        aggregate(sort_array(collect_list(struct(col("rank"),
+          col("contrib")))), lit(0.0),
+          (acc, x) => acc + x.getField("contrib")).as("ap_num"))
+    perTerm.join(broadcast(nRel), Seq("term"), "left")
+      .select(col("term"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(k.toDouble)).as("p_at_k"),
+        when(coalesce(col("n_rel"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("n_hits").cast("double") /
+            col("n_rel").cast("double")).as("r_at_k"),
+        col("mrr"),
+        when(coalesce(col("n_rel"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("ap_num") /
+            least(col("n_rel"), lit(k.toLong)).cast("double"))
+          .as("ap_at_k"))
+      .orderBy(col("term"))
+  }
 }

@@ -179,4 +179,30 @@ class RankingChunkingSpec extends SparkSpec {
     val scores = out.map(_.getDouble(3))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
+
+  test("retrievalEval (b04): hand-computed P/R/MRR/AP on a 3-doc " +
+      "ranking with a title-zone miss at rank 2") {
+    import spark.implicits._
+    // all 12 tokens long (equal dl ⇒ score orders by tf alone):
+    // d1 tf=3 (one in title) > d2 tf=2 (both PAST the 10-token title
+    // zone ⇒ retrieved but NOT relevant) > d3 tf=1 (in title)
+    val pad = (1 to 9).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"vector $pad vector vector"),
+      (2L, s"zzz $pad vector vector"),
+      (3L, s"vector $pad yyy www"),
+      (4L, s"aaa $pad bbb ccc")
+    ).toDF("doc_id", "text")
+    val rows = Ranking.retrievalEval(docs).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("vector"))
+    val r = rows.head
+    assert(r.getAs[Long]("n_rel") == 2L)
+    assert(r.getAs[Long]("n_hits") == 2L)
+    assert(r.getAs[Double]("p_at_k") == 0.2)
+    assert(r.getAs[Double]("r_at_k") == 1.0)
+    assert(r.getAs[Double]("mrr") == 1.0)
+    // AP = (P@1·1 + P@2·0 + P@3·1)/min(n_rel,k), folded in rank order
+    assert(r.getAs[Double]("ap_at_k") ==
+      (((0.0 + 1.0) + 0.0) + 2.0 / 3.0) / 2.0)
+  }
 }
