@@ -708,7 +708,12 @@ object SparkEntry {
     // p17: p12's manifest maintained incrementally (per-batch raw
     // manifests merged, no rescan) — oracle is p12's SQL verbatim
     "p17_incremental_manifest" -> ((s, d) =>
-      graft.operators.Sampling.incrementalManifest(Tables.documents(s, d)))
+      graft.operators.Sampling.incrementalManifest(Tables.documents(s, d))),
+    // p18: embedding-space decontamination vs the held-out eval slice
+    // (the p02/p05 ladder's semantic rung) — nearest eval item + margin
+    "p18_semantic_decontam" -> ((s, d) =>
+      D.semanticDecontam(Tables.embeddings(s, d),
+        org.apache.spark.sql.functions.col("vec_id") % 100 === 0))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -6491,6 +6496,29 @@ object SparkEntry {
     // p17: merged-incremental must equal recomputed-from-scratch bit
     // for bit — the oracle IS p12's whole-corpus SQL, verbatim
     "p17_incremental_manifest" -> ShardManifestOracle,
+    // p18: exact dot/norm folds, argmax via (cosine DESC, eval_id ASC)
+    // row_number — bitwise the Spark side's min_by-on-struct pick
+    "p18_semantic_decontam" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |    (a, b) -> a + b) AS norm2 FROM embeddings),
+        |q AS (SELECT vec_id AS eval_id, embedding AS qemb,
+        |  norm2 AS qnorm2 FROM v WHERE vec_id % 100 = 0),
+        |t AS (SELECT vec_id, embedding, norm2 FROM v
+        |  WHERE vec_id % 100 <> 0),
+        |sc AS (SELECT t.vec_id, q.eval_id,
+        |  list_reduce(list_transform(range(1, len(t.embedding)+1), i ->
+        |    CAST(t.embedding[i] AS DOUBLE) * CAST(q.qemb[i] AS DOUBLE)),
+        |    (x, y) -> x + y)
+        |  / (sqrt(t.norm2) * sqrt(q.qnorm2)) AS cosine
+        |  FROM t CROSS JOIN q),
+        |r AS (SELECT vec_id, eval_id, cosine,
+        |  row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosine DESC, eval_id ASC) AS rn FROM sc)
+        |SELECT vec_id, eval_id AS nearest_eval_id, cosine AS max_cos,
+        |  cosine >= 0.35 AS contaminated
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // l16: the WAP slices re-derived in SQL; delta2's duplicate check
     // runs against the CONDITIONALLY-published state (base ∪ delta1 iff
     // delta1's own audits are zero), and the publish verdicts are

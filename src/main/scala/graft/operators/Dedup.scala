@@ -760,6 +760,54 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** p18: SEMANTIC DECONTAMINATION — the embedding-space face of the
+    * p02 (exact n-gram) / p05 (MinHash paraphrase) decontamination
+    * ladder: flag every TRAINING vector whose cosine against ANY held-out
+    * eval vector clears `threshold`, and report the nearest eval item
+    * and the margin so borderline leaks can be adjudicated (the check
+    * LLM eval cards run after exact and fuzzy overlap, catching
+    * translations/heavy paraphrases that share no surface n-grams —
+    * e.g. the GPT-4/Llama report contamination appendices).
+    *
+    * Plan shape: the eval side of a real decontamination pass is a
+    * BOUNDED benchmark artifact (10³–10⁵ vectors — it is the thing
+    * being protected, not the corpus), so it BROADCASTS and the train
+    * side streams once: an intended broadcast nested-loop (the s01
+    * flat-search stance), one bounded per-vector max/argmax partial
+    * agg, no shuffle of the corpus. If the eval side ever outgrows a
+    * broadcast, the d15 discipline applies verbatim: assign both sides
+    * to the trained coarse cells and join on cell_id, trading
+    * cross-cell misses for an equi-join. Here the eval slice is the
+    * fixture's `vec_id % 100 = 0` (the p02/p06 eval-predicate
+    * convention).
+    *
+    * Determinism: cosine is the exact [[dotExpr]] fold over doubles;
+    * max is selection (order-free); the argmax breaks cosine ties
+    * toward the LOWER eval id via the min_by-on-struct pattern —
+    * bitwise identical to the oracle's (cosine DESC, eval_id ASC)
+    * row_number pick. */
+  def semanticDecontam(embeddings: DataFrame,
+      evalPredicate: Column, threshold: Double = 0.35): DataFrame = {
+    val v = embeddings.select(col("vec_id"), col("embedding"),
+      dotExpr("embedding", "embedding").as("norm2"))
+    val eval = v.filter(evalPredicate)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("qemb"),
+        col("norm2").as("qnorm2"))
+    val train = v.filter(!evalPredicate)
+    train.crossJoin(broadcast(eval))
+      .select(col("vec_id"), col("eval_id"),
+        (dotExpr("embedding", "qemb") /
+          (sqrt(col("norm2")) * sqrt(col("qnorm2")))).as("cosine"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cosine")).as("max_cos"),
+        min_by(col("eval_id"), struct(
+          (lit(0.0) - col("cosine")).as("negcos"),
+          col("eval_id").as("e"))).as("nearest_eval_id"))
+      .select(col("vec_id"), col("nearest_eval_id"), col("max_cos"),
+        (col("max_cos") >= lit(threshold)).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
   /** d16: cross-document EXACT-substring duplication — the window form
     * of Lee et al. 2022's exact-substring dedup ("Deduplicating
     * Training Data Makes Language Models Better"): two documents share

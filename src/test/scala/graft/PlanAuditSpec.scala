@@ -77,6 +77,7 @@ class PlanAuditSpec extends SparkSpec {
     "s35_hamming_recall", // s01 exact side + tiny bit-config crosses
     "b02_rrf_fusion", // b01's ONE-row stats cross + s01's dense side
     "b04_retrieval_eval", // b01's ONE-row corpus-stats broadcast cross
+    "p18_semantic_decontam", // broadcast(bounded eval slice) x train scan
     "s36_index_lifecycle", // s18/s19's probe-schedule broadcast crosses
     "s38_rotation_recall", // s01 exact side + 3-row tier cross
     "t42_lm_perplexity", // t33's ONE-row (N,V) corpus frame cross

@@ -1113,4 +1113,30 @@ class ContainmentCodeDetectSpec extends graft.SparkSpec {
     assert(out == Dedup.substringDups(fix.repartition(7)).collect()
       .map(_.toSeq).toSeq)
   }
+
+  test("semanticDecontam (p18): exact cosines, argmax tie to the " +
+      "lower eval id, threshold flag") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), // eval (id % 100 == 0)
+      (200L, Array(0.0f, 1.0f)), // eval
+      (1L, Array(1.0f, 0.0f)), // exact copy of eval 0
+      (2L, Array(0.0f, 1.0f)), // exact copy of eval 200
+      (3L, Array(1.0f, 1.0f)), // 1/sqrt(2) to BOTH evals: tie -> 0
+      (4L, Array(-1.0f, 0.1f)) // clean: max cos ~0.0995 < 0.35
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDecontam(vecs, col("vec_id") % 100 === 0)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("nearest_eval_id"), r.getAs[Double]("max_cos"),
+          r.getAs[Boolean]("contaminated")))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((0L, 1.0, true)))
+    assert(got(2L) == ((200L, 1.0, true)))
+    val (ne3, cos3, c3) = got(3L)
+    assert(ne3 == 0L && c3) // bitwise-equal cosines tie to eval 0
+    assert(cos3 == math.sqrt(2.0) / 2.0 ||
+      math.abs(cos3 - 1.0 / math.sqrt(2.0)) < 1e-12)
+    val (ne4, cos4, c4) = got(4L)
+    assert(ne4 == 200L && !c4 && cos4 < 0.35)
+  }
 }
