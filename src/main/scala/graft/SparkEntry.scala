@@ -713,7 +713,11 @@ object SparkEntry {
     // (the p02/p05 ladder's semantic rung) — nearest eval item + margin
     "p18_semantic_decontam" -> ((s, d) =>
       D.semanticDecontam(Tables.embeddings(s, d),
-        org.apache.spark.sql.functions.col("vec_id") % 100 === 0))
+        org.apache.spark.sql.functions.col("vec_id") % 100 === 0)),
+    // p19: DoReMi-lite domain reweighting — 4 multiplicative-weights
+    // rounds over a pluggable excess-loss proxy (mean-TTR deficit)
+    "p19_domain_reweight" -> ((s, d) =>
+      Sm.domainReweight(Tables.documents(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -6496,6 +6500,41 @@ object SparkEntry {
     // p17: merged-incremental must equal recomputed-from-scratch bit
     // for bit — the oracle IS p12's whole-corpus SQL, verbatim
     "p17_incremental_manifest" -> ShardManifestOracle,
+    // p19: the MW loop unrolled to 4 (u, s, w) CTE levels — each uN is
+    // read twice (normalizer + next round) so they are MATERIALIZED
+    // (the exponential-inline gotcha); folds in source-ASC order
+    "p19_domain_reweight" -> {
+      def round(i: Int): String = {
+        val prev = if (i == 1) "b" else s"w${i - 1}"
+        s"""u$i AS MATERIALIZED (SELECT source, n_tokens, ttr, excess,
+           |  w * (1.0 + 0.5 * excess) AS u FROM $prev),
+           |s$i AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |  list(u ORDER BY source)), (a, b) -> a + b) AS s FROM u$i),
+           |w$i AS (SELECT source, n_tokens, ttr, excess,
+           |  u / s$i.s AS w FROM u$i CROSS JOIN s$i)""".stripMargin
+      }
+      """WITH tk AS (SELECT source,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+        |  FROM tk GROUP BY source),
+        |t AS (SELECT source, n_tokens,
+        |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
+        |  FROM ps),
+        |m AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(ttr ORDER BY source)), (a, b) -> a + b)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mean_ttr,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sources FROM t),
+        |b AS (SELECT source, n_tokens, ttr,
+        |  GREATEST(CAST(0.0 AS DOUBLE), m.mean_ttr - ttr) AS excess,
+        |  CAST(1.0 AS DOUBLE) / CAST(m.n_sources AS DOUBLE) AS w
+        |  FROM t CROSS JOIN m),
+        |""".stripMargin +
+        (1 to 4).map(round).mkString(",\n") + "\n" +
+        """SELECT source, n_tokens, ttr, excess, w AS weight
+          |FROM w4 ORDER BY source""".stripMargin
+    },
     // p18: exact dot/norm folds, argmax via (cosine DESC, eval_id ASC)
     // row_number — bitwise the Spark side's min_by-on-struct pick
     "p18_semantic_decontam" ->

@@ -442,6 +442,69 @@ object Sampling {
     * ONE shard-keyed partial aggregate → 16 rows. Nothing else moves.
     * At larger scale widen the shard prefix (2 hex digits → 256
     * shards), exactly as [[packSequences]] documents. */
+  /** p19: DOMAIN REWEIGHTING by multiplicative weights — DoReMi's
+    * harness (Xie et al. 2023 "DoReMi: Optimizing Data Mixtures Speeds
+    * Up Language Model Pretraining") in its deterministic, engine-
+    * checkable form: domains with EXCESS LOSS get their mixture weight
+    * multiplied up each round, then the weight vector renormalizes —
+    * `rounds` synchronous updates of w ← normalize(w · (1 + η·excess)).
+    * The published method's excess loss is a proxy-model/reference-
+    * model loss gap; that column is PLUGGABLE — here it is a redundancy
+    * proxy computable exactly from the corpus (mean-TTR deficit:
+    * sources less lexically diverse than the per-source average carry
+    * positive excess), so the optimizer loop itself — the part that is
+    * a data-engine job — is oracle-checkable end to end. η = 1/2: the
+    * update multiplier `1 + excess/2` is one exact halving and one add
+    * (the linearized MW update — exp(η·excess) is libm and engine-
+    * drifty, its first-order form is bit-stable and the standard MW
+    * variant).
+    *
+    * Float discipline: per-source TTR and the mean-TTR reference are
+    * divisions/folds of exact longs in SOURCE-ASC fixed order (the b03
+    * fold contract); each round is one multiply-add per source and one
+    * source-ASC fold for the normalizer — both engines build the same
+    * doubles bit for bit through all `rounds` iterations.
+    *
+    * Plan shape: the corpus is touched ONCE (a (source, token) distinct
+    * partial agg + per-source token counts); everything after is
+    * |sources|-row model-artifact arithmetic — the k-medians loop
+    * discipline, each round's frame anchored so the lazy plan stays
+    * linear instead of doubling per iteration (the normalizer and the
+    * next round both re-read it). At 100 TB this is one scan plus
+    * K-row math. */
+  def domainReweight(documents: DataFrame, rounds: Int = 4): DataFrame = {
+    import graft.operators.Anchor.AnchorOps
+    val toks = documents.select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val perSource = toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("tok")).as("n_distinct"))
+      .withColumn("ttr", col("n_distinct").cast("double") /
+        col("n_tokens").cast("double"))
+    val ref = perSource.agg(
+      (aggregate(sort_array(collect_list(struct(col("source"),
+        col("ttr")))), lit(0.0), (acc, x) => acc + x.getField("ttr")) /
+        count(lit(1)).cast("double")).as("mean_ttr"),
+      count(lit(1)).as("n_sources"))
+    var w = perSource.crossJoin(broadcast(ref))
+      .select(col("source"), col("n_tokens"), col("ttr"),
+        greatest(lit(0.0), col("mean_ttr") - col("ttr")).as("excess"),
+        (lit(1.0) / col("n_sources").cast("double")).as("w"))
+    for (_ <- 1 to rounds) {
+      val u = w.withColumn("u",
+        col("w") * (lit(1.0) + lit(0.5) * col("excess"))).anchored
+      val s = u.agg(aggregate(sort_array(collect_list(struct(
+        col("source"), col("u")))), lit(0.0),
+        (acc, x) => acc + x.getField("u")).as("s"))
+      w = u.crossJoin(broadcast(s))
+        .select(col("source"), col("n_tokens"), col("ttr"),
+          col("excess"), (col("u") / col("s")).as("w"))
+    }
+    w.select(col("source"), col("n_tokens"), col("ttr"), col("excess"),
+        col("w").as("weight"))
+      .orderBy(col("source"))
+  }
+
   /** p16: the EPOCH / REPEAT PLAN under a token budget — the
     * data-constrained scheduling table (Muennighoff et al. 2023
     * "Scaling Data-Constrained Language Models": repeating a source up

@@ -78,6 +78,7 @@ class PlanAuditSpec extends SparkSpec {
     "b02_rrf_fusion", // b01's ONE-row stats cross + s01's dense side
     "b04_retrieval_eval", // b01's ONE-row corpus-stats broadcast cross
     "p18_semantic_decontam", // broadcast(bounded eval slice) x train scan
+    "p19_domain_reweight", // 1-row mean/normalizer frames crossed into K rows
     "s36_index_lifecycle", // s18/s19's probe-schedule broadcast crosses
     "s38_rotation_recall", // s01 exact side + 3-row tier cross
     "t42_lm_perplexity", // t33's ONE-row (N,V) corpus frame cross

@@ -458,4 +458,30 @@ class DatasetCardSpec extends graft.SparkSpec {
         qBySrc(r.getAs[String]("source")))
     }
   }
+
+  test("domainReweight (p19): the MW loop reproduces the same doubles " +
+      "as a hand-run of the update, and upweights the redundant source") {
+    import spark.implicits._
+    // a: 4 tokens 1 distinct (ttr 0.25); b: 4 tokens 4 distinct (ttr 1.0)
+    val docs = Seq(("a", "x x x x"), ("b", "p q r s"))
+      .toDF("source", "text").withColumn("doc_id", lit(1L))
+    val got = Sampling.domainReweight(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("ttr"), r.getAs[Double]("excess"),
+          r.getAs[Double]("weight")))).toMap
+    val meanTtr = ((0.0 + 0.25) + 1.0) / 2.0
+    assert(got("a")._1 == 0.25 && got("b")._1 == 1.0)
+    assert(got("a")._2 == meanTtr - 0.25 && got("b")._2 == 0.0)
+    // replicate the exact op sequence: u = w·(1 + 0.5·excess),
+    // s = source-ASC fold seeded 0.0, w = u/s — 4 rounds
+    var wa = 1.0 / 2.0; var wb = 1.0 / 2.0
+    val ea = meanTtr - 0.25
+    for (_ <- 1 to 4) {
+      val ua = wa * (1.0 + 0.5 * ea); val ub = wb * (1.0 + 0.5 * 0.0)
+      val s = (0.0 + ua) + ub
+      wa = ua / s; wb = ub / s
+    }
+    assert(got("a")._3 == wa && got("b")._3 == wb)
+    assert(got("a")._3 > got("b")._3) // the redundant domain moved up
+  }
 }
