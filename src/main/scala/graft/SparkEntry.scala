@@ -614,6 +614,10 @@ object SparkEntry {
       graft.lake.LakeQueries.branchRead(s, Tables.orders(s, d))),
     "l16_wap_commit" -> ((s, d) =>
       graft.lake.LakeQueries.wapRead(s, Tables.orders(s, d))),
+    // l18: vacuum dry run — per-version kind/base/rows + retention
+    // verdict (kept_recent / mor_base liveness / expired) at keepLast=1
+    "l18_vacuum_plan" -> ((s, d) =>
+      graft.lake.LakeQueries.vacuumPlanReport(s, Tables.orders(s, d))),
     // --- round 14 ---
     // s36: full index lifecycle — frozen-base train, append, tombstone,
     // stored-table partition-pruned serve, composed end to end
@@ -6672,6 +6676,25 @@ object SparkEntry {
         |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS cents_sum
         |FROM u GROUP BY ref ORDER BY ref""".stripMargin,
+    // l18: the fixture's version algebra re-derived — v0 expired under
+    // the v1 full rewrite, v1 live as v2's delete-marker base, v2 kept;
+    // counts straight from orders
+    "l18_vacuum_plan" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+        |  CAST(SUM(CASE WHEN o_orderkey % 10 <> 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept FROM orders)
+        |SELECT version, kind, base_version, n_rows, retained, reason
+        |FROM (
+        |  SELECT CAST(0 AS BIGINT) AS version, 'full' AS kind,
+        |    CAST(-1 AS BIGINT) AS base_version, n_all AS n_rows,
+        |    FALSE AS retained, 'expired' AS reason FROM n
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), 'full', CAST(-1 AS BIGINT), n_all,
+        |    TRUE, 'mor_base' FROM n
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'mor_delete', CAST(1 AS BIGINT),
+        |    n_kept, TRUE, 'kept_recent' FROM n
+        |) ORDER BY version""".stripMargin,
     // p15: d04's minhash-band CTEs + the d11 cap (HAVING <= 1000),
     // distinct pairs attributed to unordered source pairs; diagonal
     // rows count the involved-doc UNION on both sides

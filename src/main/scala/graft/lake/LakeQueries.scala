@@ -168,6 +168,70 @@ object LakeQueries {
       .orderBy(col("version"))
   }
 
+  // One vacuum-demo store per (session, source files): v0 full commit,
+  // v1 a full REWRITE (prices +1 — makes v0 pure history), v2 a
+  // merge-on-read DELETE of the %10==3 keys on top of v1. Under
+  // keepLast=1 the window holds v2 alone, v1 survives as v2's
+  // marker-chain base (live data), v0 expires.
+  private val vacCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      SnapshotStore]
+
+  private def vacuumDemoStore(spark: SparkSession,
+      orders: DataFrame): SnapshotStore = {
+    val files = orders.inputFiles
+    val key =
+      if (files.nonEmpty) files.sorted.mkString(",")
+      else "plan:" + orders.queryExecution.analyzed.toString
+    vacCache.getOrElseUpdate((spark, key), {
+      val dirPath = Files.createTempDirectory("graft-vac-")
+      sys.addShutdownHook {
+        import java.util.Comparator
+        Files.walk(dirPath).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      val s = new SnapshotStore(spark, dirPath.toFile.getAbsolutePath)
+      val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      s.commit(base)
+      s.commit(base.select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") + lit(1.0)).as("o_totalprice")))
+      s.deleteByKeys(base.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey")))
+      s
+    })
+  }
+
+  /** l18: the VACUUM DRY-RUN report over the three-version demo store
+    * ([[SnapshotStore.vacuumPlan]] at keepLast=1) with each version's
+    * logical row count attached via the l14 time-travel union — one row
+    * per version stating kind, merge-on-read base, rows, and the
+    * retention verdict. The oracle re-derives the verdicts from the
+    * fixture's version algebra: v0 `expired` (a full rewrite in v1
+    * orphaned it), v1 `mor_base` (outside the window, but v2's delete
+    * marker still subtracts from it — live data, not history), v2
+    * `kept_recent`; counts come straight from the orders table.
+    *
+    * The plan itself is metadata-scale (markers only); the row counts
+    * are the l14 read path — at scale they come from snapshot
+    * statistics instead of a scan, but the time-travel resolution
+    * through a marker chain is the thing exercised. */
+  def vacuumPlanReport(spark: SparkSession, orders: DataFrame): DataFrame = {
+    val store = vacuumDemoStore(spark, orders)
+    val latest = store.latestVersion.getOrElse(
+      sys.error("vacuum plan on an empty store"))
+    val counts = (0L to latest)
+      .map(v => store.read(v).select(lit(v).as("version")))
+      .reduce(_.unionAll(_))
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_rows"))
+    store.vacuumPlan(keepLast = 1)
+      .join(counts, Seq("version"))
+      .select(col("version"), col("kind"), col("base_version"),
+        col("n_rows"), col("retained"), col("reason"))
+      .orderBy(col("version"))
+  }
+
   // One merge-on-read demo store per (session, source files): v0 = the
   // full orders projection, v1 = a key-only DELETE version (no base
   // rewrite), v2 = an APPEND version restoring half the deleted keys.

@@ -288,6 +288,50 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     stale.map(_.getPath.getName).toSeq
   }
 
+  /** VACUUM DRY RUN — the retention PLAN [[vacuum]] would execute,
+    * published as a DataFrame instead of performed: one row per
+    * committed version with its kind (full / mor_delete / mor_append /
+    * fork), its merge-on-read base (−1 if self-contained), and the
+    * retention verdict — `kept_recent` (inside the keepLast window),
+    * `mor_base` (outside the window but still reachable through a kept
+    * version's marker chain: live data, not history), or `expired`
+    * (safe to drop). Production lake maintenance ALWAYS plans before it
+    * deletes (Delta's `VACUUM ... DRY RUN`, Iceberg's
+    * expire_snapshots dry-run) — irreversible deletion wants a
+    * reviewable artifact, and the reachability rule is exactly the one
+    * [[vacuum]] applies, factored so the plan and the execution cannot
+    * disagree.
+    *
+    * Metadata-scale by construction (the l08 compaction-plan
+    * discipline): the walk touches version markers only — never data
+    * files — and the output is |versions| rows. */
+  def vacuumPlan(keepLast: Int = 1): DataFrame = {
+    import spark.implicits._
+    val latest = latestVersion.getOrElse(throw new IllegalStateException(
+      s"no committed snapshot under $root"))
+    val recent = (math.max(0L, latest - keepLast + 1) to latest).toSet
+    val live = scala.collection.mutable.Set.empty[Long]
+    def markChain(v: Long): Unit =
+      if (live.add(v)) morBase(v).foreach(markChain)
+    recent.foreach(markChain)
+    val f = fs
+    val rows = (0L to latest).map { v =>
+      val kind =
+        if (f.exists(new Path(versionDir(v), DeleteBaseMarker)))
+          "mor_delete"
+        else if (f.exists(new Path(versionDir(v), AppendBaseMarker)))
+          "mor_append"
+        else if (f.exists(new Path(versionDir(v), ForkBaseMarker))) "fork"
+        else "full"
+      val reason =
+        if (recent.contains(v)) "kept_recent"
+        else if (live.contains(v)) "mor_base"
+        else "expired"
+      (v, kind, morBase(v).getOrElse(-1L), reason != "expired", reason)
+    }
+    rows.toDF("version", "kind", "base_version", "retained", "reason")
+  }
+
   /** Drop snapshot dirs older than `keepLast` versions (the `VACUUM` /
     * `expire_snapshots` maintenance op). The pointer is never touched, so
     * this is always safe for current readers; time travel shrinks.

@@ -188,6 +188,35 @@ class SnapshotStoreSpec extends SparkSpec {
     intercept[Exception](store.read(0L).count()) // vacuumed
   }
 
+  test("vacuumPlan is the dry run vacuum executes: kinds, MOR-base " +
+      "liveness, and the expired set match the actual deletion") {
+    val store = freshStore()
+    // v0 full, v1 full rewrite (orphans v0), v2 MoR delete on v1,
+    // v3 MoR append on v2 — keepLast=1 window holds v3; the chain
+    // v3→v2→v1 is live; only v0 expires
+    store.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    store.commit(Seq((1L, "a2"), (2L, "b2"), (3L, "c2")).toDF("k", "v"))
+    store.deleteByKeys(Seq(Tuple1(2L)).toDF("k"))
+    store.appendRows(Seq((4L, "d")).toDF("k", "v"))
+    val plan = store.vacuumPlan(keepLast = 1).collect()
+      .map(r => r.getAs[Long]("version") ->
+        ((r.getAs[String]("kind"), r.getAs[Long]("base_version"),
+          r.getAs[Boolean]("retained"), r.getAs[String]("reason"))))
+      .toMap
+    assert(plan(0L) == (("full", -1L, false, "expired")))
+    assert(plan(1L) == (("full", -1L, true, "mor_base")))
+    assert(plan(2L) == (("mor_delete", 1L, true, "mor_base")))
+    assert(plan(3L) == (("mor_append", 2L, true, "kept_recent")))
+    // plan/execute agreement: vacuum drops exactly the expired set
+    val dropped = store.vacuum(keepLast = 1)
+    assert(dropped.toSet ==
+      plan.filter(!_._2._3).keySet)
+    // every retained version still resolves through its chain
+    assert(store.read(3L).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 4L))
+    assert(store.read(1L).count() == 3)
+  }
+
   test("streaming CDC apply: per-batch atomic upsert with compaction") {
     implicit val sqlCtx = spark.sqlContext
     val store = freshStore()
