@@ -557,6 +557,10 @@ object SparkEntry {
     // g09: Newman-Girvan modularity of the trained cells on that graph
     "g09_cell_modularity" -> ((s, d) =>
       graft.operators.Graph.cellModularity(Tables.embeddings(s, d))),
+    // g10: personalized-PageRank seed expansion on that graph — fixed-
+    // point integer PPR from the curated %50 seed slice, 3 rounds
+    "g10_ppr_expansion" -> ((s, d) =>
+      graft.operators.Graph.pprSeedExpansion(Tables.embeddings(s, d))),
     // t39: C4's global repeated-span dedup at line grain
     "t39_global_line_dedup" -> ((s, d) =>
       T.globalLineDedup(Tables.documents(s, d))),
@@ -1333,6 +1337,36 @@ object SparkEntry {
           s" FROM f$i")
         .mkString("", "\nUNION ALL ", "\n") +
       "ORDER BY start_id, walk_no, step"
+  }
+
+  /** g10: the g04 fixed-point PageRank CTE unrolling with seed-pinned
+    * teleport over the s21 edge set — r0 seeds at scale 10⁹, three
+    * (contrib, rank) levels, the same `//` floor divisions; knn is
+    * MATERIALIZED (referenced by every level + degrees + nodes). */
+  private lazy val PprOracle: String = {
+    def iter(i: Int): String =
+      s"""pc$i AS (SELECT e.dst,
+         |  CAST(SUM(pr${i - 1}.r // od.deg) AS BIGINT) AS sc
+         |  FROM knn e JOIN od ON e.src = od.src
+         |  JOIN pr${i - 1} ON pr${i - 1}.node = e.src GROUP BY e.dst),
+         |pr$i AS (SELECT n0.node, CAST(
+         |  (CASE WHEN n0.node % 50 = 0 THEN 150000000 ELSE 0 END)
+         |  + (85 * COALESCE(pc$i.sc, 0)) // 100 AS BIGINT) AS r
+         |  FROM n0 LEFT JOIN pc$i ON n0.node = pc$i.dst)""".stripMargin
+    s"WITH $KnnGraphCtes,\n" +
+      """knn AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst
+        |  FROM r WHERE rank <= 5),
+        |n0 AS (SELECT DISTINCT src AS node FROM knn),
+        |od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM knn GROUP BY src),
+        |pr0 AS (SELECT node, CAST(CASE WHEN node % 50 = 0
+        |  THEN 1000000000 ELSE 0 END AS BIGINT) AS r FROM n0),
+        |""".stripMargin +
+      (1 to 3).map(iter).mkString(",\n") + "\n" +
+      """SELECT node, node % 50 = 0 AS is_seed, r AS rank_fp,
+        |  CAST(r AS DOUBLE) / 1000000000.0 AS ppr
+        |FROM pr3 WHERE r > 0
+        |ORDER BY rank_fp DESC, node""".stripMargin
   }
 
   /** s31: recall@10 of the raw vs residual IVF-PQ tiers vs the s01
@@ -5976,6 +6010,7 @@ object SparkEntry {
         |FROM m JOIN cs ON m.cohort_day = cs.cohort_day
         |ORDER BY m.cohort_day, m.age_weeks""".stripMargin,
     "g08_graph_walks" -> GraphWalksOracle,
+    "g10_ppr_expansion" -> PprOracle,
     // t39: keeper = order-free MIN over the encoded first-occurrence
     // key, never a per-line window (hot boilerplate lines at scale)
     "t39_global_line_dedup" ->

@@ -289,6 +289,61 @@ object Graph {
     walks.orderBy(col("start_id"), col("walk_no"), col("step"))
   }
 
+  /** g10: PERSONALIZED PAGERANK SEED EXPANSION over the s21 kNN graph —
+    * the seed-and-expand data-selection move (Andersen et al. 2006
+    * local graph clustering; the "start from a curated high-quality
+    * seed set, walk the similarity graph outward" selection pattern
+    * behind graph-based corpus curation): teleport mass is pinned to
+    * the SEED nodes (here the fixture's `vec_id % 50 = 0` curated
+    * slice) instead of spread uniformly, so rank flows outward from the
+    * seeds and a node's PPR score measures how reachable it is from
+    * quality — the expansion set is every node with nonzero mass after
+    * `iters` rounds, ranked.
+    *
+    * Fixed-point discipline (the g04 contract verbatim): ranks live at
+    * scale 10⁹, every step is an exact integer product/floor-division
+    * — r'(i) = 15·S·[i∈seeds] div 100 + 85·Σ_j r(j) div outdeg(j)
+    * div 100 — so the whole iteration is order-free and bit-identical
+    * across engines/partitionings; a float PPR would accumulate in
+    * shuffle order. Headroom: total mass ≤ |seeds|·S through every
+    * round, so the ·85 product stays far inside int64 for any corpus.
+    *
+    * Plan shape: the kNN edge list materializes once (anchored —
+    * referenced by every round plus the degree/node frames); each round
+    * is ONE ranks ⋈ edges equi-join on the current node + a dst-keyed
+    * partial agg (map-side combined) + the left join back to the node
+    * set — the distributed-PageRank loop, iterations a driver loop over
+    * lazy plans, data never collects. Frontier sparsity is free: nodes
+    * at rank 0 contribute 0-mass rows that the partial agg collapses. */
+  def pprSeedExpansion(embeddings: DataFrame, k: Int = 5,
+      nCells: Int = 32, iters: Int = 3): DataFrame = {
+    val S = 1000000000L
+    val seedPred = (n: org.apache.spark.sql.Column) => n % 50 === 0
+    val edges = Similarity.knnGraph(embeddings, k, nCells)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .anchored
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var ranks = nodes.select(col("node"),
+      when(seedPred(col("node")), lit(S)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = edges.join(outDeg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      ranks = nodes.join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (when(seedPred(col("node")), lit(15L * S / 100L))
+            .otherwise(lit(0L)) +
+            expr("85 * coalesce(sc, 0L) div 100")).as("r"))
+    }
+    ranks.filter(col("r") > 0L)
+      .select(col("node"), seedPred(col("node")).as("is_seed"),
+        col("r").as("rank_fp"),
+        (col("r").cast("double") / lit(S.toDouble)).as("ppr"))
+      .orderBy(col("rank_fp").desc, col("node"))
+  }
+
   /** g09: MODULARITY of the trained IVF cells over the kNN graph
     * (Newman–Girvan Q, per community and overall) — the graph-side
     * answer to k05's silhouette: silhouette asks whether points sit

@@ -79,6 +79,7 @@ class PlanAuditSpec extends SparkSpec {
     "b04_retrieval_eval", // b01's ONE-row corpus-stats broadcast cross
     "p18_semantic_decontam", // broadcast(bounded eval slice) x train scan
     "p19_domain_reweight", // 1-row mean/normalizer frames crossed into K rows
+    "g10_ppr_expansion", // rides s21's broadcast centroid-assign cross
     "s36_index_lifecycle", // s18/s19's probe-schedule broadcast crosses
     "s38_rotation_recall", // s01 exact side + 3-row tier cross
     "t42_lm_perplexity", // t33's ONE-row (N,V) corpus frame cross

@@ -307,4 +307,34 @@ class GraphSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("pprSeedExpansion (g10): bit-identical to an independent " +
+      "replay of the fixed-point loop over the collected edge list") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Graph.pprSeedExpansion(emb).collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Boolean]("is_seed"), r.getAs[Long]("rank_fp"))))
+      .toMap
+    // replay: same integer ops, same order-free sums
+    val edges = Similarity.knnGraph(emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id")))
+    val nodes = edges.map(_._1).distinct
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var rk = nodes.map(n =>
+      n -> (if (n % 50 == 0) 1000000000L else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (s0, d0) => contrib(d0) += rk(s0) / deg(s0) }
+      rk = nodes.map(n => n -> ((if (n % 50 == 0) 150000000L else 0L) +
+        85L * contrib(n) / 100L)).toMap
+    }
+    val expected = rk.filter(_._2 > 0L)
+      .map { case (n, r) => n -> ((n % 50 == 0, r)) }
+    assert(got == expected)
+    // the teleport floor holds for every seed; expansion reached
+    // non-seed nodes
+    assert(got.collect { case (n, (true, r)) => r }
+      .forall(_ >= 150000000L))
+    assert(got.exists { case (_, (seed, _)) => !seed })
+  }
 }
