@@ -583,6 +583,9 @@ object SparkEntry {
     // s40: hot-cell split — the rebalance plan + its exact size effect
     "s40_cell_split" -> ((s, d) =>
       graft.operators.Clustering.hotCellSplit(Tables.embeddings(s, d))),
+    // s41: exact MIPS top-k (raw-dot ranking) + the norm-augmentation
+    // reduction witness (aug_cos = dot/(M*|q|))
+    "s41_mips_topk" -> ((s, d) => S.mipsTopK(Tables.embeddings(s, d))),
     // t40: per-benchmark-item leakage report (p02 from the eval side)
     "t40_contamination_report" -> ((s, d) =>
       T.contaminationReport(Tables.documents(s, d),
@@ -991,6 +994,31 @@ object SparkEntry {
   private val BruteTopKOracle: String =
     s"WITH $BruteCtes\n" +
     """SELECT query_id, neighbor_id, cosine, rank FROM r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** s41: BruteCtes' n/q frames, raw-dot scoring (no norm division in
+    * the ranking), rank by (dot DESC, id ASC); the reduction witness
+    * aug_cos = dot/(M·‖q‖) rides along from the 1-row max-norm CTE. */
+  private val MipsOracle: String =
+    s"""WITH n AS (SELECT vec_id, label, embedding,
+      |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+      |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS norm2 FROM embeddings),
+      |m AS (SELECT MAX(norm2) AS m2 FROM n),
+      |q AS (SELECT vec_id AS query_id, embedding AS query_emb,
+      |  norm2 AS qnorm2 FROM n WHERE vec_id < 5),
+      |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.qnorm2,
+      |  list_reduce(list_transform(range(1, len(c.embedding)+1), i ->
+      |    CAST(c.embedding[i] AS DOUBLE) * CAST(q.query_emb[i] AS DOUBLE)),
+      |    (x, y) -> x + y) AS dot
+      | FROM n c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+      |r AS (SELECT query_id, neighbor_id, dot, qnorm2,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+      | FROM scored)
+      |SELECT query_id, neighbor_id, dot,
+      |  dot / (sqrt(m.m2) * sqrt(qnorm2)) AS aug_cos, rank
+      |FROM r CROSS JOIN m
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** s23: the MMR greedy unrolled to k=5 CTE steps over the s01
@@ -3602,6 +3630,7 @@ object SparkEntry {
     // equivalence the checked statement
     "d20_cc_star" -> MinLabelCcOracle,
     "s01_brute_topk" -> BruteTopKOracle,
+    "s41_mips_topk" -> MipsOracle,
     "s02_ivf_topk" ->
       """WITH n AS (SELECT vec_id, label, embedding,
         |  list_reduce(list_transform(range(1, len(embedding)+1), i ->

@@ -77,6 +77,48 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s41: exact MAX-INNER-PRODUCT top-k (MIPS) — the retrieval
+    * objective recommender scorers and un-normalized dual-encoder
+    * rankers actually optimize, distinct from cosine (s01): a long
+    * vector can out-score a better-aligned short one, so no norm
+    * division appears in the ranking. Ranking is by the RAW dot (an
+    * exact [[Dedup.dotExpr]] fold — no division, no libm), ties to the
+    * lower neighbor id.
+    *
+    * Alongside each hit rides `aug_cos` = dot / (M·‖q‖), the WITNESS of
+    * the MIPS→cosine reduction (Bachrach et al. 2014 / Shrivastava &
+    * Li 2014): augment every stored vector with an extra coordinate
+    * sqrt(M² − ‖x‖²) (M = max corpus norm) and zero-pad queries — the
+    * augmented vectors all have norm M, their cosine against a padded
+    * query is EXACTLY dot/(M·‖q‖), monotone in dot per query — so any
+    * cosine-only ANN tier here (IVF, PQ, LSH) serves MIPS by storing
+    * augmented vectors. The spec asserts the reduction: aug_cos
+    * ordering = dot ordering per query on the fixture.
+    *
+    * Plan shape: s01's intended broadcast(queries) × corpus scan with
+    * the bounded [[graft.functions.TopKByScore]] partial agg; the
+    * 1-row max-norm frame broadcast-crosses in (the dq10 pattern). At
+    * scale the reduction is the point — MIPS rides whatever cosine
+    * serving tier is deployed. */
+  def mipsTopK(embeddings: DataFrame, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val corpus = normed(embeddings)
+    val m2 = corpus.agg(max(col("norm2")).as("m2"))
+    val queries = qnormed(queryVectors(embeddings, nQueries))
+    val scored = corpus.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("dot", Dedup.dotExpr("embedding", "query_emb"))
+    topKByQuery(scored, "dot", k)
+      .crossJoin(broadcast(m2))
+      .join(broadcast(queries.select(col("query_id"), col("qnorm2"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("dot"),
+        (col("dot") / (sqrt(col("m2")) * sqrt(col("qnorm2"))))
+          .as("aug_cos"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF-style top-k: each query probes only its own coarse cell (label).
     * Equi-join on the cell id replaces the cross product — the 100 TB
     * scale path, where cells are storage partitions and Catalyst prunes

@@ -500,6 +500,42 @@ class ScaleStressSpec extends SparkSpec {
     ("s39_aniso_rotation_recall",
       S.anisotropicRotationRecall(emb), S.anisotropicRotationRecall(embX),
       true),
+    // r17 additions. dq17: two distribution-median passes (distinct ≪
+    // rows) + broadcast stat joins — linear by construction
+    ("dq17_mad_outliers",
+      DQ.madOutliers(Tables.events(spark, sf)),
+      DQ.madOutliers(ScaledTables.scaled(Tables.events(spark, sf),
+        factor, idCols = Seq("event_id"))), false),
+    // b04: b01's one (doc, term) partial agg + the bounded per-term
+    // TopKByScore; the 1-row corpus-stats cross is the intended BNLJ
+    ("b04_retrieval_eval",
+      graft.operators.Ranking.retrievalEval(docs),
+      graft.operators.Ranking.retrievalEval(docsX), true),
+    // p18: the production cost model is corpus×FIXED-eval (the eval
+    // set is the bounded artifact being protected), so the scaled
+    // variant widens the eval modulus to hold the eval count constant
+    // — scaling both sides would measure the ×64 cross-product of a
+    // workload no deployment runs. Broadcast eval × train scan is the
+    // intended BNLJ (the s01 stance).
+    ("p18_semantic_decontam",
+      D.semanticDecontam(emb, col("vec_id") % 100 === 0),
+      D.semanticDecontam(embX, col("vec_id") % (100L * factor) === 0),
+      true),
+    // p19: one (source, token) distinct partial agg, then K-row MW
+    // arithmetic (anchored per round); 1-row crosses intended
+    ("p19_domain_reweight",
+      graft.operators.Sampling.domainReweight(docs),
+      graft.operators.Sampling.domainReweight(docsX), true),
+    // g10: rides s21's graph (cells scale with the corpus, the s21
+    // lever); 3 bounded equi-join + partial-agg rounds on top
+    ("g10_ppr_expansion",
+      graft.operators.Graph.pprSeedExpansion(emb, nCells = 32),
+      graft.operators.Graph.pprSeedExpansion(embX, nCells = 32 * factor),
+      true),
+    // s41: s01's broadcast×scan shape on the raw dot (+1-row max-norm
+    // cross) — the bounded top-k keeps the shuffle at k rows per split
+    ("s41_mips_topk",
+      S.mipsTopK(emb), S.mipsTopK(embX), true),
     // q40: WITH RECURSIVE path enumeration. event_type rides the
     // token-bijective rename, so each replica's transition graph is
     // isomorphic-but-disjoint: distinct edges AND the bounded-depth

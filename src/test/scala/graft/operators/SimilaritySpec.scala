@@ -1010,4 +1010,45 @@ class ResidualPqSpec extends graft.SparkSpec {
       assert(rec == r.getAs[Long]("n_hits").toDouble / 10.0)
     }
   }
+
+  test("mipsTopK (s41): inner-product ranking diverges from cosine " +
+      "where it should, and the augmentation witness orders like dot") {
+    import spark.implicits._
+    // query 0 = (1,0); long vector 10 out-scores the perfectly aligned
+    // unit vector 11 on dot (3.0 > 1.0) while cosine prefers 11
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f)),
+      (10L, 0, Array(3.0f, 0.5f)),
+      (11L, 0, Array(1.0f, 0.0f)),
+      (12L, 0, Array(0.0f, 2.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.mipsTopK(vecs, nQueries = 1, k = 3).collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq ==
+      Seq(10L, 11L, 12L))
+    assert(got.map(_.getAs[Double]("dot")).toSeq == Seq(3.0, 1.0, 0.0))
+    // witness: aug_cos = dot/(M*|q|) with M = max norm (vector 10)
+    val m = math.sqrt(9.0 + 0.25)
+    assert(got.head.getAs[Double]("aug_cos") == 3.0 / (m * 1.0))
+    // fixture replay: rank-by-dot reproduced independently; aug_cos
+    // strictly follows dot within each query
+    val out = Similarity.mipsTopK(emb).collect()
+    val all = emb.collect().map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) =>
+        acc + a(i).toDouble * b(i).toDouble)
+    for (q <- 0L until 5L) {
+      val qe = all.find(_._1 == q).get._2
+      val expected = all.filter(_._1 != q)
+        .map { case (id, e) => (id, dot(e, qe)) }
+        .sortBy { case (id, d) => (-d, id) }.take(10).map(_._1).toSeq
+      val gotQ = out.filter(_.getAs[Long]("query_id") == q)
+        .sortBy(_.getAs[Long]("rank"))
+      assert(gotQ.map(_.getAs[Long]("neighbor_id")).toSeq == expected)
+      val dots = gotQ.map(_.getAs[Double]("dot"))
+      val augs = gotQ.map(_.getAs[Double]("aug_cos"))
+      assert(dots.zip(dots.tail).forall { case (a, b) => a >= b })
+      assert(augs.zip(augs.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
