@@ -577,6 +577,10 @@ object SparkEntry {
     "k04_cluster_agreement" -> ((s, d) =>
       graft.operators.Clustering.clusterAgreement(Tables.embeddings(s, d))),
     // k05: centroid-form (simplified) silhouette per cluster
+    // k06: Davies-Bouldin index — worst-case cluster confusability
+    // (names the neighbor that confuses each cell)
+    "k06_davies_bouldin" -> ((s, d) =>
+      graft.operators.Clustering.daviesBouldin(Tables.embeddings(s, d))),
     "k05_silhouette" -> ((s, d) =>
       graft.operators.Clustering.simplifiedSilhouette(
         Tables.embeddings(s, d))),
@@ -6099,6 +6103,49 @@ object SparkEntry {
           |  (CAST(SUM(s_fp) AS DOUBLE) / 1000000.0) /
           |    CAST(COUNT(*) AS DOUBLE) AS mean_sil
           |FROM s GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
+    // k06: k05's dd/own-cluster CTEs for the scatter (micros-quantized
+    // exact sums), K² centroid distances over c1, (r DESC, j ASC)
+    // row_number argmax, cluster-ordered fold for the index
+    "k06_davies_bouldin" ->
+      (s"WITH $IvfTrainCtes,\n" +
+        """dd AS (SELECT v.vec_id, c.cluster_id,
+          |  sqrt(greatest(v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
+          |    list_transform(range(1, len(v.emb)+1), i ->
+          |      CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+          |    (x, y) -> x + y), 0.0)) AS d
+          |  FROM v CROSS JOIN c1 c),
+          |own AS (SELECT vec_id, cluster_id, d FROM (
+          |  SELECT vec_id, cluster_id, d,
+          |    row_number() OVER (PARTITION BY vec_id
+          |      ORDER BY d ASC, cluster_id ASC) AS rn FROM dd)
+          |  WHERE rn = 1),
+          |sc AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+          |  CAST(SUM(CAST(floor(d * 1000000.0) AS BIGINT)) AS BIGINT)
+          |    AS s_fp FROM own GROUP BY cluster_id),
+          |scat AS (SELECT cluster_id, n_vectors,
+          |  (CAST(s_fp AS DOUBLE) / 1000000.0)
+          |    / CAST(n_vectors AS DOUBLE) AS scatter FROM sc),
+          |cdm AS (SELECT i.cluster_id AS ci, j.cluster_id AS cj,
+          |  sqrt(greatest(i.cnorm2 + j.cnorm2 - 2.0 * list_reduce(
+          |    list_transform(range(1, len(i.cemb)+1), x ->
+          |      CAST(i.cemb[x] AS DOUBLE) * CAST(j.cemb[x] AS DOUBLE)),
+          |    (x, y) -> x + y), 0.0)) AS dij
+          |  FROM c1 i JOIN c1 j ON i.cluster_id <> j.cluster_id),
+          |rr AS (SELECT cdm.ci AS cluster_id, cdm.cj,
+          |  (si.scatter + sj.scatter) / cdm.dij AS r
+          |  FROM cdm JOIN scat si ON si.cluster_id = cdm.ci
+          |  JOIN scat sj ON sj.cluster_id = cdm.cj),
+          |tp AS (SELECT cluster_id, cj AS worst_other, r AS r_max FROM (
+          |  SELECT cluster_id, cj, r,
+          |    row_number() OVER (PARTITION BY cluster_id
+          |      ORDER BY r DESC, cj ASC) AS rn FROM rr) WHERE rn = 1),
+          |db AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |  list(r_max ORDER BY cluster_id)), (a, b) -> a + b)
+          |  / CAST(COUNT(*) AS DOUBLE) AS db_index FROM tp)
+          |SELECT s.cluster_id, s.n_vectors, s.scatter, t.worst_other,
+          |  t.r_max, db.db_index
+          |FROM scat s JOIN tp t USING (cluster_id) CROSS JOIN db
+          |ORDER BY s.cluster_id""".stripMargin),
     // s40: k01's trained assignment, exact cross-multiplied hot test
     // (n*K > total*factor), row_number seeds (2 lowest ids per hot
     // cell), nearest-of-two re-assignment with the (d2, sub) tie, skew

@@ -308,6 +308,77 @@ object Clustering {
       .orderBy(col("cluster_id"))
   }
 
+  /** k06: DAVIES–BOULDIN INDEX (Davies & Bouldin 1979) — the third leg
+    * of the clustering-quality stool: k02's inertia is cohesion-only,
+    * k05's silhouette is per-POINT cohesion-vs-separation; DB judges
+    * per-CLUSTER worst-case confusability — R_i = max_{j≠i}
+    * (s_i + s_j)/d(c_i, c_j), the index their mean — so a pair of tight
+    * clusters sitting on top of each other (exactly what makes two IVF
+    * cells interchangeable and a probe schedule wasteful) dominates the
+    * score even when every other pair is clean. Lower is better; the
+    * reported worst_other names WHICH neighbor confuses each cluster —
+    * the direct input to s40's split/merge maintenance decisions.
+    *
+    * Determinism (the k02/k05 recipe end to end): per-point distances
+    * reuse k01's exact expression tree (√ of the clamped norm
+    * expansion); each quantizes to integer MICROS before the
+    * per-cluster scatter sum — order-free exact longs — and the
+    * scatter mean, the K² centroid distances, and each ratio are
+    * single IEEE ops on those exact values; the per-cluster max is
+    * selection with (r DESC, j ASC) ties via min_by-on-struct; the
+    * final mean folds R_i in CLUSTER order (the b03 fold contract).
+    *
+    * Plan shape: one broadcast(K centroids) × corpus assign (k01's
+    * audited shape) + one cluster-keyed partial agg → K scatter rows;
+    * everything else is K²-row model arithmetic on the LOCAL centroid
+    * frame (K ≤ thousands for any real quantizer). One corpus scan
+    * total. */
+  def daviesBouldin(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val centroids = trainedCentroidsLocal(embeddings, k)
+    val vectors = embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2",
+        graft.functions.VectorOps.dot(col("emb"), col("emb")))
+    val scat = assign(vectors, centroids)
+      .select(col("cluster_id"),
+        floor(sqrt(greatest(col("dist2"), lit(0.0))) * lit(1000000.0))
+          .cast("long").as("d_fp"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("d_fp")).as("s_fp"))
+      .select(col("cluster_id"), col("n_vectors"),
+        ((col("s_fp").cast("double") / lit(1000000.0)) /
+          col("n_vectors").cast("double")).as("scatter"))
+    val ci = centroids.select(col("cluster_id").as("ci"),
+      col("cemb").as("ei"), col("cnorm2").as("ni"))
+    val cj = centroids.select(col("cluster_id").as("cj"),
+      col("cemb").as("ej"), col("cnorm2").as("nj"))
+    val cd = ci.join(cj, col("ci") =!= col("cj"))
+      .select(col("ci"), col("cj"),
+        sqrt(greatest(col("ni") + col("nj") - lit(2.0) *
+          graft.functions.VectorOps.dot(col("ei"), col("ej")),
+          lit(0.0))).as("dij"))
+    val rr = cd
+      .join(scat.select(col("cluster_id").as("ci"),
+        col("scatter").as("si")), "ci")
+      .join(scat.select(col("cluster_id").as("cj"),
+        col("scatter").as("sj")), "cj")
+      .select(col("ci").as("cluster_id"), col("cj"),
+        ((col("si") + col("sj")) / col("dij")).as("r"))
+    val top = rr.groupBy(col("cluster_id"))
+      .agg(max(col("r")).as("r_max"),
+        min_by(col("cj"), struct((lit(0.0) - col("r")).as("negr"),
+          col("cj").as("j"))).as("worst_other"))
+    val db = top.agg((aggregate(sort_array(collect_list(struct(
+      col("cluster_id"), col("r_max")))), lit(0.0),
+      (acc, x) => acc + x.getField("r_max")) /
+      count(lit(1)).cast("double")).as("db_index"))
+    scat.join(top, "cluster_id")
+      .crossJoin(broadcast(db))
+      .select(col("cluster_id"), col("n_vectors"), col("scatter"),
+        col("worst_other"), col("r_max"), col("db_index"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** s40: HOT-CELL SPLIT — the index-MAINTENANCE verb the s36
     * lifecycle (train → append → tombstone → serve) still lacked:
     * appends concentrate, cell sizes skew, and a hot cell is a probe

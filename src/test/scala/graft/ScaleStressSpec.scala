@@ -536,6 +536,11 @@ class ScaleStressSpec extends SparkSpec {
     // cross) — the bounded top-k keeps the shuffle at k rows per split
     ("s41_mips_topk",
       S.mipsTopK(emb), S.mipsTopK(embX), true),
+    // k06: one k01 assign pass + K-row scatter agg; the K² pair math
+    // runs on the LOCAL centroid frame (intended tiny crosses)
+    ("k06_davies_bouldin",
+      graft.operators.Clustering.daviesBouldin(emb),
+      graft.operators.Clustering.daviesBouldin(embX), true),
     // q40: WITH RECURSIVE path enumeration. event_type rides the
     // token-bijective rename, so each replica's transition graph is
     // isomorphic-but-disjoint: distinct edges AND the bounded-depth

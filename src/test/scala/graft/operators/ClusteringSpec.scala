@@ -162,4 +162,40 @@ class ClusteringSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("daviesBouldin (k06): separated hand clusters score tiny, " +
+      "worst_other is mutual, index = cluster-ordered mean of r_max") {
+    import spark.implicits._
+    // two tight groups 10 apart; k=2 seeds (vec 0, 1) converge to
+    // centroids (0,0) and (10,0) after the median round
+    val vecs = Seq(
+      (0L, 0, Array(0.0f, 0.0f)),
+      (1L, 0, Array(0.2f, 0.0f)),
+      (2L, 0, Array(10.0f, 0.0f)),
+      (3L, 0, Array(10.2f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val rows = Clustering.daviesBouldin(vecs, k = 2).collect()
+    assert(rows.length == 2)
+    val byId = rows.map(r => r.getAs[Long]("cluster_id") -> r).toMap
+    assert(byId(0L).getAs[Long]("worst_other") == 1L)
+    assert(byId(1L).getAs[Long]("worst_other") == 0L)
+    val dbv = rows.map(_.getAs[Double]("db_index")).distinct
+    assert(dbv.length == 1 && dbv.head < 0.05 && dbv.head > 0.0)
+    // the published index IS the cluster-ordered fold of r_max / K
+    val folded = rows.sortBy(_.getAs[Long]("cluster_id"))
+      .map(_.getAs[Double]("r_max"))
+      .foldLeft(0.0)(_ + _) / rows.length.toDouble
+    assert(dbv.head == folded)
+    // fixture: K rows, one shared index value, deterministic
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val fix = Clustering.daviesBouldin(emb).collect()
+    assert(fix.length == 8)
+    assert(fix.map(_.getAs[Double]("db_index")).distinct.length == 1)
+    fix.foreach { r =>
+      assert(r.getAs[Long]("worst_other") != r.getAs[Long]("cluster_id"))
+      assert(r.getAs[Double]("r_max") > 0.0)
+      assert(r.getAs[Double]("scatter") >= 0.0)
+    }
+    val again = Clustering.daviesBouldin(emb).collect()
+    assert(fix.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
