@@ -732,7 +732,11 @@ object SparkEntry {
     // p19: DoReMi-lite domain reweighting — 4 multiplicative-weights
     // rounds over a pluggable excess-loss proxy (mean-TTR deficit)
     "p19_domain_reweight" -> ((s, d) =>
-      Sm.domainReweight(Tables.documents(s, d)))
+      Sm.domainReweight(Tables.documents(s, d))),
+    // p20: the trained mixture compiled into hash-threshold sampling
+    // + the reconciled per-source keep manifest (closes the p19 loop)
+    "p20_mixture_manifest" -> ((s, d) =>
+      Sm.mixtureManifest(Tables.documents(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -1369,6 +1373,43 @@ object SparkEntry {
           s" FROM f$i")
         .mkString("", "\nUNION ALL ", "\n") +
       "ORDER BY start_id, walk_no, step"
+  }
+
+  /** p19 (shared with p20's nesting): the MW loop unrolled to 4
+    * (u, s, w) CTE levels — each uN is read twice (normalizer + next
+    * round) so they are MATERIALIZED (the exponential-inline gotcha);
+    * folds in source-ASC order. */
+  private lazy val DomainReweightOracle: String = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "b" else s"w${i - 1}"
+      s"""u$i AS MATERIALIZED (SELECT source, n_tokens, ttr, excess,
+         |  w * (1.0 + 0.5 * excess) AS u FROM $prev),
+         |s$i AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list(u ORDER BY source)), (a, b) -> a + b) AS s FROM u$i),
+         |w$i AS (SELECT source, n_tokens, ttr, excess,
+         |  u / s$i.s AS w FROM u$i CROSS JOIN s$i)""".stripMargin
+    }
+    """WITH tk AS (SELECT source,
+      |  unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+      |  FROM tk GROUP BY source),
+      |t AS (SELECT source, n_tokens,
+      |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
+      |  FROM ps),
+      |m AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(ttr ORDER BY source)), (a, b) -> a + b)
+      |    / CAST(COUNT(*) AS DOUBLE) AS mean_ttr,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sources FROM t),
+      |b AS (SELECT source, n_tokens, ttr,
+      |  GREATEST(CAST(0.0 AS DOUBLE), m.mean_ttr - ttr) AS excess,
+      |  CAST(1.0 AS DOUBLE) / CAST(m.n_sources AS DOUBLE) AS w
+      |  FROM t CROSS JOIN m),
+      |""".stripMargin +
+      (1 to 4).map(round).mkString(",\n") + "\n" +
+      """SELECT source, n_tokens, ttr, excess, w AS weight
+        |FROM w4 ORDER BY source""".stripMargin
   }
 
   /** g10: the g04 fixed-point PageRank CTE unrolling with seed-pinned
@@ -6618,38 +6659,34 @@ object SparkEntry {
     // p19: the MW loop unrolled to 4 (u, s, w) CTE levels — each uN is
     // read twice (normalizer + next round) so they are MATERIALIZED
     // (the exponential-inline gotcha); folds in source-ASC order
-    "p19_domain_reweight" -> {
-      def round(i: Int): String = {
-        val prev = if (i == 1) "b" else s"w${i - 1}"
-        s"""u$i AS MATERIALIZED (SELECT source, n_tokens, ttr, excess,
-           |  w * (1.0 + 0.5 * excess) AS u FROM $prev),
-           |s$i AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |  list(u ORDER BY source)), (a, b) -> a + b) AS s FROM u$i),
-           |w$i AS (SELECT source, n_tokens, ttr, excess,
-           |  u / s$i.s AS w FROM u$i CROSS JOIN s$i)""".stripMargin
-      }
-      """WITH tk AS (SELECT source,
-        |  unnest(string_split_regex(trim(text), '\s+')) AS tok
-        |  FROM documents),
-        |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
-        |  FROM tk GROUP BY source),
-        |t AS (SELECT source, n_tokens,
-        |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
-        |  FROM ps),
-        |m AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |    list(ttr ORDER BY source)), (a, b) -> a + b)
-        |    / CAST(COUNT(*) AS DOUBLE) AS mean_ttr,
-        |  CAST(COUNT(*) AS BIGINT) AS n_sources FROM t),
-        |b AS (SELECT source, n_tokens, ttr,
-        |  GREATEST(CAST(0.0 AS DOUBLE), m.mean_ttr - ttr) AS excess,
-        |  CAST(1.0 AS DOUBLE) / CAST(m.n_sources AS DOUBLE) AS w
-        |  FROM t CROSS JOIN m),
-        |""".stripMargin +
-        (1 to 4).map(round).mkString(",\n") + "\n" +
-        """SELECT source, n_tokens, ttr, excess, w AS weight
-          |FROM w4 ORDER BY source""".stripMargin
-    },
+    "p19_domain_reweight" -> DomainReweightOracle,
+    // p20: p19's chain nested verbatim, the t16 rate→threshold tree,
+    // md5-prefix string compare at the cut line, source-keyed rollup
+    "p20_mixture_manifest" ->
+      (s"""WITH p19 AS ($DomainReweightOracle),
+        |rt AS (SELECT source, n_tokens, weight,
+        |  least(1.0, (12000.0 * weight) / CAST(n_tokens AS DOUBLE))
+        |    AS rate FROM p19),
+        |th AS (SELECT source, n_tokens, weight, rate,
+        |  CASE WHEN rate >= 1.0 THEN 'g'
+        |  ELSE lower(lpad(hex(CAST(floor(rate * 4294967296.0)
+        |    AS BIGINT)), 8, '0')) END AS threshold FROM rt),
+        |dk AS (SELECT source,
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS k,
+        |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+        |    AS ntok FROM documents),
+        |j AS (SELECT dk.source, dk.ntok, dk.k < th.threshold AS keep
+        |  FROM dk JOIN th USING (source))
+        |SELECT j.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_kept,
+        |  CAST(SUM(CASE WHEN keep THEN ntok ELSE 0 END) AS BIGINT)
+        |    AS tokens_kept,
+        |  CAST(MIN(th.n_tokens) AS BIGINT) AS n_tokens,
+        |  MIN(th.weight) AS weight, MIN(th.rate) AS rate,
+        |  MIN(th.threshold) AS threshold
+        |FROM j JOIN th USING (source)
+        |GROUP BY j.source ORDER BY j.source""".stripMargin),
     // p18: exact dot/norm folds, argmax via (cosine DESC, eval_id ASC)
     // row_number — bitwise the Spark side's min_by-on-struct pick
     "p18_semantic_decontam" ->

@@ -505,6 +505,56 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** p20: the MIXTURE MANIFEST — [[domainReweight]]'s trained weight
+    * vector COMPILED into the executable sampling pipeline and
+    * reconciled: target tokens per source = B·w (Σw = 1), rate =
+    * min(1, target/available), rate → the t08/t16 8-hex-digit
+    * hash threshold, and the per-source keep counts/token mass the
+    * threshold actually selects. This closes the DoReMi loop the way a
+    * production pipeline does — an optimized mixture is only real once
+    * it is a deterministic, re-runnable SELECTION of concrete
+    * documents, and the manifest is the reviewable artifact proving
+    * what the weights did (under-budget sources saturate at rate 1 and
+    * report their deficit implicitly via tokens_kept < target).
+    *
+    * Float discipline: w is p19's bit-stable chain; target = one
+    * multiply of the exact budget; rate = least(1, one division by an
+    * exact long); the threshold literal floors rate·2³² — the SAME
+    * expression tree both engines (the t16 contract), so the floor
+    * cannot straddle; the keep decision is a STRING compare of md5
+    * prefixes (no float at the cut line at all).
+    *
+    * Plan shape: p19's one corpus pass trains the weights (K-row
+    * artifact); the manifest is ONE more narrow corpus scan joined to
+    * the broadcast K-row rate frame + a source-keyed partial agg —
+    * hash-threshold selection, no shuffle of the corpus, rerun-stable
+    * and append-stable at any scale. */
+  def mixtureManifest(documents: DataFrame,
+      budgetTokens: Long = 12000L): DataFrame = {
+    val rates = domainReweight(documents)
+      .select(col("source"), col("n_tokens"), col("weight"),
+        least(lit(1.0), (lit(budgetTokens.toDouble) * col("weight")) /
+          col("n_tokens").cast("double")).as("rate"))
+      .withColumn("threshold", when(col("rate") >= 1.0, lit("g"))
+        .otherwise(lower(lpad(
+          hex(floor(col("rate") * 4294967296.0).cast("long")), 8, "0"))))
+    val docs = documents.select(col("source"),
+      sampleKey(col("doc_id")).as("k"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("keep", col("k") < col("threshold"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("keep"), col("ntok")).otherwise(0L))
+          .as("tokens_kept"),
+        min(col("n_tokens")).as("n_tokens"),
+        min(col("weight")).as("weight"),
+        min(col("rate")).as("rate"),
+        min(col("threshold")).as("threshold"))
+      .orderBy(col("source"))
+  }
+
   /** p16: the EPOCH / REPEAT PLAN under a token budget — the
     * data-constrained scheduling table (Muennighoff et al. 2023
     * "Scaling Data-Constrained Language Models": repeating a source up

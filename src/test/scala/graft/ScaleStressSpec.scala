@@ -541,6 +541,11 @@ class ScaleStressSpec extends SparkSpec {
     ("k06_davies_bouldin",
       graft.operators.Clustering.daviesBouldin(emb),
       graft.operators.Clustering.daviesBouldin(embX), true),
+    // p20: p19's trained weights + ONE more hash-threshold scan with a
+    // source-keyed partial agg; p19's tiny crosses ride along
+    ("p20_mixture_manifest",
+      graft.operators.Sampling.mixtureManifest(docs),
+      graft.operators.Sampling.mixtureManifest(docsX), true),
     // q40: WITH RECURSIVE path enumeration. event_type rides the
     // token-bijective rename, so each replica's transition graph is
     // isomorphic-but-disjoint: distinct edges AND the bounded-depth

@@ -484,4 +484,41 @@ class DatasetCardSpec extends graft.SparkSpec {
     assert(got("a")._3 == wa && got("b")._3 == wb)
     assert(got("a")._3 > got("b")._3) // the redundant domain moved up
   }
+
+  test("mixtureManifest (p20): rates recompute from the p19 weights, " +
+      "and the keep counts match an independent JVM md5 replay") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val B = 12000.0
+    val w = Sampling.domainReweight(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("weight")))).toMap
+    val got = Sampling.mixtureManifest(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(got.keySet == w.keySet)
+    // independent replay: md5 prefix + whitespace token counts in JVM
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long): String = md.synchronized {
+      md.reset()
+      md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+    }
+    val raw = docs.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.split("\\s+").length.toLong))
+    for ((src, row) <- got) {
+      val (nTok, weight) = w(src)
+      val rate = math.min(1.0, (B * weight) / nTok.toDouble)
+      assert(row.getAs[Double]("rate") == rate)
+      val thr =
+        if (rate >= 1.0) "g"
+        else "%08x".format(math.floor(rate * 4294967296.0).toLong)
+      assert(row.getAs[String]("threshold") == thr)
+      val mine = raw.filter(_._2 == src)
+      val kept = mine.filter { case (id, _, _) => key(id) < thr }
+      assert(row.getAs[Long]("n_docs") == mine.length.toLong)
+      assert(row.getAs[Long]("n_docs_kept") == kept.length.toLong)
+      assert(row.getAs[Long]("tokens_kept") == kept.map(_._3).sum)
+      assert(row.getAs[Long]("n_tokens") == mine.map(_._3).sum)
+    }
+  }
 }
