@@ -736,7 +736,10 @@ object SparkEntry {
     // p20: the trained mixture compiled into hash-threshold sampling
     // + the reconciled per-source keep manifest (closes the p19 loop)
     "p20_mixture_manifest" -> ((s, d) =>
-      Sm.mixtureManifest(Tables.documents(s, d)))
+      Sm.mixtureManifest(Tables.documents(s, d))),
+    // t49: MATTR — length-robust lexical diversity (sliding-window TTR
+    // mean; integer window counts, one division per doc)
+    "t49_mattr" -> ((s, d) => T.mattr(Tables.documents(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -6660,6 +6663,28 @@ object SparkEntry {
     // read twice (normalizer + next round) so they are MATERIALIZED
     // (the exponential-inline gotcha); folds in source-ASC order
     "p19_domain_reweight" -> DomainReweightOracle,
+    // t49: per-window distinct counts are integers, their total an
+    // order-free exact sum, mattr ONE division — short docs fall back
+    // to whole-doc TTR with n_windows = 0
+    "t49_mattr" ->
+      """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+        |  CASE WHEN len(toks) >= 25
+        |    THEN CAST(len(toks) - 24 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS n_windows,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS ttr,
+        |  CASE WHEN len(toks) >= 25 THEN
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, len(toks) - 24), i ->
+        |        CAST(len(list_distinct(toks[i+1:i+25])) AS BIGINT))),
+        |      (a, b) -> a + b) AS DOUBLE)
+        |    / CAST((len(toks) - 24) * 25 AS DOUBLE)
+        |  ELSE CAST(len(list_distinct(toks)) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) END AS mattr
+        |FROM (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // p20: p19's chain nested verbatim, the t16 rate→threshold tree,
     // md5-prefix string compare at the cut line, source-keyed rollup
     "p20_mixture_manifest" ->

@@ -2357,4 +2357,53 @@ object TextAnalysis {
           col("n_tokens").cast("double")).as("type_token_ratio"))
       .orderBy(col("prefix_16ths"))
   }
+
+  /** t49: MATTR — Moving-Average Type-Token Ratio (Covington & McFall
+    * 2010) — the length-ROBUST lexical-diversity score: plain TTR
+    * falls mechanically with document length (Heaps' law, t45), so
+    * comparing a 100-token doc's TTR against a 10k-token doc's
+    * punishes length, not redundancy; MATTR averages the TTR of every
+    * `window`-token sliding window, making scores comparable across
+    * lengths — the diversity feature a quality-filter stack (p07/p11)
+    * can actually threshold corpus-wide. Docs shorter than the window
+    * report their whole-doc TTR (the published convention) and are
+    * flagged by n_windows = 0.
+    *
+    * Exactness: NO float accumulates anywhere — each window's distinct
+    * count is an integer, their total is one exact integer sum
+    * (order-free), and mattr = sum / (n_windows · window) is ONE
+    * double division of exact longs; whole-doc ttr likewise. Bitwise
+    * cross-engine by construction.
+    *
+    * Plan shape: pure scan-stage higher-order array expressions (one
+    * transform over window starts + per-window array_distinct) — no
+    * shuffle, no state, embarrassingly parallel. Per-doc cost is
+    * O(tokens · window); at 100 TB the refinement for big windows is
+    * the rolling multiset (add/remove one token per step) as a custom
+    * Expression — same law, O(tokens); the fixture's W=25 makes the
+    * direct form the right cost. */
+  def mattr(documents: DataFrame, window: Int = 25): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val nw = (n - lit(window) + 1).cast("long")
+    val winSum = aggregate(
+      transform(sequence(lit(0), n - lit(window)),
+        i => size(array_distinct(slice(toks, i + 1, lit(window))))
+          .cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    documents.select(col("doc_id"), n.cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"),
+        when(n >= window, nw).otherwise(lit(0L)).as("n_windows"),
+        when(n >= window, winSum).otherwise(lit(0L)).as("win_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        col("n_windows"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        when(col("n_windows") > 0L,
+          col("win_sum").cast("double") /
+            (col("n_windows") * lit(window.toLong)).cast("double"))
+          .otherwise(col("n_types").cast("double") /
+            col("n_tokens").cast("double")).as("mattr"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -546,6 +546,10 @@ class ScaleStressSpec extends SparkSpec {
     ("p20_mixture_manifest",
       graft.operators.Sampling.mixtureManifest(docs),
       graft.operators.Sampling.mixtureManifest(docsX), true),
+    // t49: pure scan-stage array expressions (O(tokens·W) per doc) —
+    // no shuffle at all; the ratchet guards the window fan-out
+    ("t49_mattr",
+      T.mattr(docs), T.mattr(docsX), false),
     // q40: WITH RECURSIVE path enumeration. event_type rides the
     // token-bijective rename, so each replica's transition graph is
     // isomorphic-but-disjoint: distinct edges AND the bounded-depth

@@ -268,6 +268,33 @@ class QualityFilterSpec extends SparkSpec {
     }
   }
 
+  test("t49 mattr: hand-computed windows, all-repeat floor, and the " +
+      "short-doc whole-TTR fallback") {
+    import spark.implicits._
+    val distinct26 = (1 to 26).map(i => s"w$i").mkString(" ")
+    val repeat26 = Seq.fill(26)("x").mkString(" ")
+    val docs = Seq(
+      (1L, distinct26), // 2 windows, 25 distinct each -> mattr 1.0
+      (2L, repeat26), // 2 windows, 1 distinct each -> 2/(2*25) = 0.04
+      (3L, "a b c d e a b c d e") // 10 toks < W: fallback ttr 0.5
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.mattr(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Double]("ttr"),
+          r.getAs[Double]("mattr")))).toMap
+    assert(got(1L) == ((2L, 1.0, 1.0)))
+    assert(got(2L)._1 == 2L && got(2L)._2 == 1.0 / 26.0 &&
+      got(2L)._3 == 2.0 / 50.0)
+    assert(got(3L) == ((0L, 0.5, 0.5)))
+    // MATTR's reason to exist: doc 2 and a LONGER all-repeat doc score
+    // the same diversity where raw TTR would diverge by length
+    val longer = Seq((9L, Seq.fill(100)("x").mkString(" ")))
+      .toDF("doc_id", "text")
+    val l = TextAnalysis.mattr(longer).collect().head
+    assert(l.getAs[Double]("mattr") == got(2L)._3)
+    assert(l.getAs[Double]("ttr") < got(2L)._2)
+  }
+
   private object Tables {
     /** A small surprise-diverse corpus: repeated common words vs rare. */
     def documentsLike(s: org.apache.spark.sql.SparkSession): DataFrame = {
