@@ -704,6 +704,10 @@ object SparkEntry {
     // pseudo-qrels) — the TREC loop closed over the b01 scorer
     "b04_retrieval_eval" -> ((s, d) =>
       graft.operators.Ranking.retrievalEval(Tables.documents(s, d))),
+    // c03: proximity-boosted retrieval (Tao & Zhai MinDist) — rational
+    // 1/(1+minDist) boost on the b01 score, adjacency-scan span law
+    "c03_proximity_rank" -> ((s, d) =>
+      graft.operators.Ranking.proximityRank(Tables.documents(s, d))),
     // p12: the sharded-export publish manifest — per-shard counts,
     // key ranges, order markers, order-free exact content checksum
     "p12_shard_manifest" -> ((s, d) =>
@@ -2677,6 +2681,36 @@ object SparkEntry {
       |    END AS ap_at_k
       |FROM pt LEFT JOIN nr USING (term)
       |ORDER BY term""".stripMargin
+
+  /** c03: b01's oracle with the rank/limit surgically removed for the
+    * unranked base; proximity = lag-window gaps over query-term
+    * positions, different-term rows only, MIN per doc; rational boost
+    * + ONE two-term add. */
+  private lazy val ProximityOracle: String = {
+    val base = replaceAnchored(Bm25Oracle,
+      "ORDER BY score DESC, doc_id ASC LIMIT 20", "")
+    s"""WITH base AS ($base),
+       |dpos AS (SELECT doc_id,
+       |  string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |po AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |  toks[i] AS term
+       |  FROM (SELECT doc_id, toks,
+       |    unnest(range(1, len(toks)+1)) AS i FROM dpos) u
+       |  WHERE toks[i] IN ('vector', 'spark', 'join', 'scan')),
+       |pr AS (SELECT doc_id, term,
+       |  lag(term) OVER w AS pterm, pos - lag(pos) OVER w AS gap
+       |  FROM po WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |mg AS (SELECT doc_id, CAST(MIN(gap) AS BIGINT) AS min_pair_dist
+       |  FROM pr WHERE pterm IS NOT NULL AND term <> pterm
+       |  GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_terms, b.score,
+       |  COALESCE(mg.min_pair_dist, -1) AS min_pair_dist,
+       |  b.score + (CASE WHEN mg.doc_id IS NULL THEN CAST(0.0 AS DOUBLE)
+       |    ELSE 1.0 / CAST(1 + mg.min_pair_dist AS DOUBLE) END)
+       |    AS prox_score
+       |FROM base b LEFT JOIN mg USING (doc_id)
+       |ORDER BY prox_score DESC, doc_id LIMIT 20""".stripMargin
+  }
 
   /** s35: one plane/projection pass at 24 bits; narrower tiers are
     * `code % 2^n` masks of the same codes; rank per (n_bits, query);
@@ -6591,6 +6625,7 @@ object SparkEntry {
        "ORDER BY verdict, learned_keep"),
     "b03_prf_expansion" -> PrfOracle,
     "b04_retrieval_eval" -> RetrievalEvalOracle,
+    "c03_proximity_rank" -> ProximityOracle,
     // c02: c01's chunk CTEs as the scoring unit, b01's exact BM25 law
     // verbatim (rational idf, fixed-order 4-term sum), maxP per doc
     // with min-chunk-idx tie break, b01's doc rank LEFT-joined on

@@ -30,7 +30,15 @@ object Ranking {
     * docs by score. Output: doc_id, n_terms (matched), score. Documents
     * matching no term score 0 and are not ranked. */
   def bm25Rank(documents: DataFrame, terms: Seq[String] = DefaultTerms,
-      k: Int = 20): DataFrame = {
+      k: Int = 20): DataFrame =
+    bm25Scores(documents, terms)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+
+  /** The unranked per-document BM25 frame b01/c03 share — every doc
+    * matching ≥ 1 term with its fixed-order exact score. */
+  private[operators] def bm25Scores(documents: DataFrame,
+      terms: Seq[String]): DataFrame = {
     val docs = documents
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
@@ -63,8 +71,6 @@ object Ranking {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), perTerm: _*)
       .select(col("doc_id"), col("n_terms"), total.as("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
   }
 
   /** c02: CHUNK-level retrieval with maxP document scoring (Dai &
@@ -273,6 +279,61 @@ object Ranking {
       .agg(count(lit(1)).as("n_terms"), perTerm: _*)
       .select(col("doc_id"), col("n_terms"), total.as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** c03: PROXIMITY-BOOSTED RETRIEVAL (Tao & Zhai 2007, "An
+    * Exploration of Proximity Measures in Information Retrieval" —
+    * the MinDist pairwise measure): BM25 treats a document as a bag,
+    * so "spark join" scattered 500 tokens apart scores like the exact
+    * phrase; the standard fix adds a span statistic — here MinDist,
+    * the smallest position gap between occurrences of two DIFFERENT
+    * query terms — as a rational boost 1/(1 + minDist) on top of the
+    * b01 score. Docs matching fewer than two distinct terms get no
+    * boost (bag score already tells the whole story).
+    *
+    * Adjacency suffices for MinDist (proved by descent: any closer
+    * different-term pair with an occurrence between its endpoints
+    * yields a closer pair at one end), so the scan is ONE lag window
+    * over the FILTERED query-term positions — never all-pairs.
+    *
+    * Float discipline: the boost is one division of exact longs and
+    * the final score ONE fixed-order two-term add onto b01's exact
+    * chain — no libm (published MinDist wraps the distance in
+    * ln(α + e^{−δ}); the rational boost keeps the same monotone
+    * ordering cross-engine-exactly).
+    *
+    * Plan shape: b01's one (doc, term) partial agg + broadcasts; the
+    * proximity side is a narrow posexplode filtered to the query terms
+    * BEFORE the shuffle, then a doc-keyed lag window over ≤ per-doc
+    * matched occurrences (query-term rows only — sparse by nature);
+    * final k rows via TakeOrderedAndProject. */
+  def proximityRank(documents: DataFrame,
+      terms: Seq[String] = DefaultTerms, k: Int = 20): DataFrame = {
+    val base = bm25Scores(documents, terms)
+    val pos = documents
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text")))
+          .as(Seq("pos", "term")))
+      .where(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("term"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val gaps = pos
+      .select(col("doc_id"), col("pos"), col("term"),
+        lag(col("term"), 1).over(w).as("pterm"),
+        lag(col("pos"), 1).over(w).as("ppos"))
+      .filter(col("pterm").isNotNull && col("term") =!= col("pterm"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("pos") - col("ppos")).as("min_pair_dist"))
+    base.join(gaps, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_terms"), col("score"),
+        coalesce(col("min_pair_dist"), lit(-1L)).as("min_pair_dist"),
+        (col("score") + when(col("min_pair_dist").isNotNull,
+          lit(1.0) / (lit(1L) + col("min_pair_dist")).cast("double"))
+          .otherwise(lit(0.0))).as("prox_score"))
+      .orderBy(col("prox_score").desc, col("doc_id").asc)
       .limit(k)
   }
 

@@ -550,6 +550,11 @@ class ScaleStressSpec extends SparkSpec {
     // no shuffle at all; the ratchet guards the window fan-out
     ("t49_mattr",
       T.mattr(docs), T.mattr(docsX), false),
+    // c03: b01's partial-agg shape + a doc-keyed lag window over the
+    // FILTERED query-term positions; 1-row stats cross intended
+    ("c03_proximity_rank",
+      graft.operators.Ranking.proximityRank(docs),
+      graft.operators.Ranking.proximityRank(docsX), true),
     // q40: WITH RECURSIVE path enumeration. event_type rides the
     // token-bijective rename, so each replica's transition graph is
     // isomorphic-but-disjoint: distinct edges AND the bounded-depth

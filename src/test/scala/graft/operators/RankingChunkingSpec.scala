@@ -180,6 +180,37 @@ class RankingChunkingSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("proximityRank (c03): equal bag scores split by span; " +
+      "single-term docs get no boost") {
+    import spark.implicits._
+    // A and B: identical tf/dl (same bag score), different spans
+    val pad = (1 to 10).map(i => s"p$i")
+    val docs = Seq(
+      (1L, ("spark" +: "join" +: pad).mkString(" ")), // gap 1
+      (2L, (Seq("spark") ++ pad ++ Seq("join")).mkString(" ")), // gap 11
+      (3L, ("spark" +: pad :+ "tail").mkString(" ")) // single term
+    ).toDF("doc_id", "text")
+    val got = Ranking.proximityRank(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Double]("score") ==
+      got(2L).getAs[Double]("score"))
+    assert(got(1L).getAs[Long]("min_pair_dist") == 1L)
+    assert(got(2L).getAs[Long]("min_pair_dist") == 11L)
+    assert(got(1L).getAs[Double]("prox_score") ==
+      got(1L).getAs[Double]("score") + 0.5)
+    assert(got(2L).getAs[Double]("prox_score") ==
+      got(2L).getAs[Double]("score") + 1.0 / 12.0)
+    assert(got(1L).getAs[Double]("prox_score") >
+      got(2L).getAs[Double]("prox_score"))
+    assert(got(3L).getAs[Long]("min_pair_dist") == -1L)
+    assert(got(3L).getAs[Double]("prox_score") ==
+      got(3L).getAs[Double]("score"))
+    // adjacency law: interleaved repeats still find the closest pair
+    val inter = Seq((7L, "spark x spark join y")).toDF("doc_id", "text")
+    assert(Ranking.proximityRank(inter).collect()
+      .head.getAs[Long]("min_pair_dist") == 1L)
+  }
+
   test("retrievalEval (b04): hand-computed P/R/MRR/AP on a 3-doc " +
       "ranking with a title-zone miss at rank 2") {
     import spark.implicits._
