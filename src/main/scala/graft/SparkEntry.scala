@@ -590,6 +590,10 @@ object SparkEntry {
     // s41: exact MIPS top-k (raw-dot ranking) + the norm-augmentation
     // reduction witness (aug_cos = dot/(M*|q|))
     "s41_mips_topk" -> ((s, d) => S.mipsTopK(Tables.embeddings(s, d))),
+    // s42: the reduction run end-to-end — MIPS served through the
+    // trained cosine IVF on augmented vectors, recall vs s41 truth
+    "s42_mips_ivf_recall" -> ((s, d) =>
+      S.mipsIvfRecall(Tables.embeddings(s, d))),
     // t40: per-benchmark-item leakage report (p02 from the eval side)
     "t40_contamination_report" -> ((s, d) =>
       T.contaminationReport(Tables.documents(s, d),
@@ -1651,6 +1655,60 @@ object SparkEntry {
     * query by squared L2 (ties toward the lower cluster_id, the
     * assignment order, so cell_rank 1 is the query's own cell), config
     * n probes cell_rank ≤ n. Exact side = s01's brute top-10, nested. */
+  /** s42: the augmented table built in SQL (list_append of the
+    * float32 sqrt coordinate), IvfTrainCtes retargeted at it via the
+    * anchored replace, s14's probe/score/rank chain with zero-padded
+    * raw queries, recall against the s41 exact-dot truth. */
+  private lazy val MipsIvfRecallOracle: String = {
+    val trainOnAug = replaceAnchored(IvfTrainCtes,
+      "FROM embeddings", "FROM aug")
+    s"""WITH nrm AS (SELECT vec_id, label, embedding,
+      |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
+      |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS norm2 FROM embeddings),
+      |mm AS (SELECT MAX(norm2) AS m2 FROM nrm),
+      |aug AS (SELECT vec_id, label,
+      |  list_append(embedding, CAST(sqrt(greatest(mm.m2 - norm2, 0.0))
+      |    AS REAL)) AS embedding
+      |  FROM nrm CROSS JOIN mm),
+      |$trainOnAug,
+      |q AS (SELECT query_id, query_emb,
+      |  list_reduce(list_transform(range(1, len(query_emb)+1), i ->
+      |    CAST(query_emb[i] AS DOUBLE) * CAST(query_emb[i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS qnorm2
+      |  FROM (SELECT vec_id AS query_id,
+      |    list_append(embedding, CAST(0.0 AS REAL)) AS query_emb
+      |    FROM nrm WHERE vec_id < 5) qq),
+      |pr AS (SELECT query_id, cluster_id AS cell,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY dist2 ASC, cluster_id ASC) AS cell_rank
+      |  FROM (SELECT q.query_id, c.cluster_id,
+      |    q.qnorm2 + c.cnorm2 - 2.0 * list_reduce(
+      |      list_transform(range(1, len(q.query_emb)+1), i ->
+      |        CAST(q.query_emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS dist2
+      |    FROM q CROSS JOIN c1 c)),
+      |pb AS (SELECT query_id, cell FROM pr WHERE cell_rank <= 2),
+      |sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+      |  list_reduce(list_transform(range(1, len(c.emb)+1), i ->
+      |    CAST(c.emb[i] AS DOUBLE) * CAST(q.query_emb[i] AS DOUBLE)),
+      |    (x, y) -> x + y) / (sqrt(c.vnorm2) * sqrt(q.qnorm2)) AS cosine
+      |  FROM a2 c JOIN pb p ON c.cluster_id = p.cell
+      |  JOIN q ON p.query_id = q.query_id
+      |  WHERE c.vec_id <> p.query_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sc),
+      |ap AS (SELECT query_id, neighbor_id, 1 AS hit FROM r
+      |  WHERE rank <= 10),
+      |ex AS (SELECT query_id, neighbor_id FROM ($MipsOracle) tt)
+      |SELECT e.query_id, CAST(COUNT(a.hit) AS BIGINT) AS n_hits,
+      |  CAST(COUNT(a.hit) AS DOUBLE) / 10.0 AS recall
+      |FROM ex e LEFT JOIN ap a ON e.query_id = a.query_id
+      |  AND e.neighbor_id = a.neighbor_id
+      |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+  }
+
   private val NProbeRecallOracle: String =
     s"WITH $IvfTrainCtes,\n" +
     s"""q AS (SELECT vec_id AS query_id, emb AS query_emb,
@@ -3713,6 +3771,7 @@ object SparkEntry {
     "d20_cc_star" -> MinLabelCcOracle,
     "s01_brute_topk" -> BruteTopKOracle,
     "s41_mips_topk" -> MipsOracle,
+    "s42_mips_ivf_recall" -> MipsIvfRecallOracle,
     "s02_ivf_topk" ->
       """WITH n AS (SELECT vec_id, label, embedding,
         |  list_reduce(list_transform(range(1, len(embedding)+1), i ->

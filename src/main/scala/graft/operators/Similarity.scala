@@ -119,6 +119,64 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s42: the s41 MIPS→cosine reduction RUN END TO END through the
+    * trained cosine serving tier — the proof that the augmentation is
+    * an implementation path, not just algebra: every stored vector
+    * gains the coordinate sqrt(M² − ‖x‖²) (float32, like the rest of
+    * the column), queries zero-pad, the UNMODIFIED k-medians coarse
+    * quantizer trains on the augmented space, and the probe serves
+    * cosine top-k exactly as s08/s14 — recall measured against s41's
+    * exact-dot truth. This is how a cosine-only deployed index answers
+    * max-inner-product queries (Bachrach 2014's XBOX layout); the
+    * recall gap is the usual cell-boundary loss (s14's curve), NOT a
+    * reduction error — on augmented vectors cosine ordering IS dot
+    * ordering up to the float32 of the added coordinate.
+    *
+    * Plan shape: one 1-row max-norm cross to build the augmented
+    * column (at rest it is WRITTEN at ingest — the s19 stored-codes
+    * stance), then s14's audited probe pipeline verbatim (broadcast
+    * centroids/probe schedule, bounded TopKByScore), then the s05
+    * recall join against the s41 truth. */
+  def mipsIvfRecall(embeddings: DataFrame, nQueries: Int = 5,
+      k: Int = 10, nProbe: Int = 2): DataFrame = {
+    val withNorm = embeddings
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("norm2", Dedup.dotExpr("embedding", "embedding"))
+    val m2 = withNorm.agg(max(col("norm2")).as("m2"))
+    val aug = withNorm.crossJoin(broadcast(m2))
+      .select(col("vec_id"), col("label"),
+        concat(col("embedding"),
+          array(sqrt(greatest(col("m2") - col("norm2"), lit(0.0)))
+            .cast("float"))).as("embedding"))
+    val centroids = Clustering.trainedCentroidsLocal(aug)
+    val vectors = aug.select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2",
+        graft.functions.VectorOps.dot(col("emb"), col("emb")))
+    val assigned = Clustering.assign(vectors, centroids)
+    val queries = withNorm.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        concat(col("embedding"), array(lit(0.0f))).as("query_emb"))
+      .withColumn("qnorm2", Dedup.dotExpr("query_emb", "query_emb"))
+    val probes = probeCells(queries, centroids, nProbe)
+    val scored = assigned
+      .join(broadcast(probes), col("cluster_id") === col("cell"))
+      .join(broadcast(queries), "query_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        graft.functions.VectorOps.dot(col("emb"), col("query_emb")) /
+          (sqrt(col("vnorm2")) * sqrt(col("qnorm2"))))
+    val approx = topKByQuery(scored, "cosine", k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    mipsTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(k.toDouble)).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** IVF-style top-k: each query probes only its own coarse cell (label).
     * Equi-join on the cell id replaces the cross product — the 100 TB
     * scale path, where cells are storage partitions and Catalyst prunes

@@ -84,6 +84,7 @@ class PlanAuditSpec extends SparkSpec {
     "k06_davies_bouldin", // k01's centroid cross + K^2 local-frame pairs
     "p20_mixture_manifest", // embeds p19's 1-row mean/normalizer crosses
     "c03_proximity_rank", // b01's ONE-row corpus-stats broadcast cross
+    "s42_mips_ivf_recall", // 1-row max-norm cross + s14's centroid/probe crosses
     "s36_index_lifecycle", // s18/s19's probe-schedule broadcast crosses
     "s38_rotation_recall", // s01 exact side + 3-row tier cross
     "t42_lm_perplexity", // t33's ONE-row (N,V) corpus frame cross

@@ -555,6 +555,10 @@ class ScaleStressSpec extends SparkSpec {
     ("c03_proximity_rank",
       graft.operators.Ranking.proximityRank(docs),
       graft.operators.Ranking.proximityRank(docsX), true),
+    // s42: the augmented-column build (1-row cross) + s14's probe
+    // pipeline + the s41 truth side — all intended broadcast shapes
+    ("s42_mips_ivf_recall",
+      S.mipsIvfRecall(emb), S.mipsIvfRecall(embX), true),
     // q40: WITH RECURSIVE path enumeration. event_type rides the
     // token-bijective rename, so each replica's transition graph is
     // isomorphic-but-disjoint: distinct edges AND the bounded-depth

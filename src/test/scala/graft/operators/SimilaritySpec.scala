@@ -1011,6 +1011,28 @@ class ResidualPqSpec extends graft.SparkSpec {
     }
   }
 
+  test("mipsIvfRecall (s42): recall in [0,1] per query, and widening " +
+      "the probe never loses a hit (cell-boundary loss, not reduction " +
+      "error)") {
+    val out = Similarity.mipsIvfRecall(emb).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(rec == r.getAs[Long]("n_hits").toDouble / 10.0)
+    }
+    // probing every cell recovers the exact MIPS answer set entirely:
+    // the reduction itself is lossless, only cell pruning costs recall
+    val full = Similarity.mipsIvfRecall(emb, nProbe = 8).collect()
+    val byQ = out.map(r => r.getAs[Long]("query_id") ->
+      r.getAs[Long]("n_hits")).toMap
+    full.foreach { r =>
+      assert(r.getAs[Long]("n_hits") >= byQ(r.getAs[Long]("query_id")))
+      assert(r.getAs[Double]("recall") == 1.0,
+        s"full probe must be exact: $r")
+    }
+  }
+
   test("mipsTopK (s41): inner-product ranking diverges from cosine " +
       "where it should, and the augmentation witness orders like dot") {
     import spark.implicits._
