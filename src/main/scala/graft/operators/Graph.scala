@@ -151,7 +151,7 @@ object Graph {
     * nodes report 0.0 by the CASE guard. */
   def knnTriangles(embeddings: DataFrame, k: Int = 5,
       nCells: Int = 32): DataFrame =
-    trianglesOnEdges(Similarity.knnGraph(embeddings, k, nCells)
+    trianglesOnEdges(Similarity.knnGraphShared(embeddings, k, nCells)
       .select(col("vec_id"), col("neighbor_id")))
 
   /** The edge-level core of [[knnTriangles]]: takes any directed
@@ -210,7 +210,7 @@ object Graph {
     * jaccard is ONE double division of exact longs. */
   def sharedNeighborLinks(embeddings: DataFrame, k: Int = 5,
       minShared: Long = 2L, nCells: Int = 32): DataFrame =
-    sharedNeighborsOnEdges(Similarity.knnGraph(embeddings, k, nCells)
+    sharedNeighborsOnEdges(Similarity.knnGraphShared(embeddings, k, nCells)
       .select(col("vec_id"), col("neighbor_id")), minShared)
 
   /** The edge-level core of [[sharedNeighborLinks]]: takes any directed
@@ -251,8 +251,8 @@ object Graph {
     * RNG would be none of those. Different (walk_no, step) contexts
     * decorrelate choices exactly like per-walk seeds.
     *
-    * Plan shape: the edge list materializes once (anchored —
-    * referenced every step); each of the walkLen steps is ONE
+    * Plan shape: the edge list is the SHARED materialized s21 graph
+    * artifact ([[Similarity.knnGraphShared]] — referenced every step); each of the walkLen steps is ONE
     * frontier ⋈ edges equi-join on the current node plus a
     * (start, walk)-keyed min_by argmin — map-side partial, k
     * candidate rows per walk per split. Frontier size is constant
@@ -263,9 +263,8 @@ object Graph {
     * subgraphs hit this). */
   def deterministicWalks(embeddings: DataFrame, k: Int = 5,
       nWalks: Int = 2, walkLen: Int = 3, nCells: Int = 32): DataFrame = {
-    val edges = Similarity.knnGraph(embeddings, k, nCells)
+    val edges = Similarity.knnGraphShared(embeddings, k, nCells)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-      .anchored
     val starts = edges.select(col("src").as("start_id")).distinct()
       .select(col("start_id"),
         explode(sequence(lit(0L), lit(nWalks - 1L))).as("walk_no"))
@@ -308,8 +307,9 @@ object Graph {
     * shuffle order. Headroom: total mass ≤ |seeds|·S through every
     * round, so the ·85 product stays far inside int64 for any corpus.
     *
-    * Plan shape: the kNN edge list materializes once (anchored —
-    * referenced by every round plus the degree/node frames); each round
+    * Plan shape: the kNN edge list is the SHARED materialized s21
+    * graph artifact ([[Similarity.knnGraphShared]] — referenced by
+    * every round plus the degree/node frames); each round
     * is ONE ranks ⋈ edges equi-join on the current node + a dst-keyed
     * partial agg (map-side combined) + the left join back to the node
     * set — the distributed-PageRank loop, iterations a driver loop over
@@ -319,9 +319,8 @@ object Graph {
       nCells: Int = 32, iters: Int = 3): DataFrame = {
     val S = 1000000000L
     val seedPred = (n: org.apache.spark.sql.Column) => n % 50 === 0
-    val edges = Similarity.knnGraph(embeddings, k, nCells)
+    val edges = Similarity.knnGraphShared(embeddings, k, nCells)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-      .anchored
     val nodes = edges.select(col("src").as("node")).distinct()
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var ranks = nodes.select(col("node"),
@@ -374,7 +373,7 @@ object Graph {
     * land on identical centroids. */
   def cellModularity(embeddings: DataFrame, k: Int = 5,
       nCells: Int = 32): DataFrame = {
-    val edges = Similarity.knnGraph(embeddings, k, nCells)
+    val edges = Similarity.knnGraphShared(embeddings, k, nCells)
       .select(least(col("vec_id"), col("neighbor_id")).as("ea"),
         greatest(col("vec_id"), col("neighbor_id")).as("eb"))
       .distinct()
