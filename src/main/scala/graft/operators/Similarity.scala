@@ -105,10 +105,7 @@ object Similarity {
     val corpus = normed(embeddings)
     val m2 = corpus.agg(max(col("norm2")).as("m2"))
     val queries = qnormed(queryVectors(embeddings, nQueries))
-    val scored = corpus.join(broadcast(queries),
-        col("vec_id") =!= col("query_id"))
-      .withColumn("dot", Dedup.dotExpr("embedding", "query_emb"))
-    topKByQuery(scored, "dot", k)
+    mipsCoreTopK(embeddings, nQueries, k)
       .crossJoin(broadcast(m2))
       .join(broadcast(queries.select(col("query_id"), col("qnorm2"))),
         "query_id")
@@ -117,6 +114,19 @@ object Similarity {
           .as("aug_cos"),
         col("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s41's raw-dot ranking core without the witness decoration — the
+    * truth side s42 consumes (keeps the pruned-away max-norm cross out
+    * of downstream plans entirely). */
+  private[operators] def mipsCoreTopK(embeddings: DataFrame,
+      nQueries: Int, k: Int): DataFrame = {
+    val corpus = normed(embeddings)
+    val queries = qnormed(queryVectors(embeddings, nQueries))
+    val scored = corpus.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("dot", Dedup.dotExpr("embedding", "query_emb"))
+    topKByQuery(scored, "dot", k)
   }
 
   /** s42: the s41 MIPS→cosine reduction RUN END TO END through the
@@ -167,7 +177,7 @@ object Similarity {
           (sqrt(col("vnorm2")) * sqrt(col("qnorm2"))))
     val approx = topKByQuery(scored, "cosine", k)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-    mipsTopK(embeddings, nQueries, k)
+    mipsCoreTopK(embeddings, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
       .join(approx, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
