@@ -81,6 +81,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Reliable-anchor posture (the cluster stance): with a checkpoint
+    // dir set, Anchor.cut takes checkpoint() instead of
+    // localCheckpoint() — exercising the deployment path and keeping
+    // the localCheckpoint WARN flood out of the bench tail.
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
     // Untimed warmup: one full pass builds file indexes and lets the JIT
     // compile every query's generated code, so timed numbers reflect
     // steady state rather than which query happened to run first cold.
@@ -129,6 +135,14 @@ object Bench {
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     println(renderLine(results, sfName))
+    graft.operators.Similarity.clearSharedGraphs(spark)
     spark.stop()
+    // drop the scratch checkpoint tree (Loop.release already removed
+    // superseded rdd-N dirs; this clears the shells + live finals)
+    def deleteRec(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(deleteRec))
+      p.delete(): Unit
+    }
+    deleteRec(ckptDir.toFile)
   }
 }

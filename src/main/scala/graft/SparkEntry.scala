@@ -577,13 +577,13 @@ object SparkEntry {
     "k04_cluster_agreement" -> ((s, d) =>
       graft.operators.Clustering.clusterAgreement(Tables.embeddings(s, d))),
     // k05: centroid-form (simplified) silhouette per cluster
+    "k05_silhouette" -> ((s, d) =>
+      graft.operators.Clustering.simplifiedSilhouette(
+        Tables.embeddings(s, d))),
     // k06: Davies-Bouldin index — worst-case cluster confusability
     // (names the neighbor that confuses each cell)
     "k06_davies_bouldin" -> ((s, d) =>
       graft.operators.Clustering.daviesBouldin(Tables.embeddings(s, d))),
-    "k05_silhouette" -> ((s, d) =>
-      graft.operators.Clustering.simplifiedSilhouette(
-        Tables.embeddings(s, d))),
     // s40: hot-cell split — the rebalance plan + its exact size effect
     "s40_cell_split" -> ((s, d) =>
       graft.operators.Clustering.hotCellSplit(Tables.embeddings(s, d))),

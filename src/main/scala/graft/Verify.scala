@@ -15,6 +15,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Reliable-anchor posture, matching Bench: Anchor.cut takes the
+    // checkpoint() path a cluster deployment runs.
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated allowlist for focused iteration (matches
     // Bench's knob); absent — the driver's invocation — dumps everything.
@@ -46,6 +50,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.operators.Similarity.clearSharedGraphs(spark)
     spark.stop()
+    def deleteRec(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(deleteRec))
+      p.delete(): Unit
+    }
+    deleteRec(ckptDir.toFile)
   }
 }

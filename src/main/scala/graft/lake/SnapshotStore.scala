@@ -309,27 +309,44 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     import spark.implicits._
     val latest = latestVersion.getOrElse(throw new IllegalStateException(
       s"no committed snapshot under $root"))
+    val (recent, live) = retentionLiveness(latest, keepLast)
+    val f = fs
+    // versions whose dir is already gone (a previous vacuum) have
+    // nothing to retain or drop — no row, so the expired set below is
+    // EXACTLY the set vacuum would delete even on a re-planned store
+    val rows = (0L to latest)
+      .filter(v => f.exists(versionDir(v)))
+      .map { v =>
+        val kind =
+          if (f.exists(new Path(versionDir(v), DeleteBaseMarker)))
+            "mor_delete"
+          else if (f.exists(new Path(versionDir(v), AppendBaseMarker)))
+            "mor_append"
+          else if (f.exists(new Path(versionDir(v), ForkBaseMarker)))
+            "fork"
+          else "full"
+        val reason =
+          if (recent.contains(v)) "kept_recent"
+          else if (live.contains(v)) "mor_base"
+          else "expired"
+        (v, kind, morBase(v).getOrElse(-1L), reason != "expired", reason)
+      }
+    rows.toDF("version", "kind", "base_version", "retained", "reason")
+  }
+
+  /** The ONE retention-reachability computation both [[vacuumPlan]] and
+    * [[vacuum]] consume — (recent keepLast window, live set = recent ∪
+    * every version a recent one still builds on through its
+    * merge-on-read marker chain). Factored so the reviewable plan and
+    * the irreversible execution cannot disagree. */
+  private def retentionLiveness(latest: Long,
+      keepLast: Int): (Set[Long], Set[Long]) = {
     val recent = (math.max(0L, latest - keepLast + 1) to latest).toSet
     val live = scala.collection.mutable.Set.empty[Long]
     def markChain(v: Long): Unit =
       if (live.add(v)) morBase(v).foreach(markChain)
     recent.foreach(markChain)
-    val f = fs
-    val rows = (0L to latest).map { v =>
-      val kind =
-        if (f.exists(new Path(versionDir(v), DeleteBaseMarker)))
-          "mor_delete"
-        else if (f.exists(new Path(versionDir(v), AppendBaseMarker)))
-          "mor_append"
-        else if (f.exists(new Path(versionDir(v), ForkBaseMarker))) "fork"
-        else "full"
-      val reason =
-        if (recent.contains(v)) "kept_recent"
-        else if (live.contains(v)) "mor_base"
-        else "expired"
-      (v, kind, morBase(v).getOrElse(-1L), reason != "expired", reason)
-    }
-    rows.toDF("version", "kind", "base_version", "retained", "reason")
+    (recent, live.toSet)
   }
 
   /** Drop snapshot dirs older than `keepLast` versions (the `VACUUM` /
@@ -342,9 +359,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
   def vacuum(keepLast: Int = 1): Seq[Long] = {
     val latest = latestVersion.getOrElse(return Seq.empty)
     val f = fs
-    val live = scala.collection.mutable.Set.empty[Long]
-    def markChain(v: Long): Unit = if (live.add(v)) morBase(v).foreach(markChain)
-    (math.max(0L, latest - keepLast + 1) to latest).foreach(markChain)
+    val (_, live) = retentionLiveness(latest, keepLast)
     val dropped = (0L to latest - keepLast)
       .filterNot(live.contains)
       .filter(v => f.exists(versionDir(v)))

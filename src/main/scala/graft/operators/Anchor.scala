@@ -43,9 +43,19 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Anchor {
   def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // Reliable checkpoint's write job RECOMPUTES the plan (the count
+      // that makes it eager and the checkpoint write are separate jobs
+      // over an unpersisted RDD — Spark's own scaladoc recommends
+      // persisting first). Cache around the cut: the eager count
+      // populates the blocks, the write job reads them, and the
+      // scratch blocks drop once the checkpoint files exist.
+      val p = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = p.checkpoint(eager = true)
+      p.unpersist(blocking = false)
+      out
+    } else df.localCheckpoint(eager = true)
 
   /** Release an anchor's storage: reliable-checkpoint files are
     * deleted, local-checkpoint blocks unpersisted. ONLY for anchors no

@@ -701,17 +701,40 @@ object Similarity {
     .empty[(SparkSession, String, Int, Int), DataFrame]
 
   /** [[knnGraph]] as a session-cached MATERIALIZED artifact (eager
-    * [[graft.operators.Anchor.cut]] — k·N rows, the graph table). */
+    * [[graft.operators.Anchor.cut]] — k·N rows, the graph table).
+    *
+    * The cache key is the CANONICALIZED analyzed plan: canonicalization
+    * normalizes expression IDs, so two independent `Tables.embeddings`
+    * reads of the same corpus still hit one entry, while a semantically
+    * different frame that happens to scan the same files (a scaled /
+    * filtered / column-shoved variant) keys separately — keying on
+    * `inputFiles` alone would conflate those. A plan key can still go
+    * stale if the files are REWRITTEN in place between calls; the lake
+    * layer never rewrites in place (snapshot versions are append-only),
+    * and [[clearSharedGraphs]] is the explicit invalidation hook. */
   def knnGraphShared(embeddings: DataFrame, k: Int = 5,
       nCells: Int = 32): DataFrame = {
     val spark = embeddings.sparkSession
-    val files = embeddings.inputFiles
-    val key =
-      if (files.nonEmpty) files.sorted.mkString(",")
-      else "plan:" + embeddings.queryExecution.analyzed.toString
+    val key = embeddings.queryExecution.analyzed.canonicalized.toString
     knnGraphCache.getOrElseUpdate((spark, key, k, nCells),
       graft.operators.Anchor.cut(knnGraph(embeddings, k, nCells)))
   }
+
+  /** Evict this session's shared-graph artifacts: each cached frame is
+    * an eager anchor whose blocks (or reliable-checkpoint files) stay
+    * pinned until released, and the TrieMap's strong session reference
+    * would otherwise keep a stopped session from being collected. Call
+    * from test teardown or before `spark.stop()`; no-session overload
+    * clears everything (JVM-exit hygiene). */
+  def clearSharedGraphs(spark: SparkSession): Unit =
+    knnGraphCache.keys.filter(_._1 eq spark).foreach { k =>
+      knnGraphCache.remove(k).foreach(graft.operators.Anchor.release)
+    }
+
+  def clearSharedGraphs(): Unit =
+    knnGraphCache.keys.foreach { k =>
+      knnGraphCache.remove(k).foreach(graft.operators.Anchor.release)
+    }
 
   /** Memory-tier ANN: top-k by INTEGER dot product over scalar-quantized
     * codes. At 100 TB the float32 corpus does not fit the scan budget;

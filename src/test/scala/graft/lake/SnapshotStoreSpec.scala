@@ -215,6 +215,12 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.read(3L).collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 3L, 4L))
     assert(store.read(1L).count() == 3)
+    // re-plan after the vacuum: already-deleted versions emit NO row
+    // (not phantom "expired" entries), so plan/execute agreement holds
+    // on a previously-vacuumed store too
+    val replan = store.vacuumPlan(keepLast = 1).collect()
+    assert(replan.map(_.getAs[Long]("version")).toSet == Set(1L, 2L, 3L))
+    assert(replan.forall(_.getAs[Boolean]("retained")))
   }
 
   test("streaming CDC apply: per-batch atomic upsert with compaction") {

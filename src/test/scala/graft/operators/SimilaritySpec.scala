@@ -250,6 +250,33 @@ class SignLshSpec extends graft.SparkSpec {
     assert(graph.nonEmpty && graph == brute)
   }
 
+  test("knnGraphShared keys on the canonicalized plan: repeated reads " +
+      "hit one artifact, a derived frame keys separately") {
+    import org.apache.spark.sql.functions.col
+    val S = graft.operators.Similarity
+    def fresh() = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 30)
+    val a = S.knnGraphShared(fresh(), k = 3, nCells = 2)
+    // an INDEPENDENT read of the same corpus — new DataFrame, new
+    // expression IDs — must hit the same materialized artifact
+    // (canonicalization normalizes the IDs away)
+    val b = S.knnGraphShared(fresh(), k = 3, nCells = 2)
+    assert(a eq b)
+    // a semantically DIFFERENT frame over the same files must NOT share
+    // the artifact, even though inputFiles are identical
+    val c = S.knnGraphShared(fresh().filter(col("vec_id") < 20),
+      k = 3, nCells = 2)
+    assert(!(a eq c))
+    // same frame, different hyperparameters: separate entry
+    val d = S.knnGraphShared(fresh(), k = 2, nCells = 2)
+    assert(!(a eq d))
+    // eviction releases this session's artifacts; next call rebuilds
+    S.clearSharedGraphs(spark)
+    val e = S.knnGraphShared(fresh(), k = 3, nCells = 2)
+    assert(!(a eq e) && e.count() > 0)
+    S.clearSharedGraphs(spark)
+  }
+
   test("knnGraph blocks strictly by trained cell") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .filter(org.apache.spark.sql.functions.col("vec_id") < 120)
