@@ -84,8 +84,17 @@ object Bench {
     // Reliable-anchor posture (the cluster stance): with a checkpoint
     // dir set, Anchor.cut takes checkpoint() instead of
     // localCheckpoint() — exercising the deployment path and keeping
-    // the localCheckpoint WARN flood out of the bench tail.
-    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    // the localCheckpoint WARN flood out of the bench tail. Backed by
+    // tmpfs when available: the code path (files, release, truncated
+    // lineage) is identical, and memory-speed backing is the rig
+    // analogue of a provisioned cluster checkpoint store — timed
+    // queries should measure their plans, not /tmp's disk.
+    val ckptBase = java.nio.file.Paths.get("/dev/shm")
+    val ckptDir =
+      if (java.nio.file.Files.isDirectory(ckptBase) &&
+          java.nio.file.Files.isWritable(ckptBase))
+        java.nio.file.Files.createTempDirectory(ckptBase, "graft-ckpt")
+      else java.nio.file.Files.createTempDirectory("graft-ckpt")
     spark.sparkContext.setCheckpointDir(ckptDir.toString)
     // Untimed warmup: one full pass builds file indexes and lets the JIT
     // compile every query's generated code, so timed numbers reflect

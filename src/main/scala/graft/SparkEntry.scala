@@ -33,6 +33,18 @@ object SparkEntry {
         .sortBy(_.getInt(0))
         .map(r => (r.getString(1), r.getString(2))).toSeq)
 
+  // ONE trained unigram-LM model per (session, fixture) — the same
+  // artifact stance for the t50 trainer: the EM prune rounds (driver-
+  // bounded vocab collects) run once; every later pass reads the
+  // trained model frame, which stays lazy only over its anchored
+  // word-frequency table.
+  private val unigramCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+  private def trainedUnigram(s: SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    unigramCache.getOrElseUpdate((s, d),
+      T.unigramTrain(Tables.documents(s, d)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- relational layer (SURVEY §2.3/2.4/2.6/2.7/2.8 EXT rows) ---
     "q01_pricing_summary" -> ((s, d) => R.pricingSummary(Tables.lineitem(s, d))),
@@ -594,6 +606,17 @@ object SparkEntry {
     // trained cosine IVF on augmented vectors, recall vs s41 truth
     "s42_mips_ivf_recall" -> ((s, d) =>
       S.mipsIvfRecall(Tables.embeddings(s, d))),
+    // s43: graph-traversal ANN — beam search over the shared s21 kNN
+    // graph (DiskANN/HNSW paradigm), recall vs the s01 exact truth
+    "s43_graph_beam_recall" -> ((s, d) =>
+      S.beamSearchRecall(Tables.embeddings(s, d))),
+    // s44: the convergence curve — recall per hop from ONE traversal
+    "s44_beam_hops_recall" -> ((s, d) =>
+      S.beamSearchHopsRecall(Tables.embeddings(s, d))),
+    // s45: the serve against the AT-REST cell-partitioned graph table
+    // (IndexStore) — probe schedule prunes to the query batch's cells
+    "s45_stored_graph_serve" -> ((s, d) =>
+      S.storedGraphBeamRecall(Tables.embeddings(s, d))),
     // t40: per-benchmark-item leakage report (p02 from the eval side)
     "t40_contamination_report" -> ((s, d) =>
       T.contaminationReport(Tables.documents(s, d),
@@ -708,6 +731,10 @@ object SparkEntry {
     // pseudo-qrels) — the TREC loop closed over the b01 scorer
     "b04_retrieval_eval" -> ((s, d) =>
       graft.operators.Ranking.retrievalEval(Tables.documents(s, d))),
+    // b05: nDCG@10 over b04's judged ranking — graded-relevance
+    // headline metric; discounts are driver-precomputed shared literals
+    "b05_retrieval_ndcg" -> ((s, d) =>
+      graft.operators.Ranking.retrievalNdcg(Tables.documents(s, d))),
     // c03: proximity-boosted retrieval (Tao & Zhai MinDist) — rational
     // 1/(1+minDist) boost on the b01 score, adjacency-scan span law
     "c03_proximity_rank" -> ((s, d) =>
@@ -747,7 +774,10 @@ object SparkEntry {
       Sm.mixtureManifest(Tables.documents(s, d))),
     // t49: MATTR — length-robust lexical diversity (sliding-window TTR
     // mean; integer window counts, one division per doc)
-    "t49_mattr" -> ((s, d) => T.mattr(Tables.documents(s, d)))
+    "t49_mattr" -> ((s, d) => T.mattr(Tables.documents(s, d))),
+    // t50: unigram-LM tokenizer training (SentencePiece-style EM prune
+    // rounds; session-cached model artifact, half-bit integer costs)
+    "t50_unigram_train" -> ((s, d) => trainedUnigram(s, d))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -1595,6 +1625,95 @@ object SparkEntry {
       |    AS clustering_coeff
       |FROM deg d LEFT JOIN pn ON d.vec_id = pn.vec_id
       |ORDER BY d.vec_id""".stripMargin
+
+  /** s43: beam search over the s21 graph, unrolled — symmetrized edge
+    * set, entry = min vec id of the query's trained cell, three hop
+    * blocks (candidates = frontier ∪ one graph expansion, re-scored
+    * and cut to beam 8 with the (cosine desc, id asc) tie-break),
+    * final top-5 excluding the query itself; recall against the s01
+    * brute truth. Frontier CTEs are MATERIALIZED — each hop reads its
+    * predecessor twice (kept side + expansion side), which would
+    * otherwise inline exponentially (the g10/d13 chained-CTE rule). */
+  private val BeamCos: String =
+    "list_reduce(list_transform(range(1, len(v.emb)+1), " +
+      "i -> CAST(v.emb[i] AS DOUBLE) * CAST(q.qemb[i] AS DOUBLE)), " +
+      "(x, y) -> x + y) / (sqrt(v.vnorm2) * sqrt(q.qnorm2))"
+
+  /** Final top-5 cut of frontier `src` (query excluded), named `name` —
+    * shared by the s43 single answer and s44's per-hop answers. */
+  private def beamFinCte(name: String, src: String): String =
+    s"$name AS (SELECT query_id, node FROM (\n" +
+      "  SELECT c.query_id, c.node, row_number() OVER (\n" +
+      "    PARTITION BY c.query_id\n" +
+      s"    ORDER BY $BeamCos DESC, c.node ASC) AS rn\n" +
+      s"  FROM $src c JOIN a2 v ON v.vec_id = c.node\n" +
+      "  JOIN bq q ON q.query_id = c.query_id\n" +
+      "  WHERE c.node <> c.query_id) w WHERE rn <= 5)"
+
+  /** s43/s44 shared traversal CTEs, WITHOUT the leading `WITH`:
+    * [[KnnGraphCtes]] + symmetrized edges, query batch, cell-anchor
+    * entry, and the three unrolled hop frontiers bf1..bf3 (each
+    * MATERIALIZED — read twice per hop, the chained-CTE rule). */
+  private lazy val BeamCtes: String = {
+    def hop(h: Int): String =
+      s"bc$h AS (SELECT DISTINCT query_id, node FROM (\n" +
+        s"  SELECT query_id, node FROM bf${h - 1}\n" +
+        "  UNION ALL\n" +
+        s"  SELECT f.query_id, s.dst AS node FROM bf${h - 1} f\n" +
+        "  JOIN bsym s ON s.src = f.node) u),\n" +
+        s"bf$h AS MATERIALIZED (SELECT query_id, node FROM (\n" +
+        "  SELECT c.query_id, c.node, row_number() OVER (\n" +
+        "    PARTITION BY c.query_id\n" +
+        s"    ORDER BY $BeamCos DESC, c.node ASC) AS rn\n" +
+        s"  FROM bc$h c JOIN a2 v ON v.vec_id = c.node\n" +
+        "  JOIN bq q ON q.query_id = c.query_id) w WHERE rn <= 8)"
+    s"$KnnGraphCtes,\n" +
+      "bknn AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst\n" +
+      "  FROM r WHERE rank <= 5),\n" +
+      "bsym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (\n" +
+      "  SELECT src, dst FROM bknn\n" +
+      "  UNION ALL SELECT dst AS src, src AS dst FROM bknn) u),\n" +
+      "bq AS (SELECT vec_id AS query_id, emb AS qemb,\n" +
+      "  vnorm2 AS qnorm2, cluster_id AS qcell FROM a2\n" +
+      "  WHERE vec_id < 5),\n" +
+      "bent AS (SELECT q.query_id, MIN(a.vec_id) AS node FROM bq q\n" +
+      "  JOIN a2 a ON a.cluster_id = q.qcell GROUP BY q.query_id),\n" +
+      "bf0 AS MATERIALIZED (SELECT query_id, node FROM bent),\n" +
+      (1 to 3).map(hop).mkString(",\n")
+  }
+
+  private lazy val BeamSearchRecallOracle: String =
+    s"WITH $BeamCtes,\n" +
+      beamFinCte("bfin", "bf3") + ",\n" +
+      s"bex AS (SELECT query_id, neighbor_id FROM ($BruteTopKOracle) bt\n" +
+      "  WHERE rank <= 5)\n" +
+      "SELECT e.query_id, CAST(COUNT(a.node) AS BIGINT) AS n_hits,\n" +
+      "  CAST(COUNT(a.node) AS DOUBLE) / 5.0 AS recall\n" +
+      "FROM bex e LEFT JOIN bfin a ON e.query_id = a.query_id\n" +
+      "  AND e.neighbor_id = a.node\n" +
+      "GROUP BY e.query_id ORDER BY e.query_id"
+
+  /** s44: the same traversal read at every depth — per-hop finals from
+    * bf1/bf2/bf3, recall per (hop, query) vs the s01 truth crossed
+    * with the 3-row hop table. */
+  private lazy val BeamHopsRecallOracle: String =
+    s"WITH $BeamCtes,\n" +
+      (1 to 3).map(h => beamFinCte(s"bfin$h", s"bf$h"))
+        .mkString(",\n") + ",\n" +
+      "bfa AS (" +
+      (1 to 3).map(h =>
+        s"SELECT CAST($h AS BIGINT) AS hop, query_id, node FROM bfin$h")
+        .mkString("\n  UNION ALL ") + "),\n" +
+      s"bex AS (SELECT query_id, neighbor_id FROM ($BruteTopKOracle) bt\n" +
+      "  WHERE rank <= 5),\n" +
+      "bhx AS (SELECT h.hop, e.query_id, e.neighbor_id FROM bex e\n" +
+      "  CROSS JOIN (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS hop) h)\n" +
+      "SELECT x.hop, x.query_id,\n" +
+      "  CAST(COUNT(a.node) AS BIGINT) AS n_hits,\n" +
+      "  CAST(COUNT(a.node) AS DOUBLE) / 5.0 AS recall\n" +
+      "FROM bhx x LEFT JOIN bfa a ON x.hop = a.hop\n" +
+      "  AND x.query_id = a.query_id AND x.neighbor_id = a.node\n" +
+      "GROUP BY x.hop, x.query_id ORDER BY x.hop, x.query_id"
 
   /** s22: trained per-dim SQ8 — stats/encode/weight CTEs mirror the
     * Spark expression trees exactly (same IEEE shapes, floor-to-long,
@@ -2470,6 +2589,67 @@ object SparkEntry {
     "    AS chars_per_piece\n" +
     "FROM agg ORDER BY doc_id"
 
+  /** t50: the oracle TRAINS its own unigram-LM vocab — candidate
+    * substring counts, top-24 seed, then per round: the t46
+    * longest-match machinery (position max-step join, RECURSIVE cursor
+    * walk) re-pointed at the current vocab CTE, usage-keyed M-step agg,
+    * prune to 16 then 12; final segmentation under the survivor vocab
+    * yields usage/total and the half-bit integer costs via
+    * length(bin(x²))−1 — the same libm-free floor(2·log2 x) the Spark
+    * side computes. Walk/usage CTEs are MATERIALIZED (each is read
+    * twice downstream — the chained-CTE inlining rule). */
+  private lazy val UnigramTrainOracle: String = {
+    def round(r: Int, limitNext: Option[Int]): String =
+      s"umt$r AS (SELECT p.w, p.pos,\n" +
+        "    CAST(MAX(length(s.piece)) AS INT) AS mstep\n" +
+        s"  FROM upos p JOIN uv$r s\n" +
+        "    ON substr(p.w, p.pos, length(s.piece)) = s.piece\n" +
+        "  GROUP BY p.w, p.pos),\n" +
+        s"ust$r AS MATERIALIZED (SELECT p.w, p.pos,\n" +
+        s"    COALESCE(umt$r.mstep, 1) AS step\n" +
+        s"  FROM upos p LEFT JOIN umt$r\n" +
+        s"    ON p.w = umt$r.w AND p.pos = umt$r.pos),\n" +
+        s"uwk$r AS (SELECT w, 1 AS pos FROM uw\n" +
+        s"  UNION ALL SELECT uwk$r.w, uwk$r.pos + ust$r.step\n" +
+        s"  FROM uwk$r JOIN ust$r\n" +
+        s"    ON ust$r.w = uwk$r.w AND ust$r.pos = uwk$r.pos),\n" +
+        s"uus$r AS MATERIALIZED (SELECT piece,\n" +
+        "    CAST(SUM(wf) AS BIGINT) AS usage FROM (\n" +
+        s"  SELECT substr(k.w, k.pos, t.step) AS piece, uw.wf\n" +
+        s"  FROM uwk$r k JOIN ust$r t ON t.w = k.w AND t.pos = k.pos\n" +
+        "  JOIN uw ON uw.w = k.w\n" +
+        "  WHERE k.pos <= length(k.w)) z GROUP BY piece)" +
+        limitNext.map(n =>
+          s",\nuv${r + 1} AS MATERIALIZED (SELECT piece FROM uus$r\n" +
+          "  WHERE length(piece) > 1\n" +
+          s"  ORDER BY usage DESC, piece ASC LIMIT $n)").getOrElse("")
+    "WITH RECURSIVE\n" +
+      "ut AS MATERIALIZED (SELECT tok AS w FROM (SELECT\n" +
+      "    unnest(string_split_regex(trim(text), '\\s+')) AS tok\n" +
+      "  FROM documents) x WHERE tok <> ''),\n" +
+      "uw AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS wf\n" +
+      "  FROM ut GROUP BY w),\n" +
+      "upos AS MATERIALIZED (SELECT w, CAST(i AS INT) AS pos\n" +
+      "  FROM uw, UNNEST(range(1, length(w) + 1)) AS u(i)),\n" +
+      "ucand AS (SELECT piece, CAST(SUM(wf) AS BIGINT) AS c FROM (\n" +
+      "  SELECT substr(p.w, p.pos, CAST(g.l AS INT)) AS piece, uw.wf\n" +
+      "  FROM upos p JOIN uw ON p.w = uw.w,\n" +
+      "    UNNEST(range(2, 5)) AS g(l)\n" +
+      "  WHERE p.pos + g.l - 1 <= length(p.w)) z GROUP BY piece),\n" +
+      "uv1 AS MATERIALIZED (SELECT piece FROM ucand\n" +
+      "  ORDER BY c DESC, piece ASC LIMIT 24),\n" +
+      round(1, Some(16)) + ",\n" +
+      round(2, Some(12)) + ",\n" +
+      round(3, None) + ",\n" +
+      "utot AS (SELECT CAST(SUM(usage) AS BIGINT) AS total FROM uus3)\n" +
+      "SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len, usage,\n" +
+      "  utot.total,\n" +
+      "  CAST((length(bin(utot.total * utot.total)) - 1) -\n" +
+      "    (length(bin(usage * usage)) - 1) AS BIGINT) AS cost_half_bits\n" +
+      "FROM uus3 CROSS JOIN utot\n" +
+      "ORDER BY cost_half_bits ASC, piece ASC"
+  }
+
   /** t47: decode = delete every delimiter space from the replay string
     * (symbols never contain spaces, so that IS piece concatenation);
     * reassemble per doc in original token order, md5 both sides. */
@@ -2678,8 +2858,12 @@ object SparkEntry {
     * AP's sum realized as the rank-ordered list fold with a prepended
     * 0.0 (non-relevant ranks contribute a bitwise-free +0.0 — the b03
     * fold contract). */
-  private val RetrievalEvalOracle: String =
-    """WITH d AS (SELECT doc_id,
+  /** b04/b05 shared CTE chain, WITHOUT the leading `WITH`: tokenized
+    * docs, corpus stats, title-zone qrels `rel`/`nr`, per-term BM25
+    * candidates, top-10 rank, and the judged frame `j (term, rank,
+    * rel)` — [[graft.operators.Ranking]]'s judgedRanking in SQL. */
+  private val RetrievalJudgedCtes: String =
+    """d AS (SELECT doc_id,
       |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
       |dd AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2714,8 +2898,11 @@ object SparkEntry {
       |j AS (SELECT t.term, t.rank,
       |  CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS rel
       |  FROM top t LEFT JOIN rel r
-      |    ON t.term = r.term AND t.doc_id = r.doc_id),
-      |cu AS (SELECT term, rank, rel,
+      |    ON t.term = r.term AND t.doc_id = r.doc_id)""".stripMargin
+
+  private val RetrievalEvalOracle: String =
+    s"WITH $RetrievalJudgedCtes,\n" +
+    """cu AS (SELECT term, rank, rel,
       |  CAST(SUM(rel) OVER (PARTITION BY term ORDER BY rank)
       |    AS BIGINT) AS cum FROM j),
       |co AS (SELECT term, rank, rel,
@@ -2739,6 +2926,43 @@ object SparkEntry {
       |    END AS ap_at_k
       |FROM pt LEFT JOIN nr USING (term)
       |ORDER BY term""".stripMargin
+
+  /** b05: nDCG@10 over the shared judged chain. The discount table
+    * 1/log2(1+r) and the ideal-DCG prefix sums are rendered here from
+    * the SAME driver-computed doubles the Spark plan broadcasts
+    * ([[graft.operators.Ranking.ndcgDiscounts]]/ndcgIdeals) — log2 is
+    * libm, so neither engine evaluates it; `Double.toString` is the
+    * shortest round-trip rendering, so DuckDB parses back the
+    * identical bits. DCG is the b03/b04 rank-ordered list fold. */
+  private lazy val RetrievalNdcgOracle: String = {
+    def fmt(d: Double): String = java.lang.Double.toString(d)
+    val discVals = graft.operators.Ranking.ndcgDiscounts(10).zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, CAST(${fmt(d)} AS DOUBLE))" }
+      .mkString(", ")
+    val idealVals = graft.operators.Ranking.ndcgIdeals(10).zipWithIndex
+      .map { case (s, m) => s"($m, CAST(${fmt(s)} AS DOUBLE))" }
+      .mkString(", ")
+    s"WITH $RetrievalJudgedCtes,\n" +
+      s"dt(rnk, disc) AS (SELECT * FROM (VALUES $discVals)\n" +
+      "  t(rnk, disc)),\n" +
+      s"it(m, idcg) AS (SELECT * FROM (VALUES $idealVals) t(m, idcg)),\n" +
+      "co AS (SELECT j.term, j.rank, j.rel,\n" +
+      "  CASE WHEN j.rel = 1 THEN dt.disc\n" +
+      "    ELSE CAST(0.0 AS DOUBLE) END AS contrib\n" +
+      "  FROM j JOIN dt ON j.rank = dt.rnk),\n" +
+      "pt AS (SELECT term, CAST(SUM(rel) AS BIGINT) AS n_hits,\n" +
+      "  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),\n" +
+      "    list(contrib ORDER BY rank)), (a, b) -> a + b) AS dcg\n" +
+      "  FROM co GROUP BY term)\n" +
+      "SELECT pt.term,\n" +
+      "  CAST(COALESCE(nr.n_rel, 0) AS BIGINT) AS n_rel, pt.n_hits,\n" +
+      "  pt.dcg,\n" +
+      "  CASE WHEN COALESCE(nr.n_rel, 0) = 0 THEN CAST(0.0 AS DOUBLE)\n" +
+      "    ELSE pt.dcg / it.idcg END AS ndcg_at_k\n" +
+      "FROM pt LEFT JOIN nr USING (term)\n" +
+      "JOIN it ON LEAST(COALESCE(nr.n_rel, 0), 10) = it.m\n" +
+      "ORDER BY pt.term"
+  }
 
   /** c03: b01's oracle with the rank/limit surgically removed for the
     * unranked base; proximity = lag-window gaps over query-term
@@ -3772,6 +3996,11 @@ object SparkEntry {
     "s01_brute_topk" -> BruteTopKOracle,
     "s41_mips_topk" -> MipsOracle,
     "s42_mips_ivf_recall" -> MipsIvfRecallOracle,
+    "s43_graph_beam_recall" -> BeamSearchRecallOracle,
+    "s44_beam_hops_recall" -> BeamHopsRecallOracle,
+    // s45 serves the SAME graph content from its at-rest form — the
+    // oracle is s43's by identity (the spec asserts frame equality)
+    "s45_stored_graph_serve" -> BeamSearchRecallOracle,
     "s02_ivf_topk" ->
       """WITH n AS (SELECT vec_id, label, embedding,
         |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
@@ -6684,6 +6913,7 @@ object SparkEntry {
        "ORDER BY verdict, learned_keep"),
     "b03_prf_expansion" -> PrfOracle,
     "b04_retrieval_eval" -> RetrievalEvalOracle,
+    "b05_retrieval_ndcg" -> RetrievalNdcgOracle,
     "c03_proximity_rank" -> ProximityOracle,
     // c02: c01's chunk CTEs as the scoring unit, b01's exact BM25 law
     // verbatim (rational idf, fixed-order 4-term sum), maxP per doc
@@ -6779,6 +7009,9 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |  string_split_regex(trim(text), '\s+') AS toks FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // t50: self-trained unigram-LM vocab (seed → 2 EM prune rounds →
+    // final usage), half-bit costs via length(bin(x²))−1
+    "t50_unigram_train" -> UnigramTrainOracle,
     // p20: p19's chain nested verbatim, the t16 rate→threshold tree,
     // md5-prefix string compare at the cut line, source-keyed rollup
     "p20_mixture_manifest" ->

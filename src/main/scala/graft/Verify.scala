@@ -16,8 +16,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Reliable-anchor posture, matching Bench: Anchor.cut takes the
-    // checkpoint() path a cluster deployment runs.
-    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    // checkpoint() path a cluster deployment runs (tmpfs-backed when
+    // available — see Bench).
+    val ckptBase = java.nio.file.Paths.get("/dev/shm")
+    val ckptDir =
+      if (java.nio.file.Files.isDirectory(ckptBase) &&
+          java.nio.file.Files.isWritable(ckptBase))
+        java.nio.file.Files.createTempDirectory(ckptBase, "graft-ckpt")
+      else java.nio.file.Files.createTempDirectory("graft-ckpt")
     spark.sparkContext.setCheckpointDir(ckptDir.toString)
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated allowlist for focused iteration (matches

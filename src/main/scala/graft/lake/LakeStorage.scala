@@ -128,6 +128,19 @@ class SparkLakeStorage(spark: SparkSession, root: String) extends LakeStorage {
     StructField("date", StringType),
     StructField("hour", StringType)))
 
+  // Single-writer gate for the append section: two concurrent
+  // `mode("append")` jobs into the same path share the Hadoop
+  // committer's `_temporary/<attempt>` staging dir and clobber each
+  // other's task files (TASK_WRITE_FAILED — reproduced by the facade's
+  // concurrent-ingest spec). The reference never hits this because its
+  // writes are independent per-object S3 puts
+  // (S3DatalakeStorage.java:33-47); an engine writing a SHARED
+  // partitioned dataset serializes its commits instead. In-process
+  // writers queue here; cross-process concurrency is the snapshot
+  // store's OCC layer, not this adapter's contract. Reads are
+  // unaffected (parquet readers never look inside _temporary).
+  private val writeGate = new Object
+
   override def saveBooks(books: DataFrame, ts: LocalDateTime): Unit = {
     val d = LakePaths.day(ts)
     val h = LakePaths.hour(ts)
@@ -136,7 +149,7 @@ class SparkLakeStorage(spark: SparkSession, root: String) extends LakeStorage {
     // twice, and a non-deterministic source could make the manifest list
     // books whose payload was never written.
     val snap = books.persist()
-    try {
+    try writeGate.synchronized {
       writeLake(snap, ts, d, h)
       snap.select(col("book_id").cast("long").as("book_id"),
         lit(d).as("date"), lit(h).as("hour"))

@@ -298,7 +298,14 @@ object Dedup {
     * estimated sides are salted-md5 pipelines, no RNG.
     *
     * Scale: the component comparison is O(k) per SURVIVING pair (the
-    * near-dup set, not the corpus); signatures join by doc key. */
+    * near-dup set, not the corpus); signatures join by doc key. The
+    * measured ×8 factor (8.2–8.7, re-confirmed r18) sits just over
+    * linear for the same reason as d17: the pair side grows ×8 while
+    * the fixed shuffle constant (signature build + d02's inverted-index
+    * exchange) amortizes less per row at the larger size — a shuffle-
+    * constant artifact of exact similarity joins, not a candidate-set
+    * blowup (the per-replica token renaming keeps pair density linear
+    * by construction). */
   def minhashJaccardEval(documents: DataFrame, k: Int = 12): DataFrame = {
     val exact = jaccardPairs(documents, maxDocFreq = None)
     val sig = withMinhash(documents, k).select(col("doc_id"), col("sig"))

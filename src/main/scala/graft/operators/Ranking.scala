@@ -337,34 +337,13 @@ object Ranking {
       .limit(k)
   }
 
-  /** b04: GRADED RETRIEVAL EVALUATION — per-query P@k / R@k / MRR /
-    * AP@k of the single-term BM25 ranking against deterministic
-    * relevance judgments (the TREC qrel loop every retrieval stack
-    * closes before shipping an index change; Manning et al., IIR
-    * ch. 8). Each probe term is its own query; a document is RELEVANT
-    * to a term iff the term appears in its TITLE ZONE (first
-    * `titleTokens` tokens) — a label derived independently of the
-    * full-text score being judged, the standard pseudo-qrel when no
-    * human judgments exist. AP@k uses the interpolation-free form
-    * Σ_{i≤k} P(i)·rel(i) / min(n_rel, k).
-    *
-    * Float discipline: every metric is a ratio of exact longs — P(i) =
-    * cum_hits(i)/i, MRR = 1/first_rel_rank, P@k, R@k — and AP's sum
-    * folds those per-rank contributions in RANK order via the b03
-    * sorted-list fold (0.0-seeded; non-relevant ranks contribute a
-    * bitwise-free +0.0), so both engines build identical doubles.
-    *
-    * Plan shape: relevance labels are one narrow title-zone explode
-    * (at a real eval the qrel set is a bounded artifact that
-    * broadcast-joins instead); candidate scoring is b01's one
-    * (doc, term) partial agg + broadcast df/stats; the per-term top-k
-    * is the bounded mergeable [[graft.functions.TopKByScore]] partial
-    * agg (map-side ≤ k rows per term per split — never a corpus-wide
-    * per-term window funnel); everything after operates on
-    * |terms|·k rows. At 100 TB the eval costs one corpus scan. */
-  def retrievalEval(documents: DataFrame,
-      terms: Seq[String] = DefaultTerms, k: Int = 10,
-      titleTokens: Int = 10): DataFrame = {
+  /** b04/b05 shared frame: the per-term top-k BM25 ranking JUDGED
+    * against the title-zone pseudo-qrels — returns (judged: one row per
+    * (term, rank) with its 0/1 relevance, nRel: per-term relevant-doc
+    * counts). One corpus pass; everything downstream operates on
+    * |terms|·k rows. */
+  private def judgedRanking(documents: DataFrame, terms: Seq[String],
+      k: Int, titleTokens: Int): (DataFrame, DataFrame) = {
     val docs = documents
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
@@ -404,6 +383,38 @@ object Ranking {
         "left")
       .select(col("term"), col("rank"),
         coalesce(col("is_rel"), lit(0L)).as("rel"))
+    (judged, nRel)
+  }
+
+  /** b04: GRADED RETRIEVAL EVALUATION — per-query P@k / R@k / MRR /
+    * AP@k of the single-term BM25 ranking against deterministic
+    * relevance judgments (the TREC qrel loop every retrieval stack
+    * closes before shipping an index change; Manning et al., IIR
+    * ch. 8). Each probe term is its own query; a document is RELEVANT
+    * to a term iff the term appears in its TITLE ZONE (first
+    * `titleTokens` tokens) — a label derived independently of the
+    * full-text score being judged, the standard pseudo-qrel when no
+    * human judgments exist. AP@k uses the interpolation-free form
+    * Σ_{i≤k} P(i)·rel(i) / min(n_rel, k).
+    *
+    * Float discipline: every metric is a ratio of exact longs — P(i) =
+    * cum_hits(i)/i, MRR = 1/first_rel_rank, P@k, R@k — and AP's sum
+    * folds those per-rank contributions in RANK order via the b03
+    * sorted-list fold (0.0-seeded; non-relevant ranks contribute a
+    * bitwise-free +0.0), so both engines build identical doubles.
+    *
+    * Plan shape: relevance labels are one narrow title-zone explode
+    * (at a real eval the qrel set is a bounded artifact that
+    * broadcast-joins instead); candidate scoring is b01's one
+    * (doc, term) partial agg + broadcast df/stats; the per-term top-k
+    * is the bounded mergeable [[graft.functions.TopKByScore]] partial
+    * agg (map-side ≤ k rows per term per split — never a corpus-wide
+    * per-term window funnel); everything after operates on
+    * |terms|·k rows. At 100 TB the eval costs one corpus scan. */
+  def retrievalEval(documents: DataFrame,
+      terms: Seq[String] = DefaultTerms, k: Int = 10,
+      titleTokens: Int = 10): DataFrame = {
+    val (judged, nRel) = judgedRanking(documents, terms, k, titleTokens)
     val cum = judged.withColumn("cum_hits",
       sum(col("rel")).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("term")).orderBy(col("rank"))))
@@ -431,6 +442,63 @@ object Ranking {
           .otherwise(col("ap_num") /
             least(col("n_rel"), lit(k.toLong)).cast("double"))
           .as("ap_at_k"))
+      .orderBy(col("term"))
+  }
+
+  /** Rank-indexed nDCG discount table 1/log2(1+r), r = 1..k — computed
+    * ONCE on the driver and embedded as the SAME double literals in
+    * both the Spark plan and the oracle SQL ([[graft.SparkEntry]]
+    * renders these exact values into the VALUES list), so log2 — libm,
+    * last-ulp-risky — has a single source of truth and neither engine
+    * evaluates it. */
+  def ndcgDiscounts(k: Int): Seq[Double] =
+    (1 to k).map(r => 1.0 / (math.log1p(r.toDouble) / math.log(2.0)))
+
+  /** Ideal-DCG prefix table: idcg(m) = Σ_{r≤m} discount(r) for
+    * m = 0..k, folded in rank order on the driver (binary gains: the
+    * ideal ranking is all n_rel relevant docs first, so
+    * IDCG@k = idcg(min(n_rel, k))). Same shared-literal contract as
+    * [[ndcgDiscounts]]. */
+  def ndcgIdeals(k: Int): Seq[Double] =
+    ndcgDiscounts(k).scanLeft(0.0)(_ + _)
+
+  /** b05: nDCG@k — the graded-relevance headline metric a real eval
+    * harness reports first (Järvelin & Kekäläinen 2002), over the SAME
+    * judged ranking as b04 (binary gains are valid nDCG: gain(rel) =
+    * rel). DCG@k folds rel(r)·discount(r) in RANK order (the b03/b04
+    * sorted-list fold — non-relevant ranks add a bitwise-free +0.0);
+    * IDCG@k is a TABLE LOOKUP idcg(min(n_rel, k)) against the
+    * driver-precomputed prefix sums, so the division is the only
+    * arithmetic either engine performs on the discounts.
+    *
+    * Plan shape: b04's one corpus pass down to the |terms|·k judged
+    * frame; the discount and ideal tables are k+1-row broadcast joins;
+    * output is |terms| rows. */
+  def retrievalNdcg(documents: DataFrame,
+      terms: Seq[String] = DefaultTerms, k: Int = 10,
+      titleTokens: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (judged, nRel) = judgedRanking(documents, terms, k, titleTokens)
+    val disc = ndcgDiscounts(k).zipWithIndex
+      .map { case (d, i) => ((i + 1).toLong, d) }.toDF("rank", "disc")
+    val ideal = ndcgIdeals(k).zipWithIndex
+      .map { case (s, m) => (m.toLong, s) }.toDF("m", "idcg")
+    val contrib = judged.join(broadcast(disc), Seq("rank"))
+      .withColumn("contrib",
+        when(col("rel") === 1L, col("disc")).otherwise(lit(0.0)))
+    val perTerm = contrib.groupBy(col("term"))
+      .agg(sum(col("rel")).as("n_hits"),
+        aggregate(sort_array(collect_list(struct(col("rank"),
+          col("contrib")))), lit(0.0),
+          (acc, x) => acc + x.getField("contrib")).as("dcg"))
+    perTerm.join(broadcast(nRel), Seq("term"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .join(broadcast(ideal),
+        least(col("n_rel"), lit(k.toLong)) === col("m"))
+      .select(col("term"), col("n_rel"), col("n_hits"), col("dcg"),
+        when(col("n_rel") === 0L, lit(0.0))
+          .otherwise(col("dcg") / col("idcg")).as("ndcg_at_k"))
       .orderBy(col("term"))
   }
 }

@@ -736,6 +736,236 @@ object Similarity {
       knnGraphCache.remove(k).foreach(graft.operators.Anchor.release)
     }
 
+  /** s43: GRAPH-TRAVERSAL ANN — beam search over the materialized
+    * [[knnGraphShared]] artifact, the third serving paradigm beside
+    * cell probing (IVF, s08) and code scanning (PQ/LSH, s11/s04): the
+    * DiskANN / HNSW family (Malkov & Yashunin 2018; Subramanya et al.
+    * 2019), where a query NAVIGATES a prebuilt neighborhood graph from
+    * a fixed entry point, greedily expanding the current best `beam`
+    * candidates' edges for `hops` rounds. The graph is the s21 kNN
+    * graph SYMMETRIZED (both edge directions traversable — the
+    * undirected-neighborhood repair every published graph index
+    * applies, since in-edges of a hub are exactly the paths that reach
+    * it); the entry point is the anchor node (min vec id) of the
+    * query's trained coarse cell — the per-shard fixed-medoid stance
+    * DiskANN takes, so navigation has to EARN the neighborhood rather
+    * than being seeded with the answer. The final top-k excludes the
+    * query itself but the traversal may pass THROUGH it (its out-edges
+    * are legitimate roads; a frontier is a set of waypoints, not an
+    * answer).
+    *
+    * Exactness: every score is the same fixed-order [[Dedup.dotExpr]]
+    * cosine as s01, frontier selection is (score desc, id asc) via the
+    * bounded [[graft.functions.TopKByScore]] partial agg, and the hop
+    * count is a fixed constant — so the whole traversal is a
+    * deterministic function of the corpus, bitwise reproducible in the
+    * oracle's unrolled hop CTEs.
+    *
+    * Scale: per hop the moving side is the frontier — nQueries·beam
+    * rows, BROADCAST into (a) the edge-table probe and (b) the
+    * embedding fetch — so a hop costs bounded-candidate lookups, never
+    * a corpus-wide shuffle; the graph and the trained quantizer are
+    * at-rest artifacts (built once, [[knnGraphShared]]) and at 100 TB
+    * the embedding fetch against a vec_id-bucketed store (the s19
+    * IndexStore posture) is a pruned point-lookup batch, not a scan.
+    * Work per query is O(hops · beam · degree) score evaluations — the
+    * property that makes graph ANN the highest-recall-per-probe tier
+    * in the public literature; recall is bounded by the query cell's
+    * graph connectivity (the same s02 blocking cliff the graph build
+    * accepts, bought back with higher graph k or multi-assign). */
+  /** The traversal's reusable parts: successive frontiers (after hop
+    * 1..hops, each (query_id, neighbor_id, cosine, rank)) plus the
+    * scoring/rank closure, so the serve (s43), the convergence curve
+    * (s44 — reads EVERY frontier of one traversal) and the stored-graph
+    * serve (s45 — supplies its own edge frame) share one
+    * implementation. `edgesOverride` replaces the session-built shared
+    * graph with an at-rest edge table. */
+  private case class BeamParts(frontiers: Seq[DataFrame],
+      topBeam: (DataFrame, Int) => DataFrame)
+
+  private def beamParts(embeddings: DataFrame, nQueries: Int, beam: Int,
+      hops: Int, graphK: Int, nCells: Int,
+      edgesOverride: Option[DataFrame] = None): BeamParts = {
+    val edges = edgesOverride.getOrElse(
+        knnGraphShared(embeddings, graphK, nCells))
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val centroids = Clustering.trainedCentroidsLocal(embeddings, nCells)
+    val vectors = embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2", Dedup.dotExpr("emb", "emb"))
+    val assigned = Clustering.assign(vectors, centroids)
+      .select(col("vec_id"), col("emb"), col("vnorm2"),
+        col("cluster_id").as("cell"))
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("vnorm2").as("qnorm2"), col("cell").as("qcell"))
+    // fixed entry point: the anchor node of the query's coarse cell
+    val entry = assigned.groupBy(col("cell"))
+      .agg(min(col("vec_id")).as("node"))
+      .join(broadcast(queries.select(col("query_id"),
+        col("qcell").as("cell"))), Seq("cell"))
+      .select(col("query_id"), col("node"))
+    // score a bounded (query, node) candidate set: broadcast the
+    // candidate list into the corpus embedding probe, then the exact
+    // cosine against the broadcast query batch; keep the best `width`
+    def topBeam(cand: DataFrame, width: Int): DataFrame = {
+      val scored = assigned
+        .select(col("vec_id"), col("emb").as("nemb"),
+          col("vnorm2").as("nnorm2"))
+        .join(broadcast(cand.select(col("query_id"),
+          col("node").as("vec_id"))), Seq("vec_id"))
+        .join(broadcast(queries.select(col("query_id"), col("qemb"),
+          col("qnorm2"))), Seq("query_id"))
+        .withColumn("cosine", Dedup.dotExpr("nemb", "qemb") /
+          (sqrt(col("nnorm2")) * sqrt(col("qnorm2"))))
+      topKByQuery(scored, "cosine", width)
+    }
+    var frontier = topBeam(entry, beam)
+    val frontiers = (1 to hops).map { _ =>
+      val fr = frontier.select(col("query_id"),
+        col("neighbor_id").as("node"))
+      val nbrs = sym
+        .join(broadcast(fr.select(col("query_id"),
+          col("node").as("src"))), Seq("src"))
+        .select(col("query_id"), col("dst").as("node"))
+      val cand = fr.union(nbrs).distinct()
+      frontier = topBeam(cand, beam)
+      frontier
+    }
+    BeamParts(frontiers, topBeam)
+  }
+
+  /** Final ranked top-k from a frontier: the query itself is excluded
+    * and the survivors re-cut to k. */
+  private def beamFinal(p: BeamParts, frontier: DataFrame,
+      k: Int): DataFrame =
+    p.topBeam(frontier
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id").as("node")), k)
+
+  def beamSearchTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
+      beam: Int = 8, hops: Int = 3, graphK: Int = 5,
+      nCells: Int = 32): DataFrame = {
+    val p = beamParts(embeddings, nQueries, beam, hops, graphK, nCells)
+    beamFinal(p, p.frontiers.last, k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-query recall@k of `approx (query_id, neighbor_id)` against
+    * `exact` — the s05-shaped eval tail shared by the graph-ANN faces. */
+  private def recallPerQuery(exact: DataFrame, approx: DataFrame,
+      k: Int): DataFrame =
+    exact.join(approx.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(k).cast("double"))
+          .as("recall"))
+      .orderBy(col("query_id"))
+
+  /** s43's ledger face: recall@k of the beam traversal against the s01
+    * exact truth — the eval every graph-ANN deployment reads before
+    * trading beam width (compute) against recall, same shape as
+    * s05/s09/s14. */
+  def beamSearchRecall(embeddings: DataFrame, nQueries: Int = 5,
+      k: Int = 5, beam: Int = 8, hops: Int = 3, graphK: Int = 5,
+      nCells: Int = 32): DataFrame =
+    recallPerQuery(
+      bruteForceTopK(embeddings, nQueries, k)
+        .select(col("query_id"), col("neighbor_id")),
+      beamSearchTopK(embeddings, nQueries, k, beam, hops, graphK,
+        nCells).select(col("query_id"), col("neighbor_id")), k)
+
+  /** s44: BEAM CONVERGENCE CURVE — recall@k per hop count 1..hops,
+    * read from the SAME traversal's successive frontiers (hop h's
+    * answer is the final cut of frontier h), so the curve costs one
+    * traversal, not `hops` of them. This is the tuning table a
+    * graph-ANN deployment reads to pick its search depth: each hop
+    * adds O(beam·degree) score evaluations per query, and the curve
+    * shows where recall stops paying for them. Scores within the kept
+    * beam are pointwise non-decreasing across hops (a frontier member
+    * is only ever evicted by a better-scoring candidate); recall
+    * itself may plateau early — that plateau IS the signal. */
+  def beamSearchHopsRecall(embeddings: DataFrame, nQueries: Int = 5,
+      k: Int = 5, beam: Int = 8, hops: Int = 3, graphK: Int = 5,
+      nCells: Int = 32): DataFrame = {
+    val spark = embeddings.sparkSession
+    val p = beamParts(embeddings, nQueries, beam, hops, graphK, nCells)
+    val perHop = p.frontiers.zipWithIndex.map { case (f, i) =>
+      beamFinal(p, f, k)
+        .select(lit((i + 1).toLong).as("hop"), col("query_id"),
+          col("neighbor_id"))
+    }.reduce(_ union _).withColumn("hit", lit(1L))
+    val hopTable = spark.range(1, hops + 1).select(col("id").as("hop"))
+    bruteForceTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(hopTable))
+      .join(perHop, Seq("hop", "query_id", "neighbor_id"), "left")
+      .groupBy(col("hop"), col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("hop"), col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(k).cast("double"))
+          .as("recall"))
+      .orderBy(col("hop"), col("query_id"))
+  }
+
+  /** s45: the s43 serve against the AT-REST graph — edges written once
+    * as a CELL-PARTITIONED parquet table ([[IndexStore]], the s19
+    * stored-codes posture) and the traversal reading ONLY the query
+    * batch's cell partitions: the kNN graph is cell-blocked, so a
+    * query's whole reachable set lives inside its own cell and the
+    * probe schedule (≤ nQueries cell literals, collected from the
+    * trained quantizer — the s19 probe-cell stance) makes the edge
+    * scan partition-pruned. At 100 TB this is the difference between
+    * "read the graph" and "read one cell's directory": the spec
+    * asserts the pruned plan and result identity with the in-session
+    * s43 serve. */
+  def storedGraphBeamRecall(embeddings: DataFrame, nQueries: Int = 5,
+      k: Int = 5, beam: Int = 8, hops: Int = 3, graphK: Int = 5,
+      nCells: Int = 32): DataFrame = {
+    val stored = storedBeamGraph(embeddings, graphK, nCells)
+    val centroids = Clustering.trainedCentroidsLocal(embeddings, nCells)
+    val qv = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2", Dedup.dotExpr("emb", "emb"))
+    val qcells = Clustering.assign(qv, centroids)
+      .select(col("cluster_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val edges = stored.filter(col("cell").isin(qcells: _*))
+    val p = beamParts(embeddings, nQueries, beam, hops, graphK, nCells,
+      edgesOverride = Some(edges))
+    recallPerQuery(
+      bruteForceTopK(embeddings, nQueries, k)
+        .select(col("query_id"), col("neighbor_id")),
+      beamFinal(p, p.frontiers.last, k)
+        .select(col("query_id"), col("neighbor_id")), k)
+  }
+
+  /** The at-rest beam graph: [[knnGraph]] edges + the src vector's
+    * trained cell, written once per (corpus, k, cells) as
+    * cell-partitioned parquet and READ thereafter. */
+  private[operators] def storedBeamGraph(embeddings: DataFrame,
+      graphK: Int, nCells: Int): DataFrame =
+    IndexStore.storedTable("beam-graph", embeddings,
+        s"k=$graphK,cells=$nCells", Seq("cell")) {
+      val centroids = Clustering.trainedCentroidsLocal(embeddings,
+        nCells)
+      val vectors = embeddings
+        .select(col("vec_id"), col("embedding").as("emb"))
+        .withColumn("vnorm2", Dedup.dotExpr("emb", "emb"))
+      val cells = Clustering.assign(vectors, centroids)
+        .select(col("vec_id"), col("cluster_id").as("cell"))
+      knnGraph(embeddings, graphK, nCells).join(cells, Seq("vec_id"))
+        .select(col("vec_id"), col("neighbor_id"), col("cosine"),
+          col("rank"), col("cell"))
+    }
+
   /** Memory-tier ANN: top-k by INTEGER dot product over scalar-quantized
     * codes. At 100 TB the float32 corpus does not fit the scan budget;
     * int8-range codes are 4× smaller (8× against float64 pipelines),

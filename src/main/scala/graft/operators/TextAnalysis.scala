@@ -1809,13 +1809,25 @@ object TextAnalysis {
     * [[bpeLongestMatchEncode]]. Exposed for the parity spec. */
   private[operators] def longestMatchPieces(documents: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
     val syms = merges.map { case (a, b) => a + b }.distinct
-    val maxLen = (1 +: syms.map(_.length)).max
     val words = Dedup.spread(documents)
       .select(explode(tokens(col("text"))).as("w"))
       .filter(col("w") =!= "").distinct()
+    longestMatchSegments(words, syms)
+  }
+
+  /** The greedy longest-match segmenter against an arbitrary multi-char
+    * symbol list (single chars are the implicit fallback): per-position
+    * longest vocab hit, then the cursor walk as ONE ordered aggregate
+    * fold per word. Shared by the BPE encode face
+    * ([[longestMatchPieces]]) and the unigram-LM trainer's E-step
+    * ([[unigramTrain]]) — one segmentation rule, one implementation.
+    * `words` must be a distinct (w) frame. */
+  private[operators] def longestMatchSegments(words: DataFrame,
+      syms: Seq[String]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val maxLen = (1 +: syms.map(_.length)).max
     val positions = words
       .select(col("w"),
         explode(sequence(lit(1), length(col("w")))).as("pos"))
@@ -1844,6 +1856,94 @@ object TextAnalysis {
           |    acc),
           |  acc -> acc.out)""".stripMargin))
       .select(col("w"), col("pieces"))
+  }
+
+  /** Per-piece weighted usage of the longest-match segmentation of
+    * `words (w, wf)` under `syms` — the unigram trainer's M-step
+    * counts: every emitted piece (vocab hits AND single-char
+    * fallbacks) weighted by its word's corpus frequency, one keyed
+    * aggregation. */
+  private def segmentUsage(words: DataFrame,
+      syms: Seq[String]): DataFrame =
+    longestMatchSegments(words.select(col("w")), syms)
+      .select(col("w"), explode(col("pieces")).as("piece"))
+      .join(words, Seq("w"))
+      .groupBy(col("piece")).agg(sum(col("wf")).as("usage"))
+
+  /** t50: UNIGRAM-LM TOKENIZER TRAINING — the SentencePiece-style
+    * counterpart (Kudo 2018) to the BPE family (t38/t43/t46–t49): BPE
+    * GROWS a vocabulary bottom-up by merging; the unigram trainer
+    * SHRINKS one top-down — seed an over-complete candidate-piece
+    * table, then alternate E (segment the corpus under the current
+    * vocabulary) and M (re-estimate piece usage; PRUNE the weakest
+    * pieces) until the target size. Here: candidates are all 2..4-char
+    * substrings weighted by word frequency, seeded at the top 24 by
+    * (count desc, piece asc); two EM prune rounds cut to 16 then 12
+    * multi-char pieces by segmentation USAGE (not raw substring count —
+    * the whole point of the E-step: a piece only earns keep by actually
+    * being chosen under competition); single chars are the permanent
+    * fallback tier, so coverage is total by construction. Published
+    * unigram-LM segments by Viterbi over Σ log p(piece); both engines'
+    * log is libm (last-ulp risk), so the E-step uses the DETERMINISTIC
+    * greedy longest-match rule both engines already share bit-for-bit
+    * ([[longestMatchSegments]], the t46 encoder) — the EM prune
+    * structure is preserved exactly, the segmentation rule is the
+    * exchange-stable one.
+    *
+    * Output: the trained model artifact — one row per final-vocab piece
+    * (multi-char survivors + used single-char fallbacks) with usage,
+    * the corpus piece total, and `cost_half_bits` = floor(2·log2 total)
+    * − floor(2·log2 usage): the negative log2-probability quantized at
+    * HALF-BIT granularity, computed integer-exactly as
+    * length(bin(x²))−1 in both engines — no libm anywhere. Overflow
+    * headroom: x² stays in a long while totals < 3·10⁹ pieces (any
+    * fixture and the ×8 stress by orders of magnitude); a 100-TB
+    * deployment shards totals or drops to whole-bit granularity.
+    *
+    * Plan shape: one corpus tokenize + word-frequency agg (anchored —
+    * four downstream passes reuse it); candidate counting is one
+    * substring explode + keyed agg; each EM round is the audited
+    * longest-match join (positions × ≤24-row broadcast vocab) + a
+    * keyed usage agg; the vocab between rounds is a ≤24-row COLLECTED
+    * model artifact (the bpeTrain driver-loop stance — bounded rows,
+    * trained once per (session, fixture) via SparkEntry's cache, every
+    * consumer reads the artifact). The 1-row total is an intended
+    * broadcast cross (the dq10 pattern). */
+  def unigramTrain(documents: DataFrame, candLen: Int = 4,
+      seedSize: Int = 24, pruneSizes: Seq[Int] = Seq(16, 12)): DataFrame = {
+    val toks = Dedup.spread(documents)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val words = graft.operators.Anchor.cut(
+      toks.groupBy(col("w")).agg(count(lit(1)).as("wf")))
+    val cands = words
+      .select(col("w"), col("wf"),
+        explode(sequence(lit(1), length(col("w")))).as("pos"))
+      .select(col("w"), col("wf"), col("pos"),
+        explode(sequence(lit(2), lit(candLen))).as("l"))
+      .filter(col("pos") + col("l") - 1 <= length(col("w")))
+      .select(expr("substring(w, pos, l)").as("piece"), col("wf"))
+      .groupBy(col("piece")).agg(sum(col("wf")).as("c"))
+    val seed = cands.orderBy(col("c").desc, col("piece").asc)
+      .limit(seedSize).collect().map(_.getString(0)).toSeq
+    val vocab = pruneSizes.foldLeft(seed) { (v, s) =>
+      segmentUsage(words, v)
+        .filter(length(col("piece")) > 1)
+        .orderBy(col("usage").desc, col("piece").asc).limit(s)
+        .collect().map(_.getString(0)).toSeq
+    }
+    val usage = segmentUsage(words, vocab)
+    val total = usage.agg(sum(col("usage")).as("total"))
+    // `words` stays anchored: the returned frame is lazy over it (a
+    // returned DataFrame's own last anchor is never released)
+    usage.crossJoin(broadcast(total))
+      .select(col("piece"),
+        length(col("piece")).cast("long").as("piece_len"),
+        col("usage"), col("total"),
+        ((length(bin(col("total") * col("total"))) - 1) -
+          (length(bin(col("usage") * col("usage"))) - 1)).cast("long")
+          .as("cost_half_bits"))
+      .orderBy(col("cost_half_bits").asc, col("piece").asc)
   }
 
   /** t48: TOKENIZER FERTILITY BY SOURCE — the tokenizer-fairness

@@ -77,6 +77,7 @@ class PlanAuditSpec extends SparkSpec {
     "s35_hamming_recall", // s01 exact side + tiny bit-config crosses
     "b02_rrf_fusion", // b01's ONE-row stats cross + s01's dense side
     "b04_retrieval_eval", // b01's ONE-row corpus-stats broadcast cross
+    "b05_retrieval_ndcg", // b04's judged chain: same ONE-row stats cross
     "p18_semantic_decontam", // broadcast(bounded eval slice) x train scan
     "p19_domain_reweight", // 1-row mean/normalizer frames crossed into K rows
     "g10_ppr_expansion", // rides s21's broadcast centroid-assign cross
@@ -85,6 +86,9 @@ class PlanAuditSpec extends SparkSpec {
     "p20_mixture_manifest", // embeds p19's 1-row mean/normalizer crosses
     "c03_proximity_rank", // b01's ONE-row corpus-stats broadcast cross
     "s42_mips_ivf_recall", // 1-row max-norm cross + s14's centroid/probe crosses
+    "s43_graph_beam_recall", // s01 exact side + s21's centroid-assign cross
+    "s44_beam_hops_recall", // s43's crosses + 3-row hop-config cross
+    "s45_stored_graph_serve", // s43's crosses; edges from the stored table
     "s36_index_lifecycle", // s18/s19's probe-schedule broadcast crosses
     "s38_rotation_recall", // s01 exact side + 3-row tier cross
     "t42_lm_perplexity", // t33's ONE-row (N,V) corpus frame cross
@@ -95,6 +99,7 @@ class PlanAuditSpec extends SparkSpec {
     "g09_cell_modularity", // s21's centroid cross + 1-row metric crosses
     "p13_anneal_schedule", // p07's corpus-total cross + 1-row keeper count
     "t45_vocab_growth", // 5-row threshold grid: inequality broadcast joins
+    "t50_unigram_train", // ONE-row piece-total frame broadcast-crossed in
     "s40_cell_split", // k01 centroid cross + 1-row size/skew crosses
     "l16_wap_commit", // 2-row audit ledger x 1-row published-stats cross
     "p14_dataset_card", // embeds p08's t37/t17 corpus-total crosses
@@ -282,6 +287,29 @@ class PlanAuditSpec extends SparkSpec {
       // most 5 of the 8 cells, so pruning must drop at least 3
       assert(f.selectedPartitions.partitionCount < 8,
         s"scan read all ${f.selectedPartitions.partitionCount} cell partitions")
+    }
+  }
+
+  test("stored-graph beam serve (s45) partition-prunes to the query " +
+      "batch's cells") {
+    // the kNN graph is cell-blocked, so a query's whole reachable set
+    // lives in its own cell: the stored edge table is partitioned by
+    // cell and the probe schedule must turn the traversal's edge scan
+    // into a handful of cell directories, never a full-graph read
+    val plan = physicalPlan(SparkEntry.queries("s45_stored_graph_serve")(
+      spark, sf).queryExecution.executedPlan)
+    val graphScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.output.exists(_.name == "neighbor_id") &&
+            f.output.exists(_.name == "cell") => f
+    }
+    assert(graphScans.nonEmpty, "stored graph scan missing from s45")
+    graphScans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        s"stored graph scan has no partition filter:\n$f")
+      // 5 queries touch at most 5 of the 32 trained cells
+      assert(f.selectedPartitions.partitionCount <= 5,
+        s"scan read ${f.selectedPartitions.partitionCount} cell partitions")
     }
   }
 

@@ -170,6 +170,22 @@ class ScaleStressSpec extends SparkSpec {
     ("s21_knn_graph",
       S.knnGraph(emb, nCells = 32),
       S.knnGraph(embX, nCells = 32 * factor), true),
+    // s43 rides the SHARED s21 graph (built eagerly at construction,
+    // the d07/g04 semantics — the timed plan is the traversal + the
+    // s01 exact side); cells scale with the corpus like s21 itself
+    ("s43_graph_beam_recall",
+      S.beamSearchRecall(emb),
+      S.beamSearchRecall(embX, nCells = 32 * factor), true),
+    // s44 reads every frontier of the same traversal (+3-row hop cross)
+    ("s44_beam_hops_recall",
+      S.beamSearchHopsRecall(emb),
+      S.beamSearchHopsRecall(embX, nCells = 32 * factor), true),
+    // s45: the at-rest graph table writes at construction (IndexStore,
+    // d07 semantics); the timed plan is the PRUNED cell-partition scan
+    // + traversal + exact side
+    ("s45_stored_graph_serve",
+      S.storedGraphBeamRecall(emb),
+      S.storedGraphBeamRecall(embX, nCells = 32 * factor), true),
     ("t32_repetition_profile",
       T.repetitionProfile(docs), T.repetitionProfile(docsX), false),
     // r12 continuation: g06 rides s21's graph (cells scale with the
@@ -309,19 +325,25 @@ class ScaleStressSpec extends SparkSpec {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       T.bpeLongestMatchEncode(docsX, mX)
     }, false),
+    // t50 unigram-LM trainer: the EM vocab collects run eagerly at
+    // construction (d07/g04 semantics); the timed plan is the final
+    // longest-match segmentation + usage agg + 1-row total cross
+    ("t50_unigram_train",
+      T.unigramTrain(docs), T.unigramTrain(docsX), true),
     // p15: d04's banded candidate join (exchange-reused, d11-capped)
     // + two source-attribution joins + sources² aggregation
     ("p15_source_overlap",
       D.sourceOverlapMatrix(docs), D.sourceOverlapMatrix(docsX), false),
     // r16 ratchet extension: every bench query above ~2 s at sf0.1 now
     // carries a factor. q23/q26 are lineitem percentile funnels — q26's
-    // sf0.1 factor (12.2) is the PRICE OF ORACLE EXACTNESS, not a plan
-    // flaw: its approx_percentile accuracy is pinned high enough that
-    // rank error < 1 row (the scaladoc's stance — that is what makes a
-    // SKETCH hash-checkable against DuckDB's exact quantile), and at
-    // that accuracy the per-partition sketch buffers grow with the
-    // ×8 row volume; a production call at default accuracy is the
-    // documented sublinear path. p04
+    // old ×8 of 12.2–13.9 was the accuracy-1M sketch sitting entirely
+    // inside the Greenwald–Khanna QUADRATIC regime (n(group) < accuracy
+    // retains every sample; compress walks the whole buffer): the r18
+    // adjudication pins accuracy at 2^17, still exact at the sf0.01
+    // oracle fixture (rank error 20046/131072 < 1 row) but past the
+    // retention cap at sf0.1×8, so the recorded factor is the linear
+    // bounded-memory path — the crossover is derived and measured in
+    // approxPercentiles' scaladoc. p04
     // composes the corpus gates; d14 is the tight-capped containment
     // path; s14/s16/s23 are recall/diversify evals on the cached
     // serving forms (s01-style exact sides → bnljIntended); dq06 scales
@@ -511,6 +533,10 @@ class ScaleStressSpec extends SparkSpec {
     ("b04_retrieval_eval",
       graft.operators.Ranking.retrievalEval(docs),
       graft.operators.Ranking.retrievalEval(docsX), true),
+    // b05 shares b04's judged chain; the tail is k+1-row broadcasts
+    ("b05_retrieval_ndcg",
+      graft.operators.Ranking.retrievalNdcg(docs),
+      graft.operators.Ranking.retrievalNdcg(docsX), true),
     // p18: the production cost model is corpus×FIXED-eval (the eval
     // set is the bounded artifact being protected), so the scaled
     // variant widens the eval modulus to hold the eval count constant

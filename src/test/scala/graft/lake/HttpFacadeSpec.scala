@@ -213,6 +213,72 @@ class HttpFacadeSpec extends SparkSpec {
     }
   }
 
+  test("concurrent INGEST under read contention: parallel writes land " +
+      "exactly once, reads stay consistent (Main.java:39 port contract)") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    // FixtureFetcher only serves ids 1-2; contention needs 12 distinct
+    // landable books
+    val wide = new DocumentFetcher {
+      private val The = MarkerSplit.StartMarkers(0)
+      private val EndThe = MarkerSplit.EndMarkers(0)
+      override def fetch(id: Long): Option[String] =
+        if (id > 0) Some(
+          s"Title $id\n$The ***\nbody $id\n$EndThe ***\nfin")
+        else None
+    }
+    for ((name, mk) <- adapters) {
+      val storage = mk()
+      val service = new IngestService(spark, storage, wide)
+      val server = new IngestHttpServer(service, storage, 0, () => ts)
+      server.start()
+      try {
+        val port = server.boundPort
+        val exec = java.util.concurrent.Executors.newFixedThreadPool(12)
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(exec)
+        try {
+          // 12 distinct ingests + 2 invalid ids + interleaved reads,
+          // all in flight at once against the SHARED storage — the
+          // reference serves exactly this mix from Javalin's pool
+          val writes = (1L to 12L).map { i =>
+            Future(("ingest", i, post(port, s"/ingest/$i")))
+          }
+          val bad = Seq(-1L, 0L).map { i =>
+            Future(("bad", i, post(port, s"/ingest/$i")))
+          }
+          val reads = (1 to 8).map { i =>
+            Future(("read", i.toLong, if (i % 2 == 0)
+              get(port, "/ingest/list")
+            else get(port, s"/ingest/status/${i % 12 + 1}")))
+          }
+          val rs = Await.result(
+            Future.sequence(writes ++ bad ++ reads), 180.seconds)
+          for ((kind, id, r) <- rs) kind match {
+            case "ingest" =>
+              assert(r.code == 200, s"$name ingest $id: $r")
+              assert(r.body.contains("\"status\":\"downloaded\""),
+                s"$name ingest $id: ${r.body}")
+            case "bad" =>
+              assert(r.code == 400, s"$name bad $id: $r")
+            case _ =>
+              // reads raced the writes: any 200 body is valid mid-race
+              assert(r.code == 200, s"$name read: $r")
+          }
+          // quiescent state: every id landed exactly once, all readable
+          val list = get(port, "/ingest/list")
+          assert(list.code == 200)
+          assert(list.body.contains("\"count\":12"), list.body)
+          assert(list.body.contains(
+            (1L to 12L).mkString("\"books\":[", ",", "]")), list.body)
+          for (i <- 1L to 12L)
+            assert(get(port, s"/ingest/status/$i").body
+              .contains("\"status\":\"available\""), s"$name status $i")
+        } finally exec.shutdown()
+      } finally server.stop()
+    }
+  }
+
   test("PORT env semantics match the reference (Main.java:33,176-184)") {
     assert(IngestHttpServer.portFromEnv(Map.empty) == 7070)
     assert(IngestHttpServer.portFromEnv(Map("PORT" -> " 8088 ")) == 8088)

@@ -233,4 +233,50 @@ class BpeSpec extends SparkSpec {
     assert(merges(0).getString(3) == "aa" && merges(0).getLong(4) == 9L)
     assert(merges(1).getString(3) == "aaaa" && merges(1).getLong(4) == 3L)
   }
+
+  test("unigramTrain (t50): hand-computed EM outcome — maximal munch " +
+      "under the seeded candidates, half-bit costs, char conservation") {
+    // words: ababab wf=3, cdcd wf=1. Candidates include abab (len 4);
+    // greedy longest-match segments ababab -> [abab, ab] and cdcd ->
+    // [cdcd]; usage: abab 3, ab 3, cdcd 1; total 7. Costs: floor(2·
+    // log2 7)=5 minus floor(2·log2 3)=3 -> 2; minus floor(2·log2 1)=0
+    // -> 5. No single-char fallback fires (full multi-char coverage).
+    import spark.implicits._
+    val docs = Seq((0L, "ababab ababab"), (1L, "cdcd ababab"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.unigramTrain(docs).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("piece_len"),
+        r.getAs[Long]("usage"), r.getAs[Long]("total"),
+        r.getAs[Long]("cost_half_bits"))).toSet
+    assert(rows == Set(("ab", 2L, 3L, 7L, 2L), ("abab", 4L, 3L, 7L, 2L),
+      ("cdcd", 4L, 1L, 7L, 5L)))
+    // char conservation: a lossless segmentation spends every char
+    val spent = rows.toSeq.map(r => r._2 * r._3).sum
+    assert(spent == 3L * 6 + 4) // wf-weighted corpus chars
+  }
+
+  test("unigramTrain on the fixture corpus: pruned vocab within " +
+      "target, costs monotone in usage, chars conserved") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = TextAnalysis.unigramTrain(docs).collect()
+    assert(rows.nonEmpty)
+    val multi = rows.filter(_.getAs[Long]("piece_len") > 1)
+    assert(multi.nonEmpty && multi.length <= 12)
+    assert(rows.forall(r => r.getAs[Long]("piece_len") <= 4))
+    // cost = floor(2 log2 total) − floor(2 log2 usage) is non-
+    // increasing in usage
+    val byUsage = rows.sortBy(-_.getAs[Long]("usage"))
+      .map(_.getAs[Long]("cost_half_bits"))
+    assert(byUsage.sliding(2).forall {
+      case Array(a, b) => a <= b; case _ => true })
+    // char conservation against an independent token-char count
+    import org.apache.spark.sql.functions._
+    val chars = graft.operators.Dedup.spread(docs)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .agg(sum(length(col("w"))).as("c")).head().getLong(0)
+    val spent = rows.map(r =>
+      r.getAs[Long]("piece_len") * r.getAs[Long]("usage")).sum
+    assert(spent == chars)
+  }
 }

@@ -236,4 +236,41 @@ class RankingChunkingSpec extends SparkSpec {
     assert(r.getAs[Double]("ap_at_k") ==
       (((0.0 + 1.0) + 0.0) + 2.0 / 3.0) / 2.0)
   }
+
+  test("retrievalNdcg (b05): hand-computed nDCG on the b04 fixture — " +
+      "hits at ranks 1 and 3, ideal is the 2-relevant prefix") {
+    import spark.implicits._
+    val pad = (1 to 9).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"vector $pad vector vector"),
+      (2L, s"zzz $pad vector vector"),
+      (3L, s"vector $pad yyy www"),
+      (4L, s"aaa $pad bbb ccc")
+    ).toDF("doc_id", "text")
+    val rows = Ranking.retrievalNdcg(docs).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("vector"))
+    val r = rows.head
+    assert(r.getAs[Long]("n_rel") == 2L)
+    assert(r.getAs[Long]("n_hits") == 2L)
+    val disc = Ranking.ndcgDiscounts(10)
+    // DCG folds rel(r)·disc(r) in rank order: hits at ranks 1 and 3
+    val dcg = ((0.0 + disc(0)) + 0.0) + disc(2)
+    assert(r.getAs[Double]("dcg") == dcg)
+    // IDCG = prefix sum of the first min(n_rel, k) = 2 discounts
+    assert(r.getAs[Double]("ndcg_at_k") == dcg / Ranking.ndcgIdeals(10)(2))
+    // bounds: an imperfect ranking is strictly below 1
+    val v = r.getAs[Double]("ndcg_at_k")
+    assert(v > 0.0 && v < 1.0)
+  }
+
+  test("ndcg discount/ideal tables: discounts strictly decreasing from " +
+      "1.0, ideals are the exact rank-order prefix sums") {
+    val d = Ranking.ndcgDiscounts(10)
+    assert(d.head == 1.0)
+    assert(d.sliding(2).forall { case Seq(a, b) => a > b; case _ => true })
+    val id = Ranking.ndcgIdeals(10)
+    assert(id.head == 0.0 && id.length == 11)
+    var acc = 0.0
+    for (m <- 1 to 10) { acc += d(m - 1); assert(id(m) == acc) }
+  }
 }

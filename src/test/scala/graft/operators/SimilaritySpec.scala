@@ -277,6 +277,79 @@ class SignLshSpec extends graft.SparkSpec {
     S.clearSharedGraphs(spark)
   }
 
+  test("beam search on a complete graph with ample beam is exact " +
+      "(lossless limit), and output shape is well-formed") {
+    import org.apache.spark.sql.functions.col
+    val S = graft.operators.Similarity
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 30)
+    // graphK = corpus-1 and nCells = 1: the symmetrized graph is
+    // complete, so ONE hop from any entry reaches every node; with
+    // beam >= corpus nothing is evicted — the traversal degenerates to
+    // exact search and recall must be exactly 1.0 for every query
+    val exact = S.beamSearchRecall(emb, nQueries = 4, k = 4, beam = 40,
+      hops = 1, graphK = 29, nCells = 1).collect()
+    assert(exact.length == 4)
+    assert(exact.forall(_.getAs[Double]("recall") == 1.0))
+    S.clearSharedGraphs(spark)
+    // production-shaped run: ranked output well-formed, no self hits,
+    // ranks contiguous from 1, recall in [0, 1]
+    val topk = S.beamSearchTopK(emb, nQueries = 3, k = 3, beam = 6,
+      hops = 2, graphK = 4, nCells = 2).collect()
+    assert(topk.nonEmpty)
+    for (r <- topk)
+      assert(r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id"))
+    for ((_, rs) <- topk.groupBy(_.getAs[Long]("query_id")))
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to rs.length))
+    val rec = S.beamSearchRecall(emb, nQueries = 3, k = 3, beam = 6,
+      hops = 2, graphK = 4, nCells = 2).collect()
+    assert(rec.forall { r =>
+      val v = r.getAs[Double]("recall"); v >= 0.0 && v <= 1.0 })
+    S.clearSharedGraphs(spark)
+  }
+
+  test("beam convergence curve (s44): final hop equals the s43 serve, " +
+      "one row per (hop, query), recall bounded") {
+    import org.apache.spark.sql.functions.col
+    val S = graft.operators.Similarity
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 40)
+    val curve = S.beamSearchHopsRecall(emb, nQueries = 3, k = 3,
+      beam = 6, hops = 2, graphK = 4, nCells = 2).collect()
+    assert(curve.length == 6) // 2 hops x 3 queries
+    assert(curve.forall { r =>
+      val v = r.getAs[Double]("recall"); v >= 0.0 && v <= 1.0 })
+    // the curve's deepest row IS the single-answer serve at that depth
+    val last = curve.filter(_.getAs[Long]("hop") == 2L)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_hits"),
+        r.getAs[Double]("recall"))).toSet
+    val serve = S.beamSearchRecall(emb, nQueries = 3, k = 3, beam = 6,
+      hops = 2, graphK = 4, nCells = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_hits"),
+        r.getAs[Double]("recall"))).toSet
+    assert(last == serve)
+    S.clearSharedGraphs(spark)
+  }
+
+  test("stored-graph serve (s45) is result-identical to the in-session " +
+      "serve (s43): the at-rest form changes the read path, not the " +
+      "answer") {
+    import org.apache.spark.sql.functions.col
+    val S = graft.operators.Similarity
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 40)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_hits"),
+        r.getAs[Double]("recall"))).toSet
+    val live = rows(S.beamSearchRecall(emb, nQueries = 3, k = 3,
+      beam = 6, hops = 2, graphK = 4, nCells = 2))
+    val stored = rows(S.storedGraphBeamRecall(emb, nQueries = 3, k = 3,
+      beam = 6, hops = 2, graphK = 4, nCells = 2))
+    assert(live.nonEmpty && live == stored)
+    S.clearSharedGraphs(spark)
+  }
+
   test("knnGraph blocks strictly by trained cell") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .filter(org.apache.spark.sql.functions.col("vec_id") < 120)
