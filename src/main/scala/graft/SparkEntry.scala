@@ -777,7 +777,21 @@ object SparkEntry {
     "t49_mattr" -> ((s, d) => T.mattr(Tables.documents(s, d))),
     // t50: unigram-LM tokenizer training (SentencePiece-style EM prune
     // rounds; session-cached model artifact, half-bit integer costs)
-    "t50_unigram_train" -> ((s, d) => trainedUnigram(s, d))
+    "t50_unigram_train" -> ((s, d) => trainedUnigram(s, d)),
+    // t51: document scoring under the t50-trained LM (CCNet-style
+    // perplexity filter + the tokenizer's intrinsic compression eval);
+    // integer-exact keep decision vs the corpus-average rate
+    "t51_unigram_score" -> ((s, d) =>
+      T.unigramScore(Tables.documents(s, d), trainedUnigram(s, d))),
+    // c04: query-likelihood retrieval with Dirichlet smoothing — the
+    // probabilistic-LM scoring paradigm; likelihood product of exact
+    // rationals in fixed term order (no libm log)
+    "c04_ql_dirichlet" -> ((s, d) =>
+      graft.operators.Ranking.qlDirichletRank(Tables.documents(s, d))),
+    // b06: paired BM25-vs-QL comparison on the b04 pseudo-qrels —
+    // per-query AP@10 for both rankers, delta, sign tally
+    "b06_ranker_compare" -> ((s, d) =>
+      graft.operators.Ranking.rankerCompare(Tables.documents(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -2598,7 +2612,13 @@ object SparkEntry {
     * length(bin(x²))−1 — the same libm-free floor(2·log2 x) the Spark
     * side computes. Walk/usage CTEs are MATERIALIZED (each is read
     * twice downstream — the chained-CTE inlining rule). */
-  private lazy val UnigramTrainOracle: String = {
+  /** The t50 trainer's full CTE chain (seed → EM prune rounds → final
+    * usage + total), shared verbatim by the t50 and t51 oracles so the
+    * trained model both score against is one SQL text. Ends at `utot`;
+    * round 3's `ust3`/`uwk3` ARE the final-vocab segmentation of every
+    * distinct word (cursor steps + visited positions), which t51's
+    * scorer reads directly. */
+  private lazy val UnigramCtes: String = {
     def round(r: Int, limitNext: Option[Int]): String =
       s"umt$r AS (SELECT p.w, p.pos,\n" +
         "    CAST(MAX(length(s.piece)) AS INT) AS mstep\n" +
@@ -2641,14 +2661,54 @@ object SparkEntry {
       round(1, Some(16)) + ",\n" +
       round(2, Some(12)) + ",\n" +
       round(3, None) + ",\n" +
-      "utot AS (SELECT CAST(SUM(usage) AS BIGINT) AS total FROM uus3)\n" +
+      "utot AS (SELECT CAST(SUM(usage) AS BIGINT) AS total FROM uus3)"
+  }
+
+  private lazy val UnigramTrainOracle: String =
+    UnigramCtes + "\n" +
       "SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len, usage,\n" +
       "  utot.total,\n" +
       "  CAST((length(bin(utot.total * utot.total)) - 1) -\n" +
       "    (length(bin(usage * usage)) - 1) AS BIGINT) AS cost_half_bits\n" +
       "FROM uus3 CROSS JOIN utot\n" +
       "ORDER BY cost_half_bits ASC, piece ASC"
-  }
+
+  /** t51: scoring rides the trainer's own round-3 segmentation
+    * (`uwk3`/`ust3` — the cursor walk under the final vocab), so the
+    * per-word piece stream needs no re-derivation; model costs and the
+    * unseen-piece fallback come from `uus3`/`utot` by the same
+    * length(bin(x²))−1 identity; doc totals are exact BIGINT sums and
+    * the keep law is the cross-multiplied integer compare. */
+  private lazy val UnigramScoreOracle: String =
+    UnigramCtes + ",\n" +
+      """uwp AS (SELECT k.w, substr(k.w, k.pos, t.step) AS piece
+        |  FROM uwk3 k JOIN ust3 t ON t.w = k.w AND t.pos = k.pos
+        |  WHERE k.pos <= length(k.w)),
+        |um AS (SELECT piece,
+        |    CAST((length(bin(utot.total * utot.total)) - 1) -
+        |      (length(bin(usage * usage)) - 1) AS BIGINT) AS cost
+        |  FROM uus3 CROSS JOIN utot),
+        |uoov AS (SELECT CAST(MAX(length(bin(total * total)) - 1)
+        |    AS BIGINT) AS oov_cost FROM utot),
+        |uwc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS w_pieces,
+        |    CAST(SUM(COALESCE(um.cost, uoov.oov_cost)) AS BIGINT)
+        |      AS w_cost
+        |  FROM uwp LEFT JOIN um USING (piece) CROSS JOIN uoov
+        |  GROUP BY w),
+        |utp AS (SELECT doc_id, tok AS w FROM (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents) x WHERE tok <> ''),
+        |udoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(w_pieces) AS BIGINT) AS n_pieces,
+        |    CAST(SUM(w_cost) AS BIGINT) AS cost_half_bits
+        |  FROM utp JOIN uwc USING (w) GROUP BY doc_id),
+        |uct AS (SELECT CAST(SUM(cost_half_bits) AS BIGINT) AS tot_cost,
+        |    CAST(SUM(n_pieces) AS BIGINT) AS tot_pieces FROM udoc)
+        |SELECT doc_id, n_tokens, n_pieces, cost_half_bits,
+        |  CAST(cost_half_bits AS DOUBLE)
+        |    / CAST(n_pieces * 2 AS DOUBLE) AS bits_per_piece,
+        |  (cost_half_bits * tot_pieces <= tot_cost * n_pieces) AS keep
+        |FROM udoc CROSS JOIN uct ORDER BY doc_id""".stripMargin
 
   /** t47: decode = delete every delimiter space from the replay string
     * (symbols never contain spaces, so that IS piece concatenation);
@@ -2962,6 +3022,103 @@ object SparkEntry {
       "FROM pt LEFT JOIN nr USING (term)\n" +
       "JOIN it ON LEAST(COALESCE(nr.n_rel, 0), 10) = it.m\n" +
       "ORDER BY pt.term"
+  }
+
+  /** c04: the all-integer Dirichlet factor per (doc, term) — products
+    * and sums in BIGINT, ONE double division per factor, the term-order
+    * product left-associated exactly as the Spark side's reduceLeft. */
+  private val QlDirichletOracle: String = {
+    val terms = graft.operators.Ranking.DefaultTerms
+    val mu = graft.operators.Ranking.DefaultMu
+    def cfCol(t: String) =
+      s"  CAST(COALESCE(SUM(CASE WHEN term = '$t' THEN tf END), 0)\n" +
+        s"    AS BIGINT) AS cf_$t"
+    def tfCol(t: String) =
+      s"  CAST(COALESCE(SUM(CASE WHEN term = '$t' THEN tf END), 0)\n" +
+        s"    AS BIGINT) AS tf_$t"
+    def factor(t: String) =
+      s"(CAST(COALESCE(tf_$t, 0) * c_total + $mu * cf_$t AS DOUBLE)\n" +
+        s"   / CAST(c_total * (dl + $mu) AS DOUBLE))"
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id,
+       |  string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks
+       |  FROM d),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM dd) u
+       |  WHERE term IN ($inList)
+       |  GROUP BY doc_id, term),
+       |lm AS (SELECT
+       |${terms.map(cfCol).mkString(",\n")},
+       |  (SELECT CAST(SUM(dl) AS BIGINT) FROM dd) AS c_total FROM tf),
+       |tp AS (SELECT doc_id,
+       |${terms.map(tfCol).mkString(",\n")}
+       |  FROM tf GROUP BY doc_id)
+       |SELECT dd.doc_id,
+       |  CAST(${terms.map(t =>
+            s"CASE WHEN COALESCE(tf_$t, 0) > 0 THEN 1 ELSE 0 END")
+            .mkString("\n    + ")} AS BIGINT) AS n_terms,
+       |  dd.dl,
+       |  ${terms.map(factor).mkString("\n  * ")} AS score
+       |FROM dd LEFT JOIN tp USING (doc_id) CROSS JOIN lm
+       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
+  /** b06: the b04 judged chain + AP fold verbatim for the BM25 side;
+    * the QL side scores EVERY (doc, term) pair by the same integer
+    * Dirichlet factor c04 uses, ranks via row_number (score DESC,
+    * doc_id ASC — the TopKByScore order), and runs the identical AP
+    * fold; delta is one double subtraction, sign exact. */
+  private lazy val RankerCompareOracle: String = {
+    val mu = graft.operators.Ranking.DefaultMu
+    def apFold(p: String, judged: String) =
+      s"""${p}cu AS (SELECT term, rank, rel,
+         |  CAST(SUM(rel) OVER (PARTITION BY term ORDER BY rank)
+         |    AS BIGINT) AS cum FROM $judged),
+         |${p}co AS (SELECT term, rank, rel,
+         |  CASE WHEN rel = 1
+         |    THEN CAST(cum AS DOUBLE) / CAST(rank AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS contrib FROM ${p}cu),
+         |${p}pt AS (SELECT term,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(contrib ORDER BY rank)), (a, b) -> a + b) AS ap_num
+         |  FROM ${p}co GROUP BY term),
+         |${p}ap AS (SELECT pt.term,
+         |  CAST(COALESCE(nr.n_rel, 0) AS BIGINT) AS n_rel,
+         |  CASE WHEN COALESCE(nr.n_rel, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE pt.ap_num / CAST(LEAST(nr.n_rel, 10) AS DOUBLE)
+         |    END AS ap
+         |  FROM ${p}pt pt LEFT JOIN nr USING (term))""".stripMargin
+    s"WITH $RetrievalJudgedCtes,\n" +
+      apFold("b", "j") + ",\n" +
+      s"""qcf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf
+         |  FROM tf GROUP BY term),
+         |qct AS (SELECT CAST(SUM(dl) AS BIGINT) AS c_total FROM dd),
+         |qsc AS (SELECT dd.doc_id, qcf.term,
+         |  CAST(COALESCE(tf.tf, 0) * qct.c_total + $mu * qcf.cf
+         |      AS DOUBLE)
+         |    / CAST(qct.c_total * (dd.dl + $mu) AS DOUBLE) AS qls
+         |  FROM dd CROSS JOIN qcf
+         |  LEFT JOIN tf ON tf.doc_id = dd.doc_id AND tf.term = qcf.term
+         |  CROSS JOIN qct),
+         |qrk AS (SELECT term, doc_id,
+         |  CAST(row_number() OVER (PARTITION BY term
+         |    ORDER BY qls DESC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM qsc),
+         |qj AS (SELECT t.term, t.rank,
+         |  CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+         |  FROM (SELECT term, doc_id, rank FROM qrk WHERE rank <= 10) t
+         |  LEFT JOIN rel r
+         |    ON t.term = r.term AND t.doc_id = r.doc_id),
+         |""".stripMargin +
+      apFold("q", "qj") + "\n" +
+      """SELECT term, bap.n_rel, bap.ap AS ap_bm25, qap.ap AS ap_ql,
+        |  (qap.ap - bap.ap) AS delta,
+        |  CAST(CASE WHEN qap.ap - bap.ap > 0 THEN 1
+        |    WHEN qap.ap - bap.ap < 0 THEN -1 ELSE 0 END AS BIGINT)
+        |    AS sign
+        |FROM bap JOIN qap USING (term)
+        |ORDER BY term""".stripMargin
   }
 
   /** c03: b01's oracle with the rank/limit surgically removed for the
@@ -6914,7 +7071,13 @@ object SparkEntry {
     "b03_prf_expansion" -> PrfOracle,
     "b04_retrieval_eval" -> RetrievalEvalOracle,
     "b05_retrieval_ndcg" -> RetrievalNdcgOracle,
+    // b06: b04's judged chain + the c04 factor per (doc, term); both
+    // AP folds are the b04 tail verbatim, delta/sign exact
+    "b06_ranker_compare" -> RankerCompareOracle,
     "c03_proximity_rank" -> ProximityOracle,
+    // c04: all-integer Dirichlet factors, ONE division each, product
+    // left-associated in fixed term order — no log in either engine
+    "c04_ql_dirichlet" -> QlDirichletOracle,
     // c02: c01's chunk CTEs as the scoring unit, b01's exact BM25 law
     // verbatim (rational idf, fixed-order 4-term sum), maxP per doc
     // with min-chunk-idx tie break, b01's doc rank LEFT-joined on
@@ -7012,6 +7175,10 @@ object SparkEntry {
     // t50: self-trained unigram-LM vocab (seed → 2 EM prune rounds →
     // final usage), half-bit costs via length(bin(x²))−1
     "t50_unigram_train" -> UnigramTrainOracle,
+    // t51: the t50 CTE chain + round-3 segmentation read back as the
+    // per-word piece stream; integer half-bit costs, cross-multiplied
+    // integer keep law, ONE division per doc
+    "t51_unigram_score" -> UnigramScoreOracle,
     // p20: p19's chain nested verbatim, the t16 rate→threshold tree,
     // md5-prefix string compare at the cut line, source-keyed rollup
     "p20_mixture_manifest" ->

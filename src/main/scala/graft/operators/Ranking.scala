@@ -415,6 +415,15 @@ object Ranking {
       terms: Seq[String] = DefaultTerms, k: Int = 10,
       titleTokens: Int = 10): DataFrame = {
     val (judged, nRel) = judgedRanking(documents, terms, k, titleTokens)
+    apAtK(judged, nRel, k)
+  }
+
+  /** The b04 metric tail over any (term, rank, rel) judged frame +
+    * per-term n_rel counts — extracted so b06 can grade a SECOND
+    * ranker against the same qrels with the identical fold (same
+    * expressions, bit-for-bit the b04 outputs). */
+  private def apAtK(judged: DataFrame, nRel: DataFrame,
+      k: Int): DataFrame = {
     val cum = judged.withColumn("cum_hits",
       sum(col("rel")).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("term")).orderBy(col("rank"))))
@@ -499,6 +508,180 @@ object Ranking {
       .select(col("term"), col("n_rel"), col("n_hits"), col("dcg"),
         when(col("n_rel") === 0L, lit(0.0))
           .otherwise(col("dcg") / col("idcg")).as("ndcg_at_k"))
+      .orderBy(col("term"))
+  }
+
+  /** Default Dirichlet pseudo-count: the μ ≈ 2000 plateau of Zhai &
+    * Lafferty 2004's sweep (Table 2 — retrieval quality is flat in
+    * 500..10000, so the canonical 2000 is not a tuned constant). */
+  val DefaultMu: Long = 2000L
+
+  /** The per-(doc, term) Dirichlet-smoothed likelihood factor, shared
+    * by c04 and b06:
+    *
+    *   p(t|d) = (tf + μ·cf/|C|) / (dl + μ)
+    *          = (tf·|C| + μ·cf) / (|C|·(dl + μ))
+    *
+    * kept in the right-hand all-integer form: both products and the
+    * sum are EXACT long arithmetic, the division is the single float
+    * op — IEEE-correctly-rounded identically in both engines (the b01
+    * rational-idf discipline). Overflow headroom: numerator ≤
+    * dl·|C| + μ·|C| and denominator |C|·(dl+μ) stay in a long while
+    * |C|·(dl_max + μ) < 2⁶³ — e.g. 10¹⁴ corpus tokens against
+    * 10⁴-token docs; beyond that shard the corpus stat or move the
+    * two products to DECIMAL internally (the published face stays
+    * DOUBLE). */
+  private def qlFactor(tf: Column, cf: Column, dl: Column,
+      cTotal: Column, mu: Long): Column =
+    (tf * cTotal + lit(mu) * cf).cast("double") /
+      (cTotal * (dl + lit(mu))).cast("double")
+
+  /** c04: QUERY-LIKELIHOOD retrieval with Dirichlet smoothing (Ponte &
+    * Croft 1998; Zhai & Lafferty 2004) — the probabilistic-LM scoring
+    * paradigm, the OTHER lexical family besides b01/c03's tf-idf line:
+    * rank documents by the probability their language model generates
+    * the query, smoothing each term's document probability toward the
+    * corpus model with pseudo-count μ. Scores EVERY document (a doc
+    * matching no term still carries the smoothed corpus mass, shrunk
+    * by its length prior — short docs legitimately outrank long
+    * tangential matches, the behavioral signature that distinguishes
+    * QL from BM25).
+    *
+    * Float discipline: published QL sums log-probabilities; log is
+    * libm (last-ulp risk across engines), so the score is the
+    * LIKELIHOOD itself — the product of the exact per-term rational
+    * factors ([[qlFactor]]) folded in FIXED query-term order. Same
+    * monotone ordering as the log form; each factor is one
+    * correctly-rounded division and each multiply is one
+    * correctly-rounded op on operands both engines built identically,
+    * so scores are bitwise cross-engine. Underflow: factors at corpus
+    * scale sit ~10⁻⁴..10⁻⁸; a |q|-term product floors around 10⁻⁸·|q|
+    * — subnormal territory needs |q| ≳ 38, not a retrieval workload
+    * (and subnormals round identically anyway).
+    *
+    * Plan shape: one corpus scan → (doc_id, dl) plus the same narrow
+    * IN-pruned (doc, term) partial agg b01 runs; the corpus LM (total
+    * token count + per-term collection frequencies) is ONE broadcast
+    * 1-row frame (intended BNLJ, the dq10 pattern); matched tfs come
+    * back via one doc-keyed left join; final k rows via
+    * TakeOrderedAndProject. At 100 TB: two corpus passes (stat + score),
+    * no corpus-sized shuffle beyond the (doc, term) partial agg. */
+  def qlDirichletRank(documents: DataFrame,
+      terms: Seq[String] = DefaultTerms, mu: Long = DefaultMu,
+      k: Int = 20): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val tf = documents
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // the corpus language model as ONE row: total tokens + fixed-order
+    // per-term collection frequencies (exact longs)
+    val cfCols = terms.map(t =>
+      coalesce(sum(when(col("term") === t, col("tf"))), lit(0L))
+        .as(s"cf_$t"))
+    val lm = tf.groupBy().agg(cfCols.head, cfCols.tail: _*)
+      .crossJoin(docs.agg(sum(col("dl")).as("c_total")))
+    val tfCols = terms.map(t =>
+      coalesce(sum(when(col("term") === t, col("tf"))), lit(0L))
+        .as(s"tf_$t"))
+    val tfP = tf.groupBy(col("doc_id"))
+      .agg(tfCols.head, tfCols.tail: _*)
+    val base = docs.join(tfP, Seq("doc_id"), "left")
+      .crossJoin(broadcast(lm))
+    val factors = terms.map(t => qlFactor(
+      coalesce(col(s"tf_$t"), lit(0L)), col(s"cf_$t"), col("dl"),
+      col("c_total"), mu))
+    val nTerms = terms
+      .map(t => when(coalesce(col(s"tf_$t"), lit(0L)) > 0L, lit(1L))
+        .otherwise(lit(0L)))
+      .reduceLeft(_ + _)
+    base.select(col("doc_id"), nTerms.as("n_terms"), col("dl"),
+        factors.reduceLeft(_ * _).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** The QL counterpart of [[judgedRanking]]: per-term top-k by the
+    * single-term Dirichlet likelihood ([[qlFactor]] — one factor IS
+    * the single-term QL score), judged against the SAME title-zone
+    * pseudo-qrels. Every document competes for every term (the QL
+    * semantics above), so scoring fans the corpus out ×|terms| via a
+    * broadcast of the |terms|-row corpus-LM frame — narrow columns
+    * (doc_id, dl) only, an intended bounded-small-side nested loop.
+    * The per-term top-k is the bounded mergeable TopKByScore partial
+    * agg, ≤ k rows per term per split across the shuffle. */
+  private def qlJudgedRanking(documents: DataFrame, terms: Seq[String],
+      k: Int, titleTokens: Int, mu: Long): (DataFrame, DataFrame) = {
+    val docs = documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long")
+        .as("dl"))
+    val rel = docs
+      .select(col("doc_id"), explode(array_distinct(
+        slice(col("toks"), 1, titleTokens))).as("term"))
+      .where(col("term").isin(terms: _*))
+    val nRel = rel.groupBy(col("term")).agg(count(lit(1)).as("n_rel"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val lm = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+      .crossJoin(docs.agg(sum(col("dl")).as("c_total")))
+    val scored = docs.select(col("doc_id"), col("dl"))
+      .crossJoin(broadcast(lm))
+      .join(tf, Seq("doc_id", "term"), "left")
+      .withColumn("qls", qlFactor(coalesce(col("tf"), lit(0L)),
+        col("cf"), col("dl"), col("c_total"), mu))
+    val topAgg = graft.functions.TopKByScore.topK(k)(
+      col("qls"), col("doc_id"))
+    val ranked = scored.groupBy(col("term")).agg(topAgg.as("top"))
+      .select(col("term"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("term"), col("e.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+    val judged = ranked
+      .join(rel.withColumn("is_rel", lit(1L)), Seq("term", "doc_id"),
+        "left")
+      .select(col("term"), col("rank"),
+        coalesce(col("is_rel"), lit(0L)).as("rel"))
+    (judged, nRel)
+  }
+
+  /** b06: PAIRED RANKER COMPARISON — BM25 (b01's chain) vs
+    * query-likelihood Dirichlet (c04's scorer) graded per query on the
+    * SAME title-zone pseudo-qrels, the A/B evaluation a retrieval
+    * stack runs before switching scorers (Smucker et al. 2007 frame
+    * the significance side; with a handful of probe queries the
+    * per-query deltas + the sign tally ARE the evidence table).
+    * Per term: n_rel, both AP@k values (each produced by the identical
+    * b04 metric fold — [[apAtK]]), their delta, and the sign of the
+    * delta (+1 QL wins, −1 BM25 wins, 0 tie). The delta is ONE
+    * subtraction of two bitwise-reproducible doubles; the sign is
+    * exact.
+    *
+    * Plan shape: the b04 chain (one corpus pass) + the QL judged chain
+    * (one corpus pass, ×|terms| narrow fan-out) joined on |terms|
+    * rows. */
+  def rankerCompare(documents: DataFrame,
+      terms: Seq[String] = DefaultTerms, k: Int = 10,
+      titleTokens: Int = 10, mu: Long = DefaultMu): DataFrame = {
+    val bm = retrievalEval(documents, terms, k, titleTokens)
+      .select(col("term"), col("n_rel"), col("ap_at_k").as("ap_bm25"))
+    val (qj, qnRel) = qlJudgedRanking(documents, terms, k, titleTokens,
+      mu)
+    val ql = apAtK(qj, qnRel, k)
+      .select(col("term"), col("ap_at_k").as("ap_ql"))
+    bm.join(ql, Seq("term"))
+      .withColumn("delta", col("ap_ql") - col("ap_bm25"))
+      .select(col("term"), col("n_rel"), col("ap_bm25"), col("ap_ql"),
+        col("delta"),
+        when(col("delta") > 0.0, lit(1L))
+          .when(col("delta") < 0.0, lit(-1L))
+          .otherwise(lit(0L)).as("sign"))
       .orderBy(col("term"))
   }
 }

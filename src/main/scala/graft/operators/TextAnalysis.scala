@@ -1946,6 +1946,88 @@ object TextAnalysis {
       .orderBy(col("cost_half_bits").asc, col("piece").asc)
   }
 
+  /** t51: DOCUMENT SCORING UNDER THE TRAINED UNIGRAM LM — the intrinsic
+    * evaluation + quality-filter face of t50's artifact, closing the
+    * tokenizer loop train → encode → score. This is the CCNet move
+    * (Wenzek et al. 2020) with the corpus-trained subword LM in the
+    * KenLM seat: segment each document under the trained vocabulary,
+    * charge each piece its model cost, and keep the documents the
+    * model compresses at better-than-corpus-average rate (t17/t42
+    * score under WORD n-gram stats; this scores under the trained
+    * TOKENIZER LM — the artifact a release actually ships, so the
+    * same number doubles as the tokenizer's compression eval).
+    *
+    * Segmentation reuses [[longestMatchSegments]] on the model's
+    * multi-char pieces. Equivalence note: the trained artifact only
+    * lists pieces with usage > 0, but segmenting under the used subset
+    * equals segmenting under the full pruned vocabulary — a piece with
+    * zero usage is never the unique longest match at any
+    * cursor-visited position (if it were, the cursor would have chosen
+    * it and its usage would be positive), so dropping it changes no
+    * visited step. Pieces absent from the model entirely (OOV against
+    * genuinely new text) fall back to the single-char tier and are
+    * charged the unseen-piece cost floor(2·log2 total) — the usage = 1
+    * limit of the cost law, integer-exact via the same
+    * length(bin(x²))−1 identity.
+    *
+    * Float discipline: per-doc totals are exact long sums of integer
+    * half-bit costs; bits_per_piece is ONE division. The keep decision
+    * never touches floats at all: doc rate ≤ corpus rate is the
+    * cross-multiplied integer compare doc_cost·Σpieces ≤
+    * Σcost·doc_pieces. Overflow headroom: both products stay in a long
+    * while doc_cost·corpus_pieces < 2⁶³ — doc costs run ~60 half-bits
+    * per piece, so ~10⁵-piece docs are safe against ~10¹² corpus
+    * pieces; a 100-TB corpus moves the compare to DECIMAL internally
+    * (counts only, never published).
+    *
+    * Plan shape: segmentation + costing run at VOCAB scale (distinct
+    * words × ≤|model| broadcast); the corpus is touched by one
+    * tokenize pass riding the same broadcast per-word join
+    * [[bpeLongestMatchEncode]] uses, then one doc-keyed agg; the
+    * corpus totals are a 1-row broadcast cross (the dq10 pattern). */
+  def unigramScore(documents: DataFrame, model: DataFrame): DataFrame = {
+    // bounded trained-artifact collect (≤ the trained vocab size —
+    // the bpeTrain/merges stance): the segmenter needs the multi-char
+    // symbol list as literals
+    val syms = model.filter(col("piece_len") > 1)
+      .select(col("piece")).collect().map(_.getString(0)).toSeq
+    val costs = model.select(col("piece"), col("cost_half_bits"))
+    // the unseen-piece cost: usage = 1 ⇒ cost = floor(2·log2 total),
+    // from the model's own total column (1 distinct value)
+    val oov = model
+      .agg(max(length(bin(col("total") * col("total"))) - 1)
+        .cast("long").as("oov_cost"))
+    val words = Dedup.spread(documents)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val wordCost = longestMatchSegments(words, syms)
+      .select(col("w"), explode(col("pieces")).as("piece"))
+      .join(broadcast(costs), Seq("piece"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("w_pieces"),
+        sum(coalesce(col("cost_half_bits"), col("oov_cost")))
+          .as("w_cost"))
+    val perDoc = Dedup.spread(documents)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(wordCost), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("w_pieces")).as("n_pieces"),
+        sum(col("w_cost")).as("cost_half_bits"))
+    val corpus = perDoc.agg(sum(col("cost_half_bits")).as("tot_cost"),
+      sum(col("n_pieces")).as("tot_pieces"))
+    perDoc.crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+        col("cost_half_bits"),
+        (col("cost_half_bits").cast("double") /
+          (col("n_pieces") * 2L).cast("double")).as("bits_per_piece"),
+        (col("cost_half_bits") * col("tot_pieces") <=
+          col("tot_cost") * col("n_pieces")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t48: TOKENIZER FERTILITY BY SOURCE — the tokenizer-fairness
     * datasheet row (Ahia et al. 2023 "Do All Languages Cost the Same?":
     * a tokenizer trained on a skewed mixture fragments the

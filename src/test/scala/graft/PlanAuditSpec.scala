@@ -104,6 +104,9 @@ class PlanAuditSpec extends SparkSpec {
     "l16_wap_commit", // 2-row audit ledger x 1-row published-stats cross
     "p14_dataset_card", // embeds p08's t37/t17 corpus-total crosses
     "p16_epoch_plan", // ONE-row weight-total frame broadcast-crossed in
+    "c04_ql_dirichlet", // ONE-row corpus-LM frame broadcast-crossed in
+    "b06_ranker_compare", // b04's 1-row stats cross + |terms|-row LM cross
+    "t51_unigram_score", // t50's model + 1-row corpus-totals crosses
     "c02_chunk_maxp") // b01's ONE-row corpus-stats cross, chunk units
 
   test("no cartesian products; nested-loop joins only where intended") {

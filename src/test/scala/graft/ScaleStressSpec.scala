@@ -590,6 +590,29 @@ class ScaleStressSpec extends SparkSpec {
     // isomorphic-but-disjoint: distinct edges AND the bounded-depth
     // recursion workload both grow ×factor (re-keying only user_id
     // would leave the edge graph constant and measure just the scan)
+    // c04: b01's (doc, term) IN-pruned partial agg + one doc-keyed
+    // left join; the 1-row corpus-LM frame is the intended BNLJ
+    ("c04_ql_dirichlet",
+      graft.operators.Ranking.qlDirichletRank(docs),
+      graft.operators.Ranking.qlDirichletRank(docsX), true),
+    // b06: b04's judged chain + the QL side's x|terms| narrow fan-out
+    // (a |terms|-row LM broadcast over (doc_id, dl) columns only);
+    // both AP folds run on |terms|·k rows
+    ("b06_ranker_compare",
+      graft.operators.Ranking.rankerCompare(docs),
+      graft.operators.Ranking.rankerCompare(docsX), true),
+    // t51: the deployment posture — the model is the FIXED trained
+    // artifact; the scaled corpus is scored under it (per-replica
+    // token renames exercise the OOV single-char fallback tier at
+    // scale). Segmentation is vocab-scale; the corpus pass rides the
+    // broadcast per-word join; 1-row totals cross intended
+    ("t51_unigram_score", {
+      val m = T.unigramTrain(docs)
+      T.unigramScore(docs, m)
+    }, {
+      val m = T.unigramTrain(docs)
+      T.unigramScore(docsX, m)
+    }, true),
     ("q40_recursive_paths", {
       Tables.events(spark, sf).createOrReplaceTempView("ev_q40_base")
       spark.sql(SparkEntry.RecursivePathsSql("ev_q40_base"))

@@ -279,4 +279,64 @@ class BpeSpec extends SparkSpec {
       r.getAs[Long]("piece_len") * r.getAs[Long]("usage")).sum
     assert(spent == chars)
   }
+
+  test("unigramScore (t51): hand-computed doc costs under the t50 " +
+      "model, integer keep law, one-division bits_per_piece") {
+    import spark.implicits._
+    // the t50 hand fixture: model = ab(2), abab(2), cdcd(5), total 7
+    val docs = Seq((0L, "ababab ababab"), (1L, "cdcd ababab"))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.unigramTrain(docs)
+    val out = TextAnalysis.unigramScore(docs, model).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_pieces"), r.getAs[Long]("cost_half_bits"),
+        r.getAs[Double]("bits_per_piece"), r.getAs[Boolean]("keep")))
+    // ababab -> [abab, ab] cost 4; cdcd -> [cdcd] cost 5
+    // doc 0: 2 tokens, 4 pieces, cost 8; doc 1: 2 tokens, 3 pieces,
+    // cost 9. Totals (17, 7): keep iff cost·7 <= 17·pieces
+    assert(out.toSeq == Seq(
+      (0L, 2L, 4L, 8L, 8.0 / 8.0, true), // 56 <= 68
+      (1L, 2L, 3L, 9L, 9.0 / 6.0, false))) // 63 > 51
+  }
+
+  test("unigramScore: OOV pieces take the single-char fallback at the " +
+      "unseen-piece cost floor(2·log2 total)") {
+    import spark.implicits._
+    val train = Seq((0L, "ababab ababab"), (1L, "cdcd ababab"))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.unigramTrain(train)
+    // 'qq': no model piece matches -> two single-'q' pieces, each
+    // charged the usage=1 limit cost floor(2·log2 7) = 5
+    val scored = TextAnalysis.unigramScore(
+      train.union(Seq((2L, "qq")).toDF("doc_id", "text")), model)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_pieces"),
+        r.getAs[Long]("cost_half_bits")))
+    val d2 = scored.find(_._1 == 2L).get
+    assert(d2 == ((2L, 2L, 10L)))
+    // the training docs' per-doc costs are unchanged by the extra doc
+    assert(scored.find(_._1 == 0L).get._3 == 8L)
+    assert(scored.find(_._1 == 1L).get._3 == 9L)
+  }
+
+  test("unigramScore on the fixture corpus: cost conservation against " +
+      "the model's own usage ledger") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val model = TextAnalysis.unigramTrain(docs)
+    val out = TextAnalysis.unigramScore(docs, model)
+    val agg = out.agg(sum(col("cost_half_bits")).as("c"),
+      sum(col("n_pieces")).as("p")).head()
+    // scoring the training corpus re-walks the training segmentation:
+    // Σ doc cost = Σ usage·cost over the model, Σ doc pieces = total
+    val ledger = model.agg(
+      sum(col("usage") * col("cost_half_bits")).as("c"),
+      max(col("total")).as("p")).head()
+    assert(agg.getLong(0) == ledger.getLong(0))
+    assert(agg.getLong(1) == ledger.getLong(1))
+    // the keep set is nonempty and proper (a filter that keeps all or
+    // none isn't filtering)
+    val keeps = out.groupBy(col("keep")).count().collect()
+      .map(r => (r.getBoolean(0), r.getLong(1))).toMap
+    assert(keeps.getOrElse(true, 0L) > 0L && keeps.getOrElse(false, 0L) > 0L)
+  }
 }

@@ -273,4 +273,79 @@ class RankingChunkingSpec extends SparkSpec {
     var acc = 0.0
     for (m <- 1 to 10) { acc += d(m - 1); assert(id(m) == acc) }
   }
+
+  test("qlDirichletRank (c04): hand-computed smoothed likelihoods; " +
+      "every doc scored, tf and length prior both order") {
+    import spark.implicits._
+    // C = 8 total tokens, cf(spark) = 3
+    val docs = Seq(
+      (1L, "spark a"), // tf=1, dl=2
+      (2L, "spark spark b c"), // tf=2, dl=4
+      (3L, "x y") // tf=0, dl=2 — still scored (smoothed corpus mass)
+    ).toDF("doc_id", "text")
+    val out = Ranking.qlDirichletRank(docs, terms = Seq("spark"), k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_terms"),
+        r.getAs[Long]("dl"), r.getAs[Double]("score")))
+    def f(tf: Long, dl: Long): Double =
+      (tf * 8L + 2000L * 3L).toDouble / (8L * (dl + 2000L)).toDouble
+    // tf dominates at near-equal length; the zero-match doc trails
+    assert(out.map(_._1).toSeq == Seq(2L, 1L, 3L))
+    assert(out.map(_._4).toSeq == Seq(f(2, 4), f(1, 2), f(0, 2)))
+    assert(out.map(_._2).toSeq == Seq(1L, 1L, 0L))
+  }
+
+  test("qlDirichletRank: QL's length prior — a short zero-match doc " +
+      "outranks a long tangential match; multi-term fixed-order product") {
+    import spark.implicits._
+    val filler = (1 to 400).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"spark $filler"), // one hit diluted across 401 tokens
+      (2L, "tiny doc"), // no hit, 2 tokens
+      (3L, "spark join") // both terms, 2 tokens
+    ).toDF("doc_id", "text")
+    val out = Ranking.qlDirichletRank(docs,
+      terms = Seq("spark", "join"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_terms"),
+        r.getAs[Double]("score")))
+    // doc 3 matches both; doc 2's smoothed mass over 2 tokens beats
+    // doc 1's single hit spread over 401 (the anti-BM25 signature)
+    assert(out.map(_._1).toSeq == Seq(3L, 2L, 1L))
+    // exact product in fixed term order: C = 405, cf(spark)=2, cf(join)=1
+    def fac(tf: Long, cf: Long, dl: Long): Double =
+      (tf * 405L + 2000L * cf).toDouble / (405L * (dl + 2000L)).toDouble
+    assert(out.head._3 == fac(1, 2, 2) * fac(1, 1, 2))
+    assert(out(1)._3 == fac(0, 2, 2) * fac(0, 1, 2))
+    assert(out(2)._3 == fac(1, 2, 401) * fac(0, 1, 401))
+  }
+
+  test("rankerCompare (b06): ap_bm25 is b04's AP verbatim; delta and " +
+      "sign are exact; QL side graded on the same qrels") {
+    import spark.implicits._
+    val pad = (1 to 9).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"vector $pad vector vector"),
+      (2L, s"zzz $pad vector vector"),
+      (3L, s"vector $pad yyy www"),
+      (4L, s"aaa $pad bbb ccc")
+    ).toDF("doc_id", "text")
+    val cmp = Ranking.rankerCompare(docs, terms = Seq("vector"))
+      .collect()
+    assert(cmp.map(_.getString(0)).toSeq == Seq("vector"))
+    val r = cmp.head
+    val b04 = Ranking.retrievalEval(docs, terms = Seq("vector"))
+      .collect().head
+    assert(r.getAs[Long]("n_rel") == b04.getAs[Long]("n_rel"))
+    assert(r.getAs[Double]("ap_bm25") == b04.getAs[Double]("ap_at_k"))
+    val delta = r.getAs[Double]("delta")
+    assert(delta == r.getAs[Double]("ap_ql") - r.getAs[Double]("ap_bm25"))
+    assert(r.getAs[Long]("sign") ==
+      (if (delta > 0) 1L else if (delta < 0) -1L else 0L))
+    // equal dl ⇒ QL orders by tf like BM25 here: same ranking, tie
+    assert(r.getAs[Long]("sign") == 0L)
+    // and a QL AP computed independently: hits at ranks 1 and 3 of 4
+    // retrieved (all docs compete), min(n_rel, k) = 2
+    assert(r.getAs[Double]("ap_ql") ==
+      (((0.0 + 1.0) + 0.0) + 2.0 / 3.0) / 2.0)
+  }
 }
