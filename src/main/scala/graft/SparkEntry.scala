@@ -791,7 +791,25 @@ object SparkEntry {
     // b06: paired BM25-vs-QL comparison on the b04 pseudo-qrels —
     // per-query AP@10 for both rankers, delta, sign tally
     "b06_ranker_compare" -> ((s, d) =>
-      graft.operators.Ranking.rankerCompare(Tables.documents(s, d)))
+      graft.operators.Ranking.rankerCompare(Tables.documents(s, d))),
+    // g11: HITS hubs & authorities over the transition graph — the
+    // mutual-reinforcement link-analysis paradigm next to g04; integer
+    // fixed-point with shift normalization (no libm L2)
+    "g11_hits" -> ((s, d) =>
+      graft.operators.Graph.eventTypeHits(Tables.events(s, d))),
+    // t52: Zipf octave profile — rank-free frequency-octave datasheet
+    // row (types/mass/cumulative share per floor(log2 f) bucket)
+    "t52_zipf_profile" -> ((s, d) =>
+      T.zipfProfile(Tables.documents(s, d))),
+    // k07: Calinski–Harabasz variance-ratio (the ANOVA F) — the
+    // higher-is-better counterpart to k06; BGSS via the weighted
+    // pairwise identity (no global-mean float sum), micros WGSS
+    "k07_calinski_harabasz" -> ((s, d) =>
+      graft.operators.Clustering.calinskiHarabasz(Tables.embeddings(s, d))),
+    // b07: exact sign-flip permutation test over b06's per-query AP
+    // deltas — all 2^K assignments enumerated, two-sided p, no RNG
+    "b07_sign_permutation" -> ((s, d) =>
+      graft.operators.Ranking.rankerSignificance(Tables.documents(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -3120,6 +3138,79 @@ object SparkEntry {
         |FROM bap JOIN qap USING (term)
         |ORDER BY term""".stripMargin
   }
+
+  /** g11: the g04 edge CTEs + 4 unrolled HITS half-steps. Each
+    * half-step is one weighted-sum agg (CAST from DuckDB's HUGEINT
+    * back to BIGINT) + the max + the integer right-shift — the same
+    * exact-arithmetic law the Spark side executes. */
+  private lazy val HitsOracle: String = {
+    // authority half-steps read hubs along in-edges (group by dst);
+    // hub half-steps read authorities along out-edges (group by src)
+    def half(out: String, in: String, edgeKey: String,
+        otherKey: String): String =
+      s"""${out}r AS (SELECT n0.node,
+         |    CAST(COALESCE(SUM($in.x * c.w), 0) AS BIGINT) AS x
+         |  FROM n0 LEFT JOIN c ON c.$edgeKey = n0.node
+         |  LEFT JOIN $in ON $in.node = c.$otherKey
+         |  GROUP BY n0.node),
+         |${out}m AS (SELECT CAST(MAX(x) AS BIGINT) AS m FROM ${out}r),
+         |$out AS MATERIALIZED (SELECT node,
+         |    x >> CAST(GREATEST(0, length(bin(m)) - 31) AS INT) AS x
+         |  FROM ${out}r CROSS JOIN ${out}m)""".stripMargin
+    """WITH s AS (SELECT user_id, event_type AS dst,
+      |  lag(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS src FROM events),
+      |c AS MATERIALIZED (SELECT src, dst,
+      |    CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM s WHERE src IS NOT NULL GROUP BY src, dst),
+      |n0 AS MATERIALIZED (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM c UNION ALL SELECT dst FROM c)),
+      |h0 AS (SELECT node, CAST(1073741824 AS BIGINT) AS x FROM n0),
+      |""".stripMargin +
+      half("a1", "h0", "dst", "src") + ",\n" +
+      half("h1", "a1", "src", "dst") + ",\n" +
+      half("a2", "h1", "dst", "src") + ",\n" +
+      half("h2", "a2", "src", "dst") + "\n" +
+      """SELECT node, a2.x AS auth_fp, h2.x AS hub_fp,
+        |  CAST(a2.x AS DOUBLE) / 1073741824.0 AS auth,
+        |  CAST(h2.x AS DOUBLE) / 1073741824.0 AS hub
+        |FROM a2 JOIN h2 USING (node)
+        |ORDER BY auth_fp DESC, node""".stripMargin
+  }
+
+  /** b07: b06's oracle nested whole (MATERIALIZED — it is read once
+    * but carries its own recursive-free WITH), then the exact 2^K
+    * flip enumeration: term-ordered delta list, per-assignment signed
+    * fold via the 1-based list_transform index (the Spark side's
+    * 0-based counter walks the same sorted order), one ÷K tree shared
+    * by every mean, p as one division of exact longs. */
+  private lazy val SignPermutationOracle: String =
+    "WITH dl AS MATERIALIZED (SELECT term, delta FROM (\n" +
+      RankerCompareOracle + "\n) z),\n" +
+      """ob AS (SELECT CAST(COUNT(*) AS BIGINT) AS nq,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(delta ORDER BY term)), (a, b) -> a + b) AS sum_obs
+        |  FROM dl),
+        |xs AS (SELECT list(delta ORDER BY term) AS ds FROM dl),
+        |fl AS (SELECT unnest(range(0,
+        |  (SELECT 1 << CAST(nq AS INT) FROM ob))) AS m),
+        |sm AS (SELECT m, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |  list_transform(ds, (x, i) -> CASE WHEN (m >> (i - 1)) % 2 = 1
+        |    THEN -x ELSE x END)), (a, b) -> a + b) AS sum_m
+        |  FROM fl CROSS JOIN xs),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_flips,
+        |  CAST(SUM(CASE WHEN abs(sum_m / CAST(nq AS DOUBLE))
+        |      >= abs(sum_obs / CAST(nq AS DOUBLE)) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_extreme
+        |  FROM sm CROSS JOIN ob)
+        |SELECT ob.nq AS n_queries,
+        |  ob.sum_obs / CAST(ob.nq AS DOUBLE) AS mean_delta,
+        |  ag.n_flips, ag.n_extreme,
+        |  CAST(ag.n_extreme AS DOUBLE) / CAST(ag.n_flips AS DOUBLE)
+        |    AS p_value,
+        |  (CAST(ag.n_extreme AS DOUBLE) / CAST(ag.n_flips AS DOUBLE))
+        |    <= 0.05 AS significant
+        |FROM ob CROSS JOIN ag""".stripMargin
 
   /** c03: b01's oracle with the rank/limit surgically removed for the
     * unranked base; proximity = lag-window gaps over query-term
@@ -5606,6 +5697,37 @@ object SparkEntry {
         |SELECT node, r AS rank_fp,
         |  CAST(r AS DOUBLE) / 1000000000.0 AS rank
         |FROM r3 ORDER BY rank_fp DESC, node""".stripMargin,
+    // g11: fixed-point HITS (scale 2^30), 2 iterations = 4 half-steps
+    // unrolled; normalization is the exact integer right-shift by
+    // max(0, length(bin(max)) - 31) — no libm L2 norm in either engine
+    "g11_hits" -> HitsOracle,
+    // t52: octave = length(bin(f)) - 1 per term, exact integer
+    // masses, cumulative share via the octave-DESC window (the Spark
+    // side folds the same <= 63-row array in the same order)
+    "t52_zipf_profile" ->
+      """WITH tf AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+'))
+        |    AS tok FROM documents) x
+        |  WHERE tok <> '' GROUP BY tok),
+        |oc AS (SELECT CAST(length(bin(f)) - 1 AS BIGINT) AS octave,
+        |    CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |    CAST(SUM(f) AS BIGINT) AS token_mass
+        |  FROM tf GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n_terms) AS BIGINT) AS v_total,
+        |    CAST(SUM(token_mass) AS BIGINT) AS t_total FROM oc),
+        |cm AS (SELECT octave, n_terms, token_mass,
+        |    CAST(SUM(token_mass) OVER (ORDER BY octave DESC)
+        |      AS BIGINT) AS cum_mass FROM oc)
+        |SELECT octave,
+        |  (CAST(1 AS BIGINT) << CAST(octave AS INT)) AS f_lo,
+        |  n_terms, token_mass,
+        |  CAST(n_terms AS DOUBLE) / CAST(v_total AS DOUBLE)
+        |    AS type_frac,
+        |  CAST(token_mass AS DOUBLE) / CAST(t_total AS DOUBLE)
+        |    AS mass_frac,
+        |  CAST(cum_mass AS DOUBLE) / CAST(t_total AS DOUBLE)
+        |    AS cum_mass_frac
+        |FROM cm CROSS JOIN tt ORDER BY octave""".stripMargin,
     // hash-range split: thresholds at 0.8/0.9 of the 2^32 key space —
     // the same md5 draw as t08/t19, disjoint + exhaustive by
     // construction
@@ -6669,6 +6791,54 @@ object SparkEntry {
           |  t.r_max, db.db_index
           |FROM scat s JOIN tp t USING (cluster_id) CROSS JOIN db
           |ORDER BY s.cluster_id""".stripMargin),
+    // k07: k06's assignment chain on SQUARED distances (micros-
+    // quantized WGSS), pairwise-identity BGSS folded in (ci, cj)
+    // order, fixed CH division tree
+    "k07_calinski_harabasz" ->
+      (s"WITH $IvfTrainCtes,\n" +
+        """dd AS (SELECT v.vec_id, c.cluster_id,
+          |  greatest(v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
+          |    list_transform(range(1, len(v.emb)+1), i ->
+          |      CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+          |    (x, y) -> x + y), 0.0) AS d2
+          |  FROM v CROSS JOIN c1 c),
+          |own AS (SELECT vec_id, cluster_id, d2 FROM (
+          |  SELECT vec_id, cluster_id, d2,
+          |    row_number() OVER (PARTITION BY vec_id
+          |      ORDER BY d2 ASC, cluster_id ASC) AS rn FROM dd)
+          |  WHERE rn = 1),
+          |sc AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT)
+          |    AS n_vectors,
+          |  CAST(SUM(CAST(floor(d2 * 1000000.0) AS BIGINT)) AS BIGINT)
+          |    AS w_fp FROM own GROUP BY cluster_id),
+          |pr AS (SELECT i.cluster_id AS ci, j.cluster_id AS cj,
+          |  CAST(si.n_vectors * sj.n_vectors AS DOUBLE) *
+          |    greatest(i.cnorm2 + j.cnorm2 - 2.0 * list_reduce(
+          |      list_transform(range(1, len(i.cemb)+1), x ->
+          |        CAST(i.cemb[x] AS DOUBLE) * CAST(j.cemb[x] AS DOUBLE)),
+          |      (x, y) -> x + y), 0.0) AS term
+          |  FROM c1 i JOIN c1 j ON i.cluster_id <> j.cluster_id
+          |  JOIN sc si ON si.cluster_id = i.cluster_id
+          |  JOIN sc sj ON sj.cluster_id = j.cluster_id),
+          |tt AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n_total,
+          |  CAST(COUNT(*) AS BIGINT) AS k_cells,
+          |  CAST(SUM(w_fp) AS BIGINT) AS w_fp_total FROM sc),
+          |bg AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |  list(term ORDER BY ci, cj)), (a, b) -> a + b) AS bgss_num
+          |  FROM pr),
+          |ix AS (SELECT
+          |  bgss_num / (2.0 * CAST(n_total AS DOUBLE)) AS bgss,
+          |  CAST(w_fp_total AS DOUBLE) / 1000000.0 AS wgss,
+          |  n_total, k_cells FROM bg CROSS JOIN tt),
+          |fx AS (SELECT bgss, wgss,
+          |  CASE WHEN k_cells > 1 AND n_total > k_cells THEN
+          |    (bgss / CAST(k_cells - 1 AS DOUBLE))
+          |    / (wgss / CAST(n_total - k_cells AS DOUBLE))
+          |  ELSE CAST(0.0 AS DOUBLE) END AS ch_index FROM ix)
+          |SELECT sc.cluster_id, sc.n_vectors,
+          |  CAST(sc.w_fp AS DOUBLE) / 1000000.0 AS wgss_k,
+          |  fx.bgss, fx.wgss, fx.ch_index
+          |FROM sc CROSS JOIN fx ORDER BY sc.cluster_id""".stripMargin),
     // s40: k01's trained assignment, exact cross-multiplied hot test
     // (n*K > total*factor), row_number seeds (2 lowest ids per hot
     // cell), nearest-of-two re-assignment with the (d2, sub) tie, skew
@@ -7074,6 +7244,8 @@ object SparkEntry {
     // b06: b04's judged chain + the c04 factor per (doc, term); both
     // AP folds are the b04 tail verbatim, delta/sign exact
     "b06_ranker_compare" -> RankerCompareOracle,
+    // b07: b06 nested + exact 2^K sign-flip enumeration, two-sided p
+    "b07_sign_permutation" -> SignPermutationOracle,
     "c03_proximity_rank" -> ProximityOracle,
     // c04: all-integer Dirichlet factors, ONE division each, product
     // left-associated in fixed term order — no log in either engine

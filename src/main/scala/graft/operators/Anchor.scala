@@ -54,6 +54,16 @@ object Anchor {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val out = p.checkpoint(eager = true)
       p.unpersist(blocking = false)
+      // Checkpoint files are the fault-tolerant TRUTH; serving every
+      // downstream action by re-deserializing them is not the posture
+      // a cluster job takes — it caches the checkpointed frame and
+      // falls back to the files only on block loss (the GraphX
+      // Pregel / MLlib PeriodicCheckpointer pairing: persist +
+      // checkpoint together). Without this, the r18 bench read the
+      // shared kNN-graph artifact from files once per consumer action
+      // and the five graph consumers regressed 1.6–3.0×.
+      out.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out
     } else df.localCheckpoint(eager = true)
 
@@ -66,6 +76,9 @@ object Anchor {
   def release(df: DataFrame): Unit =
     underlying(df).foreach { rdd =>
       val file = rdd.getCheckpointFile // Some(dir) iff RELIABLE
+      // drop the Dataset-level cache entry `cut` added on the
+      // reliable path (no-op when absent or on local anchors)
+      df.unpersist(blocking = false)
       rdd.unpersist(blocking = false)
       file.foreach { dir =>
         val p = new Path(dir)

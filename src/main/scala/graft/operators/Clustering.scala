@@ -379,6 +379,85 @@ object Clustering {
       .orderBy(col("cluster_id"))
   }
 
+  /** k07: CALINSKI–HARABASZ variance-ratio index (Calinski & Harabasz
+    * 1974) — the third classic internal-validity score, closing the
+    * trio with k05's (simplified) silhouette and k06's Davies–Bouldin:
+    * CH = (BGSS/(K−1)) / (WGSS/(N−K)), the ANOVA F-statistic of the
+    * clustering (between-cluster variance per degree of freedom over
+    * within-cluster variance per degree of freedom — higher is
+    * better, the opposite polarity of k06, which is why a real eval
+    * reports both).
+    *
+    * Float discipline: WGSS is the micros-quantized within-cluster
+    * Σdist² (the k02/k06 recipe — per-point longs, exact sums at
+    * every level). BGSS never touches the global-mean vector: by the
+    * weighted-pairwise identity Σ_k n_k·‖c_k−c̄‖² =
+    * Σ_{i≠j} n_i·n_j·‖c_i−c_j‖² / (2N), it is a fold over the K²
+    * centroid pairs in (ci, cj) order — the corpus-scale float sum a
+    * textbook BGSS would need (computing c̄ over all points) is
+    * exactly the shuffle-order hazard this identity removes. The
+    * n_i·n_j weights are exact longs; each pair term is one multiply;
+    * the CH division tree is fixed. Overflow headroom: per-cluster
+    * micros WGSS sums stay in a long past 10¹² points at unit-scale
+    * distances; n_i·n_j < N² needs N < 3·10⁹ before the weight moves
+    * to DOUBLE (ranking-neutral).
+    *
+    * Plan shape: one k01 centroid-assign pass (broadcast K centroids —
+    * the whitelisted cross) + a K-row scatter agg; everything after is
+    * K- and K²-row local arithmetic with two sorted-array folds; the
+    * 1-row totals and index frames broadcast-cross back (k06's
+    * pattern). */
+  def calinskiHarabasz(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val centroids = trainedCentroidsLocal(embeddings, k)
+    val vectors = embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2",
+        graft.functions.VectorOps.dot(col("emb"), col("emb")))
+    val sc = assign(vectors, centroids)
+      .select(col("cluster_id"),
+        floor(greatest(col("dist2"), lit(0.0)) * lit(1000000.0))
+          .cast("long").as("d2_fp"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("d2_fp")).as("w_fp"))
+    val ci = centroids.select(col("cluster_id").as("ci"),
+      col("cemb").as("ei"), col("cnorm2").as("ni"))
+    val cj = centroids.select(col("cluster_id").as("cj"),
+      col("cemb").as("ej"), col("cnorm2").as("nj"))
+    val pairs = ci.join(cj, col("ci") =!= col("cj"))
+      .join(sc.select(col("cluster_id").as("ci"),
+        col("n_vectors").as("na")), "ci")
+      .join(sc.select(col("cluster_id").as("cj"),
+        col("n_vectors").as("nb")), "cj")
+      .select(col("ci"), col("cj"),
+        ((col("na") * col("nb")).cast("double") *
+          greatest(col("ni") + col("nj") - lit(2.0) *
+            graft.functions.VectorOps.dot(col("ei"), col("ej")),
+            lit(0.0))).as("term"))
+    val tot = sc.agg(sum(col("n_vectors")).as("n_total"),
+      count(lit(1)).as("k_cells"), sum(col("w_fp")).as("w_fp_total"))
+    val bg = pairs.groupBy()
+      .agg(aggregate(sort_array(collect_list(struct(col("ci"),
+        col("cj"), col("term")))), lit(0.0),
+        (acc, x) => acc + x.getField("term")).as("bgss_num"))
+    val idx = bg.crossJoin(tot)
+      .select(
+        (col("bgss_num") /
+          (lit(2.0) * col("n_total").cast("double"))).as("bgss"),
+        (col("w_fp_total").cast("double") / lit(1000000.0)).as("wgss"),
+        col("n_total"), col("k_cells"))
+      .select(col("bgss"), col("wgss"), col("n_total"), col("k_cells"),
+        when(col("k_cells") > 1L && col("n_total") > col("k_cells"),
+          (col("bgss") / (col("k_cells") - 1L).cast("double")) /
+            (col("wgss") / (col("n_total") - col("k_cells"))
+              .cast("double")))
+          .otherwise(lit(0.0)).as("ch_index"))
+    sc.crossJoin(broadcast(idx))
+      .select(col("cluster_id"), col("n_vectors"),
+        (col("w_fp").cast("double") / lit(1000000.0)).as("wgss_k"),
+        col("bgss"), col("wgss"), col("ch_index"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** s40: HOT-CELL SPLIT — the index-MAINTENANCE verb the s36
     * lifecycle (train → append → tombstone → serve) still lacked:
     * appends concentrate, cell sizes skew, and a hot cell is a probe

@@ -415,4 +415,80 @@ object Graph {
         (col("q_total").cast("double") / denom).as("modularity"))
       .orderBy(col("cell"))
   }
+
+  /** g11: HITS hubs & authorities (Kleinberg 1999) over a weighted
+    * directed edge list — the OTHER classic link-analysis paradigm
+    * next to [[pagerank]]: instead of a random-walk stationary
+    * distribution, MUTUAL REINFORCEMENT between two roles — a good
+    * authority is pointed to by good hubs, a good hub points to good
+    * authorities. Per iteration: a(i) ← Σ_{j→i} h(j)·w_ji then
+    * h(j) ← Σ_{j→i} a(i)·w_ji, each half-step normalized. On the
+    * behavioral transition graph the roles read as "types sessions
+    * converge INTO" (authorities) vs "types sessions fan OUT of"
+    * (hubs) — a directional split g04's single importance score
+    * cannot express.
+    *
+    * Fixed-point integer discipline (the g04 law, different
+    * normalizer): scores are int64 at scale 2³⁰; published HITS
+    * L2-normalizes (libm sqrt of a shuffle-ordered float sum), here
+    * each half-step instead RIGHT-SHIFTS every score by
+    * max(0, floor(log2 max) − 30), parking the max in [2³⁰, 2³¹) —
+    * floor(log2 x) = length(bin(x))−1, the t50 identity, so every
+    * operation is an exact integer product/sum/shift and the result is
+    * bit-identical across engines, partitionings, and reruns. Shift
+    * normalization preserves HITS' ranking structure exactly: it is a
+    * positive per-half-step scalar scale (up to the shared floor),
+    * which is all normalization contributes to HITS. Overflow
+    * headroom: a raw score is ≤ 2³¹·Σw, safe while total edge mass
+    * < 2³² (fixtures and the ×8 stress by orders of magnitude; a
+    * 100-TB graph pre-aggregates edge weights or drops scale to 2²⁰).
+    *
+    * Plan shape per half-step: scores join edges on the role key (the
+    * g04 shuffle — co-partition/bucket by src at scale), one map-side-
+    * combined weighted-sum agg, a left join back to the node set, and
+    * the 1-row max broadcast-crossed in (intended BNLJ); each
+    * half-step is `Anchor.cut` so the alternation never re-executes
+    * the other role's chain. Node-set and edge frames should arrive
+    * anchored ([[eventTypeHits]]). */
+  def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    val S = 1L << 30
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+      .anchored // referenced 2× per iteration + the final join
+    def normalized(raw: DataFrame): DataFrame = {
+      val m = raw.agg(max(col("x")).as("m"))
+      raw.crossJoin(broadcast(m))
+        .select(col("node"), expr(
+          "shiftright(x, cast(greatest(0, length(bin(m)) - 31) as int))")
+          .as("x"))
+    }
+    def halfStep(scores: DataFrame, from: String, to: String): DataFrame = {
+      val raw = edges
+        .join(scores.withColumnRenamed("node", from), from)
+        .select(col(to), (col("x") * col("w")).as("c"))
+        .groupBy(col(to)).agg(sum(col("c")).as("xr"))
+      Anchor.cut(normalized(
+        nodes.join(raw, col("node") === col(to), "left")
+          .select(col("node"), coalesce(col("xr"), lit(0L)).as("x"))))
+    }
+    var auth = nodes.select(col("node"), lit(S).as("x"))
+    var hub = nodes.select(col("node"), lit(S).as("x"))
+    for (_ <- 1 to iters) {
+      auth = halfStep(hub, "src", "dst")
+      hub = halfStep(auth, "dst", "src")
+    }
+    auth.withColumnRenamed("x", "auth_fp")
+      .join(hub.withColumnRenamed("x", "hub_fp"), Seq("node"))
+      .select(col("node"), col("auth_fp"), col("hub_fp"),
+        (col("auth_fp").cast("double") / lit(S.toDouble)).as("auth"),
+        (col("hub_fp").cast("double") / lit(S.toDouble)).as("hub"))
+      .orderBy(col("auth_fp").desc, col("node"))
+  }
+
+  /** g11 on the event-type transition graph — g04's edge construction
+    * ([[transitionCounts]], anchored for the same reuse reason). */
+  def eventTypeHits(events: DataFrame, iters: Int = 2): DataFrame =
+    hits(transitionCounts(events)
+      .select(col("src"), col("dst"), col("n").as("w"))
+      .anchored, iters)
 }

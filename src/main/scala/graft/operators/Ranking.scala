@@ -684,4 +684,74 @@ object Ranking {
           .otherwise(lit(0L)).as("sign"))
       .orderBy(col("term"))
   }
+
+  /** b07: EXACT SIGN-FLIP PERMUTATION TEST over b06's per-query AP
+    * deltas — the significance answer to "ranker A beat ranker B on
+    * K queries: is that evidence or coin flips?" (Smucker et al. 2007
+    * rank the randomization test as the reference procedure for
+    * paired IR evaluation). Under H₀ the rankers are exchangeable per
+    * query, so each delta's sign is arbitrary: enumerate ALL 2^K sign
+    * assignments (no sampling, no RNG — with the probe-query K the
+    * full null distribution is smaller than one shuffle block;
+    * published implementations sample 10⁴ of the 2^K only because
+    * their K is hundreds) and report the two-sided
+    * p = #{assignments: |mean| ≥ |observed mean|} / 2^K. The identity
+    * assignment always counts, so p ≥ 2^−K — the test is honest about
+    * what K queries can ever establish.
+    *
+    * Float discipline: deltas fold in TERM order (sorted-array
+    * aggregate); each flip is an IEEE negation (exact); every flipped
+    * mean reuses the same ÷K tree; the p-value is one division of
+    * exact longs. Deterministic end to end.
+    *
+    * Plan shape: b06's two corpus passes down to K rows → ONE
+    * global sorted-array partial-merge aggregate → a 2^K-row explode
+    * re-aggregated with map-side combine. K is the probe-query count
+    * (bounded, ≤ ~20 before 2^K itself needs sampling — document the
+    * cap, don't silently sample). */
+  def rankerSignificance(documents: DataFrame,
+      terms: Seq[String] = DefaultTerms, k: Int = 10,
+      titleTokens: Int = 10, mu: Long = DefaultMu): DataFrame = {
+    require(terms.size <= 20,
+      s"exact sign-flip enumeration is 2^K; K=${terms.size} > 20 " +
+        "needs a sampled test instead")
+    val deltas = rankerCompare(documents, terms, k, titleTokens, mu)
+      .select(col("term"), col("delta"))
+    deltas.groupBy()
+      .agg(sort_array(collect_list(struct(col("term"), col("delta"))))
+        .as("xs"))
+      .select(col("xs"), size(col("xs")).cast("long").as("nq"),
+        expr("""aggregate(xs, CAST(0.0 AS DOUBLE),
+          |  (a, x) -> a + x.delta)""".stripMargin).as("sum_obs"))
+      // zero judged queries (no term matched any doc) → no test to
+      // run: empty output, like b06's, not a 0/0 row
+      .filter(col("nq") > 0L)
+      .withColumn("mean_obs", col("sum_obs") / col("nq").cast("double"))
+      .select(col("xs"), col("nq"), col("mean_obs"),
+        explode(expr(
+          "sequence(CAST(0 AS BIGINT), " +
+            "shiftleft(CAST(1 AS BIGINT), CAST(nq AS INT)) - 1)"))
+          .as("m"))
+      .withColumn("sum_m", expr(
+        """aggregate(xs,
+          |  named_struct('i', 0, 's', CAST(0.0 AS DOUBLE)),
+          |  (acc, x) -> named_struct('i', acc.i + 1,
+          |    's', acc.s + IF(shiftright(m, acc.i) % 2 = 1,
+          |      -x.delta, x.delta)),
+          |  acc -> acc.s)""".stripMargin))
+      .withColumn("extreme",
+        abs(col("sum_m") / col("nq").cast("double")) >=
+          abs(col("mean_obs")))
+      .groupBy(col("nq"), col("mean_obs"))
+      .agg(count(lit(1)).as("n_flips"),
+        sum(when(col("extreme"), lit(1L)).otherwise(lit(0L)))
+          .as("n_extreme"))
+      .select(col("nq").as("n_queries"),
+        col("mean_obs").as("mean_delta"),
+        col("n_flips"), col("n_extreme"),
+        (col("n_extreme").cast("double") / col("n_flips").cast("double"))
+          .as("p_value"),
+        ((col("n_extreme").cast("double") /
+          col("n_flips").cast("double")) <= 0.05).as("significant"))
+  }
 }

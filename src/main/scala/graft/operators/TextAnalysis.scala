@@ -2028,6 +2028,75 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t52: ZIPF OCTAVE PROFILE — the rank-free transpose of the Zipf
+    * rank-frequency plot, the corpus-health datasheet row next to
+    * p14's card: bucket the vocabulary by frequency OCTAVE (octave =
+    * floor(log2 f), the t50 length(bin(f))−1 identity) and report per
+    * octave the type count, token mass, corpus shares, and the
+    * cumulative token share carried by terms at or above the octave.
+    * For a Zipf(α≈1) corpus the per-octave token mass is ~flat and the
+    * type counts halve upward — a hot template/boilerplate injection
+    * shows as a bulging top octave, OCR noise or tokenizer damage as a
+    * bloated octave 0 (hapaxes); the same frame gives the Heaps-law
+    * point (V types over T tokens). No rank variable is ever computed:
+    * a global rank needs a vocabulary-wide sort funnel; the octave is
+    * a per-row integer expression, which is why this shape scales and
+    * the classic log-log regression does not (its log is libm anyway).
+    *
+    * Float discipline: all counts/masses are exact longs; shares are
+    * one division each; the cumulative mass is an integer sum folded
+    * octave-descending inside ONE global sorted-array aggregate (the
+    * dq02 pattern: ≤ 63 octave rows collapse into a partial-merge
+    * aggregate, never a single-partition window funnel).
+    *
+    * Plan shape: one corpus tokenize → (term) partial-agg shuffle →
+    * ≤ 63-row octave agg; the fold and the 1-row totals ride the
+    * bounded array. */
+  def zipfProfile(documents: DataFrame): DataFrame = {
+    val oct = Dedup.spread(documents)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select((length(bin(col("f"))) - 1).cast("long").as("octave"),
+        col("f"))
+      .groupBy(col("octave"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("f")).as("token_mass"))
+    oct
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("octave"), col("n_terms"),
+        col("token_mass"))), asc = false).as("xs"))
+      .select(explode(expr(
+        """aggregate(xs,
+          |  named_struct('cum', CAST(0 AS BIGINT),
+          |    'v', aggregate(xs, CAST(0 AS BIGINT),
+          |      (a, x) -> a + x.n_terms),
+          |    't', aggregate(xs, CAST(0 AS BIGINT),
+          |      (a, x) -> a + x.token_mass),
+          |    'out', CAST(array() AS ARRAY<STRUCT<octave: BIGINT,
+          |      n_terms: BIGINT, token_mass: BIGINT, cum_mass: BIGINT,
+          |      v_total: BIGINT, t_total: BIGINT>>)),
+          |  (acc, x) -> named_struct('cum', acc.cum + x.token_mass,
+          |    'v', acc.v, 't', acc.t,
+          |    'out', concat(acc.out, array(named_struct(
+          |      'octave', x.octave, 'n_terms', x.n_terms,
+          |      'token_mass', x.token_mass,
+          |      'cum_mass', acc.cum + x.token_mass,
+          |      'v_total', acc.v, 't_total', acc.t)))),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.octave").as("octave"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(r.octave AS INT))")
+          .as("f_lo"),
+        col("r.n_terms").as("n_terms"),
+        col("r.token_mass").as("token_mass"),
+        (col("r.n_terms").cast("double") /
+          col("r.v_total").cast("double")).as("type_frac"),
+        (col("r.token_mass").cast("double") /
+          col("r.t_total").cast("double")).as("mass_frac"),
+        (col("r.cum_mass").cast("double") /
+          col("r.t_total").cast("double")).as("cum_mass_frac"))
+      .orderBy(col("octave"))
+  }
+
   /** t48: TOKENIZER FERTILITY BY SOURCE — the tokenizer-fairness
     * datasheet row (Ahia et al. 2023 "Do All Languages Cost the Same?":
     * a tokenizer trained on a skewed mixture fragments the

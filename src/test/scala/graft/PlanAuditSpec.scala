@@ -105,7 +105,10 @@ class PlanAuditSpec extends SparkSpec {
     "p14_dataset_card", // embeds p08's t37/t17 corpus-total crosses
     "p16_epoch_plan", // ONE-row weight-total frame broadcast-crossed in
     "c04_ql_dirichlet", // ONE-row corpus-LM frame broadcast-crossed in
+    "g11_hits", // ONE-row per-half-step max frame broadcast-crossed in
+    "k07_calinski_harabasz", // k01's centroid cross + 1-row index cross
     "b06_ranker_compare", // b04's 1-row stats cross + |terms|-row LM cross
+    "b07_sign_permutation", // b06's crosses; the 2^K explode is join-free
     "t51_unigram_score", // t50's model + 1-row corpus-totals crosses
     "c02_chunk_maxp") // b01's ONE-row corpus-stats cross, chunk units
 

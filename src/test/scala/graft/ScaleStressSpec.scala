@@ -590,17 +590,25 @@ class ScaleStressSpec extends SparkSpec {
     // isomorphic-but-disjoint: distinct edges AND the bounded-depth
     // recursion workload both grow ×factor (re-keying only user_id
     // would leave the edge graph constant and measure just the scan)
+    // c04/b06/b07: the scaled corpus carries the per-replica token
+    // rename, so the PROBE TERMS get the rep-0 suffix too — the
+    // scaled run must exercise the matched scoring path, not an
+    // empty IN-filter
     // c04: b01's (doc, term) IN-pruned partial agg + one doc-keyed
     // left join; the 1-row corpus-LM frame is the intended BNLJ
     ("c04_ql_dirichlet",
       graft.operators.Ranking.qlDirichletRank(docs),
-      graft.operators.Ranking.qlDirichletRank(docsX), true),
+      graft.operators.Ranking.qlDirichletRank(docsX,
+        terms = graft.operators.Ranking.DefaultTerms.map(_ + "z0")),
+      true),
     // b06: b04's judged chain + the QL side's x|terms| narrow fan-out
     // (a |terms|-row LM broadcast over (doc_id, dl) columns only);
     // both AP folds run on |terms|·k rows
     ("b06_ranker_compare",
       graft.operators.Ranking.rankerCompare(docs),
-      graft.operators.Ranking.rankerCompare(docsX), true),
+      graft.operators.Ranking.rankerCompare(docsX,
+        terms = graft.operators.Ranking.DefaultTerms.map(_ + "z0")),
+      true),
     // t51: the deployment posture — the model is the FIXED trained
     // artifact; the scaled corpus is scored under it (per-replica
     // token renames exercise the OOV single-char fallback tier at
@@ -613,6 +621,31 @@ class ScaleStressSpec extends SparkSpec {
       val m = T.unigramTrain(docs)
       T.unigramScore(docsX, m)
     }, true),
+    // b07: b06's two corpus passes down to K rows; the 2^K flip
+    // enumeration is data-size-independent (K = probe-query count)
+    ("b07_sign_permutation",
+      graft.operators.Ranking.rankerSignificance(docs),
+      graft.operators.Ranking.rankerSignificance(docsX,
+        terms = graft.operators.Ranking.DefaultTerms.map(_ + "z0")),
+      true),
+    // k07: one k01 assign pass + K-row scatter agg; BGSS is K²-local
+    // pair math (intended tiny crosses, the k06 stance)
+    ("k07_calinski_harabasz",
+      graft.operators.Clustering.calinskiHarabasz(emb),
+      graft.operators.Clustering.calinskiHarabasz(embX), true),
+    // g11: per half-step one edge-keyed join + a map-side-combined
+    // weighted-sum agg over the token-renamed (isomorphic-disjoint)
+    // transition graph; 1-row max crosses intended
+    ("g11_hits",
+      graft.operators.Graph.eventTypeHits(Tables.events(spark, sf)),
+      graft.operators.Graph.eventTypeHits(
+        ScaledTables.scaled(Tables.events(spark, sf), factor,
+          idCols = Seq("event_id", "user_id"),
+          textCols = Seq("event_type"))), true),
+    // t52: one tokenize + (term) partial agg; everything after lives
+    // in a <= 63-row array fold — no window funnel, no cross
+    ("t52_zipf_profile",
+      T.zipfProfile(docs), T.zipfProfile(docsX), false),
     ("q40_recursive_paths", {
       Tables.events(spark, sf).createOrReplaceTempView("ev_q40_base")
       spark.sql(SparkEntry.RecursivePathsSql("ev_q40_base"))

@@ -198,4 +198,61 @@ class ClusteringSpec extends SparkSpec {
     val again = Clustering.daviesBouldin(emb).collect()
     assert(fix.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("calinskiHarabasz (k07): separated blobs score high where k06 " +
+      "scores tiny; the published index recomputes from its own parts") {
+    import spark.implicits._
+    val apart = Seq(
+      (0L, 0, Array(0.0f, 0.0f)),
+      (1L, 0, Array(0.2f, 0.0f)),
+      (2L, 0, Array(10.0f, 0.0f)),
+      (3L, 0, Array(10.2f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val rows = Clustering.calinskiHarabasz(apart, k = 2).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Double]("ch_index")).distinct.length == 1)
+    val ch = rows.head.getAs[Double]("ch_index")
+    val bgss = rows.head.getAs[Double]("bgss")
+    val wgss = rows.head.getAs[Double]("wgss")
+    // 10-apart blobs of width 0.2: between-variance dwarfs within
+    assert(ch > 100.0)
+    // the division tree is the published law, bit for bit
+    val n = rows.map(_.getAs[Long]("n_vectors")).sum
+    val k = rows.length.toLong
+    assert(ch == (bgss / (k - 1).toDouble) / (wgss / (n - k).toDouble))
+    // per-cluster wgss_k parts sum to the total (micros quantization:
+    // both sides are sums of the same exact longs / 1e6)
+    val partsFp = rows.map(r =>
+      math.rint(r.getAs[Double]("wgss_k") * 1000000.0).toLong).sum
+    assert(math.rint(wgss * 1000000.0).toLong == partsFp)
+    // polarity: the same data k06 scores near 0, k07 scores high
+    val db = Clustering.daviesBouldin(apart, k = 2).collect()
+      .head.getAs[Double]("db_index")
+    assert(db < 0.05 && ch > 100.0)
+    // a single smeared blob forced into k=2 scores far lower
+    val smear = Seq(
+      (0L, 0, Array(0.0f, 0.0f)),
+      (1L, 0, Array(0.2f, 0.1f)),
+      (2L, 0, Array(0.4f, 0.0f)),
+      (3L, 0, Array(0.6f, 0.1f))
+    ).toDF("vec_id", "label", "embedding")
+    val chSmear = Clustering.calinskiHarabasz(smear, k = 2).collect()
+      .head.getAs[Double]("ch_index")
+    assert(chSmear < ch / 10.0)
+  }
+
+  test("calinskiHarabasz on the fixture: K rows, one shared positive " +
+      "index, bit-identical reruns") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val fix = Clustering.calinskiHarabasz(emb).collect()
+    assert(fix.length == 8)
+    assert(fix.map(_.getAs[Double]("ch_index")).distinct.length == 1)
+    assert(fix.head.getAs[Double]("ch_index") > 0.0)
+    fix.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") > 0L)
+      assert(r.getAs[Double]("wgss_k") >= 0.0)
+    }
+    val again = Clustering.calinskiHarabasz(emb).collect()
+    assert(fix.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }

@@ -337,4 +337,42 @@ class GraphSpec extends SparkSpec {
       .forall(_ >= 150000000L))
     assert(got.exists { case (_, (seed, _)) => !seed })
   }
+
+  test("hits (g11): hand-computed two-iteration fixed point with the " +
+      "shift normalizer; hubs and authorities split cleanly") {
+    import spark.implicits._
+    // h1 -> {a1, a2}, h2 -> {a1}: a1 is the stronger authority, h1
+    // the stronger hub; pure hubs have auth 0 and vice versa
+    val edges = Seq(("h1", "a1", 1L), ("h2", "a1", 1L),
+      ("h1", "a2", 1L)).toDF("src", "dst", "w")
+    val out = Graph.hits(edges, iters = 2).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("auth_fp"),
+        r.getAs[Long]("hub_fp"), r.getAs[Double]("auth"),
+        r.getAs[Double]("hub")))
+    // iter 1: araw = (2S, S) -> shift 1 -> (S, S/2); hraw =
+    // (3·2^29, 2^30) -> shift 0. iter 2: araw = (5·2^29, 3·2^29) ->
+    // shift 1 -> (5·2^28, 3·2^28); hraw = (2^31, 5·2^28) -> shift 1
+    assert(out.toSeq == Seq(
+      ("a1", 5L << 28, 0L, 1.25, 0.0),
+      ("a2", 3L << 28, 0L, 0.75, 0.0),
+      ("h1", 0L, 1L << 30, 0.0, 1.0),
+      ("h2", 0L, 5L << 27, 0.0, 0.625)))
+  }
+
+  test("eventTypeHits on the fixture: bit-identical reruns, max parked " +
+      "in [2^30, 2^31), roles anti-correlated with pagerank's single " +
+      "score") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val a = Graph.eventTypeHits(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val b = Graph.eventTypeHits(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq) // integer law: no float drift anywhere
+    assert(a.nonEmpty)
+    val maxA = a.map(_._2).max
+    assert(maxA >= (1L << 30) && maxA < (1L << 31))
+    val maxH = a.map(_._3).max
+    assert(maxH >= (1L << 30) && maxH < (1L << 31))
+    assert(a.forall(r => r._2 >= 0L && r._3 >= 0L))
+  }
 }

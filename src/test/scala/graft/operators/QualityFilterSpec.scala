@@ -295,6 +295,45 @@ class QualityFilterSpec extends SparkSpec {
     assert(l.getAs[Double]("ttr") < got(2L)._2)
   }
 
+  test("t52 zipfProfile: hand-computed octave buckets, exact shares, " +
+      "descending-cumulative mass") {
+    import spark.implicits._
+    // freqs: a=5 (octave 2), b=2 (octave 1), c=1, d=1 (octave 0);
+    // V=4 types, T=9 tokens
+    val docs = Seq((1L, "a a a a b b c"), (2L, "a d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.zipfProfile(docs).collect()
+      .map(r => (r.getAs[Long]("octave"), r.getAs[Long]("f_lo"),
+        r.getAs[Long]("n_terms"), r.getAs[Long]("token_mass"),
+        r.getAs[Double]("type_frac"), r.getAs[Double]("mass_frac"),
+        r.getAs[Double]("cum_mass_frac")))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 2L, 2L, 2.0 / 4.0, 2.0 / 9.0, 9.0 / 9.0),
+      (1L, 2L, 1L, 2L, 1.0 / 4.0, 2.0 / 9.0, 7.0 / 9.0),
+      (2L, 4L, 1L, 5L, 1.0 / 4.0, 5.0 / 9.0, 5.0 / 9.0)))
+  }
+
+  test("t52 zipfProfile on the fixture: conservation against " +
+      "independent vocabulary and token counts; repartition-stable") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.zipfProfile(docs).collect()
+    assert(out.nonEmpty)
+    val vocab = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val v = vocab.distinct().count()
+    val t = vocab.count()
+    assert(out.map(_.getAs[Long]("n_terms")).sum == v)
+    assert(out.map(_.getAs[Long]("token_mass")).sum == t)
+    // the lowest octave's cumulative share covers the whole corpus
+    assert(out.minBy(_.getAs[Long]("octave"))
+      .getAs[Double]("cum_mass_frac") == 1.0)
+    // integer law end to end: a different partitioning changes nothing
+    val re = TextAnalysis.zipfProfile(docs.repartition(7)).collect()
+    assert(out.map(_.toSeq).toSeq == re.map(_.toSeq).toSeq)
+  }
+
   private object Tables {
     /** A small surprise-diverse corpus: repeated common words vs rare. */
     def documentsLike(s: org.apache.spark.sql.SparkSession): DataFrame = {

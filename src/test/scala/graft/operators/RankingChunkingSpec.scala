@@ -348,4 +348,44 @@ class RankingChunkingSpec extends SparkSpec {
     assert(r.getAs[Double]("ap_ql") ==
       (((0.0 + 1.0) + 0.0) + 2.0 / 3.0) / 2.0)
   }
+
+  test("rankerSignificance (b07): K=1 can never be significant; K=4 " +
+      "matches an independent full 2^K enumeration") {
+    import spark.implicits._
+    val pad = (1 to 9).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"vector $pad vector vector"),
+      (2L, s"zzz $pad vector vector"),
+      (3L, s"vector $pad yyy www"),
+      (4L, s"aaa $pad bbb ccc")
+    ).toDF("doc_id", "text")
+    // one query: flips are {+d, -d}, both as extreme as observed
+    val one = Ranking.rankerSignificance(docs, terms = Seq("vector"))
+      .collect().head
+    assert(one.getAs[Long]("n_queries") == 1L)
+    assert(one.getAs[Long]("n_flips") == 2L)
+    assert(one.getAs[Double]("p_value") == 1.0)
+    assert(!one.getAs[Boolean]("significant"))
+    // four queries on the fixture corpus: recompute every assignment
+    // independently with the same term-ordered fold
+    val fdocs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Ranking.rankerSignificance(fdocs).collect().head
+    val deltas = Ranking.rankerCompare(fdocs).collect()
+      .sortBy(_.getString(0)).map(_.getAs[Double]("delta"))
+    val k = deltas.length
+    val sumObs = deltas.foldLeft(0.0)(_ + _)
+    val meanObs = sumObs / k.toDouble
+    val extreme = (0 until (1 << k)).count { m =>
+      val s = deltas.zipWithIndex.foldLeft(0.0) { case (a, (d, i)) =>
+        a + (if (((m >> i) & 1) == 1) -d else d)
+      }
+      math.abs(s / k.toDouble) >= math.abs(meanObs)
+    }
+    assert(out.getAs[Long]("n_queries") == k.toLong)
+    assert(out.getAs[Long]("n_flips") == (1L << k))
+    assert(out.getAs[Long]("n_extreme") == extreme.toLong)
+    assert(out.getAs[Double]("mean_delta") == meanObs)
+    assert(out.getAs[Double]("p_value") ==
+      extreme.toDouble / (1 << k).toDouble)
+  }
 }
