@@ -80,22 +80,22 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Reliable-anchor posture (the cluster stance): with a checkpoint
-    // dir set, Anchor.cut takes checkpoint() instead of
-    // localCheckpoint() — exercising the deployment path and keeping
-    // the localCheckpoint WARN flood out of the bench tail. Backed by
-    // tmpfs when available: the code path (files, release, truncated
-    // lineage) is identical, and memory-speed backing is the rig
-    // analogue of a provisioned cluster checkpoint store — timed
-    // queries should measure their plans, not /tmp's disk.
-    val ckptBase = java.nio.file.Paths.get("/dev/shm")
-    val ckptDir =
-      if (java.nio.file.Files.isDirectory(ckptBase) &&
-          java.nio.file.Files.isWritable(ckptBase))
-        java.nio.file.Files.createTempDirectory(ckptBase, "graft-ckpt")
-      else java.nio.file.Files.createTempDirectory("graft-ckpt")
-    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    // ERROR-only logs: the bench's published surface is one JSON line,
+    // and the driver's 2000-byte tail capture must hold it — WARN
+    // noise (localCheckpoint reliability notes, AQE chatter) was
+    // drowning it. Real failures still surface: the sweep catches and
+    // prints [bench] lines per query at stderr.
+    spark.sparkContext.setLogLevel("ERROR")
+    // No checkpoint dir here, DELIBERATELY: Anchor.cut then takes
+    // localCheckpoint, so timed queries measure their PLANS, not the
+    // checkpoint store. The r18 experiment that pointed the bench at a
+    // reliable (tmpfs-backed) checkpoint dir re-priced every
+    // anchor-heavy query by its checkpoint-file round trips — the five
+    // kNN-graph consumers drifted 1.6–3.0× with zero plan change, pure
+    // harness-environment cost. The reliable path is still exercised
+    // where it belongs: Verify (the untimed correctness surface) sets
+    // a checkpoint dir for every anchored query, and AnchorSpec covers
+    // the persist+checkpoint+release mechanics directly.
     // Untimed warmup: one full pass builds file indexes and lets the JIT
     // compile every query's generated code, so timed numbers reflect
     // steady state rather than which query happened to run first cold.
@@ -146,12 +146,5 @@ object Bench {
     println(renderLine(results, sfName))
     graft.operators.Similarity.clearSharedGraphs(spark)
     spark.stop()
-    // drop the scratch checkpoint tree (Loop.release already removed
-    // superseded rdd-N dirs; this clears the shells + live finals)
-    def deleteRec(p: java.io.File): Unit = {
-      Option(p.listFiles).foreach(_.foreach(deleteRec))
-      p.delete(): Unit
-    }
-    deleteRec(ckptDir.toFile)
   }
 }

@@ -789,19 +789,34 @@ object Similarity {
     val edges = edgesOverride.getOrElse(
         knnGraphShared(embeddings, graphK, nCells))
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-    val sym = edges
+    // every frame the traversal re-reads is ANCHORED once: without
+    // the cuts the lazy hop chain references the previous frontier
+    // TWICE (fr ∪ neighbors-of-fr), so the plan — and the corpus
+    // rescans of `assigned`/`sym` inside it — doubled per hop
+    // (2^hops scans by the final cut; s43/s44/s45 were the bench's
+    // three slowest queries until this). EXCEPT on the stored-graph
+    // path (s45): there the edge read is the partition-pruned parquet
+    // scan whose visibility in the final plan IS the audited contract
+    // — it stays lazy, and each hop re-reads only the query batch's
+    // ≤ nQueries cell directories.
+    val symRaw = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+    val sym =
+      if (edgesOverride.isEmpty) graft.operators.Anchor.cut(symRaw)
+      else symRaw
     val centroids = Clustering.trainedCentroidsLocal(embeddings, nCells)
     val vectors = embeddings
       .select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("vnorm2", Dedup.dotExpr("emb", "emb"))
-    val assigned = Clustering.assign(vectors, centroids)
-      .select(col("vec_id"), col("emb"), col("vnorm2"),
-        col("cluster_id").as("cell"))
-    val queries = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
-        col("vnorm2").as("qnorm2"), col("cell").as("qcell"))
+    val assigned = graft.operators.Anchor.cut(
+      Clustering.assign(vectors, centroids)
+        .select(col("vec_id"), col("emb"), col("vnorm2"),
+          col("cluster_id").as("cell")))
+    val queries = graft.operators.Anchor.cut(
+      assigned.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+          col("vnorm2").as("qnorm2"), col("cell").as("qcell")))
     // fixed entry point: the anchor node of the query's coarse cell
     val entry = assigned.groupBy(col("cell"))
       .agg(min(col("vec_id")).as("node"))
@@ -823,7 +838,16 @@ object Similarity {
           (sqrt(col("nnorm2")) * sqrt(col("qnorm2"))))
       topKByQuery(scored, "cosine", width)
     }
-    var frontier = topBeam(entry, beam)
+    // each hop's frontier is a bounded nQueries·beam-row artifact —
+    // anchor it so the next hop (which reads it twice) and s44's
+    // per-hop final cuts read a materialized frame, not the chain.
+    // On the stored-graph path the traversal stays LAZY end to end
+    // (same reason as `sym` above: the audited final plan must carry
+    // the pruned scan); the doubling is over the anchored `assigned`
+    // artifact and the ≤ nQueries pruned cell directories — bounded.
+    def cutHop(df: DataFrame): DataFrame =
+      if (edgesOverride.isEmpty) graft.operators.Anchor.cut(df) else df
+    var frontier = cutHop(topBeam(entry, beam))
     val frontiers = (1 to hops).map { _ =>
       val fr = frontier.select(col("query_id"),
         col("neighbor_id").as("node"))
@@ -832,7 +856,7 @@ object Similarity {
           col("node").as("src"))), Seq("src"))
         .select(col("query_id"), col("dst").as("node"))
       val cand = fr.union(nbrs).distinct()
-      frontier = topBeam(cand, beam)
+      frontier = cutHop(topBeam(cand, beam))
       frontier
     }
     BeamParts(frontiers, topBeam)
