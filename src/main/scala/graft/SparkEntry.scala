@@ -809,7 +809,14 @@ object SparkEntry {
     // b07: exact sign-flip permutation test over b06's per-query AP
     // deltas — all 2^K assignments enumerated, two-sided p, no RNG
     "b07_sign_permutation" -> ((s, d) =>
-      graft.operators.Ranking.rankerSignificance(Tables.documents(s, d)))
+      graft.operators.Ranking.rankerSignificance(Tables.documents(s, d))),
+    // l19/l20: interchange-format round-trip fidelity — worst-case
+    // injected tail (newline/comma/quote/backslash/tab/non-ASCII),
+    // write-once artifact, hash-proof vs the parquet ground truth
+    "l19_jsonl_fidelity" -> ((s, d) =>
+      graft.sources.FormatFidelity.jsonlRoundTrip(Tables.documents(s, d))),
+    "l20_csv_fidelity" -> ((s, d) =>
+      graft.sources.FormatFidelity.csvRoundTrip(Tables.documents(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -3176,6 +3183,22 @@ object SparkEntry {
         |  CAST(h2.x AS DOUBLE) / 1073741824.0 AS hub
         |FROM a2 JOIN h2 USING (node)
         |ORDER BY auth_fp DESC, node""".stripMargin
+  }
+
+  /** l19/l20: the expected round-trip identity, computed from the
+    * PARQUET ground truth with the SAME injected tail the Spark side
+    * appends before writing — the tail literal is rendered from
+    * [[graft.sources.FormatFidelity.HardSuffix]] itself (the t41
+    * shared-injection contract), so the two engines cannot drift. A
+    * hash match therefore proves the interchange format preserved
+    * every byte. */
+  private lazy val FormatFidelityOracle: String = {
+    val tail = "'" +
+      graft.sources.FormatFidelity.HardSuffix.replace("'", "''") + "'"
+    s"SELECT doc_id, lang, source,\n" +
+      s"  CAST(length(text || $tail) AS BIGINT) AS rt_chars,\n" +
+      s"  md5(text || $tail) AS text_md5\n" +
+      "FROM documents ORDER BY doc_id"
   }
 
   /** b07: b06's oracle nested whole (MATERIALIZED — it is read once
@@ -7246,6 +7269,10 @@ object SparkEntry {
     "b06_ranker_compare" -> RankerCompareOracle,
     // b07: b06 nested + exact 2^K sign-flip enumeration, two-sided p
     "b07_sign_permutation" -> SignPermutationOracle,
+    // l19/l20: both formats must reproduce the PARQUET ground truth
+    // with the shared injected tail — one oracle, two round trips
+    "l19_jsonl_fidelity" -> FormatFidelityOracle,
+    "l20_csv_fidelity" -> FormatFidelityOracle,
     "c03_proximity_rank" -> ProximityOracle,
     // c04: all-integer Dirichlet factors, ONE division each, product
     // left-associated in fixed term order — no log in either engine

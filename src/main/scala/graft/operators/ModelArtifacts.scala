@@ -67,7 +67,7 @@ object ModelArtifacts {
     * [[IndexStore]], which caches DERIVED STORED TABLES (PQ code
     * columns) under the same training-set-identity contract as the
     * in-memory model artifacts. */
-  private[operators] def planKey(kind: String, input: DataFrame,
+  private[graft] def planKey(kind: String, input: DataFrame,
       params: String): String = {
     val analyzed = input.queryExecution.analyzed
     val leafData = analyzed.collectLeaves().map {

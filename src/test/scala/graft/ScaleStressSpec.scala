@@ -621,6 +621,14 @@ class ScaleStressSpec extends SparkSpec {
       val m = T.unigramTrain(docs)
       T.unigramScore(docsX, m)
     }, true),
+    // l19/l20: one narrow write pass (cache miss, first timed pass
+    // only) + a schema-explicit text-source scan; no joins, no crosses
+    ("l19_jsonl_fidelity",
+      graft.sources.FormatFidelity.jsonlRoundTrip(docs),
+      graft.sources.FormatFidelity.jsonlRoundTrip(docsX), false),
+    ("l20_csv_fidelity",
+      graft.sources.FormatFidelity.csvRoundTrip(docs),
+      graft.sources.FormatFidelity.csvRoundTrip(docsX), false),
     // b07: b06's two corpus passes down to K rows; the 2^K flip
     // enumeration is data-size-independent (K = probe-query count)
     ("b07_sign_permutation",

@@ -1,0 +1,58 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** l19/l20: the round trip must reproduce the hardened original
+  * row-for-row (a stronger check than the published hash columns),
+  * including on crafted pathological text the fixture corpus never
+  * contains. */
+class FormatFidelitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def pathological = Seq(
+    (1L, "plain words only", "en", "s0"),
+    (2L, "embedded\nnewline and \"doubled\" quotes", "en", "s0"),
+    (3L, "comma,separated,and a trailing backslash\\", "de", "s1"),
+    (4L, "tab\there + unicode é世界", "ja", "s1"),
+    (5L, "quote at end\"", "en", "s2"),
+    (6L, "\"starts quoted\" and\nsplits\nthrice", "en", "s2")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  private def expected(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("doc_id"), col("lang"), col("source"),
+      length(concat(col("text"), lit(FormatFidelity.HardSuffix)))
+        .cast("long").as("rt_chars"),
+      md5(concat(col("text"), lit(FormatFidelity.HardSuffix)))
+        .as("text_md5"))
+    .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+
+  test("JSONL round trip is byte-exact on pathological text") {
+    val got = FormatFidelity.jsonlRoundTrip(pathological)
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected(pathological))
+  }
+
+  test("CSV (RFC-4180 posture) round trip is byte-exact on " +
+      "pathological text") {
+    val got = FormatFidelity.csvRoundTrip(pathological)
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected(pathological))
+  }
+
+  test("the hard suffix carries every hazard class it claims") {
+    val s = FormatFidelity.HardSuffix
+    assert(s.contains("\n") && s.contains(",") && s.contains("\"") &&
+      s.contains("\\") && s.contains("\t") && s.exists(_ > 127))
+  }
+
+  test("fixture round trips agree with each other and the ground " +
+      "truth (format-independent identity)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val j = FormatFidelity.jsonlRoundTrip(docs).collect().map(_.toSeq)
+    val c = FormatFidelity.csvRoundTrip(docs).collect().map(_.toSeq)
+    assert(j.nonEmpty && j.toSeq == c.toSeq)
+    assert(j.toSeq == expected(docs))
+  }
+}
