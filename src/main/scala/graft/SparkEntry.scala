@@ -816,7 +816,14 @@ object SparkEntry {
     "l19_jsonl_fidelity" -> ((s, d) =>
       graft.sources.FormatFidelity.jsonlRoundTrip(Tables.documents(s, d))),
     "l20_csv_fidelity" -> ((s, d) =>
-      graft.sources.FormatFidelity.csvRoundTrip(Tables.documents(s, d)))
+      graft.sources.FormatFidelity.csvRoundTrip(Tables.documents(s, d))),
+    // l21: the SPLITTABLE CSV posture — one record per line by
+    // construction (percent-encoded record separators, decoded after
+    // a default line-oriented read), same hash proof as l20 but the
+    // file stays byte-splittable at 100 TB
+    "l21_csv_splittable_fidelity" -> ((s, d) =>
+      graft.sources.FormatFidelity.csvSplittableRoundTrip(
+        Tables.documents(s, d)))
   )
 
   /** q40's SQL, shared verbatim between the Spark query (over a temp
@@ -3206,7 +3213,10 @@ object SparkEntry {
     * flip enumeration: term-ordered delta list, per-assignment signed
     * fold via the 1-based list_transform index (the Spark side's
     * 0-based counter walks the same sorted order), one ÷K tree shared
-    * by every mean, p as one division of exact longs. */
+    * by every mean, p as one division of exact longs. The final WHERE
+    * mirrors the Spark side's `nq > 0` guard: on a corpus where no
+    * probe term is judged both engines agree on EMPTY instead of the
+    * oracle emitting a degenerate (0, NULL) row. */
   private lazy val SignPermutationOracle: String =
     "WITH dl AS MATERIALIZED (SELECT term, delta FROM (\n" +
       RankerCompareOracle + "\n) z),\n" +
@@ -3233,7 +3243,8 @@ object SparkEntry {
         |    AS p_value,
         |  (CAST(ag.n_extreme AS DOUBLE) / CAST(ag.n_flips AS DOUBLE))
         |    <= 0.05 AS significant
-        |FROM ob CROSS JOIN ag""".stripMargin
+        |FROM ob CROSS JOIN ag
+        |WHERE ob.nq > 0""".stripMargin
 
   /** c03: b01's oracle with the rank/limit surgically removed for the
     * unranked base; proximity = lag-window gaps over query-term
@@ -7273,6 +7284,9 @@ object SparkEntry {
     // with the shared injected tail — one oracle, two round trips
     "l19_jsonl_fidelity" -> FormatFidelityOracle,
     "l20_csv_fidelity" -> FormatFidelityOracle,
+    // l21: identical ground truth — the encode/decode pair must be
+    // invisible in the published (chars, md5) frame
+    "l21_csv_splittable_fidelity" -> FormatFidelityOracle,
     "c03_proximity_rank" -> ProximityOracle,
     // c04: all-integer Dirichlet factors, ONE division each, product
     // left-associated in fixed term order — no log in either engine

@@ -53,7 +53,15 @@ object Anchor {
       val p = df.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val out = p.checkpoint(eager = true)
-      p.unpersist(blocking = false)
+      // BLOCKING unpersist: checkpoint(eager) has already run the
+      // write job by the time it returns, but a non-blocking drop
+      // leaves block removal racing any straggler reads on a busy
+      // cluster — worst case the write-side recompute the persist
+      // exists to prevent. Blocking costs one synchronous block sweep
+      // on an already-finished job and closes the window for good
+      // (AnchorSpec holds the recompute-free property via listener
+      // stage counts).
+      p.unpersist(blocking = true)
       // Checkpoint files are the fault-tolerant TRUTH; serving every
       // downstream action by re-deserializing them is not the posture
       // a cluster job takes — it caches the checkpointed frame and

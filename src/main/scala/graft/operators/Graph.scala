@@ -447,14 +447,22 @@ object Graph {
     * g04 shuffle — co-partition/bucket by src at scale), one map-side-
     * combined weighted-sum agg, a left join back to the node set, and
     * the 1-row max broadcast-crossed in (intended BNLJ); each
-    * half-step is `Anchor.cut` so the alternation never re-executes
-    * the other role's chain. Node-set and edge frames should arrive
-    * anchored ([[eventTypeHits]]). */
+    * half-step is anchored through a per-role [[Anchor.Loop]] so the
+    * alternation never re-executes the other role's chain AND each
+    * superseded half-step's storage (cache entry + checkpoint files on
+    * the reliable path) is RELEASED the moment the next same-role
+    * half-step materializes — without the Loops, a long Verify sweep
+    * pinned 2·iters dead half-step anchors for the whole session (the
+    * r18 advice finding). The loop-invariant node-set anchor is
+    * released after the final half-step (the result plan references
+    * only the two live anchors). Node-set and edge frames should
+    * arrive anchored ([[eventTypeHits]]). */
   def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration")
     val S = 1L << 30
     val nodes = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node"))).distinct()
-      .anchored // referenced 2× per iteration + the final join
+      .anchored // referenced 2× per iteration; released after the loop
     def normalized(raw: DataFrame): DataFrame = {
       val m = raw.agg(max(col("x")).as("m"))
       raw.crossJoin(broadcast(m))
@@ -467,16 +475,21 @@ object Graph {
         .join(scores.withColumnRenamed("node", from), from)
         .select(col(to), (col("x") * col("w")).as("c"))
         .groupBy(col(to)).agg(sum(col("c")).as("xr"))
-      Anchor.cut(normalized(
+      normalized(
         nodes.join(raw, col("node") === col(to), "left")
-          .select(col("node"), coalesce(col("xr"), lit(0L)).as("x"))))
+          .select(col("node"), coalesce(col("xr"), lit(0L)).as("x")))
     }
+    val authLoop = new Anchor.Loop
+    val hubLoop = new Anchor.Loop
     var auth = nodes.select(col("node"), lit(S).as("x"))
     var hub = nodes.select(col("node"), lit(S).as("x"))
     for (_ <- 1 to iters) {
-      auth = halfStep(hub, "src", "dst")
-      hub = halfStep(auth, "dst", "src")
+      auth = authLoop.cut(halfStep(hub, "src", "dst"))
+      hub = hubLoop.cut(halfStep(auth, "dst", "src"))
     }
+    // the final auth/hub anchors are materialized supersets of every
+    // nodes read — the invariant anchor is dead from here
+    Anchor.release(nodes)
     auth.withColumnRenamed("x", "auth_fp")
       .join(hub.withColumnRenamed("x", "hub_fp"), Seq("node"))
       .select(col("node"), col("auth_fp"), col("hub_fp"),

@@ -783,9 +783,23 @@ object Similarity {
   private case class BeamParts(frontiers: Seq[DataFrame],
       topBeam: (DataFrame, Int) => DataFrame)
 
+  /** `keepFrontiers = false` (the s43 serve, which reads only the
+    * final frontier) routes the per-hop anchors through an
+    * [[Anchor.Loop]]: each superseded frontier's storage (cache entry
+    * + checkpoint files on Verify's reliable path) is released the
+    * moment the next hop materializes, and `frontiers` carries only
+    * the final live one — without this a long sweep pinned every
+    * dead hop frontier for the session (the r18 advice finding). s44
+    * passes `true` because its convergence curve reads EVERY frontier
+    * of the one traversal. The `sym` anchor is released after the
+    * last hop on both settings (the final frontiers are materialized
+    * supersets of every edge probe); the `assigned`/`queries` anchors
+    * stay live deliberately — the returned `topBeam` closure reads
+    * them lazily inside the caller's result plan. */
   private def beamParts(embeddings: DataFrame, nQueries: Int, beam: Int,
       hops: Int, graphK: Int, nCells: Int,
-      edgesOverride: Option[DataFrame] = None): BeamParts = {
+      edgesOverride: Option[DataFrame] = None,
+      keepFrontiers: Boolean = true): BeamParts = {
     val edges = edgesOverride.getOrElse(
         knnGraphShared(embeddings, graphK, nCells))
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
@@ -845,8 +859,11 @@ object Similarity {
     // (same reason as `sym` above: the audited final plan must carry
     // the pruned scan); the doubling is over the anchored `assigned`
     // artifact and the ≤ nQueries pruned cell directories — bounded.
+    val hopLoop = new graft.operators.Anchor.Loop
     def cutHop(df: DataFrame): DataFrame =
-      if (edgesOverride.isEmpty) graft.operators.Anchor.cut(df) else df
+      if (edgesOverride.nonEmpty) df
+      else if (keepFrontiers) graft.operators.Anchor.cut(df)
+      else hopLoop.cut(df)
     var frontier = cutHop(topBeam(entry, beam))
     val frontiers = (1 to hops).map { _ =>
       val fr = frontier.select(col("query_id"),
@@ -859,7 +876,12 @@ object Similarity {
       frontier = cutHop(topBeam(cand, beam))
       frontier
     }
-    BeamParts(frontiers, topBeam)
+    // every edge probe is inside a materialized frontier now — the
+    // symmetrized-graph anchor is dead (the final ranking reads only
+    // `assigned`/`queries` through topBeam)
+    if (edgesOverride.isEmpty) graft.operators.Anchor.release(sym)
+    BeamParts(if (keepFrontiers) frontiers else Seq(frontier),
+      topBeam)
   }
 
   /** Final ranked top-k from a frontier: the query itself is excluded
@@ -873,7 +895,8 @@ object Similarity {
   def beamSearchTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
       beam: Int = 8, hops: Int = 3, graphK: Int = 5,
       nCells: Int = 32): DataFrame = {
-    val p = beamParts(embeddings, nQueries, beam, hops, graphK, nCells)
+    val p = beamParts(embeddings, nQueries, beam, hops, graphK, nCells,
+      keepFrontiers = false)
     beamFinal(p, p.frontiers.last, k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"),
         col("rank"))

@@ -629,6 +629,12 @@ class ScaleStressSpec extends SparkSpec {
     ("l20_csv_fidelity",
       graft.sources.FormatFidelity.csvRoundTrip(docs),
       graft.sources.FormatFidelity.csvRoundTrip(docsX), false),
+    // l21: l20's pass shape plus the percent encode/decode map-side
+    // expressions; the read is the default line-oriented (splittable)
+    // CSV scan instead of multiLine
+    ("l21_csv_splittable_fidelity",
+      graft.sources.FormatFidelity.csvSplittableRoundTrip(docs),
+      graft.sources.FormatFidelity.csvSplittableRoundTrip(docsX), false),
     // b07: b06's two corpus passes down to K rows; the 2^K flip
     // enumeration is data-size-independent (K = probe-query count)
     ("b07_sign_permutation",

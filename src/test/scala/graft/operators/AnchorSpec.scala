@@ -67,6 +67,29 @@ class AnchorSpec extends SparkSpec {
     }
   }
 
+  test("reliable cut computes its input exactly ONCE (the persist " +
+      "around the checkpoint write makes it recompute-free)") {
+    withCheckpointDir { _ =>
+      // a per-partition compute counter: the eager count populates the
+      // cache (8 bumps), the checkpoint write job must read those
+      // blocks — a second round of bumps would mean the write
+      // recomputed the plan (the exact failure the persist+blocking-
+      // unpersist pairing exists to prevent)
+      val acc = spark.sparkContext.longAccumulator("anchor-computes")
+      import spark.implicits._
+      val base = spark.range(0, 64, 1, 8).as[Long]
+        .mapPartitions { it => acc.add(1); it }.toDF("n")
+      val cut = Anchor.cut(base)
+      assert(acc.value == 8,
+        s"plan computed ${acc.value}/8 partition passes — the " +
+          "checkpoint write recomputed instead of reading the cache")
+      // downstream actions serve from the anchor, never the lineage
+      assert(cut.count() == 64)
+      assert(acc.value == 8)
+      Anchor.release(cut)
+    }
+  }
+
   test("Loop keeps exactly one live reliable anchor as rounds advance") {
     withCheckpointDir { dir =>
       def rddDirs(): Set[String] = {

@@ -17,7 +17,15 @@ class FormatFidelitySpec extends SparkSpec {
     (3L, "comma,separated,and a trailing backslash\\", "de", "s1"),
     (4L, "tab\there + unicode é世界", "ja", "s1"),
     (5L, "quote at end\"", "en", "s2"),
-    (6L, "\"starts quoted\" and\nsplits\nthrice", "en", "s2")
+    (6L, "\"starts quoted\" and\nsplits\nthrice", "en", "s2"),
+    // edge whitespace: the CSV writer's ignore*WhiteSpace defaults
+    // trim these silently — the r18 advice finding
+    (7L, "  leading spaces and trailing  ", " en ", "s3"),
+    (8L, "\tstarts with a tab", "en", "s3"),
+    // empty string fields must survive as "", not collapse to null
+    (9L, "text\nwith body", "", "s4"),
+    // percent signs exercise the l21 encode/decode (% is its escape)
+    (10L, "100% done%0Anot a newline %25 literal", "en", "s4")
   ).toDF("doc_id", "text", "lang", "source")
 
   private def expected(df: org.apache.spark.sql.DataFrame) = df
@@ -41,6 +49,13 @@ class FormatFidelitySpec extends SparkSpec {
     assert(got == expected(pathological))
   }
 
+  test("splittable CSV (l21, percent-encoded line structure) round " +
+      "trip is byte-exact on pathological text") {
+    val got = FormatFidelity.csvSplittableRoundTrip(pathological)
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected(pathological))
+  }
+
   test("the hard suffix carries every hazard class it claims") {
     val s = FormatFidelity.HardSuffix
     assert(s.contains("\n") && s.contains(",") && s.contains("\"") &&
@@ -52,7 +67,23 @@ class FormatFidelitySpec extends SparkSpec {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val j = FormatFidelity.jsonlRoundTrip(docs).collect().map(_.toSeq)
     val c = FormatFidelity.csvRoundTrip(docs).collect().map(_.toSeq)
+    val sp = FormatFidelity.csvSplittableRoundTrip(docs)
+      .collect().map(_.toSeq)
     assert(j.nonEmpty && j.toSeq == c.toSeq)
+    assert(j.toSeq == sp.toSeq)
     assert(j.toSeq == expected(docs))
+  }
+
+  test("the percent encode/decode pair is lossless on adversarial " +
+      "strings (token-boundary soundness)") {
+    // strings whose ENCODED forms contain lookalike token text:
+    // literal %0A, literal %25, % followed by 0A, stacked escapes
+    val hard = Seq((1L, "%0A", "x", "s"), (2L, "%25", "x", "s"),
+      (3L, "%%0A%", "x", "s"), (4L, "\n%0A\n%25%", "x", "s"),
+      (5L, "%250A", "x", "s"), (6L, "\r\n mixed \r and % ends%", "x", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = FormatFidelity.csvSplittableRoundTrip(hard)
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected(hard))
   }
 }
