@@ -972,13 +972,16 @@ object Dedup {
     * Plan shape: one shingle-keyed df count + join back (AQE-skew
     * territory, same as t09), a doc-partitioned rank window (parallel),
     * the prefix self-join (postings ≈ half each doc's rare tail), then
-    * candidate-restricted intersection counts and a sizes join. One
-    * double division per surviving pair. */
+    * the PPJoin+ VERIFY: per-doc sorted shingle arrays joined onto the
+    * candidate pairs and one codegen'd suffix-filtered merge per pair
+    * ([[graft.functions.SuffixVerify]]) — exact intersection for
+    * survivors, earliest-provable abandonment for the rest. One double
+    * division per surviving pair. */
   def ppjoinPairs(documents: DataFrame, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // referenced 5x (df count, sizes, rank, both verify sides) — the
-    // checkpoint trades one postings materialization for five shingle
+    // referenced 4x (df count, sizes, rank, verify arrays) — the
+    // checkpoint trades one postings materialization for four shingle
     // explodes; measured NEUTRAL at sf0.1 (the explode is not the
     // dominant stage — the rank/verify shuffles are), kept for the
     // lineage fan-out
@@ -1021,18 +1024,29 @@ object Dedup {
         ceil(lit(threshold) * (col("n_a") + col("n_b")) /
           (lit(1.0) + lit(threshold)) - lit(1e-9)).cast("long"))
       .select(col("doc_a"), col("doc_b"))
-    val inter = cand
-      .join(post.toDF("doc_a", "shingle"), "doc_a")
-      .join(post.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
-      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+    // VERIFY = suffix-filtered sorted-merge (Xiao 2008 §4, the
+    // PPJoin+ step; [[graft.functions.SuffixVerify]]): each doc's
+    // surviving shingle set rides ONCE as a sorted array into the
+    // candidate pairs, and one codegen'd merge per pair either proves
+    // the pair under-threshold at the earliest positional bound
+    // (−1, the suffix filter) or returns its EXACT intersection.
+    // Replaces the exploded per-candidate double join + groupBy
+    // (Σ_cand(|A|+|B|) shuffled rows) with two doc-keyed array joins
+    // and a map-side loop — the shuffles move each doc's set once per
+    // pair membership, and nothing re-aggregates.
+    val docArr = post.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("arr"))
+    cand
+      .join(docArr.toDF("doc_a", "arr_a"), "doc_a")
+      .join(docArr.toDF("doc_b", "arr_b"), "doc_b")
+      .withColumn("inter", graft.functions.SuffixVerifyFns
+        .suffixVerify(col("arr_a"), col("arr_b"), threshold))
+      .filter(col("inter") >= 0L)
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+          (size(col("arr_a")).cast("long") + size(col("arr_b")).cast("long")
+            - col("inter")).cast("double"))
           .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
