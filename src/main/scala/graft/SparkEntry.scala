@@ -617,6 +617,11 @@ object SparkEntry {
     // (IndexStore) — probe schedule prunes to the query batch's cells
     "s45_stored_graph_serve" -> ((s, d) =>
       S.storedGraphBeamRecall(Tables.embeddings(s, d))),
+    // s46: FILTERED graph-ANN serve (filtered-DiskANN face) — the
+    // traversal navigates the unfiltered graph, the answer re-ranks
+    // the predicate-matching visited beam; recall vs prefilter truth
+    "s46_filtered_beam_recall" -> ((s, d) =>
+      S.filteredBeamRecall(Tables.embeddings(s, d))),
     // t40: per-benchmark-item leakage report (p02 from the eval side)
     "t40_contamination_report" -> ((s, d) =>
       T.contaminationReport(Tables.documents(s, d),
@@ -1760,6 +1765,40 @@ object SparkEntry {
       "FROM bhx x LEFT JOIN bfa a ON x.hop = a.hop\n" +
       "  AND x.query_id = a.query_id AND x.neighbor_id = a.node\n" +
       "GROUP BY x.hop, x.query_id ORDER BY x.hop, x.query_id"
+
+  /** s46's PREFILTER truth, standalone (nested as a subquery — its
+    * BruteCtes names `n`/`q`/`scored`/`r` collide with the beam chain's
+    * `r`): exact top-5 over the predicate-matching corpus only. */
+  private lazy val FilteredBruteTruth: String =
+    s"WITH $BruteCtes\n" +
+    """SELECT query_id, neighbor_id FROM (
+      |  SELECT s.query_id, s.neighbor_id,
+      |    row_number() OVER (PARTITION BY s.query_id
+      |      ORDER BY s.cosine DESC, s.neighbor_id ASC) AS rk
+      |  FROM scored s JOIN n ON s.neighbor_id = n.vec_id
+      |  WHERE n.label % 2 = 0) WHERE rk <= 5""".stripMargin
+
+  /** s46: filtered-DiskANN serve — the s43 traversal verbatim, then
+    * the answer set = predicate-matching members of the VISITED beam
+    * (bf1 ∪ bf2 ∪ bf3) re-ranked to top-5 by the shared final cut;
+    * recall against the nested prefilter truth. */
+  private lazy val FilteredBeamRecallOracle: String =
+    s"WITH $BeamCtes,\n" +
+    """bva AS (SELECT DISTINCT query_id, node FROM (
+      |  SELECT query_id, node FROM bf1
+      |  UNION ALL SELECT query_id, node FROM bf2
+      |  UNION ALL SELECT query_id, node FROM bf3) u),
+      |bvm AS (SELECT v.query_id, v.node FROM bva v
+      |  JOIN embeddings e ON e.vec_id = v.node
+      |  WHERE e.label % 2 = 0 AND v.node <> v.query_id),""".stripMargin +
+      "\n" + beamFinCte("bffin", "bvm") + ",\n" +
+      s"bftr AS (SELECT query_id, neighbor_id\n" +
+      s"  FROM ($FilteredBruteTruth) ft)\n" +
+      """SELECT e.query_id, CAST(COUNT(a.node) AS BIGINT) AS n_hits,
+        |  CAST(COUNT(a.node) AS DOUBLE) / 5.0 AS recall
+        |FROM bftr e LEFT JOIN bffin a ON e.query_id = a.query_id
+        |  AND e.neighbor_id = a.node
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
   /** s22: trained per-dim SQ8 — stats/encode/weight CTEs mirror the
     * Spark expression trees exactly (same IEEE shapes, floor-to-long,
@@ -4280,6 +4319,7 @@ object SparkEntry {
     "s42_mips_ivf_recall" -> MipsIvfRecallOracle,
     "s43_graph_beam_recall" -> BeamSearchRecallOracle,
     "s44_beam_hops_recall" -> BeamHopsRecallOracle,
+    "s46_filtered_beam_recall" -> FilteredBeamRecallOracle,
     // s45 serves the SAME graph content from its at-rest form — the
     // oracle is s43's by identity (the spec asserts frame equality)
     "s45_stored_graph_serve" -> BeamSearchRecallOracle,

@@ -994,6 +994,59 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id")), k)
   }
 
+  /** s46: FILTERED graph-ANN serve — the "filtered-DiskANN" face
+    * (Gollapudi et al. 2023): a metadata predicate restricts the
+    * ANSWER SET but the traversal still navigates the UNFILTERED
+    * graph — non-matching nodes are roads, and pruning them from
+    * navigation fragments connectivity exactly where matches are
+    * sparse (the paper's core observation). Serve = ONE s43
+    * traversal; the answer re-ranks the predicate-matching members of
+    * the traversal's VISITED beam (the union of every hop frontier —
+    * the candidate pool the search actually evaluated) down to top-k.
+    * Recall against the PREFILTER truth: exact top-k over the
+    * matching corpus (the s26 ground-truth stance), so the published
+    * curve is the real filtered-serving quality, not recall against
+    * an unfiltered truth the filter could never return.
+    *
+    * Exactness/determinism: the s43 traversal is deterministic, the
+    * visited set is a pure function of it, and both rankings are the
+    * fixed-order cosine with (score desc, id asc) tie-breaks — the
+    * oracle unrolls the same hops and re-ranks the same matched set.
+    *
+    * Scale: adds to s43's cost only a label probe on the visited set
+    * (hops·beam rows per query, broadcast-joined) and one bounded
+    * top-k — the predicate never touches corpus-scale frames; the
+    * prefilter truth side is the eval harness, not the serve. The
+    * predicate here is the fixture's label parity; any metadata
+    * predicate slots in. */
+  def filteredBeamRecall(embeddings: DataFrame, nQueries: Int = 5,
+      k: Int = 5, beam: Int = 8, hops: Int = 3, graphK: Int = 5,
+      nCells: Int = 32): DataFrame = {
+    val pred = col("label") % 2 === 0
+    val p = beamParts(embeddings, nQueries, beam, hops, graphK, nCells)
+    val visited = p.frontiers
+      .map(_.select(col("query_id"), col("neighbor_id")))
+      .reduce(_ unionAll _).distinct()
+    val labels = embeddings
+      .select(col("vec_id").as("neighbor_id"), col("label"))
+    val matched = visited.join(labels, "neighbor_id")
+      .filter(pred)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id").as("node"))
+    val approx = p.topBeam(matched, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val corpus = normed(embeddings)
+    val queries = qnormed(queryVectors(embeddings, nQueries))
+    val truth = topKByQuery(
+      corpus.filter(pred)
+        .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", Dedup.dotExpr("embedding", "query_emb") /
+          (sqrt(col("norm2")) * sqrt(col("qnorm2")))),
+      "cosine", k)
+      .select(col("query_id"), col("neighbor_id"))
+    recallPerQuery(truth, approx, k)
+  }
+
   /** The at-rest beam graph: [[knnGraph]] edges + the src vector's
     * trained cell, written once per (corpus, k, cells) as
     * cell-partitioned parquet and READ thereafter. */

@@ -89,6 +89,7 @@ class PlanAuditSpec extends SparkSpec {
     "s43_graph_beam_recall", // s01 exact side + s21's centroid-assign cross
     "s44_beam_hops_recall", // s43's crosses + 3-row hop-config cross
     "s45_stored_graph_serve", // s43's crosses; edges from the stored table
+    "s46_filtered_beam_recall", // s43's crosses + s26's prefilter-truth cross
     "s36_index_lifecycle", // s18/s19's probe-schedule broadcast crosses
     "s38_rotation_recall", // s01 exact side + 3-row tier cross
     "t42_lm_perplexity", // t33's ONE-row (N,V) corpus frame cross

@@ -65,7 +65,15 @@ class ScaleStressSpec extends SparkSpec {
 
   private val sf = sys.env.getOrElse("GRAFT_STRESS_SF",
     "/root/testdata/sf0.001")
-  private val factor = 8
+  /** Synthetic scale multiplier. Default ×8; GRAFT_STRESS_FACTOR=64
+    * runs the same harness at ×64 — the r18 verdict's demand after
+    * q26's quadratic regime hid inside the ×8 window for two rounds
+    * (a small-constant n² term can pass ×8's generous bound and still
+    * detonate at ×64: quadratic shows ~×4096 there, unmissable).
+    * Non-default factors record under "<sf>@x<factor>/" keys in
+    * STRESS_FACTORS.json so the ×8 ratchet history stays intact. */
+  private val factor = sys.env.get("GRAFT_STRESS_FACTOR")
+    .map(_.toInt).getOrElse(8)
 
   import graft.operators.{Dedup => D, Similarity => S, DataQuality => DQ,
     TextAnalysis => T, Windows => W}
@@ -186,6 +194,11 @@ class ScaleStressSpec extends SparkSpec {
     ("s45_stored_graph_serve",
       S.storedGraphBeamRecall(emb),
       S.storedGraphBeamRecall(embX, nCells = 32 * factor), true),
+    // s46: s43's traversal + a label probe on the visited beam + the
+    // prefilter-truth eval side (s26's intended query-batch cross)
+    ("s46_filtered_beam_recall",
+      S.filteredBeamRecall(emb),
+      S.filteredBeamRecall(embX, nCells = 32 * factor), true),
     ("t32_repetition_profile",
       T.repetitionProfile(docs), T.repetitionProfile(docsX), false),
     // r12 continuation: g06 rides s21's graph (cells scale with the
@@ -687,8 +700,10 @@ class ScaleStressSpec extends SparkSpec {
     d.resolve("STRESS_FACTORS.json")
   }
 
-  private def sfName: String =
-    sf.split('/').filter(_.nonEmpty).lastOption.getOrElse(sf)
+  private def sfName: String = {
+    val base = sf.split('/').filter(_.nonEmpty).lastOption.getOrElse(sf)
+    if (factor == 8) base else s"$base@x$factor"
+  }
 
   private def readHistory(): Map[String, Double] = {
     if (!java.nio.file.Files.exists(historyPath)) Map.empty
@@ -748,10 +763,11 @@ class ScaleStressSpec extends SparkSpec {
 
       val t1 = time(baseline)
       val tN = time(scaledDf)
-      // generous ~linear bound: ×12 headroom on ×8 data plus a fixed
-      // allowance for job overhead/GC jitter at fixture scale — a
-      // quadratic operator (~×64) still fails by a wide margin
-      assert(tN <= 12 * t1 + 8.0,
+      // generous ~linear bound: ×1.5·factor headroom on ×factor data
+      // (×12 at the default ×8) plus a fixed allowance for job
+      // overhead/GC jitter at fixture scale — a quadratic operator
+      // (~×factor² = ×64 / ×4096) still fails by a wide margin
+      assert(tN <= 1.5 * factor * t1 + 8.0,
         f"$name: ${t1}%.2fs -> ${tN}%.2fs at x$factor — superlinear")
       val growth = tN / t1
       observed(name) = growth

@@ -350,6 +350,32 @@ class SignLshSpec extends graft.SparkSpec {
     S.clearSharedGraphs(spark)
   }
 
+  test("filtered beam serve (s46): complete-graph limit equals the " +
+      "prefilter truth exactly; production shape bounded") {
+    import org.apache.spark.sql.functions.col
+    val S = graft.operators.Similarity
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 30)
+    // complete symmetrized graph + ample beam: the visited set covers
+    // the corpus, so the filtered answer IS the prefilter exact top-k
+    // — recall must be exactly 1.0 (the filtered analogue of the s43
+    // lossless-limit test)
+    val exact = S.filteredBeamRecall(emb, nQueries = 4, k = 4,
+      beam = 40, hops = 1, graphK = 29, nCells = 1).collect()
+    assert(exact.length == 4)
+    assert(exact.forall(_.getAs[Double]("recall") == 1.0))
+    S.clearSharedGraphs(spark)
+    // production-shaped run: one row per query, recall in [0, 1],
+    // n_hits <= k
+    val rec = S.filteredBeamRecall(emb, nQueries = 3, k = 3, beam = 6,
+      hops = 2, graphK = 4, nCells = 2).collect()
+    assert(rec.length == 3)
+    assert(rec.forall { r =>
+      val v = r.getAs[Double]("recall")
+      v >= 0.0 && v <= 1.0 && r.getAs[Long]("n_hits") <= 3L })
+    S.clearSharedGraphs(spark)
+  }
+
   test("knnGraph blocks strictly by trained cell") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .filter(org.apache.spark.sql.functions.col("vec_id") < 120)
