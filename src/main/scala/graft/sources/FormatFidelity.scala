@@ -164,28 +164,35 @@ object FormatFidelity {
     * gate, not by inspection. Quotes/commas still ride RFC-4180
     * quoting — only the line structure is encoded. */
   def csvSplittableRoundTrip(documents: DataFrame): DataFrame = {
-    val enc = (c: Column) =>
-      regexp_replace(regexp_replace(regexp_replace(
-        c, lit("%"), lit("%25")), lit("\n"), lit("%0A")),
-        lit("\r"), lit("%0D"))
     val dec = (c: Column) =>
       regexp_replace(regexp_replace(regexp_replace(
         c, lit("%0A"), lit("\n")), lit("%0D"), lit("\r")),
         lit("%25"), lit("%"))
-    val key = graft.operators.ModelArtifacts
-      .planKey("fidelity-csv-splittable", documents, "")
     val hard = hardened(documents)
-    val encoded = hard.select(col("doc_id"),
-      enc(col("lang")).as("lang"), enc(col("source")).as("source"),
-      enc(col("text")).as("text"))
-    val dir = stored.computeIfAbsent(key,
-      _ => new StoredCopy("csv", d =>
-        encoded.write.options(CsvOpts).mode("overwrite").format("csv")
-          .save(d))).dir
     val back = documents.sparkSession.read.schema(hard.schema)
-      .options(CsvOpts).format("csv").load(dir)
+      .options(CsvOpts).format("csv").load(splittableCsvDir(documents))
     fidelity(back.select(col("doc_id"),
       dec(col("lang")).as("lang"), dec(col("source")).as("source"),
       dec(col("text")).as("text")))
+  }
+
+  /** The stored splittable-CSV directory for this corpus (written on
+    * first call). `private[sources]` so the spec can prove the
+    * one-record-per-line claim DIRECTLY — a raw line-oriented read of
+    * the stored files must count exactly one line per document. */
+  private[sources] def splittableCsvDir(documents: DataFrame): String = {
+    val enc = (c: Column) =>
+      regexp_replace(regexp_replace(regexp_replace(
+        c, lit("%"), lit("%25")), lit("\n"), lit("%0A")),
+        lit("\r"), lit("%0D"))
+    val key = graft.operators.ModelArtifacts
+      .planKey("fidelity-csv-splittable", documents, "")
+    val encoded = hardened(documents).select(col("doc_id"),
+      enc(col("lang")).as("lang"), enc(col("source")).as("source"),
+      enc(col("text")).as("text"))
+    stored.computeIfAbsent(key,
+      _ => new StoredCopy("csv", d =>
+        encoded.write.options(CsvOpts).mode("overwrite").format("csv")
+          .save(d))).dir
   }
 }

@@ -74,6 +74,20 @@ class FormatFidelitySpec extends SparkSpec {
     assert(j.toSeq == expected(docs))
   }
 
+  test("l21's stored files are genuinely ONE LINE PER RECORD (the " +
+      "splittability claim, proven on the raw bytes)") {
+    val docs = pathological
+    // a raw line-oriented read of the stored directory must see
+    // exactly one line per document — embedded newlines survived the
+    // percent encoding, CRs included (a stray CR/LF would split a
+    // record and break any byte-range task assignment)
+    FormatFidelity.csvSplittableRoundTrip(docs).collect(): Unit
+    val lines = spark.read.text(FormatFidelity.splittableCsvDir(docs))
+      .count()
+    assert(lines == docs.count(),
+      s"expected ${docs.count()} physical lines, raw read saw $lines")
+  }
+
   test("the percent encode/decode pair is lossless on adversarial " +
       "strings (token-boundary soundness)") {
     // strings whose ENCODED forms contain lookalike token text:
