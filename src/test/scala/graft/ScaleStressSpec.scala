@@ -740,6 +740,20 @@ class ScaleStressSpec extends SparkSpec {
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** Per-entry EXTRA ratio allowance for queries whose ×8 RATIO (not
+    * time) is structurally unstable across run contexts: p11's
+    * baseline shares its stored corpus gates with p10's, so in a FULL
+    * suite run p10's timed passes pre-warm p11's baseline state (t1
+    * reads ~1 s) while the scaled side stays cold — the scaled time is
+    * STABLE (~5 s in-suite, solo, and quiet alike; quiet ratio
+    * ×1.2–1.7; ×64 evidence 6.25, strongly sublinear) but the ratio
+    * swings ~×3 with context. A real plan regression still trips the
+    * widened bound: it moves tN, which is exactly the stable term
+    * (adjudicated r19 — the in-suite ×5.02 spike vs quiet ×1.2 on
+    * UNCHANGED code). */
+  private val ratioNoiseAllowance: Map[String, Double] =
+    Map("p11_learned_filter" -> 3.0)
+
   test(s"heavy set grows ≲linearly at ×$factor and keep sane plans ($sf)") {
     val recorded = readHistory()
     val rebaseline = sys.env.contains("GRAFT_STRESS_RECORD")
@@ -782,7 +796,8 @@ class ScaleStressSpec extends SparkSpec {
       // exists for — a broadcast flipping to BNLJ at scale — are x10-50
       // jumps that clear any floor this small
       recorded.get(name).filterNot(_ => rebaseline).foreach { rec =>
-        val bound = 1.5 * math.max(rec, 2.0) + 1.0
+        val bound = 1.5 * math.max(rec, 2.0) + 1.0 +
+          ratioNoiseAllowance.getOrElse(name, 0.0)
         assert(growth <= bound,
           f"$name ×$factor growth x$growth%.2f exceeds x$bound%.2f " +
             f"(1.5x its recorded x$rec%.2f, floored; STRESS_FACTORS" +
