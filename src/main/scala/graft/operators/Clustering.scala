@@ -57,6 +57,224 @@ object Clustering {
         col("best.dist2").as("dist2"))
   }
 
+  /** K-threshold at which [[assignAuto]] switches from the brute
+    * broadcast×corpus [[assign]] to the two-level [[assignPruned]]. At
+    * small K the brute crossJoin is a tight codegen'd loop the pruning
+    * machinery can't beat (and every base-ledger plan stays bitwise
+    * untouched); past this K the O(N·K) dot-product term dominates and
+    * the triangle-inequality prune wins. */
+  val PrunedAssignK: Int = 64
+
+  /** [[assign]] when K is small, [[assignPruned]] when K is large —
+    * same output either way (the pruned form is EXACT, spec-proven
+    * equal row-for-row); only the plan changes. Call sites whose cell
+    * count scales with the corpus (the IVF stance: K ∝ N keeps mean
+    * cell size constant) use this so the assignment term stays
+    * O(N·√K·D) instead of the superlinear O(N·K·D) that made
+    * s21_knn_graph the one above-linear ×64 stress reading (r19
+    * verdict: 70.3 at K = 32→2048). */
+  def assignAuto(vectors: DataFrame, centroids: DataFrame,
+      k: Int): DataFrame =
+    if (k >= PrunedAssignK) assignPruned(vectors, centroids)
+    else assign(vectors, centroids)
+
+  /** One coarse group of the two-level quantizer: a centroid-of-
+    * centroids (float, the exact values the plan's literals carry), its
+    * self-dot, its covering radius over member centroids, and the
+    * member count (driver-side diagnostics). */
+  private case class CoarseGroup(gid: Int, center: Array[Float],
+      gnorm2: Double, r: Double)
+
+  /** EXACT two-level nearest-centroid assignment — the hierarchical
+    * ("coarse-over-centroids") form of [[assign]], the standard IVF
+    * scale lever (FAISS's `IndexIVF` + coarse `quantizer` stance;
+    * two-level k-means assignment per Jégou et al. 2011 §A). Brute
+    * assignment is O(N·K) vector dots; with K ∝ N (the trained-cell
+    * scaling every graph/kNN query uses) that term is superlinear in
+    * the corpus. Here the K centroids are grouped driver-side under
+    * k′ = ⌈√K⌉ coarse centers (centroids are a driver-local model
+    * artifact already — [[trainedCentroidsLocal]]'s adjudication), and
+    * each corpus vector
+    *  1. scores the k′ coarse centers (a literal array column; one
+    *     narrow map, no join),
+    *  2. takes U = min over groups of (d(x,g) + r_g) — an upper bound
+    *     on its true nearest-centroid distance, since every member c
+    *     of g has d(x,c) ≤ d(x,g) + r_g,
+    *  3. admits exactly the groups whose lower bound d(x,g) − r_g can
+    *     still beat U (triangle inequality: members of a group with
+    *     d(x,g) − r_g > U can never win), and
+    *  4. scores ONLY the admitted groups' member centroids (broadcast
+    *     hash join on gid) through the IDENTICAL dist2 expression and
+    *     (dist2, cluster_id) min_by as [[assign]].
+    *
+    * Exactness, not approximation: the admitted set provably contains
+    * every centroid that could attain the minimum (ties included — the
+    * admission test keeps a float-slack margin of 1e-4 + 1e-6·U, many
+    * orders above the ≤ ~1e-7 worst-case rounding of the norm-expansion
+    * distance at unit-ish float32 norms, and admitting EXTRA groups can
+    * never change a min). The final min_by therefore selects the same
+    * (dist2, cluster_id) winner bitwise as the brute form —
+    * HierarchicalAssignSpec holds row-for-row equality against
+    * [[assign]] across K values and corpora, so every downstream oracle
+    * (the s21 CTE chain and its g06–g11/s43–s46 consumers) is untouched.
+    *
+    * Scale shape: per-vector work is k′·D (coarse scoring, interpreted
+    * HOF over √K literal structs) + |admitted members|·D (codegen'd
+    * dots after a broadcast hash join) ≈ O(√K·D) for healthy trained
+    * quantizers, vs the brute K·D; the one shuffle is the same
+    * map-side-partial min_by keyed on vec_id. Driver work is the
+    * k′-means grouping over K rows — model-artifact scale (K ≤ a few
+    * thousand), sequential double arithmetic, fully deterministic. */
+  def assignPruned(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val spark = centroids.sparkSession
+    val centSchema = centroids.select(
+      col("cluster_id"), col("cemb"), col("cnorm2")).schema
+    val rows = centroids.select(
+        col("cluster_id"), col("cemb"), col("cnorm2"))
+      .collect().sortBy(_.getLong(0))
+    require(rows.nonEmpty, "assignPruned: empty centroid frame")
+    val embs: Array[Array[Float]] =
+      rows.map(_.getSeq[Float](1).toArray)
+    val (groups, memberGid) = coarseGroups(embs)
+
+    // member side of the broadcast join: the ORIGINAL centroid rows
+    // (bit-identical cemb/cnorm2 — dist2 must match assign()'s) + gid
+    val memberRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(rows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ memberGid(i))
+      }: _*)
+    val members = spark.createDataFrame(memberRows,
+      centSchema.add("_gid", org.apache.spark.sql.types.IntegerType,
+        nullable = false))
+
+    // coarse centers as one literal array<struct> column: k' entries,
+    // scored per corpus row with the codegen'd graft_dot (interpreted
+    // inside the higher-order lambda — k' ≈ √K terms, not K)
+    val gArr: Column = array(groups.map { g =>
+      struct(lit(g.gid).as("gid"), lit(g.r).as("r"),
+        lit(g.gnorm2).as("gn"),
+        typedlit[Seq[Float]](g.center.toSeq).as("ge"))
+    }: _*)
+    val scoredGroups = transform(gArr, s => struct(
+      s.getField("gid").as("gid"),
+      sqrt(greatest(lit(0d),
+        col("vnorm2") + s.getField("gn") - lit(2.0) *
+          graft.functions.VectorOps.dot(col("emb"), s.getField("ge"))))
+        .as("d"),
+      s.getField("r").as("r")))
+
+    val admitted = vectors
+      .withColumn("_gs", scoredGroups)
+      .withColumn("_u", array_min(
+        transform(col("_gs"), s => s.getField("d") + s.getField("r"))))
+      .withColumn("_gid", explode(transform(
+        filter(col("_gs"), s =>
+          s.getField("d") - s.getField("r") <=
+            col("_u") + lit(1e-4) + lit(1e-6) * col("_u")),
+        s => s.getField("gid"))))
+      .drop("_gs", "_u")
+
+    admitted.join(broadcast(members), Seq("_gid"))
+      .withColumn("dist2",
+        col("vnorm2") + col("cnorm2") -
+          lit(2.0) * graft.functions.VectorOps.dot(col("emb"), col("cemb")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(
+        struct(col("cluster_id"), col("dist2"), col("emb"), col("vnorm2")),
+        struct(col("dist2"), col("cluster_id"))).as("best"))
+      .select(col("vec_id"), col("best.emb").as("emb"),
+        col("best.vnorm2").as("vnorm2"),
+        col("best.cluster_id").as("cluster_id"),
+        col("best.dist2").as("dist2"))
+  }
+
+  /** Driver-side k′-means over the K centroids (k′ = ⌈√K⌉, seeds = the
+    * first k′ in cluster-id order, 3 Lloyd rounds with mean updates,
+    * ties toward the lower gid) → non-empty [[CoarseGroup]]s with
+    * covering radii, plus each centroid's gid. Grouping QUALITY only
+    * affects pruning efficiency, never correctness — the bounds hold
+    * for any grouping — so plain sequential double arithmetic (fully
+    * deterministic) is all this needs. Radii and self-dots are computed
+    * against the FLOAT-cast centers, i.e. the exact values the plan's
+    * literals carry, so the triangle bounds reason about the numbers
+    * the executors actually see. */
+  private def coarseGroups(
+      embs: Array[Array[Float]]): (Seq[CoarseGroup], Array[Int]) = {
+    val k = embs.length
+    val kp = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val dim = embs.map(_.length).max
+    def d2(a: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, c.length)
+      while (i < n) { val t = a(i) - c(i); s += t * t; i += 1 }
+      s
+    }
+    var centers: Array[Array[Double]] =
+      embs.take(kp).map(_.map(_.toDouble).padTo(dim, 0.0))
+    val assignIdx = new Array[Int](k)
+    def assignAll(): Unit = {
+      var i = 0
+      while (i < k) {
+        var best = 0; var bestD = d2(embs(i), centers(0)); var g = 1
+        while (g < centers.length) {
+          val d = d2(embs(i), centers(g))
+          if (d < bestD) { best = g; bestD = d }
+          g += 1
+        }
+        assignIdx(i) = best; i += 1
+      }
+    }
+    var iter = 0
+    while (iter < 3) {
+      assignAll()
+      val sums = Array.fill(centers.length, dim)(0.0)
+      val counts = new Array[Int](centers.length)
+      var i = 0
+      while (i < k) {
+        val g = assignIdx(i); counts(g) += 1
+        var j = 0
+        while (j < embs(i).length) { sums(g)(j) += embs(i)(j); j += 1 }
+        i += 1
+      }
+      centers = centers.indices.map { g =>
+        if (counts(g) == 0) centers(g)
+        else sums(g).map(_ / counts(g))
+      }.toArray
+      iter += 1
+    }
+    // final: float-cast centers, one more exact assignment against the
+    // cast values, radii over the resulting membership
+    val fcenters = centers.map(_.map(_.toFloat))
+    val fAsD = fcenters.map(_.map(_.toDouble))
+    var i = 0
+    while (i < k) {
+      var best = 0; var bestD = d2(embs(i), fAsD(0)); var g = 1
+      while (g < fcenters.length) {
+        val d = d2(embs(i), fAsD(g))
+        if (d < bestD) { best = g; bestD = d }
+        g += 1
+      }
+      assignIdx(i) = best; i += 1
+    }
+    val radii = new Array[Double](fcenters.length)
+    i = 0
+    while (i < k) {
+      val g = assignIdx(i)
+      val d = math.sqrt(d2(embs(i), fAsD(g)))
+      if (d > radii(g)) radii(g) = d
+      i += 1
+    }
+    def selfDot(c: Array[Float]): Double = {
+      var s = 0.0; var j = 0
+      while (j < c.length) { s += c(j).toDouble * c(j).toDouble; j += 1 }
+      s
+    }
+    val nonEmpty = fcenters.indices
+      .filter(g => assignIdx.contains(g))
+      .map(g => CoarseGroup(g, fcenters(g), selfDot(fcenters(g)), radii(g)))
+    (nonEmpty, assignIdx)
+  }
+
   /** Component-wise median centroid update. Lower median: the element
     * at rank ceil(n/2) ordered by (value, vec_id) — selection of an
     * actual input float, no float arithmetic at all. */
@@ -189,7 +407,9 @@ object Clustering {
         col("embedding").as("cemb"))
       .withColumn("cnorm2",
         graft.functions.VectorOps.dot(col("cemb"), col("cemb")))
-    val trained = medianCentroids(assign(vectors, init))
+    // at scaled cell counts (K ∝ N) the TRAINING assignment is itself
+    // the superlinear term — same pruned path as the final assignment
+    val trained = medianCentroids(assignAuto(vectors, init, k))
     val spark = embeddings.sparkSession
     spark.createDataFrame(
       java.util.Arrays.asList(trained.collect(): _*), trained.schema)

@@ -381,7 +381,7 @@ object Graph {
     val vectors = embeddings
       .select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("vnorm2", Dedup.dotExpr("emb", "emb"))
-    val cells = Clustering.assign(vectors, centroids)
+    val cells = Clustering.assignAuto(vectors, centroids, nCells)
       .select(col("vec_id"), col("cluster_id").as("cell"))
     val ec = edges
       .join(cells.select(col("vec_id").as("ea"), col("cell").as("cell_a")),

@@ -671,7 +671,7 @@ object Similarity {
     val vectors = embeddings
       .select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("vnorm2", Dedup.dotExpr("emb", "emb"))
-    val assigned = Clustering.assign(vectors, centroids)
+    val assigned = Clustering.assignAuto(vectors, centroids, nCells)
       .select(col("vec_id"), col("emb"), col("vnorm2"),
         col("cluster_id").as("cell"))
     val scored = assigned
@@ -824,7 +824,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("vnorm2", Dedup.dotExpr("emb", "emb"))
     val assigned = graft.operators.Anchor.cut(
-      Clustering.assign(vectors, centroids)
+      Clustering.assignAuto(vectors, centroids, nCells)
         .select(col("vec_id"), col("emb"), col("vnorm2"),
           col("cluster_id").as("cell")))
     val queries = graft.operators.Anchor.cut(
@@ -1059,7 +1059,7 @@ object Similarity {
       val vectors = embeddings
         .select(col("vec_id"), col("embedding").as("emb"))
         .withColumn("vnorm2", Dedup.dotExpr("emb", "emb"))
-      val cells = Clustering.assign(vectors, centroids)
+      val cells = Clustering.assignAuto(vectors, centroids, nCells)
         .select(col("vec_id"), col("cluster_id").as("cell"))
       knnGraph(embeddings, graphK, nCells).join(cells, Seq("vec_id"))
         .select(col("vec_id"), col("neighbor_id"), col("cosine"),

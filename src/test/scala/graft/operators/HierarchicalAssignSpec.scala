@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[Clustering.assignPruned]] is a PLAN-ONLY change: the two-level
+  * triangle-inequality prune must select, row for row, the identical
+  * (cluster_id, dist2) winners as the brute broadcast×corpus
+  * [[Clustering.assign]] — that equality is what keeps every oracle of
+  * the s21 kNN-graph family (g06–g11, s43–s46) untouched while the
+  * assignment cost drops from O(N·K) to ~O(N·√K). */
+class HierarchicalAssignSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  private def vectorsOf(e: DataFrame): DataFrame = e
+    .select(col("vec_id"), col("embedding").as("emb"))
+    .withColumn("vnorm2",
+      graft.functions.VectorOps.dot(col("emb"), col("emb")))
+
+  private def dump(df: DataFrame): Seq[String] =
+    df.orderBy("vec_id").collect().map(_.toString).toSeq
+
+  test("pruned == brute bitwise across K on the fixture corpus") {
+    for (k <- Seq(4, 8, 23, 64, 100)) {
+      val vectors = vectorsOf(emb)
+      val centroids = Clustering.trainedCentroidsLocal(emb, k)
+      val brute = dump(Clustering.assign(vectors, centroids))
+      val pruned = dump(Clustering.assignPruned(vectors, centroids))
+      assert(pruned == brute, s"pruned assignment diverges at K=$k")
+    }
+  }
+
+  test("pruned == brute on a scaled corpus with co-scaled K (s21 shape)") {
+    val factor = 8
+    val scaled = graft.ScaledTables.scaled(emb, factor,
+      idCols = Seq("vec_id"), vecCols = Seq("embedding"))
+    val k = 32 * factor
+    val vectors = vectorsOf(scaled)
+    val centroids = Clustering.trainedCentroidsLocal(scaled, k)
+    assert(dump(Clustering.assignPruned(vectors, centroids)) ==
+      dump(Clustering.assign(vectors, centroids)))
+  }
+
+  test("tie-break parity: duplicate centroids resolve to the lower id") {
+    // v0 sits exactly between c10/c20; c30 duplicates c10's position —
+    // three global minima, brute's (dist2, cluster_id) min_by keeps 10
+    val vectors = Seq(
+      (0L, Array(5.0f, 0.0f)),
+      (1L, Array(0.1f, 0.0f)),
+      (2L, Array(9.9f, 0.0f))
+    ).toDF("vec_id", "emb")
+      .withColumn("vnorm2",
+        graft.functions.VectorOps.dot(col("emb"), col("emb")))
+    val centroids = Seq(
+      (10L, Array(0.0f, 0.0f)),
+      (20L, Array(10.0f, 0.0f)),
+      (30L, Array(0.0f, 0.0f))
+    ).toDF("cluster_id", "cemb")
+      .withColumn("cnorm2",
+        graft.functions.VectorOps.dot(col("cemb"), col("cemb")))
+    val brute = dump(Clustering.assign(vectors, centroids))
+    val pruned = dump(Clustering.assignPruned(vectors, centroids))
+    assert(pruned == brute)
+    val byVec = Clustering.assignPruned(vectors, centroids)
+      .select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(byVec(0L) == 10L && byVec(1L) == 10L && byVec(2L) == 20L)
+  }
+
+  test("training parity: assignAuto-trained centroids match brute training") {
+    val k = 64 // >= PrunedAssignK, so trainedCentroidsSeeded prunes
+    val vectors = vectorsOf(emb)
+    val init = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster_id"),
+        col("embedding").as("cemb"))
+      .withColumn("cnorm2",
+        graft.functions.VectorOps.dot(col("cemb"), col("cemb")))
+    val bruteTrained = Clustering.medianCentroids(
+      Clustering.assign(vectors, init))
+      .orderBy("cluster_id").collect().map(_.toString).toSeq
+    val viaAuto = Clustering.trainedCentroidsLocal(emb, k)
+      .orderBy("cluster_id").collect().map(_.toString).toSeq
+    assert(viaAuto == bruteTrained)
+  }
+
+  test("pruned plan shape: hash join on the group id, no cartesian") {
+    val vectors = vectorsOf(emb)
+    val centroids = Clustering.trainedCentroidsLocal(emb, 64)
+    val plan = Clustering.assignPruned(vectors, centroids)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "member lookup should be a broadcast HASH join keyed on _gid")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "pruned path must not fall back to the brute crossJoin shape")
+  }
+
+  test("knnGraph at a pruning-tier cell count stays deterministic") {
+    val g1 = Similarity.knnGraph(emb, k = 3, nCells = 64)
+      .collect().map(_.toString).toSeq
+    val g2 = Similarity.knnGraph(emb, k = 3, nCells = 64)
+      .collect().map(_.toString).toSeq
+    assert(g1 == g2 && g1.nonEmpty)
+  }
+}
