@@ -264,6 +264,10 @@ object SparkEntry {
       S.matryoshkaTopK(Tables.embeddings(s, d))),
     // s21: cell-blocked kNN graph — top-k neighbors for EVERY vector
     "s21_knn_graph" -> ((s, d) => S.knnGraph(Tables.embeddings(s, d))),
+    // s47: the multi-assign build — each vector in its top-2 cells,
+    // the boundary-recall buy-back (recall dominates s21's, spec-held)
+    "s47_knn_graph_multi" -> ((s, d) =>
+      S.knnGraphMulti(Tables.embeddings(s, d))),
     // s22: trained per-dim affine SQ8 (FAISS ScalarQuantizer QT_8bit),
     // integer-exact ADC ranking via midpoint weights
     "s22_sq8_topk" -> ((s, d) => S.sq8TopK(Tables.embeddings(s, d))),
@@ -308,6 +312,10 @@ object SparkEntry {
       S.quantizedTopK(Tables.embeddings(s, d))),
     "k01_kmedians_assign" -> ((s, d) =>
       graft.operators.Clustering.kmediansAssign(Tables.embeddings(s, d))),
+    // k08: the hierarchical (two-level pruned) assignment at K=64 —
+    // same results as brute assignment by construction, oracle-pinned
+    "k08_pruned_assign" -> ((s, d) =>
+      graft.operators.Clustering.prunedAssign(Tables.embeddings(s, d))),
     // --- multimodal columns (LLM-pipeline north star) ---
     "m01_media_metadata" -> ((s, d) =>
       graft.operators.Multimodal.mediaMetadata(Tables.documents(s, d))),
@@ -967,15 +975,21 @@ object SparkEntry {
     * final assignment `a2`): k01 selects a2 directly, k02 aggregates
     * inertia over it. (s08 keeps its own inline copy — its a2 carries
     * extra columns.) */
-  private val KMediansA2: String =
-    """WITH v AS (SELECT vec_id, embedding AS emb,
+  private val KMediansA2: String = kMediansA2At(8)
+
+  /** [[KMediansA2]] parameterized by the seed/cluster count K — k08
+    * mirrors the k01 pipeline at K=64, the tier where the Spark side
+    * switches to the two-level pruned assignment (the oracle stays the
+    * BRUTE form: assignPruned is spec-proven bitwise-equal to it). */
+  private def kMediansA2At(k: Int): String =
+    s"""WITH v AS (SELECT vec_id, embedding AS emb,
       |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
       |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
       |    (a, b) -> a + b) AS vnorm2 FROM embeddings),
       |c0 AS (SELECT vec_id AS cluster_id, embedding AS cemb,
       |  list_reduce(list_transform(range(1, len(embedding)+1), i ->
       |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
-      |    (a, b) -> a + b) AS cnorm2 FROM embeddings WHERE vec_id < 8),
+      |    (a, b) -> a + b) AS cnorm2 FROM embeddings WHERE vec_id < $k),
       |a1 AS (SELECT vec_id, emb, vnorm2, cluster_id, dist2 FROM (
       |  SELECT vec_id, emb, vnorm2, cluster_id, dist2,
       |    row_number() OVER (PARTITION BY vec_id
@@ -1645,6 +1659,39 @@ object SparkEntry {
   private val KnnGraphOracle: String =
     s"WITH $KnnGraphCtes\n" +
     """SELECT vec_id, neighbor_id, cosine, rank FROM r
+      |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
+
+  /** s47: the MULTI-ASSIGN build — s21's training CTEs, assignment
+    * widened to rn <= 2 (each vector in its two nearest cells, the
+    * same (dist2 asc, id asc) tie-break as the Spark TopKByScore
+    * argselect), candidate pairs de-duplicated with DISTINCT (the
+    * cosine recomputes bitwise-identically on both join branches, so
+    * DISTINCT collapses a both-cells pair to one row in both
+    * engines). The unused single-assign `a2` CTE stays in the chain —
+    * never referenced, never evaluated. */
+  private val KnnGraphMultiOracle: String =
+    s"WITH $KnnGraphCtes,\n" +
+    """a2m AS (SELECT vec_id, emb, vnorm2, cluster_id FROM (
+      |  SELECT vec_id, emb, vnorm2, cluster_id,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist2 ASC, cluster_id ASC) AS rn
+      |  FROM (SELECT v.vec_id, v.emb, v.vnorm2, c.cluster_id,
+      |    v.vnorm2 + c.cnorm2 - 2.0 * list_reduce(
+      |      list_transform(range(1, len(v.emb)+1), i ->
+      |        CAST(v.emb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS dist2
+      |    FROM v CROSS JOIN c1 c)) WHERE rn <= 2),
+      |scm AS (SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
+      |  list_reduce(list_transform(range(1, len(a.emb)+1), i ->
+      |    CAST(a.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE)),
+      |    (x, y) -> x + y) / (sqrt(a.vnorm2) * sqrt(b.vnorm2)) AS cosine
+      |  FROM a2m a JOIN a2m b ON a.cluster_id = b.cluster_id
+      |    AND a.vec_id <> b.vec_id),
+      |rm AS (SELECT vec_id, neighbor_id, cosine,
+      |  CAST(row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      | FROM scm)
+      |SELECT vec_id, neighbor_id, cosine, rank FROM rm
       |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
 
   /** g06: triangle census over the symmetrized s21 edges — undirected
@@ -4789,6 +4836,10 @@ object SparkEntry {
     // distances reuse the s01 list_reduce dot idiom
     "k01_kmedians_assign" -> (KMediansA2 +
       "\nSELECT vec_id, cluster_id, dist2 FROM a2\nORDER BY vec_id"),
+    // k08: the k01 chain at K=64 — the BRUTE mirror of the Spark
+    // side's two-level pruned assignment (bitwise-equal by design)
+    "k08_pruned_assign" -> (kMediansA2At(64) +
+      "\nSELECT vec_id, cluster_id, dist2 FROM a2\nORDER BY vec_id"),
     // per-cluster inertia over a2: dist2 doubles are bitwise
     // cross-engine, so integer-micro quantization BEFORE the sum makes
     // the total order-free
@@ -4868,6 +4919,7 @@ object SparkEntry {
     "s19_ivfpq_stored_serve" -> IvfPqOracle,
     "s20_matryoshka_rerank" -> MatryoshkaOracle,
     "s21_knn_graph" -> KnnGraphOracle,
+    "s47_knn_graph_multi" -> KnnGraphMultiOracle,
     "s22_sq8_topk" -> Sq8Oracle,
     "s23_mmr_diversify" -> MmrOracle,
     "s24_range_search" -> RangeSearchOracle,

@@ -112,7 +112,20 @@ case class SuffixVerify(first: Expression, second: Expression,
 object SuffixVerifyFns {
 
   /** `suffixVerify(sortedA, sortedB, t)` as a Column: exact |A∩B| when
-    * Jaccard ≥ t, −1 (abandoned) otherwise. */
+    * Jaccard ≥ t, −1 (abandoned) otherwise.
+    *
+    * Preconditions (the caller's contract, not checked):
+    *  - both arrays sorted ascending under Spark's StringType ordering
+    *    (`sort_array`'s UTF8String binary order);
+    *  - NO NULL ELEMENTS — the merge calls getUTF8String per element
+    *    without a null guard (NPE interpreted, undefined under
+    *    codegen). Dedup's `collect_list` inputs satisfy this by
+    *    construction (collect_list drops nulls);
+    *  - the accept gate α carries a 1e-9 ceil slack, so at an exact
+    *    float boundary a pair marginally BELOW t can return its
+    *    intersection instead of −1 — callers needing exactness for
+    *    arbitrary t re-check `jaccard >= t` on survivors (one
+    *    row-local comparison; see d17's final gate). */
   def suffixVerify(a: Column, b: Column, threshold: Double): Column = {
     import org.apache.spark.sql.functions.lit
     ColumnBridge.column(SuffixVerify(

@@ -188,6 +188,127 @@ object Clustering {
         col("best.dist2").as("dist2"))
   }
 
+  /** Brute TOP-M nearest-centroid assignment (FAISS multi-assignment /
+    * nprobe-on-the-index-build): each vector keeps its `m` nearest
+    * centroids by (dist2 asc, cluster_id asc) — the boundary-recall
+    * buy-back every cell-blocked operator's scaladoc names (a vector
+    * near a cell boundary joins BOTH sides' blocks, so
+    * boundary-straddling near-neighbors stop being structural misses).
+    * Output: (vec_id, emb, vnorm2, cluster_id, dist2, crk) with crk =
+    * 1..m, m rows per vector. The argselect is the bounded
+    * [[graft.functions.TopKByScore]] partial agg on score = −dist2
+    * (IEEE negation is exact; ties at equal dist2 fall to the
+    * ascending-id tie-break, matching the oracle's `ORDER BY dist2
+    * ASC, cluster_id ASC`), carrying emb/vnorm2 through `first` —
+    * no corpus-side re-join. */
+  def assignTopM(vectors: DataFrame, centroids: DataFrame,
+      m: Int): DataFrame =
+    topMSelect(vectors.crossJoin(broadcast(centroids))
+      .withColumn("dist2",
+        col("vnorm2") + col("cnorm2") -
+          lit(2.0) * graft.functions.VectorOps.dot(col("emb"),
+            col("cemb"))), m)
+
+  /** The shared top-m argselect tail of [[assignTopM]] /
+    * [[assignTopMPruned]]: scored rows (vec_id, emb, vnorm2,
+    * cluster_id, dist2) → m best per vector. */
+  private def topMSelect(scored: DataFrame, m: Int): DataFrame =
+    scored.groupBy(col("vec_id"))
+      .agg(graft.functions.TopKByScore.topK(m)(
+          (-col("dist2")).cast("double"), col("cluster_id")).as("top"),
+        first(col("emb")).as("emb"),
+        first(col("vnorm2")).as("vnorm2"))
+      .select(col("vec_id"), col("emb"), col("vnorm2"),
+        posexplode(col("top")).as(Seq("pos", "cand")))
+      .select(col("vec_id"), col("emb"), col("vnorm2"),
+        col("cand.id").as("cluster_id"),
+        (-col("cand.score")).as("dist2"),
+        (col("pos") + 1).cast("long").as("crk"))
+
+  /** [[assignTopM]] when K is small, [[assignTopMPruned]] when K is
+    * large — same output either way (spec-proven). */
+  def assignTopMAuto(vectors: DataFrame, centroids: DataFrame,
+      k: Int, m: Int): DataFrame =
+    if (k >= PrunedAssignK) assignTopMPruned(vectors, centroids, m)
+    else assignTopM(vectors, centroids, m)
+
+  /** EXACT two-level TOP-M assignment — [[assignPruned]] generalized
+    * from the argmin to the m-best set. The admission bound
+    * generalizes via a MULTISET of per-group upper bounds: every
+    * member c of group g has d(x,c) ≤ d(x,g) + r_g, so a group with
+    * |g| members witnesses min(|g|, m) candidates at or under its
+    * bound; U = the m-th smallest element of the multiset
+    * {(d(x,g)+r_g) × min(|g|,m) copies} therefore upper-bounds the
+    * m-th best distance (m distinct witnesses ≤ U), and any centroid
+    * whose group lower bound d(x,g) − r_g exceeds U can appear in
+    * no top-m (strictly worse than m others). Same float-slack
+    * margin as [[assignPruned]]; admitted members run through the
+    * identical dist2 and the same bounded top-m argselect as the
+    * brute form, so the output is bitwise-equal (ties included —
+    * equal-dist2 boundary centroids are all admitted and resolved by
+    * the shared id tie-break). Requires m ≤ K (the multiset then has
+    * ≥ m elements). */
+  def assignTopMPruned(vectors: DataFrame, centroids: DataFrame,
+      m: Int): DataFrame = {
+    val spark = centroids.sparkSession
+    val centSchema = centroids.select(
+      col("cluster_id"), col("cemb"), col("cnorm2")).schema
+    val rows = centroids.select(
+        col("cluster_id"), col("cemb"), col("cnorm2"))
+      .collect().sortBy(_.getLong(0))
+    require(rows.length >= m,
+      s"assignTopMPruned: m=$m exceeds K=${rows.length}")
+    val embs: Array[Array[Float]] =
+      rows.map(_.getSeq[Float](1).toArray)
+    val (groups, memberGid) = coarseGroups(embs)
+    val sizeByGid = memberGid.groupBy(identity).map { case (g, a) =>
+      g -> a.length
+    }
+
+    val memberRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(rows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ memberGid(i))
+      }: _*)
+    val members = spark.createDataFrame(memberRows,
+      centSchema.add("_gid", org.apache.spark.sql.types.IntegerType,
+        nullable = false))
+
+    val gArr: Column = array(groups.map { g =>
+      struct(lit(g.gid).as("gid"), lit(g.r).as("r"),
+        lit(g.gnorm2).as("gn"),
+        lit(math.min(sizeByGid(g.gid), m)).as("nm"),
+        typedlit[Seq[Float]](g.center.toSeq).as("ge"))
+    }: _*)
+    val scoredGroups = transform(gArr, s => struct(
+      s.getField("gid").as("gid"),
+      sqrt(greatest(lit(0d),
+        col("vnorm2") + s.getField("gn") - lit(2.0) *
+          graft.functions.VectorOps.dot(col("emb"), s.getField("ge"))))
+        .as("d"),
+      s.getField("r").as("r"),
+      s.getField("nm").as("nm")))
+
+    val admitted = vectors
+      .withColumn("_gs", scoredGroups)
+      // m-th smallest of the repetition multiset of upper bounds
+      .withColumn("_u", element_at(array_sort(flatten(
+        transform(col("_gs"), s => array_repeat(
+          s.getField("d") + s.getField("r"), s.getField("nm"))))),
+        m))
+      .withColumn("_gid", explode(transform(
+        filter(col("_gs"), s =>
+          s.getField("d") - s.getField("r") <=
+            col("_u") + lit(1e-4) + lit(1e-6) * col("_u")),
+        s => s.getField("gid"))))
+      .drop("_gs", "_u")
+
+    topMSelect(admitted.join(broadcast(members), Seq("_gid"))
+      .withColumn("dist2",
+        col("vnorm2") + col("cnorm2") -
+          lit(2.0) * graft.functions.VectorOps.dot(col("emb"),
+            col("cemb"))), m)
+  }
+
   /** Driver-side k′-means over the K centroids (k′ = ⌈√K⌉, seeds = the
     * first k′ in cluster-id order, 3 Lloyd rounds with mean updates,
     * ties toward the lower gid) → non-empty [[CoarseGroup]]s with
@@ -316,6 +437,25 @@ object Clustering {
         graft.functions.VectorOps.dot(col("cemb"), col("cemb")))
     val round1 = assign(vectors, init)
     assign(vectors, medianCentroids(round1))
+  }
+
+  /** k08: the two-level pruned assignment's LEDGER face — the k01
+    * pipeline (one median-update training round, final assignment) at
+    * K=64, the tier where [[assignAuto]] switches to [[assignPruned]]
+    * for BOTH the training and final passes. The oracle mirrors the
+    * BRUTE form (the k01 CTE chain at K=64): assignPruned is
+    * spec-proven bitwise-equal to it, so the hash match here is the
+    * oracle-level proof that the scale path changes plans, never
+    * results. Output: (vec_id, cluster_id, dist2), one row per
+    * vector. */
+  def prunedAssign(embeddings: DataFrame, k: Int = 64): DataFrame = {
+    val vectors = embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2",
+        graft.functions.VectorOps.dot(col("emb"), col("emb")))
+    assignPruned(vectors, trainedCentroidsLocal(embeddings, k))
+      .select(col("vec_id"), col("cluster_id"), col("dist2"))
+      .orderBy(col("vec_id"))
   }
 
   /** k01: [[kmediansAssignFull]] projected to one row per vector —

@@ -1047,6 +1047,15 @@ object Dedup {
           (size(col("arr_a")).cast("long") + size(col("arr_b")).cast("long")
             - col("inter")).cast("double"))
           .as("jaccard"))
+      // final EXACT threshold gate: SuffixVerify's integer accept gate
+      // shares the candidate stage's 1e-9 ceil slack, which weakens
+      // the ACCEPT side too — at a threshold where t·(|A|+|B|)/(1+t)
+      // lands within 1e-9 above an integer, a pair with Jaccard
+      // marginally below t could slip through the relaxed α. This
+      // one cheap row-local comparison restores exactness for ANY t
+      // (survivor rows only; the pruning stages stay slack-relaxed,
+      // which can only admit extra candidates, never drop true pairs).
+      .filter(col("jaccard") >= lit(threshold))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

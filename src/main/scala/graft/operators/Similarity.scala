@@ -688,6 +688,51 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** s47: MULTI-ASSIGN kNN graph — [[knnGraph]] with each vector
+    * assigned to its `nAssign` nearest trained cells instead of one
+    * (FAISS-style multi-assignment on the BUILD side), the named
+    * buy-back for s21's one structural miss: a pair straddling a cell
+    * boundary is invisible to the single-assign graph no matter how
+    * close, but lands in a shared block as soon as either side's
+    * second-nearest cell is the other's home. Candidates = pairs
+    * sharing ANY assigned cell (de-duplicated — a pair sharing both
+    * cells scores once), ranks exact cosine — so added assignments
+    * only ever ADD candidates: per-vector recall vs the brute truth
+    * dominates s21's (spec-asserted), bought at ≤ nAssign× posting
+    * volume (the published trade, Jégou et al. 2011 §5.2 multiple
+    * assignment).
+    *
+    * Scale: same shape as s21 — Σ(multi-cell sizes)² via the
+    * cell-keyed equi-join; the top-m cell argselect is the bounded
+    * TopKByScore partial agg, and at scaled cell counts (K ∝ N) the
+    * assignment runs [[Clustering.assignTopMPruned]]'s exact
+    * multiset-bounded two-level prune, keeping the build
+    * ~O(N·√K·D). */
+  def knnGraphMulti(embeddings: DataFrame, k: Int = 5,
+      nCells: Int = 32, nAssign: Int = 2): DataFrame = {
+    val centroids = Clustering.trainedCentroidsLocal(embeddings, nCells)
+    val vectors = embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2", Dedup.dotExpr("emb", "emb"))
+    val assigned = Clustering
+      .assignTopMAuto(vectors, centroids, nCells, nAssign)
+      .select(col("vec_id"), col("emb"), col("vnorm2"),
+        col("cluster_id").as("cell"))
+    val scored = assigned
+      .join(assigned.select(col("cell"), col("vec_id").as("nbr_id"),
+        col("emb").as("nemb"), col("vnorm2").as("nnorm2")), Seq("cell"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cosine", Dedup.dotExpr("emb", "nemb") /
+        (sqrt(col("vnorm2")) * sqrt(col("nnorm2"))))
+      .select(col("vec_id").as("query_id"), col("nbr_id").as("vec_id"),
+        col("cosine"))
+      .distinct()
+    topKByQuery(scored, "cosine", k)
+      .select(col("query_id").as("vec_id"), col("neighbor_id"),
+        col("cosine"), col("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   // ONE materialized kNN graph per (session, corpus, k, nCells),
   // shared by its downstream consumers (g06 triangles, g07 shared
   // neighbors, g08 walks, g09 modularity, g10 PPR) — the r16 BPE-

@@ -2626,22 +2626,23 @@ object TextAnalysis {
     * double division of exact longs; whole-doc ttr likewise. Bitwise
     * cross-engine by construction.
     *
-    * Plan shape: pure scan-stage higher-order array expressions (one
-    * transform over window starts + per-window array_distinct) — no
-    * shuffle, no state, embarrassingly parallel. Per-doc cost is
-    * O(tokens · window); at 100 TB the refinement for big windows is
-    * the rolling multiset (add/remove one token per step) as a custom
-    * Expression — same law, O(tokens); the fixture's W=25 makes the
-    * direct form the right cost. */
+    * Plan shape: pure scan-stage expressions — no shuffle, no state,
+    * embarrassingly parallel. The window sum runs as the ROLLING
+    * MULTISET ([[graft.functions.WindowDistinctSum]], the refinement
+    * this scaladoc used to only name): one token→count map per doc,
+    * add the entering / evict the leaving token per step, distinct
+    * count moves only on 0↔1 transitions — O(tokens) per document
+    * inside whole-stage codegen, vs the direct form's O(tokens ·
+    * window) interpreted higher-order lambdas. Same exact integers
+    * (every summand is the count `array_distinct` would produce;
+    * RollingMattrSpec holds equality against the direct form), so the
+    * oracle is untouched. */
   def mattr(documents: DataFrame, window: Int = 25): DataFrame = {
     val toks = tokens(col("text"))
     val n = size(toks)
     val nw = (n - lit(window) + 1).cast("long")
-    val winSum = aggregate(
-      transform(sequence(lit(0), n - lit(window)),
-        i => size(array_distinct(slice(toks, i + 1, lit(window))))
-          .cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    val winSum =
+      graft.functions.WindowDistinctSumFns.windowDistinctSum(toks, window)
     documents.select(col("doc_id"), n.cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_types"),
         when(n >= window, nw).otherwise(lit(0L)).as("n_windows"),

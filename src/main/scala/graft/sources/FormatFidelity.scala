@@ -52,15 +52,20 @@ object FormatFidelity {
     * per session under /tmp is a disk leak, not a cache). */
   private final class StoredCopy(format: String,
       write: String => Unit) {
-    /** Set only once the write completed — the shutdown hook reads
+    /** Every directory this holder ever created, registered as soon
+      * as it exists (BEFORE the write runs) — the shutdown hook reads
       * this, never `dir`, so an installed-but-never-materialized
-      * holder can't trigger a write at JVM exit. */
-    @volatile var created: Option[String] = None
+      * holder can't trigger a write at JVM exit, while a write that
+      * THROWS still leaves its directory registered for cleanup. A
+      * failed lazy val re-evaluates on the next access, minting a
+      * fresh dir per retry — hence a list, not an Option (registering
+      * only the last would leak every failed attempt's dir). */
+    @volatile var created: List[String] = Nil
     lazy val dir: String = {
       val d = java.nio.file.Files
         .createTempDirectory(s"graft-fidelity-$format-").toString
+      synchronized { created = d :: created }
       write(d)
-      created = Some(d)
       d
     }
   }
@@ -71,7 +76,7 @@ object FormatFidelity {
   locally {
     java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
       val it = stored.values().iterator()
-      while (it.hasNext) it.next().created.foreach { d =>
+      while (it.hasNext) it.next().created.foreach { d: String =>
         def rec(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(rec)); f.delete(): Unit
         }

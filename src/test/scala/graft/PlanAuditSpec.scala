@@ -52,6 +52,7 @@ class PlanAuditSpec extends SparkSpec {
     "dq14_distribution_drift", // dims-sized sources x buckets grid + ONE-row total cross
     "s20_matryoshka_rerank", // s01's broadcast(5 queries) x corpus, prefix tier
     "s21_knn_graph", // k01's broadcast(32 centroids) x corpus cell-assign
+    "s47_knn_graph_multi", // s21's centroid cross, top-2 argselect
     "g06_knn_triangles", // rides s21's centroid-assign cross
     "s23_mmr_diversify", // s01's broadcast(5 queries) x corpus coarse tier
     "t33_bigram_surprise", // ONE-row vocab-size frame broadcast-crossed in

@@ -72,8 +72,11 @@ class ScaleStressSpec extends SparkSpec {
     * detonate at ×64: quadratic shows ~×4096 there, unmissable).
     * Non-default factors record under "<sf>@x<factor>/" keys in
     * STRESS_FACTORS.json so the ×8 ratchet history stays intact. */
-  private val factor = sys.env.get("GRAFT_STRESS_FACTOR")
-    .map(_.toInt).getOrElse(8)
+  private val factor = sys.env.get("GRAFT_STRESS_FACTOR").map { v =>
+    require(v.matches("[0-9]+"),
+      s"GRAFT_STRESS_FACTOR must be a positive integer, got '$v'")
+    v.toInt
+  }.getOrElse(8)
 
   import graft.operators.{Dedup => D, Similarity => S, DataQuality => DQ,
     TextAnalysis => T, Windows => W}
@@ -178,6 +181,12 @@ class ScaleStressSpec extends SparkSpec {
     ("s21_knn_graph",
       S.knnGraph(emb, nCells = 32),
       S.knnGraph(embX, nCells = 32 * factor), true),
+    // s47 scales its cell count with the corpus like s21; the scaled
+    // side's top-2 assignment runs the pruned two-level path (no
+    // brute cross), so bnljIntended=false doubles as that assertion
+    ("s47_knn_graph_multi",
+      S.knnGraphMulti(emb, nCells = 32),
+      S.knnGraphMulti(embX, nCells = 32 * factor), false),
     // s43 rides the SHARED s21 graph (built eagerly at construction,
     // the d07/g04 semantics — the timed plan is the traversal + the
     // s01 exact side); cells scale with the corpus like s21 itself
@@ -660,6 +669,15 @@ class ScaleStressSpec extends SparkSpec {
     ("k07_calinski_harabasz",
       graft.operators.Clustering.calinskiHarabasz(emb),
       graft.operators.Clustering.calinskiHarabasz(embX), true),
+    // k08: the two-level pruned assignment at fixed K=64 (the serving
+    // posture — model trained per corpus, corpus scales). NO nested
+    // loop intended: the whole point is that the pruned path replaces
+    // the brute broadcast-cross with coarse scoring + a gid-keyed
+    // broadcast HASH join, so bnljIntended=false doubles as the
+    // plan-shape assertion at both fixtures
+    ("k08_pruned_assign",
+      graft.operators.Clustering.prunedAssign(emb),
+      graft.operators.Clustering.prunedAssign(embX), false),
     // g11: per half-step one edge-keyed join + a map-side-combined
     // weighted-sum agg over the token-renamed (isomorphic-disjoint)
     // transition graph; 1-row max crosses intended

@@ -98,6 +98,66 @@ class HierarchicalAssignSpec extends SparkSpec {
       "pruned path must not fall back to the brute crossJoin shape")
   }
 
+  test("top-m pruned == top-m brute bitwise across K and m") {
+    for ((k, m) <- Seq((8, 2), (23, 3), (64, 2), (100, 5))) {
+      val vectors = vectorsOf(emb)
+      val centroids = Clustering.trainedCentroidsLocal(emb, k)
+      def dumpM(df: DataFrame): Seq[String] =
+        df.orderBy("vec_id", "crk").collect().map(_.toString).toSeq
+      val brute = dumpM(Clustering.assignTopM(vectors, centroids, m))
+      val pruned = dumpM(
+        Clustering.assignTopMPruned(vectors, centroids, m))
+      assert(pruned == brute, s"top-$m pruned diverges at K=$k")
+    }
+  }
+
+  test("top-1 of assignTopM matches assign's winner") {
+    val vectors = vectorsOf(emb)
+    val centroids = Clustering.trainedCentroidsLocal(emb, 16)
+    val viaTopM = Clustering.assignTopM(vectors, centroids, 1)
+      .select("vec_id", "cluster_id", "dist2")
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    val viaMin = Clustering.assign(vectors, centroids)
+      .select("vec_id", "cluster_id", "dist2")
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(viaTopM == viaMin)
+  }
+
+  test("s47 multi-assign recall dominates s21 per vector (fixture)") {
+    // truth: exact top-5 over ALL pairs (500² at the fixture)
+    val vectors = vectorsOf(emb)
+    val truth = vectors
+      .join(vectors.select(col("vec_id").as("nbr_id"),
+        col("emb").as("nemb"), col("vnorm2").as("nnorm2")),
+        col("vec_id") =!= col("nbr_id"))
+      .withColumn("cosine",
+        graft.functions.VectorOps.dot(col("emb"), col("nemb")) /
+          (sqrt(col("vnorm2")) * sqrt(col("nnorm2"))))
+      .select(col("vec_id").as("q"), col("nbr_id").as("n"),
+        col("cosine"))
+    def hits(graph: DataFrame): Map[Long, Long] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q"))
+        .orderBy(col("cosine").desc, col("n").asc)
+      val top = truth.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5).select(col("q"), col("n"))
+      top.join(graph.select(col("vec_id").as("q"),
+          col("neighbor_id").as("n")), Seq("q", "n"))
+        .groupBy("q").count()
+        .as[(Long, Long)].collect().toMap
+    }
+    val single = hits(Similarity.knnGraph(emb))
+    val multi = hits(Similarity.knnGraphMulti(emb))
+    val vecs = emb.select("vec_id").as[Long].collect()
+    vecs.foreach { v =>
+      assert(multi.getOrElse(v, 0L) >= single.getOrElse(v, 0L),
+        s"multi-assign lost recall at vec $v")
+    }
+    val (sTot, mTot) = (single.values.sum, multi.values.sum)
+    info(s"recall@5 hits: single=$sTot multi=$mTot of ${vecs.length * 5}")
+    assert(mTot >= sTot)
+  }
+
   test("knnGraph at a pruning-tier cell count stays deterministic") {
     val g1 = Similarity.knnGraph(emb, k = 3, nCells = 64)
       .collect().map(_.toString).toSeq
