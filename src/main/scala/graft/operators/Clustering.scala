@@ -108,15 +108,14 @@ object Clustering {
     *     (dist2, cluster_id) min_by as [[assign]].
     *
     * Exactness, not approximation: the admitted set provably contains
-    * every centroid that could attain the minimum (ties included — the
-    * admission test keeps a float-slack margin of 1e-4 + 1e-6·U, many
-    * orders above the ≤ ~1e-7 worst-case rounding of the norm-expansion
-    * distance at unit-ish float32 norms, and admitting EXTRA groups can
-    * never change a min). The final min_by therefore selects the same
-    * (dist2, cluster_id) winner bitwise as the brute form —
-    * HierarchicalAssignSpec holds row-for-row equality against
-    * [[assign]] across K values and corpora, so every downstream oracle
-    * (the s21 CTE chain and its g06–g11/s43–s46 consumers) is untouched.
+    * every centroid that could attain the minimum (ties included), so
+    * the final min_by selects the same (dist2, cluster_id) winner
+    * bitwise as the brute form — HierarchicalAssignSpec holds
+    * row-for-row equality against [[assign]] across K values, corpora
+    * (including a 1000×-norm variant), and the training pass, so every
+    * downstream oracle (the s21 CTE chain and its g06–g11/s43–s46
+    * consumers) is untouched. The float-slack analysis lives on
+    * [[prunedCandidates]].
     *
     * Scale shape: per-vector work is k′·D (coarse scoring, interpreted
     * HOF over √K literal structs) + |admitted members|·D (codegen'd
@@ -125,17 +124,66 @@ object Clustering {
     * map-side-partial min_by keyed on vec_id. Driver work is the
     * k′-means grouping over K rows — model-artifact scale (K ≤ a few
     * thousand), sequential double arithmetic, fully deterministic. */
-  def assignPruned(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+  def assignPruned(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    prunedCandidates(vectors, centroids, 1)
+      .groupBy(col("vec_id"))
+      .agg(min_by(
+        struct(col("cluster_id"), col("dist2"), col("emb"), col("vnorm2")),
+        struct(col("dist2"), col("cluster_id"))).as("best"))
+      .select(col("vec_id"), col("best.emb").as("emb"),
+        col("best.vnorm2").as("vnorm2"),
+        col("best.cluster_id").as("cluster_id"),
+        col("best.dist2").as("dist2"))
+
+  /** The shared candidate stage of [[assignPruned]] (m=1) and
+    * [[assignTopMPruned]] (m>1): collect the K centroids, group them
+    * driver-side ([[coarseGroups]]), and emit the scored (vec_id, emb,
+    * vnorm2, cluster_id, dist2) rows of exactly the centroids that
+    * could appear in the vector's top-m — the two forms differ only in
+    * the argselect they run on these rows, so the admission reasoning
+    * (and its slack constants) cannot desynchronize between them.
+    *
+    * Admission bound: every member c of group g has d(x,c) ≤ d(x,g) +
+    * r_g, so a group with |g| members witnesses min(|g|, m) candidates
+    * at or under its bound; U = the m-th smallest element of the
+    * multiset {(d(x,g)+r_g) × min(|g|,m) copies} upper-bounds the m-th
+    * best distance, and a centroid whose group lower bound d(x,g) −
+    * r_g exceeds U is strictly worse than m others. (At m=1 the
+    * multiset form reduces to min over groups of d+r.) The multiset
+    * has ≥ m elements whenever K ≥ m: any group with |g| ≥ m alone
+    * contributes m copies, else all terms are |g_i| and sum to K.
+    *
+    * Float slack: the plan computes d(x,g) by norm expansion in
+    * double over float32 inputs — worst case (full cancellation, x ≈
+    * g) the absolute error in d is ≈ √(D·ε)·max(‖x‖,‖g‖) ≈
+    * 1.2e-7·max(‖x‖,‖g‖) at D=64, and U inherits the same order from
+    * its witness group. The admission margin
+    * 1e-4 + 1e-6·U + 1e-5·(‖x‖ + max_g‖g‖) therefore dominates the
+    * rounding by ≥ 50× FOR ANY INPUT MAGNITUDE (the ‖x‖ term rides the
+    * exact per-row vnorm2; the max_g‖g‖ term folds into a driver
+    * constant) — not just unit-norm corpora. Admitting extra groups
+    * never changes a selection over a superset, so the slack only
+    * costs pruning efficiency. Spec-pinned by the 1000×-norm equality
+    * case in HierarchicalAssignSpec. */
+  private def prunedCandidates(vectors: DataFrame, centroids: DataFrame,
+      m: Int): DataFrame = {
     val spark = centroids.sparkSession
     val centSchema = centroids.select(
       col("cluster_id"), col("cemb"), col("cnorm2")).schema
     val rows = centroids.select(
         col("cluster_id"), col("cemb"), col("cnorm2"))
       .collect().sortBy(_.getLong(0))
-    require(rows.nonEmpty, "assignPruned: empty centroid frame")
+    require(rows.length >= m,
+      s"prunedCandidates: m=$m exceeds K=${rows.length}")
     val embs: Array[Array[Float]] =
       rows.map(_.getSeq[Float](1).toArray)
     val (groups, memberGid) = coarseGroups(embs)
+    val sizeByGid = memberGid.groupBy(identity).map { case (g, a) =>
+      g -> a.length
+    }
+    // ‖x‖-independent half of the slack: base + the max coarse-center
+    // norm (the ‖g‖ term of the rounding bound), folded driver-side
+    val slackConst = 1e-4 + 1e-5 * math.sqrt(groups.map(_.gnorm2).max)
 
     // member side of the broadcast join: the ORIGINAL centroid rows
     // (bit-identical cemb/cnorm2 — dist2 must match assign()'s) + gid
@@ -153,6 +201,7 @@ object Clustering {
     val gArr: Column = array(groups.map { g =>
       struct(lit(g.gid).as("gid"), lit(g.r).as("r"),
         lit(g.gnorm2).as("gn"),
+        lit(math.min(sizeByGid(g.gid), m)).as("nm"),
         typedlit[Seq[Float]](g.center.toSeq).as("ge"))
     }: _*)
     val scoredGroups = transform(gArr, s => struct(
@@ -161,31 +210,29 @@ object Clustering {
         col("vnorm2") + s.getField("gn") - lit(2.0) *
           graft.functions.VectorOps.dot(col("emb"), s.getField("ge"))))
         .as("d"),
-      s.getField("r").as("r")))
+      s.getField("r").as("r"),
+      s.getField("nm").as("nm")))
 
     val admitted = vectors
       .withColumn("_gs", scoredGroups)
-      .withColumn("_u", array_min(
-        transform(col("_gs"), s => s.getField("d") + s.getField("r"))))
+      // m-th smallest of the repetition multiset of upper bounds
+      .withColumn("_u", element_at(array_sort(flatten(
+        transform(col("_gs"), s => array_repeat(
+          s.getField("d") + s.getField("r"), s.getField("nm"))))),
+        m))
       .withColumn("_gid", explode(transform(
         filter(col("_gs"), s =>
           s.getField("d") - s.getField("r") <=
-            col("_u") + lit(1e-4) + lit(1e-6) * col("_u")),
+            col("_u") + lit(slackConst) + lit(1e-6) * col("_u") +
+              lit(1e-5) * sqrt(col("vnorm2"))),
         s => s.getField("gid"))))
       .drop("_gs", "_u")
 
     admitted.join(broadcast(members), Seq("_gid"))
       .withColumn("dist2",
         col("vnorm2") + col("cnorm2") -
-          lit(2.0) * graft.functions.VectorOps.dot(col("emb"), col("cemb")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(
-        struct(col("cluster_id"), col("dist2"), col("emb"), col("vnorm2")),
-        struct(col("dist2"), col("cluster_id"))).as("best"))
-      .select(col("vec_id"), col("best.emb").as("emb"),
-        col("best.vnorm2").as("vnorm2"),
-        col("best.cluster_id").as("cluster_id"),
-        col("best.dist2").as("dist2"))
+          lit(2.0) * graft.functions.VectorOps.dot(col("emb"),
+            col("cemb")))
   }
 
   /** Brute TOP-M nearest-centroid assignment (FAISS multi-assignment /
@@ -226,11 +273,16 @@ object Clustering {
         (col("pos") + 1).cast("long").as("crk"))
 
   /** [[assignTopM]] when K is small, [[assignTopMPruned]] when K is
-    * large — same output either way (spec-proven). */
+    * large — same output either way (spec-proven). Requires m ≤ k so
+    * the dispatch threshold can never change observable behavior (the
+    * brute form would silently truncate at m > K while the pruned form
+    * rejects). */
   def assignTopMAuto(vectors: DataFrame, centroids: DataFrame,
-      k: Int, m: Int): DataFrame =
+      k: Int, m: Int): DataFrame = {
+    require(m <= k, s"assignTopMAuto: m=$m exceeds K=$k")
     if (k >= PrunedAssignK) assignTopMPruned(vectors, centroids, m)
     else assignTopM(vectors, centroids, m)
+  }
 
   /** EXACT two-level TOP-M assignment — [[assignPruned]] generalized
     * from the argmin to the m-best set. The admission bound
@@ -241,73 +293,17 @@ object Clustering {
     * {(d(x,g)+r_g) × min(|g|,m) copies} therefore upper-bounds the
     * m-th best distance (m distinct witnesses ≤ U), and any centroid
     * whose group lower bound d(x,g) − r_g exceeds U can appear in
-    * no top-m (strictly worse than m others). Same float-slack
-    * margin as [[assignPruned]]; admitted members run through the
+    * no top-m (strictly worse than m others). Shares
+    * [[prunedCandidates]]'s scaffold and slack with [[assignPruned]]
+    * — the two cannot desynchronize; admitted members run through the
     * identical dist2 and the same bounded top-m argselect as the
     * brute form, so the output is bitwise-equal (ties included —
     * equal-dist2 boundary centroids are all admitted and resolved by
     * the shared id tie-break). Requires m ≤ K (the multiset then has
     * ≥ m elements). */
   def assignTopMPruned(vectors: DataFrame, centroids: DataFrame,
-      m: Int): DataFrame = {
-    val spark = centroids.sparkSession
-    val centSchema = centroids.select(
-      col("cluster_id"), col("cemb"), col("cnorm2")).schema
-    val rows = centroids.select(
-        col("cluster_id"), col("cemb"), col("cnorm2"))
-      .collect().sortBy(_.getLong(0))
-    require(rows.length >= m,
-      s"assignTopMPruned: m=$m exceeds K=${rows.length}")
-    val embs: Array[Array[Float]] =
-      rows.map(_.getSeq[Float](1).toArray)
-    val (groups, memberGid) = coarseGroups(embs)
-    val sizeByGid = memberGid.groupBy(identity).map { case (g, a) =>
-      g -> a.length
-    }
-
-    val memberRows: java.util.List[org.apache.spark.sql.Row] =
-      java.util.Arrays.asList(rows.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ memberGid(i))
-      }: _*)
-    val members = spark.createDataFrame(memberRows,
-      centSchema.add("_gid", org.apache.spark.sql.types.IntegerType,
-        nullable = false))
-
-    val gArr: Column = array(groups.map { g =>
-      struct(lit(g.gid).as("gid"), lit(g.r).as("r"),
-        lit(g.gnorm2).as("gn"),
-        lit(math.min(sizeByGid(g.gid), m)).as("nm"),
-        typedlit[Seq[Float]](g.center.toSeq).as("ge"))
-    }: _*)
-    val scoredGroups = transform(gArr, s => struct(
-      s.getField("gid").as("gid"),
-      sqrt(greatest(lit(0d),
-        col("vnorm2") + s.getField("gn") - lit(2.0) *
-          graft.functions.VectorOps.dot(col("emb"), s.getField("ge"))))
-        .as("d"),
-      s.getField("r").as("r"),
-      s.getField("nm").as("nm")))
-
-    val admitted = vectors
-      .withColumn("_gs", scoredGroups)
-      // m-th smallest of the repetition multiset of upper bounds
-      .withColumn("_u", element_at(array_sort(flatten(
-        transform(col("_gs"), s => array_repeat(
-          s.getField("d") + s.getField("r"), s.getField("nm"))))),
-        m))
-      .withColumn("_gid", explode(transform(
-        filter(col("_gs"), s =>
-          s.getField("d") - s.getField("r") <=
-            col("_u") + lit(1e-4) + lit(1e-6) * col("_u")),
-        s => s.getField("gid"))))
-      .drop("_gs", "_u")
-
-    topMSelect(admitted.join(broadcast(members), Seq("_gid"))
-      .withColumn("dist2",
-        col("vnorm2") + col("cnorm2") -
-          lit(2.0) * graft.functions.VectorOps.dot(col("emb"),
-            col("cemb"))), m)
-  }
+      m: Int): DataFrame =
+    topMSelect(prunedCandidates(vectors, centroids, m), m)
 
   /** Driver-side k′-means over the K centroids (k′ = ⌈√K⌉, seeds = the
     * first k′ in cluster-id order, 3 Lloyd rounds with mean updates,
@@ -324,10 +320,19 @@ object Clustering {
     val k = embs.length
     val kp = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val dim = embs.map(_.length).max
+    // ZERO-PADDED Euclidean — the metric the plan's norm expansion
+    // (vnorm2 + gn − 2·prefix-dot) actually computes for ragged
+    // inputs: a length-truncated fold would understate d(g, c) for a
+    // member shorter than the coarse center, shrinking the covering
+    // radius below the truth and voiding the admission bound
     def d2(a: Array[Float], c: Array[Double]): Double = {
       var s = 0.0; var i = 0
-      val n = math.min(a.length, c.length)
-      while (i < n) { val t = a(i) - c(i); s += t * t; i += 1 }
+      val n = math.max(a.length, c.length)
+      while (i < n) {
+        val av = if (i < a.length) a(i).toDouble else 0.0
+        val cv = if (i < c.length) c(i) else 0.0
+        val t = av - cv; s += t * t; i += 1
+      }
       s
     }
     var centers: Array[Array[Double]] =

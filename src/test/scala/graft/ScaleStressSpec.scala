@@ -73,7 +73,7 @@ class ScaleStressSpec extends SparkSpec {
     * Non-default factors record under "<sf>@x<factor>/" keys in
     * STRESS_FACTORS.json so the ×8 ratchet history stays intact. */
   private val factor = sys.env.get("GRAFT_STRESS_FACTOR").map { v =>
-    require(v.matches("[0-9]+"),
+    require(v.matches("[1-9][0-9]*"),
       s"GRAFT_STRESS_FACTOR must be a positive integer, got '$v'")
     v.toInt
   }.getOrElse(8)
@@ -183,10 +183,14 @@ class ScaleStressSpec extends SparkSpec {
       S.knnGraph(embX, nCells = 32 * factor), true),
     // s47 scales its cell count with the corpus like s21; the scaled
     // side's top-2 assignment runs the pruned two-level path (no
-    // brute cross), so bnljIntended=false doubles as that assertion
+    // brute cross) whenever 32·factor clears the PrunedAssignK
+    // threshold, so bnljIntended=false doubles as that assertion —
+    // at factor 1 the scaled side is below the threshold and the
+    // brute cross is the intended plan
     ("s47_knn_graph_multi",
       S.knnGraphMulti(emb, nCells = 32),
-      S.knnGraphMulti(embX, nCells = 32 * factor), false),
+      S.knnGraphMulti(embX, nCells = 32 * factor),
+      32 * factor < graft.operators.Clustering.PrunedAssignK),
     // s43 rides the SHARED s21 graph (built eagerly at construction,
     // the d07/g04 semantics — the timed plan is the traversal + the
     // s01 exact side); cells scale with the corpus like s21 itself

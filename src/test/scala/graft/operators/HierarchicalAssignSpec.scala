@@ -98,6 +98,40 @@ class HierarchicalAssignSpec extends SparkSpec {
       "pruned path must not fall back to the brute crossJoin shape")
   }
 
+  test("pruned == brute on a 1000x-norm corpus (slack scales with the norm)") {
+    // the admission slack carries a 1e-5·(‖x‖ + max‖g‖) term precisely
+    // so large-magnitude corpora stay exact — at ‖x‖ ~ 4000 the
+    // norm-expansion rounding (~1e-7·‖x‖ ≈ 5e-4) would exceed a fixed
+    // 1e-4 margin and could prune a true winner
+    val big = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => (x * lit(1000.0f)).cast("float")).as("embedding"))
+    val vectors = vectorsOf(big)
+    val centroids = Clustering.trainedCentroidsLocal(big, 64)
+    assert(dump(Clustering.assignPruned(vectors, centroids)) ==
+      dump(Clustering.assign(vectors, centroids)))
+  }
+
+  test("pruned == brute with ragged (mixed-length) vectors") {
+    // graft_dot folds over the common prefix with full-vector norms —
+    // zero-padded Euclidean semantics; the driver-side radii must use
+    // the same metric or a short member under a long coarse center
+    // gets an understated covering radius and the bound breaks
+    val data = (0L until 80L).map { i =>
+      val len = if (i % 3 == 0) 2 else 4
+      (i, Array.tabulate(len)(j => (i % 7 + j).toFloat))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val vectors = vectorsOf(df)
+    val centroids = Clustering.trainedCentroidsLocal(df, 64)
+    assert(dump(Clustering.assignPruned(vectors, centroids)) ==
+      dump(Clustering.assign(vectors, centroids)))
+    def dumpM(d2: DataFrame): Seq[String] =
+      d2.orderBy("vec_id", "crk").collect().map(_.toString).toSeq
+    assert(dumpM(Clustering.assignTopMPruned(vectors, centroids, 3)) ==
+      dumpM(Clustering.assignTopM(vectors, centroids, 3)))
+  }
+
   test("top-m pruned == top-m brute bitwise across K and m") {
     for ((k, m) <- Seq((8, 2), (23, 3), (64, 2), (100, 5))) {
       val vectors = vectorsOf(emb)
