@@ -164,7 +164,16 @@ object Clustering {
     * constant) — not just unit-norm corpora. Admitting extra groups
     * never changes a selection over a superset, so the slack only
     * costs pruning efficiency. Spec-pinned by the 1000×-norm equality
-    * case in HierarchicalAssignSpec. */
+    * case in HierarchicalAssignSpec.
+    *
+    * At-scale honesty: the coarse tier rides a LITERAL array column —
+    * right for k′ ≤ a few thousand (k′ ≈ √K structs of D floats). At
+    * K ~ 10⁶ cells (a true 100 TB IVF index) k′ ≈ 10³ is still fine,
+    * but one more decade and the literal outgrows the plan: the next
+    * rung is the same bound composed recursively (a third level /
+    * HNSW-over-centroids — the FAISS large-K quantizer stance) with
+    * the coarse table broadcast instead of inlined; the admission
+    * algebra is unchanged. */
   private def prunedCandidates(vectors: DataFrame, centroids: DataFrame,
       m: Int): DataFrame = {
     val spark = centroids.sparkSession
