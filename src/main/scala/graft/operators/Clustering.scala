@@ -166,14 +166,16 @@ object Clustering {
     * costs pruning efficiency. Spec-pinned by the 1000×-norm equality
     * case in HierarchicalAssignSpec.
     *
-    * At-scale honesty: the coarse tier rides a LITERAL array column —
-    * right for k′ ≤ a few thousand (k′ ≈ √K structs of D floats). At
-    * K ~ 10⁶ cells (a true 100 TB IVF index) k′ ≈ 10³ is still fine,
-    * but one more decade and the literal outgrows the plan: the next
-    * rung is the same bound composed recursively (a third level /
-    * HNSW-over-centroids — the FAISS large-K quantizer stance) with
-    * the coarse table broadcast instead of inlined; the admission
-    * algebra is unchanged. */
+    * At-scale carriers: the coarse tier rides a LITERAL array column
+    * for k′ ≤ spark.graft.coarseLiteralMax (default 2048 — right
+    * through K ~ 10⁶ cells, k′ ≈ 10³ structs of D floats); beyond
+    * that the SAME array ships as a one-row broadcast table crossed
+    * into the corpus (constant plan size, the r20 verdict's named
+    * next rung), with the admission algebra untouched — equality
+    * across both carriers is spec-held. One decade further still
+    * (k′ ~ 10⁵) the remaining rung is the bound composed recursively
+    * (a third level / HNSW-over-centroids, the FAISS large-K
+    * quantizer stance). */
   private def prunedCandidates(vectors: DataFrame, centroids: DataFrame,
       m: Int): DataFrame = {
     val spark = centroids.sparkSession
@@ -204,16 +206,49 @@ object Clustering {
       centSchema.add("_gid", org.apache.spark.sql.types.IntegerType,
         nullable = false))
 
-    // coarse centers as one literal array<struct> column: k' entries,
-    // scored per corpus row with the codegen'd graft_dot (interpreted
-    // inside the higher-order lambda — k' ≈ √K terms, not K)
-    val gArr: Column = array(groups.map { g =>
+    // coarse centers as one array<struct> column of k' entries, scored
+    // per corpus row with the codegen'd graft_dot (interpreted inside
+    // the higher-order lambda — k' ≈ √K terms, not K). Two carriers
+    // for the SAME array (the admission algebra never changes):
+    //  - k' ≤ coarseLiteralMax: a plan LITERAL — zero joins, the
+    //    default, right through K ~ 10⁶ (k' ~ 10³);
+    //  - beyond: the array ships as a one-row BROADCAST table crossed
+    //    in (the dq10 1-row-frame pattern) so the plan stays
+    //    constant-size while the coarse tier rides the broadcast —
+    //    the r20 verdict's named next rung for K past ~10⁶. The
+    //    threshold is conf-tunable (spark.graft.coarseLiteralMax) so
+    //    the spec can force the broadcast path; equality across both
+    //    carriers is spec-held (HierarchicalAssignSpec).
+    val coarseLiteralMax = spark.conf
+      .getOption("spark.graft.coarseLiteralMax").map(_.toInt)
+      .getOrElse(2048)
+    val mkStruct: CoarseGroup => Column = g =>
       struct(lit(g.gid).as("gid"), lit(g.r).as("r"),
         lit(g.gnorm2).as("gn"),
         lit(math.min(sizeByGid(g.gid), m)).as("nm"),
         typedlit[Seq[Float]](g.center.toSeq).as("ge"))
-    }: _*)
-    val scoredGroups = transform(gArr, s => struct(
+    val base =
+      if (groups.length <= coarseLiteralMax)
+        vectors.withColumn("_gs0", array(groups.map(mkStruct): _*))
+      else {
+        import org.apache.spark.sql.types._
+        val gSchema = StructType(Seq(StructField("_gs0", ArrayType(
+          StructType(Seq(
+            StructField("gid", IntegerType, nullable = false),
+            StructField("r", DoubleType, nullable = false),
+            StructField("gn", DoubleType, nullable = false),
+            StructField("nm", IntegerType, nullable = false),
+            StructField("ge", ArrayType(FloatType, containsNull = false),
+              nullable = false))), containsNull = false),
+          nullable = false)))
+        val gRow: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(org.apache.spark.sql.Row(
+            groups.map(g => org.apache.spark.sql.Row(g.gid, g.r,
+              g.gnorm2, math.min(sizeByGid(g.gid), m),
+              g.center.toSeq))))
+        vectors.crossJoin(broadcast(spark.createDataFrame(gRow, gSchema)))
+      }
+    val scoredGroups = transform(col("_gs0"), s => struct(
       s.getField("gid").as("gid"),
       sqrt(greatest(lit(0d),
         col("vnorm2") + s.getField("gn") - lit(2.0) *
@@ -222,7 +257,7 @@ object Clustering {
       s.getField("r").as("r"),
       s.getField("nm").as("nm")))
 
-    val admitted = vectors
+    val admitted = base
       .withColumn("_gs", scoredGroups)
       // m-th smallest of the repetition multiset of upper bounds
       .withColumn("_u", element_at(array_sort(flatten(
@@ -235,7 +270,7 @@ object Clustering {
             col("_u") + lit(slackConst) + lit(1e-6) * col("_u") +
               lit(1e-5) * sqrt(col("vnorm2"))),
         s => s.getField("gid"))))
-      .drop("_gs", "_u")
+      .drop("_gs0", "_gs", "_u")
 
     admitted.join(broadcast(members), Seq("_gid"))
       .withColumn("dist2",
@@ -285,7 +320,12 @@ object Clustering {
     * large — same output either way (spec-proven). Requires m ≤ k so
     * the dispatch threshold can never change observable behavior (the
     * brute form would silently truncate at m > K while the pruned form
-    * rejects). */
+    * rejects). CONTRACT: `k` must equal the ACTUAL centroid row count
+    * (every caller passes the K it trained with) — with sparse ids
+    * where the real count < m ≤ declared k, the brute path would
+    * silently emit fewer than m rows per vector while the pruned path
+    * throws; the m ≤ k guard is sound only under that equality (r20
+    * ADVICE, documented rather than paying a count() per call). */
   def assignTopMAuto(vectors: DataFrame, centroids: DataFrame,
       k: Int, m: Int): DataFrame = {
     require(m <= k, s"assignTopMAuto: m=$m exceeds K=$k")
@@ -404,8 +444,11 @@ object Clustering {
       while (j < c.length) { s += c(j).toDouble * c(j).toDouble; j += 1 }
       s
     }
+    // occupied-gid membership in O(1) (an assignIdx.contains per group
+    // index was an O(K·√K) driver scan — r20 ADVICE)
+    val occupied = assignIdx.toSet
     val nonEmpty = fcenters.indices
-      .filter(g => assignIdx.contains(g))
+      .filter(occupied.contains)
       .map(g => CoarseGroup(g, fcenters(g), selfDot(fcenters(g)), radii(g)))
     (nonEmpty, assignIdx)
   }
@@ -569,6 +612,26 @@ object Clustering {
       java.util.Arrays.asList(trained.collect(): _*), trained.schema)
   }
 
+  /** [[trainedCentroidsSeeded]] through the session [[ModelArtifacts]]
+    * cache — the serving/eval artifact stance (the d15/s15 pattern,
+    * extended per the r21 measurement pass): a deployment trains the
+    * coarse quantizer ONCE per (corpus, K, seed) and every serving or
+    * eval query LOADS the stored K-row artifact, so re-paying the
+    * training lineage (assign + the (cluster, dim) median funnel +
+    * collect — ~10 scheduled jobs at any scale) per query prices the
+    * same model repeatedly for no information. Results are identical
+    * by construction (the trainer is deterministic — median selection,
+    * fixed seeds); only the plan changes. The params string matches
+    * the pre-existing "ivf-centroids"/"k=8" cache keys bit-for-bit so
+    * d15/servingContext entries share. End-to-end TRAINING forms
+    * (k01–k03, k08, s12, s30, s40) deliberately do NOT route through
+    * this — their in-query training is the measured subject. */
+  def cachedCentroids(embeddings: DataFrame, k: Int = 8,
+      seedFrom: Long = 0L): DataFrame =
+    ModelArtifacts.cached("ivf-centroids", embeddings,
+      if (seedFrom == 0L) s"k=$k" else s"k=$k,seed=$seedFrom")(
+      trainedCentroidsSeeded(embeddings, k, seedFrom))
+
   /** k04: clustering STABILITY — the Rand index between two runs of
     * the same trainer seeded differently (seeds 0..k-1 vs k..2k-1),
     * over the full K×K contingency table. The model-selection eval
@@ -591,10 +654,10 @@ object Clustering {
       .select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("vnorm2",
         graft.functions.VectorOps.dot(col("emb"), col("emb")))
-    val ca = assign(vectors, trainedCentroidsSeeded(embeddings, k, 0L))
+    val ca = assign(vectors, cachedCentroids(embeddings, k))
       .select(col("vec_id"), col("cluster_id").as("cluster_a"))
     val cb = assign(vectors,
-      trainedCentroidsSeeded(embeddings, k, k.toLong))
+      cachedCentroids(embeddings, k, k.toLong))
       .select(col("vec_id"), col("cluster_id").as("cluster_b"))
     val cont = ca.join(cb, "vec_id")
       .groupBy(col("cluster_a"), col("cluster_b"))
@@ -648,7 +711,7 @@ object Clustering {
     * two smallest, and K ≤ a few thousand for any real quantizer),
     * one cluster-keyed partial agg → K rows. */
   def simplifiedSilhouette(embeddings: DataFrame, k: Int = 8): DataFrame = {
-    val centroids = trainedCentroidsLocal(embeddings, k)
+    val centroids = cachedCentroids(embeddings, k)
     val vectors = embeddings
       .select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("vnorm2",
@@ -708,7 +771,7 @@ object Clustering {
     * frame (K ≤ thousands for any real quantizer). One corpus scan
     * total. */
   def daviesBouldin(embeddings: DataFrame, k: Int = 8): DataFrame = {
-    val centroids = trainedCentroidsLocal(embeddings, k)
+    val centroids = cachedCentroids(embeddings, k)
     val vectors = embeddings
       .select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("vnorm2",
@@ -782,7 +845,7 @@ object Clustering {
     * 1-row totals and index frames broadcast-cross back (k06's
     * pattern). */
   def calinskiHarabasz(embeddings: DataFrame, k: Int = 8): DataFrame = {
-    val centroids = trainedCentroidsLocal(embeddings, k)
+    val centroids = cachedCentroids(embeddings, k)
     val vectors = embeddings
       .select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("vnorm2",

@@ -745,8 +745,7 @@ object Dedup {
     * self-join, partitioned by cluster_id, nothing global. */
   def semanticDedup(embeddings: DataFrame,
       threshold: Double = 0.35): DataFrame = {
-    val centroids = ModelArtifacts.cached("ivf-centroids", embeddings,
-      "k=8")(Clustering.trainedCentroidsLocal(embeddings, 8))
+    val centroids = Clustering.cachedCentroids(embeddings, 8)
     val vectors = embeddings.select(col("vec_id"),
         col("embedding").as("emb"))
       .withColumn("vnorm2", dotExpr("emb", "emb"))

@@ -377,7 +377,7 @@ object Graph {
       .select(least(col("vec_id"), col("neighbor_id")).as("ea"),
         greatest(col("vec_id"), col("neighbor_id")).as("eb"))
       .distinct()
-    val centroids = Clustering.trainedCentroidsLocal(embeddings, nCells)
+    val centroids = Clustering.cachedCentroids(embeddings, nCells)
     val vectors = embeddings
       .select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("vnorm2", Dedup.dotExpr("emb", "emb"))

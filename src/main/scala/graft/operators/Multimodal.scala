@@ -229,17 +229,34 @@ object Multimodal {
       bandBits: Int = 16, maxHamming: Int = 16,
       maxBucket: Option[Int] = Some(256)): DataFrame = {
     require(nBlocks % bandBits == 0, "bandBits must divide nBlocks")
+    require(nBlocks % 32 == 0, "signature packs into 32-bit words")
     val nBands = nBlocks / bandBits
+    // the signature ALSO packs into 32-bit words ONCE per asset (conv
+    // is codegen'd; values < 2^32 are exact in a long), so the
+    // per-pair verify downstream is pure xor+bit_count arithmetic —
+    // the r20-named lever for the ×64 reading: the interpreted
+    // 64-lambda substr HOF ran per band-duplicated CANDIDATE, pricing
+    // the verify at candidate volume × interpreter dispatch, and the
+    // wide 64-char signature strings rode every exchange. Words are
+    // bitwise-faithful to the string (spec: hamming equality vs the
+    // HOF form), so results are unchanged.
+    val nWords = nBlocks / 32
+    val wordCols = (0 until nWords).map(w => conv(
+      substring(col("sig"), w * 32 + 1, 32), 2, 10).cast("long")
+      .as(s"w$w"))
     val sigs = assetsFrom(documents).select(col("asset_id"),
       graft.functions.BlockFns.blockBits(col("content"), nBlocks)
         .as("sig"))
+      .select(col("asset_id") +: col("sig") +: wordCols: _*)
     // identity-free band values: constant or period-2 striped bits
     // (≤ 2 bits of identity — the band-level blank frame; see scaladoc)
     val striped = Seq("0", "1", "01", "10")
       .map(p => (p * bandBits).take(bandBits))
+    val wordNames = (0 until nWords).map(w => s"w$w")
     val allBands = sigs
-      .select(col("asset_id"), col("sig"),
-        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .select(col("asset_id") +: col("sig") +:
+        explode(sequence(lit(0), lit(nBands - 1))).as("band") +:
+        wordNames.map(col): _*)
       .withColumn("band_val", col("sig").substr(
         col("band") * bandBits + 1, lit(bandBits)))
       .filter(!col("band_val").isin(striped: _*))
@@ -254,21 +271,29 @@ object Multimodal {
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("band"), col("band_val"))))
           .filter(col("_df") <= cap)
-          .select(col("asset_id"), col("sig"), col("band"),
-            col("band_val"))
+          .select(col("asset_id") +: col("band") +:
+            col("band_val") +: wordNames.map(col): _*)
     }
-    val l = bands.select(col("band"), col("band_val"),
-      col("asset_id").as("asset_id_a"), col("sig").as("sig_a"))
-    val r = bands.select(col("band"), col("band_val"),
-      col("asset_id").as("asset_id_b"), col("sig").as("sig_b"))
+    // pairs carry the packed words (2×8 bytes vs the 64-char string):
+    // a narrower exchange into the dedup, and the verify below is a
+    // whole-stage-codegen xor+bit_count per word — ~4 ALU ops per
+    // candidate where the HOF form paid 64 interpreted lambda calls
+    val l = bands.select(col("band") +: col("band_val") +:
+      col("asset_id").as("asset_id_a") +:
+      wordNames.map(n => col(n).as(s"${n}_a")): _*)
+    val r = bands.select(col("band") +: col("band_val") +:
+      col("asset_id").as("asset_id_b") +:
+      wordNames.map(n => col(n).as(s"${n}_b")): _*)
+    val hamming = wordNames
+      .map(n => bit_count(col(s"${n}_a").bitwiseXOR(col(s"${n}_b")))
+        .cast("long"))
+      .reduce(_ + _)
     l.join(r, Seq("band", "band_val"))
       .filter(col("asset_id_a") < col("asset_id_b"))
-      .select(col("asset_id_a"), col("asset_id_b"),
-        col("sig_a"), col("sig_b"))
+      .select(col("asset_id_a") +: col("asset_id_b") +:
+        wordNames.flatMap(n => Seq(col(s"${n}_a"), col(s"${n}_b"))): _*)
       .distinct()
-      .withColumn("hamming", expr(
-        s"CAST(size(filter(sequence(1, $nBlocks), i -> " +
-          "substr(sig_a, i, 1) <> substr(sig_b, i, 1))) AS BIGINT)"))
+      .withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)
       .select(col("asset_id_a"), col("asset_id_b"), col("hamming"))
       .orderBy(col("asset_id_a"), col("asset_id_b"))

@@ -158,7 +158,7 @@ object Similarity {
         concat(col("embedding"),
           array(sqrt(greatest(col("m2") - col("norm2"), lit(0.0)))
             .cast("float"))).as("embedding"))
-    val centroids = Clustering.trainedCentroidsLocal(aug)
+    val centroids = Clustering.cachedCentroids(aug)
     val vectors = aug.select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("vnorm2",
         graft.functions.VectorOps.dot(col("emb"), col("emb")))
@@ -253,7 +253,7 @@ object Similarity {
     // centroids materialize once (K-row model artifact); both probe
     // sides then assign against the literal centroids instead of each
     // re-running the training lineage (2x the median pipeline)
-    val centroids = Clustering.trainedCentroidsLocal(embeddings)
+    val centroids = Clustering.cachedCentroids(embeddings)
     val vectors = embeddings
       .select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("vnorm2",
@@ -291,7 +291,7 @@ object Similarity {
     * maxProbe of them. */
   def ivfNProbeRecall(embeddings: DataFrame, maxProbe: Int = 2,
       nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val centroids = Clustering.trainedCentroidsLocal(embeddings)
+    val centroids = Clustering.cachedCentroids(embeddings)
     val vectors = embeddings
       .select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("vnorm2",
@@ -667,7 +667,7 @@ object Similarity {
     * salted assign handle pathological cells. */
   def knnGraph(embeddings: DataFrame, k: Int = 5,
       nCells: Int = 32): DataFrame = {
-    val centroids = Clustering.trainedCentroidsLocal(embeddings, nCells)
+    val centroids = Clustering.cachedCentroids(embeddings, nCells)
     val vectors = embeddings
       .select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("vnorm2", Dedup.dotExpr("emb", "emb"))
@@ -710,7 +710,7 @@ object Similarity {
     * ~O(N·√K·D). */
   def knnGraphMulti(embeddings: DataFrame, k: Int = 5,
       nCells: Int = 32, nAssign: Int = 2): DataFrame = {
-    val centroids = Clustering.trainedCentroidsLocal(embeddings, nCells)
+    val centroids = Clustering.cachedCentroids(embeddings, nCells)
     val vectors = embeddings
       .select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("vnorm2", Dedup.dotExpr("emb", "emb"))
@@ -726,7 +726,11 @@ object Similarity {
         (sqrt(col("vnorm2")) * sqrt(col("nnorm2"))))
       .select(col("vec_id").as("query_id"), col("nbr_id").as("vec_id"),
         col("cosine"))
-      .distinct()
+      // dedup on the JOIN KEYS, not the computed double: the cosine is
+      // functionally determined by the pair, and keying distinctness
+      // on a float invites the -0.0-normalization cross-engine hazard
+      // (r20 ADVICE)
+      .dropDuplicates(Seq("query_id", "vec_id"))
     topKByQuery(scored, "cosine", k)
       .select(col("query_id").as("vec_id"), col("neighbor_id"),
         col("cosine"), col("rank"))
@@ -864,7 +868,7 @@ object Similarity {
     val sym =
       if (edgesOverride.isEmpty) graft.operators.Anchor.cut(symRaw)
       else symRaw
-    val centroids = Clustering.trainedCentroidsLocal(embeddings, nCells)
+    val centroids = Clustering.cachedCentroids(embeddings, nCells)
     val vectors = embeddings
       .select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("vnorm2", Dedup.dotExpr("emb", "emb"))
@@ -1022,7 +1026,7 @@ object Similarity {
       k: Int = 5, beam: Int = 8, hops: Int = 3, graphK: Int = 5,
       nCells: Int = 32): DataFrame = {
     val stored = storedBeamGraph(embeddings, graphK, nCells)
-    val centroids = Clustering.trainedCentroidsLocal(embeddings, nCells)
+    val centroids = Clustering.cachedCentroids(embeddings, nCells)
     val qv = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("vnorm2", Dedup.dotExpr("emb", "emb"))
@@ -1099,7 +1103,7 @@ object Similarity {
       graphK: Int, nCells: Int): DataFrame =
     IndexStore.storedTable("beam-graph", embeddings,
         s"k=$graphK,cells=$nCells", Seq("cell")) {
-      val centroids = Clustering.trainedCentroidsLocal(embeddings,
+      val centroids = Clustering.cachedCentroids(embeddings,
         nCells)
       val vectors = embeddings
         .select(col("vec_id"), col("embedding").as("emb"))
@@ -1294,8 +1298,7 @@ object Similarity {
   private val CoarseK: Int = 8
 
   private def cachedCentroids(trainOn: DataFrame): DataFrame =
-    ModelArtifacts.cached("ivf-centroids", trainOn, s"k=$CoarseK")(
-      Clustering.trainedCentroidsLocal(trainOn, CoarseK))
+    Clustering.cachedCentroids(trainOn, CoarseK)
 
   private def cachedCodebook(trainOn: DataFrame, m: Int, subDim: Int,
       k: Int): DataFrame =
@@ -1873,7 +1876,7 @@ object Similarity {
     * partition-prunes the scan (s19's layout). */
   def rangeSearch(embeddings: DataFrame, tau: Double = 0.25,
       nQueries: Int = 5, nProbe: Int = 2): DataFrame = {
-    val centroids = Clustering.trainedCentroidsLocal(embeddings)
+    val centroids = Clustering.cachedCentroids(embeddings)
     val vectors = embeddings
       .select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("vnorm2",
@@ -2247,6 +2250,55 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** [[ivfPqResidualTopK]]'s SERVING form — identical results by
+    * construction (the s12→s15 contract applied to the residual
+    * layout): the coarse centroids and the RESIDUAL codebook enter as
+    * cached session model artifacts, so the query pays the encode pass
+    * (at scale: precomputed residual-code columns, s19's argument) and
+    * the cell-pruned ADC top-k, never the two training lineages. The
+    * residual frame is rebuilt from the SAME deterministic centroids
+    * the trainer used, so codes are bitwise the s30 codes
+    * (ResidualServeSpec holds row equality). s31 consumes this tier —
+    * the r13 "route eval tiers through the cached serving forms"
+    * stance extended to the residual tier; s30 itself stays the
+    * end-to-end training form. */
+  def ivfPqResidualServe(embeddings: DataFrame, m: Int = 4,
+      subDim: Int = 16, k: Int = 8, nQueries: Int = 5,
+      topK: Int = 10): DataFrame = {
+    val centroids = Clustering.cachedCentroids(embeddings)
+    val vectors = embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("vnorm2",
+        graft.functions.VectorOps.dot(col("emb"), col("emb")))
+    val resid = Clustering.assign(vectors, centroids)
+      .join(broadcast(centroids.select(col("cluster_id"), col("cemb"))),
+        "cluster_id")
+      .select(col("vec_id"), col("cluster_id").as("cell"),
+        expr("""zip_with(emb, cemb, (x, c) ->
+          CAST(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) AS FLOAT))""")
+          .as("embedding"))
+    val resFrame = resid.select(col("vec_id"), col("embedding"))
+    val codebook = ModelArtifacts.cached("residual-pq-codebook",
+      embeddings, s"m=$m,subDim=$subDim,k=$k")(
+      pqCodebookLocal(resFrame, m, subDim, k))
+    val codes = pqAssign(pqSubvectors(resFrame, m, subDim), codebook)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val lut = pqLut(embeddings, codebook, m, subDim, nQueries)
+    val cells = resid.select(col("vec_id"), col("cell"))
+    val probes = cells.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val scored = probePrunedCodes(codes, cells, probes)
+      .join(broadcast(lut), Seq("sub", "code"))
+      .join(broadcast(probes), Seq("query_id", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("cell"), col("vec_id"))
+      .agg(sum(col("pdot_fp")).as("adc_fp"))
+    topKByQuery(scored, "adc_fp", topK, keys = Seq("query_id", "cell"))
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        col("adc_fp").cast("long").as("adc_fp"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The OPQ-lite dimension permutation: dims ranked by corpus
     * variance (exact integer-micro sums; the score n·Σx²−(Σx)² is
     * two IEEE products and a subtract — identical trees both
@@ -2325,7 +2377,8 @@ object Similarity {
     val approx = pqTopKServe(embeddings, nQueries = nQueries, topK = k)
       .select(lit("pq_raw").as("tier"), col("query_id"),
         col("neighbor_id"))
-      .unionByName(opqPqTopK(embeddings, nQueries = nQueries, topK = k)
+      .unionByName(pqTopKServe(opqPermutedFrame(embeddings),
+          nQueries = nQueries, topK = k)
         .select(lit("pq_opq").as("tier"), col("query_id"),
           col("neighbor_id")))
       .withColumn("hit", lit(1L))
@@ -2415,11 +2468,12 @@ object Similarity {
     val approx = pqTopKServe(embeddings, nQueries = nQueries, topK = k)
       .select(lit("pq_raw").as("tier"), col("query_id"),
         col("neighbor_id"))
-      .unionByName(opqPqTopK(embeddings, nQueries = nQueries, topK = k)
+      .unionByName(pqTopKServe(opqPermutedFrame(embeddings),
+          nQueries = nQueries, topK = k)
         .select(lit("pq_opq").as("tier"), col("query_id"),
           col("neighbor_id")))
-      .unionByName(rotatedPqTopK(embeddings, nQueries = nQueries,
-          topK = k)
+      .unionByName(pqTopKServe(opqRotatedFrame(embeddings),
+          nQueries = nQueries, topK = k)
         .select(lit("pq_opqrot").as("tier"), col("query_id"),
           col("neighbor_id")))
       .withColumn("hit", lit(1L))
@@ -2600,7 +2654,7 @@ object Similarity {
         topK = k)
       .select(lit("ivfpq_raw").as("tier"), col("query_id"),
         col("neighbor_id"))
-      .unionByName(ivfPqResidualTopK(embeddings, nQueries = nQueries,
+      .unionByName(ivfPqResidualServe(embeddings, nQueries = nQueries,
           topK = k)
         .select(lit("ivfpq_residual").as("tier"), col("query_id"),
           col("neighbor_id")))

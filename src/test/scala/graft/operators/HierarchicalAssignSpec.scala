@@ -157,6 +157,35 @@ class HierarchicalAssignSpec extends SparkSpec {
     assert(viaTopM == viaMin)
   }
 
+  test("broadcast-coarse carrier == literal carrier == brute (forced)") {
+    // beyond spark.graft.coarseLiteralMax the coarse tier ships as a
+    // one-row broadcast table instead of a plan literal; forcing the
+    // threshold to 0 exercises that carrier on the fixture — the
+    // admission algebra is shared, so outputs must stay bitwise equal
+    val vectors = vectorsOf(emb)
+    val centroids = Clustering.trainedCentroidsLocal(emb, 64)
+    val bruteArg = dump(Clustering.assign(vectors, centroids))
+    val bruteTop = Clustering.assignTopM(vectors, centroids, 3)
+      .orderBy("vec_id", "crk").collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.coarseLiteralMax", "0")
+    try {
+      val viaBcast = dump(Clustering.assignPruned(vectors, centroids))
+      assert(viaBcast == bruteArg)
+      val topBcast = Clustering.assignTopMPruned(vectors, centroids, 3)
+        .orderBy("vec_id", "crk").collect().map(_.toString).toSeq
+      assert(topBcast == bruteTop)
+      val plan = Clustering.assignPruned(vectors, centroids)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastExchange"),
+        "forced path should carry the coarse tier via broadcast")
+    } finally spark.conf.unset("spark.graft.coarseLiteralMax")
+    // back on the literal carrier the plan must carry no 1-row cross
+    val litPlan = Clustering.assignPruned(vectors, centroids)
+      .queryExecution.executedPlan.toString
+    assert(!litPlan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("s47 multi-assign recall dominates s21 per vector (fixture)") {
     // truth: exact top-5 over ALL pairs (500² at the fixture)
     val vectors = vectorsOf(emb)

@@ -312,6 +312,27 @@ class PerceptualDedupSpec extends graft.SparkSpec {
     assert(out.columns.toSeq ==
       Seq("asset_id_a", "asset_id_b", "hamming"))
   }
+
+  test("packed-word hamming is bitwise the string-HOF hamming " +
+      "(r21: the codegen'd verify must not change a single distance)") {
+    import org.apache.spark.sql.functions._
+    // recompute every reported pair's hamming with the ORIGINAL
+    // 64-lambda substr fold over the raw signatures and compare
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Multimodal.perceptualDedup(docs, maxHamming = 64)
+    val sigs = Multimodal.assetsFrom(docs).select(col("asset_id"),
+      graft.functions.BlockFns.blockBits(col("content"), 64).as("sig"))
+    val viaHof = out
+      .join(sigs.select(col("asset_id").as("asset_id_a"),
+        col("sig").as("sig_a")), "asset_id_a")
+      .join(sigs.select(col("asset_id").as("asset_id_b"),
+        col("sig").as("sig_b")), "asset_id_b")
+      .withColumn("hof", expr(
+        "CAST(size(filter(sequence(1, 64), i -> " +
+          "substr(sig_a, i, 1) <> substr(sig_b, i, 1))) AS BIGINT)"))
+    assert(viaHof.filter(col("hof") =!= col("hamming")).count() == 0L)
+    assert(viaHof.count() > 0L)
+  }
 }
 
 /** m08: modality-aware sequence packing manifest. */

@@ -661,6 +661,33 @@ class SignLshSpec extends graft.SparkSpec {
     assert(flatServed == flatTrained)
   }
 
+  test("residual serving form equals the in-query-training s30 " +
+      "row-for-row (r21: s31's residual tier rides the serve form)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cell"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_fp"),
+        r.getAs[Long]("rank"))).toSeq
+    val trained = rows(Similarity.ivfPqResidualTopK(emb))
+    val served = rows(Similarity.ivfPqResidualServe(emb))
+    assert(trained.nonEmpty)
+    assert(served == trained)
+  }
+
+  test("OPQ/rotated serving forms equal the in-query-training forms " +
+      "(r21: s33/s38/s39 tiers ride pqTopKServe over the transforms)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def flatRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("adc_fp"), r.getAs[Long]("rank"))).toSeq
+    assert(flatRows(Similarity.pqTopKServe(
+        Similarity.opqPermutedFrame(emb))) ==
+      flatRows(Similarity.opqPqTopK(emb)))
+    assert(flatRows(Similarity.pqTopKServe(
+        Similarity.opqRotatedFrame(emb))) ==
+      flatRows(Similarity.rotatedPqTopK(emb)))
+  }
+
 }
 
 /** s22 trained scalar quantization: hand-verified codes/ADC, recall vs
