@@ -2372,8 +2372,8 @@ object Similarity {
     val tiers = embeddings.sparkSession.range(0, 2)
       .select(element_at(array(lit("pq_opq"), lit("pq_raw")),
         col("id").cast("int") + 1).as("tier"))
-    // raw tier through the CACHED serving form (rows identical to
-    // s11 — the s13 rerouting precedent)
+    // BOTH tiers through the CACHED serving forms (rows identical to
+    // s11/s32 — the s13 rerouting precedent; spec-pinned)
     val approx = pqTopKServe(embeddings, nQueries = nQueries, topK = k)
       .select(lit("pq_raw").as("tier"), col("query_id"),
         col("neighbor_id"))
@@ -2647,9 +2647,10 @@ object Similarity {
       .select(element_at(
         array(lit("ivfpq_raw"), lit("ivfpq_residual")),
         col("id").cast("int") + 1).as("tier"))
-    // raw tier through the CACHED serving form — rows identical to
-    // s12 by construction (s15's oracle/spec contract), and the
-    // session artifact cache pays coarse+PQ training once
+    // BOTH tiers through the CACHED serving forms — rows identical to
+    // s12/s30 by construction (the s15 oracle/spec contract and
+    // ResidualServeSpec), so the eval pays encode+probe, never the
+    // coarse/PQ/residual training lineages
     val approx = ivfPqTopKServe(embeddings, nQueries = nQueries,
         topK = k)
       .select(lit("ivfpq_raw").as("tier"), col("query_id"),

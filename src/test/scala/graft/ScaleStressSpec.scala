@@ -153,6 +153,11 @@ class ScaleStressSpec extends SparkSpec {
       S.ivfPqTopKServe(emb), S.ivfPqTopKServe(embX), true),
     ("s17_ivfpq_rerank",
       S.ivfPqRerankTopK(emb), S.ivfPqRerankTopK(embX), true),
+    // s18 had NO stress entry through r20 (the one drift the r20
+    // verdict could not bound); append-form artifacts train on the
+    // base split, so its factor covers freeze-encode-union serving
+    ("s18_ivfpq_append",
+      S.ivfPqAppendServe(emb), S.ivfPqAppendServe(embX), true),
     // d13's connected-components loop materializes (localCheckpoint)
     // at construction like d07/d10 above, so its factor covers the
     // post-CC labels projection; the banded candidate JOIN — the part
