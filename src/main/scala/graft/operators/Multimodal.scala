@@ -218,7 +218,9 @@ object Multimodal {
     *    binds on the oracle fixtures (max bucket: 4 at sf0.01, 19 at
     *    sf0.1 — exactness is untouched where the oracle checks); pass
     *    `maxBucket = None` for exact banding.
-    * The verify filter is 64 fixed ops per surviving candidate.
+    * The verify filter is two xor+bit_count words per surviving
+    * candidate (whole-stage codegen; r21 — the interpreted 64-lambda
+    * substr fold it replaces priced the ×64 stress at 53×).
     *
     * Threshold: 16/64 bits. MEASURED on the fixtures (post-filter):
     * text payloads move more block means per edit than re-encoded
