@@ -2258,7 +2258,7 @@ object Similarity {
     * the cell-pruned ADC top-k, never the two training lineages. The
     * residual frame is rebuilt from the SAME deterministic centroids
     * the trainer used, so codes are bitwise the s30 codes
-    * (ResidualServeSpec holds row equality). s31 consumes this tier —
+    * (SimilaritySpec holds row equality). s31 consumes this tier —
     * the r13 "route eval tiers through the cached serving forms"
     * stance extended to the residual tier; s30 itself stays the
     * end-to-end training form. */
@@ -2649,7 +2649,7 @@ object Similarity {
         col("id").cast("int") + 1).as("tier"))
     // BOTH tiers through the CACHED serving forms — rows identical to
     // s12/s30 by construction (the s15 oracle/spec contract and
-    // ResidualServeSpec), so the eval pays encode+probe, never the
+    // the SimilaritySpec serve-equality test), so the eval pays encode+probe, never the
     // coarse/PQ/residual training lineages
     val approx = ivfPqTopKServe(embeddings, nQueries = nQueries,
         topK = k)
