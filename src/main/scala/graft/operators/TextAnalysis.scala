@@ -1151,17 +1151,58 @@ object TextAnalysis {
     * Scale: every join is doc-keyed — with the document table bucketed
     * by doc_id at rest, the whole assembly is exchange-free after each
     * signal's own (audited) shuffles. */
+  /** p07's dup2_frac signal as a BIGRAM-ONLY pass (r22): the feature
+    * table consumes exactly one column of t32's profile, but joining
+    * the full [[repetitionProfile]] paid all four n-gram passes — the
+    * dup3/dup4/top-bigram arms are inner-join row-preserving (every
+    * ≥4-token doc has instances at every n), so Catalyst cannot prune
+    * them away. Same law: dup2_frac = (Σ c over duplicated bigrams) /
+    * (T − 1), with T − 1 = Σ c over all of the doc's bigrams; same row
+    * set (docs with ≥ 4 tokens). Value-pinned against the full profile
+    * in TextDedupSpec. */
+  private def dup2FracOnly(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.filter(size(toks) >= 4)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i + 1),
+            element_at(toks, i + 2)))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((sum(when(col("c") > 1L, col("c")).otherwise(0L))
+        .cast("double") / sum(col("c")).cast("double")).as("dup2_frac"))
+  }
+
+  /** The t28 code/prose label as a pure per-row expression over `text`
+    * (r22): exactly [[codeDetect]]'s integer cross-multiply on the
+    * base branch — p07 joined the full t28 frame, which UNIONS in the
+    * code-ified fixture twin (doc_id + 10⁶) and so rebuilt that twin's
+    * text for every document only for the inner join to drop it. */
+  private def isCodeExpr(text: Column): Column = {
+    val stripped = Seq("(", ")", "{", "}", ";", "=")
+      .foldLeft(text)((c, s) => replace(c, lit(s), lit("")))
+    (length(text) - length(stripped)).cast("long") * 50L >=
+      length(text).cast("long")
+  }
+
   def qualityFeatures(documents: DataFrame): DataFrame = {
-    val q = qualityScore(documents).select(col("doc_id"), col("quality"))
+    // quality and is_code are per-row scan-stage expressions — inlined
+    // (r22) instead of self-joined from the t02/t28 frames: the values
+    // are the identical expression trees ([[qualityExpr]] is t02's own
+    // scorer; [[isCodeExpr]] is t28's law), and the two doc-keyed
+    // self-joins plus t28's corpus-doubling union bought nothing but
+    // plan width. mean_bits (corpus-LM pass) and dup2_frac (bigram
+    // pass) keep their real shuffles.
     val u = unigramSurprise(documents)
       .select(col("doc_id"), col("mean_bits"))
-    val r = repetitionProfile(documents)
-      .select(col("doc_id"), col("dup2_frac"))
-    val c = codeDetect(documents).select(col("doc_id"), col("is_code"))
-    documents.select(col("doc_id"), col("lang"), col("source"))
-      .join(q, "doc_id").join(u, "doc_id")
+    val r = dup2FracOnly(documents)
+    documents.select(col("doc_id"), col("lang"), col("source"),
+        qualityExpr(col("text")).as("quality"),
+        isCodeExpr(col("text")).as("is_code"))
+      .join(u, "doc_id")
       .join(r, Seq("doc_id"), "left_outer")
-      .join(c, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"),
+        col("mean_bits"), col("dup2_frac"), col("is_code"))
       .orderBy(col("doc_id"))
   }
 
@@ -1187,28 +1228,44 @@ object TextAnalysis {
   def repetitionProfile(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val base = documents.filter(size(toks) >= 4)
-      .select(col("doc_id"), toks.as("toks"),
-        size(toks).cast("long").as("n_tokens"))
-    def gramCounts(n: Int) = base
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(col("toks")) - n),
-        i => concat_ws(" ",
-          (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)))
-        .as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-    def dup(n: Int) = gramCounts(n).groupBy(col("doc_id"))
-      .agg(sum(when(col("c") > 1L, col("c")).otherwise(0L))
-        .as(s"dup${n}_count"))
-    val topBi = gramCounts(2).groupBy(col("doc_id"))
-      .agg(min_by(col("g"),
-        struct((lit(0L) - col("c")).as("negc"), col("g").as("g")))
-        .as("top_bigram"))
+      .select(col("doc_id"), toks.as("toks"))
+    // ONE explode emits every n-gram instance for n ∈ {2,3,4} tagged
+    // with its n (r22: the three per-n explode+count passes — plus a
+    // fourth for the top bigram — differed only in n, so the corpus
+    // was tokenized and shuffled four times for one profile). One
+    // (doc, n, gram) count and one conditional per-doc rollup replace
+    // them; every law below is unchanged:
+    //  - dupN_count = Σ c over grams of arity N with c > 1 (same sum);
+    //  - n_tokens is recovered exactly as (Σ c over n=2 grams) + 1 —
+    //    a doc with T tokens has T−1 bigram instances, and base
+    //    guarantees T ≥ 4 so every doc has rows at every n;
+    //  - top_bigram keeps the min_by((−c, g)) tie-law, restricted to
+    //    n=2 rows by a leading priority field (an n=2 row always
+    //    exists, so no other arity can ever win).
+    def gramsOf(n: Int) = transform(
+      sequence(lit(0), size(col("toks")) - n),
+      i => struct(lit(n).as("n"), concat_ws(" ",
+        (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)
+        .as("g")))
+    val counts = base
+      .select(col("doc_id"),
+        explode(concat(gramsOf(2), gramsOf(3), gramsOf(4))).as("x"))
+      .groupBy(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+    def dupCount(n: Int) =
+      sum(when(col("n") === n && col("c") > 1L, col("c")).otherwise(0L))
+        .as(s"dup${n}_count")
+    val agg = counts.groupBy(col("doc_id")).agg(
+      (sum(when(col("n") === 2, col("c")).otherwise(0L)) + 1L)
+        .as("n_tokens"),
+      min_by(col("g"), struct(
+        when(col("n") === 2, 0L).otherwise(1L).as("pri"),
+        (lit(0L) - col("c")).as("negc"), col("g").as("g")))
+        .as("top_bigram"),
+      dupCount(2), dupCount(3), dupCount(4))
     def frac(n: Int) = (col(s"dup${n}_count").cast("double") /
       (col("n_tokens") - (n - 1)).cast("double")).as(s"dup${n}_frac")
-    base.select(col("doc_id"), col("n_tokens"))
-      .join(topBi, "doc_id").join(dup(2), "doc_id")
-      .join(dup(3), "doc_id").join(dup(4), "doc_id")
-      .select(col("doc_id"), col("n_tokens"), col("top_bigram"),
+    agg.select(col("doc_id"), col("n_tokens"), col("top_bigram"),
         col("dup2_count"), frac(2), col("dup3_count"), frac(3),
         col("dup4_count"), frac(4))
       .orderBy(col("doc_id"))
