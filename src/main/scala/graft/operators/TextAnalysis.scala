@@ -794,7 +794,15 @@ object TextAnalysis {
     val toks = Dedup.spread(documents).select(col("doc_id"),
       explode(tokens(col("text"))).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-    val total = freq.agg(sum(col("tf")).as("corpus_n"))
+    // corpus N = Σ tf = the corpus token-instance count — computed as a
+    // scan-stage sum of per-doc token counts (r22): aggregating the
+    // freq table re-ran the whole explode+count-shuffle lineage a
+    // second time just to produce this one long (no exchange reuse
+    // across the two references). Same value exactly: every doc's
+    // split(trim(x)) is non-empty, so Σ size(tokens) counts precisely
+    // the rows the explode emits.
+    val total = documents
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("corpus_n"))
     toks.join(freq, "tok")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
@@ -1605,6 +1613,13 @@ object TextAnalysis {
   private[operators] def pplTerciles(scored: DataFrame,
       total: DataFrame, valueCol: String = "mean_bits"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the bucketed frame is read twice (the within-bucket windows and
+    // the offsets histogram) — deliberately NOT anchored (r22 measured
+    // both forms): the two arms' upstream exchanges are canonically
+    // identical, so AQE's runtime exchange reuse serves the second
+    // reference from the first's shuffle files, and a localCheckpoint
+    // here only ADDED a materialization pass (p13 task-time 38.8 s →
+    // 64.4 s with the anchor; same shape for t37/t42/p08).
     val bucketed =
       scored.withColumn("bk", floor(col(valueCol) * 4).cast("long"))
     val within = bucketed.withColumn("rn",
@@ -2450,15 +2465,82 @@ object TextAnalysis {
     * doc-keyed aggregates over the shared page render) meeting in
     * doc-keyed equi-joins — no new corpus-scale stage beyond its
     * inputs; output is one row per doc. */
+  /** The p08 gate columns — gopher keep, c4 kept-line count and
+    * cleaned length — from ONE page render and ONE doc-keyed aggregate
+    * (r22): composing the public [[gopherRules]]/[[c4LineFilter]]
+    * frames rendered [[syntheticLines]] three times (gopher's line
+    * grain, gopher's word explode, c4's line grain) and met in two
+    * doc-keyed joins, with no subtree reuse across them. Every law is
+    * the originals', with the word-grain metrics folded per LINE
+    * first:
+    *  - split(line, " ") partitions the line around single-space
+    *    separators, so n_words = Σ size(parts) and sum_word_chars =
+    *    Σ (length(line) − (words_in_line − 1)) — the separator
+    *    identity, exact for any line including empty parts;
+    *  - alpha_words counts parts containing a letter (same rlike);
+    *  - the distinct-required-stopword count is the size of the
+    *    deduplicated union of per-line stop intersections — order-free
+    *    under collect_list's partition nondeterminism;
+    *  - c4's keep predicate, kept-line reassembly (sort_array over
+    *    (line_no, line) structs) and cleaned length are verbatim.
+    * Pinned equal to the joined public frames in QualityFilterSpec. */
+  private[operators] def gateMetrics(documents: DataFrame): DataFrame = {
+    val stopsArr = array(GopherStops.map(lit): _*)
+    val keepL = expr("right(line, 1)") === "." &&
+      size(split(col("line"), " ")) >= 4 &&
+      !col("line").contains("{") &&
+      !col("line").contains("lorem ipsum")
+    val agg = syntheticLines(documents)
+      .withColumn("wn", size(split(col("line"), " ")).cast("long"))
+      .withColumn("keepl", keepL)
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(expr("left(line, 2)") === "- ", 1L).otherwise(0L))
+          .as("bullet_lines"),
+        sum(when(expr("right(line, 3)") === "...", 1L).otherwise(0L))
+          .as("ellipsis_lines"),
+        sum(length(col("line")) - length(expr("replace(line, '#', '')")))
+          .cast("long").as("hash_marks"),
+        expr("CAST(sum(length(line) - length(replace(line, '...', '')))" +
+          " div 3 AS BIGINT)").as("ellipsis_marks"),
+        sum(col("wn")).as("n_words"),
+        sum(length(col("line")).cast("long") - (col("wn") - 1L))
+          .as("sum_word_chars"),
+        sum(size(filter(split(col("line"), " "),
+          w => w.rlike("[A-Za-z]"))).cast("long")).as("alpha_words"),
+        size(array_distinct(flatten(collect_list(array_intersect(
+          array_distinct(split(col("line"), " ")), stopsArr)))))
+          .cast("long").as("n_required_stops"),
+        sum(when(col("keepl"), 1L).otherwise(0L)).as("n_kept"),
+        sort_array(collect_list(
+          when(col("keepl"), struct(col("line_no"), col("line")))))
+          .as("kept"))
+    val meanWordLen =
+      col("sum_word_chars").cast("double") / col("n_words").cast("double")
+    val symbolRatio = (col("hash_marks") + col("ellipsis_marks"))
+      .cast("double") / col("n_words").cast("double")
+    val keep =
+      (col("n_words") >= 50L && col("n_words") <= 100000L) &&
+      (meanWordLen >= 3.0 && meanWordLen <= 10.0) &&
+      symbolRatio <= 0.1 &&
+      (col("bullet_lines").cast("double") /
+        col("n_lines").cast("double")) <= 0.9 &&
+      (col("ellipsis_lines").cast("double") /
+        col("n_lines").cast("double")) <= 0.3 &&
+      (col("alpha_words").cast("double") /
+        col("n_words").cast("double")) >= 0.8 &&
+      col("n_required_stops") >= 2L
+    agg.select(col("doc_id"), keep.as("gopher_keep"), col("n_kept"),
+      length(array_join(transform(col("kept"), x => x.getField("line")),
+        "\n")).cast("long").as("n_clean_chars"))
+  }
+
   def curatedCorpusV2(documents: DataFrame): DataFrame = {
-    val g = gopherRules(documents)
-      .select(col("doc_id"), col("keep").as("gopher_keep"))
-    val c = c4LineFilter(documents)
-      .select(col("doc_id"), col("n_kept"), col("n_clean_chars"))
+    val g = gateMetrics(documents)
     val b = ccnetBuckets(documents)
       .select(col("doc_id"), col("ppl_bucket"))
     documents.select(col("doc_id"), col("lang"), col("source"))
-      .join(g, "doc_id").join(c, "doc_id").join(b, "doc_id")
+      .join(g, "doc_id").join(b, "doc_id")
       .select(col("doc_id"), col("lang"), col("source"),
         col("gopher_keep"), col("n_kept"), col("n_clean_chars"),
         col("ppl_bucket"),
@@ -2582,17 +2664,22 @@ object TextAnalysis {
     * digest-keyed dup count, then a single (source)-keyed partial agg
     * → sources-sized output. */
   def datasetCard(documents: DataFrame): DataFrame = {
-    val qual = qualityScore(documents)
-      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    // n_tokens/quality are t02's own per-row expressions — inlined
+    // (r22, the p07 stance) instead of a doc-keyed self-join against
+    // the t32-shaped qualityScore frame; the dup-exposure count keeps
+    // d01's digest law but flags via ONE digest-keyed window instead
+    // of the digest-histogram self-join (same counts, one exchange).
     val gates = curatedCorpusV2(documents)
       .select(col("doc_id"), col("verdict"))
-    val dg = documents.select(col("doc_id"),
-      Dedup.contentDigest(col("text")).as("dg"))
-    val dupFlag = dg.join(
-        dg.groupBy(col("dg")).agg(count(lit(1)).as("nc")), "dg")
-      .select(col("doc_id"), (col("nc") > 1).as("is_dup"))
-    documents.select(col("doc_id"), col("source"))
-      .join(qual, "doc_id").join(gates, "doc_id").join(dupFlag, "doc_id")
+    val dgW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dg"))
+    val dupFlag = documents
+      .select(col("doc_id"), Dedup.contentDigest(col("text")).as("dg"))
+      .select(col("doc_id"), (count(lit(1)).over(dgW) > 1).as("is_dup"))
+    documents.select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        qualityExpr(col("text")).as("quality"))
+      .join(gates, "doc_id").join(dupFlag, "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),

@@ -176,6 +176,26 @@ class QualityFilterSpec extends SparkSpec {
       "fixture must have both keeps and drops — vacuous otherwise")
   }
 
+  test("gateMetrics: the one-render aggregate matches gopherRules and " +
+      "c4LineFilter column-for-column") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = TextAnalysis.gateMetrics(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val g = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    val c = TextAnalysis.c4LineFilter(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("n_clean_chars"))).toMap
+    assert(got.keySet == g.keySet && got.keySet == c.keySet)
+    for ((id, row) <- got) {
+      assert(row.getAs[Boolean]("gopher_keep") == g(id), s"doc $id keep")
+      assert(row.getAs[Long]("n_kept") == c(id)._1, s"doc $id n_kept")
+      assert(row.getAs[Long]("n_clean_chars") == c(id)._2, s"doc $id chars")
+    }
+    // vacuity guard: the fixture must exercise both outcomes
+    assert(g.values.exists(identity) && g.values.exists(!_))
+  }
+
   test("curatedCorpusV2: verdict is the FIRST failing gate, in order") {
     val docs = Tables.documentsLike(spark)
     val out = TextAnalysis.curatedCorpusV2(docs).collect()
