@@ -135,13 +135,25 @@ object Bench {
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "BENCH_QUERIES.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (fullMapJson(passes, sfName) + "\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    // The default artifact ALSO lands in a core-count-suffixed file
+    // (r22): the driver benches at two core counts and the second run
+    // overwrites BENCH_QUERIES.json, so the 32-core per-query map never
+    // survived a round and the driver's per-query/scaling comparisons
+    // came up empty (PERF_r21 n_common: 0). Purely an additional output
+    // — the stdout line, the timing methodology, and the default file
+    // are byte-identical to before.
+    val outPaths = outPath +:
+      (if (outPath == "BENCH_QUERIES.json")
+        Seq(s"BENCH_QUERIES_c$cpus.json") else Nil)
+    outPaths.foreach { path =>
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          (fullMapJson(passes, sfName) + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] could not write $path: ${e.getMessage}")
+      }
     }
     println(renderLine(results, sfName))
     graft.operators.Similarity.clearSharedGraphs(spark)
