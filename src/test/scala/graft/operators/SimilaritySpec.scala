@@ -672,6 +672,11 @@ class SignLshSpec extends graft.SparkSpec {
     val served = rows(Similarity.ivfPqResidualServe(emb))
     assert(trained.nonEmpty)
     assert(served == trained)
+    // r22: the stored-residual-codes form (what s31's residual tier
+    // now rides) is row-equal to both — same artifacts, same codes
+    // through the parquet round-trip, same ADC arithmetic
+    val stored = rows(Similarity.ivfPqResidualStoredServe(emb))
+    assert(stored == trained)
   }
 
   test("OPQ/rotated serving forms equal the in-query-training forms " +
